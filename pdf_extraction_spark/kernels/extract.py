@@ -1,0 +1,31 @@
+"""Document extraction dispatch: payload bytes → cleaned main text.
+
+The per-url byte-identity contract of the engine: for every pages row,
+``extract_document_text(url, html)`` is the authoritative pure-Python
+semantics; the Spark ``mapInPandas`` operator must match it byte-for-byte
+(asserted in tests). Mirrors the reference extract→clean composition
+(main.py:11-26) with the HTML branch added for Common-Crawl payloads.
+"""
+
+from .htmlio import extract_main_content
+from .pdfio import extract_pdf_text
+from .text_cleaner import clean_text
+
+EXTRACTOR_VERSION = "pdf_extraction_spark-0.1.0"
+
+
+def is_pdf_payload(url: str, payload: bytes) -> bool:
+    """Content-sniff first (Common-Crawl payloads are typed by bytes, not
+    extension), url suffix as fallback."""
+    return payload[:5] == b"%PDF-" or url.lower().endswith(".pdf")
+
+
+def extract_raw_text(url: str, payload: bytes) -> str:
+    if is_pdf_payload(url, payload):
+        return extract_pdf_text(payload)
+    return extract_main_content(payload.decode("utf-8", errors="replace"))
+
+
+def extract_document_text(url: str, payload: bytes) -> str:
+    """extract (PDF parse | HTML boilerplate strip) → normalize (P1)."""
+    return clean_text(extract_raw_text(url, payload))

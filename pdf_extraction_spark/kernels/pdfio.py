@@ -1,0 +1,234 @@
+"""Minimal PDF writer + byte-stream text extractor (S3/S4).
+
+The container ships no PDF library, so the engine carries a deterministic
+pure-Python pair:
+
+- :func:`build_minimal_pdf` emits an uncompressed PDF 1.4 with one
+  content stream per page (``BT``/``Tj``/``T*``/``ET`` text operators,
+  literal strings) — used by the synthetic pages generator.
+- :func:`extract_pdf_text` parses the byte stream (object graph →
+  /Catalog → /Pages → /Kids order → /Contents) and reassembles page text.
+
+Per-page/page-join semantics mirror the reference extractor
+(pdf-parser/extractor/pdf_extractor.py:4-28): each non-empty page
+contributes ``page_text + "\n"``. When pdfplumber / PyPDF2 are importable
+they are preferred for real-world PDFs (same fallback order as the
+reference); the built-in parser handles the engine's own subset and any
+uncompressed Tj/TJ-based PDF.
+"""
+
+import io
+import re
+
+try:  # optional, matches reference library order (pdf_extractor.py:1-2)
+    import pdfplumber  # type: ignore
+except ImportError:
+    pdfplumber = None
+try:
+    import PyPDF2  # type: ignore
+except ImportError:
+    PyPDF2 = None
+
+
+# --------------------------------------------------------------------------
+# writer
+# --------------------------------------------------------------------------
+
+def _escape_pdf_string(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def build_minimal_pdf(pages) -> bytes:
+    """Build an uncompressed single-font PDF; ``pages`` is a list of page
+    strings whose lines become ``Tj`` runs separated by ``T*``. Text is
+    Latin-1-projected (lossy for exotic chars) — the synthetic corpus keeps
+    PDF payloads ASCII-safe."""
+    objects = []  # list of bytes, object number = index + 1
+
+    n_pages = len(pages)
+    # 1: catalog, 2: pages, 3: font, then per page: page obj, content obj
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode("ascii")
+    )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    for i, page_text in enumerate(pages):
+        content_num = 5 + 2 * i
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {content_num} 0 R >>"
+            ).encode("ascii")
+        )
+        lines = page_text.split("\n")
+        ops = ["BT", "/F1 11 Tf", "12 TL", "1 780 Td"]
+        for j, line in enumerate(lines):
+            if j > 0:
+                ops.append("T*")
+            ops.append(f"({_escape_pdf_string(line)}) Tj")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1", errors="replace")
+        objects.append(
+            b"<< /Length " + str(len(stream)).encode("ascii") + b" >>\nstream\n"
+            + stream + b"\nendstream"
+        )
+
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(out.tell())
+        out.write(f"{num} 0 obj\n".encode("ascii"))
+        out.write(body)
+        out.write(b"\nendobj\n")
+    xref_pos = out.tell()
+    out.write(f"xref\n0 {len(objects) + 1}\n".encode("ascii"))
+    out.write(b"0000000000 65535 f \n")
+    for off in offsets[1:]:
+        out.write(f"{off:010d} 00000 n \n".encode("ascii"))
+    out.write(
+        (
+            f"trailer\n<< /Size {len(objects) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF\n"
+        ).encode("ascii")
+    )
+    return out.getvalue()
+
+
+# --------------------------------------------------------------------------
+# parser
+# --------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# literal string followed by a text-showing operator
+_SHOW_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|')|\[(.*?)\]\s*TJ|(T\*|Td|TD)")
+_TJ_ITEM_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
+
+_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _decode_literal(raw: bytes) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i : i + 1]
+        if c == b"\\" and i + 1 < len(raw):
+            nxt = raw[i + 1 : i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            if nxt.isdigit():  # octal escape, up to 3 digits
+                j = i + 1
+                while j < len(raw) and j < i + 4 and raw[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(raw[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            i += 1
+            continue
+        out += c
+        i += 1
+    return out.decode("latin-1")
+
+
+def _stream_text(stream: bytes) -> str:
+    """Text of one content stream: Tj/'/TJ runs, T*/Td/TD as newlines."""
+    lines = []
+    for block in _TEXT_BLOCK_RE.findall(stream):
+        current = []
+        for m in _SHOW_RE.finditer(block):
+            if m.group(4):  # positioning op → new line
+                if current:
+                    lines.append("".join(current))
+                    current = []
+            elif m.group(3) is not None:  # TJ array
+                for item in _TJ_ITEM_RE.findall(m.group(3)):
+                    current.append(_decode_literal(item))
+            elif m.group(1) is not None:
+                if m.group(2) == b"'":  # ' implies T* first
+                    if current:
+                        lines.append("".join(current))
+                        current = []
+                current.append(_decode_literal(m.group(1)))
+        if current:
+            lines.append("".join(current))
+    return "\n".join(lines)
+
+
+def _builtin_extract(data: bytes) -> str:
+    objects = {int(num): body for num, body in _OBJ_RE.findall(data)}
+
+    def page_streams_in_order():
+        # catalog → /Pages → /Kids gives the authoritative page order;
+        # fall back to document-order /Page objects for odd files.
+        order = []
+        for num in sorted(objects):
+            body = objects[num]
+            if b"/Type /Catalog" in body or b"/Type/Catalog" in body:
+                m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", body)
+                if m and int(m.group(1)) in objects:
+                    pages_body = objects[int(m.group(1))]
+                    kids = re.search(rb"/Kids\s*\[(.*?)\]", pages_body, re.DOTALL)
+                    if kids:
+                        order = [int(n) for n in _REF_RE.findall(kids.group(1))]
+                break
+        if not order:
+            order = [
+                num
+                for num in sorted(objects)
+                if b"/Type /Page" in objects[num] or b"/Type/Page" in objects[num]
+            ]
+        for num in order:
+            body = objects.get(num, b"")
+            m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+            if not m:
+                continue
+            content = objects.get(int(m.group(1)), b"")
+            sm = _STREAM_RE.search(content)
+            if sm:
+                yield sm.group(1)
+
+    text = ""
+    for stream in page_streams_in_order():
+        page_text = _stream_text(stream)
+        if page_text:
+            text += page_text + "\n"
+    return text
+
+
+def extract_pdf_text(data: bytes) -> str:
+    """PDF bytes → text; pdfplumber → PyPDF2 → built-in parser, first
+    non-empty wins (fallback order per reference pdf_extractor.py:8-26)."""
+    if pdfplumber is not None:
+        try:
+            text = ""
+            with pdfplumber.open(io.BytesIO(data)) as pdf:
+                for page in pdf.pages:
+                    page_text = page.extract_text()
+                    if page_text:
+                        text += page_text + "\n"
+            if text.strip():
+                return text
+        except Exception:
+            pass
+    if PyPDF2 is not None:
+        try:
+            text = ""
+            reader = PyPDF2.PdfReader(io.BytesIO(data))
+            for page in reader.pages:
+                text += page.extract_text() + "\n"
+            if text.strip():
+                return text
+        except Exception:
+            pass
+    return _builtin_extract(data)

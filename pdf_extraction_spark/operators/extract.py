@@ -1,0 +1,91 @@
+"""Extraction operator (S3/S4 + P1): pages → pages with extracted text.
+
+``mapInPandas`` over Arrow batches of ``html:binary``; each batch row is
+dispatched to the PDF byte-stream parser or the HTML block classifier and
+normalized (kernels.extract — the byte-identity contract). The UDF runs
+executor-side over Arrow batches — the only JVM↔Python crossing in the
+extract stage; no driver-side loops.
+
+Scale notes (100 TB): the stage is embarrassingly parallel and
+shuffle-free unless ``repartition_by_url`` is requested — which hashes on
+``xxhash64(url)`` so work distribution is independent of crawl file
+layout (hot hosts don't pin to one task). Arrow batches are kept small
+(session.ARROW_BATCH_ROWS) because payloads are MB-scale.
+"""
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels.extract import EXTRACTOR_VERSION, extract_document_text, is_pdf_payload
+
+EXTRACTED_SCHEMA = (
+    "url string, warc_ts timestamp, text string, lang string, "
+    "doc_type string, payload_bytes long"
+)
+
+# extended schema when lineage capture is on: one extra row per batch is
+# NOT emitted — lineage aggregates per partition in plans/lineage.py
+EXTRACT_WITH_PARTITION_SCHEMA = EXTRACTED_SCHEMA + ", partition_id int, extract_wall_s double"
+
+
+def _extract_batches(batches, with_partition: bool):
+    import pandas as pd
+
+    try:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+    except Exception:  # pragma: no cover
+        pid = -1
+
+    for pdf in batches:
+        t0 = time.perf_counter()
+        urls = pdf["url"].tolist()
+        payloads = pdf["html"].tolist()
+        texts = []
+        doc_types = []
+        sizes = []
+        for url, payload in zip(urls, payloads):
+            payload = payload if payload is not None else b""
+            doc_types.append("pdf" if is_pdf_payload(url, payload) else "html")
+            texts.append(extract_document_text(url, payload))
+            sizes.append(len(payload))
+        out = pd.DataFrame(
+            {
+                "url": urls,
+                "warc_ts": pdf["warc_ts"],
+                "text": texts,
+                "lang": pdf["lang"],
+                "doc_type": doc_types,
+                "payload_bytes": sizes,
+            }
+        )
+        if with_partition:
+            wall = time.perf_counter() - t0
+            out["partition_id"] = pid
+            out["extract_wall_s"] = wall
+        yield out
+
+
+def extract_text(
+    pages: DataFrame,
+    repartition: int | None = None,
+    with_partition_info: bool = False,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → extracted docs.
+
+    ``repartition`` hashes rows by xxhash64(url) first (uniform work
+    distribution at cluster scale; skip locally when input partitioning is
+    already fine — the repartition is an explicit shuffle)."""
+    df = pages
+    if repartition:
+        df = df.repartition(repartition, F.xxhash64("url"))
+    schema = EXTRACT_WITH_PARTITION_SCHEMA if with_partition_info else EXTRACTED_SCHEMA
+    return df.mapInPandas(
+        lambda it: _extract_batches(it, with_partition_info), schema=schema
+    )
+
+
+__all__ = ["extract_text", "EXTRACTOR_VERSION", "EXTRACTED_SCHEMA"]
