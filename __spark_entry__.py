@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction-pipeline query on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB twins; the driver compares row counts, schemas
+and order-insensitive value hashes at sf0.01.
+
+Column-name discipline: every computed column is aliased identically in
+the Spark query and the SQL twin.
+
+Operators whose core is a Python kernel inside a pandas UDF (transcript
+parse, minhash, simhash, langid, fingerprint, media decode) cannot run
+in DuckDB; where feasible the oracle re-expresses the *relational*
+portion, otherwise the entry is omitted → the driver's weaker rows-only
+check applies (documented per query below).
 """
 
 from __future__ import annotations
@@ -12,27 +20,700 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared inline fixtures (same literal rows in Spark and in the SQL twins)
+# ---------------------------------------------------------------------------
+
+SPEAKERS = [
+    "Rahul Sharma", "Priya Patel CFO", "Chief Executive Officer", "Moderator",
+    "MANAGEMENT", "Operator", "Ramdas", "Ananya Chief Operating Officer",
+    "Managing Director Gupta", "Scrip Code", "Random Analyst", "Company Secretary",
+    "Amit CEO Verma", "Jane CFO", "Plain Name",
+]
+
+FIN_SNIPPETS = [
+    (0, "revenue of Rs. 1,234.5 crores this quarter"),
+    (1, "sales of $ 250 million in the US"),
+    (2, "Rs 890 crores in revenue was reported"),
+    (3, "EBITDA stands at Rs 432.1 crores now"),
+    (4, "YoY growth of 8.5% was strong"),
+    (5, "the business was down 3% sequentially"),
+    (6, "grew by 12.5% across segments"),
+    (7, "22% EBITDA margin and gross margin of 61.2%"),
+    (8, "margin of 18% overall"),
+    (9, "In Q3 FY18 and Q1 we saw fiscal year 2018-19 trends and FY2021 plans"),
+    (10, "turnover of INR 77 crores and 5% growth"),
+    (11, "no financial content in this one at all"),
+    (12, "EBITDA of $ 55.5 million improved"),
+    (13, "income of Rs. 12 crores and operating margin of 9.5%"),
+    (14, "Q2 FY2019 had quarter-on-quarter growth of 2.2%"),
+]
+
+TURN_ROWS = [
+    (0, "Moderator", "Good day and welcome to the conference call of the company"),
+    (1, "Rahul Sharma", "Revenue growth was strong this quarter with margin expansion and profit up"),
+    (2, "Operator", "Please stay connected while we transfer you to the management team now"),
+    (3, "MANAGEMENT", "MR. RAHUL SHARMA – CEO, MS. PRIYA PATEL – CFO"),
+    (4, "Priya Patel", "short answer"),
+    (5, "Scrip Code", "five one two three four five six seven eight nine ten eleven"),
+    (6, "Company Secretary", "regd. office filing details follow for the record of this exchange"),
+    (7, "Ananya Rao", "This conference is being recorded and will be archived on the website"),
+    (8, "Vikram Mehta", "Our outlook and guidance for the full fiscal year remains unchanged and positive"),
+    (9, "Meera Iyer", "thank you and over to you"),
+]
+
+ROSTER_ROWS = [
+    (1, "RAHUL SHARMA", "CEO"),
+    (2, "PRIYA PATEL", "CFO"),
+    (3, "ARJUN GUPTA", "MANAGING DIRECTOR"),
+]
+
+MATCH_SPEAKERS = [
+    (0, "Rahul Sharma", "statement one"),
+    (1, "Mr. Sharma", "statement two"),
+    (2, "Rahul K. Sharma", "statement three"),
+    (3, "Priya Patel", "statement four"),
+    (4, "Patel", "statement five"),
+    (5, "Unrelated Person", "statement six"),
+    (6, "MANAGEMENT", "roster row must be excluded"),
+    (7, "Sunita Gupta", "last name matches arjun gupta"),
+]
+
+# documents-vocabulary keyword categories (same operator, corpus-fit data)
+DOC_CATEGORIES = {
+    "Scan & Filter": ["scan", "filter", "table", "row"],
+    "Join & Shuffle": ["join", "merge", "hash", "key"],
+    "Aggregation": ["agg", "group", "window", "sort"],
+    "Streaming": ["stream", "batch"],
+    "Storage": ["column", "part", "vector"],
+}
+
+DOC_BUSINESS = [
+    "spark", "join", "agg", "window", "stream", "vector", "hash",
+    "merge", "scan", "sort", "filter", "query", "batch", "column",
+]
+DOC_ADMIN = ["slow slow", "dup dup"]
+DOC_QA = ["fast fast", "small big"]
+DOC_CLOSING = ["the the the"]
+
+AS_OF = "2024-02-01"
+
+QUERY_VEC_SEED = 7
+
+
+def _query_vec(dim: int = 64):
+    """Deterministic 64-d query vector shared by Spark and SQL twins."""
+    from pdf_extraction_spark.kernels.textstats import mix64
+
+    out = []
+    for i in range(dim):
+        h = mix64((QUERY_VEC_SEED << 32) ^ i)
+        out.append(round((h / float(1 << 64)) * 2.0 - 1.0, 6))
+    return out
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _speakers_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(SPEAKERS)], "sid int, speaker string"
+    )
+
+
+def _sql_values(rows, cols) -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {body}) AS t({', '.join(cols)})"
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → quality score → categorize (vocab keywords)
+    → admin/short filter → per-(category, lang) rollup."""
+    from pdf_extraction_spark.operators.categorize import explode_categories, with_categories
+    from pdf_extraction_spark.operators.filters import short_content_pred
+    from pdf_extraction_spark.operators.project import quality_score_col
 
+    docs = _docs(spark, SF_DEFAULT)
+    scored = docs.withColumn(
+        "quality_score",
+        quality_score_col(F.col("text"), DOC_ADMIN, DOC_BUSINESS, DOC_QA, DOC_CLOSING),
+    )
+    cats = explode_categories(
+        with_categories(scored, content_col="text", keywords_by_category=DOC_CATEGORIES)
+    )
+    kept = cats.filter(~short_content_pred(F.col("text"), 10))
+    return (
+        kept.groupBy("category", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+            F.round(F.avg(F.col("n_chars")), 4).alias("avg_chars"),
+        )
+        .orderBy("category", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdf_extraction_spark.operators import financial as fin
+    from pdf_extraction_spark.operators.agg import summary_counts, top_k_per_group
+    from pdf_extraction_spark.operators.categorize import explode_categories, with_categories
+    from pdf_extraction_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+    from pdf_extraction_spark.operators.executives import match_executives
+    from pdf_extraction_spark.operators.filters import keep_chunk_pred, word_count_col
+    from pdf_extraction_spark.operators.project import (
+        quality_score_col,
+        speaker_role_col,
+        with_word_stats,
+    )
+    from pdf_extraction_spark.operators.textanalysis import (
+        langid_udf,
+        token_count_col,
+        with_quality_ratios,
+    )
+    from pdf_extraction_spark.operators.topk import (
+        cosine_col,
+        cosine_topk,
+        recency_weight_col,
+        weighted_score_col,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- P3/P4: admin + short-content filter over documents ----------------
+    def q_filter_short(spark, sf):
+        return (
+            _docs(spark, sf)
+            .filter(word_count_col(F.col("text")) >= 25)
+            .select("doc_id", word_count_col(F.col("text")).alias("word_count"))
+        )
 
+    # -- P13: word stats ----------------------------------------------------
+    def q_word_stats(spark, sf):
+        return with_word_stats(_docs(spark, sf), content_col="text").select(
+            "doc_id", "content_length", "word_count"
+        )
+
+    # -- P10: quality score (documents vocab) -------------------------------
+    def q_quality(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id",
+            F.round(
+                quality_score_col(
+                    F.col("text"), DOC_ADMIN, DOC_BUSINESS, DOC_QA, DOC_CLOSING
+                ),
+                2,
+            ).alias("quality_score"),
+        )
+
+    # -- P11: speaker role ladder (inline fixture) --------------------------
+    def q_speaker_role(spark, sf):
+        return _speakers_df(spark).select(
+            "sid", speaker_role_col(F.col("speaker")).alias("speaker_role")
+        )
+
+    # -- P3–P6 combined chunk filter (inline turn fixture) ------------------
+    def q_chunk_filter(spark, sf):
+        turns = spark.createDataFrame(TURN_ROWS, "tid int, speaker string, content string")
+        return turns.filter(
+            keep_chunk_pred(F.col("speaker"), F.col("content"))
+        ).select("tid", "speaker")
+
+    # -- C1: multi-label categorization over documents ----------------------
+    def q_categorize(spark, sf):
+        return explode_categories(
+            with_categories(
+                _docs(spark, sf), content_col="text", keywords_by_category=DOC_CATEGORIES
+            )
+        ).select("doc_id", "category")
+
+    # -- C1+A1: category rollup --------------------------------------------
+    def q_category_counts(spark, sf):
+        cats = explode_categories(
+            with_categories(
+                _docs(spark, sf), content_col="text", keywords_by_category=DOC_CATEGORIES
+            )
+        )
+        return summary_counts(cats, ("category", "lang")).orderBy("category", "lang")
+
+    # -- F1: revenue extraction (inline financial fixture) ------------------
+    def q_revenue(spark, sf):
+        snips = spark.createDataFrame(FIN_SNIPPETS, "doc_id int, content string")
+        return fin.extract_amounts(
+            snips, "content", fin.REVENUE_PATTERNS, id_cols=("doc_id",)
+        ).drop("hit_pos")
+
+    # -- F2: growth rates ---------------------------------------------------
+    def q_growth(spark, sf):
+        snips = spark.createDataFrame(FIN_SNIPPETS, "doc_id int, content string")
+        return fin.extract_growth(snips, "content", id_cols=("doc_id",)).drop("hit_pos")
+
+    # -- F3: EBITDA ---------------------------------------------------------
+    def q_ebitda(spark, sf):
+        snips = spark.createDataFrame(FIN_SNIPPETS, "doc_id int, content string")
+        return fin.extract_amounts(
+            snips, "content", fin.EBITDA_PATTERNS, id_cols=("doc_id",)
+        ).drop("hit_pos")
+
+    # -- F4: margins --------------------------------------------------------
+    def q_margins(spark, sf):
+        snips = spark.createDataFrame(FIN_SNIPPETS, "doc_id int, content string")
+        return fin.extract_margins(snips, "content", id_cols=("doc_id",)).drop("hit_pos")
+
+    # -- F5: quarter/FY info ------------------------------------------------
+    def q_quarters(spark, sf):
+        snips = spark.createDataFrame(FIN_SNIPPETS, "doc_id int, content string")
+        out = fin.with_quarter_info(snips, "content")
+        return out.select(
+            "doc_id",
+            F.concat_ws("|", "quarters").alias("quarters"),
+            F.concat_ws("|", "fiscal_years").alias("fiscal_years"),
+            F.concat_ws("|", "combined").alias("combined"),
+        )
+
+    # -- J1: executive fuzzy name-match join (inline fixtures) --------------
+    def q_executive_join(spark, sf):
+        chunks = spark.createDataFrame(MATCH_SPEAKERS, "cid int, speaker string, content string")
+        roster = spark.createDataFrame(
+            ROSTER_ROWS, "roster_pos int, executive string, role string"
+        )
+        return match_executives(chunks, roster).select(
+            "cid", "speaker", "executive", "executive_role"
+        )
+
+    # -- A5/W6: top-3 order priorities per customer segment (TPC-H) ---------
+    def q_top3(spark, sf):
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        per = (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        )
+        return top_k_per_group(
+            per, ["c_mktsegment"], "n_orders", k=3
+        ).select("c_mktsegment", "o_orderpriority", "n_orders", "rank")
+
+    # -- A1-A3 rollup over events (count, min/max ts, distinct users) -------
+    def q_events_rollup(spark, sf):
+        return (
+            _events(spark, sf)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+                F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+
+    # -- W5: recency ladder over events vs fixed as_of ----------------------
+    def q_recency(spark, sf):
+        ev = _events(spark, sf)
+        days = F.datediff(F.lit(AS_OF).cast("date"), F.col("ts").cast("date"))
+        return ev.select(
+            "event_id",
+            days.alias("days_ago"),
+            recency_weight_col(days).alias("recency_weight"),
+        )
+
+    # -- W5 full: weighted rerank over events (value/10 as quality proxy) ---
+    def q_weighted_rerank(spark, sf):
+        ev = _events(spark, sf).withColumn("sim", F.round(F.col("value") / 10.0, 6))
+        ws = weighted_score_col(F.col("sim"), F.col("ts"), AS_OF, F.col("value"))
+        return (
+            ev.select("event_id", F.round(ws, 6).alias("weighted_score"))
+            .orderBy(F.desc("weighted_score"), "event_id")
+            .limit(20)
+        )
+
+    # -- W4/J3: cosine top-k ------------------------------------------------
+    def q_cosine_topk(spark, sf):
+        return cosine_topk(_emb(spark, sf), _query_vec(), k=10)
+
+    # -- tumbling-window agg over events (streaming-shaped, batch oracle) ---
+    def q_windowed_counts(spark, sf):
+        return (
+            _events(spark, sf)
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"), F.col("event_type")
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    # -- dedup: exact -------------------------------------------------------
+    def q_dedup_exact(spark, sf):
+        return exact_duplicates(_docs(spark, sf), "text", "doc_id").select(
+            "n_dups", "keep_id"
+        )
+
+    # -- dedup: n-gram jaccard ---------------------------------------------
+    def q_ngram_jaccard(spark, sf):
+        return ngram_jaccard_pairs(
+            _docs(spark, sf), "text", "doc_id", n=3, threshold=0.5
+        ).select("id_a", "id_b", "jaccard")
+
+    # -- dedup: minhash LSH (kernel hashes — rows-only oracle) --------------
+    def q_minhash_lsh(spark, sf):
+        return minhash_lsh_pairs(
+            _docs(spark, sf), "text", "doc_id", num_hashes=32, bands=8
+        ).filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b", "est_jaccard")
+
+    # -- dedup: simhash (kernel hashes — rows-only oracle) ------------------
+    def q_simhash(spark, sf):
+        return simhash_pairs(_docs(spark, sf), "text", "doc_id", max_hamming=8).select(
+            "id_a", "id_b", "hamming"
+        )
+
+    # -- embedding near-dup (brute force, oracle-able) ----------------------
+    def q_embedding_neardup(spark, sf):
+        from pdf_extraction_spark.operators.dedup import embedding_near_dups
+
+        return embedding_near_dups(
+            _emb(spark, sf), threshold=0.9, brute_force=True
+        ).select("id_a", "id_b", "cosine")
+
+    # -- text analysis: token counts + ratios -------------------------------
+    def q_text_ratios(spark, sf):
+        return with_quality_ratios(_docs(spark, sf), "text").select(
+            "doc_id", "n_words", "avg_word_len", "punct_ratio", "stopword_ratio"
+        )
+
+    def q_token_count(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", token_count_col(F.col("text")).alias("token_count")
+        )
+
+    # -- langid (kernel heuristic — rows-only oracle) -----------------------
+    def q_langid(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", langid_udf(F.col("text")).alias("detected_lang")
+        )
+
+    # -- TPC-H-ish join/agg: revenue by nation (broadcast dims) -------------
+    def q_nation_revenue(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        cust = spark.read.parquet(f"{sf}/customer.parquet")
+        nation = spark.read.parquet(f"{sf}/nation.parquet")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                ),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    return {
+        "filter_short": q_filter_short,
+        "word_stats": q_word_stats,
+        "quality_score": q_quality,
+        "speaker_role": q_speaker_role,
+        "chunk_filter": q_chunk_filter,
+        "categorize": q_categorize,
+        "category_counts": q_category_counts,
+        "fin_revenue": q_revenue,
+        "fin_growth": q_growth,
+        "fin_ebitda": q_ebitda,
+        "fin_margins": q_margins,
+        "fin_quarters": q_quarters,
+        "executive_join": q_executive_join,
+        "top3_per_segment": q_top3,
+        "events_rollup": q_events_rollup,
+        "recency_weights": q_recency,
+        "weighted_rerank": q_weighted_rerank,
+        "cosine_topk": q_cosine_topk,
+        "windowed_counts": q_windowed_counts,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "text_ratios": q_text_ratios,
+        "token_count": q_token_count,
+        "langid": q_langid,
+        "nation_revenue": q_nation_revenue,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_extraction_spark.operators.categorize import sql_categories
+    from pdf_extraction_spark.operators.filters import sql_keep_chunk, sql_word_count
+    from pdf_extraction_spark.operators.project import sql_quality_score, sql_speaker_role
+    from pdf_extraction_spark.operators.textanalysis import sql_token_count
+    from pdf_extraction_spark.operators.topk import sql_cosine
+
+    wc = sql_word_count("text")
+
+    speakers_values = _sql_values(list(enumerate(SPEAKERS)), ["sid", "speaker"])
+    turns_values = _sql_values(TURN_ROWS, ["tid", "speaker", "content"])
+    fin_values = _sql_values(FIN_SNIPPETS, ["doc_id", "content"])
+
+    # F1/F3 shared SQL shape: per-pattern UNION ALL of regexp hits with
+    # pattern order preserved via pat_no ordering handled by hit_pos
+    def sql_amounts(patterns):
+        selects = []
+        for pi, pat in enumerate(patterns):
+            p = ("(?i)" + pat).replace("'", "''")
+            selects.append(
+                f"SELECT doc_id, {pi} AS pat_no, "
+                f"unnest(regexp_extract_all(content, '{p}', 0)) AS raw_text, "
+                f"unnest(regexp_extract_all(content, '{p}', 1)) AS val "
+                f"FROM {fin_values}"
+            )
+        hits = " UNION ALL ".join(selects)
+        return (
+            "SELECT doc_id, raw_text, "
+            "CAST(replace(val, ',', '') AS DOUBLE) AS value, "
+            "CASE WHEN contains(raw_text, 'Rs') OR contains(raw_text, 'INR') THEN 'INR' ELSE 'USD' END AS currency, "
+            "CASE WHEN contains(lower(raw_text), 'crore') OR contains(lower(raw_text), 'cr') THEN 'crores' "
+            "WHEN contains(lower(raw_text), 'million') OR contains(lower(raw_text), 'mn') THEN 'million' "
+            f"ELSE 'billion' END AS unit FROM ({hits})"
+        )
+
+    def sql_growth():
+        from pdf_extraction_spark.operators.financial import GROWTH_PATTERNS
+
+        selects = []
+        for pi, pat in enumerate(GROWTH_PATTERNS):
+            p = ("(?i)" + pat).replace("'", "''")
+            selects.append(
+                f"SELECT doc_id, {pi} AS pat_no, "
+                f"unnest(regexp_extract_all(content, '{p}', 0)) AS raw_text, "
+                f"unnest(regexp_extract_all(content, '{p}', 1)) AS val "
+                f"FROM {fin_values}"
+            )
+        hits = " UNION ALL ".join(selects)
+        return (
+            "SELECT doc_id, raw_text, CAST(val AS DOUBLE) AS value, "
+            "CASE WHEN contains(lower(raw_text),'year-on-year') OR contains(lower(raw_text),'yoy') OR contains(lower(raw_text),'y-o-y') THEN 'YoY' "
+            "WHEN contains(lower(raw_text),'quarter-on-quarter') OR contains(lower(raw_text),'qoq') OR contains(lower(raw_text),'q-o-q') THEN 'QoQ' "
+            "ELSE 'general' END AS growth_type, "
+            "CASE WHEN contains(lower(raw_text),'down') THEN 'negative' ELSE 'positive' END AS direction "
+            f"FROM ({hits})"
+        )
+
+    def sql_margins():
+        from pdf_extraction_spark.operators.financial import MARGIN_PATTERNS
+
+        selects = []
+        for pi, pat in enumerate(MARGIN_PATTERNS):
+            p = ("(?i)" + pat).replace("'", "''")
+            selects.append(
+                f"SELECT doc_id, {pi} AS pat_no, "
+                f"unnest(regexp_extract_all(content, '{p}', 0)) AS raw_text, "
+                f"unnest(regexp_extract_all(content, '{p}', 1)) AS val "
+                f"FROM {fin_values}"
+            )
+        hits = " UNION ALL ".join(selects)
+        return (
+            "SELECT doc_id, raw_text, CAST(val AS DOUBLE) AS value, "
+            "CASE WHEN contains(lower(raw_text),'ebitda') THEN 'EBITDA' "
+            "WHEN contains(lower(raw_text),'gross') THEN 'gross' "
+            "WHEN contains(lower(raw_text),'operating') THEN 'operating' "
+            "WHEN contains(lower(raw_text),'net') THEN 'net' ELSE 'general' END AS margin_type "
+            f"FROM ({hits})"
+        )
+
+    from pdf_extraction_spark.operators.financial import EBITDA_PATTERNS, REVENUE_PATTERNS
+
+    qvec = _query_vec()
+
+    sql = {
+        "filter_short": (
+            f"SELECT doc_id, {wc} AS word_count FROM documents WHERE {wc} >= 25"
+        ),
+        "word_stats": (
+            f"SELECT doc_id, CAST(length(text) AS INT) AS content_length, "
+            f"{wc} AS word_count FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, CAST(round(CAST("
+            + sql_quality_score("text", DOC_ADMIN, DOC_BUSINESS, DOC_QA, DOC_CLOSING)
+            + " AS DOUBLE), 2) AS DOUBLE) AS quality_score FROM documents"
+        ),
+        "speaker_role": (
+            f"SELECT sid, {sql_speaker_role('speaker')} AS speaker_role FROM {speakers_values}"
+        ),
+        "chunk_filter": (
+            f"SELECT tid, speaker FROM {turns_values} WHERE "
+            + sql_keep_chunk("speaker", "content")
+        ),
+        "categorize": sql_categories("text", DOC_CATEGORIES, "doc_id"),
+        "category_counts": (
+            "SELECT category, lang, count(*) AS n_docs FROM ("
+            + sql_categories("text", DOC_CATEGORIES, "doc_id")
+            + ") c JOIN documents d ON c.doc_id = d.doc_id GROUP BY category, lang "
+            "ORDER BY category, lang"
+        ),
+        "fin_revenue": sql_amounts(REVENUE_PATTERNS),
+        "fin_growth": sql_growth(),
+        "fin_ebitda": sql_amounts(EBITDA_PATTERNS),
+        "fin_margins": sql_margins(),
+        "fin_quarters": (
+            "SELECT doc_id, "
+            "coalesce(array_to_string(list_sort(list_distinct(regexp_extract_all(content, '(?i)\\b(Q[1-4])\\b', 1))), '|'), '') AS quarters, "
+            "coalesce(array_to_string(list_sort(list_distinct("
+            "list_transform(regexp_extract_all(content, '(?i)\\bFY\\s*(\\d{2,4})\\b', 1), "
+            "y -> CASE WHEN length(y) = 2 THEN 'FY' || y ELSE 'FY' || substring(y, length(y)-1, 2) END) || "
+            "list_transform(regexp_extract_all(content, '(?i)\\b(?:fiscal\\s+year\\s+)?(\\d{4})-(\\d{2,4})\\b', 2), y -> 'FY' || y)"
+            ")), '|'), '') AS fiscal_years, "
+            "coalesce(array_to_string(list_sort(list_distinct("
+            "list_transform(list_zip("
+            "regexp_extract_all(content, '(?i)\\b(Q[1-4])\\s*FY\\s*(\\d{2,4})\\b', 1), "
+            "regexp_extract_all(content, '(?i)\\b(Q[1-4])\\s*FY\\s*(\\d{2,4})\\b', 2)), "
+            "p -> upper(p[1]) || ' FY' || (CASE WHEN length(p[2]) = 2 THEN p[2] ELSE substring(p[2], length(p[2])-1, 2) END)"
+            "))), '|'), '') AS combined "
+            f"FROM {fin_values}"
+        ),
+        "executive_join": (
+            "WITH chunks AS (SELECT * FROM "
+            + _sql_values(MATCH_SPEAKERS, ["cid", "speaker", "content"])
+            + "), roster AS (SELECT * FROM "
+            + _sql_values(ROSTER_ROWS, ["roster_pos", "executive", "role"])
+            + "), norm AS (SELECT cid, speaker, "
+            "trim(regexp_replace(upper(speaker), '[^\\w\\s]', '', 'g')) AS cs FROM chunks WHERE speaker <> 'MANAGEMENT'), "
+            "matched AS (SELECT n.cid, n.speaker, r.executive, r.role, r.roster_pos, "
+            "row_number() OVER (PARTITION BY n.cid ORDER BY r.roster_pos) AS rn "
+            "FROM norm n JOIN roster r ON "
+            "list_extract(string_split_regex(n.cs, '\\s+'), len(string_split_regex(n.cs, '\\s+'))) = "
+            "list_extract(string_split_regex(r.executive, '\\s+'), len(string_split_regex(r.executive, '\\s+')))) "
+            "SELECT cid, speaker, executive, role AS executive_role FROM matched WHERE rn = 1"
+        ),
+        "top3_per_segment": (
+            "WITH per AS (SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment, o_orderpriority) "
+            "SELECT c_mktsegment, o_orderpriority, n_orders, CAST(rank AS INT) AS rank FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY n_orders DESC, c_mktsegment) AS rank FROM per) WHERE rank <= 3"
+        ),
+        "events_rollup": (
+            "SELECT event_type, count(*) AS n_events, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts, "
+            "count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS total_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "recency_weights": (
+            f"SELECT event_id, CAST(date_diff('day', CAST(ts AS DATE), DATE '{AS_OF}') AS INT) AS days_ago, "
+            "CAST(CASE WHEN date_diff('day', CAST(ts AS DATE), DATE '" + AS_OF + "') <= 90 THEN 1.0 "
+            "WHEN date_diff('day', CAST(ts AS DATE), DATE '" + AS_OF + "') <= 365 THEN 0.8 "
+            "WHEN date_diff('day', CAST(ts AS DATE), DATE '" + AS_OF + "') <= 730 THEN 0.6 "
+            "ELSE 0.4 END AS DOUBLE) AS recency_weight FROM events"
+        ),
+        "weighted_rerank": (
+            "WITH s AS (SELECT event_id, round(value / 10.0, 6) AS sim, ts, value FROM events) "
+            "SELECT event_id, round(sim * 0.7 + "
+            "(CASE WHEN date_diff('day', CAST(ts AS DATE), DATE '" + AS_OF + "') <= 90 THEN 1.0 "
+            "WHEN date_diff('day', CAST(ts AS DATE), DATE '" + AS_OF + "') <= 365 THEN 0.8 "
+            "WHEN date_diff('day', CAST(ts AS DATE), DATE '" + AS_OF + "') <= 730 THEN 0.6 "
+            "ELSE 0.4 END) * 0.2 + (value / 10.0) * 0.1, 6) AS weighted_score "
+            "FROM s ORDER BY weighted_score DESC, event_id LIMIT 20"
+        ),
+        "cosine_topk": (
+            f"SELECT vec_id, {sql_cosine('embedding', qvec)} AS similarity "
+            "FROM embeddings WHERE embedding IS NOT NULL "
+            "ORDER BY similarity DESC, vec_id LIMIT 10"
+        ),
+        "windowed_counts": (
+            "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+            "event_type, count(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "dedup_exact": (
+            "SELECT count(*) AS n_dups, min(doc_id) AS keep_id FROM documents "
+            "GROUP BY md5(lower(trim(text))) HAVING count(*) > 1"
+        ),
+        "ngram_jaccard": (
+            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w FROM documents), "
+            "grams AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+            "list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) "
+            "ELSE [array_to_string(w, ' ')] END AS gs FROM toks), "
+            "sh AS (SELECT doc_id, unnest(gs) AS shingle FROM grams), "
+            "sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common "
+            "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id) "
+            "SELECT id_a, id_b, round(CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id "
+            "WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5"
+        ),
+        "embedding_neardup": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+            "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+            "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.9"
+        ),
+        "text_ratios": (
+            "WITH w AS (SELECT doc_id, text, length(text) AS n_chars, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words FROM documents) "
+            "SELECT doc_id, CAST(len(words) AS INT) AS n_words, "
+            "round(CAST(n_chars AS DOUBLE) / greatest(len(words), 1), 4) AS avg_word_len, "
+            "round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio, "
+            "round(CAST(len(list_filter(words, x -> list_contains(['the','a','of','to','and','in','is'], x))) AS DOUBLE) / greatest(len(words), 1), 4) AS stopword_ratio "
+            "FROM w"
+        ),
+        "token_count": (
+            f"SELECT doc_id, {sql_token_count('text')} AS token_count FROM documents"
+        ),
+        "nation_revenue": (
+            "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "count(*) AS n_items FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        # minhash_lsh, simhash, langid: kernel-hash/heuristic-based —
+        # intentionally no SQL twin (driver rows-only check)
+    }
+    return sql

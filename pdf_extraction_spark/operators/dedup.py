@@ -1,0 +1,297 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Five strategies, scale-ranked:
+
+- exact:       hash-groupBy on normalized text — one shuffle on a 64-bit
+               key, no skew risk (hash keys uniform).
+- ngram-jaccard: candidate pairs via shared-shingle inverted index
+               (explode → self-join on shingle hash → per-pair Jaccard);
+               exact but quadratic in bucket size — bounded by frequent-
+               shingle pruning.
+- minhash-LSH: signature via pandas UDF (numpy-vectorized), banded into
+               LSH buckets, candidate pairs only within buckets — the
+               100 TB path: shuffle is per-band on bucket ids, skewed
+               buckets capped.
+- simhash:     64-bit fingerprint, near-dup = hamming ≤ t; banded by
+               16-bit chunks for candidate generation.
+- embedding:   cosine ≥ τ near-dup over the embeddings table (LSH or
+               brute per scale).
+
+All hash math matches kernels/textstats.py so Spark results are
+kernel-reproducible.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels.textstats import minhash_signature, simhash
+
+
+# --- exact (hash-groupBy) ---------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (trimmed, lowercased) texts with >1
+    member: (dup_key, n_dups, keep_id=min id)."""
+    key = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.select(F.col(id_col), key.alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-dup class."""
+    key = F.md5(F.lower(F.trim(F.col(text_col))))
+    w = df.select("*", key.alias("__k"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("__k").orderBy(id_col)
+    return (
+        w.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .drop("__k", "__rn")
+    )
+
+
+# --- word n-gram Jaccard ----------------------------------------------------
+
+def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """One row per distinct word-n-gram per doc, as an md5 key (native:
+    lowercase → split → sliding window via transform over offsets)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    Inverted-index self-join; shingles appearing in > max_shingle_freq
+    docs are pruned (stopword-shingles explode candidate counts at scale
+    while contributing almost no discrimination)."""
+    sh = shingle_df(df, text_col, id_col, n).withColumn(
+        "sh_key", F.md5(F.col("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+
+    freq = sh.groupBy("sh_key").agg(F.count("*").alias("df_freq"))
+    sh_pruned = sh.join(
+        F.broadcast(freq.filter(F.col("df_freq") <= max_shingle_freq)), "sh_key"
+    )
+
+    a = sh_pruned.select(F.col("doc_id").alias("id_a"), "sh_key")
+    b = sh_pruned.select(F.col("doc_id").alias("id_b"), "sh_key")
+    inter = (
+        a.join(b, "sh_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    with_sizes = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+    )
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return with_sizes.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+_SIG_TYPE = T.ArrayType(T.LongType())
+
+
+def _to_i64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def make_minhash_udf(num_hashes: int = 64, n: int = 3):
+    @pandas_udf(_SIG_TYPE)
+    def mh(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [_to_i64(v) for v in minhash_signature(t or "", num_hashes, n)]
+        )
+
+    return mh
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH.
+
+    bands×rows = num_hashes; two docs collide when any band of their
+    signatures is identical. Oversized buckets (> max_bucket) are dropped
+    — at web scale they are boilerplate clusters that exact-dedup already
+    catches, and they would otherwise produce O(bucket²) candidates.
+    Returns (id_a, id_b, est_jaccard = matching-minhash fraction)."""
+    rows_per_band = num_hashes // bands
+    mh = make_minhash_udf(num_hashes, n)
+    sigs = df.select(F.col(id_col).alias("doc_id"), mh(F.col(text_col)).alias("sig"))
+    sigs.persist()
+
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    banded_ok = banded.join(
+        bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+
+    a = banded_ok.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = banded_ok.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_hashes)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+@pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: _to_i64(simhash(t or "")))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ t, candidates via 16-bit
+    band collision (pigeonhole: ≤3 differing bits over 4 bands → at
+    least one identical band)."""
+    sh = df.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sh"))
+    sh.persist()
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sh.select("doc_id", "sh", F.explode(bands).alias("bb")).select(
+        "doc_id", "sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+def embedding_near_dups(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Pairs with cosine ≥ τ. Scale path: random-hyperplane LSH buckets
+    (sign sketch) → within-bucket exact cosine; brute_force bypasses
+    bucketing (oracle-friendly, O(n²))."""
+    from .topk import cosine_col
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+
+    if brute_force:
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(emb.select(vec_col).first()[0])
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(n_planes, dim)
+        from .topk import dot_col
+
+        def bucket_col(v):
+            bits = [
+                F.when(dot_col(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1).otherwise(0)
+                for p in planes
+            ]
+            expr = F.lit(0)
+            for bit in bits:
+                expr = expr * 2 + bit
+            return expr
+
+        ab = a.withColumn("bucket", bucket_col(F.col("v_a")))
+        bb = b.withColumn("bucket", bucket_col(F.col("v_b")))
+        cand = ab.join(bb, "bucket").filter(F.col("id_a") < F.col("id_b"))
+
+    sim = F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6)
+    return cand.select("id_a", "id_b", sim.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )

@@ -1,0 +1,132 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+- :func:`brute_force_topk` — exact cosine top-k (baseline; native HOF
+  dot product, TakeOrderedAndProject).
+- :func:`ivf_topk` — IVF-style scale path: k-means-lite centroids
+  (deterministically seeded sample), every vector assigned to its
+  nearest centroid partition; a query probes only ``n_probe`` cells.
+  At 100 TB the assignment is a narrow map + the probe prunes ~
+  (1 - n_probe/n_cells) of the scan; centroids are broadcast.
+- batch variant :func:`brute_force_topk_batch` — many queries at once
+  via a vectorized pandas UDF (numpy matmul over Arrow batches).
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .topk import cosine_col, cosine_topk
+
+brute_force_topk = cosine_topk
+
+
+def _np_normalize(m):
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def train_centroids(
+    emb: DataFrame, vec_col: str = "embedding", n_cells: int = 16, iters: int = 5, seed: int = 42
+):
+    """Deterministic Lloyd iterations on a driver-side sample (sample is
+    bounded — centroids are tiny model state, the data never gathers)."""
+    sample = np.array(
+        emb.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .limit(4096)
+        .toPandas()[vec_col]
+        .tolist(),
+        dtype=np.float64,
+    )
+    sample = _np_normalize(sample)
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _np_normalize(centroids)
+    return centroids
+
+
+def assign_cells(emb: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid cell id per vector — vectorized pandas UDF
+    (one matmul per Arrow batch)."""
+    cents = _np_normalize(np.asarray(centroids, dtype=np.float64))
+    bc = cents  # captured in closure, shipped once per task
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m = _np_normalize(m)
+        return pd.Series(np.argmax(m @ bc.T, axis=1).astype(np.int32))
+
+    return emb.filter(F.col(vec_col).isNotNull()).withColumn("cell", cell_udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    emb_with_cells: DataFrame,
+    centroids,
+    query_vec,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_cols=("vec_id",),
+) -> DataFrame:
+    """Probe the n_probe nearest cells only, exact cosine within."""
+    cents = _np_normalize(np.asarray(centroids, dtype=np.float64))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = np.argsort(-(cents @ qn))[:n_probe].tolist()
+    return cosine_topk(
+        emb_with_cells.filter(F.col("cell").isin(probe)),
+        query_vec,
+        k=k,
+        vec_col=vec_col,
+        id_cols=id_cols,
+    )
+
+
+def brute_force_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "q_vec",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Top-k per query for a batch of queries: broadcast the query matrix,
+    score each embedding batch against all queries in one numpy matmul,
+    rank per query with a window."""
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    q_ids = [r[0] for r in qrows]
+    q_mat = _np_normalize(np.array([r[1] for r in qrows], dtype=np.float64))
+
+    out_type = T.ArrayType(
+        T.StructType(
+            [T.StructField("q_id", T.LongType()), T.StructField("sim", T.DoubleType())]
+        )
+    )
+
+    @F.pandas_udf(out_type)
+    def sims_udf(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m = _np_normalize(m)
+        s = m @ q_mat.T  # (batch, n_queries)
+        return pd.Series(
+            [[(int(q_ids[j]), float(round(row[j], 6))) for j in range(len(q_ids))] for row in s]
+        )
+
+    scored = (
+        emb.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.explode(sims_udf(F.col(vec_col))).alias("qs"))
+        .select(id_col, F.col("qs.q_id").alias("q_id"), F.col("qs.sim").alias("similarity"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("similarity"), F.col(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")

@@ -1,0 +1,78 @@
+"""Text analysis for training-data curation: language ID, token counts,
+quality ratios, document fingerprinting.
+
+Native where Catalyst can express it (token/char/punct/stopword ratios —
+pure column math), pandas-UDF where the kernel is the contract
+(fingerprint, langid over kernel stopword tables).
+"""
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..kernels.textstats import detect_language, fingerprint, token_count
+from .filters import word_count_col
+
+# regex-token count, native: word runs (with inner apostrophes) or single
+# non-space punctuation — mirrors kernels.textstats.tokenize
+_TOKEN_PATTERN = r"\w+(?:'\w+)?|[^\w\s]"
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_PATTERN), F.lit(0)))
+
+
+def sql_token_count(expr: str) -> str:
+    pat = _TOKEN_PATTERN.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS INT)"
+
+
+def with_quality_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ish ratios — cheap quality
+    signals, all codegen'd."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    words = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "to", "and", "in", "is"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
+    safe_words = F.greatest(n_words, F.lit(1))
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("avg_word_len", F.round(n_chars / safe_words, 4))
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("stopword_ratio", F.round(n_stop / safe_words, 4))
+    )
+
+
+@pandas_udf(T.StringType())
+def langid_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: detect_language(t or ""))
+
+
+@pandas_udf(T.LongType())
+def token_count_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: token_count(t or ""))
+
+
+@pandas_udf(T.LongType())
+def fingerprint_udf(texts: pd.Series) -> pd.Series:
+    def f(t):
+        v = fingerprint(t or "")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return texts.map(f)
+
+
+def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return (
+        with_quality_ratios(df, text_col)
+        .withColumn("token_count", token_count_col(c))
+        .withColumn("detected_lang", langid_udf(c))
+        .withColumn("doc_fingerprint", fingerprint_udf(c))
+    )

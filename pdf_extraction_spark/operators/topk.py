@@ -1,0 +1,120 @@
+"""Similarity search + rerank (W4/W5, J3): cosine top-k over embeddings.
+
+Cosine is computed with native higher-order functions (zip_with +
+aggregate over doubles — JVM-side, no Python), top-k via
+``orderBy().limit(k)`` which Spark plans as TakeOrderedAndProject (a
+per-partition heap + driver merge: no full sort, no shuffle of the data,
+scales linearly with input and constant memory per partition).
+
+Rerank (W5) is the reference's weighted score
+0.7·sim + 0.2·recency + 0.1·quality/10 with the recency CASE ladder
+(simple_rag.py:68-102), parameterized by an explicit ``as_of`` (the
+reference uses now(); deviation documented in SURVEY.md §4.4).
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels.rerank import QUALITY_WEIGHT, RECENCY_WEIGHT, SIM_WEIGHT
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left fold over doubles (deterministic order → exact
+    cross-engine reproducibility)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """cosine similarity; 0.0 when either norm is zero (simple_rag.py:63)."""
+    na, nb = norm_col(a), norm_col(b)
+    return F.when((na == 0.0) | (nb == 0.0), 0.0).otherwise(dot_col(a, b) / (na * nb))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_cols=("vec_id",),
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """P9 null filter → cosine vs a literal query vector → top-k.
+
+    ``query_vec``: python list of floats (broadcast as a literal array —
+    no join needed for a single query)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_col(F.col(vec_col), q)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(*id_cols, sim.alias("similarity"))
+        .orderBy(F.desc("similarity"), *id_cols)
+        .limit(k)
+    )
+
+
+def recency_weight_col(days_ago: Column) -> Column:
+    """W5 bucket ladder: ≤90 → 1.0, ≤365 → 0.8, ≤730 → 0.6, else 0.4."""
+    return (
+        F.when(days_ago <= 90, 1.0)
+        .when(days_ago <= 365, 0.8)
+        .when(days_ago <= 730, 0.6)
+        .otherwise(0.4)
+    )
+
+
+def weighted_score_col(sim: Column, date_col: Column, as_of: str, quality: Column = None) -> Column:
+    days = F.datediff(F.lit(as_of).cast("date"), date_col.cast("date"))
+    qw = (F.coalesce(quality, F.lit(5.0)) / 10.0) if quality is not None else F.lit(0.5)
+    return (
+        sim * SIM_WEIGHT
+        + recency_weight_col(days) * RECENCY_WEIGHT
+        + qw * QUALITY_WEIGHT
+    )
+
+
+def rerank_topk(
+    scored: DataFrame,
+    as_of: str,
+    k: int = 5,
+    sim_col: str = "similarity",
+    date_col: str = "date",
+    quality_col: str = "quality_score",
+    id_cols=("vec_id",),
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """W5 rerank + top-k over a similarity-scored frame."""
+    quality = F.col(quality_col) if quality_col in scored.columns else None
+    ws = weighted_score_col(F.col(sim_col), F.col(date_col), as_of, quality)
+    if round_digits is not None:
+        ws = F.round(ws, round_digits)
+    return (
+        scored.withColumn("weighted_score", ws)
+        .orderBy(F.desc("weighted_score"), *id_cols)
+        .limit(k)
+    )
+
+
+def sql_cosine(vec_expr: str, query_vec, round_digits: int = 4) -> str:
+    """DuckDB oracle twin of cosine_topk's similarity expression —
+    identical left-fold accumulation order over doubles."""
+    lit = "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in query_vec) + "]"
+    dot = (
+        f"list_aggregate(list_transform(list_zip({vec_expr}::DOUBLE[], {lit}), "
+        f"p -> p[1] * p[2]), 'sum')"
+    )
+    norm_v = f"sqrt(list_aggregate(list_transform({vec_expr}::DOUBLE[], x -> x*x), 'sum'))"
+    norm_q = f"sqrt(list_aggregate(list_transform({lit}, x -> x*x), 'sum'))"
+    return (
+        f"round(CASE WHEN {norm_v} = 0 OR {norm_q} = 0 THEN 0.0 "
+        f"ELSE {dot} / ({norm_v} * {norm_q}) END, {round_digits})"
+    )
