@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "throughput": {...}, "scaling": {...}}
+
+Headline: extraction throughput (docs/sec) over the deterministic
+synthetic pages corpus — the BASELINE.json metric — measured at two
+parallelism levels (local[8] vs local[32] as the sandbox proxy for N vs
+4N executors) on identical input, plus scaling efficiency
+(= thr_4N / (4 · thr_N)).
+
+Relational/query benches run against $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_PAGES (default 12000), BENCH_SCALING=0 to skip the two-level run.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# sized so per-task compute amortizes fixed stage overheads (~1 s per
+# job at 32 cores) — the regime a real cluster job runs in; below ~50k
+# docs the scaling measurement is overhead-dominated, not compute-bound
+N_PAGES = int(os.environ.get("BENCH_PAGES", "120000"))
+RUN_SCALING = os.environ.get("BENCH_SCALING", "1") != "0"
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def get_session(cores: int):
+    from pdf_extraction_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench_local{cores}",
+        master=f"local[{cores}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def ensure_pages(n_pages: int) -> str:
+    """Materialize the deterministic pages corpus once (parquet cache)."""
+    path = os.path.join(CACHE_DIR, f"pages_{n_pages}_seed42")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    from pdf_extraction_spark.sources.pages import synth_pages_df
+
+    spark = get_session(CPUS)
+    log(f"generating {n_pages} pages → {path}")
+    synth_pages_df(spark, n_pages, partitions=CPUS * 2).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+_WORKER_SRC = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pdf_extraction_spark.session import get_spark
+from pyspark.sql import functions as F
+cores, pages_path, reps = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+spark = get_spark(master=f'local[{{cores}}]', extra_conf={{
+    'spark.ui.showConsoleProgress': 'false',
+    'spark.driver.extraJavaOptions': '-XX:+UseParallelGC'}})
+from pdf_extraction_spark.operators.extract import extract_parse
+pages = spark.read.parquet(pages_path)
+n_docs = pages.count()
+extract_parse(pages.limit(64 * cores).repartition(cores)).count()  # warm workers
+best = 1e9
+for _ in range(reps):
+    t0 = time.perf_counter()
+    # force the extracted text AND every parsed turn to materialize;
+    # per-row HOF aggregation (no explode) keeps the probe JVM-light
+    extract_parse(pages).agg(
+        F.sum(F.aggregate(F.transform('turns', lambda t: F.length(t['text'])),
+                          F.lit(0), lambda a, x: a + x)).alias('turn_chars'),
+        F.sum(F.size('turns')).alias('n_turns'),
+        F.sum(F.length('text')).alias('text_chars'),
+        F.count('*').alias('n_docs')).collect()
+    best = min(best, time.perf_counter() - t0)
+print('BENCHJSON ' + json.dumps({{'cores': cores, 'sec': round(best, 3),
+    'docs': n_docs, 'docs_per_sec': round(n_docs / best, 2)}}))
+spark.stop()
+"""
+
+
+def bench_extraction_at(cores: int, pages_path: str, reps: int = 3) -> dict:
+    """Run the extraction job in a SEPARATE process pinned (taskset) to a
+    ``cores``-wide CPU set.
+
+    Pinning makes the two parallelism levels a faithful proxy for N vs
+    4N *executors*: the JVM's scan/Arrow/agg work must fit inside the
+    same core budget as the Python workers — exactly as on a real
+    cluster node — instead of free-riding on the machine's idle cores
+    and inflating the low-parallelism baseline."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    src = _WORKER_SRC.format(repo=repo)
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(src)
+        worker = f.name
+    cmd = [sys.executable, worker, str(cores), pages_path, str(reps)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    os.unlink(worker)
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCHJSON "):
+            return json.loads(line[len("BENCHJSON "):])
+    raise RuntimeError(f"bench worker failed: {out.stderr[-2000:]}")
+
+
+def bench_queries(spark) -> dict:
+    """Representative operator suite at $SPARK_GRAFT_SF_DIR."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    picks = [
+        "quality_score", "categorize", "category_counts", "nation_revenue",
+        "top3_per_segment", "events_rollup", "windowed_counts", "cosine_topk",
+        "weighted_rerank", "dedup_exact", "ngram_jaccard", "minhash_lsh",
+        "simhash", "text_ratios", "token_count", "langid",
+    ]
+    out = {}
+    for name in picks:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.count()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            log(f"query {name} failed: {e}")
+            out[name] = -1.0
+    return out
+
+
+def main():
+    pages_path = ensure_pages(N_PAGES)
+
+    t_all = time.perf_counter()
+
+    # headline extraction throughput at full parallelism
+    hi = bench_extraction_at(CPUS, pages_path)
+    log(f"extraction local[{CPUS}]: {hi}")
+
+    scaling = {}
+    if RUN_SCALING:
+        lo_cores = max(CPUS // 4, 1)
+        lo = bench_extraction_at(lo_cores, pages_path)
+        log(f"extraction local[{lo_cores}]: {lo}")
+        efficiency = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (CPUS / lo_cores)
+        scaling = {
+            "low": lo,
+            "high": hi,
+            "cores_ratio": CPUS / lo_cores,
+            "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
+            "efficiency": round(efficiency, 3),
+        }
+
+    spark = get_session(CPUS)
+    queries = bench_queries(spark)
+    q1 = {"extraction_pipeline": hi["sec"]}
+    q1.update(queries)
+    spark.stop()
+
+    total = round(time.perf_counter() - t_all, 3)
+    result = {
+        "metric": "extraction docs/sec + operator suite sec",
+        "value": total,
+        "unit": "sec",
+        "queries": q1,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "throughput": {
+            "extraction_docs_per_sec": hi["docs_per_sec"],
+            "n_pages": N_PAGES,
+            "cores": CPUS,
+        },
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

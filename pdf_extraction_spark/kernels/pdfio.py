@@ -117,6 +117,8 @@ _ESCAPES = {
 
 
 def _decode_literal(raw: bytes) -> str:
+    if b"\\" not in raw:  # overwhelmingly common fast path
+        return raw.decode("latin-1")
     out = bytearray()
     i = 0
     while i < len(raw):

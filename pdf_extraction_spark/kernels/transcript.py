@@ -14,13 +14,16 @@ import re
 _SPEAKER_RE = re.compile(r"^([A-Z][a-zA-Z]+(?:\s+[A-Z][a-zA-Z]+)*)\s*:\s*(.*)$")
 _NL_RUN = re.compile(r"\n+")
 _INVALID_NAMES = frozenset(["page", "question", "answer", "operator", "company"])
+# ord(ch) < 32 except \t (0x09) and \n (0x0a) — one compiled regex instead
+# of a per-character generator (same char set, ~10× faster)
+_CTRL_CHARS = re.compile(r"[\x00-\x08\x0b-\x1f]")
 
 
 def clean_dialogue_text(text: str) -> str:
     """Whitespace/control-char normalization for one dialogue turn
     (reference transcript_parser.py:5-19)."""
     text = " ".join(text.split())
-    text = "".join(ch for ch in text if ord(ch) >= 32 or ch in "\n\t")
+    text = _CTRL_CHARS.sub("", text)
     text = _NL_RUN.sub(" ", text)
     return text.strip()
 

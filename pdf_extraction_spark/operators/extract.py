@@ -69,6 +69,59 @@ def _extract_batches(batches, with_partition: bool):
         yield out
 
 
+FUSED_SCHEMA = (
+    "url string, warc_ts timestamp, text string, lang string, "
+    "doc_type string, payload_bytes long, "
+    "turns array<struct<speaker:string,text:string>>"
+)
+
+
+def _extract_parse_batches(batches):
+    """Fused extract+clean+segment: ONE JVM↔Python crossing per batch.
+
+    Chaining mapInPandas(extract) → pandas_udf(parse) puts two Python
+    runners in every task (2× workers, 2× Arrow serialization of the
+    full text column); fusing them halves worker count and Arrow traffic
+    — measurably faster at high core counts and strictly better on a
+    real cluster."""
+    import pandas as pd
+
+    from ..kernels.transcript import parse_transcript
+
+    for pdf in batches:
+        urls = pdf["url"].tolist()
+        payloads = pdf["html"].tolist()
+        texts, doc_types, sizes, turns = [], [], [], []
+        for url, payload in zip(urls, payloads):
+            payload = payload if payload is not None else b""
+            doc_types.append("pdf" if is_pdf_payload(url, payload) else "html")
+            text = extract_document_text(url, payload)
+            texts.append(text)
+            sizes.append(len(payload))
+            turns.append(
+                [(d["speaker"], d["text"]) for d in parse_transcript(text)[1]]
+            )
+        yield pd.DataFrame(
+            {
+                "url": urls,
+                "warc_ts": pdf["warc_ts"],
+                "text": texts,
+                "lang": pdf["lang"],
+                "doc_type": doc_types,
+                "payload_bytes": sizes,
+                "turns": turns,
+            }
+        )
+
+
+def extract_parse(pages: DataFrame, repartition: int | None = None) -> DataFrame:
+    """pages → extracted text + parsed turns in one fused Python stage."""
+    df = pages
+    if repartition:
+        df = df.repartition(repartition, F.xxhash64("url"))
+    return df.mapInPandas(_extract_parse_batches, schema=FUSED_SCHEMA)
+
+
 def extract_text(
     pages: DataFrame,
     repartition: int | None = None,
@@ -88,4 +141,4 @@ def extract_text(
     )
 
 
-__all__ = ["extract_text", "EXTRACTOR_VERSION", "EXTRACTED_SCHEMA"]
+__all__ = ["extract_text", "extract_parse", "EXTRACTOR_VERSION", "EXTRACTED_SCHEMA"]

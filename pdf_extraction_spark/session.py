@@ -8,6 +8,7 @@ Defaults chosen for the 100 TB design point and safe locally:
 """
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -47,3 +48,32 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def package_zip(dest_dir: str | None = None) -> str:
+    """Zip the pdf_extraction_spark package for spark-submit --py-files /
+    SparkContext.addPyFile (multi-executor shipping)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    dest_dir = dest_dir or os.path.join(root, ".bench_cache")
+    os.makedirs(dest_dir, exist_ok=True)
+    zip_path = os.path.join(dest_dir, "pdf_extraction_spark.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, root)
+                zf.write(full, rel)
+    return zip_path
+
+
+def ship_package(spark: SparkSession) -> str:
+    """Make the engine importable on remote executors (the sandbox
+    equivalent of ``spark-submit --py-files pdf_extraction_spark.zip``)."""
+    zip_path = package_zip()
+    spark.sparkContext.addPyFile(zip_path)
+    return zip_path
