@@ -83,6 +83,21 @@ MATCH_SPEAKERS = [
     (7, "Sunita Gupta", "last name matches arjun gupta"),
 ]
 
+URL_ROWS = [
+    (0, "https://host0.example/cipla/Aug_2018_Transcript_5.html", "2018-08-15 10:00:00"),
+    (1, "https://host1.example/lupin/Earnings_Call_Q3_FY18_9.pdf", "2017-11-02 09:30:00"),
+    (2, "https://host2.example/zydex/Call_2019_77.html", "2019-03-01 00:00:00"),
+    (3, "https://host3.example/helix/Q4_FY21_results.pdf", "2021-02-11 08:00:00"),
+    (4, "https://host4.example/medigen/no_date_here.html", "2020-06-30 23:59:59"),
+    (5, "https://host0.example/cipla/Sep_2023_call_q2_fy24.html", "2023-09-09 12:00:00"),
+]
+
+ROSTER_CONTENTS = [
+    (0, "MR. RAHUL SHARMA – CEO, MS. PRIYA PATEL – CFO"),
+    (1, "DR. ARJUN GUPTA – MANAGING DIRECTOR and MR. KEN TANAKA – GROUP PRESIDENT"),
+    (2, "nothing here"),
+]
+
 # documents-vocabulary keyword categories (same operator, corpus-fit data)
 DOC_CATEGORIES = {
     "Scan & Filter": ["scan", "filter", "table", "row"],
@@ -445,7 +460,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    # -- flagship extraction pipeline (kernel UDFs — rows-only oracle) ------
+    def q_extract_pipeline(spark, sf):
+        from pdf_extraction_spark.plans.pipeline import turns_table
+        from pdf_extraction_spark.sources.pages import synth_pages_df
+
+        pages = synth_pages_df(spark, 150)
+        return turns_table(pages).select(
+            "url", "turn_pos", "speaker", "speaker_role", "content", "word_count"
+        )
+
+    # -- F7/F8: url date + quarter/FY (inline fixture, oracle-able) ---------
+    def q_url_dates(spark, sf):
+        from pdf_extraction_spark.operators.financial import with_quarter_fy, with_url_date
+
+        urls = spark.createDataFrame(
+            [(i, u, __import__("datetime").datetime.fromisoformat(ts)) for i, u, ts in URL_ROWS],
+            "uid int, url string, warc_ts timestamp",
+        )
+        out = with_quarter_fy(with_url_date(urls))
+        return out.select(
+            "uid",
+            F.date_format("doc_date", "yyyy-MM-dd").alias("doc_date"),
+            "quarter",
+            "fiscal_year",
+        )
+
+    # -- T3: roster extraction (kernel regex UDF — rows-only oracle) --------
+    def q_roster(spark, sf):
+        from pdf_extraction_spark.operators.executives import extract_executives
+
+        chunks = spark.createDataFrame(
+            [(i, "MANAGEMENT", c) for i, c in ROSTER_CONTENTS],
+            "url int, speaker string, content string",
+        )
+        return extract_executives(chunks)
+
+    # -- A6: filter pass-rate metrics per lang ------------------------------
+    def q_pass_rate(spark, sf):
+        from pdf_extraction_spark.operators.agg import pass_rate
+        from pdf_extraction_spark.operators.filters import word_count_col
+
+        return pass_rate(
+            _docs(spark, sf), word_count_col(F.col("text")) >= 30, ("lang",)
+        ).orderBy("lang")
+
+    # -- D2: keep-last per key over orders ----------------------------------
+    def q_keep_last(spark, sf):
+        from pyspark.sql import Window
+
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey")
+        )
+        return (
+            orders.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey", F.col("o_orderdate").cast("string").alias("o_orderdate"))
+        )
+
+    # -- X1+W4+W5: deterministic embed → cosine → rerank (rows-only) --------
+    def q_embed_rerank(spark, sf):
+        from pdf_extraction_spark.operators.embed import embed_documents, embed_text
+        from pdf_extraction_spark.operators.project import quality_score_col
+        from pdf_extraction_spark.operators.topk import cosine_col, rerank_topk
+
+        docs = _docs(spark, sf).withColumn(
+            "quality_score",
+            quality_score_col(F.col("text"), DOC_ADMIN, DOC_BUSINESS, DOC_QA, DOC_CLOSING),
+        )
+        emb = embed_documents(docs, text_col="text")
+        qv = embed_text("spark join window agg")
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        scored = emb.select(
+            "doc_id",
+            F.lit("2024-01-15").alias("date"),
+            "quality_score",
+            F.round(cosine_col(F.col("embedding"), q), 6).alias("similarity"),
+        )
+        return rerank_topk(scored, AS_OF, k=10, id_cols=("doc_id",))
+
     return {
+        "extract_pipeline": q_extract_pipeline,
+        "url_dates": q_url_dates,
+        "roster_extract": q_roster,
+        "pass_rate": q_pass_rate,
+        "keep_last": q_keep_last,
+        "embed_rerank": q_embed_rerank,
         "filter_short": q_filter_short,
         "word_stats": q_word_stats,
         "quality_score": q_quality,
@@ -713,6 +814,51 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
+        "url_dates": (
+            "WITH u AS (SELECT uid, url, CAST(ts AS TIMESTAMP) AS warc_ts, "
+            "regexp_replace(list_extract(string_split(url, '/'), len(string_split(url, '/'))), '\\.[^.]*$', '') AS name "
+            "FROM " + _sql_values(URL_ROWS, ["uid", "url", "ts"]) + "), "
+            "d AS (SELECT uid, name, warc_ts, "
+            "try_strptime(substring(regexp_extract(name, '([A-Za-z]{3,9})_(\\d{4})', 1), 1, 3) || ' ' || "
+            "regexp_extract(name, '([A-Za-z]{3,9})_(\\d{4})', 2), '%b %Y') AS month_year, "
+            "TRY_CAST(regexp_extract(name, 'Q(\\d)_FY(\\d{2,4})', 1, 'i') AS INT) AS qn, "
+            "regexp_extract(name, 'Q(\\d)_FY(\\d{2,4})', 2, 'i') AS fy_raw, "
+            "TRY_CAST(regexp_extract(name, '(\\d{4})', 1) AS INT) AS bare_year "
+            "FROM u), "
+            "e AS (SELECT *, "
+            "CASE WHEN fy_raw = '' THEN NULL WHEN length(fy_raw) = 2 THEN "
+            "(CASE WHEN CAST(fy_raw AS INT) < 50 THEN CAST(fy_raw AS INT) + 2000 ELSE CAST(fy_raw AS INT) + 1900 END) "
+            "ELSE CAST(fy_raw AS INT) END AS fy, "
+            "CASE qn WHEN 1 THEN 4 WHEN 2 THEN 7 WHEN 3 THEN 10 WHEN 4 THEN 1 END AS qmonth FROM d), "
+            "f AS (SELECT uid, name, coalesce(month_year, "
+            "CASE WHEN qn IS NOT NULL AND fy IS NOT NULL THEN "
+            "make_timestamp(CASE WHEN qmonth = 1 THEN fy + 1 ELSE fy END, qmonth, 1, 0, 0, 0) END, "
+            "CASE WHEN bare_year IS NOT NULL THEN make_timestamp(bare_year, 1, 1, 0, 0, 0) END, "
+            "warc_ts) AS doc_date FROM e) "
+            "SELECT uid, strftime(doc_date, '%Y-%m-%d') AS doc_date, "
+            "CASE WHEN regexp_extract(lower(name), 'q(\\d)', 1) = '' THEN '' "
+            "ELSE 'Q' || regexp_extract(lower(name), 'q(\\d)', 1) END AS quarter, "
+            "CASE WHEN regexp_extract(lower(name), 'fy(\\d{2,4})', 1) <> '' THEN "
+            "(CASE WHEN length(regexp_extract(lower(name), 'fy(\\d{2,4})', 1)) = 2 "
+            "THEN 'FY' || regexp_extract(lower(name), 'fy(\\d{2,4})', 1) "
+            "ELSE 'FY' || right(regexp_extract(lower(name), 'fy(\\d{2,4})', 1), 2) END) "
+            "WHEN month(doc_date) >= 4 THEN 'FY' || right(CAST(year(doc_date) + 1 AS VARCHAR), 2) "
+            "ELSE 'FY' || right(CAST(year(doc_date) AS VARCHAR), 2) END AS fiscal_year "
+            "FROM f"
+        ),
+        "pass_rate": (
+            "SELECT lang, count(*) AS total, "
+            "sum(CASE WHEN " + sql_word_count("text") + " >= 30 THEN 1 ELSE 0 END) AS kept "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
+        "keep_last": (
+            "SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate FROM ("
+            "SELECT o_custkey, o_orderkey, o_orderdate, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) "
+            "WHERE rn = 1"
+        ),
+        # extract_pipeline, roster_extract, embed_rerank: kernel-UDF cores —
+        # intentionally no SQL twin (driver rows-only check)
         # minhash_lsh, simhash, langid: kernel-hash/heuristic-based —
         # intentionally no SQL twin (driver rows-only check)
     }

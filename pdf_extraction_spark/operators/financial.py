@@ -201,18 +201,21 @@ def with_url_date(df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts") 
 
     mon = F.regexp_extract(name, r"([A-Za-z]{3,9})_(\d{4})", 1)
     yr = F.regexp_extract(name, r"([A-Za-z]{3,9})_(\d{4})", 2)
-    month_year = F.to_timestamp(
-        F.concat_ws(" ", F.substring(mon, 1, 3), yr), "MMM yyyy"
+    # try_: an unparseable month name falls through to the next pattern,
+    # like the reference's strptime try/except (ANSI mode would throw)
+    month_year = F.try_to_timestamp(
+        F.concat_ws(" ", F.substring(mon, 1, 3), yr), F.lit("MMM yyyy")
     )
 
-    q = F.regexp_extract(name, r"(?i)Q(\d)_FY(\d{2,4})", 1).cast("int")
+    # try_cast everywhere: unmatched regex groups are '' and ANSI mode
+    # (Spark 4 default) hard-fails plain casts on them
+    q = F.regexp_extract(name, r"(?i)Q(\d)_FY(\d{2,4})", 1).try_cast("int")
     fy_raw = F.regexp_extract(name, r"(?i)Q(\d)_FY(\d{2,4})", 2)
+    fy_int = fy_raw.try_cast("int")
     fy = F.when(
         F.length(fy_raw) == 2,
-        F.when(fy_raw.cast("int") < 50, fy_raw.cast("int") + 2000).otherwise(
-            fy_raw.cast("int") + 1900
-        ),
-    ).otherwise(fy_raw.cast("int"))
+        F.when(fy_int < 50, fy_int + 2000).otherwise(fy_int + 1900),
+    ).otherwise(fy_int)
     q_month = (
         F.when(q == 1, 4).when(q == 2, 7).when(q == 3, 10).when(q == 4, 1)
     )
@@ -225,7 +228,7 @@ def with_url_date(df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts") 
     bare_year = F.regexp_extract(name, r"(\d{4})", 1)
     year_date = F.when(
         bare_year != "",
-        F.make_timestamp(bare_year.cast("int"), F.lit(1), F.lit(1), F.lit(0), F.lit(0), F.lit(0)),
+        F.make_timestamp(bare_year.try_cast("int"), F.lit(1), F.lit(1), F.lit(0), F.lit(0), F.lit(0)),
     )
 
     return df.withColumn(
