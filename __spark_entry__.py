@@ -540,8 +540,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rerank_topk(scored, AS_OF, k=10, id_cols=("doc_id",))
 
+    # -- salted two-stage agg ≡ naive groupBy (skew tool, oracle-able) ------
+    def q_salted_agg(spark, sf):
+        from pdf_extraction_spark.operators.skew import salted_agg
+
+        return (
+            salted_agg(
+                _docs(spark, sf),
+                F.col("source"),
+                {"n_docs": (F.count("*"), F.sum), "total_chars": (F.sum("n_chars"), F.sum)},
+                salt_buckets=8,
+                salt_source="doc_id",
+            )
+            .withColumnRenamed("key", "source")
+            .select("source", "n_docs", "total_chars")
+        )
+
+    # -- C1 via broadcast-join strategy (same oracle as rlike-array path) ---
+    def q_categorize_join(spark, sf):
+        from pdf_extraction_spark.operators.categorize import categorize_by_join
+
+        return categorize_by_join(
+            _docs(spark, sf).select("doc_id", "text"),
+            content_col="text",
+            keywords_by_category=DOC_CATEGORIES,
+        ).select("doc_id", "category")
+
+    # -- W4 batch: top-3 per query over a 3-query batch ---------------------
+    def q_topk_batch(spark, sf):
+        from pdf_extraction_spark.operators.similarity import brute_force_topk_batch
+
+        queries_df = spark.createDataFrame(
+            [(j, [float(v) for v in _query_vec()[j:] + _query_vec()[:j]]) for j in range(3)],
+            "q_id long, q_vec array<double>",
+        )
+        return brute_force_topk_batch(_emb(spark, sf), queries_df, k=3).select(
+            "q_id", "vec_id", "similarity"
+        )
+
+    # -- IVF ANN scale path (approximate — rows-only check) -----------------
+    def q_ivf_topk(spark, sf):
+        from pdf_extraction_spark.operators.similarity import (
+            assign_cells,
+            ivf_topk,
+            train_centroids,
+        )
+
+        emb = _emb(spark, sf)
+        cents = train_centroids(emb, n_cells=8, iters=3)
+        return ivf_topk(assign_cells(emb, cents), cents, _query_vec(), k=5, n_probe=3)
+
+    # -- multimodal plumbing (deterministic fake decode — rows-only) --------
+    def q_media_features(spark, sf):
+        from pdf_extraction_spark.operators.multimodal import (
+            extract_media_features,
+            synth_media_df,
+        )
+
+        media = synth_media_df(spark, 24).filter(F.col("media_type") == "image")
+        return extract_media_features(media).select(
+            "media_id", "n_bytes", F.round("mean_intensity", 4).alias("mean_intensity")
+        )
+
     return {
         "extract_pipeline": q_extract_pipeline,
+        "salted_agg": q_salted_agg,
+        "categorize_join": q_categorize_join,
+        "topk_batch": q_topk_batch,
+        "ivf_topk": q_ivf_topk,
+        "media_features": q_media_features,
         "url_dates": q_url_dates,
         "roster_extract": q_roster,
         "pass_rate": q_pass_rate,
@@ -576,6 +643,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "nation_revenue": q_nation_revenue,
     }
+
+
+def _topk_batch_sql() -> str:
+    from pdf_extraction_spark.operators.topk import sql_cosine
+
+    selects = []
+    for j in range(3):
+        qv = _query_vec()[j:] + _query_vec()[:j]
+        selects.append(
+            f"SELECT {j} AS q_id, vec_id, {sql_cosine('embedding', qv, 6)} AS similarity "
+            "FROM embeddings WHERE embedding IS NOT NULL"
+        )
+    allq = " UNION ALL ".join(selects)
+    return (
+        "SELECT q_id, vec_id, similarity FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS rk FROM ({allq})"
+        ") WHERE rk <= 3"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -857,6 +942,14 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) "
             "WHERE rn = 1"
         ),
+        "salted_agg": (
+            "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "categorize_join": sql_categories("text", DOC_CATEGORIES, "doc_id"),
+        "topk_batch": _topk_batch_sql(),
+        # ivf_topk (approximate by design), media_features (binary decode):
+        # rows-only checks
         # extract_pipeline, roster_extract, embed_rerank: kernel-UDF cores —
         # intentionally no SQL twin (driver rows-only check)
         # minhash_lsh, simhash, langid: kernel-hash/heuristic-based —

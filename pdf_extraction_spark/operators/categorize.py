@@ -60,7 +60,7 @@ def categorize_by_join(df: DataFrame, content_col: str = "content", keywords_by_
         [(c, "(?i)" + p) for c, p in pats.items()], ["category", "pattern"]
     )
     matched = df.join(F.broadcast(dim)).filter(
-        F.col(content_col).rlike(F.col("pattern"))
+        F.regexp_like(F.lower(F.col(content_col)), F.col("pattern"))
     ).drop("pattern")
     general = df.join(
         matched.select(df.columns).distinct(), on=df.columns, how="left_anti"
