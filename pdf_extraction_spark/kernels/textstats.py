@@ -40,6 +40,17 @@ def hash_bytes(data: bytes, seed: int = 0) -> int:
     return mix64(h)
 
 
+def hash_str_fast(s: str) -> int:
+    """Deterministic 64-bit string hash at C speed (blake2b digest) —
+    used where hashes are consumed in bulk (minhash shingles); the
+    python-loop FNV stays for seeds/ids where call counts are small."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
 def tokenize(text: str):
     """BPE-ish regex tokenizer: words (with inner apostrophes) +
     punctuation marks as separate tokens."""
@@ -99,11 +110,11 @@ def jaccard(a: set, b: set) -> float:
 
 def minhash_signature(text: str, num_hashes: int = 64, n: int = 3):
     """MinHash signature over word-n-gram shingles: permutation i is
-    ``mix64(shingle_hash ^ mix64(i+1))``."""
+    ``mix64(shingle_hash ^ mix64(i+1))`` with blake2b shingle hashes."""
     sh = shingles(text, n)
     if not sh:
         return [0] * num_hashes
-    base = [hash_bytes(s.encode("utf-8")) for s in sh]
+    base = [hash_str_fast(s) for s in sh]
     return [min(mix64(h ^ mix64(i + 1)) for h in base) for i in range(num_hashes)]
 
 

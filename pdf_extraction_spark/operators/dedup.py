@@ -125,11 +125,37 @@ def _to_i64(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
+def _np_minhash(text: str, perm_salts, n: int):
+    """numpy-vectorized MinHash — bit-identical to
+    kernels.textstats.minhash_signature (asserted in tests): one outer
+    product ``mix64(shingle_hash ^ mix64(i+1))`` instead of a Python
+    double loop."""
+    from ..kernels.textstats import hash_str_fast, shingles
+
+    sh = shingles(text, n)
+    if not sh:
+        return np.zeros(len(perm_salts), dtype=np.uint64)
+    base = np.fromiter(
+        (hash_str_fast(s) for s in sh), dtype=np.uint64, count=len(sh)
+    )
+    x = base[:, None] ^ perm_salts[None, :]  # (shingles, perms)
+    # splitmix64 finalizer, vectorized on uint64 (wrapping mul)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x.min(axis=0)
+
+
 def make_minhash_udf(num_hashes: int = 64, n: int = 3):
+    from ..kernels.textstats import mix64
+
+    perm_salts = np.array([mix64(i + 1) for i in range(num_hashes)], dtype=np.uint64)
+
     @pandas_udf(_SIG_TYPE)
     def mh(texts: pd.Series) -> pd.Series:
         return texts.map(
-            lambda t: [_to_i64(v) for v in minhash_signature(t or "", num_hashes, n)]
+            lambda t: _np_minhash(t or "", perm_salts, n).astype(np.int64).tolist()
         )
 
     return mh
