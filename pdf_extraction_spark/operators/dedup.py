@@ -180,7 +180,10 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     mh = make_minhash_udf(num_hashes, n)
     sigs = df.select(F.col(id_col).alias("doc_id"), mh(F.col(text_col)).alias("sig"))
-    sigs.persist()
+    # materialize the cache NOW — three downstream branches (banding,
+    # both sides of the candidate join) would otherwise race to compute
+    # the UDF before the cache fills
+    sigs.persist().count()
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(

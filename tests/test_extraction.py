@@ -61,6 +61,23 @@ class TestHtmlBoilerplate:
         blocks = extract_blocks("<body><p>one two three</p></body>")
         assert blocks[0][1] == 3  # num_words
 
+    def test_scanner_parser_parity_on_corpus(self):
+        # the fast regex scanner must produce identical blocks to the
+        # html.parser reference implementation on realistic pages
+        from pdf_extraction_spark.kernels.htmlio import _parser_blocks, _scan_blocks
+
+        checked = 0
+        for i in range(300):
+            row = synth_page_row(i)
+            if row["url"].endswith(".pdf"):
+                continue
+            h = row["html"].decode("utf-8")
+            a = [(b.text, b.num_words, b.linked_words, b.forced_boiler) for b in _scan_blocks(h)]
+            bl = [(b.text, b.num_words, b.linked_words, b.forced_boiler) for b in _parser_blocks(h)]
+            assert a == bl, row["url"]
+            checked += 1
+        assert checked > 150
+
 
 class TestSparkByteIdentity:
     @pytest.mark.parametrize("n", [40])

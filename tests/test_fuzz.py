@@ -1,0 +1,75 @@
+"""Property/fuzz tests (seeded, deterministic): the kernels must never
+raise and must satisfy their basic invariants on arbitrary input —
+Common-Crawl payloads are adversarial by nature."""
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_extraction_spark.kernels import (
+    categorize,
+    clean_dialogue_text,
+    clean_text,
+    extract_all_metrics,
+    extract_main_content,
+    extract_pdf_text,
+    parse_transcript,
+    quality_score,
+    speaker_role,
+)
+from pdf_extraction_spark.kernels.extract import extract_document_text
+from pdf_extraction_spark.kernels.htmlio import _parser_blocks, _scan_blocks
+from pdf_extraction_spark.kernels.textstats import (
+    detect_language,
+    fingerprint,
+    minhash_signature,
+    simhash,
+    token_count,
+)
+
+text_strategy = st.text(max_size=400)
+html_strategy = st.text(
+    alphabet=st.sampled_from(list("<>/abp div spannavfooter\"'= &;#\n\tqz!-")), max_size=300
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(text_strategy)
+def test_text_kernels_total(t):
+    assert isinstance(clean_text(t), str)
+    assert isinstance(clean_dialogue_text(t), str)
+    speakers, dialogue = parse_transcript(t)
+    assert speakers == sorted(speakers)
+    for d in dialogue:
+        assert d["text"] == d["text"].strip()
+    assert 1.0 <= quality_score(t) <= 10.0
+    assert isinstance(speaker_role(t), str)
+    cats = categorize(t)
+    assert cats and isinstance(cats, list)
+    m = extract_all_metrics(t)
+    assert set(m) == {"revenue", "growth_rates", "ebitda", "margins", "quarter_info"}
+    assert token_count(t) >= 0
+    assert isinstance(detect_language(t), str)
+    assert 0 <= fingerprint(t) < 2**64
+    assert 0 <= simhash(t) < 2**64
+    assert len(minhash_signature(t, 16)) == 16
+
+
+@settings(max_examples=150, deadline=None)
+@given(html_strategy)
+def test_html_scanner_total(h):
+    # totality on arbitrary tag soup: never raises, both implementations.
+    # (Exact block parity is asserted on realistic HTML in
+    # test_extraction.py::test_scanner_parser_parity — for garbage like a
+    # dangling '<' at EOF, html.parser splits data chunks differently,
+    # which is out of the parity contract.)
+    _scan_blocks(h)
+    _parser_blocks(h)
+    assert isinstance(extract_main_content(h), str)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=400))
+def test_binary_payloads_total(payload):
+    # arbitrary bytes through both dispatch branches — never raises
+    assert isinstance(extract_document_text("https://x.example/a.html", payload), str)
+    assert isinstance(extract_document_text("https://x.example/a.pdf", payload), str)
+    assert isinstance(extract_pdf_text(b"%PDF-" + payload), str)
