@@ -398,6 +398,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_dups", "keep_id"
         )
 
+    # -- dedup: near-exact via bag-of-words key -----------------------------
+    def q_dedup_wordset(spark, sf):
+        from pdf_extraction_spark.operators.dedup import exact_duplicates, wordset_key_col
+
+        return exact_duplicates(
+            _docs(spark, sf), "text", "doc_id", key=wordset_key_col("text")
+        ).select("n_dups", "keep_id")
+
     # -- dedup: n-gram jaccard ---------------------------------------------
     def q_ngram_jaccard(spark, sf):
         return ngram_jaccard_pairs(
@@ -421,7 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_extraction_spark.operators.dedup import embedding_near_dups
 
         return embedding_near_dups(
-            _emb(spark, sf), threshold=0.9, brute_force=True
+            _emb(spark, sf), threshold=0.35, brute_force=True
         ).select("id_a", "id_b", "cosine")
 
     # -- text analysis: token counts + ratios -------------------------------
@@ -634,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "windowed_counts": q_windowed_counts,
         "dedup_exact": q_dedup_exact,
+        "dedup_wordset": q_dedup_wordset,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -856,6 +865,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_dups, min(doc_id) AS keep_id FROM documents "
             "GROUP BY md5(lower(trim(text))) HAVING count(*) > 1"
         ),
+        "dedup_wordset": (
+            "SELECT count(*) AS n_dups, min(doc_id) AS keep_id FROM documents "
+            "GROUP BY md5(array_to_string(list_sort(list_distinct("
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ')) "
+            "HAVING count(*) > 1"
+        ),
         "ngram_jaccard": (
             "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w FROM documents), "
             "grams AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
@@ -878,7 +893,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
             "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
-            "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.9"
+            "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.35"
         ),
         "text_ratios": (
             "WITH w AS (SELECT doc_id, text, length(text) AS n_chars, "

@@ -33,12 +33,23 @@ from ..kernels.textstats import minhash_signature, simhash
 
 # --- exact (hash-groupBy) ---------------------------------------------------
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Groups of byte-identical (trimmed, lowercased) texts with >1
-    member: (dup_key, n_dups, keep_id=min id)."""
-    key = F.md5(F.lower(F.trim(F.col(text_col))))
+def wordset_key_col(text_col: str) -> F.Column:
+    """Bag-of-distinct-words normalization: docs that differ only in
+    word order/repetition collide — the cheapest near-exact key."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    return F.concat_ws(" ", F.array_sort(F.array_distinct(words)))
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", key: F.Column = None
+) -> DataFrame:
+    """Groups of identical normalized texts with >1 member:
+    (dup_key, n_dups, keep_id=min id). Default normalization is
+    trim+lowercase (byte-near-exact); pass ``key=wordset_key_col(...)``
+    for bag-of-words near-exact dedup."""
+    key = key if key is not None else F.lower(F.trim(F.col(text_col)))
     return (
-        df.select(F.col(id_col), key.alias("dup_key"))
+        df.select(F.col(id_col), F.md5(key).alias("dup_key"))
         .groupBy("dup_key")
         .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_dups") > 1)

@@ -104,6 +104,25 @@ def rerank_topk(
     )
 
 
+def assemble_context(
+    topk: DataFrame,
+    content_col: str = "content",
+    id_cols=("vec_id",),
+    order_col: str = "weighted_score",
+    sep: str = "\n\n---\n\n",
+) -> DataFrame:
+    """X2 context assembly: the top-k rows folded into ONE prompt-context
+    string (the only engine-side piece of the reference's answer
+    generation — the LLM call itself is presentation-layer, SURVEY
+    §2.10). Returns a 1-row frame (n_contexts, context)."""
+    # k rows: single partition + local sort guarantees collect_list order
+    ordered = topk.coalesce(1).sortWithinPartitions(F.desc(order_col), *id_cols)
+    return ordered.agg(
+        F.count("*").alias("n_contexts"),
+        F.concat_ws(sep, F.collect_list(content_col)).alias("context"),
+    )
+
+
 def sql_cosine(vec_expr: str, query_vec, round_digits: int = 4) -> str:
     """DuckDB oracle twin of cosine_topk's similarity expression —
     identical left-fold accumulation order over doubles."""

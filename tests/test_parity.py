@@ -178,6 +178,15 @@ class TestNativeKernelParity:
             assert r.quality_score >= 3.5
             assert r.embedding == embed_text(r.text)
 
+    def test_context_assembly(self, spark):
+        from pdf_extraction_spark.operators.topk import assemble_context
+
+        rows = [(1, 0.9, "first"), (2, 0.5, "third"), (3, 0.7, "second")]
+        df = spark.createDataFrame(rows, "vec_id int, weighted_score double, content string")
+        out = assemble_context(df).first()
+        assert out.n_contexts == 3
+        assert out.context == "first\n\n---\n\nsecond\n\n---\n\nthird"
+
     def test_recency_weight(self, spark):
         from pdf_extraction_spark.kernels.rerank import recency_weight
         from pdf_extraction_spark.operators.topk import recency_weight_col
