@@ -236,12 +236,29 @@ def _parser_blocks(html: str):
 def extract_blocks(html: str, use_scanner: bool = True):
     """Parse HTML → list of (text, num_words, link_density, is_content)."""
     blocks = _scan_blocks(html) if use_scanner else _parser_blocks(html)
+    n = len(blocks)
+    # precompute features once — the classifier reads each ~3×
+    nw = [b.num_words for b in blocks]
+    ld = [b.link_density for b in blocks]
     out = []
     for i, curr in enumerate(blocks):
-        prev = blocks[i - 1] if i > 0 else _EMPTY
-        nxt = blocks[i + 1] if i + 1 < len(blocks) else _EMPTY
-        keep = (not curr.forced_boiler) and _is_content(prev, curr, nxt)
-        out.append((curr.text, curr.num_words, curr.link_density, keep))
+        if curr.forced_boiler:
+            out.append((curr.text, nw[i], ld[i], False))
+            continue
+        prev_ld = ld[i - 1] if i > 0 else 0.0
+        prev_nw = nw[i - 1] if i > 0 else 0
+        next_nw = nw[i + 1] if i + 1 < n else 0
+        # NumWordsRulesClassifier inlined over scalar features
+        if ld[i] > 0.333333:
+            keep = False
+        elif prev_ld <= 0.555556:
+            if nw[i] <= 16:
+                keep = prev_nw > 4 if next_nw <= 15 else True
+            else:
+                keep = True
+        else:
+            keep = next_nw > 17 if nw[i] <= 40 else True
+        out.append((curr.text, nw[i], ld[i], keep))
     return out
 
 

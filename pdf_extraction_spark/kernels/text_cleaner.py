@@ -17,16 +17,21 @@ _PAGE_NO = re.compile(r"Page \d+ of \d+", re.IGNORECASE)
 
 def clean_text(text: str) -> str:
     """Normalize extracted text. Byte-exact port of reference
-    text_cleaner.clean_text (pdf-parser/cleaner/text_cleaner.py:3-21)."""
-    text = _TRIPLE_APOS.sub("", text)
-    text = _APOS.sub("", text)
+    text_cleaner.clean_text (pdf-parser/cleaner/text_cleaner.py:3-21).
+
+    Fast paths are output-identical: deleting ''' then ' ≡ deleting
+    every '; regex substitutions are gated on a cheap containment check
+    (a sub that cannot match is a no-op)."""
+    text = text.replace("'", "")
 
     text = text.replace("‘", "'").replace("’", "'")
     text = text.replace("“", '"').replace("”", '"')
     text = text.replace("–", "-").replace("—", "-")
 
-    text = _MULTI_SPACE.sub(" ", text)
-    text = _MULTI_NL.sub("\n\n", text)
+    if "  " in text:
+        text = _MULTI_SPACE.sub(" ", text)
+    if "\n\n\n" in text:
+        text = _MULTI_NL.sub("\n\n", text)
 
     text = _PAGE_NO.sub("", text)
 
