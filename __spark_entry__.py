@@ -478,6 +478,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "turn_pos", "speaker", "speaker_role", "content", "word_count"
         )
 
+    # -- full corpus-curation composition (kernel UDFs — rows-only) ---------
+    def q_curate(spark, sf):
+        from pdf_extraction_spark.plans.curate import curate_corpus
+        from pdf_extraction_spark.sources.pages import synth_pages_df
+
+        out = curate_corpus(synth_pages_df(spark, 150), min_tokens=10)
+        return out["docs"].select("url", "token_count", "detected_lang")
+
     # -- F7/F8: url date + quarter/FY (inline fixture, oracle-able) ---------
     def q_url_dates(spark, sf):
         from pdf_extraction_spark.operators.financial import with_quarter_fy, with_url_date
@@ -617,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_batch": q_topk_batch,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
+        "curate_corpus": q_curate,
         "url_dates": q_url_dates,
         "roster_extract": q_roster,
         "pass_rate": q_pass_rate,

@@ -1,0 +1,72 @@
+"""Corpus curation plan: raw pages → clean training-data corpus.
+
+The composition a web-scale training-data pipeline runs after
+extraction, in dependency order chosen so each stage shrinks the data
+before the next (cheapest-first, dedup before quality so near-dup
+clusters are scored once):
+
+1. extract + segment (fused UDF)                — narrow map
+2. language ID + token/quality stats            — narrow map
+3. exact dedup (normalized-text hash)           — 1 shuffle on a 64-bit key
+4. near-dup flagging (MinHash-LSH)              — banded shuffle, capped buckets
+5. quality gate (score + length + lang filters) — pushdown-able predicates
+6. per-host / per-lang corpus stats             — salted rollup
+
+Each stage is an operator from ``..operators``; this module only wires
+them. Output: the curated docs frame + a stats frame (the corpus card).
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import drop_exact_duplicates, minhash_lsh_pairs
+from ..operators.extract import extract_parse
+from ..operators.skew import host_col, salted_agg
+from ..operators.textanalysis import langid_udf, token_count_col, with_quality_ratios
+
+
+def curate_corpus(
+    pages: DataFrame,
+    min_tokens: int = 20,
+    max_stopword_ratio: float = 0.7,
+    languages: tuple = ("en",),
+    neardup_threshold: float = 0.8,
+    minhash_bits: int = 32,
+    bands: int = 8,
+) -> dict:
+    """Returns {'docs': curated frame, 'neardup_pairs': flagged pairs,
+    'stats': per-host rollup} — all lazy."""
+    docs = extract_parse(pages).withColumn("doc_id", F.xxhash64("url"))
+
+    analyzed = (
+        with_quality_ratios(docs, "text")
+        .withColumn("token_count", token_count_col(F.col("text")))
+        .withColumn("detected_lang", langid_udf(F.col("text")))
+    )
+
+    unique = drop_exact_duplicates(analyzed, "text", "doc_id")
+
+    neardup_pairs = minhash_lsh_pairs(
+        unique, "text", "doc_id", num_hashes=minhash_bits, bands=bands
+    ).filter(F.col("est_jaccard") >= neardup_threshold)
+    # drop the higher id of each near-dup pair (min-id representative)
+    drop_ids = neardup_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    deduped = unique.join(drop_ids, "doc_id", "left_anti")
+
+    curated = deduped.filter(
+        (F.col("token_count") >= min_tokens)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+        & (F.col("detected_lang").isin(list(languages)))
+    )
+
+    stats = salted_agg(
+        curated,
+        host_col(F.col("url")),
+        {
+            "n_docs": (F.count("*"), F.sum),
+            "total_tokens": (F.sum("token_count"), F.sum),
+        },
+        salt_buckets=16,
+    ).withColumnRenamed("key", "host")
+
+    return {"docs": curated, "neardup_pairs": neardup_pairs, "stats": stats}

@@ -62,6 +62,26 @@ class TestPipeline:
         assert back.count() == chunks.count()
 
 
+class TestCurate:
+    def test_curate_pipeline(self, spark, pages):
+        from pdf_extraction_spark.plans.curate import curate_corpus
+
+        out = curate_corpus(pages, min_tokens=10, languages=("en",))
+        docs = out["docs"]
+        rows = docs.select("url", "token_count", "detected_lang", "stopword_ratio").collect()
+        assert rows
+        for r in rows:
+            assert r.token_count >= 10
+            assert r.detected_lang == "en"
+        # non-en synth rows (~8%) must be gone
+        assert len(rows) < pages.count()
+        stats = out["stats"].collect()
+        assert sum(r.n_docs for r in stats) == len(rows)
+        # skewed host0 should dominate the stats
+        top = max(stats, key=lambda r: r.n_docs)
+        assert top.host == "host0.example"
+
+
 class TestLineageResume:
     def test_checkpoint_resume(self, spark, pages, tmp_path):
         from pdf_extraction_spark.plans.lineage import (
