@@ -336,7 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price"))
         )
         return top_k_per_group(
-            per, ["c_mktsegment"], "n_orders", k=3
+            per, ["c_mktsegment"], "n_orders", k=3, tie_break_cols=("o_orderpriority",)
         ).select("c_mktsegment", "o_orderpriority", "n_orders", "rank")
 
     # -- A1-A3 rollup over events (count, min/max ts, distinct users) -------
@@ -420,7 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- dedup: simhash (kernel hashes — rows-only oracle) ------------------
     def q_simhash(spark, sf):
-        return simhash_pairs(_docs(spark, sf), "text", "doc_id", max_hamming=8).select(
+        return simhash_pairs(_docs(spark, sf), "text", "doc_id", max_hamming=3).select(
             "id_a", "id_b", "hamming"
         )
 
@@ -836,7 +836,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c_mktsegment, o_orderpriority) "
             "SELECT c_mktsegment, o_orderpriority, n_orders, CAST(rank AS INT) AS rank FROM ("
             "SELECT *, row_number() OVER (PARTITION BY c_mktsegment "
-            "ORDER BY n_orders DESC, c_mktsegment) AS rank FROM per) WHERE rank <= 3"
+            "ORDER BY n_orders DESC, o_orderpriority) AS rank FROM per) WHERE rank <= 3"
         ),
         "events_rollup": (
             "SELECT event_type, count(*) AS n_events, "

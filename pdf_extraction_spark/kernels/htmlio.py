@@ -178,7 +178,15 @@ def _scan_blocks(html: str):
             continue
         tag = tag.lower()
         closing = m.group(1) == "/"
-        self_closing = not closing and (m.group(3) or "").rstrip().endswith("/")
+        # a trailing '/' marks self-closing ONLY when it isn't the tail
+        # of an unquoted attribute value (html.parser consumes the '/'
+        # of <a href=http://x.com/> into the value — not self-closing)
+        attrs = (m.group(3) or "").rstrip()
+        self_closing = (
+            not closing
+            and attrs.endswith("/")
+            and (len(attrs) == 1 or attrs[-2] in " \t\n\r\"'")
+        )
 
         if not closing and not self_closing and tag in _CDATA_END:
             # CDATA content: skip straight to the matching end tag, like

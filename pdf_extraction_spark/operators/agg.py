@@ -27,11 +27,16 @@ def summary_counts(chunks: DataFrame, group_cols=("category",)) -> DataFrame:
 
 
 def top_k_per_group(
-    df: DataFrame, partition_cols, order_col, k: int = 3, desc: bool = True
+    df: DataFrame, partition_cols, order_col, k: int = 3, desc: bool = True,
+    tie_break_cols=(),
 ) -> DataFrame:
-    """W6/A5: row_number ≤ k per partition (TakeOrdered per group)."""
+    """W6/A5: row_number ≤ k per partition (TakeOrdered per group).
+
+    Pass ``tie_break_cols`` naming columns that vary WITHIN the
+    partition — partition columns are constant there and cannot break
+    ties, which makes results at a tied k-boundary nondeterministic."""
     ordering = F.desc(order_col) if desc else F.asc(order_col)
-    w = Window.partitionBy(*partition_cols).orderBy(ordering, *partition_cols)
+    w = Window.partitionBy(*partition_cols).orderBy(ordering, *tie_break_cols)
     return (
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -102,12 +102,15 @@ def ngram_jaccard_pairs(
     sh = shingle_df(df, text_col, id_col, n).withColumn(
         "sh_key", F.md5(F.col("shingle"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
 
     freq = sh.groupBy("sh_key").agg(F.count("*").alias("df_freq"))
     sh_pruned = sh.join(
         F.broadcast(freq.filter(F.col("df_freq") <= max_shingle_freq)), "sh_key"
     )
+    # set sizes over the SAME pruned universe as the intersections —
+    # mixing pruned intersections with unpruned sizes would bias jaccard
+    # low whenever a hot shingle is dropped
+    sizes = sh_pruned.groupBy("doc_id").agg(F.count("*").alias("set_size"))
 
     a = sh_pruned.select(F.col("doc_id").alias("id_a"), "sh_key")
     b = sh_pruned.select(F.col("doc_id").alias("id_b"), "sh_key")
@@ -193,7 +196,9 @@ def minhash_lsh_pairs(
     sigs = df.select(F.col(id_col).alias("doc_id"), mh(F.col(text_col)).alias("sig"))
     # materialize the cache NOW — three downstream branches (banding,
     # both sides of the candidate join) would otherwise race to compute
-    # the UDF before the cache fills
+    # the UDF before the cache fills. NOTE this makes the call eager and
+    # the cached signatures live until spark.catalog.clearCache(); the
+    # signature pass is the dominant cost either way.
     sigs.persist().count()
 
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
@@ -258,9 +263,22 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ t, candidates via 16-bit
-    band collision (pigeonhole: ≤3 differing bits over 4 bands → at
-    least one identical band)."""
+    """Near-dup pairs with hamming(simhash) ≤ t; candidates via band
+    collision. Pigeonhole completeness needs more bands than differing
+    bits, so the band count adapts to ``max_hamming``: t ≤ 3 → 4×16-bit
+    bands, t ≤ 7 → 8×8-bit, t ≤ 15 → 16×4-bit (narrower bands collide
+    more → more candidates; keep t small at scale)."""
+    if max_hamming <= 3:
+        n_bands = 4
+    elif max_hamming <= 7:
+        n_bands = 8
+    elif max_hamming <= 15:
+        n_bands = 16
+    else:
+        raise ValueError(f"max_hamming={max_hamming} needs >16 bands; not supported")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+
     sh = df.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sh"))
     sh.persist()
 
@@ -268,9 +286,9 @@ def simhash_pairs(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                F.shiftright(F.col("sh"), i * width).bitwiseAND(F.lit(mask)).alias("bucket"),
             )
-            for i in range(4)
+            for i in range(n_bands)
         ]
     )
     banded = sh.select("doc_id", "sh", F.explode(bands).alias("bb")).select(
@@ -312,7 +330,14 @@ def embedding_near_dups(
     if brute_force:
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        dim = len(emb.select(vec_col).first()[0])
+        first = emb.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+        if first is None:  # empty input → empty result, same schema
+            return (
+                a.join(b, F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", F.lit(0.0).alias("cosine"))
+                .limit(0)
+            )
+        dim = len(first[0])
         rng = np.random.RandomState(seed)
         planes = rng.randn(n_planes, dim)
         from .topk import dot_col

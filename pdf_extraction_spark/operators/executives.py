@@ -76,7 +76,14 @@ def match_executives(
         r = r.withColumn("roster_pos", F.row_number().over(w))
     r = r.withColumn("exec_key", last_token_col(exec_name))
 
-    c = chunks.filter(spk != "MANAGEMENT").withColumn("spk_key", last_token_col(spk))
+    # per-ROW identity for the first-match dedup: partitioning by chunk
+    # column values would collapse fully-duplicate rows into one match,
+    # unlike the reference's per-row loop
+    c = (
+        chunks.filter(spk != "MANAGEMENT")
+        .withColumn("spk_key", last_token_col(spk))
+        .withColumn("__rid", F.monotonically_increasing_id())
+    )
 
     joined = c.join(F.broadcast(r), c["spk_key"] == r["exec_key"], "inner")
 
@@ -97,7 +104,7 @@ def match_executives(
     # first-match-wins: the reference breaks at the first roster entry
     # (dict order) that matches (executive_extractor.py:59-77)
     chunk_cols = list(chunks.columns)
-    w = Window.partitionBy(*chunk_cols).orderBy("roster_pos")
+    w = Window.partitionBy("__rid").orderBy("roster_pos")
     return (
         matched.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

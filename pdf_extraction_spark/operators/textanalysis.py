@@ -16,12 +16,18 @@ from ..kernels.textstats import detect_language, fingerprint, token_count
 from .filters import word_count_col
 
 # regex-token count, native: word runs (with inner apostrophes) or single
-# non-space punctuation — mirrors kernels.textstats.tokenize
+# non-space punctuation — mirrors kernels.textstats.tokenize.
+# (?U): Java regex \w is ASCII by default; the kernel tokenizer is
+# Unicode, and the corpus carries de/fr/hi text. Residual deviation:
+# Java's Unicode \w includes combining marks (gc=Mn), Python's doesn't,
+# so Indic matras merge into words here but tokenize separately in the
+# kernel — use token_count_udf where exact kernel parity matters.
 _TOKEN_PATTERN = r"\w+(?:'\w+)?|[^\w\s]"
+_JAVA_TOKEN_PATTERN = "(?U)" + _TOKEN_PATTERN
 
 
 def token_count_col(text: Column) -> Column:
-    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_PATTERN), F.lit(0)))
+    return F.size(F.regexp_extract_all(text, F.lit(_JAVA_TOKEN_PATTERN), F.lit(0)))
 
 
 def sql_token_count(expr: str) -> str:
@@ -36,7 +42,7 @@ def with_quality_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(c)
     words = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
     n_words = F.size(words)
-    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"(?U)[^\w\s]"), F.lit(0)))
     stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "to", "and", "in", "is"]])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
     safe_words = F.greatest(n_words, F.lit(1))

@@ -73,13 +73,17 @@ def recency_weight_col(days_ago: Column) -> Column:
 
 
 def weighted_score_col(sim: Column, date_col: Column, as_of: str, quality: Column = None) -> Column:
-    days = F.datediff(F.lit(as_of).cast("date"), date_col.cast("date"))
+    """try_cast + null fall-through mirror the kernel's except-branch
+    (simple_rag.py:100-102): an unparseable/missing date yields the bare
+    similarity, and never throws under ANSI mode."""
+    days = F.datediff(F.lit(as_of).cast("date"), date_col.try_cast("date"))
     qw = (F.coalesce(quality, F.lit(5.0)) / 10.0) if quality is not None else F.lit(0.5)
-    return (
+    weighted = (
         sim * SIM_WEIGHT
         + recency_weight_col(days) * RECENCY_WEIGHT
         + qw * QUALITY_WEIGHT
     )
+    return F.when(days.isNull(), sim).otherwise(weighted)
 
 
 def rerank_topk(

@@ -35,7 +35,8 @@ def curate_corpus(
     bands: int = 8,
 ) -> dict:
     """Returns {'docs': curated frame, 'neardup_pairs': flagged pairs,
-    'stats': per-host rollup} — all lazy."""
+    'stats': per-host rollup}. Mostly lazy; the MinHash signature pass
+    runs eagerly (cached once, reused by every returned frame)."""
     docs = extract_parse(pages).withColumn("doc_id", F.xxhash64("url"))
 
     analyzed = (
