@@ -16,8 +16,8 @@ from .categories import CATEGORY_KEYWORDS, categorize
 from .executives import extract_roster, name_matches
 from .rerank import recency_weight, weighted_score
 from .pdfio import build_minimal_pdf, extract_pdf_text
-from .htmlio import extract_main_content
-from .extract import extract_document_text
+from .htmlio import decode_html_payload, extract_main_content, extract_title
+from .extract import extract_document_text, extract_document_title
 
 __all__ = [
     "clean_text",
@@ -35,5 +35,8 @@ __all__ = [
     "build_minimal_pdf",
     "extract_pdf_text",
     "extract_main_content",
+    "extract_title",
+    "decode_html_payload",
     "extract_document_text",
+    "extract_document_title",
 ]

@@ -7,11 +7,11 @@ semantics; the Spark ``mapInPandas`` operator must match it byte-for-byte
 (main.py:11-26) with the HTML branch added for Common-Crawl payloads.
 """
 
-from .htmlio import extract_main_content
+from .htmlio import decode_html_payload, extract_main_content, extract_title
 from .pdfio import extract_pdf_text
 from .text_cleaner import clean_text
 
-EXTRACTOR_VERSION = "pdf_extraction_spark-0.1.0"
+EXTRACTOR_VERSION = "pdf_extraction_spark-0.1.1"
 
 
 def is_pdf_payload(url: str, payload: bytes) -> bool:
@@ -23,9 +23,20 @@ def is_pdf_payload(url: str, payload: bytes) -> bool:
 def extract_raw_text(url: str, payload: bytes) -> str:
     if is_pdf_payload(url, payload):
         return extract_pdf_text(payload)
-    return extract_main_content(payload.decode("utf-8", errors="replace"))
+    return extract_main_content(decode_html_payload(payload))
 
 
 def extract_document_text(url: str, payload: bytes) -> str:
     """extract (PDF parse | HTML boilerplate strip) → normalize (P1)."""
     return clean_text(extract_raw_text(url, payload))
+
+
+def extract_document_title(url: str, payload: bytes) -> str:
+    """Title column: HTML <title>/<h1>; first non-empty line for PDFs."""
+    if is_pdf_payload(url, payload):
+        for line in extract_pdf_text(payload).split("\n"):
+            line = line.strip()
+            if line:
+                return clean_text(line)
+        return ""
+    return clean_text(extract_title(decode_html_payload(payload)))

@@ -274,3 +274,56 @@ def extract_main_content(html: str) -> str:
     """Main content of an HTML page: classified content blocks joined
     with newlines."""
     return "\n".join(text for text, _, _, keep in extract_blocks(html) if keep)
+
+
+_TITLE_RE = _re.compile(r"<title[^>]*>(.*?)</title>", _re.IGNORECASE | _re.DOTALL)
+_H1_RE = _re.compile(r"<h1[^>]*>(.*?)</h1>", _re.IGNORECASE | _re.DOTALL)
+_STRIP_TAGS_RE = _re.compile(r"<[^>]*>")
+
+
+def extract_title(html: str) -> str:
+    """Document title: <title> if present, else first <h1>, tags
+    stripped, whitespace collapsed."""
+    for pat in (_TITLE_RE, _H1_RE):
+        m = pat.search(html)
+        if m:
+            t = _STRIP_TAGS_RE.sub("", m.group(1))
+            if _AMP in t:
+                t = _html_mod.unescape(t)
+            t = " ".join(t.split())
+            if t:
+                return t
+    return ""
+
+
+# --- charset handling -------------------------------------------------------
+
+_META_CHARSET_RE = _re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", _re.IGNORECASE
+)
+_XML_ENC_RE = _re.compile(rb"""<\?xml[^>]+encoding\s*=\s*["']([A-Za-z0-9_\-]+)""")
+
+
+def decode_html_payload(payload: bytes) -> str:
+    """Bytes → str for web payloads: BOM, then <meta charset>/XML
+    declaration (scanned in the first 2 KB, per the WHATWG prescan),
+    then UTF-8; undecodable bytes are replaced, and a payload that is
+    valid UTF-8 is never misdecoded by a lying meta tag."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", errors="replace")
+    if payload.startswith((b"\xff\xfe", b"\xfe\xff")):
+        return payload.decode("utf-16", errors="replace")
+    head = payload[:2048]
+    m = _META_CHARSET_RE.search(head) or _XML_ENC_RE.search(head)
+    if m:
+        enc = m.group(1).decode("ascii", errors="replace").lower()
+        if enc not in ("utf-8", "utf8"):
+            try:
+                return payload.decode(enc)
+            except (LookupError, UnicodeDecodeError):
+                pass
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        # last resort: latin-1 is total (every byte decodes)
+        return payload.decode("latin-1")

@@ -70,7 +70,7 @@ def _extract_batches(batches, with_partition: bool):
 
 
 FUSED_SCHEMA = (
-    "url string, warc_ts timestamp, text string, lang string, "
+    "url string, warc_ts timestamp, title string, text string, lang string, "
     "doc_type string, payload_bytes long, "
     "turns array<struct<speaker:string,text:string>>"
 )
@@ -86,16 +86,18 @@ def _extract_parse_batches(batches):
     real cluster."""
     import pandas as pd
 
+    from ..kernels.extract import extract_document_title
     from ..kernels.transcript import parse_transcript
 
     for pdf in batches:
         urls = pdf["url"].tolist()
         payloads = pdf["html"].tolist()
-        texts, doc_types, sizes, turns = [], [], [], []
+        titles, texts, doc_types, sizes, turns = [], [], [], [], []
         for url, payload in zip(urls, payloads):
             payload = payload if payload is not None else b""
             doc_types.append("pdf" if is_pdf_payload(url, payload) else "html")
             text = extract_document_text(url, payload)
+            titles.append(extract_document_title(url, payload))
             texts.append(text)
             sizes.append(len(payload))
             turns.append(
@@ -105,6 +107,7 @@ def _extract_parse_batches(batches):
             {
                 "url": urls,
                 "warc_ts": pdf["warc_ts"],
+                "title": titles,
                 "text": texts,
                 "lang": pdf["lang"],
                 "doc_type": doc_types,

@@ -30,7 +30,7 @@ LINEAGE_SCHEMA = (
 )
 
 _FUSED_LINEAGE_SCHEMA = (
-    "url string, warc_ts timestamp, text string, lang string, "
+    "url string, warc_ts timestamp, title string, text string, lang string, "
     "doc_type string, payload_bytes long, "
     "turns array<struct<speaker:string,text:string>>, "
     "partition_id int, extract_wall_s double"

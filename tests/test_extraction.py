@@ -79,6 +79,49 @@ class TestHtmlBoilerplate:
         assert checked > 150
 
 
+class TestCharsetAndTitle:
+    def test_bom_utf8(self):
+        from pdf_extraction_spark.kernels.htmlio import decode_html_payload
+
+        assert decode_html_payload(b"\xef\xbb\xbfh\xc3\xa9llo") == "héllo"
+
+    def test_meta_charset(self):
+        from pdf_extraction_spark.kernels.htmlio import decode_html_payload
+
+        latin = '<meta charset="iso-8859-1"><p>café</p>'.encode("iso-8859-1")
+        assert "café" in decode_html_payload(latin)
+
+    def test_lying_meta_on_valid_utf8(self):
+        from pdf_extraction_spark.kernels.htmlio import decode_html_payload
+
+        # payload IS utf-8 despite meta claiming otherwise: iso-8859-1
+        # decoding is total, so the sniffed charset wins — but must not crash
+        s = decode_html_payload('<meta charset="iso-8859-1"><p>plain</p>'.encode())
+        assert "plain" in s
+
+    def test_invalid_utf8_falls_back(self):
+        from pdf_extraction_spark.kernels.htmlio import decode_html_payload
+
+        assert isinstance(decode_html_payload(b"\xff\xfa<p>x</p>"), str)
+
+    def test_title_from_title_tag(self):
+        from pdf_extraction_spark.kernels.htmlio import extract_title
+
+        assert extract_title("<head><title> A &amp; B\n call </title></head>") == "A & B call"
+
+    def test_title_h1_fallback(self):
+        from pdf_extraction_spark.kernels.htmlio import extract_title
+
+        assert extract_title("<body><h1><b>Big</b> News</h1></body>") == "Big News"
+        assert extract_title("<body><p>none</p></body>") == ""
+
+    def test_pdf_title_first_line(self):
+        from pdf_extraction_spark.kernels.extract import extract_document_title
+
+        pdf = build_minimal_pdf(["\nCompany Q3 Call\nMore text"])
+        assert extract_document_title("x.pdf", pdf) == "Company Q3 Call"
+
+
 class TestSparkByteIdentity:
     @pytest.mark.parametrize("n", [40])
     def test_pipeline_matches_kernel(self, spark, n):
