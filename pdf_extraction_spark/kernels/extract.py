@@ -33,10 +33,21 @@ def extract_document_text(url: str, payload: bytes) -> str:
 
 def extract_document_title(url: str, payload: bytes) -> str:
     """Title column: HTML <title>/<h1>; first non-empty line for PDFs."""
+    return extract_document(url, payload)[0]
+
+
+def extract_document(url: str, payload: bytes) -> tuple:
+    """(title, cleaned_text) in ONE pass — payload decode / PDF parse
+    happen once; ``text`` is byte-identical to
+    :func:`extract_document_text` (asserted in tests)."""
     if is_pdf_payload(url, payload):
-        for line in extract_pdf_text(payload).split("\n"):
+        raw = extract_pdf_text(payload)
+        title = ""
+        for line in raw.split("\n"):
             line = line.strip()
             if line:
-                return clean_text(line)
-        return ""
-    return clean_text(extract_title(decode_html_payload(payload)))
+                title = clean_text(line)
+                break
+        return title, clean_text(raw)
+    html = decode_html_payload(payload)
+    return clean_text(extract_title(html)), clean_text(extract_main_content(html))

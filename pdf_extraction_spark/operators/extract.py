@@ -86,7 +86,7 @@ def _extract_parse_batches(batches):
     real cluster."""
     import pandas as pd
 
-    from ..kernels.extract import extract_document_title
+    from ..kernels.extract import extract_document
     from ..kernels.transcript import parse_transcript
 
     for pdf in batches:
@@ -96,8 +96,8 @@ def _extract_parse_batches(batches):
         for url, payload in zip(urls, payloads):
             payload = payload if payload is not None else b""
             doc_types.append("pdf" if is_pdf_payload(url, payload) else "html")
-            text = extract_document_text(url, payload)
-            titles.append(extract_document_title(url, payload))
+            title, text = extract_document(url, payload)
+            titles.append(title)
             texts.append(text)
             sizes.append(len(payload))
             turns.append(
