@@ -377,6 +377,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_cosine_topk(spark, sf):
         return cosine_topk(_emb(spark, sf), _query_vec(), k=10)
 
+    # -- session-window agg (gap sessions; gaps-and-islands oracle) ---------
+    def q_session_stats(spark, sf):
+        from pdf_extraction_spark.streaming.stateful import session_stats
+
+        return session_stats(_events(spark, sf))
+
     # -- tumbling-window agg over events (streaming-shaped, batch oracle) ---
     def q_windowed_counts(spark, sf):
         return (
@@ -650,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_rerank": q_weighted_rerank,
         "cosine_topk": q_cosine_topk,
         "windowed_counts": q_windowed_counts,
+        "session_stats": q_session_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_wordset": q_dedup_wordset,
         "ngram_jaccard": q_ngram_jaccard,
@@ -866,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE embedding IS NOT NULL "
             "ORDER BY similarity DESC, vec_id LIMIT 10"
         ),
+        "session_stats": __import__("pdf_extraction_spark.streaming.stateful", fromlist=["sql_session_stats"]).sql_session_stats(30),
         "windowed_counts": (
             "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
             "event_type, count(*) AS n_events FROM events GROUP BY 1, 2"

@@ -156,6 +156,62 @@ class TestStreaming:
         for window_start, _etype in set(expect) - set(got):
             assert window_start >= max_ts - datetime.timedelta(hours=3)
 
+    def test_stateful_running_counts(self, spark, tmp_path):
+        from pdf_extraction_spark.streaming.stateful import running_user_counts
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        stream_dir = str(tmp_path / "ev_state")
+        events.write.parquet(stream_dir)
+        stream = spark.readStream.schema(events.schema).parquet(stream_dir)
+        q = (
+            running_user_counts(stream)
+            .writeStream.format("memory")
+            .queryName("running_counts")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.user_id: r.n_events
+            for r in spark.sql(
+                "SELECT user_id, max(n_events) n_events FROM running_counts GROUP BY user_id"
+            ).collect()
+        }
+        expect = {
+            r.user_id: r.c
+            for r in events.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+        }
+        assert got == expect
+
+    def test_session_window_stream_subset_of_batch(self, spark, tmp_path):
+        from pdf_extraction_spark.streaming.stateful import session_stats
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        stream_dir = str(tmp_path / "ev_sess")
+        events.write.parquet(stream_dir)
+        stream = spark.readStream.schema(events.schema).parquet(stream_dir)
+        q = (
+            session_stats(stream, watermark="2 hours")
+            .writeStream.format("memory")
+            .queryName("sess")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.session_start): (r.n_events, r.total_value)
+            for r in spark.sql("SELECT * FROM sess").collect()
+        }
+        expect = {
+            (r.user_id, r.session_start): (r.n_events, r.total_value)
+            for r in session_stats(events).collect()
+        }
+        assert got and set(got) <= set(expect)
+        for k, v in got.items():
+            assert v == expect[k]
+
     def test_streaming_extraction(self, spark, pages, tmp_path):
         from pdf_extraction_spark.sources.pages import PAGES_SCHEMA
         from pdf_extraction_spark.streaming.events import (
