@@ -160,16 +160,32 @@ def main():
 
     scaling = {}
     if RUN_SCALING:
-        lo_cores = max(CPUS // 4, 1)
-        lo = bench_extraction_at(lo_cores, pages_path)
-        log(f"extraction local[{lo_cores}]: {lo}")
-        efficiency = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (CPUS / lo_cores)
+        # N vs 4N at two scales: 2→8 cores (both levels leave the box
+        # headroom — the faithful proxy for N vs 4N executors that each
+        # own their cores/memory) and 8→32 (the whole-box step, capped
+        # by shared memory bandwidth + the single local-mode JVM; see
+        # BENCH/BASELINE.md)
+        levels = [int(x) for x in os.environ.get("BENCH_LEVELS", "2,8").split(",")]
+        curve = {str(c): bench_extraction_at(c, pages_path) for c in levels}
+        curve[str(CPUS)] = hi
+        for c, r in curve.items():
+            log(f"extraction local[{c}]: {r}")
+
+        def eff(lo_c, hi_c):
+            lo_r, hi_r = curve[str(lo_c)], curve[str(hi_c)]
+            return round(
+                (hi_r["docs_per_sec"] / lo_r["docs_per_sec"]) / (hi_c / lo_c), 3
+            )
+
         scaling = {
-            "low": lo,
-            "high": hi,
-            "cores_ratio": CPUS / lo_cores,
-            "speedup": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
-            "efficiency": round(efficiency, 3),
+            "curve": curve,
+            "efficiency_2_to_8": eff(2, 8) if "2" in curve and "8" in curve else None,
+            "efficiency_8_to_32": eff(8, CPUS) if "8" in curve else None,
+            # headline criterion: N→4N with headroom at both levels
+            "low": curve.get("2"),
+            "high": curve.get("8"),
+            "cores_ratio": 4.0,
+            "efficiency": eff(2, 8) if "2" in curve and "8" in curve else None,
         }
 
     spark = get_session(CPUS)
