@@ -424,6 +424,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), "text", "doc_id", num_hashes=32, bands=8
         ).filter(F.col("est_jaccard") >= 0.5).select("id_a", "id_b", "est_jaccard")
 
+    # -- dedup clusters: connected components over minhash pairs ------------
+    def q_dedup_clusters(spark, sf):
+        from pdf_extraction_spark.operators.components import dedup_clusters
+
+        pairs = minhash_lsh_pairs(
+            _docs(spark, sf), "text", "doc_id", num_hashes=32, bands=8
+        ).filter(F.col("est_jaccard") >= 0.5)
+        return dedup_clusters(pairs)
+
     # -- dedup: simhash (kernel hashes — rows-only oracle) ------------------
     def q_simhash(spark, sf):
         return simhash_pairs(_docs(spark, sf), "text", "doc_id", max_hamming=3).select(
@@ -662,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_neardup": q_embedding_neardup,
         "text_ratios": q_text_ratios,
         "token_count": q_token_count,
