@@ -44,6 +44,21 @@ def write_warc(records, path: str):
             f.write(headers + CRLF + http + CRLF + CRLF)
 
 
+def gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (Common Crawl gzips each
+    WARC record separately; decompressing the stream re-concatenates
+    them)."""
+    import zlib
+
+    out = []
+    while data:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        data = d.unused_data
+    return b"".join(out)
+
+
 def iter_warc_records(data: bytes):
     """Yield (headers_dict, body_bytes) for each WARC record."""
     pos = 0
@@ -86,7 +101,9 @@ def _http_payload(body: bytes):
 
 
 def parse_warc_bytes(data: bytes):
-    """WARC file bytes → list of pages-shaped dicts."""
+    """WARC file bytes (plain or gzipped) → list of pages-shaped dicts."""
+    if data[:2] == b"\x1f\x8b":
+        data = gunzip_members(data)
     rows = []
     for headers, body in iter_warc_records(data):
         if headers.get("warc-type") != "response":

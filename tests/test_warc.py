@@ -41,6 +41,27 @@ class TestWarcRoundtrip:
             )
         assert parse_warc_bytes(open(path, "rb").read()) == []
 
+    def test_gzipped_per_record_members(self, tmp_path):
+        # Common-Crawl layout: every record its own gzip member
+        import gzip
+
+        recs = _records(5)
+        plain = str(tmp_path / "p.warc")
+        write_warc(recs, plain)
+        raw = open(plain, "rb").read()
+        # split back into records and gzip each separately
+        from pdf_extraction_spark.sources.warc import iter_warc_records
+
+        gz = b""
+        pos = 0
+        for _h, _b in iter_warc_records(raw):
+            nxt = raw.find(b"WARC/1.0", pos + 1)
+            end = nxt if nxt > 0 else len(raw)
+            gz += gzip.compress(raw[pos:end])
+            pos = end
+        rows = parse_warc_bytes(gz)
+        assert [r["url"] for r in rows] == [u for u, *_ in recs]
+
     def test_payload_with_crlf_inside(self, tmp_path):
         payload = b"first\r\n\r\nsecond WARC/ fake"
         path = str(tmp_path / "tricky.warc")
