@@ -52,8 +52,14 @@ def explode_categories(df: DataFrame) -> DataFrame:
 
 
 def categorize_by_join(df: DataFrame, content_col: str = "content", keywords_by_category=None) -> DataFrame:
-    """Broadcast-join strategy: chunks × categories dim, rlike post-filter,
-    General remainder via left_anti union."""
+    """Broadcast-join strategy: chunks × categories dim, regexp
+    post-filter, General remainder via left_anti union.
+
+    Tradeoff vs :func:`with_categories`: patterns live in DATA (hot-
+    swappable without a new plan), but a column-valued regexp can't be
+    compiled once per task — measured ~10× slower than the codegen'd
+    literal-rlike array path. Use when categories change at runtime;
+    default to with_categories otherwise."""
     spark = df.sparkSession
     pats = patterns_for(keywords_by_category)
     dim = spark.createDataFrame(

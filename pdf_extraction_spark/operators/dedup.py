@@ -322,10 +322,20 @@ def embedding_near_dups(
     """Pairs with cosine ≥ τ. Scale path: random-hyperplane LSH buckets
     (sign sketch) → within-bucket exact cosine; brute_force bypasses
     bucketing (oracle-friendly, O(n²))."""
-    from .topk import cosine_col
+    from .topk import dot_col, norm_col
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    # precompute each vector's norm ONCE per side — cosine per pair then
+    # needs a single dot, not three (3× less HOF work over O(n²) pairs)
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        norm_col(F.col(vec_col)).alias("n_a"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        norm_col(F.col(vec_col)).alias("n_b"),
+    )
 
     if brute_force:
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -356,7 +366,10 @@ def embedding_near_dups(
         bb = b.withColumn("bucket", bucket_col(F.col("v_b")))
         cand = ab.join(bb, "bucket").filter(F.col("id_a") < F.col("id_b"))
 
-    sim = F.round(cosine_col(F.col("v_a"), F.col("v_b")), 6)
+    raw_sim = F.when(
+        (F.col("n_a") == 0.0) | (F.col("n_b") == 0.0), 0.0
+    ).otherwise(dot_col(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+    sim = F.round(raw_sim, 6)
     return cand.select("id_a", "id_b", sim.alias("cosine")).filter(
         F.col("cosine") >= threshold
     )

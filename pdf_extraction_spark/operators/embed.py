@@ -19,9 +19,19 @@ from ..kernels.textstats import hash_bytes, tokenize
 DIM = 64
 
 
-def _token_vector(tok: str, dim: int, seed: int) -> np.ndarray:
+from functools import lru_cache
+
+
+@lru_cache(maxsize=65536)
+def _token_vector_cached(tok: str, dim: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(hash_bytes(tok.encode("utf-8"), seed) % (2**32))
     return rng.randn(dim)
+
+
+def _token_vector(tok: str, dim: int, seed: int) -> np.ndarray:
+    # RandomState construction dominates embedding cost; natural-language
+    # token distributions are Zipfian, so a vocab cache hits constantly
+    return _token_vector_cached(tok, dim, seed)
 
 
 def embed_text(text: str, dim: int = DIM, seed: int = 42) -> list:
