@@ -67,6 +67,17 @@ def test_html_scanner_total(h):
 
 
 @settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=600))
+def test_warc_parser_total(data):
+    from pdf_extraction_spark.sources.warc import parse_warc_bytes
+
+    # arbitrary bytes, including fake record markers — never raises
+    rows = parse_warc_bytes(data)
+    rows2 = parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: response\r\n\r\n" + data)
+    assert isinstance(rows, list) and isinstance(rows2, list)
+
+
+@settings(max_examples=80, deadline=None)
 @given(st.binary(max_size=400))
 def test_binary_payloads_total(payload):
     # arbitrary bytes through both dispatch branches — never raises
