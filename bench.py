@@ -166,7 +166,10 @@ def main():
         # by shared memory bandwidth + the single local-mode JVM; see
         # BENCH/BASELINE.md)
         levels = [int(x) for x in os.environ.get("BENCH_LEVELS", "2,8").split(",")]
-        curve = {str(c): bench_extraction_at(c, pages_path) for c in levels}
+        curve = {
+            str(c): bench_extraction_at(c, pages_path, reps=2 if c <= 2 else 3)
+            for c in levels
+        }
         curve[str(CPUS)] = hi
         for c, r in curve.items():
             log(f"extraction local[{c}]: {r}")
