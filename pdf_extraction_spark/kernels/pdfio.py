@@ -38,11 +38,12 @@ def _escape_pdf_string(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def build_minimal_pdf(pages) -> bytes:
-    """Build an uncompressed single-font PDF; ``pages`` is a list of page
-    strings whose lines become ``Tj`` runs separated by ``T*``. Text is
-    Latin-1-projected (lossy for exotic chars) — the synthetic corpus keeps
-    PDF payloads ASCII-safe."""
+def build_minimal_pdf(pages, compress: bool = False) -> bytes:
+    """Build a single-font PDF; ``pages`` is a list of page strings whose
+    lines become ``Tj`` runs separated by ``T*``. Text is Latin-1-
+    projected (lossy for exotic chars) — the synthetic corpus keeps PDF
+    payloads ASCII-safe. ``compress`` FlateDecodes content streams (the
+    real-world layout)."""
     objects = []  # list of bytes, object number = index + 1
 
     n_pages = len(pages)
@@ -71,10 +72,19 @@ def build_minimal_pdf(pages) -> bytes:
             ops.append(f"({_escape_pdf_string(line)}) Tj")
         ops.append("ET")
         stream = "\n".join(ops).encode("latin-1", errors="replace")
-        objects.append(
-            b"<< /Length " + str(len(stream)).encode("ascii") + b" >>\nstream\n"
-            + stream + b"\nendstream"
-        )
+        if compress:
+            import zlib
+
+            stream = zlib.compress(stream)
+            objects.append(
+                b"<< /Length " + str(len(stream)).encode("ascii")
+                + b" /Filter /FlateDecode >>\nstream\n" + stream + b"\nendstream"
+            )
+        else:
+            objects.append(
+                b"<< /Length " + str(len(stream)).encode("ascii") + b" >>\nstream\n"
+                + stream + b"\nendstream"
+            )
 
     out = io.BytesIO()
     out.write(b"%PDF-1.4\n")
@@ -196,9 +206,29 @@ def _builtin_extract(data: bytes) -> str:
             if not m:
                 continue
             content = objects.get(int(m.group(1)), b"")
-            sm = _STREAM_RE.search(content)
-            if sm:
-                yield sm.group(1)
+            ms = re.search(rb"stream\r?\n", content)
+            if not ms:
+                continue
+            start = ms.end()
+            # /Length gives the exact byte count — authoritative over
+            # scanning for 'endstream', which can occur inside
+            # compressed bytes
+            ml = re.search(rb"/Length\s+(\d+)", content[: ms.start()])
+            if ml:
+                stream = content[start : start + int(ml.group(1))]
+            else:
+                sm = _STREAM_RE.search(content)
+                if not sm:
+                    continue
+                stream = sm.group(1)
+            if b"/FlateDecode" in content[: ms.start()]:
+                import zlib
+
+                try:
+                    stream = zlib.decompress(stream)
+                except zlib.error:
+                    continue
+            yield stream
 
     text = ""
     for stream in page_streams_in_order():

@@ -26,6 +26,12 @@ class TestPdfRoundtrip:
     def test_garbage_empty(self):
         assert extract_pdf_text(b"%PDF-not really") == ""
 
+    def test_flate_compressed_streams(self):
+        pages = ["compressed page one\nline two", "page (2) with \\ escapes"]
+        pdf = build_minimal_pdf(pages, compress=True)
+        assert b"/FlateDecode" in pdf
+        assert extract_pdf_text(pdf) == extract_pdf_text(build_minimal_pdf(pages))
+
 
 class TestHtmlBoilerplate:
     HTML = (
