@@ -377,6 +377,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_cosine_topk(spark, sf):
         return cosine_topk(_emb(spark, sf), _query_vec(), k=10)
 
+    # -- grouped-map applyInPandas: per-group standardization ---------------
+    def q_zscore(spark, sf):
+        from pdf_extraction_spark.operators.groupedmap import zscore_by_group
+
+        return zscore_by_group(_events(spark, sf))
+
     # -- session-window agg (gap sessions; gaps-and-islands oracle) ---------
     def q_session_stats(spark, sf):
         from pdf_extraction_spark.streaming.stateful import session_stats
@@ -666,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "windowed_counts": q_windowed_counts,
         "session_stats": q_session_stats,
+        "zscore_by_group": q_zscore,
         "dedup_exact": q_dedup_exact,
         "dedup_wordset": q_dedup_wordset,
         "ngram_jaccard": q_ngram_jaccard,
@@ -883,6 +890,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings WHERE embedding IS NOT NULL "
             "ORDER BY similarity DESC, vec_id LIMIT 10"
         ),
+        "zscore_by_group": __import__("pdf_extraction_spark.operators.groupedmap", fromlist=["sql_zscore_by_group"]).sql_zscore_by_group(),
         "session_stats": __import__("pdf_extraction_spark.streaming.stateful", fromlist=["sql_session_stats"]).sql_session_stats(30),
         "windowed_counts": (
             "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "

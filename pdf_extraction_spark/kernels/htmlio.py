@@ -151,39 +151,47 @@ def _scan_blocks(html: str):
         words = []
         linked = 0
 
-    def emit_data(data: str):
-        nonlocal linked
-        if not skip_depth and not data.isspace():
-            if _AMP in data:
-                data = _html_mod.unescape(data)
-            ws = data.split()
-            if anchor_depth:
-                linked += len(ws)
-            words.extend(ws)
-
     pos = 0
     n = len(html)
     search = _TAG_RE.search
     while pos < n:
         m = search(html, pos)
         if m is None:
-            emit_data(html[pos:])
+            data = html[pos:]
+            if not skip_depth and not data.isspace():
+                if _AMP in data:
+                    data = _html_mod.unescape(data)
+                ws = data.split()
+                if anchor_depth:
+                    linked += len(ws)
+                words.extend(ws)
             break
-        if m.start() > pos:
-            emit_data(html[pos : m.start()])
+        start = m.start()
+        if start > pos:
+            data = html[pos:start]
+            if not skip_depth and not data.isspace():
+                if _AMP in data:
+                    data = _html_mod.unescape(data)
+                ws = data.split()
+                if anchor_depth:
+                    linked += len(ws)
+                words.extend(ws)
         pos = m.end()
 
-        tag = m.group(2)
+        slash, tag, attrs = m.group(1, 2, 3)
         if tag is None:  # comment / doctype
             continue
-        tag = tag.lower()
-        closing = m.group(1) == "/"
+        if not tag.islower():
+            tag = tag.lower()
+        closing = slash == "/"
         # a trailing '/' marks self-closing ONLY when it isn't the tail
         # of an unquoted attribute value (html.parser consumes the '/'
         # of <a href=http://x.com/> into the value — not self-closing)
-        attrs = (m.group(3) or "").rstrip()
+        if attrs:
+            attrs = attrs.rstrip()
         self_closing = (
             not closing
+            and bool(attrs)
             and attrs.endswith("/")
             and (len(attrs) == 1 or attrs[-2] in " \t\n\r\"'")
         )
