@@ -377,6 +377,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_cosine_topk(spark, sf):
         return cosine_topk(_emb(spark, sf), _query_vec(), k=10)
 
+    # -- corpus profiling: exact percentiles per lang -----------------------
+    def q_corpus_profile(spark, sf):
+        from pdf_extraction_spark.operators.textanalysis import token_count_col
+
+        d = _docs(spark, sf).withColumn("tc", token_count_col(F.col("text")))
+        return d.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(tc, 0.5)"), 4).alias("median_tokens"),
+            F.round(F.expr("percentile(tc, 0.9)"), 4).alias("p90_tokens"),
+            F.min("tc").alias("min_tokens"),
+            F.max("tc").alias("max_tokens"),
+        )
+
+    # -- pivot report: category × lang counts (A4 report shape) -------------
+    def q_category_pivot(spark, sf):
+        from pdf_extraction_spark.operators.categorize import explode_categories, with_categories
+
+        cats = explode_categories(
+            with_categories(_docs(spark, sf), content_col="text", keywords_by_category=DOC_CATEGORIES)
+        )
+        langs = ["de", "en", "es", "fr", "zh"]
+        return (
+            cats.groupBy("category")
+            .pivot("lang", langs)
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, langs)
+        )
+
     # -- grouped-map applyInPandas: per-group standardization ---------------
     def q_zscore(spark, sf):
         from pdf_extraction_spark.operators.groupedmap import zscore_by_group
@@ -673,6 +701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "session_stats": q_session_stats,
         "zscore_by_group": q_zscore,
+        "corpus_profile": q_corpus_profile,
+        "category_pivot": q_category_pivot,
         "dedup_exact": q_dedup_exact,
         "dedup_wordset": q_dedup_wordset,
         "ngram_jaccard": q_ngram_jaccard,
@@ -889,6 +919,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT vec_id, {sql_cosine('embedding', qvec)} AS similarity "
             "FROM embeddings WHERE embedding IS NOT NULL "
             "ORDER BY similarity DESC, vec_id LIMIT 10"
+        ),
+        "corpus_profile": (
+            "WITH d AS (SELECT lang, CAST(len(regexp_extract_all(text, '\w+(?:''\w+)?|[^\w\s]')) AS INT) AS tc FROM documents) "
+            "SELECT lang, count(*) AS n_docs, "
+            "round(quantile_cont(tc, 0.5), 4) AS median_tokens, "
+            "round(quantile_cont(tc, 0.9), 4) AS p90_tokens, "
+            "min(tc) AS min_tokens, max(tc) AS max_tokens FROM d GROUP BY lang"
+        ),
+        "category_pivot": (
+            "SELECT category, "
+            "CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de, "
+            "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en, "
+            "CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es, "
+            "CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr, "
+            "CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh "
+            "FROM (" + sql_categories("text", DOC_CATEGORIES, "doc_id") + ") c "
+            "JOIN documents d ON c.doc_id = d.doc_id GROUP BY category"
         ),
         "zscore_by_group": __import__("pdf_extraction_spark.operators.groupedmap", fromlist=["sql_zscore_by_group"]).sql_zscore_by_group(),
         "session_stats": __import__("pdf_extraction_spark.streaming.stateful", fromlist=["sql_session_stats"]).sql_session_stats(30),
