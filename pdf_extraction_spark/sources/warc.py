@@ -123,6 +123,68 @@ def parse_warc_bytes(data: bytes):
     return rows
 
 
+def parse_wet_bytes(data: bytes):
+    """WET (extracted-text WARC) bytes → pages rows with ``text``
+    pre-filled: ``conversion`` records carry plain UTF-8 text, not HTTP
+    (the Common Crawl WET sidecar format)."""
+    if data[:2] == b"\x1f\x8b":
+        data = gunzip_members(data)
+    rows = []
+    for headers, body in iter_warc_records(data):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri", "")
+        ts_raw = headers.get("warc-date", "")
+        try:
+            ts = datetime.fromisoformat(ts_raw.replace("Z", "+00:00")).astimezone(
+                timezone.utc
+            ).replace(tzinfo=None)
+        except ValueError:
+            ts = None
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "html": None,
+                "text": body.decode("utf-8", errors="replace"),
+                "lang": None,
+            }
+        )
+    return rows
+
+
+def write_wet(records, path: str):
+    """records: iterable of (url, iso_ts, text) → one .wet file."""
+    with open(path, "wb") as f:
+        for url, iso_ts, text in records:
+            body = text.encode("utf-8")
+            headers = (
+                b"WARC/1.0" + CRLF
+                + b"WARC-Type: conversion" + CRLF
+                + b"WARC-Target-URI: " + url.encode("utf-8") + CRLF
+                + b"WARC-Date: " + iso_ts.encode("ascii") + CRLF
+                + b"Content-Type: text/plain" + CRLF
+                + b"Content-Length: " + str(len(body)).encode("ascii") + CRLF
+            )
+            f.write(headers + CRLF + body + CRLF + CRLF)
+
+
+def read_wet(spark: SparkSession, glob: str) -> DataFrame:
+    """Directory/glob of .wet(.gz) files → pages frame with ``text``
+    already extracted (skips the extraction stage entirely — the corpus
+    path when Common Crawl's own extraction is acceptable)."""
+    raw = spark.read.format("binaryFile").load(glob).select("content")
+
+    def parse(batches):
+        for pdf in batches:
+            rows = []
+            for data in pdf["content"]:
+                rows.extend(parse_wet_bytes(bytes(data)))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return raw.mapInPandas(parse, schema=PAGES_SCHEMA)
+
+
 def read_warc(spark: SparkSession, glob: str) -> DataFrame:
     """Directory/glob of .warc files → pages frame.
 

@@ -70,6 +70,21 @@ class TestWarcRoundtrip:
         assert rows[0]["html"] == payload
 
 
+class TestWet:
+    def test_wet_roundtrip_spark(self, spark, tmp_path):
+        from pdf_extraction_spark.sources.warc import read_wet, write_wet
+
+        recs = [
+            ("https://a/x.html", "2020-01-01T00:00:00Z", "extracted text one\nline two"),
+            ("https://b/y.html", "2021-06-15T12:30:00Z", "träger unicode ẞ"),
+        ]
+        write_wet(recs, str(tmp_path / "s.wet"))
+        rows = {r.url: r for r in read_wet(spark, str(tmp_path / "s.wet")).collect()}
+        assert rows["https://a/x.html"].text == "extracted text one\nline two"
+        assert rows["https://b/y.html"].text == "träger unicode ẞ"
+        assert rows["https://a/x.html"].html is None
+
+
 class TestWarcSpark:
     def test_read_warc_to_pipeline(self, spark, tmp_path):
         from pdf_extraction_spark.kernels.extract import extract_document_text
