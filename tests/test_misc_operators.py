@@ -1,0 +1,93 @@
+"""Pins for the remaining operators without dedicated tests:
+speakers_of, read_raw_crawl, host_col/salted_agg equivalence at op
+level, chunk ids, context assembly edge cases, package_zip."""
+
+import zipfile
+
+from pyspark.sql import functions as F
+
+
+class TestSpeakersOf:
+    def test_sorted_distinct(self, spark):
+        from pdf_extraction_spark.operators.parse import speakers_of
+
+        rows = [
+            ([("Zoe", "a"), ("Al Bu", "b"), ("Zoe", "c")],),
+            ([],),
+        ]
+        df = spark.createDataFrame(
+            rows, "turns array<struct<speaker:string,text:string>>"
+        )
+        got = [r.speakers for r in speakers_of(df).collect()]
+        assert got[0] == ["Al Bu", "Zoe"]
+        assert got[1] == []
+
+
+class TestRawCrawlSource:
+    def test_binary_file_to_pages(self, spark, tmp_path):
+        from pdf_extraction_spark.operators.extract import extract_parse
+        from pdf_extraction_spark.sources.pages import read_raw_crawl
+        from pdf_extraction_spark.sources.synth import synth_page_row
+
+        for i in range(4):
+            row = synth_page_row(i)
+            ext = "pdf" if row["url"].endswith(".pdf") else "html"
+            (tmp_path / f"doc{i}.{ext}").write_bytes(row["html"])
+        pages = read_raw_crawl(spark, str(tmp_path / "*"))
+        assert pages.count() == 4
+        docs = extract_parse(pages)
+        assert docs.filter(F.length("text") > 0).count() >= 3
+
+
+class TestSaltedEquivalence:
+    def test_salted_equals_naive_on_pages(self, spark):
+        from pdf_extraction_spark.operators.skew import naive_host_stats, salted_host_stats
+        from pdf_extraction_spark.sources.pages import synth_pages_df
+
+        pages = synth_pages_df(spark, 60).cache()
+        naive = {r.host: (r.n_docs, r.total_bytes) for r in naive_host_stats(pages).collect()}
+        salted = {r.host: (r.n_docs, r.total_bytes) for r in salted_host_stats(pages).collect()}
+        assert naive == salted
+        # skew present: host0 dominates
+        assert max(naive.items(), key=lambda kv: kv[1][0])[0] == "host0.example"
+
+
+class TestChunkId:
+    def test_stable_and_shaped(self, spark):
+        from pdf_extraction_spark.operators.project import chunk_id_col
+
+        df = spark.createDataFrame(
+            [("ACME", "2020-01-01", "A Very Long Speaker Name", "some content here")],
+            "company string, date string, speaker string, content string",
+        )
+        cid = df.select(
+            chunk_id_col(F.col("company"), F.col("date"), F.col("speaker"), F.col("content")).alias("id")
+        ).first().id
+        company, date, spk10, h = cid.split("_")
+        assert (company, date, spk10) == ("ACME", "2020-01-01", "A Very Lon")
+        assert 0 <= int(h) < 10000
+        # deterministic
+        cid2 = df.select(
+            chunk_id_col(F.col("company"), F.col("date"), F.col("speaker"), F.col("content")).alias("id")
+        ).first().id
+        assert cid == cid2
+
+
+class TestContextAssemblyEdge:
+    def test_empty_topk(self, spark):
+        from pdf_extraction_spark.operators.topk import assemble_context
+
+        df = spark.createDataFrame([], "vec_id int, weighted_score double, content string")
+        out = assemble_context(df).first()
+        assert out.n_contexts == 0 and out.context == ""
+
+
+class TestPackaging:
+    def test_package_zip_contents(self):
+        from pdf_extraction_spark.session import package_zip
+
+        path = package_zip()
+        names = zipfile.ZipFile(path).namelist()
+        assert "pdf_extraction_spark/__init__.py" in names
+        assert "pdf_extraction_spark/kernels/extract.py" in names
+        assert all(n.endswith(".py") for n in names)
