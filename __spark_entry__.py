@@ -1030,7 +1030,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pass_rate": (
             "SELECT lang, count(*) AS total, "
-            "sum(CASE WHEN " + sql_word_count("text") + " >= 30 THEN 1 ELSE 0 END) AS kept "
+            # CAST: DuckDB sum(INTEGER) returns HUGEINT which pandas renders as
+            # float64 ("3.0") and breaks the driver's value hash vs Spark's long.
+            "CAST(sum(CASE WHEN " + sql_word_count("text") + " >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS kept "
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
         "keep_last": (
@@ -1040,7 +1042,8 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rn = 1"
         ),
         "salted_agg": (
-            "SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars "
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY source"
         ),
         "categorize_join": sql_categories("text", DOC_CATEGORIES, "doc_id"),

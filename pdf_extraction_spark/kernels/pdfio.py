@@ -139,14 +139,19 @@ def _decode_literal(raw: bytes) -> str:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal escape, up to 3 digits
+            if nxt in b"01234567":  # octal escape, up to 3 octal digits
+                # PDF 32000-1 §7.3.4.2: only 0-7 participate; \8 and \9 are
+                # NOT octal (int(b"9", 8) would raise) — handled below by
+                # dropping the backslash and keeping the character.
                 j = i + 1
-                while j < len(raw) and j < i + 4 and raw[j : j + 1].isdigit():
+                while j < len(raw) and j < i + 4 and raw[j] in b"01234567":
                     j += 1
                 out.append(int(raw[i + 1 : j], 8) & 0xFF)
                 i = j
                 continue
-            i += 1
+            # unknown escape (incl. \8, \9): drop backslash, keep char
+            out += nxt
+            i += 2
             continue
         out += c
         i += 1

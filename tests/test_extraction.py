@@ -26,6 +26,22 @@ class TestPdfRoundtrip:
     def test_garbage_empty(self):
         assert extract_pdf_text(b"%PDF-not really") == ""
 
+    def test_non_octal_digit_escapes(self):
+        # PDF 32000-1 §7.3.4.2: only \0-\7 start octal escapes; \8 and \9
+        # drop the backslash and keep the digit (regression: used to raise
+        # ValueError via int(b"9", 8) and kill the whole extraction task).
+        from pdf_extraction_spark.kernels.pdfio import _decode_literal
+
+        assert _decode_literal(rb"a\8b\9c") == "a8b9c"
+        # \18 = octal \1 followed by literal "8"; \778 = octal \77 + "8"
+        assert _decode_literal(rb"\18") == "\x018"
+        assert _decode_literal(rb"\778") == "\x3f8"
+        assert _decode_literal(rb"\101\102") == "AB"
+        # full pipeline stays total on a literal containing \9
+        # (same-length splice so the declared stream /Length stays valid)
+        pdf = build_minimal_pdf(["xy"]).replace(b"(xy)", rb"(\9)")
+        assert extract_pdf_text(pdf) == "9\n"
+
     def test_flate_compressed_streams(self):
         pages = ["compressed page one\nline two", "page (2) with \\ escapes"]
         pdf = build_minimal_pdf(pages, compress=True)
