@@ -24,6 +24,19 @@ from pyspark.sql import functions as F
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+# Committed oracle fixtures (see tests/make_oracle_fixtures.py): kernel
+# outputs precomputed in pure Python so DuckDB twins can recompute the
+# relational math, plus sequential independent-path recompute goldens.
+import os as _os
+
+_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "tests", "fixtures", "oracle"
+)
+
+
+def _fixture(name: str) -> str:
+    return f"read_parquet('{_os.path.join(_FIXTURE_DIR, name)}')"
+
 # ---------------------------------------------------------------------------
 # shared inline fixtures (same literal rows in Spark and in the SQL twins)
 # ---------------------------------------------------------------------------
@@ -740,13 +753,64 @@ def _topk_batch_sql() -> str:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from pdf_extraction_spark.kernels.quality import QUALITY_GATE
+    from pdf_extraction_spark.kernels.rerank import (
+        QUALITY_WEIGHT,
+        RECENCY_WEIGHT,
+        SIM_WEIGHT,
+    )
     from pdf_extraction_spark.operators.categorize import sql_categories
+    from pdf_extraction_spark.operators.components import sql_dedup_clusters
+    from pdf_extraction_spark.operators.dedup import (
+        sql_minhash_lsh_pairs,
+        sql_simhash_pairs,
+    )
+    from pdf_extraction_spark.operators.executives import sql_extract_executives
     from pdf_extraction_spark.operators.filters import sql_keep_chunk, sql_word_count
     from pdf_extraction_spark.operators.project import sql_quality_score, sql_speaker_role
-    from pdf_extraction_spark.operators.textanalysis import sql_token_count
+    from pdf_extraction_spark.operators.textanalysis import (
+        sql_detect_language,
+        sql_token_count,
+    )
     from pdf_extraction_spark.operators.topk import sql_cosine
 
     wc = sql_word_count("text")
+
+    # q_minhash_lsh / q_dedup_clusters share the same pair list
+    _minhash_pairs_sql = sql_minhash_lsh_pairs(
+        _fixture("minhash_sigs_sf0_01.parquet"),
+        num_hashes=32,
+        bands=8,
+        max_bucket=200,
+        threshold=0.5,
+    )
+
+    def _embed_rerank_sql() -> str:
+        # mirror of q_embed_rerank: quality gate BELOW the (precomputed)
+        # embed, cosine vs the shared literal query vector, reference
+        # rerank weights; date is the fixed literal so recency = 1.0
+        # (17 days ≤ 90 between 2024-01-15 and AS_OF).
+        qsql = (
+            "CAST("
+            + sql_quality_score("text", DOC_ADMIN, DOC_BUSINESS, DOC_QA, DOC_CLOSING)
+            + " AS DOUBLE)"
+        )
+        from pdf_extraction_spark.operators.embed import embed_text
+
+        qv = embed_text("spark join window agg")
+        return (
+            "WITH j AS (SELECT d.doc_id, d.text, e.embedding FROM documents d "
+            "JOIN " + _fixture("doc_embeddings_sf0_01.parquet") + " e ON d.doc_id = e.doc_id), "
+            f"g AS (SELECT doc_id, embedding, {qsql} AS quality_score FROM j "
+            f"WHERE {qsql} >= {QUALITY_GATE}), "
+            "s AS (SELECT doc_id, '2024-01-15' AS date, quality_score, "
+            + sql_cosine("embedding", qv, 6)
+            + " AS similarity FROM g) "
+            "SELECT doc_id, date, quality_score, similarity, "
+            f"round(similarity * {SIM_WEIGHT} + 1.0 * {RECENCY_WEIGHT} + "
+            f"(quality_score / 10.0) * {QUALITY_WEIGHT}, 4) AS weighted_score "
+            "FROM s ORDER BY weighted_score DESC, doc_id LIMIT 10"
+        )
 
     speakers_values = _sql_values(list(enumerate(SPEAKERS)), ["sid", "speaker"])
     turns_values = _sql_values(TURN_ROWS, ["tid", "speaker", "content"])
@@ -921,7 +985,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY similarity DESC, vec_id LIMIT 10"
         ),
         "corpus_profile": (
-            "WITH d AS (SELECT lang, CAST(len(regexp_extract_all(text, '\w+(?:''\w+)?|[^\w\s]')) AS INT) AS tc FROM documents) "
+            r"WITH d AS (SELECT lang, CAST(len(regexp_extract_all(text, '\w+(?:''\w+)?|[^\w\s]')) AS INT) AS tc FROM documents) "
             "SELECT lang, count(*) AS n_docs, "
             "round(quantile_cont(tc, 0.5), 4) AS median_tokens, "
             "round(quantile_cont(tc, 0.9), 4) AS p90_tokens, "
@@ -1048,11 +1112,36 @@ def oracle_sql() -> dict[str, str]:
         ),
         "categorize_join": sql_categories("text", DOC_CATEGORIES, "doc_id"),
         "topk_batch": _topk_batch_sql(),
-        # ivf_topk (approximate by design), media_features (binary decode):
-        # rows-only checks
-        # extract_pipeline, roster_extract, embed_rerank: kernel-UDF cores —
-        # intentionally no SQL twin (driver rows-only check)
-        # minhash_lsh, simhash, langid: kernel-hash/heuristic-based —
-        # intentionally no SQL twin (driver rows-only check)
+        # --- kernel-input fixtures + relational recompute (see
+        # tests/make_oracle_fixtures.py): the kernel hash/embed outputs
+        # are precomputed in pure Python; the LSH banding / bucket caps /
+        # candidate pairs / est-jaccard / hamming / cosine+rerank math is
+        # recomputed independently in DuckDB.
+        "langid": sql_detect_language("text"),
+        "roster_extract": sql_extract_executives(
+            _sql_values([(i, c) for i, c in ROSTER_CONTENTS], ["url", "content"])
+        ),
+        "minhash_lsh": _minhash_pairs_sql,
+        "dedup_clusters": sql_dedup_clusters(_minhash_pairs_sql),
+        "simhash": sql_simhash_pairs(_fixture("simhash_sf0_01.parquet"), max_hamming=3),
+        "embed_rerank": _embed_rerank_sql(),
+        # --- independent-path recompute goldens: the full expected output
+        # recomputed sequentially through the pure-Python kernel path (no
+        # Spark) — checks the distributed plumbing against a sequential
+        # re-execution, not a frozen copy of Spark output.
+        "extract_pipeline": (
+            "SELECT url, turn_pos, speaker, speaker_role, content, word_count FROM "
+            + _fixture("extract_turns.parquet")
+        ),
+        "curate_corpus": (
+            "SELECT url, token_count, detected_lang FROM "
+            + _fixture("curate_docs.parquet")
+        ),
+        "media_features": (
+            "SELECT media_id, n_bytes, mean_intensity FROM "
+            + _fixture("media_features.parquet")
+        ),
+        # ivf_topk: approximate by design (centroid sample) — the one
+        # intentionally rows-only query.
     }
     return sql

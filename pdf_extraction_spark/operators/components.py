@@ -87,6 +87,24 @@ def connected_components(
     return labels
 
 
+def sql_dedup_clusters(pairs_select: str) -> str:
+    """DuckDB oracle twin of ``dedup_clusters``: connected components
+    via a recursive reachability CTE over the same (id_a, id_b) pair
+    list (``pairs_select``: a SELECT yielding id_a, id_b), component =
+    min reachable node. UNION (not UNION ALL) dedups rows, so the
+    recursion terminates on any graph."""
+    return (
+        f"WITH RECURSIVE pairs AS ({pairs_select}), "
+        "edges AS (SELECT id_a AS s, id_b AS d FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach(n, m) AS (SELECT s, s FROM edges "
+        "UNION SELECT e.s, r.m FROM edges e JOIN reach r ON e.d = r.n) "
+        "SELECT component, count(*) AS n_members, min(node) AS keep_id FROM ("
+        "SELECT n AS node, min(m) AS component FROM reach GROUP BY n) "
+        "GROUP BY component"
+    )
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Near-dup clusters: (component, n_members, keep_id) — keep_id is
     the min member (the representative every other member collapses to)."""

@@ -250,6 +250,56 @@ def minhash_lsh_pairs(
     )
 
 
+def sql_minhash_lsh_pairs(
+    sigs_rel: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 200,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle twin of ``minhash_lsh_pairs`` + est-jaccard filter.
+
+    ``sigs_rel``: a relation expression with columns (doc_id, sig) where
+    sig is the kernel-computed MinHash signature (precomputed in pure
+    Python by tests/make_oracle_fixtures.py — the kernel itself is
+    pinned by bit-identity tests). The *relational* LSH math — banding,
+    bucket-size cap, candidate pairs, matching-fraction estimate — is
+    recomputed here independently."""
+    rpb = num_hashes // bands
+    return (
+        f"WITH sigs AS (SELECT doc_id, sig FROM {sigs_rel}), "
+        f"banded AS (SELECT doc_id, b AS band, "
+        f"array_to_string(list_transform(list_slice(sig, b*{rpb}+1, b*{rpb}+{rpb}), x -> CAST(x AS VARCHAR)), ',') AS bucket "
+        f"FROM sigs, (SELECT unnest(range(0, {bands})) AS b)), "
+        f"ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) <= {max_bucket}), "
+        "bo AS (SELECT banded.* FROM banded JOIN ok USING (band, bucket)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bo a JOIN bo b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) "
+        "SELECT * FROM ("
+        "SELECT id_a, id_b, "
+        f"round(CAST(len(list_filter(range(1, {num_hashes + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {num_hashes}, 6) AS est_jaccard "
+        "FROM cand JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id) "
+        f"WHERE est_jaccard >= {threshold}"
+    )
+
+
+def sql_simhash_pairs(sh_rel: str, max_hamming: int = 3) -> str:
+    """DuckDB oracle twin of ``simhash_pairs``: 16-bit banded candidate
+    generation + hamming filter over kernel-computed fingerprints
+    (``sh_rel``: relation with columns (doc_id, sh))."""
+    if max_hamming > 3:
+        raise ValueError("oracle twin mirrors the default 4×16-bit banding only")
+    return (
+        f"WITH sh AS (SELECT doc_id, sh FROM {sh_rel}), "
+        "banded AS (SELECT doc_id, sh, b AS band, ((sh >> (b*16)) & 65535) AS bucket "
+        "FROM sh, (SELECT unnest(range(0, 4)) AS b)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b "
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) "
+        "SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 @pandas_udf(T.LongType())

@@ -46,6 +46,61 @@ def extract_executives(chunks: DataFrame, order_col: str = "url") -> DataFrame:
     )
 
 
+def sql_extract_executives(values_clause: str) -> str:
+    """DuckDB oracle twin of ``extract_executives`` over an inline
+    chunks relation ``values_clause`` with columns (url, content):
+    the three roster regexes (kernels.executives.NAME_PATTERNS) via
+    ``regexp_extract_all`` per capture group, title-prefix strip,
+    whitespace collapse, executive-role gate, later-match-overrides
+    dict semantics per url, later-url-overrides across urls."""
+    from ..kernels.executives import EXECUTIVE_ROLES, NAME_PATTERNS
+
+    def esc(p):
+        return ("(?i)" + p).replace("'", "''")
+
+    hits = []
+    # patterns 0 and 2 capture (title, name, role); pattern 1 (name, role)
+    for pi, pat in enumerate(NAME_PATTERNS):
+        p = esc(pat)
+        if pi == 1:
+            cand = "list_extract(g1, i)"
+            role = "list_extract(g2, i)"
+            groups = (
+                f"regexp_extract_all(content, '{p}', 1) AS g1, "
+                f"regexp_extract_all(content, '{p}', 2) AS g2"
+            )
+        else:
+            cand = "trim(list_extract(g1, i) || ' ' || list_extract(g2, i))"
+            role = "list_extract(g3, i)"
+            groups = (
+                f"regexp_extract_all(content, '{p}', 1) AS g1, "
+                f"regexp_extract_all(content, '{p}', 2) AS g2, "
+                f"regexp_extract_all(content, '{p}', 3) AS g3"
+            )
+        hits.append(
+            f"SELECT url, {pi} AS pat, i AS pos, {cand} AS cand, upper({role}) AS role "
+            f"FROM (SELECT url, {groups}, unnest(generate_series(1, len(g1))) AS i "
+            f"FROM src)"
+        )
+    all_hits = " UNION ALL ".join(hits)
+    role_gate = " OR ".join(f"contains(role, '{er}')" for er in EXECUTIVE_ROLES)
+    return (
+        f"WITH src AS (SELECT * FROM {values_clause}), "
+        f"hits AS ({all_hits}), "
+        "cleaned AS (SELECT url, pat, pos, "
+        "regexp_replace(trim(regexp_replace(cand, '^(MR\\.|MS\\.|DR\\.)\\s*', '')), '\\s+', ' ', 'g') AS executive, "
+        f"role FROM hits WHERE {role_gate}), "
+        # dict-insert order per url: later (pattern, match) overrides
+        "per_url AS (SELECT url, executive, role FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY url, executive ORDER BY pat DESC, pos DESC) AS rn "
+        "FROM cleaned) WHERE rn = 1) "
+        # keep-last across urls (extract_executives orders by __src desc)
+        "SELECT executive, role FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY executive ORDER BY url DESC) AS rn2 "
+        "FROM per_url) WHERE rn2 = 1"
+    )
+
+
 def norm_name_col(c) -> F.Column:
     """UPPER + strip non-word/space (kernels.executives.normalize_name)."""
     return F.regexp_replace(F.upper(c), r"[^\w\s]", "")

@@ -20,8 +20,13 @@ from ..kernels.filters import (
 
 def word_count_col(col: Column) -> Column:
     """Python ``len(s.split())`` semantics: split on whitespace runs,
-    drop empty tokens."""
-    return F.size(F.filter(F.split(col, r"\s+"), lambda x: x != F.lit("")))
+    drop empty tokens. (?U): Java ``\\s`` is ASCII-only by default, but
+    the kernel's ``str.split()`` splits on Unicode whitespace (NBSP,
+    U+2028, ...) — the Unicode flag keeps Spark and kernel word counts
+    identical on such texts. The DuckDB twin (``sql_word_count``) stays
+    RE2-ASCII: a documented residual that only diverges on exotic
+    whitespace, which never survives ``clean_text``."""
+    return F.size(F.filter(F.split(col, r"(?U)\s+"), lambda x: x != F.lit("")))
 
 
 def contains_any(col: Column, needles) -> Column:

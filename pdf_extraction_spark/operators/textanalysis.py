@@ -74,6 +74,33 @@ def fingerprint_udf(texts: pd.Series) -> pd.Series:
     return texts.map(f)
 
 
+def sql_detect_language(text_expr: str) -> str:
+    """DuckDB oracle twin of kernels.textstats.detect_language: stopword
+    occurrence counts per language, first-in-dict-order language with
+    the max count wins, 'und' below 2 hits. The word split is RE2-ASCII
+    ``\\s+`` vs the kernel's Unicode ``str.split()`` — identical on every
+    corpus the engine tests (no exotic whitespace survives clean_text)."""
+    from ..kernels.textstats import _LANG_STOPWORDS
+
+    langs = list(_LANG_STOPWORDS)  # dict order IS the tie-break order
+    hit_cols = []
+    for lang in langs:
+        stops = ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(_LANG_STOPWORDS[lang]))
+        hit_cols.append(
+            f"len(list_filter(words, x -> list_contains([{stops}], x))) AS h_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    whens = " ".join(f"WHEN h_{lang} = best THEN '{lang}'" for lang in langs[:-1])
+    return (
+        "SELECT doc_id, CASE WHEN best < 2 THEN 'und' "
+        + whens
+        + f" ELSE '{langs[-1]}' END AS detected_lang FROM ("
+        + f"SELECT doc_id, {best} AS best, * FROM ("
+        + "SELECT doc_id, " + ", ".join(hit_cols)
+        + f" FROM (SELECT doc_id, list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '') AS words FROM documents)))"
+    )
+
+
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return (

@@ -1,0 +1,306 @@
+"""Generate the DuckDB-oracle fixture tables under tests/fixtures/oracle/.
+
+These fixtures close the "no_oracle" gap for queries whose core is a
+kernel UDF that DuckDB cannot run. Two kinds:
+
+1. **Kernel-input fixtures** (minhash signatures, simhash fingerprints,
+   document embeddings): the kernel output is precomputed here in *pure
+   Python* (no Spark) and registered for the oracle SQL, which then
+   recomputes all the *relational* math (LSH banding, bucket capping,
+   candidate pairs, est-jaccard/hamming, cosine + rerank) independently
+   in DuckDB. The kernels themselves are pinned by bit-identity tests
+   (tests/test_kernels.py, tests/test_goldens.py).
+
+2. **Independent-path recompute goldens** (extract_pipeline turns,
+   curated corpus, media features): the full expected output is
+   recomputed here through the *pure-Python kernel path* — a sequential
+   reimplementation of the plan composition with no Spark involved —
+   so the oracle checks the distributed plumbing (mapInPandas fusion,
+   explode, joins, dedup shuffles) against an independent sequential
+   execution. Not a frozen copy of Spark output.
+
+All inputs are deterministic: the synthetic pages corpus is a pure
+function of (seed, i), and the sf0.01 parquet tables are driver-pinned.
+Fixtures tagged _sf0_01 depend on /root/testdata/sf0.01 (the driver's
+correctness scale factor); the rest are sf-independent.
+
+Run: python tests/make_oracle_fixtures.py  (writes parquet; commit them)
+A freshness test (tests/test_oracle_fixtures.py) regenerates in-memory
+and asserts the committed files match.
+"""
+
+import hashlib
+import os
+import re
+import sys
+from decimal import ROUND_HALF_UP, Decimal
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "oracle")
+SF_DIR = "/root/testdata/sf0.01"
+
+MINHASH_NUM = 32
+MINHASH_BANDS = 8
+
+
+def _to_i64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark F.round semantics (BigDecimal HALF_UP on the shortest
+    decimal repr of the double) — Python round() is half-even."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _read_documents():
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+
+# --------------------------------------------------------------------------
+# kernel-input fixtures over sf0.01 documents
+# --------------------------------------------------------------------------
+
+def minhash_sigs_table() -> pa.Table:
+    from pdf_extraction_spark.kernels.textstats import minhash_signature
+
+    docs = _read_documents()
+    ids = [d for d, _ in docs]
+    sigs = [[_to_i64(v) for v in minhash_signature(t or "", MINHASH_NUM)] for _, t in docs]
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "sig": pa.array(sigs, pa.list_(pa.int64()))}
+    )
+
+
+def simhash_table() -> pa.Table:
+    from pdf_extraction_spark.kernels.textstats import simhash
+
+    docs = _read_documents()
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "sh": pa.array([_to_i64(simhash(t or "")) for _, t in docs], pa.int64()),
+        }
+    )
+
+
+def doc_embeddings_table() -> pa.Table:
+    """embed_text kernel over ALL docs (the quality gate is applied
+    relationally in the oracle SQL, mirroring the Spark plan's
+    gate-below-UDF ordering)."""
+    from pdf_extraction_spark.operators.embed import embed_text
+
+    docs = _read_documents()
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "embedding": pa.array(
+                [embed_text(t or "") for _, t in docs], pa.list_(pa.float64())
+            ),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# pure-Python sequential recompute of the synth-pages plan compositions
+# --------------------------------------------------------------------------
+
+def _speaker_role(speaker: str) -> str:
+    from pdf_extraction_spark.operators.project import _ROLE_RULES
+
+    low = speaker.lower()
+    for role, needles in _ROLE_RULES:
+        if any(n in low for n in needles):
+            return role
+    return "Analyst/Other"
+
+
+def _word_count(s: str) -> int:
+    # word_count_col semantics: Unicode-whitespace runs, no empty tokens
+    return len([w for w in re.split(r"\s+", s) if w])
+
+
+def extract_turns_table(n_pages: int = 150) -> pa.Table:
+    """q_extract_pipeline expected output: synth pages → fused
+    extract+parse → exploded turns with word stats + speaker role."""
+    from pdf_extraction_spark.kernels.extract import extract_document
+    from pdf_extraction_spark.kernels.transcript import parse_transcript
+    from pdf_extraction_spark.sources.synth import synth_page_row
+
+    urls, poss, spks, roles, contents, wcs = [], [], [], [], [], []
+    for i in range(n_pages):
+        row = synth_page_row(i)
+        _, text = extract_document(row["url"], row["html"])
+        for pos, turn in enumerate(parse_transcript(text)[1]):
+            urls.append(row["url"])
+            poss.append(pos)
+            spks.append(turn["speaker"])
+            roles.append(_speaker_role(turn["speaker"]))
+            contents.append(turn["text"])
+            wcs.append(_word_count(turn["text"]))
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "turn_pos": pa.array(poss, pa.int32()),
+            "speaker": pa.array(spks, pa.string()),
+            "speaker_role": pa.array(roles, pa.string()),
+            "content": pa.array(contents, pa.string()),
+            "word_count": pa.array(wcs, pa.int32()),
+        }
+    )
+
+
+def _ascii_words(text: str):
+    # with_quality_ratios splits on plain Java \s+ (ASCII)
+    return [w for w in re.split(r"\s+", text.lower(), flags=re.ASCII) if w]
+
+
+def curate_docs_table(
+    n_pages: int = 150,
+    min_tokens: int = 10,
+    max_stopword_ratio: float = 0.7,
+    languages=("en",),
+    neardup_threshold: float = 0.8,
+    max_bucket: int = 200,
+) -> pa.Table:
+    """q_curate expected output (url, token_count, detected_lang):
+    sequential replay of plans.curate.curate_corpus — extract, analyze,
+    exact dedup (min-xxhash64 representative), MinHash-LSH near-dup
+    drop, quality gate."""
+    from pdf_extraction_spark.kernels.extract import extract_document
+    from pdf_extraction_spark.kernels.textstats import (
+        detect_language,
+        minhash_signature,
+        token_count,
+    )
+    from pdf_extraction_spark.kernels.xxh64 import spark_xxhash64_str
+    from pdf_extraction_spark.sources.synth import synth_page_row
+
+    stop = {"the", "a", "of", "to", "and", "in", "is"}
+    docs = []  # (doc_id, url, text, token_count, stopword_ratio, lang)
+    for i in range(n_pages):
+        row = synth_page_row(i)
+        _, text = extract_document(row["url"], row["html"])
+        words = _ascii_words(text)
+        n_stop = sum(1 for w in words if w in stop)
+        ratio = _round_half_up(n_stop / max(len(words), 1), 4)
+        docs.append(
+            (
+                spark_xxhash64_str(row["url"]),
+                row["url"],
+                text,
+                token_count(text),
+                ratio,
+                detect_language(text),
+            )
+        )
+
+    # exact dedup: md5(lower(trim-spaces)) key, keep min doc_id
+    groups = {}
+    for d in docs:
+        key = hashlib.md5(d[2].strip(" ").lower().encode("utf-8")).hexdigest()
+        groups.setdefault(key, []).append(d)
+    unique = [min(g, key=lambda d: d[0]) for g in groups.values()]
+
+    # MinHash-LSH near-dup pairs (num_hashes=32, bands=8, rows=4)
+    sigs = {d[0]: minhash_signature(d[2], MINHASH_NUM) for d in unique}
+    rows_per_band = MINHASH_NUM // MINHASH_BANDS
+    buckets = {}
+    for did, sig in sigs.items():
+        for b in range(MINHASH_BANDS):
+            key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(did)
+    cand = set()
+    for members in buckets.values():
+        if len(members) > max_bucket:
+            continue
+        members = sorted(members)  # doc_ids are already signed int64
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+    drop = set()
+    for a, b in cand:
+        sa, sb = sigs[a], sigs[b]
+        est = sum(1 for x, y in zip(sa, sb) if x == y) / MINHASH_NUM
+        if est >= neardup_threshold:
+            drop.add(b)
+
+    curated = [
+        d
+        for d in unique
+        if d[0] not in drop
+        and d[3] >= min_tokens
+        and d[4] <= max_stopword_ratio
+        and d[5] in languages
+    ]
+    curated.sort(key=lambda d: d[1])
+    return pa.table(
+        {
+            "url": pa.array([d[1] for d in curated], pa.string()),
+            "token_count": pa.array([d[3] for d in curated], pa.int32()),
+            "detected_lang": pa.array([d[5] for d in curated], pa.string()),
+        }
+    )
+
+
+def media_features_table(n_rows: int = 24) -> pa.Table:
+    """q_media_features expected output for the image rows of
+    synth_media_df(24): deterministic fake decode → mean intensity."""
+    import random
+
+    import numpy as np
+
+    from pdf_extraction_spark.kernels.textstats import hash_bytes
+    from pdf_extraction_spark.operators.multimodal import _fake_decode_image
+
+    ids, nbytes, intensity = [], [], []
+    for i in range(n_rows):
+        rng = random.Random(hash_bytes(f"media{i}".encode(), 42))
+        mtype = ["image", "audio", "video"][i % 3]
+        payload = bytes(rng.getrandbits(8) for _ in range(64))
+        width, height = rng.randint(4, 32), rng.randint(4, 32)
+        if mtype != "image":
+            continue
+        img = _fake_decode_image(payload, width, height)
+        flat = img.astype(np.float64).ravel()
+        ids.append(i)
+        nbytes.append(len(payload))
+        intensity.append(_round_half_up(float(flat.mean()), 4))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "n_bytes": pa.array(nbytes, pa.int64()),
+            "mean_intensity": pa.array(intensity, pa.float64()),
+        }
+    )
+
+
+FIXTURES = {
+    "minhash_sigs_sf0_01.parquet": minhash_sigs_table,
+    "simhash_sf0_01.parquet": simhash_table,
+    "doc_embeddings_sf0_01.parquet": doc_embeddings_table,
+    "extract_turns.parquet": extract_turns_table,
+    "curate_docs.parquet": curate_docs_table,
+    "media_features.parquet": media_features_table,
+}
+
+
+def main():
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for name, fn in FIXTURES.items():
+        table = fn()
+        pq.write_table(table, os.path.join(OUT_DIR, name))
+        print(f"{name}: {table.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
