@@ -73,17 +73,32 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "
 # --- word n-gram Jaccard ----------------------------------------------------
 
 def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """One row per distinct word-n-gram per doc, as an md5 key (native:
-    lowercase → split → sliding window via transform over offsets)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    """One row per distinct word-n-gram per doc (native: lowercase →
+    split → sliding window).
+
+    The window is an indexed ``transform`` over a *projected* token
+    column with O(1) ``get`` lookups — O(L) work per doc. (A
+    ``slice``-per-offset formulation is O(L²) per doc and dominated the
+    whole ngram_jaccard runtime; and the token expression must be a
+    bound column, not inlined into the lambda, or Catalyst re-evaluates
+    the split per element.)"""
+    toks_expr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    with_toks = df.select(F.col(id_col).alias("doc_id"), toks_expr.alias("__toks"))
+    toks = F.col("__toks")
+    grams_all = F.transform(
+        toks,
+        lambda t, i: F.when(
+            i <= F.size(toks) - n,
+            F.concat_ws(" ", t, *[F.get(toks, i + k) for k in range(1, n)]),
+        ),
+    )
     grams = F.when(
         F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-        ),
+        F.array_distinct(F.filter(grams_all, lambda g: g.isNotNull())),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+    return with_toks.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -98,34 +113,53 @@ def ngram_jaccard_pairs(
 
     Inverted-index self-join; shingles appearing in > max_shingle_freq
     docs are pruned (stopword-shingles explode candidate counts at scale
-    while contributing almost no discrimination)."""
-    sh = shingle_df(df, text_col, id_col, n).withColumn(
-        "sh_key", F.md5(F.col("shingle"))
-    )
+    while contributing almost no discrimination).
 
-    freq = sh.groupBy("sh_key").agg(F.count("*").alias("df_freq"))
-    sh_pruned = sh.join(
-        F.broadcast(freq.filter(F.col("df_freq") <= max_shingle_freq)), "sh_key"
+    Scale shape: the shuffle key is ``xxhash64(shingle)`` (8-byte long,
+    not a 32-char md5 string — smaller shuffle rows, cheaper compares);
+    the frequency prune is a broadcast LEFT ANTI against the *hot* set
+    (the few shingles above the cap — tiny and bounded, unlike the cold
+    set which is nearly the whole vocabulary); and a length-ratio filter
+    (J(A,B) ≤ min/max, so min ≥ t·max is necessary for J ≥ t) discards
+    candidate pairs BEFORE the per-pair aggregation. Sizes ride the
+    inverted-index rows into the groupBy keys, so no post-agg joins."""
+    sh = shingle_df(df, text_col, id_col, n).withColumn(
+        "sh_key", F.xxhash64(F.col("shingle"))
+    ).drop("shingle")
+
+    hot = (
+        sh.groupBy("sh_key")
+        .agg(F.count("*").alias("df_freq"))
+        .filter(F.col("df_freq") > max_shingle_freq)
+        .select("sh_key")
     )
+    sh_pruned = sh.join(F.broadcast(hot), "sh_key", "left_anti")
     # set sizes over the SAME pruned universe as the intersections —
     # mixing pruned intersections with unpruned sizes would bias jaccard
     # low whenever a hot shingle is dropped
     sizes = sh_pruned.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    sh_sized = sh_pruned.join(sizes, "doc_id")
 
-    a = sh_pruned.select(F.col("doc_id").alias("id_a"), "sh_key")
-    b = sh_pruned.select(F.col("doc_id").alias("id_b"), "sh_key")
+    a = sh_sized.select(
+        F.col("doc_id").alias("id_a"), "sh_key", F.col("set_size").alias("size_a")
+    )
+    b = sh_sized.select(
+        F.col("doc_id").alias("id_b"), "sh_key", F.col("set_size").alias("size_b")
+    )
     inter = (
         a.join(b, "sh_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("size_a", "size_b")
+                >= F.lit(threshold) * F.greatest("size_a", "size_b")
+            )
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count("*").alias("n_common"))
     )
-    with_sizes = (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
-    )
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    return with_sizes.select(
+    return inter.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
@@ -330,7 +364,12 @@ def simhash_pairs(
     mask = (1 << width) - 1
 
     sh = df.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sh"))
-    sh.persist()
+    # materialize the cache NOW — both sides of the candidate self-join
+    # would otherwise recompute the signature UDF. Same persistence
+    # contract as minhash_lsh_pairs: the call is eager and the cached
+    # signatures live until spark.catalog.clearCache(); the signature
+    # pass is the dominant cost either way.
+    sh.persist().count()
 
     bands = F.array(
         *[

@@ -115,13 +115,21 @@ def match_executives(
     roster: DataFrame,
     speaker_col: str = "speaker",
     roster_order_col: str = None,
+    row_id_col: str = None,
 ) -> DataFrame:
     """J1: chunks ⋈ roster on last-name key, reference match predicate
     (full-name ∨ last-token ∨ first+last), first roster entry wins.
 
     ``roster`` needs columns (executive, role) and optionally
     ``roster_pos`` for deterministic first-match order; without it,
-    roster order = executive name order."""
+    roster order = executive name order.
+
+    ``row_id_col``: a caller-supplied per-row id (e.g. chunk_id) used
+    for the first-match dedup — pass one when feeding an exactly-once
+    sink. Without it a deterministic id is derived as (row-value hash,
+    occurrence number): stable across task retries, unlike
+    ``monotonically_increasing_id``, at the cost of one extra window
+    shuffle on the row values."""
     spk = F.col(speaker_col)
     exec_name = F.col("executive")
 
@@ -132,13 +140,21 @@ def match_executives(
     r = r.withColumn("exec_key", last_token_col(exec_name))
 
     # per-ROW identity for the first-match dedup: partitioning by chunk
-    # column values would collapse fully-duplicate rows into one match,
-    # unlike the reference's per-row loop
-    c = (
-        chunks.filter(spk != "MANAGEMENT")
-        .withColumn("spk_key", last_token_col(spk))
-        .withColumn("__rid", F.monotonically_increasing_id())
-    )
+    # column values alone would collapse fully-duplicate rows into one
+    # match, unlike the reference's per-row loop — the occurrence number
+    # keeps duplicates distinct while staying retry-deterministic
+    c = chunks.filter(spk != "MANAGEMENT").withColumn("spk_key", last_token_col(spk))
+    if row_id_col is not None:
+        c = c.withColumn("__rid", F.col(row_id_col))
+    else:
+        w_occ = Window.partitionBy(*chunks.columns).orderBy(F.lit(1))
+        c = c.withColumn(
+            "__rid",
+            F.struct(
+                F.xxhash64(*chunks.columns).alias("h"),
+                F.row_number().over(w_occ).alias("occ"),
+            ),
+        )
 
     joined = c.join(F.broadcast(r), c["spk_key"] == r["exec_key"], "inner")
 

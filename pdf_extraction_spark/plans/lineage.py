@@ -102,18 +102,36 @@ def run_checkpointed_extraction(
     """
     docs_path = os.path.join(out_dir, "docs")
     lineage_path = os.path.join(out_dir, "lineage")
+    staged_path = os.path.join(out_dir, "staged")
 
     done = completed_buckets(spark, lineage_path)
-    bucketed = pages.withColumn(
-        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
-    )
+
+    # Stage the bucketed input ONCE, partitioned by bucket: the bucket key
+    # is computed (pmod(xxhash64(url))) so a filter on it can never be
+    # pushed into the source scan — filtering per bucket in the loop would
+    # re-scan the full input n_buckets times. After staging, each
+    # iteration is a partition-PRUNED scan of its own bucket directory
+    # (one full input scan total). On Iceberg the staging step disappears:
+    # buckets come from real snapshots/partitions already materialized.
+    # Staging is resumable: the _SUCCESS marker gates reuse, so a run
+    # killed mid-stage rewrites it, and a resumed run re-reads it for free.
+    if not os.path.exists(os.path.join(staged_path, "_SUCCESS")):
+        (
+            pages.withColumn(
+                "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staged_path)
+        )
+    staged = spark.read.parquet(staged_path)
 
     processed = []
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     for b in range(n_buckets):
         if b in done:
             continue
-        subset = bucketed.filter(F.col("bucket") == b).drop("bucket")
+        subset = staged.filter(F.col("bucket") == b).drop("bucket")
         extracted = extract_with_lineage(subset).withColumn("bucket", F.lit(b))
         # 1) commit output for this bucket — ONE extraction pass; the
         #    partition_id/wall columns ride along so lineage can be

@@ -118,6 +118,14 @@ class TestLineageResume:
         assert stats2["processed_buckets"] == []
         assert stats2["total_docs"] == pages.count()
 
+        # the per-bucket loop reads the ONCE-staged bucketed input with
+        # partition pruning — not a repeated full scan filtered on a
+        # computed pmod key (which could never prune)
+        assert os.path.exists(os.path.join(out, "staged", "_SUCCESS"))
+        staged = spark.read.parquet(os.path.join(out, "staged"))
+        plan = staged.filter(F.col("bucket") == 1)._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "bucket" in plan
+
 
 class TestStreaming:
     def test_windowed_counts_stream_matches_batch(self, spark, tmp_path):
