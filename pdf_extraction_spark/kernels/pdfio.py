@@ -116,9 +116,16 @@ _OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
-# literal string followed by a text-showing operator
-_SHOW_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|')|\[(.*?)\]\s*TJ|(T\*|Td|TD)")
-_TJ_ITEM_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)")
+# literal or hex string followed by a text-showing operator; positioning
+# ops (incl. Tm — word-processor exports emit one Tm per line where
+# hand-built files use Td) break lines
+_SHOW_RE = re.compile(
+    rb"\(((?:\\.|[^\\()])*)\)\s*(Tj|')"
+    rb"|<([0-9A-Fa-f\s]*)>\s*(Tj|')"
+    rb"|\[(.*?)\]\s*TJ"
+    rb"|(T\*|Td|TD|Tm)"
+)
+_TJ_ITEM_RE = re.compile(rb"\(((?:\\.|[^\\()])*)\)|<([0-9A-Fa-f\s]*)>")
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -158,25 +165,45 @@ def _decode_literal(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
+def _decode_hex(raw: bytes) -> str:
+    """PDF hex string <...>: whitespace ignored, odd length padded with
+    0 (spec 7.3.4.3); single-byte (Latin-1) assumption — multi-byte CID
+    font encodings are out of scope for the builtin fallback."""
+    hx = b"".join(raw.split())
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+    except ValueError:
+        return ""
+
+
 def _stream_text(stream: bytes) -> str:
-    """Text of one content stream: Tj/'/TJ runs, T*/Td/TD as newlines."""
+    """Text of one content stream: Tj/'/TJ runs (literal or hex
+    strings), T*/Td/TD/Tm as line breaks."""
     lines = []
     for block in _TEXT_BLOCK_RE.findall(stream):
         current = []
         for m in _SHOW_RE.finditer(block):
-            if m.group(4):  # positioning op → new line
+            lit, lit_op, hx, hx_op, tj, pos_op = m.groups()
+            if pos_op:  # positioning op → new line
                 if current:
                     lines.append("".join(current))
                     current = []
-            elif m.group(3) is not None:  # TJ array
-                for item in _TJ_ITEM_RE.findall(m.group(3)):
-                    current.append(_decode_literal(item))
-            elif m.group(1) is not None:
-                if m.group(2) == b"'":  # ' implies T* first
+            elif tj is not None:  # TJ array (kerning numbers skipped)
+                for im in _TJ_ITEM_RE.finditer(tj):
+                    if im.group(1) is not None:
+                        current.append(_decode_literal(im.group(1)))
+                    else:
+                        current.append(_decode_hex(im.group(2)))
+            elif lit is not None or hx is not None:
+                if (lit_op or hx_op) == b"'":  # ' implies T* first
                     if current:
                         lines.append("".join(current))
                         current = []
-                current.append(_decode_literal(m.group(1)))
+                current.append(
+                    _decode_literal(lit) if lit is not None else _decode_hex(hx)
+                )
         if current:
             lines.append("".join(current))
     return "\n".join(lines)
@@ -185,19 +212,75 @@ def _stream_text(stream: bytes) -> str:
 def _builtin_extract(data: bytes) -> str:
     objects = {int(num): body for num, body in _OBJ_RE.findall(data)}
 
+    def walk_pages(num, seen):
+        """Page-tree walk: intermediate /Pages nodes recurse into /Kids
+        (real generators nest the tree), leaf /Page nodes are yielded in
+        tree order."""
+        if num in seen or num not in objects:
+            return
+        seen.add(num)
+        body = objects[num]
+        kids = re.search(rb"/Kids\s*\[(.*?)\]", body, re.DOTALL)
+        if kids:
+            for kid in _REF_RE.findall(kids.group(1)):
+                yield from walk_pages(int(kid), seen)
+        elif b"/Type /Page" in body or b"/Type/Page" in body:
+            yield num
+
+    def content_refs(body):
+        """/Contents: single ref or an array of refs (generators split
+        page content across multiple streams)."""
+        m = re.search(rb"/Contents\s*\[(.*?)\]", body, re.DOTALL)
+        if m:
+            return [int(n) for n in _REF_RE.findall(m.group(1))]
+        m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+        return [int(m.group(1))] if m else []
+
+    def stream_of(content):
+        ms = re.search(rb"stream\r?\n", content)
+        if ms is None:
+            return None
+        start = ms.end()
+        head = content[: ms.start()]
+        # /Length gives the exact byte count — authoritative over
+        # scanning for 'endstream', which can occur inside compressed
+        # bytes; an indirect /Length (N 0 R — the common generator
+        # shape, length written after the stream) is resolved first
+        ml = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", head)
+        if ml and int(ml.group(1)) in objects:
+            ref_body = objects[int(ml.group(1))].strip()
+            stream = (
+                content[start : start + int(ref_body)]
+                if ref_body.isdigit()
+                else None
+            )
+        else:
+            ml = re.search(rb"/Length\s+(\d+)", head)
+            stream = content[start : start + int(ml.group(1))] if ml else None
+        if stream is None:
+            sm = _STREAM_RE.search(content)
+            if not sm:
+                return None
+            stream = sm.group(1)
+        if b"/FlateDecode" in head:
+            import zlib
+
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error:
+                return None
+        return stream
+
     def page_streams_in_order():
-        # catalog → /Pages → /Kids gives the authoritative page order;
+        # catalog → /Pages tree gives the authoritative page order;
         # fall back to document-order /Page objects for odd files.
         order = []
         for num in sorted(objects):
             body = objects[num]
             if b"/Type /Catalog" in body or b"/Type/Catalog" in body:
                 m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", body)
-                if m and int(m.group(1)) in objects:
-                    pages_body = objects[int(m.group(1))]
-                    kids = re.search(rb"/Kids\s*\[(.*?)\]", pages_body, re.DOTALL)
-                    if kids:
-                        order = [int(n) for n in _REF_RE.findall(kids.group(1))]
+                if m:
+                    order = list(walk_pages(int(m.group(1)), set()))
                 break
         if not order:
             order = [
@@ -207,33 +290,16 @@ def _builtin_extract(data: bytes) -> str:
             ]
         for num in order:
             body = objects.get(num, b"")
-            m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
-            if not m:
-                continue
-            content = objects.get(int(m.group(1)), b"")
-            ms = re.search(rb"stream\r?\n", content)
-            if not ms:
-                continue
-            start = ms.end()
-            # /Length gives the exact byte count — authoritative over
-            # scanning for 'endstream', which can occur inside
-            # compressed bytes
-            ml = re.search(rb"/Length\s+(\d+)", content[: ms.start()])
-            if ml:
-                stream = content[start : start + int(ml.group(1))]
-            else:
-                sm = _STREAM_RE.search(content)
-                if not sm:
-                    continue
-                stream = sm.group(1)
-            if b"/FlateDecode" in content[: ms.start()]:
-                import zlib
-
-                try:
-                    stream = zlib.decompress(stream)
-                except zlib.error:
-                    continue
-            yield stream
+            parts = [
+                s
+                for s in (stream_of(objects.get(ref, b"")) for ref in content_refs(body))
+                if s is not None
+            ]
+            if parts:
+                # spec 7.8.2: multiple /Contents streams form ONE logical
+                # stream with whitespace between — operators may not span
+                # parts but text runs do
+                yield b"\n".join(parts)
 
     text = ""
     for stream in page_streams_in_order():

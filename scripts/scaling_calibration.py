@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Scaling decomposition: how much of the single-box efficiency loss is
+hardware (shared memory bandwidth) vs engine (Spark/JVM overhead)?
+
+The north rule's two-cluster-size criterion (≥0.8 efficiency from N to
+4N executors) cannot use a real cluster in this sandbox. The bench
+proxy runs the same job at two pinned core budgets — but above ~8 cores
+this box itself stops scaling: a pure-Python ``multiprocessing`` run of
+the *same kernel work* (no Spark, no JVM, no Arrow) hits the same wall.
+This script measures both curves back-to-back on identical inputs and
+reports, per N→4N pair:
+
+    eff_spark      pinned Spark extraction efficiency
+    eff_mp         pinned no-Spark calibration efficiency (the ceiling
+                   the hardware imposes on ANY 4×-parallelism gain)
+    normalized     eff_spark / eff_mp — the engine's own scaling loss;
+                   ≥ ~0.95 means Spark adds no loss beyond hardware,
+                   which is the component that exists on a real cluster
+                   where each of the 4N executors brings its own memory
+                   controllers.
+
+Pinning uses ``os.sched_setaffinity`` (calibration) and ``taskset``
+(Spark bench worker, via bench.bench_extraction_at) so each level owns
+exactly its core budget, like an executor.
+
+Usage: python scripts/scaling_calibration.py [--pages 30000]
+       [--levels 2,4,8,16,32] [--reps 3] [--spark-pages 120000]
+Writes one JSON line to stdout (and BENCH/scaling_calibration.json).
+"""
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _load_rows(n_pages: int):
+    """Deterministic (url, payload) rows — the same synth corpus the
+    Spark bench extracts (materialized pure-Python, no Spark)."""
+    from pdf_extraction_spark.sources.synth import synth_page_row
+
+    return [(r["url"], r["html"]) for r in (synth_page_row(i) for i in range(n_pages))]
+
+
+def _worker(rows, lo, hi, out_q):
+    from pdf_extraction_spark.kernels.extract import extract_document
+    from pdf_extraction_spark.kernels.transcript import parse_transcript
+
+    chars = 0
+    for url, payload in rows[lo:hi]:
+        _, text = extract_document(url, payload)
+        for turn in parse_transcript(text)[1]:
+            chars += len(turn["text"])
+    out_q.put(chars)
+
+
+def calibrate_mp(rows, cores: int, reps: int) -> dict:
+    """No-Spark kernel throughput with ``cores`` pinned processes."""
+    os.sched_setaffinity(0, set(range(cores)))
+    try:
+        n = len(rows)
+        best = 1e9
+        for _ in range(reps):
+            q = mp.Queue()
+            bounds = [round(i * n / cores) for i in range(cores + 1)]
+            procs = [
+                mp.Process(target=_worker, args=(rows, bounds[i], bounds[i + 1], q))
+                for i in range(cores)
+            ]
+            t0 = time.perf_counter()
+            for p in procs:
+                p.start()
+            for _ in procs:
+                q.get()
+            for p in procs:
+                p.join()
+            best = min(best, time.perf_counter() - t0)
+        return {"cores": cores, "sec": round(best, 3), "docs": n,
+                "docs_per_sec": round(n / best, 2)}
+    finally:
+        os.sched_setaffinity(0, set(range(os.cpu_count())))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=30000)
+    ap.add_argument("--spark-pages", type=int, default=120000)
+    ap.add_argument("--levels", default="2,4,8,16,32")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--skip-spark", action="store_true")
+    args = ap.parse_args()
+    levels = [int(x) for x in args.levels.split(",")]
+
+    print(f"synthesizing {args.pages} pages for calibration...", file=sys.stderr)
+    rows = _load_rows(args.pages)
+
+    mp_curve = {}
+    for c in levels:
+        mp_curve[str(c)] = calibrate_mp(rows, c, args.reps)
+        print(f"mp[{c}]: {mp_curve[str(c)]}", file=sys.stderr)
+
+    spark_curve = {}
+    if not args.skip_spark:
+        import bench
+
+        pages_path = bench.ensure_pages(args.spark_pages)
+        for c in levels:
+            spark_curve[str(c)] = bench.bench_extraction_at(c, pages_path, reps=args.reps)
+            print(f"spark[{c}]: {spark_curve[str(c)]}", file=sys.stderr)
+
+    def eff(curve, lo, hi):
+        if str(lo) not in curve or str(hi) not in curve:
+            return None
+        return round(
+            curve[str(hi)]["docs_per_sec"] / curve[str(lo)]["docs_per_sec"] / (hi / lo), 3
+        )
+
+    pairs = {}
+    for lo, hi in [(2, 8), (4, 16), (8, 32)]:
+        e_mp, e_sp = eff(mp_curve, lo, hi), eff(spark_curve, lo, hi)
+        pairs[f"{lo}_to_{hi}"] = {
+            "eff_mp_hardware_ceiling": e_mp,
+            "eff_spark_pinned": e_sp,
+            "normalized_engine_eff": round(e_sp / e_mp, 3) if e_mp and e_sp else None,
+        }
+
+    result = {"mp_curve": mp_curve, "spark_curve": spark_curve, "pairs": pairs}
+    out_path = os.path.join(REPO, "BENCH", "scaling_calibration.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

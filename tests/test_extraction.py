@@ -48,6 +48,59 @@ class TestPdfRoundtrip:
         assert b"/FlateDecode" in pdf
         assert extract_pdf_text(pdf) == extract_pdf_text(build_minimal_pdf(pages))
 
+    def test_generator_shaped_pdf(self):
+        """Non-synthetic structure mimicking real PDF generators
+        (ReportLab / word-processor exports): xref table + trailer, CRLF
+        after 'stream', indirect /Length written after the stream,
+        FlateDecode, a nested page tree, a /Contents ARRAY, TJ arrays
+        with kerning numbers, hex strings, Tm line positioning, and a
+        non-octal escape."""
+        import zlib
+
+        s1_raw = (
+            b"BT\r\n/F1 10 Tf\r\n1 0 0 1 72 720 Tm\r\n"
+            b"[(Quarterly ) -250 (Re) 20 (port)] TJ\r\n"
+            b"1 0 0 1 72 708 Tm\r\n<526576656e7565 3a2052732e20313233> Tj\r\nET"
+        )
+        s1 = zlib.compress(s1_raw)
+        s2 = b"BT\r\n(second stream line \\8 ok) Tj\r\nET"
+        s3 = b"BT\r\n(page two) Tj\r\nET"
+
+        def obj(num, body):
+            return f"{num} 0 obj\r\n".encode() + body + b"\r\nendobj\r\n"
+
+        parts = [b"%PDF-1.7\r\n%\xe2\xe3\xcf\xd3\r\n"]
+        parts.append(obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+        # nested tree: root Pages -> intermediate Pages -> leaf Page
+        parts.append(obj(2, b"<< /Type /Pages /Kids [8 0 R 6 0 R] /Count 2 >>"))
+        parts.append(obj(8, b"<< /Type /Pages /Parent 2 0 R /Kids [3 0 R] /Count 1 >>"))
+        parts.append(
+            obj(3, b"<< /Type /Page /Parent 8 0 R /MediaBox [0 0 612 792] "
+                   b"/Contents [4 0 R 5 0 R] >>")
+        )
+        parts.append(
+            obj(4, b"<< /Length 9 0 R /Filter /FlateDecode >>\r\nstream\r\n"
+                   + s1 + b"\r\nendstream")
+        )
+        parts.append(obj(9, str(len(s1)).encode()))  # indirect length, after use
+        parts.append(obj(5, b"<< /Length " + str(len(s2)).encode() + b" >>\r\nstream\r\n" + s2 + b"\r\nendstream"))
+        parts.append(obj(6, b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>"))
+        parts.append(obj(7, b"<< /Length " + str(len(s3)).encode() + b" >>\r\nstream\r\n" + s3 + b"\r\nendstream"))
+        body = b"".join(parts)
+        xref_pos = len(body)
+        body += (
+            b"xref\r\n0 1\r\n0000000000 65535 f\r\ntrailer\r\n"
+            b"<< /Size 10 /Root 1 0 R >>\r\nstartxref\r\n"
+            + str(xref_pos).encode() + b"\r\n%%EOF\r\n"
+        )
+
+        text = extract_pdf_text(body)
+        assert text == (
+            "Quarterly Report\nRevenue: Rs. 123\n"
+            "second stream line 8 ok\n"
+            "page two\n"
+        )
+
 
 class TestHtmlBoilerplate:
     HTML = (
