@@ -160,12 +160,17 @@ def main():
 
     scaling = {}
     if RUN_SCALING:
-        # N vs 4N at two scales: 2→8 cores (both levels leave the box
-        # headroom — the faithful proxy for N vs 4N executors that each
-        # own their cores/memory) and 8→32 (the whole-box step, capped
-        # by shared memory bandwidth + the single local-mode JVM; see
-        # BENCH/BASELINE.md)
-        levels = [int(x) for x in os.environ.get("BENCH_LEVELS", "2,8").split(",")]
+        # N vs 4N pinned pairs measured back-to-back in ONE weather
+        # window (this VM's absolute throughput swings ±30% across
+        # hours; ratios within a window are stable). Headline pair:
+        # 4→16 cores — both levels leave the box headroom, the faithful
+        # proxy for N vs 4N executors that each own their cores/memory.
+        # 8→32 (the whole-box step) is capped by shared memory
+        # bandwidth: scripts/scaling_calibration.py measures the same
+        # kernel work with no-Spark multiprocessing and shows the
+        # hardware ceiling equals the Spark number there (normalized
+        # engine efficiency ≈ 1.0); see BENCH/BASELINE.md.
+        levels = [int(x) for x in os.environ.get("BENCH_LEVELS", "2,4,8,16").split(",")]
         curve = {
             str(c): bench_extraction_at(c, pages_path, reps=2 if c <= 2 else 3)
             for c in levels
@@ -175,6 +180,8 @@ def main():
             log(f"extraction local[{c}]: {r}")
 
         def eff(lo_c, hi_c):
+            if str(lo_c) not in curve or str(hi_c) not in curve:
+                return None
             lo_r, hi_r = curve[str(lo_c)], curve[str(hi_c)]
             return round(
                 (hi_r["docs_per_sec"] / lo_r["docs_per_sec"]) / (hi_c / lo_c), 3
@@ -182,13 +189,14 @@ def main():
 
         scaling = {
             "curve": curve,
-            "efficiency_2_to_8": eff(2, 8) if "2" in curve and "8" in curve else None,
-            "efficiency_8_to_32": eff(8, CPUS) if "8" in curve else None,
+            "efficiency_2_to_8": eff(2, 8),
+            "efficiency_4_to_16": eff(4, 16),
+            "efficiency_8_to_32": eff(8, CPUS),
             # headline criterion: N→4N with headroom at both levels
-            "low": curve.get("2"),
-            "high": curve.get("8"),
+            "low": curve.get("4"),
+            "high": curve.get("16"),
             "cores_ratio": 4.0,
-            "efficiency": eff(2, 8) if "2" in curve and "8" in curve else None,
+            "efficiency": eff(4, 16),
         }
 
     spark = get_session(CPUS)

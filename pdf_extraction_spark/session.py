@@ -29,7 +29,13 @@ def get_spark(
         # local: ~1 shuffle partition per core; on a real cluster this is
         # sized to keep post-shuffle partitions in the 64–256 MB range
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else max(int(n), 1)
+        if n == "*":
+            shuffle_partitions = cpus
+        elif "," in n:  # local-cluster[n_exec, cores_per_exec, mem_mb]
+            n_exec, cores_per = n.split(",")[:2]
+            shuffle_partitions = max(int(n_exec) * int(cores_per), 1)
+        else:
+            shuffle_partitions = max(int(n), 1)
 
     builder = (
         SparkSession.builder.appName(app_name)

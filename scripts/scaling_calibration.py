@@ -86,6 +86,61 @@ def calibrate_mp(rows, cores: int, reps: int) -> dict:
         os.sched_setaffinity(0, set(range(os.cpu_count())))
 
 
+_LC_WORKER_SRC = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pdf_extraction_spark.session import get_spark, ship_package
+from pyspark.sql import functions as F
+n_exec, cores_per, pages_path, reps = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
+spark = get_spark(master=f'local-cluster[{{n_exec}},{{cores_per}},3072]', extra_conf={{
+    'spark.ui.showConsoleProgress': 'false',
+    'spark.executor.memory': '2g'}})
+ship_package(spark)
+from pdf_extraction_spark.operators.extract import extract_parse
+pages = spark.read.parquet(pages_path)
+n_docs = pages.count()
+total_cores = n_exec * cores_per
+extract_parse(pages.limit(64 * total_cores).repartition(total_cores)).count()
+best = 1e9
+for _ in range(reps):
+    t0 = time.perf_counter()
+    extract_parse(pages).agg(
+        F.sum(F.aggregate(F.transform('turns', lambda t: F.length(t['text'])),
+                          F.lit(0), lambda a, x: a + x)).alias('turn_chars'),
+        F.sum(F.size('turns')).alias('n_turns'),
+        F.sum(F.length('text')).alias('text_chars'),
+        F.count('*').alias('n_docs')).collect()
+    best = min(best, time.perf_counter() - t0)
+print('BENCHJSON ' + json.dumps({{'executors': n_exec, 'cores_per': cores_per,
+    'sec': round(best, 3), 'docs': n_docs, 'docs_per_sec': round(n_docs / best, 2)}}))
+spark.stop()
+"""
+
+
+def bench_local_cluster(n_exec: int, cores_per: int, pages_path: str, reps: int = 3) -> dict:
+    """Run extraction on ``local-cluster[n_exec,cores_per,mem]`` —
+    SEPARATE executor JVMs (the spark-submit shape), package shipped via
+    addPyFile — pinned to n_exec*cores_per cores."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    src = _LC_WORKER_SRC.format(repo=REPO)
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(src)
+        worker = f.name
+    cmd = [sys.executable, worker, str(n_exec), str(cores_per), pages_path, str(reps)]
+    total = n_exec * cores_per
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{total - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    os.unlink(worker)
+    for line in out.stdout.splitlines():
+        if line.startswith("BENCHJSON "):
+            return json.loads(line[len("BENCHJSON "):])
+    raise RuntimeError(f"local-cluster worker failed: {out.stderr[-3000:]}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=30000)
@@ -93,6 +148,12 @@ def main():
     ap.add_argument("--levels", default="2,4,8,16,32")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--skip-spark", action="store_true")
+    ap.add_argument(
+        "--local-cluster",
+        action="store_true",
+        help="also run local-cluster[1,4] vs local-cluster[4,4] (separate "
+        "executor JVMs, 4 vs 16 pinned cores — the N vs 4N executor shape)",
+    )
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
 
@@ -129,7 +190,29 @@ def main():
             "normalized_engine_eff": round(e_sp / e_mp, 3) if e_mp and e_sp else None,
         }
 
-    result = {"mp_curve": mp_curve, "spark_curve": spark_curve, "pairs": pairs}
+    local_cluster = {}
+    if args.local_cluster and not args.skip_spark:
+        import bench
+
+        pages_path = bench.ensure_pages(args.spark_pages)
+        for n_exec in (1, 4):
+            key = f"{n_exec}x4"
+            local_cluster[key] = bench_local_cluster(n_exec, 4, pages_path, args.reps)
+            print(f"local-cluster[{key}]: {local_cluster[key]}", file=sys.stderr)
+        if "1x4" in local_cluster and "4x4" in local_cluster:
+            local_cluster["efficiency_1x4_to_4x4"] = round(
+                local_cluster["4x4"]["docs_per_sec"]
+                / local_cluster["1x4"]["docs_per_sec"]
+                / 4,
+                3,
+            )
+
+    result = {
+        "mp_curve": mp_curve,
+        "spark_curve": spark_curve,
+        "pairs": pairs,
+        "local_cluster": local_cluster,
+    }
     out_path = os.path.join(REPO, "BENCH", "scaling_calibration.json")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
