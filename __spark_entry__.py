@@ -130,6 +130,9 @@ DOC_CLOSING = ["the the the"]
 
 AS_OF = "2024-02-01"
 
+# per-source sampling rates for the deterministic stratified sampler
+SAMPLE_FRACTIONS = {"src0": 0.5, "src1": 0.25, "src2": 0.1}
+
 QUERY_VEC_SEED = 7
 
 
@@ -511,6 +514,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", langid_udf(F.col("text")).alias("detected_lang")
         )
 
+    # -- Gopher-style repetition/quality rules (native, oracle-able) --------
+    def q_gopher_quality(spark, sf):
+        from pdf_extraction_spark.operators.curation import with_gopher_flags
+
+        return with_gopher_flags(_docs(spark, sf), "text").select(
+            "doc_id", "dup_line_frac", "symbol_word_ratio", "bullet_line_frac",
+            "ellipsis_line_frac", "alpha_word_frac", "gopher_pass",
+        )
+
+    # -- corpus-level line dedup (CCNet/C4 boilerplate removal) -------------
+    def q_dedup_lines(spark, sf):
+        from pdf_extraction_spark.operators.curation import dedup_lines
+
+        return dedup_lines(_docs(spark, sf), "text", "doc_id", min_occurrences=3)
+
+    # -- PII scrub (C4-style masking) ---------------------------------------
+    def q_pii_scrub(spark, sf):
+        from pdf_extraction_spark.operators.curation import scrub_pii
+
+        return scrub_pii(_docs(spark, sf), "text", "doc_id")
+
+    # -- deterministic stratified sampling ----------------------------------
+    def q_stratified_sample(spark, sf):
+        from pdf_extraction_spark.operators.curation import stratified_sample
+
+        return stratified_sample(
+            _docs(spark, sf), "doc_id", "source", SAMPLE_FRACTIONS,
+            default_fraction=0.05,
+        ).select("doc_id", "source")
+
     # -- TPC-H-ish join/agg: revenue by nation (broadcast dims) -------------
     def q_nation_revenue(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -726,6 +759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ratios": q_text_ratios,
         "token_count": q_token_count,
         "langid": q_langid,
+        "gopher_quality": q_gopher_quality,
+        "dedup_lines": q_dedup_lines,
+        "pii_scrub": q_pii_scrub,
+        "stratified_sample": q_stratified_sample,
         "nation_revenue": q_nation_revenue,
     }
 
@@ -761,6 +798,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from pdf_extraction_spark.operators.categorize import sql_categories
     from pdf_extraction_spark.operators.components import sql_dedup_clusters
+    from pdf_extraction_spark.operators.curation import (
+        sql_dedup_lines,
+        sql_gopher_flags,
+        sql_scrub_pii,
+        sql_stratified_sample,
+    )
     from pdf_extraction_spark.operators.dedup import (
         sql_minhash_lsh_pairs,
         sql_simhash_pairs,
@@ -1112,6 +1155,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "categorize_join": sql_categories("text", DOC_CATEGORIES, "doc_id"),
         "topk_batch": _topk_batch_sql(),
+        # --- curation suite (native expressions, exact SQL twins) ----------
+        "gopher_quality": sql_gopher_flags("text"),
+        "dedup_lines": sql_dedup_lines(min_occurrences=3),
+        "pii_scrub": sql_scrub_pii("text"),
+        "stratified_sample": (
+            "SELECT doc_id, source FROM documents WHERE "
+            + sql_stratified_sample("doc_id", "source", SAMPLE_FRACTIONS, 0.05)
+        ),
         # --- kernel-input fixtures + relational recompute (see
         # tests/make_oracle_fixtures.py): the kernel hash/embed outputs
         # are precomputed in pure Python; the LSH banding / bucket caps /

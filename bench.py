@@ -134,6 +134,7 @@ def bench_queries(spark) -> dict:
         "top3_per_segment", "events_rollup", "windowed_counts", "cosine_topk",
         "weighted_rerank", "dedup_exact", "ngram_jaccard", "minhash_lsh",
         "simhash", "text_ratios", "token_count", "langid",
+        "gopher_quality", "dedup_lines", "pii_scrub", "stratified_sample",
     ]
     out = {}
     for name in picks:

@@ -1,0 +1,304 @@
+"""Web-corpus curation operators beyond the reference: Gopher-style
+repetition/quality rules, corpus-level line dedup, PII scrubbing, and
+deterministic stratified sampling.
+
+These are the standard published building blocks of LLM training-data
+pipelines (Gopher quality heuristics — Rae et al. 2021 §A1.1; CCNet /
+C4-style line-level boilerplate dedup; C4 PII masking; hash-based
+deterministic sampling). All are native Catalyst expressions — no
+Python in the hot path — and every one has an exact DuckDB twin
+(``sql_*`` helpers) for the oracle gate.
+
+Scale shapes:
+- gopher flags / PII scrub: narrow maps, fully codegen'd, shuffle-free.
+- line dedup: explode → ONE shuffle on the md5 line key (128-bit — at
+  10^12 lines a 64-bit key would collide) → anti-join → per-doc
+  rebuild. The frequency side is NOT broadcast: the dup-line set is
+  corpus-sized at web scale.
+- sampling: stateless per-row hash predicate — embarrassingly parallel,
+  reproducible across engines/runs, prunable by Catalyst.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rules (public thresholds, Rae et al. 2021 §A1.1)
+# --------------------------------------------------------------------------
+
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.10
+GOPHER_MAX_BULLET_LINE_FRAC = 0.90
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.30
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+
+_SYMBOL_RE = r"#|\.\.\.|…"
+_BULLET_RE = r"^\s*[-*•]"
+_ELLIPSIS_END_RE = r"(\.\.\.|…)\s*$"
+_ALPHA_RE = r"[A-Za-z]"
+
+
+def _nonempty_lines(c: Column) -> Column:
+    return F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != F.lit(""))
+
+
+def _words(c: Column) -> Column:
+    return F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+
+
+def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc repetition/quality signals + the combined pass flag.
+
+    Columns: dup_line_frac, symbol_word_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac (all rounded to 4), gopher_pass.
+    """
+    c = F.col(text_col)
+    lines = _nonempty_lines(c)
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1))
+    words = _words(c)
+    safe_words = F.greatest(F.size(words), F.lit(1))
+
+    dup_line = F.round(
+        (n_lines - F.size(F.array_distinct(lines))) / safe_lines, 4
+    )
+    symbol_ratio = F.round(
+        F.size(F.regexp_extract_all(c, F.lit(_SYMBOL_RE), F.lit(0))) / safe_words, 4
+    )
+    bullet = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE))) / safe_lines, 4
+    )
+    ellipsis = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_END_RE))) / safe_lines, 4
+    )
+    alpha = F.round(
+        F.size(F.filter(words, lambda w: w.rlike(_ALPHA_RE))) / safe_words, 4
+    )
+
+    out = (
+        df.withColumn("dup_line_frac", dup_line)
+        .withColumn("symbol_word_ratio", symbol_ratio)
+        .withColumn("bullet_line_frac", bullet)
+        .withColumn("ellipsis_line_frac", ellipsis)
+        .withColumn("alpha_word_frac", alpha)
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_WORD_RATIO)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC),
+    )
+
+
+def sql_gopher_flags(text_expr: str, id_expr: str = "doc_id") -> str:
+    """DuckDB twin of with_gopher_flags (identical regexes — all chosen
+    RE2∩Java-compatible — and identical rounding)."""
+    sym = _SYMBOL_RE.replace("'", "''")
+    return (
+        f"WITH g AS (SELECT {id_expr} AS doc_id, {text_expr} AS t, "
+        f"list_filter(string_split({text_expr}, chr(10)), l -> trim(l) <> '') AS lines, "
+        f"list_filter(string_split_regex({text_expr}, '\\s+'), w -> w <> '') AS words FROM documents), "
+        "m AS (SELECT doc_id, "
+        "greatest(len(lines), 1) AS sl, greatest(len(words), 1) AS sw, "
+        "len(lines) AS nl, "
+        "len(lines) - len(list_distinct(lines)) AS ndup, "
+        f"len(regexp_extract_all(t, '{sym}')) AS nsym, "
+        f"len(list_filter(lines, l -> regexp_matches(l, '{_BULLET_RE}'))) AS nbul, "
+        f"len(list_filter(lines, l -> regexp_matches(l, '{_ELLIPSIS_END_RE}'))) AS nell, "
+        f"len(list_filter(words, w -> regexp_matches(w, '{_ALPHA_RE}'))) AS nalpha "
+        "FROM g) "
+        "SELECT doc_id, "
+        "round(CAST(ndup AS DOUBLE) / sl, 4) AS dup_line_frac, "
+        "round(CAST(nsym AS DOUBLE) / sw, 4) AS symbol_word_ratio, "
+        "round(CAST(nbul AS DOUBLE) / sl, 4) AS bullet_line_frac, "
+        "round(CAST(nell AS DOUBLE) / sl, 4) AS ellipsis_line_frac, "
+        "round(CAST(nalpha AS DOUBLE) / sw, 4) AS alpha_word_frac, "
+        f"(round(CAST(ndup AS DOUBLE) / sl, 4) <= {GOPHER_MAX_DUP_LINE_FRAC} "
+        f"AND round(CAST(nsym AS DOUBLE) / sw, 4) <= {GOPHER_MAX_SYMBOL_WORD_RATIO} "
+        f"AND round(CAST(nbul AS DOUBLE) / sl, 4) <= {GOPHER_MAX_BULLET_LINE_FRAC} "
+        f"AND round(CAST(nell AS DOUBLE) / sl, 4) <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC} "
+        f"AND round(CAST(nalpha AS DOUBLE) / sw, 4) >= {GOPHER_MIN_ALPHA_WORD_FRAC}) AS gopher_pass "
+        "FROM m"
+    )
+
+
+# --------------------------------------------------------------------------
+# corpus-level line dedup (CCNet / C4-style boilerplate removal)
+# --------------------------------------------------------------------------
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Remove lines whose normalized form (lower+trim) occurs ≥
+    ``min_occurrences`` times across the corpus; rebuild each doc from
+    its surviving lines in original order.
+
+    Returns (doc_id, clean_text, n_lines_kept, n_lines_removed).
+    One shuffle on the 128-bit line key + one anti-join + one per-doc
+    rebuild shuffle. Whitespace-only lines are dropped up front."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_no", "line"),
+        )
+        .filter(F.trim(F.col("line")) != "")
+        .withColumn("line_key", F.md5(F.lower(F.trim(F.col("line")))))
+    )
+    boilerplate = (
+        lines.groupBy("line_key")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occurrences)
+        .select("line_key")
+    )
+    kept = lines.join(boilerplate, "line_key", "left_anti")
+    n_total = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines_total"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    return (
+        n_total.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.col("n_lines_total") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+    )
+
+
+def sql_dedup_lines(min_occurrences: int = 2) -> str:
+    """DuckDB twin of dedup_lines over the ``documents`` view."""
+    return (
+        "WITH lines AS (SELECT doc_id, i - 1 AS line_no, l AS line, "
+        "md5(lower(trim(l))) AS line_key FROM ("
+        "SELECT doc_id, unnest(string_split(text, chr(10))) AS l, "
+        "unnest(generate_series(1, len(string_split(text, chr(10))))) AS i "
+        "FROM documents) WHERE trim(l) <> ''), "
+        "boiler AS (SELECT line_key FROM lines GROUP BY line_key "
+        f"HAVING count(*) >= {min_occurrences}), "
+        "kept AS (SELECT * FROM lines WHERE line_key NOT IN (SELECT line_key FROM boiler)), "
+        "totals AS (SELECT doc_id, count(*) AS n_lines_total FROM lines GROUP BY doc_id), "
+        "rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text, "
+        "count(*) AS n_lines_kept FROM kept GROUP BY doc_id) "
+        "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
+        "CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept, "
+        "CAST(t.n_lines_total - coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_removed "
+        "FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (C4-style masking, sequential passes)
+# --------------------------------------------------------------------------
+
+# RE2∩Java-compatible patterns (no lookarounds)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d().\- ]{7,}\d"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Mask emails → IPv4s → phones (in that order, each pass on the
+    previous pass's output, so counts are disjoint). Returns
+    (doc_id, scrubbed, n_emails, n_ips, n_phones)."""
+    t0 = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL), F.lit(0)))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4), F.lit(0)))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phone = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE), F.lit(0)))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        t3.alias("scrubbed"),
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+    )
+
+
+def sql_scrub_pii(text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    def esc(p):
+        return p.replace("'", "''")
+
+    em, ip, ph = esc(PII_EMAIL), esc(PII_IPV4), esc(PII_PHONE)
+    return (
+        f"WITH s0 AS (SELECT {id_expr} AS doc_id, {text_expr} AS t0 FROM documents), "
+        f"s1 AS (SELECT doc_id, t0, CAST(len(regexp_extract_all(t0, '{em}')) AS INT) AS n_emails, "
+        f"regexp_replace(t0, '{em}', '<EMAIL>', 'g') AS t1 FROM s0), "
+        f"s2 AS (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t1, '{ip}')) AS INT) AS n_ips, "
+        f"regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2 FROM s1), "
+        f"s3 AS (SELECT doc_id, n_emails, n_ips, CAST(len(regexp_extract_all(t2, '{ph}')) AS INT) AS n_phones, "
+        f"regexp_replace(t2, '{ph}', '<PHONE>', 'g') AS scrubbed FROM s2) "
+        "SELECT doc_id, scrubbed, n_emails, n_ips, n_phones FROM s3"
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+def sample_bucket_col(key: Column, salt: str = "sample") -> Column:
+    """Stable [0, 10000) bucket from md5 of (key || salt) — identical in
+    any engine with md5 (reproducible across runs, engines, cluster
+    sizes; unlike ``rand()`` it is join-stable and re-runnable)."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 10000).alias("bucket")
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep each row iff its deterministic bucket < fraction·10000 for
+    its stratum — exact, reproducible downsampling by source/domain/lang
+    (the standard way a training mix is drawn from a web corpus)."""
+    bucket = sample_bucket_col(F.col(key_col), salt)
+    rate = None
+    for value, frac in sorted(fractions.items()):
+        cond = F.col(stratum_col) == value
+        branch = F.lit(int(round(frac * 10000)))
+        rate = F.when(cond, branch) if rate is None else rate.when(cond, branch)
+    rate = (
+        rate.otherwise(int(round(default_fraction * 10000)))
+        if rate is not None
+        else F.lit(int(round(default_fraction * 10000)))
+    )
+    return df.filter(bucket < rate)
+
+
+def sql_stratified_sample(
+    key_expr: str,
+    stratum_expr: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> str:
+    """DuckDB twin predicate (same md5-bucket math)."""
+    whens = " ".join(
+        f"WHEN {stratum_expr} = '{v}' THEN {int(round(f * 10000))}"
+        for v, f in sorted(fractions.items())
+    )
+    rate = f"CASE {whens} ELSE {int(round(default_fraction * 10000))} END"
+    bucket = (
+        f"(CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 8) AS BIGINT) % 10000)"
+    )
+    return f"{bucket} < {rate}"

@@ -1,0 +1,143 @@
+"""Curation-suite tests: Gopher rules, line dedup, PII scrub, sampling.
+
+The sf0.01 corpus is single-line and PII-free, so the oracle gate alone
+exercises these trivially; here crafted multi-line / PII-bearing rows go
+through BOTH the Spark operator and its DuckDB twin and must agree
+value-exactly."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "alpha beta gamma\nshared boilerplate line\ndelta epsilon"),
+    (1, "shared boilerplate line\nunique content one two three\n- bullet item"),
+    (2, "SHARED BOILERPLATE LINE  \nanother doc body here\nto be continued..."),
+    (3, "• first\n• second\n• third"),
+    (4, "mail me at john.doe+x@example.co.uk or at 10.0.0.1 "
+        "or call +1 (555) 123-4567 now"),
+    (5, "### markdown ### heading # only\nsymbols… everywhere…"),
+    (6, ""),
+    (7, "x\n\n\nx\nx"),
+    (8, "the quick brown fox jumps over the lazy dog again and again today"),
+]
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?)",
+        [(i, t, f"src{i % 3}") for i, t in DOCS],
+    )
+    return con
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, t, f"src{i % 3}") for i, t in DOCS], "doc_id long, text string, source string"
+    )
+
+
+def _compare(spark_df, con, sql):
+    cols = sorted(spark_df.columns)
+    s = sorted(map(tuple, spark_df.toPandas()[cols].values.tolist()))
+    o = sorted(map(tuple, con.execute(sql).df()[cols].values.tolist()))
+    assert s == o, f"spark={s[:3]}... oracle={o[:3]}..."
+
+
+class TestGopher:
+    def test_cross_engine(self, docs_df):
+        from pdf_extraction_spark.operators.curation import (
+            sql_gopher_flags,
+            with_gopher_flags,
+        )
+
+        out = with_gopher_flags(docs_df, "text").select(
+            "doc_id", "dup_line_frac", "symbol_word_ratio", "bullet_line_frac",
+            "ellipsis_line_frac", "alpha_word_frac", "gopher_pass",
+        )
+        _compare(out, _con(), sql_gopher_flags("text"))
+
+    def test_semantics(self, docs_df):
+        from pdf_extraction_spark.operators.curation import with_gopher_flags
+
+        rows = {r["doc_id"]: r for r in with_gopher_flags(docs_df, "text").collect()}
+        assert rows[7]["dup_line_frac"] == pytest.approx(2 / 3, abs=1e-4)  # x,x,x
+        assert rows[3]["bullet_line_frac"] == 1.0
+        assert rows[5]["gopher_pass"] is False  # symbol soup
+        assert rows[8]["gopher_pass"] is True  # clean prose
+
+
+class TestLineDedup:
+    def test_cross_engine(self, docs_df):
+        from pdf_extraction_spark.operators.curation import dedup_lines, sql_dedup_lines
+
+        out = dedup_lines(docs_df, "text", "doc_id", min_occurrences=2)
+        _compare(out, _con(), sql_dedup_lines(min_occurrences=2))
+
+    def test_boilerplate_removed_case_insensitively(self, docs_df):
+        from pdf_extraction_spark.operators.curation import dedup_lines
+
+        rows = {r["doc_id"]: r for r in dedup_lines(docs_df, min_occurrences=2).collect()}
+        # "shared boilerplate line" appears in docs 0,1,2 (one uppercase,
+        # one with trailing spaces) — all three variants removed
+        for d in (0, 1, 2):
+            assert "boilerplate" not in rows[d]["clean_text"].lower()
+            assert rows[d]["n_lines_removed"] == 1
+        # doc 7: "x" occurs 3 times → removed everywhere, doc empties
+        assert rows[7]["clean_text"] == ""
+        assert rows[7]["n_lines_kept"] == 0
+        # untouched docs keep their original line order
+        assert rows[3]["clean_text"] == "• first\n• second\n• third"
+
+
+class TestPiiScrub:
+    def test_cross_engine(self, docs_df):
+        from pdf_extraction_spark.operators.curation import scrub_pii, sql_scrub_pii
+
+        _compare(scrub_pii(docs_df, "text", "doc_id"), _con(), sql_scrub_pii("text"))
+
+    def test_masks(self, docs_df):
+        from pdf_extraction_spark.operators.curation import scrub_pii
+
+        row = {r["doc_id"]: r for r in scrub_pii(docs_df).collect()}[4]
+        assert row["n_emails"] == 1 and row["n_ips"] == 1 and row["n_phones"] == 1
+        assert "<EMAIL>" in row["scrubbed"] and "<IP>" in row["scrubbed"]
+        assert "<PHONE>" in row["scrubbed"]
+        assert "example.co.uk" not in row["scrubbed"]
+        assert "555" not in row["scrubbed"]
+
+
+class TestStratifiedSample:
+    def test_cross_engine(self, docs_df):
+        from pdf_extraction_spark.operators.curation import (
+            sql_stratified_sample,
+            stratified_sample,
+        )
+
+        fr = {"src0": 1.0, "src1": 0.5}
+        out = stratified_sample(docs_df, "doc_id", "source", fr, 0.0).select(
+            "doc_id", "source"
+        )
+        _compare(
+            out,
+            _con(),
+            "SELECT doc_id, source FROM documents WHERE "
+            + sql_stratified_sample("doc_id", "source", fr, 0.0),
+        )
+
+    def test_deterministic_and_stratum_exact(self, docs_df):
+        from pdf_extraction_spark.operators.curation import stratified_sample
+
+        fr = {"src0": 1.0, "src1": 0.0}
+        got = stratified_sample(docs_df, "doc_id", "source", fr, 0.0)
+        rows = sorted((r["doc_id"], r["source"]) for r in got.collect())
+        # fraction 1.0 keeps every src0 row, 0.0 drops all others
+        assert rows == [(i, "src0") for i, _ in DOCS if i % 3 == 0]
+        # re-run is identical (hash, not rand())
+        assert rows == sorted(
+            (r["doc_id"], r["source"])
+            for r in stratified_sample(docs_df, "doc_id", "source", fr, 0.0).collect()
+        )

@@ -1,0 +1,78 @@
+"""X3 RAG search + REPL tests."""
+
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.plans.rag import parse_repl_line, rag_context, rag_search
+
+
+class TestParseReplLine:
+    def test_commands(self):
+        assert parse_repl_line("quit") == ("quit", "", None)
+        assert parse_repl_line("  EXIT ") == ("quit", "", None)
+        assert parse_repl_line("sources") == ("sources", "", None)
+        assert parse_repl_line("   ") == ("empty", "", None)
+
+    def test_question_and_filter(self):
+        a, q, c = parse_repl_line("What about margins? company:CIPLA")
+        assert a == "ask" and q == "What about margins?" and c == "CIPLA"
+        a, q, c = parse_repl_line("plain question")
+        assert (a, q, c) == ("ask", "plain question", None)
+
+
+@pytest.fixture()
+def chunks(spark):
+    from pdf_extraction_spark.operators.embed import embed_documents
+
+    rows = [
+        (1, "CIPLA", "2025-03-01", "Rahul Sharma",
+         "revenue growth of 12 percent this quarter with strong margins", 8.0),
+        (2, "CIPLA", "2020-01-01", "Priya Patel",
+         "capex investment in the new facility is on track", 6.0),
+        (3, "LUPIN", "2025-02-01", "Ken Tanaka",
+         "margin trajectory and guidance for the fiscal year improved", 7.5),
+        (4, "LUPIN", "2025-02-01", "Ken Tanaka", "thank you and goodbye", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "chunk_id long, company string, date string, speaker string, content string, quality_score double"
+    )
+    return embed_documents(df, text_col="content", quality_col="missing")
+
+
+class TestRagSearch:
+    def test_topk_and_filter(self, chunks):
+        top = rag_search(chunks, "revenue growth margins", k=2).collect()
+        assert len(top) == 2
+        assert all("weighted_score" in r.asDict() for r in top)
+        # company filter restricts the candidate pool
+        lupin = rag_search(chunks, "margin guidance", k=5, company_filter="lupin").collect()
+        assert {r["company"] for r in lupin} == {"LUPIN"}
+
+    def test_recency_beats_stale(self, chunks):
+        # identical question; the 2025 docs carry recency weight 1.0 vs
+        # 0.4 for the 2020 one — it should not win the top slot
+        top1 = rag_search(chunks, "capex investment facility", k=4, as_of="2025-05-01").collect()
+        assert top1[0]["chunk_id"] != 2 or top1[0]["similarity"] > top1[1]["similarity"] + 0.1
+
+    def test_context_assembly(self, chunks):
+        top = rag_search(chunks, "revenue growth", k=2)
+        ctx = rag_context(top)
+        assert ctx.count("\n\n---\n\n") == 1  # two chunks, one separator
+
+
+def test_repl_end_to_end():
+    """Drive scripts/rag_repl.py over a pipe: ask, toggle sources, quit."""
+    stdin = "sources\nrevenue growth company:CIPLA\nquit\n"
+    out = subprocess.run(
+        [sys.executable, "scripts/rag_repl.py", "--pages", "40"],
+        input=stdin, capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "RAG search ready" in out.stdout
+    assert "relevant chunks" in out.stdout
+    assert "sources:" in out.stdout
+    assert "CIPLA" in out.stdout.split("sources:")[1]
+    assert "bye" in out.stdout
