@@ -51,8 +51,11 @@ def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Columns: dup_line_frac, symbol_word_ratio, bullet_line_frac,
     ellipsis_line_frac, alpha_word_frac (all rounded to 4), gopher_pass.
+
+    Total on NULL text (treated as empty — one bad crawl row must not
+    produce NULL flags that silently drop from boolean filters).
     """
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     lines = _nonempty_lines(c)
     n_lines = F.size(lines)
     safe_lines = F.greatest(n_lines, F.lit(1))
@@ -96,6 +99,7 @@ def sql_gopher_flags(text_expr: str, id_expr: str = "doc_id") -> str:
     """DuckDB twin of with_gopher_flags (identical regexes — all chosen
     RE2∩Java-compatible — and identical rounding)."""
     sym = _SYMBOL_RE.replace("'", "''")
+    text_expr = f"coalesce({text_expr}, '')"  # total on NULL, like the operator
     return (
         f"WITH g AS (SELECT {id_expr} AS doc_id, {text_expr} AS t, "
         f"list_filter(string_split({text_expr}, chr(10)), l -> trim(l) <> '') AS lines, "
@@ -138,13 +142,17 @@ def dedup_lines(
     ``min_occurrences`` times across the corpus; rebuild each doc from
     its surviving lines in original order.
 
-    Returns (doc_id, clean_text, n_lines_kept, n_lines_removed).
+    Returns (doc_id, clean_text, n_lines_kept, n_lines_removed) — one
+    row per input row, always (total on NULL/empty text: such docs come
+    back with clean_text='' rather than vanishing).
     One shuffle on the 128-bit line key + one anti-join + one per-doc
     rebuild shuffle. Whitespace-only lines are dropped up front."""
     lines = (
         df.select(
             F.col(id_col).alias("doc_id"),
-            F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_no", "line"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+            ).alias("line_no", "line"),
         )
         .filter(F.trim(F.col("line")) != "")
         .withColumn("line_key", F.md5(F.lower(F.trim(F.col("line")))))
@@ -156,7 +164,15 @@ def dedup_lines(
         .select("line_key")
     )
     kept = lines.join(boilerplate, "line_key", "left_anti")
-    n_total = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines_total"))
+    n_total = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(
+            lines.groupBy("doc_id").agg(F.count("*").alias("n_lines_total")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("n_lines_total", F.lit(0)).alias("n_lines_total"))
+    )
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
             "\n",
@@ -185,13 +201,15 @@ def sql_dedup_lines(min_occurrences: int = 2) -> str:
     return (
         "WITH lines AS (SELECT doc_id, i - 1 AS line_no, l AS line, "
         "md5(lower(trim(l))) AS line_key FROM ("
-        "SELECT doc_id, unnest(string_split(text, chr(10))) AS l, "
-        "unnest(generate_series(1, len(string_split(text, chr(10))))) AS i "
+        "SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS l, "
+        "unnest(generate_series(1, len(string_split(coalesce(text, ''), chr(10))))) AS i "
         "FROM documents) WHERE trim(l) <> ''), "
         "boiler AS (SELECT line_key FROM lines GROUP BY line_key "
         f"HAVING count(*) >= {min_occurrences}), "
         "kept AS (SELECT * FROM lines WHERE line_key NOT IN (SELECT line_key FROM boiler)), "
-        "totals AS (SELECT doc_id, count(*) AS n_lines_total FROM lines GROUP BY doc_id), "
+        "totals AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_lines_total "
+        "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM lines GROUP BY doc_id) c "
+        "ON d.doc_id = c.doc_id), "
         "rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text, "
         "count(*) AS n_lines_kept FROM kept GROUP BY doc_id) "
         "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
@@ -214,8 +232,9 @@ PII_PHONE = r"\+\d[\d().\- ]{7,}\d"
 def scrub_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Mask emails → IPv4s → phones (in that order, each pass on the
     previous pass's output, so counts are disjoint). Returns
-    (doc_id, scrubbed, n_emails, n_ips, n_phones)."""
-    t0 = F.col(text_col)
+    (doc_id, scrubbed, n_emails, n_ips, n_phones). Total on NULL text
+    (treated as empty)."""
+    t0 = F.coalesce(F.col(text_col), F.lit(""))
     n_email = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL), F.lit(0)))
     t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
     n_ip = F.size(F.regexp_extract_all(t1, F.lit(PII_IPV4), F.lit(0)))
@@ -237,7 +256,7 @@ def sql_scrub_pii(text_expr: str = "text", id_expr: str = "doc_id") -> str:
 
     em, ip, ph = esc(PII_EMAIL), esc(PII_IPV4), esc(PII_PHONE)
     return (
-        f"WITH s0 AS (SELECT {id_expr} AS doc_id, {text_expr} AS t0 FROM documents), "
+        f"WITH s0 AS (SELECT {id_expr} AS doc_id, coalesce({text_expr}, '') AS t0 FROM documents), "
         f"s1 AS (SELECT doc_id, t0, CAST(len(regexp_extract_all(t0, '{em}')) AS INT) AS n_emails, "
         f"regexp_replace(t0, '{em}', '<EMAIL>', 'g') AS t1 FROM s0), "
         f"s2 AS (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t1, '{ip}')) AS INT) AS n_ips, "

@@ -20,6 +20,7 @@ DOCS = [
     (6, ""),
     (7, "x\n\n\nx\nx"),
     (8, "the quick brown fox jumps over the lazy dog again and again today"),
+    (9, None),  # operators must be total: NULL text ≡ empty, row kept
 ]
 
 
@@ -89,6 +90,10 @@ class TestLineDedup:
         # doc 7: "x" occurs 3 times → removed everywhere, doc empties
         assert rows[7]["clean_text"] == ""
         assert rows[7]["n_lines_kept"] == 0
+        # totality: NULL-text and empty-text docs still come back
+        for d in (6, 9):
+            assert rows[d]["clean_text"] == ""
+            assert rows[d]["n_lines_removed"] == 0
         # untouched docs keep their original line order
         assert rows[3]["clean_text"] == "• first\n• second\n• third"
 
