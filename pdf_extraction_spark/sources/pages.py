@@ -30,6 +30,38 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("iceberg").load(path)
 
 
+def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Web corpora commonly ship as JSONL (one doc per line — Dolma/
+    RedPajama/FineWeb layout): url, timestamp (ISO-8601), html
+    (base64-encoded when binary), text, lang. Normalized to the pages
+    schema; missing fields become NULLs. Spark's json source splits
+    .jsonl/.jsonl.gz files line-parallel, so the read scales like any
+    text scan."""
+    raw = spark.read.schema(
+        "url string, timestamp string, html string, text string, lang string"
+    ).json(path)
+    return raw.select(
+        "url",
+        F.to_timestamp("timestamp").alias("warc_ts"),
+        F.unbase64("html").alias("html"),
+        "text",
+        "lang",
+    )
+
+
+def write_pages_jsonl(pages: DataFrame, path: str):
+    """Inverse of read_pages_jsonl (binary html → base64 string)."""
+    (
+        pages.select(
+            "url",
+            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
+            F.base64("html").alias("html"),
+            "text",
+            "lang",
+        ).write.mode("overwrite").json(path)
+    )
+
+
 def read_raw_crawl(spark: SparkSession, glob: str) -> DataFrame:
     """Raw files → pages shape via the binaryFile source (path → url,
     modificationTime → warc_ts); the filename-derived date/quarter columns

@@ -105,3 +105,31 @@ class TestWarcSpark:
                 by_url[row["url"]] = extract_document_text(row["url"], row["html"])
         for r in docs:
             assert r.text == by_url[r.url], r.url
+
+
+class TestJsonl:
+    def test_jsonl_roundtrip_byte_identity(self, spark, tmp_path):
+        """pages → JSONL → pages keeps binary payloads byte-identical
+        (base64 bridge) and extraction output unchanged."""
+        from pdf_extraction_spark.operators.extract import extract_text
+        from pdf_extraction_spark.sources.pages import (
+            read_pages_jsonl,
+            synth_pages_df,
+            write_pages_jsonl,
+        )
+
+        pages = synth_pages_df(spark, 30)
+        out = str(tmp_path / "pages_jsonl")
+        write_pages_jsonl(pages, out)
+        back = read_pages_jsonl(spark, out)
+
+        orig = {r["url"]: r for r in pages.collect()}
+        rt = {r["url"]: r for r in back.collect()}
+        assert set(orig) == set(rt)
+        for url, r in rt.items():
+            assert bytes(r["html"]) == bytes(orig[url]["html"])
+            assert r["warc_ts"] == orig[url]["warc_ts"]
+
+        a = {r["url"]: r["text"] for r in extract_text(pages).collect()}
+        b = {r["url"]: r["text"] for r in extract_text(back).collect()}
+        assert a == b
