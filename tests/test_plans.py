@@ -220,6 +220,38 @@ class TestStreaming:
         for k, v in got.items():
             assert v == expect[k]
 
+    def test_streaming_dedup(self, spark, tmp_path):
+        """Ingest dedup: re-delivered urls and mirrored payloads collapse
+        to first-delivery-wins within the watermark horizon."""
+        from pdf_extraction_spark.sources.pages import PAGES_SCHEMA, synth_pages_df
+        from pdf_extraction_spark.streaming.dedup import (
+            dedup_stream_by_content,
+            dedup_stream_by_url,
+        )
+        from pdf_extraction_spark.streaming.events import run_stream_to_memory
+
+        base = synth_pages_df(spark, 20)
+        # re-deliver everything once (same url, same bytes, later ts)
+        redelivered = base.withColumn(
+            "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 MINUTE")
+        )
+        # plus one mirror: same bytes under a different url
+        mirror = base.limit(1).withColumn("url", F.concat(F.col("url"), F.lit("?mirror")))
+        stream_dir = str(tmp_path / "dup_stream")
+        base.unionByName(redelivered).unionByName(mirror).write.parquet(stream_dir)
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(stream_dir)
+
+        q = run_stream_to_memory(dedup_stream_by_url(stream), "dedup_url")
+        q.awaitTermination(180)
+        urls = [r.url for r in spark.sql("SELECT url FROM dedup_url").collect()]
+        assert len(urls) == len(set(urls)) == 21  # 20 distinct + the mirror url
+
+        stream2 = spark.readStream.schema(PAGES_SCHEMA).parquet(stream_dir)
+        q2 = run_stream_to_memory(dedup_stream_by_content(stream2), "dedup_content")
+        q2.awaitTermination(180)
+        n = spark.sql("SELECT count(*) c FROM dedup_content").first().c
+        assert n == 20  # mirror payload collapsed too
+
     def test_streaming_extraction(self, spark, pages, tmp_path):
         from pdf_extraction_spark.sources.pages import PAGES_SCHEMA
         from pdf_extraction_spark.streaming.events import (
