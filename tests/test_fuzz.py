@@ -84,3 +84,26 @@ def test_binary_payloads_total(payload):
     assert isinstance(extract_document_text("https://x.example/a.html", payload), str)
     assert isinstance(extract_document_text("https://x.example/a.pdf", payload), str)
     assert isinstance(extract_pdf_text(b"%PDF-" + payload), str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_pdf_string_decoders_total(raw):
+    """Literal/hex string decoders on arbitrary bytes: never raise
+    (regression class: \\8 and \\9 escapes used to ValueError)."""
+    from pdf_extraction_spark.kernels.pdfio import _decode_hex, _decode_literal
+
+    assert isinstance(_decode_literal(raw), str)
+    assert isinstance(_decode_hex(raw), str)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=400))
+def test_pdf_content_stream_total(data):
+    """Arbitrary bytes wrapped as a content stream (incl. malformed
+    BT/ET blocks, TJ arrays, hex strings) — never raises."""
+    from pdf_extraction_spark.kernels.pdfio import _stream_text
+
+    assert isinstance(_stream_text(data), str)
+    assert isinstance(_stream_text(b"BT " + data + b" ET"), str)
+    assert isinstance(_stream_text(b"BT [" + data + b"] TJ ET"), str)
