@@ -1,0 +1,98 @@
+"""Physical-plan regression guards.
+
+PLANS.md documents the plan shapes the engine promises (no Python in
+native paths, broadcast not theta joins, TakeOrderedAndProject top-k,
+pruned scans). These tests pin the load-bearing ones so a refactor that
+silently introduces a Python UDF, a cartesian product, or a global sort
+fails CI instead of surviving until a 100 TB run.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+PY_MARKERS = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _assert_no_python(df, name):
+    p = _plan(df)
+    hits = [m for m in PY_MARKERS if m in p]
+    assert not hits, f"{name} plan contains Python stages {hits}"
+
+
+NATIVE_QUERIES = [
+    "filter_short", "word_stats", "quality_score", "speaker_role",
+    "chunk_filter", "categorize", "category_counts", "fin_revenue",
+    "fin_quarters", "executive_join", "top3_per_segment", "events_rollup",
+    "recency_weights", "weighted_rerank", "cosine_topk", "dedup_exact",
+    "dedup_wordset", "ngram_jaccard", "text_ratios", "token_count",
+    "gopher_quality", "dedup_lines", "pii_scrub", "stratified_sample",
+    "nation_revenue", "keep_last", "salted_agg", "url_dates",
+    "embedding_neardup", "corpus_profile", "category_pivot",
+]
+
+
+@pytest.mark.parametrize("name", NATIVE_QUERIES)
+def test_native_queries_have_no_python_stage(spark, name):
+    import __spark_entry__ as e
+
+    _assert_no_python(e.queries()[name](spark, SF), name)
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No query may plan a cartesian/broadcast nested-loop join (the
+    O(n²) shapes); the one intentional exception is the brute-force
+    embedding near-dup oracle mode (id_a < id_b theta join)."""
+    import __spark_entry__ as e
+
+    allowed = {"embedding_neardup", "ivf_topk"}
+    for name, fn in e.queries().items():
+        if name in allowed:
+            continue
+        p = _plan(fn(spark, SF))
+        assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+
+
+def test_topk_is_heap_not_global_sort(spark):
+    import __spark_entry__ as e
+
+    p = _plan(e.queries()["cosine_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_executive_join_is_broadcast(spark):
+    import __spark_entry__ as e
+
+    p = _plan(e.queries()["executive_join"](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_extraction_has_single_python_crossing(spark):
+    import __spark_entry__ as e
+
+    p = _plan(e.queries()["extract_pipeline"](spark, SF))
+    # exactly 2: the synthetic-pages GENERATOR is one mapInPandas, the
+    # fused extract+clean+parse is the other — the pipeline itself has
+    # a single crossing (on real input the generator node is a scan)
+    assert p.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in p
+
+    from pdf_extraction_spark.operators.extract import extract_parse
+    from pdf_extraction_spark.sources.pages import read_pages
+
+    real = extract_parse(read_pages(spark, f"{SF}/documents.parquet").limit(0))
+    # on a table scan input: exactly ONE Python crossing
+    assert _plan(real).count("MapInPandas") == 1
+
+
+def test_scan_pruning_reaches_parquet(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(docs.filter(F.col("lang") == "en").select("doc_id", "n_chars"))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
+    assert "text" not in p.split("ReadSchema")[1].splitlines()[0]
