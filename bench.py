@@ -199,6 +199,19 @@ def main():
             "cores_ratio": 4.0,
             "efficiency": eff(4, 16),
         }
+        # attach the committed decomposition evidence (hardware ceiling +
+        # separate-JVM local-cluster pair) when present — see
+        # scripts/scaling_calibration.py and BENCH/BASELINE.md
+        calib_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_calibration.json"
+        )
+        if os.path.exists(calib_path):
+            with open(calib_path) as f:
+                calib = json.load(f)
+            scaling["calibration"] = {
+                "pairs": calib.get("pairs"),
+                "local_cluster": calib.get("local_cluster"),
+            }
 
     spark = get_session(CPUS)
     queries = bench_queries(spark)
