@@ -102,6 +102,81 @@ class TestPdfRoundtrip:
         )
 
 
+class TestFallbackChain:
+    """S4: the plumber→PyPDF2→builtin order with first-non-empty-wins.
+
+    The real libraries are not installable in this sandbox (no network),
+    so the chain is exercised with injected fakes that reproduce their
+    call shapes — the dispatch/ordering/error-swallowing logic under
+    test is exactly the code that runs with the real libraries."""
+
+    class _FakePlumberPDF:
+        def __init__(self, texts):
+            self.pages = [type("P", (), {"extract_text": (lambda s, t=t: t)})() for t in texts]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def _fake_plumber(self, texts=None, raise_=False):
+        mod = type("pdfplumber", (), {})()
+        outer = self
+
+        def op(_data):
+            if raise_:
+                raise RuntimeError("corrupt")
+            return outer._FakePlumberPDF(texts)
+
+        mod.open = op
+        return mod
+
+    def _fake_pypdf2(self, texts=None, raise_=False):
+        mod = type("PyPDF2", (), {})()
+
+        class Reader:
+            def __init__(self, _data):
+                if raise_:
+                    raise RuntimeError("corrupt")
+                self.pages = [
+                    type("P", (), {"extract_text": (lambda s, t=t: t)})() for t in texts
+                ]
+
+        mod.PdfReader = Reader
+        return mod
+
+    def test_plumber_wins_when_present(self, monkeypatch):
+        from pdf_extraction_spark.kernels import pdfio
+
+        monkeypatch.setattr(pdfio, "pdfplumber", self._fake_plumber(["from plumber"]))
+        monkeypatch.setattr(pdfio, "PyPDF2", self._fake_pypdf2(["from pypdf2"]))
+        assert pdfio.extract_pdf_text(b"%PDF-x") == "from plumber\n"
+
+    def test_empty_plumber_falls_to_pypdf2(self, monkeypatch):
+        from pdf_extraction_spark.kernels import pdfio
+
+        monkeypatch.setattr(pdfio, "pdfplumber", self._fake_plumber([None, ""]))
+        monkeypatch.setattr(pdfio, "PyPDF2", self._fake_pypdf2(["from pypdf2"]))
+        assert pdfio.extract_pdf_text(b"%PDF-x") == "from pypdf2\n"
+
+    def test_raising_libs_fall_to_builtin(self, monkeypatch):
+        from pdf_extraction_spark.kernels import pdfio
+
+        monkeypatch.setattr(pdfio, "pdfplumber", self._fake_plumber(raise_=True))
+        monkeypatch.setattr(pdfio, "PyPDF2", self._fake_pypdf2(raise_=True))
+        pdf = build_minimal_pdf(["builtin text"])
+        assert pdfio.extract_pdf_text(pdf) == "builtin text\n"
+
+    def test_absent_libs_use_builtin(self, monkeypatch):
+        from pdf_extraction_spark.kernels import pdfio
+
+        monkeypatch.setattr(pdfio, "pdfplumber", None)
+        monkeypatch.setattr(pdfio, "PyPDF2", None)
+        pdf = build_minimal_pdf(["builtin text"])
+        assert pdfio.extract_pdf_text(pdf) == "builtin text\n"
+
+
 class TestHtmlBoilerplate:
     HTML = (
         "<html><head><title>T</title><script>var x;</script></head><body>"
