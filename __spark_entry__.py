@@ -544,6 +544,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_fraction=0.05,
         ).select("doc_id", "source")
 
+    # -- training-sequence packing (window math, oracle-able) ---------------
+    def q_pack_sequences(spark, sf):
+        from pdf_extraction_spark.operators.curation import pack_sequences
+        from pdf_extraction_spark.operators.textanalysis import token_count_col
+
+        docs = _docs(spark, sf).select(
+            "doc_id", token_count_col(F.col("text")).alias("token_count")
+        )
+        return pack_sequences(docs, budget=512, n_shards=8)
+
     # -- TPC-H-ish join/agg: revenue by nation (broadcast dims) -------------
     def q_nation_revenue(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -763,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "nation_revenue": q_nation_revenue,
     }
 
@@ -801,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.curation import (
         sql_dedup_lines,
         sql_gopher_flags,
+        sql_pack_sequences,
         sql_scrub_pii,
         sql_stratified_sample,
     )
@@ -1162,6 +1174,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": (
             "SELECT doc_id, source FROM documents WHERE "
             + sql_stratified_sample("doc_id", "source", SAMPLE_FRACTIONS, 0.05)
+        ),
+        "pack_sequences": sql_pack_sequences(
+            sql_token_count("text"), budget=512, n_shards=8
         ),
         # --- kernel-input fixtures + relational recompute (see
         # tests/make_oracle_fixtures.py): the kernel hash/embed outputs

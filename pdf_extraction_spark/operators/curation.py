@@ -268,6 +268,92 @@ def sql_scrub_pii(text_expr: str = "text", id_expr: str = "doc_id") -> str:
 
 
 # --------------------------------------------------------------------------
+# sequence packing (training-batch assembly)
+# --------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "token_count",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    n_shards: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign each doc to a fixed-token-budget training sequence —
+    the concatenate-then-chunk packing LLM pipelines run after curation
+    (docs are laid head-to-tail per shard; a doc belongs to the sequence
+    its first token falls in).
+
+    Deterministic and engine-portable: shard = md5-bucket of the doc id
+    (one shuffle), order within shard = doc id, sequence = running-token
+    offset ÷ budget — a window function, not a sequential driver loop,
+    so it scales with shards and is reproducible run-to-run.
+
+    Returns (doc_id, token_count, shard, seq_id, offset_in_seq)."""
+    from pyspark.sql import Window
+
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(token_col).cast("long")
+    out = (
+        df.select(F.col(id_col), toks.alias("token_count"), shard.alias("shard"))
+        .withColumn("__cum", F.sum("token_count").over(w))
+        .withColumn("__start", F.col("__cum") - F.col("token_count"))
+    )
+    return out.select(
+        id_col,
+        "token_count",
+        "shard",
+        F.floor(F.col("__start") / budget).alias("seq_id"),
+        (F.col("__start") % budget).alias("offset_in_seq"),
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int = 2048) -> DataFrame:
+    """Per-sequence fill report: (shard, seq_id, n_docs, total_tokens,
+    fill_ratio) — the packing-efficiency corpus card."""
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("token_count").alias("total_tokens"),
+        F.round(F.sum("token_count") / F.lit(float(budget)), 4).alias("fill_ratio"),
+    )
+
+
+def sql_pack_sequences(
+    token_expr: str,
+    id_expr: str = "doc_id",
+    budget: int = 2048,
+    n_shards: int = 32,
+    salt: str = "pack",
+) -> str:
+    """DuckDB twin of pack_sequences (same md5 shard, same window)."""
+    shard = (
+        f"(CAST('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || '{salt}'), 1, 8) AS BIGINT) % {n_shards})"
+    )
+    return (
+        f"WITH t AS (SELECT {id_expr} AS doc_id, CAST({token_expr} AS BIGINT) AS token_count, "
+        f"{shard} AS shard FROM documents), "
+        "c AS (SELECT doc_id, token_count, shard, "
+        "sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - token_count AS strt FROM t) "
+        f"SELECT doc_id, token_count, shard, "
+        f"CAST(floor(strt / {budget}) AS BIGINT) AS seq_id, "
+        f"strt % {budget} AS offset_in_seq FROM c"
+    )
+
+
+# --------------------------------------------------------------------------
 # deterministic stratified sampling
 # --------------------------------------------------------------------------
 

@@ -115,6 +115,67 @@ class TestPiiScrub:
         assert "555" not in row["scrubbed"]
 
 
+class TestPackSequences:
+    def test_cross_engine(self, docs_df):
+        from pdf_extraction_spark.operators.curation import (
+            pack_sequences,
+            sql_pack_sequences,
+        )
+        from pdf_extraction_spark.operators.textanalysis import (
+            sql_token_count,
+            token_count_col,
+        )
+        from pyspark.sql import functions as F
+
+        toks = docs_df.select(
+            "doc_id", token_count_col(F.coalesce(F.col("text"), F.lit(""))).alias("token_count")
+        )
+        out = pack_sequences(toks, budget=16, n_shards=2)
+        _compare(
+            out, _con(), sql_pack_sequences(
+                sql_token_count("coalesce(text, '')"), budget=16, n_shards=2
+            )
+        )
+
+    def test_packing_invariants(self, spark):
+        from pdf_extraction_spark.operators.curation import pack_sequences, pack_stats
+
+        rows = [(i, 10 + (i % 7)) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, token_count int")
+        packed = pack_sequences(df, budget=64, n_shards=4).persist()
+        got = packed.collect()
+        # every doc present exactly once
+        assert sorted(r["doc_id"] for r in got) == [i for i, _ in rows]
+        # a doc starts inside its sequence's budget window
+        for r in got:
+            assert 0 <= r["offset_in_seq"] < 64
+        # per (shard, seq): offsets are the running layout — docs tile
+        # head-to-tail in doc_id order across sequence boundaries
+        by_shard = {}
+        for r in sorted(got, key=lambda r: (r["shard"], r["doc_id"])):
+            cum = by_shard.get(r["shard"], 0)
+            assert r["seq_id"] == cum // 64 and r["offset_in_seq"] == cum % 64
+            by_shard[r["shard"]] = cum + r["token_count"]
+        # stats: every non-final sequence is filled to within two docs of
+        # budget (a boundary-spanning doc counts where it STARTS, so each
+        # boundary can shift up to max_tok tokens on each side)
+        max_tok = 16
+        stats = {(s["shard"], s["seq_id"]): s for s in pack_stats(packed, budget=64).collect()}
+        for (shard, seq), s in stats.items():
+            is_last = seq == max(q for sh, q in stats if sh == shard)
+            if not is_last:
+                assert s["total_tokens"] > 64 - 2 * max_tok
+        packed.unpersist()
+
+    def test_deterministic(self, spark):
+        from pdf_extraction_spark.operators.curation import pack_sequences
+
+        df = spark.createDataFrame([(i, 5 + i % 3) for i in range(50)], "doc_id long, token_count int")
+        a = sorted(map(tuple, pack_sequences(df, budget=32, n_shards=4).collect()))
+        b = sorted(map(tuple, pack_sequences(df.repartition(7), budget=32, n_shards=4).collect()))
+        assert a == b  # partitioning-independent
+
+
 class TestStratifiedSample:
     def test_cross_engine(self, docs_df):
         from pdf_extraction_spark.operators.curation import (
