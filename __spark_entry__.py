@@ -133,6 +133,14 @@ AS_OF = "2024-02-01"
 # per-source sampling rates for the deterministic stratified sampler
 SAMPLE_FRACTIONS = {"src0": 0.5, "src1": 0.25, "src2": 0.1}
 
+# decontamination eval fixture: two rows excerpt real sf0.01 document
+# prefixes (so overlap genuinely fires), one is novel (no overlap)
+EVAL_ROWS = [
+    (0, "window merge spark merge batch table a big a join"),
+    (1, "join hash agg batch the big window data vector key"),
+    (2, "completely novel benchmark question text with no corpus overlap at all"),
+]
+
 QUERY_VEC_SEED = 7
 
 
@@ -544,6 +552,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_fraction=0.05,
         ).select("doc_id", "source")
 
+    # -- benchmark decontamination (eval n-gram overlap, oracle-able) -------
+    def q_decontaminate(spark, sf):
+        from pdf_extraction_spark.operators.curation import flag_contaminated
+
+        eval_df = spark.createDataFrame(EVAL_ROWS, "eid int, text string")
+        return flag_contaminated(_docs(spark, sf), eval_df, n=5).filter(
+            F.col("contaminated")
+        )
+
     # -- training-sequence packing (window math, oracle-able) ---------------
     def q_pack_sequences(spark, sf):
         from pdf_extraction_spark.operators.curation import pack_sequences
@@ -774,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "nation_revenue": q_nation_revenue,
     }
 
@@ -811,6 +829,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.components import sql_dedup_clusters
     from pdf_extraction_spark.operators.curation import (
         sql_dedup_lines,
+        sql_flag_contaminated,
         sql_gopher_flags,
         sql_pack_sequences,
         sql_scrub_pii,
@@ -1177,6 +1196,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_sequences": sql_pack_sequences(
             sql_token_count("text"), budget=512, n_shards=8
+        ),
+        "decontaminate": (
+            "SELECT * FROM ("
+            + sql_flag_contaminated(
+                _sql_values([(t,) for _, t in EVAL_ROWS], ["text"]), n=5
+            )
+            + ") WHERE contaminated"
         ),
         # --- kernel-input fixtures + relational recompute (see
         # tests/make_oracle_fixtures.py): the kernel hash/embed outputs

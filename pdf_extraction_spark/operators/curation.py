@@ -268,6 +268,83 @@ def sql_scrub_pii(text_expr: str = "text", id_expr: str = "doc_id") -> str:
 
 
 # --------------------------------------------------------------------------
+# benchmark decontamination (eval-set n-gram overlap)
+# --------------------------------------------------------------------------
+
+def flag_contaminated(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Flag training docs sharing ≥ ``min_overlap`` word ``n``-grams with
+    an evaluation set — the standard pre-training decontamination pass
+    (GPT-3 App. C / PaLM-style n-gram overlap).
+
+    Scale shape: eval sets are small by construction, so the eval
+    shingle set is BROADCAST and the overlap check is a broadcast
+    semi-join against the exploded doc shingles — the corpus side
+    shuffles once on doc_id for the count, never on the shingle.
+
+    Returns (doc_id, n_overlaps, contaminated)."""
+    from .dedup import shingle_df
+
+    doc_sh = shingle_df(docs, text_col, id_col, n)
+    eval_sh = (
+        shingle_df(
+            eval_df.select(F.col(eval_text_col).alias("__t"), F.lit(0).alias("__i")),
+            "__t",
+            "__i",
+            n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    hits = doc_sh.join(F.broadcast(eval_sh), "shingle").groupBy("doc_id").agg(
+        F.count("*").alias("n_overlaps")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlaps", F.lit(0)).alias("n_overlaps"),
+            (F.coalesce("n_overlaps", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def sql_flag_contaminated(eval_values: str, n: int = 8, min_overlap: int = 1) -> str:
+    """DuckDB twin over the ``documents`` view; ``eval_values`` is an
+    inline relation with a ``text`` column (same literal rows as the
+    Spark query's eval_df)."""
+    def grams(text_expr, idexpr):
+        return (
+            f"SELECT {idexpr} AS gid, unnest(CASE WHEN len(w) >= {n} THEN "
+            f"list_distinct([array_to_string(w[i:i+{n - 1}], ' ') FOR i IN range(1, len(w) - {n - 2})]) "
+            f"ELSE [array_to_string(w, ' ')] END) AS shingle FROM "
+            f"(SELECT {idexpr}, list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '') AS w "
+        )
+
+    return (
+        "WITH doc_sh AS ("
+        + grams("text", "doc_id")
+        + "FROM documents)), "
+        "eval_sh AS (SELECT DISTINCT shingle FROM ("
+        + grams("text", "0")
+        + f"FROM {eval_values}))), "
+        "hits AS (SELECT gid AS doc_id, count(*) AS n_overlaps FROM doc_sh "
+        "JOIN eval_sh USING (shingle) GROUP BY gid) "
+        "SELECT d.doc_id, CAST(coalesce(h.n_overlaps, 0) AS BIGINT) AS n_overlaps, "
+        f"coalesce(h.n_overlaps, 0) >= {min_overlap} AS contaminated "
+        "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
 # sequence packing (training-batch assembly)
 # --------------------------------------------------------------------------
 

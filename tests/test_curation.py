@@ -115,6 +115,37 @@ class TestPiiScrub:
         assert "555" not in row["scrubbed"]
 
 
+class TestDecontamination:
+    EVAL = [
+        (0, "alpha beta gamma"),                       # 3-gram of doc 0's first line
+        (1, "totally unseen benchmark prompt words"),  # no overlap
+    ]
+
+    def test_cross_engine(self, docs_df, spark):
+        from pdf_extraction_spark.operators.curation import (
+            flag_contaminated,
+            sql_flag_contaminated,
+        )
+        import __spark_entry__ as e
+
+        eval_df = spark.createDataFrame(self.EVAL, "eid int, text string")
+        out = flag_contaminated(docs_df, eval_df, n=3)
+        sql = sql_flag_contaminated(
+            e._sql_values([(t,) for _, t in self.EVAL], ["text"]), n=3
+        )
+        _compare(out, _con(), sql)
+
+    def test_semantics(self, docs_df, spark):
+        from pdf_extraction_spark.operators.curation import flag_contaminated
+
+        eval_df = spark.createDataFrame(self.EVAL, "eid int, text string")
+        rows = {r["doc_id"]: r for r in flag_contaminated(docs_df, eval_df, n=3).collect()}
+        assert len(rows) == len(DOCS)          # total: every doc flagged or not
+        assert rows[0]["contaminated"] is True  # contains "alpha beta gamma"
+        assert rows[0]["n_overlaps"] == 1
+        assert all(not rows[d]["contaminated"] for d in rows if d != 0)
+
+
 class TestPackSequences:
     def test_cross_engine(self, docs_df):
         from pdf_extraction_spark.operators.curation import (
