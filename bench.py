@@ -135,6 +135,7 @@ def bench_queries(spark) -> dict:
         "weighted_rerank", "dedup_exact", "ngram_jaccard", "minhash_lsh",
         "simhash", "text_ratios", "token_count", "langid",
         "gopher_quality", "dedup_lines", "pii_scrub", "stratified_sample",
+        "pack_sequences", "decontaminate",
     ]
     out = {}
     for name in picks:

@@ -424,9 +424,11 @@ def sql_pack_sequences(
         "c AS (SELECT doc_id, token_count, shard, "
         "sum(token_count) OVER (PARTITION BY shard ORDER BY doc_id "
         "ROWS UNBOUNDED PRECEDING) - token_count AS strt FROM t) "
+        # CASTs: DuckDB's windowed sum yields HUGEINT (→ pandas float64),
+        # breaking the driver's value hash vs Spark's long
         f"SELECT doc_id, token_count, shard, "
         f"CAST(floor(strt / {budget}) AS BIGINT) AS seq_id, "
-        f"strt % {budget} AS offset_in_seq FROM c"
+        f"CAST(strt % {budget} AS BIGINT) AS offset_in_seq FROM c"
     )
 
 
