@@ -803,7 +803,7 @@ def _topk_batch_sql() -> str:
     for j in range(3):
         qv = _query_vec()[j:] + _query_vec()[:j]
         selects.append(
-            f"SELECT {j} AS q_id, vec_id, {sql_cosine('embedding', qv, 6)} AS similarity "
+            f"SELECT CAST({j} AS BIGINT) AS q_id, vec_id, {sql_cosine('embedding', qv, 6)} AS similarity "
             "FROM embeddings WHERE embedding IS NOT NULL"
         )
     allq = " UNION ALL ".join(selects)
