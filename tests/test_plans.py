@@ -252,6 +252,43 @@ class TestStreaming:
         n = spark.sql("SELECT count(*) c FROM dedup_content").first().c
         assert n == 20  # mirror payload collapsed too
 
+    def test_streaming_exactly_once_sink(self, spark, pages, tmp_path):
+        """Streaming extraction with the lineage commit protocol:
+        drains available input, is idempotent on batch redelivery, and a
+        restarted query reprocesses nothing."""
+        import os as _os
+
+        from pdf_extraction_spark.sources.pages import PAGES_SCHEMA
+        from pdf_extraction_spark.streaming.sink import (
+            committed_batches,
+            make_extraction_sink,
+            run_streaming_extraction_to_parquet,
+        )
+
+        src = str(tmp_path / "stream_src")
+        out = str(tmp_path / "stream_out")
+        pages.write.parquet(src)
+
+        q = run_streaming_extraction_to_parquet(spark, src, out, PAGES_SCHEMA)
+        q.awaitTermination(180)
+        docs = spark.read.parquet(_os.path.join(out, "docs"))
+        n1 = docs.count()
+        assert n1 == pages.count()
+        lineage = spark.read.parquet(_os.path.join(out, "lineage"))
+        assert lineage.agg(F.sum("doc_count")).first()[0] == n1
+        done = committed_batches(spark, _os.path.join(out, "lineage"))
+        assert done  # at least one committed batch
+
+        # redeliver a committed batch straight into the sink → no-op
+        sink = make_extraction_sink(out)
+        sink(pages, min(done))
+        assert spark.read.parquet(_os.path.join(out, "docs")).count() == n1
+
+        # restart the query on the same checkpoint → nothing new
+        q2 = run_streaming_extraction_to_parquet(spark, src, out, PAGES_SCHEMA)
+        q2.awaitTermination(180)
+        assert spark.read.parquet(_os.path.join(out, "docs")).count() == n1
+
     def test_streaming_extraction(self, spark, pages, tmp_path):
         from pdf_extraction_spark.sources.pages import PAGES_SCHEMA
         from pdf_extraction_spark.streaming.events import (
