@@ -129,6 +129,16 @@ def bench_queries(spark) -> dict:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # absorb JVM/codegen/scan warm-up once, outside any timed window —
+    # otherwise the FIRST query billed eats ~3-9 s of session startup
+    # (the round-1 "quality_score 10 s" driver-bench anomaly)
+    try:
+        import __spark_entry__ as _e
+
+        _e._docs(spark, SF_DIR).selectExpr("count(*)", "sum(n_chars)").collect()
+        qs["quality_score"](spark, SF_DIR).limit(1).count()
+    except Exception as e:  # pragma: no cover
+        log(f"warmup failed: {e}")
     picks = [
         "quality_score", "categorize", "category_counts", "nation_revenue",
         "top3_per_segment", "events_rollup", "windowed_counts", "cosine_topk",
