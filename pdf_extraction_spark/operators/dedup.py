@@ -241,9 +241,15 @@ def minhash_lsh_pairs(
         F.explode(
             F.transform(
                 band_idx,
+                # 64-bit bucket key (not an md5 string): the banding
+                # shuffle carries bands× the corpus row count at scale,
+                # so key width matters; a false 64-bit collision only
+                # adds a candidate pair that the est-jaccard filter
+                # rejects — harmless, unlike dedup GROUPING keys which
+                # stay 128-bit
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.md5(
+                    F.xxhash64(
                         F.concat_ws(
                             ",",
                             F.transform(
