@@ -303,3 +303,36 @@ class TestStreaming:
         q.awaitTermination(180)
         n = spark.sql("SELECT count(*) c FROM stream_docs").first().c
         assert n == pages.count()
+
+
+class TestCurationCli:
+    def test_run_curation_end_to_end(self, spark, tmp_path):
+        """scripts/run_curation.py main() in-process (getOrCreate reuses
+        the test session): synth pages → curated, packed, partitioned
+        corpus + pack/host stats on disk."""
+        import importlib.util
+        import os as _os
+
+        spec = importlib.util.spec_from_file_location(
+            "run_curation", _os.path.join(_os.path.dirname(__file__), "..", "scripts", "run_curation.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        out = str(tmp_path / "corpus_out")
+        mod.main(["--synth", "80", "--output", out, "--budget", "256", "--shards", "4",
+                  "--min-tokens", "10"])
+
+        corpus = spark.read.parquet(_os.path.join(out, "corpus"))
+        n = corpus.count()
+        assert n > 0
+        cols = set(corpus.columns)
+        assert {"doc_id", "url", "text", "token_count", "shard", "seq_id", "offset_in_seq"} <= cols
+        # curation gates actually applied
+        assert corpus.filter(F.col("detected_lang") != "en").count() == 0
+        assert corpus.filter(F.col("token_count") < 10).count() == 0
+        # packing assignment total and in-range
+        assert corpus.select("doc_id").distinct().count() == n
+        assert corpus.filter((F.col("offset_in_seq") < 0) | (F.col("offset_in_seq") >= 256)).count() == 0
+        assert spark.read.parquet(_os.path.join(out, "pack_stats")).count() > 0
+        assert spark.read.parquet(_os.path.join(out, "host_stats")).count() > 0
