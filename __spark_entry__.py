@@ -133,6 +133,20 @@ AS_OF = "2024-02-01"
 # per-source sampling rates for the deterministic stratified sampler
 SAMPLE_FRACTIONS = {"src0": 0.5, "src1": 0.25, "src2": 0.1}
 
+# URL-filter fixture: mixed schemes / asset extensions / blocked hosts
+URL_FILTER_ROWS = [
+    (0, "https://ok.example/LUPIN/call.pdf"),
+    (1, "http://ok.example/page"),
+    (2, "ftp://ok.example/file.txt"),
+    (3, "https://ok.example/logo.PNG"),
+    (4, "https://ok.example/style.css?v=3"),
+    (5, "https://spam.example/CIPLA/earnings.html"),
+    (6, "https://ok.example/report.html#s2"),
+    (7, "not-a-url"),
+    (8, "https://SPAM.example/x"),
+]
+URL_BLOCKED_HOSTS = ("spam.example",)
+
 # decontamination eval fixture: two rows excerpt real sf0.01 document
 # prefixes (so overlap genuinely fires), one is novel (no overlap)
 EVAL_ROWS = [
@@ -552,6 +566,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             default_fraction=0.05,
         ).select("doc_id", "source")
 
+    # -- crawl-hygiene URL filter (native predicate, oracle-able) -----------
+    def q_url_filter(spark, sf):
+        from pdf_extraction_spark.operators.curation import filter_urls
+
+        urls = spark.createDataFrame(URL_FILTER_ROWS, "uid int, url string")
+        return filter_urls(urls, blocked_hosts=URL_BLOCKED_HOSTS)
+
     # -- benchmark decontamination (eval n-gram overlap, oracle-able) -------
     def q_decontaminate(spark, sf):
         from pdf_extraction_spark.operators.curation import flag_contaminated
@@ -792,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "url_filter": q_url_filter,
         "nation_revenue": q_nation_revenue,
     }
 
@@ -834,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
         sql_pack_sequences,
         sql_scrub_pii,
         sql_stratified_sample,
+        sql_url_filter,
     )
     from pdf_extraction_spark.operators.dedup import (
         sql_minhash_lsh_pairs,
@@ -1196,6 +1219,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pack_sequences": sql_pack_sequences(
             sql_token_count("text"), budget=512, n_shards=8
+        ),
+        "url_filter": (
+            "SELECT uid, url FROM "
+            + _sql_values(URL_FILTER_ROWS, ["uid", "url"])
+            + " WHERE "
+            + sql_url_filter("url", blocked_hosts=URL_BLOCKED_HOSTS)
         ),
         "decontaminate": (
             "SELECT * FROM ("

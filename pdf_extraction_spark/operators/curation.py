@@ -268,6 +268,68 @@ def sql_scrub_pii(text_expr: str = "text", id_expr: str = "doc_id") -> str:
 
 
 # --------------------------------------------------------------------------
+# URL filtering (crawl hygiene — C4/RefinedWeb-style front gate)
+# --------------------------------------------------------------------------
+
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_URL_EXT_RE = r"(\.[A-Za-z0-9]{1,5})(?:[?#].*)?$"
+
+DEFAULT_BLOCKED_EXTENSIONS = (
+    ".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".ico",
+    ".css", ".js", ".woff", ".woff2", ".mp3", ".mp4", ".avi", ".zip",
+)
+
+
+def url_filter_pred(
+    url: Column,
+    blocked_hosts=(),
+    blocked_extensions=DEFAULT_BLOCKED_EXTENSIONS,
+    allowed_schemes=("http", "https"),
+) -> Column:
+    """Keep-predicate for crawl hygiene: scheme allowlist, media/asset
+    extension blocklist, host blocklist. Pure column math (prunable,
+    shuffle-free); for blocklists beyond a few thousand hosts use a
+    broadcast LEFT ANTI join on the host instead of the isin literal.
+    The host/scheme come from regexes (not parse_url) so the DuckDB
+    twin is exact."""
+    scheme = F.lower(F.regexp_extract(url, _URL_SCHEME_RE, 1))
+    host = F.lower(F.regexp_extract(url, _URL_HOST_RE, 1))
+    ext = F.lower(F.regexp_extract(url, _URL_EXT_RE, 1))
+    pred = scheme.isin([s.lower() for s in allowed_schemes])
+    if blocked_extensions:
+        pred = pred & ~ext.isin([e.lower() for e in blocked_extensions])
+    if blocked_hosts:
+        pred = pred & ~host.isin([h.lower() for h in blocked_hosts])
+    return pred
+
+
+def filter_urls(df: DataFrame, url_col: str = "url", **kw) -> DataFrame:
+    return df.filter(url_filter_pred(F.col(url_col), **kw))
+
+
+def sql_url_filter(
+    url_expr: str,
+    blocked_hosts=(),
+    blocked_extensions=DEFAULT_BLOCKED_EXTENSIONS,
+    allowed_schemes=("http", "https"),
+) -> str:
+    """DuckDB twin predicate of url_filter_pred."""
+    def inlist(vals):
+        return ", ".join("'" + v.lower().replace("'", "''") + "'" for v in vals)
+
+    scheme = f"lower(regexp_extract({url_expr}, '{_URL_SCHEME_RE}', 1))"
+    host = f"lower(regexp_extract({url_expr}, '{_URL_HOST_RE}', 1))"
+    ext = f"lower(regexp_extract({url_expr}, '{_URL_EXT_RE}', 1))"
+    parts = [f"{scheme} IN ({inlist(allowed_schemes)})"]
+    if blocked_extensions:
+        parts.append(f"{ext} NOT IN ({inlist(blocked_extensions)})")
+    if blocked_hosts:
+        parts.append(f"{host} NOT IN ({inlist(blocked_hosts)})")
+    return "(" + " AND ".join(parts) + ")"
+
+
+# --------------------------------------------------------------------------
 # benchmark decontamination (eval-set n-gram overlap)
 # --------------------------------------------------------------------------
 

@@ -115,6 +115,29 @@ class TestPiiScrub:
         assert "555" not in row["scrubbed"]
 
 
+class TestUrlFilter:
+    def test_semantics_and_cross_engine(self, spark):
+        import duckdb as _duck
+
+        import __spark_entry__ as e
+        from pdf_extraction_spark.operators.curation import filter_urls, sql_url_filter
+
+        urls = spark.createDataFrame(e.URL_FILTER_ROWS, "uid int, url string")
+        kept = sorted(
+            r["uid"]
+            for r in filter_urls(urls, blocked_hosts=e.URL_BLOCKED_HOSTS).collect()
+        )
+        # keeps: .pdf doc, extension-less page, .html with fragment;
+        # drops: ftp scheme, .PNG/.css assets (case/query-insensitive),
+        # blocked host (case-insensitive), schemeless garbage
+        assert kept == [0, 1, 6]
+        sql = (
+            "SELECT uid FROM " + e._sql_values(e.URL_FILTER_ROWS, ["uid", "url"])
+            + " WHERE " + sql_url_filter("url", blocked_hosts=e.URL_BLOCKED_HOSTS)
+        )
+        assert sorted(r[0] for r in _duck.sql(sql).fetchall()) == kept
+
+
 class TestDecontamination:
     EVAL = [
         (0, "alpha beta gamma"),                       # 3-gram of doc 0's first line
