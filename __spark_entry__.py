@@ -1082,7 +1082,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY similarity DESC, vec_id LIMIT 10"
         ),
         "corpus_profile": (
-            r"WITH d AS (SELECT lang, CAST(len(regexp_extract_all(text, '\w+(?:''\w+)?|[^\w\s]')) AS INT) AS tc FROM documents) "
+            "WITH d AS (SELECT lang, " + sql_token_count("text") + " AS tc FROM documents) "
             "SELECT lang, count(*) AS n_docs, "
             "round(quantile_cont(tc, 0.5), 4) AS median_tokens, "
             "round(quantile_cont(tc, 0.9), 4) AS p90_tokens, "

@@ -30,8 +30,17 @@ def token_count_col(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(_JAVA_TOKEN_PATTERN), F.lit(0)))
 
 
+# DuckDB (RE2) twin of the Java-Unicode token pattern: RE2's bare \w is
+# ASCII-only, so accented letters would split off as punctuation tokens
+# and break oracle parity on any non-English text. \p{L}\p{N}_ matches
+# Java (?U)\w for real-world NFC text (residuals: combining marks and
+# exotic Unicode whitespace, neither of which survives clean_text).
+_RE2_W = r"[\p{L}\p{N}_]"
+_RE2_TOKEN_PATTERN = rf"{_RE2_W}+(?:'{_RE2_W}+)?|[^\p{{L}}\p{{N}}_\s]"
+
+
 def sql_token_count(expr: str) -> str:
-    pat = _TOKEN_PATTERN.replace("'", "''")
+    pat = _RE2_TOKEN_PATTERN.replace("'", "''")
     return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS INT)"
 
 

@@ -261,3 +261,106 @@ class TestStratifiedSample:
             (r["doc_id"], r["source"])
             for r in stratified_sample(docs_df, "doc_id", "source", fr, 0.0).collect()
         )
+
+
+class TestRandomizedCrossEngine:
+    """Seeded random corpora through BOTH engines — catches RE2-vs-Java
+    regex divergence the crafted rows can't. Alphabet is printable ASCII
+    + newline + accented letters; exotic Unicode WHITESPACE is excluded
+    deliberately: the twins' ASCII \\s split there is a documented
+    residual (see word_count_col docstring)."""
+
+    ALPHABET = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \n\t.,;:!?#*-•…()[]{}'\"@+%/\\_=<>~^|éüßñ"
+    )
+
+    @staticmethod
+    def _random_docs(n=40, seed=1234):
+        import random
+
+        rng = random.Random(seed)
+        docs = []
+        for i in range(n):
+            n_chars = rng.randint(0, 400)
+            docs.append((i, "".join(rng.choice(TestRandomizedCrossEngine.ALPHABET) for _ in range(n_chars)), f"src{i % 3}"))
+        # a few adversarial fixed rows: SQL-quote soup, regex metachars,
+        # pii-ish fragments, dotted runs
+        docs += [
+            (n, "it''s a 'quoted' -- thing; DROP TABLE documents; \\' end", "src0"),
+            (n + 1, "a.b@c.de +1 (23) 456-7890 1.2.3.4 ...... … #", "src1"),
+            (n + 2, "(((((((((( ]]]]] ***** \\d+ \\s \\w [a-z]", "src2"),
+            (n + 3, "\n\n\n   \n\t\n", "src0"),
+        ]
+        return docs
+
+    def _both(self, spark, docs):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", docs)
+        df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+        return df, con
+
+    def test_gopher_pii_lines_sampling(self, spark):
+        from pdf_extraction_spark.operators.curation import (
+            dedup_lines,
+            scrub_pii,
+            sql_dedup_lines,
+            sql_gopher_flags,
+            sql_scrub_pii,
+            sql_stratified_sample,
+            stratified_sample,
+            with_gopher_flags,
+        )
+
+        docs = self._random_docs()
+        df, con = self._both(spark, docs)
+
+        out = with_gopher_flags(df, "text").select(
+            "doc_id", "dup_line_frac", "symbol_word_ratio", "bullet_line_frac",
+            "ellipsis_line_frac", "alpha_word_frac", "gopher_pass",
+        )
+        _compare(out, con, sql_gopher_flags("text"))
+        _compare(scrub_pii(df, "text", "doc_id"), con, sql_scrub_pii("text"))
+        _compare(dedup_lines(df, min_occurrences=2), con, sql_dedup_lines(2))
+        fr = {"src0": 0.4, "src1": 0.9}
+        _compare(
+            stratified_sample(df, "doc_id", "source", fr, 0.1).select("doc_id", "source"),
+            con,
+            "SELECT doc_id, source FROM documents WHERE "
+            + sql_stratified_sample("doc_id", "source", fr, 0.1),
+        )
+
+    def test_langid_and_ngrams(self, spark):
+        import __spark_entry__ as e
+        from pdf_extraction_spark.operators.curation import (
+            flag_contaminated,
+            sql_flag_contaminated,
+        )
+        from pdf_extraction_spark.operators.textanalysis import (
+            langid_udf,
+            sql_detect_language,
+            sql_token_count,
+            token_count_col,
+        )
+
+        docs = self._random_docs(seed=77)
+        df, con = self._both(spark, docs)
+
+        _compare(
+            df.select("doc_id", langid_udf(F.col("text")).alias("detected_lang")),
+            con,
+            sql_detect_language("text"),
+        )
+        _compare(
+            df.select("doc_id", token_count_col(F.col("text")).alias("token_count")),
+            con,
+            f"SELECT doc_id, {sql_token_count('text')} AS token_count FROM documents",
+        )
+        eval_rows = [(0, docs[5][1][:60] or "x y z"), (1, "nothing matches this")]
+        eval_df = spark.createDataFrame(eval_rows, "eid int, text string")
+        _compare(
+            flag_contaminated(df, eval_df, n=3),
+            con,
+            sql_flag_contaminated(e._sql_values([(t,) for _, t in eval_rows], ["text"]), n=3),
+        )
