@@ -70,6 +70,29 @@ def category_pattern(keywords) -> str:
     return r"\b(?:" + "|".join(re.escape(k) for k in keywords) + r")\b"
 
 
+def category_pattern_re2(keywords) -> str:
+    r"""RE2 (DuckDB) twin of :func:`category_pattern`. Java and Python
+    ``\b`` are Unicode-aware (a keyword adjacent to ``ü`` is inside a
+    word → no match); RE2's ``\b`` is ASCII-only and WOULD match there.
+    RE2 has no lookarounds, so each keyword's boundaries are emulated by
+    consuming context classes — and ``\b``'s meaning flips with the
+    edge character's wordness: a word-char edge needs a non-word/anchor
+    neighbor, a NON-word edge (e.g. a keyword starting with ``+``)
+    needs a word-char neighbor. Equivalent for existence tests (all the
+    twin does)."""
+    w = r"[\p{L}\p{N}_]"
+    nw = r"[^\p{L}\p{N}_]"
+
+    def bounded(k):
+        first_word = bool(re.match(r"\w", k[0])) if k else True
+        last_word = bool(re.match(r"\w", k[-1])) if k else True
+        pre = rf"(?:^|{nw})" if first_word else w
+        suf = rf"(?:{nw}|$)" if last_word else w
+        return pre + "(?:" + re.escape(k) + ")" + suf
+
+    return "|".join(bounded(k) for k in keywords)
+
+
 CATEGORY_PATTERNS = {
     cat: re.compile(category_pattern(kws), re.IGNORECASE)
     for cat, kws in CATEGORY_KEYWORDS.items()

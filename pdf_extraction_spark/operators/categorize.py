@@ -17,7 +17,7 @@ Both fall back to ``General`` for chunks matching nothing.
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels.categories import CATEGORY_KEYWORDS, category_pattern
+from ..kernels.categories import CATEGORY_KEYWORDS, category_pattern, category_pattern_re2
 
 
 def patterns_for(keywords_by_category=None):
@@ -76,9 +76,12 @@ def categorize_by_join(df: DataFrame, content_col: str = "content", keywords_by_
 
 def sql_categories(content_expr: str, keywords_by_category=None, id_expr: str = "doc_id"):
     """DuckDB oracle twin of with_categories+explode: one SELECT per
-    category UNION ALL + General remainder (RE2 accepts the same
-    escaped-alternation patterns)."""
-    pats = patterns_for(keywords_by_category)
+    category UNION ALL + General remainder. Patterns go through
+    category_pattern_re2 — RE2's ASCII \\b diverges from Java/Python's
+    Unicode-aware \\b next to accented letters, so the boundary is
+    emulated with consuming non-word-char classes."""
+    kbc = keywords_by_category if keywords_by_category is not None else CATEGORY_KEYWORDS
+    pats = {cat: category_pattern_re2(kws) for cat, kws in kbc.items()}
     selects = []
     for cat, pat in pats.items():
         p = pat.replace("'", "''")

@@ -357,6 +357,24 @@ class TestRandomizedCrossEngine:
             con,
             f"SELECT doc_id, {sql_token_count('text')} AS token_count FROM documents",
         )
+        # categorizer twin on the same random corpus (word-boundary
+        # alternations through Java-vs-RE2)
+        from pdf_extraction_spark.operators.categorize import (
+            explode_categories,
+            sql_categories,
+            with_categories,
+        )
+
+        cats = {"A": ["spark", "caf\u00e9", "x"], "B": ["drop", "table", "+1"]}
+        _compare(
+            explode_categories(
+                with_categories(df.select("doc_id", "text"), content_col="text",
+                                keywords_by_category=cats)
+            ).select("doc_id", "category"),
+            con,
+            sql_categories("text", cats, "doc_id"),
+        )
+
         eval_rows = [(0, docs[5][1][:60] or "x y z"), (1, "nothing matches this")]
         eval_df = spark.createDataFrame(eval_rows, "eid int, text string")
         _compare(
