@@ -1036,7 +1036,8 @@ def oracle_sql() -> dict[str, str]:
             + "), roster AS (SELECT * FROM "
             + _sql_values(ROSTER_ROWS, ["roster_pos", "executive", "role"])
             + "), norm AS (SELECT cid, speaker, "
-            "trim(regexp_replace(upper(speaker), '[^\\w\\s]', '', 'g')) AS cs FROM chunks WHERE speaker <> 'MANAGEMENT'), "
+            # \p classes ≈ Java (?U)\w / Python \w (RE2 bare \w is ASCII)
+            "trim(regexp_replace(upper(speaker), '[^\\p{L}\\p{N}_\\s]', '', 'g')) AS cs FROM chunks WHERE speaker <> 'MANAGEMENT'), "
             "matched AS (SELECT n.cid, n.speaker, r.executive, r.role, r.roster_pos, "
             "row_number() OVER (PARTITION BY n.cid ORDER BY r.roster_pos) AS rn "
             "FROM norm n JOIN roster r ON "
@@ -1143,7 +1144,9 @@ def oracle_sql() -> dict[str, str]:
             "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words FROM documents) "
             "SELECT doc_id, CAST(len(words) AS INT) AS n_words, "
             "round(CAST(n_chars AS DOUBLE) / greatest(len(words), 1), 4) AS avg_word_len, "
-            "round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio, "
+            # \p classes: RE2's bare \w is ASCII, Spark's (?U)[^\w\s] is
+            # Unicode — accented letters must not count as punctuation
+            "round(CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio, "
             "round(CAST(len(list_filter(words, x -> list_contains(['the','a','of','to','and','in','is'], x))) AS DOUBLE) / greatest(len(words), 1), 4) AS stopword_ratio "
             "FROM w"
         ),

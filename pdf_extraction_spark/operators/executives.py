@@ -102,8 +102,11 @@ def sql_extract_executives(values_clause: str) -> str:
 
 
 def norm_name_col(c) -> F.Column:
-    """UPPER + strip non-word/space (kernels.executives.normalize_name)."""
-    return F.regexp_replace(F.upper(c), r"[^\w\s]", "")
+    """UPPER + strip non-word/space (kernels.executives.normalize_name).
+    (?U): the kernel's Python ``\\w`` is Unicode, so accented letters in
+    names must survive normalization here too (Java ``\\w`` is ASCII by
+    default and would strip them)."""
+    return F.regexp_replace(F.upper(c), r"(?U)[^\w\s]", "")
 
 
 def last_token_col(c) -> F.Column:

@@ -382,3 +382,75 @@ class TestRandomizedCrossEngine:
             con,
             sql_flag_contaminated(e._sql_values([(t,) for _, t in eval_rows], ["text"]), n=3),
         )
+
+
+class TestRandomizedRound1Twins:
+    """The same randomized corpora through the round-1 text twins
+    (quality ladder, word stats, wordset dedup, text ratios) — these
+    were only ever oracle-gated on the ASCII driver corpus."""
+
+    def _both(self, spark, seed):
+        docs = TestRandomizedCrossEngine._random_docs(seed=seed)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", docs)
+        return spark.createDataFrame(docs, "doc_id long, text string, source string"), con
+
+    def test_word_stats_filters_ratios(self, spark):
+        from pdf_extraction_spark.operators.filters import sql_word_count, word_count_col
+
+        df, con = self._both(spark, 991)
+        _compare(
+            df.select("doc_id", F.length("text").cast("int").alias("content_length"),
+                      word_count_col(F.col("text")).alias("word_count")),
+            con,
+            f"SELECT doc_id, CAST(length(text) AS INT) AS content_length, "
+            f"{sql_word_count('text')} AS word_count FROM documents",
+        )
+        from pdf_extraction_spark.operators.textanalysis import with_quality_ratios
+
+        out = with_quality_ratios(df, "text").select(
+            "doc_id", "n_words", "avg_word_len", "punct_ratio", "stopword_ratio"
+        )
+        _compare(
+            out,
+            con,
+            "WITH w AS (SELECT doc_id, text, length(text) AS n_chars, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words FROM documents) "
+            "SELECT doc_id, CAST(len(words) AS INT) AS n_words, "
+            "round(CAST(n_chars AS DOUBLE) / greatest(len(words), 1), 4) AS avg_word_len, "
+            "round(CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio, "
+            "round(CAST(len(list_filter(words, x -> list_contains(['the','a','of','to','and','in','is'], x))) AS DOUBLE) / greatest(len(words), 1), 4) AS stopword_ratio "
+            "FROM w",
+        )
+
+    def test_quality_and_wordset(self, spark):
+        import __spark_entry__ as e
+        from pdf_extraction_spark.operators.project import quality_score_col, sql_quality_score
+
+        df, con = self._both(spark, 555)
+        out = df.select(
+            "doc_id",
+            F.round(
+                quality_score_col(F.col("text"), e.DOC_ADMIN, e.DOC_BUSINESS, e.DOC_QA, e.DOC_CLOSING), 2
+            ).cast("double").alias("quality_score"),
+        )
+        _compare(
+            out,
+            con,
+            "SELECT doc_id, CAST(round(CAST("
+            + sql_quality_score("text", e.DOC_ADMIN, e.DOC_BUSINESS, e.DOC_QA, e.DOC_CLOSING)
+            + " AS DOUBLE), 2) AS DOUBLE) AS quality_score FROM documents",
+        )
+        from pdf_extraction_spark.operators.dedup import exact_duplicates, wordset_key_col
+
+        _compare(
+            exact_duplicates(df, "text", "doc_id", key=wordset_key_col("text")).select(
+                "n_dups", "keep_id"
+            ),
+            con,
+            "SELECT count(*) AS n_dups, min(doc_id) AS keep_id FROM documents "
+            "GROUP BY md5(array_to_string(list_sort(list_distinct("
+            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ')) "
+            "HAVING count(*) > 1",
+        )
