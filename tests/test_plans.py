@@ -336,3 +336,24 @@ class TestCurationCli:
         assert corpus.filter((F.col("offset_in_seq") < 0) | (F.col("offset_in_seq") >= 256)).count() == 0
         assert spark.read.parquet(_os.path.join(out, "pack_stats")).count() > 0
         assert spark.read.parquet(_os.path.join(out, "host_stats")).count() > 0
+
+
+class TestCorpusCard:
+    def test_card_on_documents(self, spark):
+        import json
+
+        from pdf_extraction_spark.plans.card import corpus_card
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        card = corpus_card(docs)
+        json.dumps(card)  # JSON-ready
+        assert card["n_docs"] == 500
+        assert card["total_tokens"] > 0
+        assert 0.0 <= card["gopher_pass_rate"] <= 1.0
+        assert 0.0 <= card["exact_dup_rate"] < 1.0
+        assert sum(card["languages"].values()) == 500
+        assert card["top_groups"] and card["top_groups"][0]["n_docs"] >= card["top_groups"][-1]["n_docs"]
+        # sf0.001 documents carry known exact duplicates (dedup_exact
+        # oracle found groups at sf0.01; here just internal consistency)
+        docs2 = docs.select("doc_id", "text", "source")
+        assert corpus_card(docs2)["n_docs"] == card["n_docs"]
