@@ -116,8 +116,20 @@ def main(argv=None):
     )
     out["stats"].write.mode("overwrite").parquet(os.path.join(args.output, "host_stats"))
 
-    n = spark.read.parquet(corpus_path).count()
-    print(f"done: {n} curated docs → {corpus_path} (+ pack_stats, host_stats)")
+    # dataset datasheet for the released corpus
+    import json
+
+    from pdf_extraction_spark.plans.card import corpus_card
+
+    card = corpus_card(
+        spark.read.parquet(corpus_path).withColumn("source", host_col(F.col("url"))),
+        group_col="source",
+    )
+    with open(os.path.join(args.output, "data_card.json"), "w") as f:
+        json.dump(card, f, indent=2)
+
+    n = card["n_docs"]
+    print(f"done: {n} curated docs → {corpus_path} (+ pack_stats, host_stats, data_card.json)")
 
 
 if __name__ == "__main__":

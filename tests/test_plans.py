@@ -357,3 +357,18 @@ class TestCorpusCard:
         # oracle found groups at sf0.01; here just internal consistency)
         docs2 = docs.select("doc_id", "text", "source")
         assert corpus_card(docs2)["n_docs"] == card["n_docs"]
+
+    def test_card_written_by_cli(self, spark, tmp_path):
+        import importlib.util
+        import json
+        import os as _os
+
+        spec = importlib.util.spec_from_file_location(
+            "run_curation2", _os.path.join(_os.path.dirname(__file__), "..", "scripts", "run_curation.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        out = str(tmp_path / "card_out")
+        mod.main(["--synth", "50", "--output", out, "--min-tokens", "10"])
+        card = json.load(open(_os.path.join(out, "data_card.json")))
+        assert card["n_docs"] > 0 and card["languages"]
