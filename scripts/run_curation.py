@@ -98,6 +98,11 @@ def main(argv=None):
     scrubbed = scrub_pii(docs, "text", "doc_id").withColumnRenamed("scrubbed", "text")
     docs = docs.drop("text").join(scrubbed.select("doc_id", "text"), "doc_id")
 
+    # materialize ONCE before the fan-out: three sinks + the data card
+    # all act on this frame, and without the cache each action would
+    # re-run the whole extract/dedup/gate lineage from the source
+    docs = docs.persist()
+
     packed = pack_sequences(
         docs.select("doc_id", "token_count"), budget=args.budget, n_shards=args.shards
     )
