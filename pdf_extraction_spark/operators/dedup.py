@@ -225,7 +225,6 @@ def minhash_lsh_pairs(
     — at web scale they are boilerplate clusters that exact-dedup already
     catches, and they would otherwise produce O(bucket²) candidates.
     Returns (id_a, id_b, est_jaccard = matching-minhash fraction)."""
-    rows_per_band = num_hashes // bands
     mh = make_minhash_udf(num_hashes, n)
     sigs = df.select(F.col(id_col).alias("doc_id"), mh(F.col(text_col)).alias("sig"))
     # materialize the cache NOW — three downstream branches (banding,
@@ -234,60 +233,11 @@ def minhash_lsh_pairs(
     # the cached signatures live until spark.catalog.clearCache(); the
     # signature pass is the dominant cost either way.
     sigs.persist().count()
-
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                band_idx,
-                # 64-bit bucket key (not an md5 string): the banding
-                # shuffle carries bands× the corpus row count at scale,
-                # so key width matters; a false 64-bit collision only
-                # adds a candidate pair that the est-jaccard filter
-                # rejects — harmless, unlike dedup GROUPING keys which
-                # stay 128-bit
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
-    banded_ok = banded.join(
-        bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
-    )
-
-    a = banded_ok.select(F.col("doc_id").alias("id_a"), "band", "bucket")
-    b = banded_ok.select(F.col("doc_id").alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
-    ) / F.lit(num_hashes)
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
-    )
+    # (the banding bucket key inside is a 64-bit xxhash64, not an md5
+    # string: the banding shuffle carries bands× the corpus row count at
+    # scale, so key width matters; a false 64-bit bucket collision only
+    # adds a candidate pair that the est-jaccard filter rejects)
+    return _lsh_pairs_from_sigs(sigs, num_hashes, bands, max_bucket)
 
 
 def sql_minhash_lsh_pairs(
@@ -337,6 +287,107 @@ def sql_simhash_pairs(sh_rel: str, max_hamming: int = 3) -> str:
         "FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id) "
         "SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming "
         f"FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}"
+    )
+
+
+def minhash_near_dup_drops(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """The DROP set for near-dup removal (one id column) — the
+    duplicate-heavy-corpus path.
+
+    ``minhash_lsh_pairs`` materializes candidate *pairs*, which is
+    inherently O(group²) when a corpus carries big clusters of
+    near-identical docs (template boilerplate); its ``max_bucket`` cap
+    bounds the blow-up but lets mega-clusters evade dedup entirely.
+    This operator never builds intra-cluster pairs:
+
+    1. identical-signature collapse: group by the FULL signature — all
+       non-min members are dropped directly (est-jaccard 1.0 by
+       definition), one shuffle, linear output;
+    2. only the group representatives (distinct signatures) go through
+       banded LSH + est filtering; the id_b of each surviving
+       representative pair is dropped.
+
+    Returns a one-column frame (``doc_id``) of ids to remove;
+    ``df.join(drops, id_col, "left_anti")`` keeps the survivors.
+    Equivalent to the pairs path for small clusters, and strictly more
+    complete for clusters larger than ``max_bucket``."""
+    mh = make_minhash_udf(num_hashes, n)
+    sigs = df.select(F.col(id_col).alias("doc_id"), mh(F.col(text_col)).alias("sig"))
+    sigs.persist().count()  # same eager-cache contract as minhash_lsh_pairs
+
+    groups = sigs.groupBy("sig").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("sz")
+    )
+    dup_members = (
+        sigs.join(groups.select("sig", "rep"), "sig")
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select("doc_id")
+    )
+    reps = groups.select(F.col("rep").alias("doc_id"), "sig")
+    rep_pairs = _lsh_pairs_from_sigs(reps, num_hashes, bands, max_bucket).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    return dup_members.union(rep_pairs.select(F.col("id_b").alias("doc_id"))).distinct()
+
+
+def _lsh_pairs_from_sigs(
+    sigs: DataFrame, num_hashes: int, bands: int, max_bucket: int
+) -> DataFrame:
+    """Banded-LSH candidate pairs + est-jaccard over a precomputed
+    (doc_id, sig) frame — the relational core of minhash_lsh_pairs."""
+    rows_per_band = num_hashes // bands
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    banded_ok = banded.join(
+        bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a = banded_ok.select(F.col("doc_id").alias("id_a"), "band", "bucket")
+    b = banded_ok.select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_hashes)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
     )
 
 

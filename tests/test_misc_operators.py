@@ -91,3 +91,53 @@ class TestPackaging:
         assert "pdf_extraction_spark/__init__.py" in names
         assert "pdf_extraction_spark/kernels/extract.py" in names
         assert all(n.endswith(".py") for n in names)
+
+
+class TestMinhashNearDupDrops:
+    def test_equivalent_to_pairs_path_when_caps_dont_bind(self, spark):
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            minhash_near_dup_drops,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=32, bands=8).filter(
+            F.col("est_jaccard") >= 0.5
+        )
+        expected = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+        got = {
+            r["doc_id"]
+            for r in minhash_near_dup_drops(
+                docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.5
+            ).collect()
+        }
+        # small clusters at sf0.01 → the no-pairs path drops the same set
+        assert got == expected
+
+    def test_mega_cluster_does_not_evade(self, spark):
+        """A near-identical cluster larger than max_bucket evades the
+        pairs path (capped buckets drop it) but NOT the drop-set path:
+        identical signatures collapse before banding."""
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            minhash_near_dup_drops,
+        )
+
+        base = "the exact same boilerplate template text repeated verbatim across pages"
+        rows = [(i, base) for i in range(300)] + [
+            (1000, "a completely different document about something else entirely today")
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_lsh_pairs(df, "text", "doc_id", num_hashes=32, bands=8, max_bucket=200)
+        assert pairs.count() == 0  # 300-doc cluster > cap → pairs path blind
+        drops = {
+            r["doc_id"]
+            for r in minhash_near_dup_drops(
+                df, "text", "doc_id", num_hashes=32, bands=8, max_bucket=200
+            ).collect()
+        }
+        assert drops == set(range(1, 300))  # min id 0 survives, 1000 untouched
