@@ -209,6 +209,22 @@ def make_minhash_udf(num_hashes: int = 64, n: int = 3):
     return mh
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, sig) with the shared eager-cache contract: callers that
+    run several LSH consumers over one corpus compute this ONCE and pass
+    it via ``sigs=``. Cached until spark.catalog.clearCache()."""
+    mh = make_minhash_udf(num_hashes, n)
+    sigs = df.select(F.col(id_col).alias("doc_id"), mh(F.col(text_col)).alias("sig"))
+    sigs.persist().count()
+    return sigs
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -217,6 +233,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     n: int = 3,
     max_bucket: int = 200,
+    sigs: DataFrame = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH.
 
@@ -225,18 +242,15 @@ def minhash_lsh_pairs(
     — at web scale they are boilerplate clusters that exact-dedup already
     catches, and they would otherwise produce O(bucket²) candidates.
     Returns (id_a, id_b, est_jaccard = matching-minhash fraction)."""
-    mh = make_minhash_udf(num_hashes, n)
-    sigs = df.select(F.col(id_col).alias("doc_id"), mh(F.col(text_col)).alias("sig"))
-    # materialize the cache NOW — three downstream branches (banding,
-    # both sides of the candidate join) would otherwise race to compute
-    # the UDF before the cache fills. NOTE this makes the call eager and
-    # the cached signatures live until spark.catalog.clearCache(); the
-    # signature pass is the dominant cost either way.
-    sigs.persist().count()
+    # the eager persist lives in minhash_signatures — three downstream
+    # branches (banding, both sides of the candidate join) would
+    # otherwise race to compute the UDF before the cache fills.
     # (the banding bucket key inside is a 64-bit xxhash64, not an md5
     # string: the banding shuffle carries bands× the corpus row count at
     # scale, so key width matters; a false 64-bit bucket collision only
     # adds a candidate pair that the est-jaccard filter rejects)
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
     return _lsh_pairs_from_sigs(sigs, num_hashes, bands, max_bucket)
 
 
@@ -299,6 +313,7 @@ def minhash_near_dup_drops(
     n: int = 3,
     threshold: float = 0.8,
     max_bucket: int = 200,
+    sigs: DataFrame = None,
 ) -> DataFrame:
     """The DROP set for near-dup removal (one id column) — the
     duplicate-heavy-corpus path.
@@ -320,9 +335,8 @@ def minhash_near_dup_drops(
     ``df.join(drops, id_col, "left_anti")`` keeps the survivors.
     Equivalent to the pairs path for small clusters, and strictly more
     complete for clusters larger than ``max_bucket``."""
-    mh = make_minhash_udf(num_hashes, n)
-    sigs = df.select(F.col(id_col).alias("doc_id"), mh(F.col(text_col)).alias("sig"))
-    sigs.persist().count()  # same eager-cache contract as minhash_lsh_pairs
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
 
     groups = sigs.groupBy("sig").agg(
         F.min("doc_id").alias("rep"), F.count("*").alias("sz")

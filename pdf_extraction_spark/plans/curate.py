@@ -19,7 +19,12 @@ them. Output: the curated docs frame + a stats frame (the corpus card).
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import drop_exact_duplicates, minhash_lsh_pairs
+from ..operators.dedup import (
+    drop_exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_near_dup_drops,
+    minhash_signatures,
+)
 from ..operators.extract import extract_parse
 from ..operators.skew import host_col, salted_agg
 from ..operators.textanalysis import langid_udf, token_count_col, with_quality_ratios
@@ -47,12 +52,23 @@ def curate_corpus(
 
     unique = drop_exact_duplicates(analyzed, "text", "doc_id")
 
-    neardup_pairs = minhash_lsh_pairs(
-        unique, "text", "doc_id", num_hashes=minhash_bits, bands=bands
-    ).filter(F.col("est_jaccard") >= neardup_threshold)
-    # drop the higher id of each near-dup pair (min-id representative)
-    drop_ids = neardup_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # ONE signature pass (eager-cached) feeds both LSH consumers below
+    sigs = minhash_signatures(unique, "text", "doc_id", num_hashes=minhash_bits)
+
+    # pair-free drop set: identical signatures collapse before banding,
+    # so boilerplate mega-clusters can neither blow up the candidate
+    # join nor evade dedup through the bucket cap (equivalent to the
+    # pairs path on small clusters — asserted in tests)
+    drop_ids = minhash_near_dup_drops(
+        unique, "text", "doc_id",
+        num_hashes=minhash_bits, bands=bands, threshold=neardup_threshold,
+        sigs=sigs,
+    )
     deduped = unique.join(drop_ids, "doc_id", "left_anti")
+    # the flagged-pairs view (for inspection/reporting) keeps the pairs API
+    neardup_pairs = minhash_lsh_pairs(
+        unique, "text", "doc_id", num_hashes=minhash_bits, bands=bands, sigs=sigs
+    ).filter(F.col("est_jaccard") >= neardup_threshold)
 
     curated = deduped.filter(
         (F.col("token_count") >= min_tokens)

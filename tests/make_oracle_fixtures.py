@@ -211,13 +211,26 @@ def curate_docs_table(
         groups.setdefault(key, []).append(d)
     unique = [min(g, key=lambda d: d[0]) for g in groups.values()]
 
-    # MinHash-LSH near-dup pairs (num_hashes=32, bands=8, rows=4)
-    sigs = {d[0]: minhash_signature(d[2], MINHASH_NUM) for d in unique}
+    # MinHash-LSH near-dup DROP set (num_hashes=32, bands=8) — mirrors
+    # operators.dedup.minhash_near_dup_drops: identical signatures
+    # collapse to the min-id representative first (non-min members drop
+    # directly), then only the distinct signatures go through banding
+    sigs = {d[0]: tuple(minhash_signature(d[2], MINHASH_NUM)) for d in unique}
+    sig_groups = {}
+    for did, sig in sigs.items():
+        sig_groups.setdefault(sig, []).append(did)
+    drop = set()
+    reps = {}
+    for sig, members in sig_groups.items():
+        rep = min(members)
+        reps[rep] = sig
+        drop.update(m for m in members if m != rep)
+
     rows_per_band = MINHASH_NUM // MINHASH_BANDS
     buckets = {}
-    for did, sig in sigs.items():
+    for did, sig in reps.items():
         for b in range(MINHASH_BANDS):
-            key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            key = (b, sig[b * rows_per_band : (b + 1) * rows_per_band])
             buckets.setdefault(key, []).append(did)
     cand = set()
     for members in buckets.values():
@@ -227,10 +240,8 @@ def curate_docs_table(
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 cand.add((members[i], members[j]))
-    drop = set()
     for a, b in cand:
-        sa, sb = sigs[a], sigs[b]
-        est = sum(1 for x, y in zip(sa, sb) if x == y) / MINHASH_NUM
+        est = sum(1 for x, y in zip(reps[a], reps[b]) if x == y) / MINHASH_NUM
         if est >= neardup_threshold:
             drop.add(b)
 
