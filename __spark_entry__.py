@@ -749,6 +749,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents = train_centroids(emb, n_cells=8, iters=3)
         return ivf_topk(assign_cells(emb, cents), cents, _query_vec(), k=5, n_probe=3)
 
+    # -- IVF assignment step with FIXED centroids (exact → full oracle) -----
+    def q_ivf_assign(spark, sf):
+        """The IVF assignment is deterministic given fixed centroids; the
+        committed fixture is trained by the shared kmeans_lite kernel on
+        the full vec_id-sorted table (tests/make_oracle_fixtures.py), so
+        the pandas-UDF matmul argmax gets an exact DuckDB argmax twin."""
+        from pdf_extraction_spark.operators.similarity import assign_cells
+
+        cents_df = spark.read.parquet(
+            _os.path.join(_FIXTURE_DIR, "ivf_centroids_sf0_01.parquet")
+        )
+        cents = [
+            r["centroid"] for r in sorted(cents_df.collect(), key=lambda r: r["cell"])
+        ]
+        return assign_cells(_emb(spark, sf), cents).select("vec_id", "cell")
+
+    # -- embedding near-dup via the banded-LSH scale path -------------------
+    def q_embedding_lsh(spark, sf):
+        """Exercises the production LSH path (pandas-UDF sign sketch →
+        banding → bucket cap → exact cosine); the oracle recomputes the
+        banding relationally from the committed sketch fixture."""
+        from pdf_extraction_spark.operators.dedup import embedding_near_dups
+
+        return embedding_near_dups(
+            _emb(spark, sf), threshold=0.35, n_planes=16, n_bands=8, max_bucket=200
+        ).select("id_a", "id_b", "cosine")
+
     # -- multimodal plumbing (deterministic fake decode — rows-only) --------
     def q_media_features(spark, sf):
         from pdf_extraction_spark.operators.multimodal import (
@@ -767,6 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorize_join": q_categorize_join,
         "topk_batch": q_topk_batch,
         "ivf_topk": q_ivf_topk,
+        "ivf_assign": q_ivf_assign,
+        "embedding_lsh": q_embedding_lsh,
         "media_features": q_media_features,
         "curate_corpus": q_curate,
         "url_dates": q_url_dates,
@@ -859,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
         sql_url_filter,
     )
     from pdf_extraction_spark.operators.dedup import (
+        sql_embedding_lsh_neardups,
         sql_minhash_lsh_pairs,
         sql_simhash_pairs,
     )
@@ -1248,6 +1278,28 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": _minhash_pairs_sql,
         "dedup_clusters": sql_dedup_clusters(_minhash_pairs_sql),
         "simhash": sql_simhash_pairs(_fixture("simhash_sf0_01.parquet"), max_hamming=3),
+        "embedding_lsh": sql_embedding_lsh_neardups(
+            _fixture("emb_sketches_sf0_01.parquet"),
+            n_bands=8,
+            max_bucket=200,
+            threshold=0.35,
+        ),
+        "ivf_assign": (
+            # exact argmax twin of assign_cells over the committed fixed
+            # centroids (normalized; ties break to the lowest cell, the
+            # numpy argmax rule)
+            "WITH s AS (SELECT e.vec_id, c.cell, "
+            "CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) = 0 "
+            "THEN 0.0 ELSE "
+            "list_dot_product(e.embedding::DOUBLE[], c.centroid) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(c.centroid, c.centroid))) END AS sim "
+            "FROM embeddings e, " + _fixture("ivf_centroids_sf0_01.parquet") + " c "
+            "WHERE e.embedding IS NOT NULL) "
+            "SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk FROM s) "
+            "WHERE rk = 1"
+        ),
         "embed_rerank": _embed_rerank_sql(),
         # --- independent-path recompute goldens: the full expected output
         # recomputed sequentially through the pure-Python kernel path (no

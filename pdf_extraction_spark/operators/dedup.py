@@ -469,23 +469,107 @@ def simhash_pairs(
 
 
 # --- embedding cosine near-dup ---------------------------------------------
+#
+# Scale path = random-hyperplane LSH with the SAME banded/capped shape as
+# minhash: the sign sketch is one numpy matmul per Arrow batch (pandas
+# UDF — the per-plane Catalyst-literal-HOF formulation this replaces
+# built ~n_planes×dim expression nodes and had no OR-amplification),
+# bits are packed into per-band bucket keys, a band collision makes a
+# candidate, oversized buckets are capped, survivors get ONE exact
+# cosine. Recall amplifies across bands: P(candidate) =
+# 1 - (1 - (1-θ/π)^bits_per_band)^n_bands.
+
+
+def hyperplanes(dim: int, n_planes: int = 64, seed: int = 42) -> np.ndarray:
+    """Deterministic (n_planes, dim) Gaussian hyperplane matrix — shared
+    by the Spark UDF and the pure-numpy oracle fixture generator."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def sign_sketch_bands(mat: np.ndarray, planes: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n, dim) float64 → (n, n_bands) int64 band-bucket keys.
+
+    bit i of a band = sign(v · plane_i) ≥ 0, packed MSB-first into
+    ``n_planes // n_bands`` bits per band. One matmul for the whole
+    batch; no per-row Python."""
+    n_planes = planes.shape[0]
+    rpb = n_planes // n_bands
+    bits = (mat @ planes.T) >= 0.0  # (n, n_planes) bool
+    out = np.zeros((mat.shape[0], n_bands), dtype=np.int64)
+    for b in range(n_bands):
+        val = np.zeros(mat.shape[0], dtype=np.int64)
+        for j in range(rpb):
+            val = (val << 1) | bits[:, b * rpb + j].astype(np.int64)
+        out[:, b] = val
+    return out
+
+
+def embedding_sketches(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    dim: int = None,
+) -> DataFrame:
+    """(id, bands: array<long>) — per-vector banded sign sketch via a
+    vectorized pandas UDF (template: similarity.assign_cells).
+
+    ``dim`` should be passed from table metadata at scale; the
+    ``first()`` fallback is a bounded single-row metadata lookup."""
+    if n_planes % n_bands:
+        raise ValueError("n_planes must be a multiple of n_bands")
+    nn = emb.filter(F.col(vec_col).isNotNull())
+    if dim is None:
+        first = nn.select(vec_col).first()
+        if first is None:  # empty input → empty sketch frame
+            return nn.select(
+                F.col(id_col), F.lit(None).cast(_SIG_TYPE).alias("bands")
+            ).limit(0)
+        dim = len(first[0])
+    planes = hyperplanes(dim, n_planes, seed)
+
+    @pandas_udf(_SIG_TYPE)
+    def sketch_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        return pd.Series(sign_sketch_bands(m, planes, n_bands).tolist())
+
+    return nn.select(F.col(id_col), sketch_udf(F.col(vec_col)).alias("bands"))
+
 
 def embedding_near_dups(
     emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 64,
+    n_bands: int = 8,
     seed: int = 42,
+    max_bucket: int = 200,
     brute_force: bool = False,
+    sketches: DataFrame = None,
 ) -> DataFrame:
-    """Pairs with cosine ≥ τ. Scale path: random-hyperplane LSH buckets
-    (sign sketch) → within-bucket exact cosine; brute_force bypasses
-    bucketing (oracle-friendly, O(n²))."""
+    """Pairs with cosine ≥ τ over an embedding column.
+
+    Scale path: banded random-hyperplane LSH (see module-level numpy
+    kernels) → bucket cap → within-bucket exact cosine. Defaults
+    (64 planes / 8 bands of 8 bits) give ≈0.99 recall at τ=0.95; for
+    looser thresholds pass fewer bits per band (e.g. n_planes=16,
+    n_bands=8 ⇒ ≈0.98 recall at τ=0.35). ``brute_force`` bypasses
+    bucketing (oracle baseline, O(n²) — never the production path).
+
+    Shuffle shape matches minhash-LSH: the banding shuffle carries
+    n_bands × corpus rows keyed by (band, int64 bucket); oversized
+    buckets (dense template clusters) are dropped by ``max_bucket`` —
+    at τ ≥ 0.9 those are caught upstream by exact/minhash dedup."""
     from .topk import dot_col, norm_col
 
     # precompute each vector's norm ONCE per side — cosine per pair then
-    # needs a single dot, not three (3× less HOF work over O(n²) pairs)
+    # needs a single dot, not three (3× less HOF work over the pairs)
     a = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
@@ -500,31 +584,17 @@ def embedding_near_dups(
     if brute_force:
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        first = emb.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
-        if first is None:  # empty input → empty result, same schema
-            return (
-                a.join(b, F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b", F.lit(0.0).alias("cosine"))
-                .limit(0)
+        if sketches is None:
+            sketches = embedding_sketches(
+                emb, vec_col, id_col, n_planes, n_bands, seed
             )
-        dim = len(first[0])
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(n_planes, dim)
-        from .topk import dot_col
-
-        def bucket_col(v):
-            bits = [
-                F.when(dot_col(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, 1).otherwise(0)
-                for p in planes
-            ]
-            expr = F.lit(0)
-            for bit in bits:
-                expr = expr * 2 + bit
-            return expr
-
-        ab = a.withColumn("bucket", bucket_col(F.col("v_a")))
-        bb = b.withColumn("bucket", bucket_col(F.col("v_b")))
-        cand = ab.join(bb, "bucket").filter(F.col("id_a") < F.col("id_b"))
+        cand_ids = _band_candidates(sketches, id_col, max_bucket)
+        cand = (
+            cand_ids.join(a, cand_ids["id_a"] == a["id_a"])
+            .drop(a["id_a"])
+            .join(b, cand_ids["id_b"] == b["id_b"])
+            .drop(b["id_b"])
+        )
 
     raw_sim = F.when(
         (F.col("n_a") == 0.0) | (F.col("n_b") == 0.0), 0.0
@@ -532,4 +602,67 @@ def embedding_near_dups(
     sim = F.round(raw_sim, 6)
     return cand.select("id_a", "id_b", sim.alias("cosine")).filter(
         F.col("cosine") >= threshold
+    )
+
+
+def _band_candidates(sketches: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """(id_a, id_b) distinct band-collision candidates from a
+    (id, bands) sketch frame — posexplode → bucket-size cap →
+    per-(band, bucket) self-join. Same relational core as
+    _lsh_pairs_from_sigs, minus the est-jaccard (the exact cosine is
+    the filter here)."""
+    banded = sketches.select(
+        F.col(id_col), F.posexplode("bands").alias("band", "bucket")
+    )
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    ok = banded.join(
+        sizes.filter(F.col("bsz") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a = ok.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = ok.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def sql_embedding_lsh_neardups(
+    sketch_rel: str,
+    n_bands: int,
+    max_bucket: int,
+    threshold: float,
+    emb_rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle twin of embedding_near_dups' LSH path.
+
+    ``sketch_rel``: relation with (id, bands) where bands is the
+    kernel-computed sign sketch (precomputed in pure numpy by
+    tests/make_oracle_fixtures.py; the kernel itself is pinned by
+    bit-identity tests). Banding, bucket cap, candidate generation and
+    the exact left-fold cosine are recomputed relationally here."""
+    dot = (
+        f"list_aggregate(list_transform(list_zip(a.{vec_col}::DOUBLE[], "
+        f"b.{vec_col}::DOUBLE[]), p -> p[1] * p[2]), 'sum')"
+    )
+    norm = "sqrt(list_aggregate(list_transform({v}::DOUBLE[], x -> x*x), 'sum'))"
+    na, nb = norm.format(v=f"a.{vec_col}"), norm.format(v=f"b.{vec_col}")
+    cos = f"round(CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END, 6)"
+    return (
+        f"WITH sk AS (SELECT {id_col} AS vid, bands FROM {sketch_rel}), "
+        f"banded AS (SELECT vid, b AS band, bands[b + 1] AS bucket "
+        f"FROM sk, (SELECT unnest(range(0, {n_bands})) AS b)), "
+        f"ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket "
+        f"HAVING count(*) <= {max_bucket}), "
+        "bo AS (SELECT banded.* FROM banded JOIN ok USING (band, bucket)), "
+        "cand AS (SELECT DISTINCT x.vid AS id_a, y.vid AS id_b "
+        "FROM bo x JOIN bo y ON x.band = y.band AND x.bucket = y.bucket AND x.vid < y.vid) "
+        f"SELECT id_a, id_b, cosine FROM (SELECT id_a, id_b, {cos} AS cosine "
+        f"FROM cand JOIN {emb_rel} a ON id_a = a.{id_col} "
+        f"JOIN {emb_rel} b ON id_b = b.{id_col}) "
+        f"WHERE cosine >= {threshold}"
     )

@@ -11,6 +11,8 @@
   via a vectorized pandas UDF (numpy matmul over Arrow batches).
 """
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -28,20 +30,12 @@ def _np_normalize(m):
     return m / norms
 
 
-def train_centroids(
-    emb: DataFrame, vec_col: str = "embedding", n_cells: int = 16, iters: int = 5, seed: int = 42
-):
-    """Deterministic Lloyd iterations on a driver-side sample (sample is
-    bounded — centroids are tiny model state, the data never gathers)."""
-    sample = np.array(
-        emb.select(vec_col)
-        .filter(F.col(vec_col).isNotNull())
-        .limit(4096)
-        .toPandas()[vec_col]
-        .tolist(),
-        dtype=np.float64,
-    )
-    sample = _np_normalize(sample)
+def kmeans_lite(sample: np.ndarray, n_cells: int, iters: int = 5, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical Lloyd iterations — pure-numpy kernel shared
+    by :func:`train_centroids` (over a distributed Spark sample) and the
+    oracle fixture generator (over the full sorted table), so the
+    fixed-centroid assignment step can be oracled exactly."""
+    sample = _np_normalize(np.asarray(sample, dtype=np.float64))
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
     for _ in range(iters):
@@ -52,6 +46,47 @@ def train_centroids(
                 centroids[c] = members.mean(axis=0)
         centroids = _np_normalize(centroids)
     return centroids
+
+
+def default_n_cells(total_count: int) -> int:
+    """IVF rule of thumb: n_cells ∝ √N keeps (cells probed × vectors per
+    cell) balanced at fixed n_probe. Clamped so tiny tables still get a
+    few cells and huge tables don't blow up the broadcast model."""
+    return max(4, min(int(math.isqrt(max(total_count, 1))), 65536))
+
+
+def train_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = None,
+    iters: int = 5,
+    seed: int = 42,
+    sample_size: int = 4096,
+    total_count: int = None,
+):
+    """Centroids from a *distributed* Bernoulli sample (``df.sample``),
+    not ``limit()`` — limit takes rows from the first partitions only,
+    which at 100 TB means the model sees one shard of the keyspace.
+    The sample (≤ ``sample_size`` rows) is the only data gathered to the
+    driver; centroids are tiny model state.
+
+    ``total_count`` may be passed from table metadata to skip the count
+    job; ``n_cells`` defaults to the √N rule (:func:`default_n_cells`).
+    Lloyd iterations run in :func:`kmeans_lite` (deterministic given
+    seed + sample)."""
+    nn = emb.select(vec_col).filter(F.col(vec_col).isNotNull())
+    if total_count is None:
+        total_count = nn.count()
+    if total_count == 0:
+        raise ValueError("train_centroids: no non-null vectors")
+    if n_cells is None:
+        n_cells = default_n_cells(total_count)
+    frac = min(1.0, (sample_size * 1.25) / total_count)
+    sampled = nn if frac >= 1.0 else nn.sample(False, frac, seed)
+    sample = np.array(
+        sampled.limit(sample_size).toPandas()[vec_col].tolist(), dtype=np.float64
+    )
+    return kmeans_lite(sample, n_cells, iters=iters, seed=seed)
 
 
 def assign_cells(emb: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:

@@ -110,6 +110,64 @@ def doc_embeddings_table() -> pa.Table:
     )
 
 
+EMB_PLANES = 16
+EMB_BANDS = 8
+
+
+def _read_embeddings():
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF_DIR}/embeddings.parquet') "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id"
+    ).fetchall()
+
+
+def emb_sketches_table() -> pa.Table:
+    """Banded sign sketches of the sf0.01 embeddings — pure numpy via the
+    shared kernel (bit-identity vs the Spark pandas UDF pinned in
+    tests/test_embedding_lsh.py). Parameters must match
+    q_embedding_lsh: 16 planes / 8 bands / seed 42."""
+    import numpy as np
+
+    from pdf_extraction_spark.operators.dedup import hyperplanes, sign_sketch_bands
+
+    rows = _read_embeddings()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    bands = sign_sketch_bands(mat, hyperplanes(64, EMB_PLANES, seed=42), EMB_BANDS)
+    return pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "bands": pa.array([[int(v) for v in b] for b in bands], pa.list_(pa.int64())),
+        }
+    )
+
+
+IVF_CELLS = 8
+
+
+def ivf_centroids_table() -> pa.Table:
+    """IVF centroids trained by the shared pure-numpy kernel
+    (similarity.kmeans_lite) on the FULL vec_id-sorted sf0.01 embeddings
+    — no Spark sampling, so the model is an exact deterministic function
+    of the table. q_ivf_assign loads THIS fixture on the Spark side, so
+    the assignment step (pandas-UDF matmul argmax) has an exact DuckDB
+    relational twin (argmax over cosine per vector)."""
+    import numpy as np
+
+    from pdf_extraction_spark.operators.similarity import kmeans_lite
+
+    rows = _read_embeddings()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    cents = kmeans_lite(mat, IVF_CELLS, iters=5, seed=42)
+    return pa.table(
+        {
+            "cell": pa.array(range(len(cents)), pa.int32()),
+            "centroid": pa.array([[float(v) for v in c] for c in cents], pa.list_(pa.float64())),
+        }
+    )
+
+
 # --------------------------------------------------------------------------
 # pure-Python sequential recompute of the synth-pages plan compositions
 # --------------------------------------------------------------------------
@@ -298,6 +356,8 @@ def media_features_table(n_rows: int = 24) -> pa.Table:
 FIXTURES = {
     "minhash_sigs_sf0_01.parquet": minhash_sigs_table,
     "simhash_sf0_01.parquet": simhash_table,
+    "emb_sketches_sf0_01.parquet": emb_sketches_table,
+    "ivf_centroids_sf0_01.parquet": ivf_centroids_table,
     "doc_embeddings_sf0_01.parquet": doc_embeddings_table,
     "extract_turns.parquet": extract_turns_table,
     "curate_docs.parquet": curate_docs_table,

@@ -1,0 +1,174 @@
+"""Banded random-hyperplane LSH for embedding near-dup (the scale path
+that replaced the single-sketch Catalyst-literal formulation) + the
+reworked IVF training.
+
+Quality gates demanded by the round-2 verdict:
+- sketch kernel bit-identity (Spark pandas UDF ≡ pure numpy — the same
+  kernel the oracle fixture generator uses),
+- LSH output ⊆ brute force (the exact-cosine filter makes precision 1),
+- recall ≥ 0.9 vs brute at τ=0.95 with the default 64-plane/8-band
+  sketch on a clustered corpus,
+- mega-cluster bucket cap: a dense duplicate cluster cannot create an
+  n² candidate explosion,
+- shared-sketch reuse (``sketches=``) is plan-equivalent.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pdf_extraction_spark.operators.dedup import (
+    embedding_near_dups,
+    embedding_sketches,
+    hyperplanes,
+    sign_sketch_bands,
+)
+
+SF = "/root/testdata/sf0.01"
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def _clustered_vectors(n_clusters=40, per_cluster=4, dim=32, noise=0.02, seed=7):
+    """Clusters of perturbed copies — intra-cluster cosine ≥ ~0.99,
+    inter-cluster ~0 (random directions in dim=32)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    vid = 0
+    for _ in range(n_clusters):
+        base = rng.randn(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            v = base + noise * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_sketch_kernel_bit_identity(spark, emb):
+    """The Spark pandas-UDF sketch must be bit-identical to the pure
+    numpy kernel the oracle fixture generator runs."""
+    got = {
+        r["vec_id"]: r["bands"]
+        for r in embedding_sketches(emb, n_planes=16, n_bands=8).collect()
+    }
+    rows = sorted(
+        emb.filter(F.col("embedding").isNotNull()).collect(), key=lambda r: r["vec_id"]
+    )
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ref = sign_sketch_bands(mat, hyperplanes(64, 16, seed=42), 8)
+    assert all(list(ref[i]) == got[rows[i]["vec_id"]] for i in range(len(rows)))
+
+
+def test_lsh_subset_of_brute(spark, emb):
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(emb, threshold=0.35, brute_force=True).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(
+            emb, threshold=0.35, n_planes=16, n_bands=8
+        ).collect()
+    }
+    assert lsh <= brute
+    assert len(lsh) / max(len(brute), 1) >= 0.9
+
+
+def test_recall_at_095(spark):
+    """Default sketch (64 planes / 8 bands of 8 bits): analytic recall at
+    τ=0.95 is 1-(1-(1-θ/π)^8)^8 ≈ 0.99; assert ≥ 0.9 measured."""
+    df = spark.createDataFrame(_clustered_vectors(), VEC_SCHEMA)
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, threshold=0.95, brute_force=True).collect()
+    }
+    assert len(brute) >= 100  # the fixture really contains near-dup pairs
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, threshold=0.95).collect()
+    }
+    assert lsh <= brute
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.9, f"recall@0.95 = {recall}"
+
+
+def test_mega_cluster_bucket_cap(spark):
+    """2,000 near-identical vectors all land in the same buckets in every
+    band; with max_bucket=100 those buckets are dropped, so the candidate
+    set stays bounded instead of ~2M pairs. (At τ≥0.9 such clusters are
+    caught upstream by exact/minhash dedup — the cap is the backstop.)"""
+    rng = np.random.RandomState(3)
+    base = rng.randn(16)
+    base /= np.linalg.norm(base)
+    rows = [
+        (i, [float(x) for x in base + 1e-4 * rng.randn(16)]) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, VEC_SCHEMA).repartition(8)
+    out = embedding_near_dups(df, threshold=0.95, max_bucket=100)
+    # the ~2M-pair mega-bucket is capped away; only the rare noise-flipped
+    # vectors landing in small side buckets survive as candidates
+    assert out.count() < 8 * (100 * 99) // 2  # << C(2000,2) = 1.999M
+
+
+def test_shared_sketches_param(spark, emb):
+    sk = embedding_sketches(emb, n_planes=16, n_bands=8)
+    direct = embedding_near_dups(emb, threshold=0.35, n_planes=16, n_bands=8)
+    shared = embedding_near_dups(
+        emb, threshold=0.35, n_planes=16, n_bands=8, sketches=sk
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, shared.collect()))
+
+
+def test_empty_input_lsh_path(spark):
+    df = spark.createDataFrame([], VEC_SCHEMA)
+    assert embedding_near_dups(df, threshold=0.9).count() == 0
+
+
+def test_plane_count_validation(spark, emb):
+    with pytest.raises(ValueError):
+        embedding_sketches(emb, n_planes=10, n_bands=8)
+
+
+class TestIvfTraining:
+    def test_kmeans_lite_deterministic(self):
+        from pdf_extraction_spark.operators.similarity import kmeans_lite
+
+        rng = np.random.RandomState(0)
+        m = rng.randn(300, 8)
+        a = kmeans_lite(m, 6, seed=42)
+        b = kmeans_lite(m, 6, seed=42)
+        assert np.array_equal(a, b)
+        assert a.shape == (6, 8)
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+    def test_default_n_cells_sqrt_rule(self):
+        from pdf_extraction_spark.operators.similarity import default_n_cells
+
+        assert default_n_cells(1_000_000) == 1000
+        assert default_n_cells(100) == 10
+        assert default_n_cells(4) == 4  # floor
+        assert default_n_cells(10**13) == 65536  # broadcast-model ceiling
+
+    def test_train_centroids_distributed_sample(self, spark, emb):
+        """Sampling is df.sample (per-partition Bernoulli), bounded by
+        sample_size, deterministic given seed; n_cells defaults to √N."""
+        from pdf_extraction_spark.operators.similarity import train_centroids
+
+        a = train_centroids(emb, sample_size=256, total_count=500)
+        b = train_centroids(emb, sample_size=256, total_count=500)
+        assert np.array_equal(a, b)
+        assert a.shape[0] == 22  # isqrt(500)
+        explicit = train_centroids(emb, n_cells=8, iters=3)
+        assert explicit.shape[0] == 8

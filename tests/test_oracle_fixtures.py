@@ -52,6 +52,12 @@ class TestFixtureFreshness:
         for i in range(0, 500, 50):
             assert t["sh"][i] == mk._to_i64(simhash(docs[t["doc_id"][i]] or ""))
 
+    def test_emb_sketches(self):
+        assert _committed("emb_sketches_sf0_01.parquet").equals(mk.emb_sketches_table())
+
+    def test_ivf_centroids(self):
+        assert _committed("ivf_centroids_sf0_01.parquet").equals(mk.ivf_centroids_table())
+
     def test_doc_embeddings_sample(self):
         from pdf_extraction_spark.operators.embed import embed_text
 
@@ -99,7 +105,15 @@ class TestSparkParity:
 
 @pytest.mark.parametrize(
     "name",
-    ["langid", "roster_extract", "minhash_lsh", "simhash", "dedup_clusters"],
+    [
+        "langid",
+        "roster_extract",
+        "minhash_lsh",
+        "simhash",
+        "dedup_clusters",
+        "embedding_lsh",
+        "ivf_assign",
+    ],
 )
 def test_new_oracles_execute(name):
     """The fixture-backed twins must at least parse+run in DuckDB (full
@@ -112,6 +126,10 @@ def test_new_oracles_execute(name):
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/embeddings.parquet')"
     )
     n = len(con.execute(entrymod.oracle_sql()[name]).fetchall())
     assert n >= 0
