@@ -246,17 +246,21 @@ def _builtin_extract(data: bytes) -> str:
         # scanning for 'endstream', which can occur inside compressed
         # bytes; an indirect /Length (N 0 R — the common generator
         # shape, length written after the stream) is resolved first
-        ml = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", head)
-        if ml and int(ml.group(1)) in objects:
-            ref_body = objects[int(ml.group(1))].strip()
-            stream = (
-                content[start : start + int(ref_body)]
-                if ref_body.isdigit()
-                else None
-            )
+        ml_ind = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", head)
+        stream = None
+        if ml_ind:
+            # indirect /Length: resolve ONLY via the referenced object —
+            # falling through to the direct-form pattern would misread
+            # the ref's object number as a byte count and slice garbage;
+            # an unresolvable ref goes straight to the endstream scan
+            if int(ml_ind.group(1)) in objects:
+                ref_body = objects[int(ml_ind.group(1))].strip()
+                if ref_body.isdigit():
+                    stream = content[start : start + int(ref_body)]
         else:
             ml = re.search(rb"/Length\s+(\d+)", head)
-            stream = content[start : start + int(ml.group(1))] if ml else None
+            if ml:
+                stream = content[start : start + int(ml.group(1))]
         if stream is None:
             sm = _STREAM_RE.search(content)
             if not sm:

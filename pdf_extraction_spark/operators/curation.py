@@ -223,13 +223,17 @@ def sql_dedup_lines(min_occurrences: int = 2) -> str:
 # PII scrubbing (C4-style masking, sequential passes)
 # --------------------------------------------------------------------------
 
-# RE2∩Java-compatible patterns (no lookarounds). Known residual: the
-# IPv4 \b is Unicode-aware in Java but ASCII in RE2, so an IP GLUED to
-# an accented letter ("ü1.2.3.4") masks in DuckDB but not Spark — no
-# realistic text puts a letter flush against an IP, and the oracle
-# corpus cannot produce it.
+# Cross-engine patterns. Email and phone are lookaround-free and
+# engine-identical. The IPv4 boundary needs care: Java's \b is
+# Unicode-aware (even without (?U)) while RE2's \b is ASCII, so the
+# Spark side spells the RE2-\b semantics out explicitly with ASCII-class
+# lookarounds (Java supports them; zero-width, so adjacent IPs and
+# extract_all counts are unaffected) and the DuckDB twin keeps RE2's \b
+# — the two are now equivalent on EVERY input, including an accented
+# letter glued to an IP ("ü1.2.3.4" masks in both).
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_IPV4 = r"(?<![0-9A-Za-z_])\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}(?![0-9A-Za-z_])"
+PII_IPV4_RE2 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PII_PHONE = r"\+\d[\d().\- ]{7,}\d"
 
 
@@ -258,7 +262,7 @@ def sql_scrub_pii(text_expr: str = "text", id_expr: str = "doc_id") -> str:
     def esc(p):
         return p.replace("'", "''")
 
-    em, ip, ph = esc(PII_EMAIL), esc(PII_IPV4), esc(PII_PHONE)
+    em, ip, ph = esc(PII_EMAIL), esc(PII_IPV4_RE2), esc(PII_PHONE)
     return (
         f"WITH s0 AS (SELECT {id_expr} AS doc_id, coalesce({text_expr}, '') AS t0 FROM documents), "
         f"s1 AS (SELECT doc_id, t0, CAST(len(regexp_extract_all(t0, '{em}')) AS INT) AS n_emails, "

@@ -122,9 +122,18 @@ def ngram_jaccard_pairs(
     set which is nearly the whole vocabulary); and a length-ratio filter
     (J(A,B) ≤ min/max, so min ≥ t·max is necessary for J ≥ t) discards
     candidate pairs BEFORE the per-pair aggregation. Sizes ride the
-    inverted-index rows into the groupBy keys, so no post-agg joins."""
+    inverted-index rows into the groupBy keys, so no post-agg joins.
+
+    Collision hardening: unlike an LSH bucket key (where a collision
+    only adds a filtered candidate), a shingle-key collision here would
+    silently inflate n_common — so the n_common count requires equality
+    of a SECOND independent 64-bit hash (``xxhash64(shingle, 1)``),
+    giving an effective 128-bit key for the intersection while the
+    shuffle partitions on the single narrow key."""
     sh = shingle_df(df, text_col, id_col, n).withColumn(
         "sh_key", F.xxhash64(F.col("shingle"))
+    ).withColumn(
+        "sh_key2", F.xxhash64(F.col("shingle"), F.lit(1))
     ).drop("shingle")
 
     hot = (
@@ -141,15 +150,18 @@ def ngram_jaccard_pairs(
     sh_sized = sh_pruned.join(sizes, "doc_id")
 
     a = sh_sized.select(
-        F.col("doc_id").alias("id_a"), "sh_key", F.col("set_size").alias("size_a")
+        F.col("doc_id").alias("id_a"), "sh_key",
+        F.col("sh_key2").alias("sh_key2_a"), F.col("set_size").alias("size_a"),
     )
     b = sh_sized.select(
-        F.col("doc_id").alias("id_b"), "sh_key", F.col("set_size").alias("size_b")
+        F.col("doc_id").alias("id_b"), "sh_key",
+        F.col("sh_key2").alias("sh_key2_b"), F.col("set_size").alias("size_b"),
     )
     inter = (
         a.join(b, "sh_key")
         .filter(
             (F.col("id_a") < F.col("id_b"))
+            & (F.col("sh_key2_a") == F.col("sh_key2_b"))
             & (
                 F.least("size_a", "size_b")
                 >= F.lit(threshold) * F.greatest("size_a", "size_b")
@@ -417,6 +429,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    cache_signatures: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ t; candidates via band
     collision. Pigeonhole completeness needs more bands than differing
@@ -435,12 +448,14 @@ def simhash_pairs(
     mask = (1 << width) - 1
 
     sh = df.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sh"))
-    # materialize the cache NOW — both sides of the candidate self-join
-    # would otherwise recompute the signature UDF. Same persistence
-    # contract as minhash_lsh_pairs: the call is eager and the cached
-    # signatures live until spark.catalog.clearCache(); the signature
-    # pass is the dominant cost either way.
-    sh.persist().count()
+    if cache_signatures:
+        # materialize the cache NOW — both sides of the candidate
+        # self-join would otherwise recompute the signature UDF. Same
+        # persistence contract as minhash_lsh_pairs: the call is eager
+        # and the cached signatures live until unpersist/clearCache().
+        # One-shot pipelines that must leave no residual cached frames
+        # pass cache_signatures=False (double UDF pass, no cache).
+        sh.persist().count()
 
     bands = F.array(
         *[

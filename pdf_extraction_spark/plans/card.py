@@ -34,8 +34,11 @@ def corpus_card(
         .withColumn("detected_lang", langid_udf(F.col(text_col)))
     )
     enriched = with_gopher_flags(enriched, text_col)
+    # scrub_pii aliases its id column to 'doc_id' — alias it back so the
+    # join works for any id_col
     pii = scrub_pii(docs, text_col, id_col).select(
-        id_col, (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii")
+        F.col("doc_id").alias(id_col),
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_pii"),
     )
     enriched = enriched.join(pii, id_col)
 

@@ -40,8 +40,12 @@ def curate_corpus(
     bands: int = 8,
 ) -> dict:
     """Returns {'docs': curated frame, 'neardup_pairs': flagged pairs,
-    'stats': per-host rollup}. Mostly lazy; the MinHash signature pass
-    runs eagerly (cached once, reused by every returned frame)."""
+    'stats': per-host rollup, 'sigs': the shared signature frame}.
+    Mostly lazy; the MinHash signature pass runs eagerly (cached once,
+    reused by every returned frame). Cache hygiene: once the returned
+    frames are materialized, call ``result['sigs'].unpersist()`` — in a
+    long-lived session composing several corpora the cached signatures
+    would otherwise accumulate until clearCache()."""
     docs = extract_parse(pages).withColumn("doc_id", F.xxhash64("url"))
 
     analyzed = (
@@ -86,4 +90,9 @@ def curate_corpus(
         salt_buckets=16,
     ).withColumnRenamed("key", "host")
 
-    return {"docs": curated, "neardup_pairs": neardup_pairs, "stats": stats}
+    return {
+        "docs": curated,
+        "neardup_pairs": neardup_pairs,
+        "stats": stats,
+        "sigs": sigs,
+    }

@@ -47,9 +47,15 @@ def rag_context(topk: DataFrame, content_col: str = "content") -> str:
 
 
 def parse_repl_line(line: str):
-    """Reference command grammar: 'quit'/'exit'/'q' → quit; 'sources' →
-    toggle; 'company:NAME' suffix → filter. Returns
-    (action, question, company_filter)."""
+    """Reference command grammar (simple_rag.py:318-336): 'quit'/'exit'/
+    'q' → quit; 'sources' → toggle; 'company:' marker → filter. Returns
+    (action, question, company_filter).
+
+    Marker parity quirks mirrored exactly: the presence check is
+    lowercase but the split is case-sensitive ('COMPANY:X' passes the
+    check, fails the split, and the line is left untouched); the filter
+    only applies when the marker occurs exactly once; and EVERYTHING
+    after the marker — not just the first token — is the filter."""
     line = line.strip()
     if line.lower() in ("quit", "exit", "q"):
         return ("quit", "", None)
@@ -59,7 +65,52 @@ def parse_repl_line(line: str):
         return ("empty", "", None)
     company = None
     if "company:" in line.lower():
-        idx = line.lower().index("company:")
-        company = line[idx + len("company:"):].strip().split()[0] if line[idx + 8:].strip() else None
-        line = line[:idx].strip()
+        parts = line.split("company:")
+        if len(parts) == 2:
+            company = parts[1].strip() or None
+            line = parts[0].strip()
     return ("ask", line, company)
+
+
+def format_search_results(results) -> str:
+    """Human-visible sources listing, shape-parity with the reference's
+    format_search_results (simple_rag.py:160-203): per-result header with
+    weighted score + similarity, executive/role, category, a days-ago
+    time-context ladder (<30 Recent, <365 This Year, <730 Last Year,
+    else Older), date[:10] + quarter + fiscal year, content truncated at
+    200 chars, 80-dash separators. ``results`` is a list of dicts with
+    (company, similarity, weighted_score, days_ago, content, metadata)."""
+    if not results:
+        return "No relevant documents found."
+
+    formatted = []
+    for i, result in enumerate(results, 1):
+        metadata = result.get("metadata") or {}
+        executive = metadata.get("executive_name", metadata.get("speaker", "Unknown"))
+        role = metadata.get("executive_role", "Unknown Role")
+        category = metadata.get("category", "Unknown Category")
+        date = (metadata.get("date") or "")[:10]
+        quarter = metadata.get("quarter", "")
+        fiscal_year = metadata.get("fiscal_year", "")
+        days_ago = result["days_ago"]
+        content = result["content"]
+
+        if days_ago < 30:
+            time_context = "🟢 Recent"
+        elif days_ago < 365:
+            time_context = "🟡 This Year"
+        elif days_ago < 730:
+            time_context = "🟠 Last Year"
+        else:
+            time_context = "🔴 Older"
+
+        formatted.append(
+            f"""
+🏢 Result {i} - {result['company']} (Score: {result['weighted_score']:.3f}, Similarity: {result['similarity']:.3f})
+👤 {executive} ({role})
+📂 Category: {category}
+📅 {time_context} {date} {quarter} {fiscal_year} ({days_ago} days ago)
+💬 Content: {content[:200]}{'...' if len(content) > 200 else ''}
+{'-' * 80}"""
+        )
+    return "\n".join(formatted)

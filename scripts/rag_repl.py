@@ -20,7 +20,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pdf_extraction_spark.plans.rag import parse_repl_line, rag_context, rag_search
+from pdf_extraction_spark.plans.rag import (
+    format_search_results,
+    parse_repl_line,
+    rag_context,
+    rag_search,
+)
 
 
 def build_chunks(spark, n_pages: int):
@@ -87,12 +92,27 @@ def main():
         print("-" * 50)
         print(rag_context(topk))
         if show_sources:
-            print("\nsources:")
-            for i, r in enumerate(rows, 1):
-                print(
-                    f"{i}. {r['company']} {r['date']} {r['speaker']} "
-                    f"(sim={r['similarity']:.4f} score={r['weighted_score']:.4f})"
+            from datetime import date as _date
+
+            as_of = _date.fromisoformat("2025-05-01")
+            results = []
+            for r in rows:
+                try:
+                    days = (as_of - _date.fromisoformat(str(r["date"])[:10])).days
+                except (ValueError, TypeError):
+                    days = 10**6
+                results.append(
+                    {
+                        "company": r["company"],
+                        "similarity": r["similarity"],
+                        "weighted_score": r["weighted_score"],
+                        "days_ago": days,
+                        "content": r["content"],
+                        "metadata": {"speaker": r["speaker"], "date": str(r["date"])},
+                    }
                 )
+            print("\n📚 DETAILED SOURCES:")
+            print(format_search_results(results))
             show_sources = False
         topk.unpersist()
     print("bye")

@@ -133,6 +133,12 @@ def main(argv=None):
     with open(os.path.join(args.output, "data_card.json"), "w") as f:
         json.dump(card, f, indent=2)
 
+    # cache hygiene: every sink is materialized — release the shared
+    # signature cache and the fan-out cache so a long-lived session
+    # composing several corpora holds no residual cached frames
+    out["sigs"].unpersist()
+    docs.unpersist()
+
     n = card["n_docs"]
     print(f"done: {n} curated docs → {corpus_path} (+ pack_stats, host_stats, data_card.json)")
 

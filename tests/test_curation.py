@@ -291,6 +291,11 @@ class TestRandomizedCrossEngine:
             (n + 1, "a.b@c.de +1 (23) 456-7890 1.2.3.4 ...... … #", "src1"),
             (n + 2, "(((((((((( ]]]]] ***** \\d+ \\s \\w [a-z]", "src2"),
             (n + 3, "\n\n\n   \n\t\n", "src0"),
+            # IPs glued to Unicode letters: the old Java \b (Unicode-aware)
+            # diverged from RE2's ASCII \b here; the explicit ASCII-class
+            # lookarounds must now mask identically in both engines
+            (n + 4, "ü1.2.3.4 glued é10.0.0.1ö and 5.6.7.8ß end ñ9.8.7.6", "src1"),
+            (n + 5, "x1.2.3.4 9.9.9.9_ _7.7.7.7 1.2.3.4.5 a1.2.3.4b 2.3.4.5", "src2"),
         ]
         return docs
 

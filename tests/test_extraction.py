@@ -101,6 +101,27 @@ class TestPdfRoundtrip:
             "page two\n"
         )
 
+    def test_indirect_length_missing_object(self):
+        """Malformed PDF: /Length is an indirect ref (9 0 R) whose
+        length object is absent. The direct-form fallback used to match
+        the ref's object NUMBER (9) and slice 9 bytes of garbage; the
+        parser must instead fall through to the endstream scan and
+        recover the full stream."""
+
+        def obj(num, body):
+            return f"{num} 0 obj\r\n".encode() + body + b"\r\nendobj\r\n"
+
+        content = b"BT\r\n(recovered without a length object) Tj\r\nET"
+        parts = [b"%PDF-1.4\r\n"]
+        parts.append(obj(1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+        parts.append(obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+        parts.append(obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"))
+        parts.append(
+            obj(4, b"<< /Length 9 0 R >>\r\nstream\r\n" + content + b"\r\nendstream")
+        )  # object 9 never written
+        body = b"".join(parts) + b"trailer\r\n<< /Root 1 0 R >>\r\n%%EOF\r\n"
+        assert extract_pdf_text(body) == "recovered without a length object\n"
+
 
 class TestFallbackChain:
     """S4: the plumber→PyPDF2→builtin order with first-non-empty-wins.

@@ -81,6 +81,47 @@ class TestCurate:
         top = max(stats, key=lambda r: r.n_docs)
         assert top.host == "host0.example"
 
+    def test_cache_hygiene(self, spark, pages):
+        """Materialize every returned frame, then release the returned
+        sigs handle → no residual cached frames beyond what the session
+        already held (long-lived sessions composing several corpora must
+        not leak the signature cache)."""
+        from pdf_extraction_spark.plans.curate import curate_corpus
+
+        jsc = spark.sparkContext._jsc
+        baseline = jsc.getPersistentRDDs().size()
+        # minhash_bits differs from the earlier pipeline test so the
+        # signature plan is distinct — Spark's cache manager would
+        # otherwise silently reuse that test's (leaked) cache entry
+        out = curate_corpus(pages, min_tokens=10, languages=("en",), minhash_bits=24)
+        out["docs"].count()
+        out["neardup_pairs"].count()
+        out["stats"].count()
+        assert jsc.getPersistentRDDs().size() > baseline  # sigs cached in-job
+        out["sigs"].unpersist(blocking=True)
+        assert jsc.getPersistentRDDs().size() == baseline
+
+    def test_simhash_no_cache_flag(self, spark, pages):
+        from pdf_extraction_spark.operators.dedup import simhash_pairs
+        from pdf_extraction_spark.plans.curate import curate_corpus  # noqa: F401
+
+        docs = pages.selectExpr(
+            "url",
+            "xxhash64(url) AS doc_id",
+            # 5 distinct texts → plenty of identical-fingerprint pairs
+            "concat('sample doc text variant ', CAST(pmod(xxhash64(url), 5) AS STRING)) AS text",
+        )
+        jsc = spark.sparkContext._jsc
+        baseline = jsc.getPersistentRDDs().size()
+        cached = simhash_pairs(docs, "text", "doc_id", cache_signatures=True)
+        cached.count()
+        assert jsc.getPersistentRDDs().size() == baseline + 1
+        uncached = simhash_pairs(docs, "text", "doc_id", cache_signatures=False)
+        assert sorted(map(tuple, uncached.collect())) == sorted(
+            map(tuple, cached.collect())
+        )
+        assert jsc.getPersistentRDDs().size() == baseline + 1  # no new cache
+
 
 class TestLineageResume:
     def test_checkpoint_resume(self, spark, pages, tmp_path):
@@ -252,6 +293,23 @@ class TestStreaming:
         n = spark.sql("SELECT count(*) c FROM dedup_content").first().c
         assert n == 20  # mirror payload collapsed too
 
+    def test_empty_first_batch_sink(self, spark, pages, tmp_path):
+        """ADVICE fix: an empty first-ever micro-batch used to write a
+        schema-less docs dir whose lineage read-back failed the whole
+        query; the sink now short-circuits and the next real batch
+        commits normally."""
+        import os as _os
+
+        from pdf_extraction_spark.streaming.sink import make_extraction_sink
+
+        out = str(tmp_path / "empty_first_out")
+        sink = make_extraction_sink(out)
+        sink(pages.limit(0), 0)  # must not raise, must not write docs
+        assert not _os.path.exists(_os.path.join(out, "docs"))
+        sink(pages, 1)
+        docs = spark.read.parquet(_os.path.join(out, "docs"))
+        assert docs.count() == pages.count()
+
     def test_streaming_exactly_once_sink(self, spark, pages, tmp_path):
         """Streaming extraction with the lineage commit protocol:
         drains available input, is idempotent on batch redelivery, and a
@@ -357,6 +415,19 @@ class TestCorpusCard:
         # oracle found groups at sf0.01; here just internal consistency)
         docs2 = docs.select("doc_id", "text", "source")
         assert corpus_card(docs2)["n_docs"] == card["n_docs"]
+
+    def test_card_custom_id_col(self, spark):
+        """ADVICE fix: scrub_pii renames its id to 'doc_id'; the card
+        must alias it back so non-default id columns join correctly."""
+        from pdf_extraction_spark.plans.card import corpus_card
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(120)
+            .withColumnRenamed("doc_id", "page_id")
+        )
+        card = corpus_card(docs, id_col="page_id")
+        assert card["n_docs"] == 120
 
     def test_card_written_by_cli(self, spark, tmp_path):
         import importlib.util

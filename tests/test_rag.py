@@ -22,6 +22,69 @@ class TestParseReplLine:
         a, q, c = parse_repl_line("plain question")
         assert (a, q, c) == ("ask", "plain question", None)
 
+    def test_reference_marker_quirks(self):
+        """Parity with simple_rag.py:332-336: everything after the marker
+        is the filter; mid-line trailing text is NOT silently dropped
+        from the question — it belongs to the filter (reference rule);
+        case-sensitive split; double marker → untouched."""
+        a, q, c = parse_repl_line("revenue company:CIPLA guidance")
+        assert (a, q, c) == ("ask", "revenue", "CIPLA guidance")
+        # uppercase marker passes the lowercase check but fails the
+        # case-sensitive split — line left untouched (reference quirk)
+        a, q, c = parse_repl_line("revenue COMPANY:CIPLA")
+        assert (a, q, c) == ("ask", "revenue COMPANY:CIPLA", None)
+        # marker twice → len(parts) != 2 → untouched
+        a, q, c = parse_repl_line("company:A vs company:B")
+        assert (a, q, c) == ("ask", "company:A vs company:B", None)
+        # empty filter normalizes to None
+        a, q, c = parse_repl_line("question company:")
+        assert (a, q, c) == ("ask", "question", None)
+
+    def test_format_search_results_golden(self):
+        """Pin the human-visible sources listing to the reference's
+        format_search_results shape (simple_rag.py:160-203)."""
+        from pdf_extraction_spark.plans.rag import format_search_results
+
+        assert format_search_results([]) == "No relevant documents found."
+        results = [
+            {
+                "company": "CIPLA",
+                "similarity": 0.91234,
+                "weighted_score": 0.84567,
+                "days_ago": 12,
+                "content": "Revenue grew 12% this quarter.",
+                "metadata": {
+                    "executive_name": "A. Sharma",
+                    "executive_role": "CFO",
+                    "category": "Financial Performance",
+                    "date": "2024-05-10T00:00:00",
+                    "quarter": "Q4",
+                    "fiscal_year": "FY24",
+                },
+            },
+            {
+                "company": "LUPIN",
+                "similarity": 0.5,
+                "weighted_score": 0.4,
+                "days_ago": 800,
+                "content": "x" * 250,
+                "metadata": {"speaker": "Moderator"},
+            },
+        ]
+        out = format_search_results(results)
+        assert (
+            "🏢 Result 1 - CIPLA (Score: 0.846, Similarity: 0.912)" in out
+        )
+        assert "👤 A. Sharma (CFO)" in out
+        assert "📂 Category: Financial Performance" in out
+        assert "📅 🟢 Recent 2024-05-10 Q4 FY24 (12 days ago)" in out
+        assert "🏢 Result 2 - LUPIN (Score: 0.400, Similarity: 0.500)" in out
+        assert "👤 Moderator (Unknown Role)" in out  # speaker fallback
+        assert "🔴 Older" in out  # 800 days → oldest bucket
+        assert "x" * 200 + "..." in out  # 200-char truncation
+        assert "x" * 201 not in out
+        assert out.count("-" * 80) == 2
+
 
 @pytest.fixture()
 def chunks(spark):
@@ -73,6 +136,8 @@ def test_repl_end_to_end():
     assert out.returncode == 0, out.stderr[-2000:]
     assert "RAG search ready" in out.stdout
     assert "relevant chunks" in out.stdout
-    assert "sources:" in out.stdout
-    assert "CIPLA" in out.stdout.split("sources:")[1]
+    assert "📚 DETAILED SOURCES:" in out.stdout
+    listing = out.stdout.split("📚 DETAILED SOURCES:")[1]
+    assert "CIPLA" in listing
+    assert "🏢 Result 1 - " in listing  # reference display shape
     assert "bye" in out.stdout
