@@ -788,6 +788,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "n_bytes", F.round("mean_intensity", 4).alias("mean_intensity")
         )
 
+    # -- multimodal with REAL stdlib decoders (PPM/BMP images, PCM WAV) -----
+    def q_media_features_real(spark, sf):
+        """Payloads here are genuinely decoded (kernels/mediaio.py); the
+        oracle recomputes decode + pooling sequentially in pure Python."""
+        from pdf_extraction_spark.operators.multimodal import (
+            extract_media_features,
+            synth_real_media_df,
+        )
+
+        return extract_media_features(synth_real_media_df(spark, 24)).select(
+            "media_id",
+            "media_type",
+            "n_bytes",
+            F.round("mean_intensity", 4).alias("mean_intensity"),
+        )
+
     return {
         "extract_pipeline": q_extract_pipeline,
         "salted_agg": q_salted_agg,
@@ -797,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "embedding_lsh": q_embedding_lsh,
         "media_features": q_media_features,
+        "media_features_real": q_media_features_real,
         "curate_corpus": q_curate,
         "url_dates": q_url_dates,
         "roster_extract": q_roster,
@@ -1312,6 +1329,10 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": (
             "SELECT url, token_count, detected_lang FROM "
             + _fixture("curate_docs.parquet")
+        ),
+        "media_features_real": (
+            "SELECT media_id, media_type, n_bytes, mean_intensity FROM "
+            + _fixture("media_features_real.parquet")
         ),
         "media_features": (
             "SELECT media_id, n_bytes, mean_intensity FROM "

@@ -1,10 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary +
 typed metadata.
 
-The container ships no image/audio codecs, so the *decode* step is a
-deterministic fake behind ``DECODERS`` (clearly marked; swap in PIL /
-torchaudio on a real cluster). Everything Spark-side is real and tested:
-schemas, Arrow batch shapes, ``mapInPandas`` signatures, partitioning.
+Decoding is REAL for the formats the stdlib can handle — P6 PPM and
+24-bit BMP images, PCM WAV audio (kernels/mediaio.py) — selected by
+payload magic bytes. Payloads in formats needing external codecs
+(JPEG/PNG/MP3/…) fall back to the deterministic fake, clearly marked;
+swap in PIL / torchaudio on a real cluster. Everything Spark-side is
+real and tested: schemas, Arrow batch shapes, ``mapInPandas``
+signatures, partitioning.
 
 Design notes for 100 TB: media blobs ride in their own column so column
 pruning keeps them out of text-only scans; feature extraction is a
@@ -18,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..kernels.mediaio import pooled_features
 from ..kernels.textstats import hash_bytes
 
 MEDIA_SCHEMA = T.StructType(
@@ -47,7 +51,30 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.randint(0, 256, size=(height or 8, width or 8, 3), dtype=np.uint8)
 
 
-DECODERS = {"image": _fake_decode_image}
+def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real decode for stdlib-decodable formats (magic-byte sniff),
+    deterministic fake for the rest (JPEG/PNG need external codecs)."""
+    from ..kernels.mediaio import decode_bmp, decode_ppm
+
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"BM"):
+        return decode_bmp(payload)
+    return _fake_decode_image(payload, width, height)
+
+
+def _decode_audio(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Real PCM WAV decode (RIFF magic); deterministic fake sample
+    array for other containers."""
+    from ..kernels.mediaio import decode_wav
+
+    if payload.startswith(b"RIFF"):
+        return decode_wav(payload)
+    rng = np.random.RandomState(hash_bytes(payload or b"") % (2**32))
+    return rng.randint(-32768, 32768, size=(256, 1)).astype(np.int16)
+
+
+DECODERS = {"image": _decode_image, "audio": _decode_audio}
 
 FEATURES_SCHEMA = (
     "media_id long, media_type string, n_bytes long, "
@@ -71,17 +98,13 @@ def extract_media_features(media: DataFrame, feat_dim: int = 16) -> DataFrame:
                         "register one in multimodal.DECODERS"
                     )
                 img = decoder(payload, meta["width"], meta["height"])
-                flat = img.astype(np.float64).ravel()
-                pooled = [
-                    float(chunk.mean()) if len(chunk) else 0.0
-                    for chunk in np.array_split(flat, feat_dim)
-                ]
+                mean_intensity, pooled = pooled_features(img, feat_dim)
                 out.append(
                     {
                         "media_id": row["media_id"],
                         "media_type": row["media_type"],
                         "n_bytes": len(payload),
-                        "mean_intensity": float(flat.mean()) if flat.size else 0.0,
+                        "mean_intensity": mean_intensity,
                         "feature_vec": pooled,
                     }
                 )
@@ -101,6 +124,19 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         media.filter(F.col("media_type") == "video")
         .select("media_id", F.explode(frames).alias("frame_ts_ms"))
     )
+
+
+def synth_real_media_df(spark, n_rows: int = 24) -> DataFrame:
+    """Deterministic rows whose payloads are GENUINELY decodable (P6
+    PPM / 24-bit BMP / PCM WAV — kernels/mediaio.synth_real_payload,
+    shared with the oracle fixture generator)."""
+    from ..kernels.mediaio import synth_real_payload
+
+    rows = []
+    for i in range(n_rows):
+        mtype, payload, meta = synth_real_payload(i)
+        rows.append((i, mtype, payload, meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synth_media_df(spark, n_rows: int = 32, seed: int = 42) -> DataFrame:

@@ -353,6 +353,42 @@ def media_features_table(n_rows: int = 24) -> pa.Table:
     )
 
 
+def media_features_real_table(n_rows: int = 24) -> pa.Table:
+    """q_media_features_real expected output over GENUINELY decoded
+    payloads (PPM + BMP images, PCM WAV audio): sequential pure-Python
+    decode + pooling through the same mediaio kernels, no Spark."""
+    from pdf_extraction_spark.kernels.mediaio import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        pooled_features,
+        synth_real_payload,
+    )
+
+    ids, mtypes, nbytes, intensity = [], [], [], []
+    for i in range(n_rows):
+        mtype, payload, _meta = synth_real_payload(i)
+        if payload.startswith(b"P6"):
+            arr = decode_ppm(payload)
+        elif payload.startswith(b"BM"):
+            arr = decode_bmp(payload)
+        else:
+            arr = decode_wav(payload)
+        mean, _vec = pooled_features(arr)
+        ids.append(i)
+        mtypes.append(mtype)
+        nbytes.append(len(payload))
+        intensity.append(_round_half_up(mean, 4))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(mtypes, pa.string()),
+            "n_bytes": pa.array(nbytes, pa.int64()),
+            "mean_intensity": pa.array(intensity, pa.float64()),
+        }
+    )
+
+
 FIXTURES = {
     "minhash_sigs_sf0_01.parquet": minhash_sigs_table,
     "simhash_sf0_01.parquet": simhash_table,
@@ -362,6 +398,7 @@ FIXTURES = {
     "extract_turns.parquet": extract_turns_table,
     "curate_docs.parquet": curate_docs_table,
     "media_features.parquet": media_features_table,
+    "media_features_real.parquet": media_features_real_table,
 }
 
 

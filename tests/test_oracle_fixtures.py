@@ -33,6 +33,11 @@ class TestFixtureFreshness:
     def test_media_features(self):
         assert _committed("media_features.parquet").equals(mk.media_features_table())
 
+    def test_media_features_real(self):
+        assert _committed("media_features_real.parquet").equals(
+            mk.media_features_real_table()
+        )
+
     def test_minhash_sigs_sample(self):
         from pdf_extraction_spark.kernels.textstats import minhash_signature
 
