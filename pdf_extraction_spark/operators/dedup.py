@@ -528,9 +528,18 @@ def embedding_sketches(
     n_bands: int = 8,
     seed: int = 42,
     dim: int = None,
+    cache: bool = True,
 ) -> DataFrame:
     """(id, bands: array<long>) — per-vector banded sign sketch via a
     vectorized pandas UDF (template: similarity.assign_cells).
+
+    Same eager-cache contract as :func:`minhash_signatures`: the
+    banding/bucket-size/candidate relational core references this frame
+    four times, so without the cache the sketch UDF would run four
+    passes over the corpus. Cached until unpersist/clearCache — callers
+    composing several corpora in one session should unpersist when done
+    (or pass ``cache=False`` to trade repeat UDF passes for zero
+    residual cache).
 
     ``dim`` should be passed from table metadata at scale; the
     ``first()`` fallback is a bounded single-row metadata lookup."""
@@ -553,7 +562,10 @@ def embedding_sketches(
         m = np.array(vecs.tolist(), dtype=np.float64)
         return pd.Series(sign_sketch_bands(m, planes, n_bands).tolist())
 
-    return nn.select(F.col(id_col), sketch_udf(F.col(vec_col)).alias("bands"))
+    sk = nn.select(F.col(id_col), sketch_udf(F.col(vec_col)).alias("bands"))
+    if cache:
+        sk.persist().count()
+    return sk
 
 
 def embedding_near_dups(

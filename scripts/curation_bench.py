@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Curation-suite bench at sf1.0-equivalent scale (1.2M pages).
+
+The headline bench (bench.py) is extraction-centric; this measures the
+shuffle-heavy dedup/curation family — ``curate_corpus`` end-to-end,
+``minhash_lsh``, ``dedup_lines``, ``flag_contaminated`` — at two input
+scales (default 120k and 1.2M synthetic pages, the sf0.1 → sf1.0 step)
+with per-stage wall time AND shuffle read/write bytes from the Spark
+REST status API. Super-linearity check: a 10× input must not grow any
+stage's wall time or shuffle volume by more than ~10× (headroom for VM
+noise is reported, not hidden).
+
+Writes BENCH/curation_sf1.json. Run:
+  python scripts/curation_bench.py [--scales 120000,1200000]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def shuffle_totals(spark):
+    """(shuffle_read_bytes, shuffle_write_bytes) summed over all
+    completed stages so far — deltas around a job isolate its shuffle."""
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=COMPLETE"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.load(r)
+    except Exception:
+        return (0, 0)
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
+def timed(spark, fn):
+    r0, w0 = shuffle_totals(spark)
+    t0 = time.time()
+    rows = fn()
+    wall = time.time() - t0
+    r1, w1 = shuffle_totals(spark)
+    return {
+        "wall_s": round(wall, 2),
+        "rows": rows,
+        "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+        "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+    }
+
+
+def run_suite(spark, n_pages: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.curation import dedup_lines, flag_contaminated
+    from pdf_extraction_spark.operators.dedup import minhash_lsh_pairs
+    from pdf_extraction_spark.operators.extract import extract_parse
+    from pdf_extraction_spark.plans.curate import curate_corpus
+    from pdf_extraction_spark.sources.pages import synth_pages_df
+
+    pages = synth_pages_df(spark, n_pages)
+    out = {}
+
+    res = curate_corpus(pages, min_tokens=10, languages=("en",))
+    out["curate_corpus"] = timed(
+        spark, lambda: res["docs"].count() + res["stats"].count()
+    )
+    res["sigs"].unpersist(blocking=True)
+
+    # isolated stages share one materialized docs frame (extraction cost
+    # is the headline bench's subject, not this one's)
+    docs = (
+        extract_parse(pages).withColumn("doc_id", F.xxhash64("url")).persist()
+    )
+    docs.count()
+
+    out["minhash_lsh"] = timed(
+        spark,
+        lambda: minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=32, bands=8
+        ).filter(F.col("est_jaccard") >= 0.8).count(),
+    )
+    spark.catalog.clearCache()  # signature cache from the pairs call
+    docs.persist().count()
+
+    out["dedup_lines"] = timed(
+        spark, lambda: dedup_lines(docs, "text", "doc_id").count()
+    )
+
+    eval_df = docs.limit(200).select(F.col("text")).cache()
+    eval_df.count()
+    out["decontaminate"] = timed(
+        spark,
+        lambda: flag_contaminated(docs, eval_df, "text", "doc_id")
+        .filter(F.col("contaminated"))
+        .count(),
+    )
+    docs.unpersist()
+    eval_df.unpersist()
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="120000,1200000")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "curation_sf1.json"
+    ))
+    ns = ap.parse_args(argv)
+    scales = [int(s) for s in ns.scales.split(",")]
+
+    from pdf_extraction_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="curation_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    # warm JVM + Python workers before any timed window
+    run_suite(spark, 5000)
+
+    result = {"scales": {}}
+    for n in scales:
+        print(f"--- {n} pages ---")
+        result["scales"][str(n)] = run_suite(spark, n)
+        for stage, m in result["scales"][str(n)].items():
+            print(f"  {stage}: {m['wall_s']}s, {m['rows']} rows, "
+                  f"shuffle r/w {m['shuffle_read_mb']}/{m['shuffle_write_mb']} MB")
+
+    if len(scales) == 2:
+        lo, hi = (str(s) for s in scales)
+        factor = scales[1] / scales[0]
+        result["scale_factor"] = factor
+        result["growth"] = {
+            stage: {
+                "wall": round(
+                    result["scales"][hi][stage]["wall_s"]
+                    / max(result["scales"][lo][stage]["wall_s"], 1e-9), 2
+                ),
+                "shuffle_write": round(
+                    result["scales"][hi][stage]["shuffle_write_mb"]
+                    / max(result["scales"][lo][stage]["shuffle_write_mb"], 1e-3), 2
+                ),
+            }
+            for stage in result["scales"][lo]
+        }
+        # linear = wall growth ≤ scale factor × 1.3 noise headroom
+        result["no_stage_super_linear"] = all(
+            g["wall"] <= factor * 1.3 for g in result["growth"].values()
+        )
+
+    with open(ns.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,30 @@ def test_extraction_has_single_python_crossing(spark):
     assert _plan(real).count("MapInPandas") == 1
 
 
+def test_embedding_lsh_single_python_crossing(spark):
+    """The reworked LSH path: the pandas-UDF sign sketch runs ONCE
+    (eager cache, minhash contract) and every one of the relational
+    core's four references reads the InMemoryRelation — textually the
+    UDF appears only inside cached-relation definitions, never as a live
+    stage. Banding, bucket cap, candidate join, exact cosine all native;
+    no cartesian shape anywhere."""
+    import __spark_entry__ as e
+
+    p = _plan(e.queries()["embedding_lsh"](spark, SF))
+    assert "InMemoryTableScan" in p  # sketch computed once, reused
+    assert p.count("ArrowEvalPython") == p.count("InMemoryTableScan")
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_assign_single_python_crossing(spark):
+    import __spark_entry__ as e
+
+    p = _plan(e.queries()["ivf_assign"](spark, SF))
+    assert p.count("ArrowEvalPython") == 1
+    assert "CartesianProduct" not in p
+
+
 def test_scan_pruning_reaches_parquet(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = _plan(docs.filter(F.col("lang") == "en").select("doc_id", "n_chars"))
