@@ -72,6 +72,117 @@ def parse_repl_line(line: str):
     return ("ask", line, company)
 
 
+def rows_to_results(rows, as_of: str = "2025-05-01"):
+    """Collected top-k Rows → the result-dict shape the reference's
+    display/answer helpers consume (company, similarity, weighted_score,
+    days_ago, content, metadata)."""
+    from datetime import date as _date
+
+    as_of_d = _date.fromisoformat(as_of)
+    results = []
+    for r in rows:
+        try:
+            days = (as_of_d - _date.fromisoformat(str(r["date"])[:10])).days
+        except (ValueError, TypeError):
+            days = 10**6
+        results.append(
+            {
+                "company": r["company"],
+                "similarity": r["similarity"],
+                "weighted_score": r["weighted_score"],
+                "days_ago": days,
+                "content": r["content"],
+                "metadata": {"speaker": r["speaker"], "date": str(r["date"])},
+            }
+        )
+    return results
+
+
+_ANSWER_SYSTEM_PROMPT = (
+    "You are a financial analyst expert in earnings call analysis. "
+    "Provide detailed, accurate responses based on the provided earnings "
+    "call transcripts."
+)
+
+
+def build_answer_prompt(question: str, search_results) -> str:
+    """Byte-parity with the reference's prompt assembly
+    (simple_rag.py:205-246): numbered Source blocks from the top-5
+    results + the analyst-instructions template. The prompt text IS the
+    spec — a pluggable LLM client must see the same bytes the reference
+    sends."""
+    context_parts = []
+    for i, result in enumerate(search_results[:5], 1):
+        metadata = result.get("metadata") or {}
+        context_parts.append(
+            f"""
+Source {i}: {result['company']} - {metadata.get('executive_name', 'Unknown')} ({metadata.get('executive_role', 'Unknown')})
+Category: {metadata.get('category', 'Unknown')} | Date: {(metadata.get('date') or '')[:10]} {metadata.get('quarter', '')}
+Content: {result['content']}
+---"""
+        )
+    context = "\n".join(context_parts)
+    return f"""You are an expert financial analyst reviewing earnings call transcripts. Based on the provided context from executive statements, answer the user's question comprehensively.
+
+User Question: {question}
+
+Context from Earnings Calls:
+{context}
+
+Instructions:
+1. Provide a comprehensive answer based on the context
+2. Mention specific executives and their companies when relevant
+3. Include key financial metrics, dates, and trends when available
+4. If comparing companies, be specific about differences
+5. Cite which executive made which statement
+6. Keep the answer professional and analytical
+
+Answer:"""
+
+
+def _extractive_answer(question: str, search_results, k_sentences: int = 3) -> str:
+    """Deterministic offline answer: sentences from the top contexts
+    ranked by question-token overlap (ties broken by source order), each
+    cited to its speaker/company. NOT an LLM — the sandbox has no
+    network; plug a real client via generate_answer(llm=...)."""
+    import re
+
+    q_tokens = set(re.findall(r"[a-z0-9]+", question.lower()))
+    scored = []
+    for si, result in enumerate(search_results[:5]):
+        metadata = result.get("metadata") or {}
+        who = metadata.get("executive_name", metadata.get("speaker", "Unknown"))
+        for sj, sent in enumerate(re.split(r"(?<=[.!?])\s+", result["content"])):
+            sent = sent.strip()
+            if not sent:
+                continue
+            toks = set(re.findall(r"[a-z0-9]+", sent.lower()))
+            overlap = len(q_tokens & toks)
+            scored.append((-overlap, si, sj, sent, who, result["company"]))
+    scored.sort()
+    lines = [
+        f"- {sent} ({who}, {company})"
+        for _neg, _si, _sj, sent, who, company in scored[:k_sentences]
+    ]
+    return "Based on the retrieved statements:\n" + "\n".join(lines)
+
+
+def generate_answer(question: str, search_results, llm=None) -> str:
+    """The reference's answer step (simple_rag.py:205-262) with the
+    OpenAI call factored into a pluggable ``llm(system, prompt) -> str``
+    hook (network is a presentation-layer concern, SURVEY §2.10). With
+    no client, a deterministic extractive summary stands in. Empty
+    results and the error-string shape mirror the reference exactly."""
+    if not search_results:
+        return "I couldn't find relevant information to answer your question."
+    if llm is not None:
+        try:
+            return llm(_ANSWER_SYSTEM_PROMPT, build_answer_prompt(question, search_results))
+        except Exception as e:
+            return f"Error generating response: {str(e)}"
+    return _extractive_answer(question, search_results)
+
+
 def format_search_results(results) -> str:
     """Human-visible sources listing, shape-parity with the reference's
     format_search_results (simple_rag.py:160-203): per-result header with

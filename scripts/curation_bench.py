@@ -89,8 +89,13 @@ def run_suite(spark, n_pages: int) -> dict:
     spark.catalog.clearCache()  # signature cache from the pairs call
     docs.persist().count()
 
+    # count() alone lets Catalyst eliminate the outer join (unique join
+    # keys) — aggregate over the rebuilt text to force the full compute
     out["dedup_lines"] = timed(
-        spark, lambda: dedup_lines(docs, "text", "doc_id").count()
+        spark,
+        lambda: dedup_lines(docs, "text", "doc_id")
+        .agg(F.sum(F.length("clean_text")), F.sum("n_lines_kept"), F.count("*"))
+        .first()[2],
     )
 
     eval_df = docs.limit(200).select(F.col("text")).cache()
@@ -115,11 +120,20 @@ def main(argv=None):
     ns = ap.parse_args(argv)
     scales = [int(s) for s in ns.scales.split(",")]
 
+    # 1.2M pages needs real heap (box has 128 GiB; the library default
+    # of 8g OOMs around 1M persisted docs); the UI must be on for the
+    # REST status API that reports shuffle bytes
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
     from pdf_extraction_spark.session import get_spark
 
     spark = get_spark(
         app_name="curation_bench",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4050",
+        },
     )
     # warm JVM + Python workers before any timed window
     run_suite(spark, 5000)

@@ -22,9 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pdf_extraction_spark.plans.rag import (
     format_search_results,
+    generate_answer,
     parse_repl_line,
     rag_context,
     rag_search,
+    rows_to_results,
 )
 
 
@@ -91,26 +93,10 @@ def main():
         print(f"found {len(rows)} relevant chunks")
         print("-" * 50)
         print(rag_context(topk))
+        results = rows_to_results(rows)
+        print("\n🤖 ANSWER (extractive — plug an LLM via generate_answer(llm=...)):")
+        print(generate_answer(question, results))
         if show_sources:
-            from datetime import date as _date
-
-            as_of = _date.fromisoformat("2025-05-01")
-            results = []
-            for r in rows:
-                try:
-                    days = (as_of - _date.fromisoformat(str(r["date"])[:10])).days
-                except (ValueError, TypeError):
-                    days = 10**6
-                results.append(
-                    {
-                        "company": r["company"],
-                        "similarity": r["similarity"],
-                        "weighted_score": r["weighted_score"],
-                        "days_ago": days,
-                        "content": r["content"],
-                        "metadata": {"speaker": r["speaker"], "date": str(r["date"])},
-                    }
-                )
             print("\n📚 DETAILED SOURCES:")
             print(format_search_results(results))
             show_sources = False

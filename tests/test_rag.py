@@ -86,6 +86,98 @@ class TestParseReplLine:
         assert out.count("-" * 80) == 2
 
 
+class TestGenerateAnswer:
+    RESULTS = [
+        {
+            "company": "CIPLA",
+            "similarity": 0.9,
+            "weighted_score": 0.8,
+            "days_ago": 10,
+            "content": "Revenue grew 12 percent. Margins were stable this quarter.",
+            "metadata": {
+                "executive_name": "A. Sharma",
+                "executive_role": "CFO",
+                "category": "Financial Performance",
+                "date": "2024-05-10T00:00:00",
+                "quarter": "Q4",
+            },
+        },
+        {
+            "company": "LUPIN",
+            "similarity": 0.6,
+            "weighted_score": 0.5,
+            "days_ago": 40,
+            "content": "Guidance for revenue is unchanged. We invested in capacity.",
+            "metadata": {"speaker": "Moderator"},
+        },
+    ]
+
+    def test_prompt_golden(self):
+        """Byte-parity with the reference's prompt assembly
+        (simple_rag.py:205-246)."""
+        from pdf_extraction_spark.plans.rag import build_answer_prompt
+
+        p = build_answer_prompt("What was revenue growth?", self.RESULTS)
+        assert p.startswith(
+            "You are an expert financial analyst reviewing earnings call "
+            "transcripts. Based on the provided context from executive "
+            "statements, answer the user's question comprehensively."
+        )
+        assert "User Question: What was revenue growth?" in p
+        assert "\nSource 1: CIPLA - A. Sharma (CFO)\n" in p
+        assert "Category: Financial Performance | Date: 2024-05-10 Q4\n" in p
+        assert "Content: Revenue grew 12 percent. Margins were stable this quarter.\n---" in p
+        # speaker-only metadata falls back to Unknown like the reference
+        assert "\nSource 2: LUPIN - Unknown (Unknown)\n" in p
+        assert "Category: Unknown | Date:  \n" in p
+        assert p.rstrip().endswith("Answer:")
+        assert "6. Keep the answer professional and analytical" in p
+
+    def test_empty_results_message_parity(self):
+        from pdf_extraction_spark.plans.rag import generate_answer
+
+        assert (
+            generate_answer("anything", [])
+            == "I couldn't find relevant information to answer your question."
+        )
+
+    def test_llm_hook_and_error_shape(self):
+        from pdf_extraction_spark.plans.rag import (
+            _ANSWER_SYSTEM_PROMPT,
+            generate_answer,
+        )
+
+        seen = {}
+
+        def fake_llm(system, prompt):
+            seen["system"], seen["prompt"] = system, prompt
+            return "the llm answer"
+
+        assert generate_answer("q?", self.RESULTS, llm=fake_llm) == "the llm answer"
+        assert seen["system"] == _ANSWER_SYSTEM_PROMPT
+        assert "User Question: q?" in seen["prompt"]
+
+        def broken_llm(system, prompt):
+            raise RuntimeError("rate limited")
+
+        # reference error-string shape (simple_rag.py:261-262)
+        assert (
+            generate_answer("q?", self.RESULTS, llm=broken_llm)
+            == "Error generating response: rate limited"
+        )
+
+    def test_extractive_fallback_deterministic_and_cited(self):
+        from pdf_extraction_spark.plans.rag import generate_answer
+
+        a1 = generate_answer("what is the revenue guidance?", self.RESULTS)
+        a2 = generate_answer("what is the revenue guidance?", self.RESULTS)
+        assert a1 == a2
+        assert a1.startswith("Based on the retrieved statements:")
+        # the highest-overlap sentence ranks first, with its citation
+        assert "Guidance for revenue is unchanged. (Moderator, LUPIN)" in a1
+        assert "(A. Sharma, CIPLA)" in a1
+
+
 @pytest.fixture()
 def chunks(spark):
     from pdf_extraction_spark.operators.embed import embed_documents
