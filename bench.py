@@ -146,6 +146,8 @@ def bench_queries(spark) -> dict:
         "simhash", "text_ratios", "token_count", "langid",
         "gopher_quality", "dedup_lines", "pii_scrub", "stratified_sample",
         "pack_sequences", "decontaminate",
+        # round 3: banded embedding LSH + fixed-centroid IVF assignment
+        "embedding_lsh", "ivf_assign", "media_features_real",
     ]
     out = {}
     for name in picks:
