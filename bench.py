@@ -250,6 +250,41 @@ def main():
                     [v for v in (rec, live) if v is not None]
                 )
 
+        # bad-window forensics, measured LIVE in the SAME window: when
+        # the Spark pair reads under the 0.8 criterion, run the no-Spark
+        # multiprocessing ceiling (same kernels, pinned cores, no JVM) at
+        # the same 4→16 pair. If the hardware itself scales poorly in
+        # this window, normalized engine efficiency (spark/mp) tells the
+        # true story; a healthy mp ratio instead flags JVM-targeted
+        # neighbor thrash (both decompositions documented in BASELINE.md)
+        live = scaling.get("efficiency")
+        if live is not None and live < 0.8:
+            try:
+                import importlib.util
+
+                spec = importlib.util.spec_from_file_location(
+                    "scaling_calibration",
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "scripts", "scaling_calibration.py"),
+                )
+                calib_mod = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(calib_mod)
+                rows = calib_mod._load_rows(24000)
+                mp_lo = calib_mod.calibrate_mp(rows, 4, 2)
+                mp_hi = calib_mod.calibrate_mp(rows, 16, 2)
+                eff_mp = round(
+                    (mp_hi["docs_per_sec"] / mp_lo["docs_per_sec"]) / 4.0, 3
+                )
+                scaling["same_window_ceiling"] = {
+                    "mp_4": mp_lo, "mp_16": mp_hi,
+                    "eff_mp_hardware_ceiling": eff_mp,
+                    "efficiency_normalized_to_ceiling": round(live / eff_mp, 3)
+                    if eff_mp else None,
+                }
+                log(f"same-window mp ceiling: {scaling['same_window_ceiling']}")
+            except Exception as ex:  # pragma: no cover
+                log(f"same-window ceiling probe failed: {ex}")
+
     spark = get_session(CPUS)
     queries = bench_queries(spark)
     q1 = {"extraction_pipeline": hi["sec"]}
