@@ -103,7 +103,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     row_size = (w * 3 + 3) & ~3
     out = np.empty((h, w, 3), dtype=np.uint8)
     for i in range(h):
-        row = payload[data_offset + i * row_size :][: w * 3]
+        row_off = data_offset + i * row_size
+        # bounded slice — an open-ended payload[row_off:] would copy the
+        # whole remaining file once per row (O(height × file_size))
+        row = payload[row_off : row_off + w * 3]
         if len(row) < w * 3:
             raise ValueError("truncated BMP raster")
         y = i if top_down else h - 1 - i

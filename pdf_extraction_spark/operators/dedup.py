@@ -579,6 +579,7 @@ def embedding_near_dups(
     max_bucket: int = 200,
     brute_force: bool = False,
     sketches: DataFrame = None,
+    cache_sketches: bool = True,
 ) -> DataFrame:
     """Pairs with cosine ≥ τ over an embedding column.
 
@@ -612,8 +613,14 @@ def embedding_near_dups(
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         if sketches is None:
+            # cache hygiene: the internally-built sketch frame is cached
+            # and its handle dropped — a long-lived session composing
+            # several corpora should precompute via embedding_sketches()
+            # and pass ``sketches=`` so it can unpersist afterwards, or
+            # pass cache_sketches=False (repeat UDF passes, no residue)
             sketches = embedding_sketches(
-                emb, vec_col, id_col, n_planes, n_bands, seed
+                emb, vec_col, id_col, n_planes, n_bands, seed,
+                cache=cache_sketches,
             )
         cand_ids = _band_candidates(sketches, id_col, max_bucket)
         cand = (

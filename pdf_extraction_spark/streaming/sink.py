@@ -47,10 +47,11 @@ def make_extraction_sink(out_dir: str):
         spark = batch_df.sparkSession
         if batch_id in committed_batches(spark, lineage_path):
             return  # redelivered after a successful commit — drop
-        if batch_df.isEmpty():
-            # an empty first-ever batch would write a schema-less docs
-            # dir that the lineage read-back below cannot infer — skip;
-            # redelivery of an empty batch is trivially idempotent
+        if not os.path.exists(docs_path) and batch_df.isEmpty():
+            # an empty FIRST-EVER batch would write a schema-less docs
+            # dir that the lineage read-back below cannot infer — skip.
+            # Once docs exist the hazard is gone, so steady-state batches
+            # never pay the extra isEmpty() job (the dir check is free)
             return
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         extracted = extract_with_lineage(batch_df).withColumn(

@@ -67,11 +67,18 @@ def run_suite(spark, n_pages: int) -> dict:
     pages = synth_pages_df(spark, n_pages)
     out = {}
 
-    res = curate_corpus(pages, min_tokens=10, languages=("en",))
-    out["curate_corpus"] = timed(
-        spark, lambda: res["docs"].count() + res["stats"].count()
-    )
-    res["sigs"].unpersist(blocking=True)
+    # the timed window must INCLUDE curate_corpus() itself — its eager
+    # MinHash signature pass (and the extract/analyze/exact-dedup
+    # lineage that pass forces) is a real part of the stage's cost
+    holder = {}
+
+    def run_curate():
+        res = curate_corpus(pages, min_tokens=10, languages=("en",))
+        holder["res"] = res
+        return res["docs"].count() + res["stats"].count()
+
+    out["curate_corpus"] = timed(spark, run_curate)
+    holder["res"]["sigs"].unpersist(blocking=True)
 
     # isolated stages share one materialized docs frame (extraction cost
     # is the headline bench's subject, not this one's)
