@@ -765,6 +765,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return assign_cells(_emb(spark, sf), cents).select("vec_id", "cell")
 
+    # -- full IVF probe with FIXED centroids (deterministic → full oracle) --
+    def q_ivf_probe(spark, sf):
+        """With fixture centroids the WHOLE ivf_topk path is exact:
+        assignment (argmax), probe selection (top-n_probe cells by
+        centroid·query) and the within-cell cosine top-k are all
+        recomputed relationally by the twin. The trained-centroid
+        variant (q_ivf_topk) stays rows-only because training samples."""
+        from pdf_extraction_spark.operators.similarity import assign_cells, ivf_topk
+
+        cents_df = spark.read.parquet(
+            _os.path.join(_FIXTURE_DIR, "ivf_centroids_sf0_01.parquet")
+        )
+        cents = [
+            r["centroid"] for r in sorted(cents_df.collect(), key=lambda r: r["cell"])
+        ]
+        emb = _emb(spark, sf)
+        return ivf_topk(
+            assign_cells(emb, cents), cents, _query_vec(), k=5, n_probe=3
+        ).select("vec_id", "similarity")
+
     # -- embedding near-dup via the banded-LSH scale path -------------------
     def q_embedding_lsh(spark, sf):
         """Exercises the production LSH path (pandas-UDF sign sketch →
@@ -811,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_batch": q_topk_batch,
         "ivf_topk": q_ivf_topk,
         "ivf_assign": q_ivf_assign,
+        "ivf_probe": q_ivf_probe,
         "embedding_lsh": q_embedding_lsh,
         "media_features": q_media_features,
         "media_features_real": q_media_features_real,
@@ -1300,6 +1321,29 @@ def oracle_sql() -> dict[str, str]:
             n_bands=8,
             max_bucket=200,
             threshold=0.35,
+        ),
+        "ivf_probe": (
+            # full fixed-centroid IVF recomputed relationally: argmax
+            # assignment (same CTE as ivf_assign), probe = top-3 cells by
+            # centroid·query (high-precision cosine, ties to lowest cell
+            # = the numpy argsort rule), exact cosine top-k within
+            "WITH s AS (SELECT e.vec_id, c.cell, "
+            "CASE WHEN sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) = 0 "
+            "THEN 0.0 ELSE "
+            "list_dot_product(e.embedding::DOUBLE[], c.centroid) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(c.centroid, c.centroid))) END AS sim "
+            "FROM embeddings e, " + _fixture("ivf_centroids_sf0_01.parquet") + " c "
+            "WHERE e.embedding IS NOT NULL), "
+            "assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk FROM s) "
+            "WHERE rk = 1), "
+            "probe AS (SELECT cell FROM " + _fixture("ivf_centroids_sf0_01.parquet") + " c "
+            "ORDER BY " + sql_cosine("c.centroid", qvec, round_digits=9) + " DESC, cell LIMIT 3), "
+            "cand AS (SELECT e.vec_id, e.embedding FROM embeddings e "
+            "JOIN assign a ON e.vec_id = a.vec_id WHERE a.cell IN (SELECT cell FROM probe)) "
+            f"SELECT vec_id, {sql_cosine('embedding', qvec)} AS similarity FROM cand "
+            "ORDER BY similarity DESC, vec_id LIMIT 5"
         ),
         "ivf_assign": (
             # exact argmax twin of assign_cells over the committed fixed
