@@ -53,23 +53,34 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Real decode for stdlib-decodable formats (magic-byte sniff),
-    deterministic fake for the rest (JPEG/PNG need external codecs)."""
+    deterministic fake for the rest (JPEG/PNG need external codecs).
+
+    A magic-matching but truncated/corrupt payload must NOT kill the
+    whole Spark stage — crawled media is full of such bytes at scale —
+    so decode errors degrade to the deterministic fake too."""
     from ..kernels.mediaio import decode_bmp, decode_ppm
 
-    if payload.startswith(b"P6"):
-        return decode_ppm(payload)
-    if payload.startswith(b"BM"):
-        return decode_bmp(payload)
+    try:
+        if payload.startswith(b"P6"):
+            return decode_ppm(payload)
+        if payload.startswith(b"BM"):
+            return decode_bmp(payload)
+    except Exception:
+        pass  # corrupt payload claiming a known magic → fake fallback
     return _fake_decode_image(payload, width, height)
 
 
 def _decode_audio(payload: bytes, width: int, height: int) -> np.ndarray:
     """Real PCM WAV decode (RIFF magic); deterministic fake sample
-    array for other containers."""
+    array for other containers or corrupt RIFF payloads (same
+    never-kill-the-stage contract as _decode_image)."""
     from ..kernels.mediaio import decode_wav
 
     if payload.startswith(b"RIFF"):
-        return decode_wav(payload)
+        try:
+            return decode_wav(payload)
+        except Exception:
+            pass
     rng = np.random.RandomState(hash_bytes(payload or b"") % (2**32))
     return rng.randint(-32768, 32768, size=(256, 1)).astype(np.int16)
 

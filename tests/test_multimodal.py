@@ -117,6 +117,63 @@ class TestDispatch:
         assert kinds == {b"P6", b"BM", b"RI"}  # all three formats present
 
 
+class TestCorruptPayloads:
+    """Magic-matching garbage must degrade to the fake decoder, never
+    raise out of the batch (a single corrupt crawled file must not kill
+    a Spark stage)."""
+
+    CASES = [
+        b"BM",                      # 2-byte BMP "file"
+        b"BM" + b"\x00" * 20,       # truncated header
+        b"P6\n99999 99999\n255\n",  # raster missing entirely
+        b"P6\nnot numbers\n",
+        b"RIFF",                    # 4-byte WAV
+        b"RIFFxxxxWAVEfmt garbage",
+    ]
+
+    def test_image_fallback_never_raises(self):
+        from pdf_extraction_spark.operators.multimodal import (
+            _decode_image,
+            _fake_decode_image,
+        )
+
+        for p in self.CASES:
+            out = _decode_image(p, 5, 4)
+            assert out.shape == (4, 5, 3)
+            assert np.array_equal(out, _fake_decode_image(p, 5, 4))
+
+    def test_audio_fallback_never_raises(self):
+        from pdf_extraction_spark.operators.multimodal import _decode_audio
+
+        for p in self.CASES:
+            assert _decode_audio(p, 0, 0).shape == (256, 1)
+
+    def test_hypothesis_fuzz_dispatch(self):
+        try:
+            from hypothesis import given, settings
+            from hypothesis import strategies as st
+        except ImportError:
+            pytest.skip("hypothesis unavailable")
+
+        from pdf_extraction_spark.operators.multimodal import (
+            _decode_audio,
+            _decode_image,
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            prefix=st.sampled_from([b"", b"P6", b"BM", b"RIFF"]),
+            body=st.binary(max_size=200),
+        )
+        def run(prefix, body):
+            img = _decode_image(prefix + body, 3, 3)
+            assert img.shape[2] == 3
+            au = _decode_audio(prefix + body, 0, 0)
+            assert au.ndim == 2
+
+        run()
+
+
 class TestSparkPath:
     def test_real_decode_matches_sequential(self, spark):
         """Spark mapInPandas over real payloads ≡ pure-Python decode +
