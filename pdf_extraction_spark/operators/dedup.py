@@ -559,8 +559,26 @@ def embedding_sketches(
     def sketch_udf(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        return pd.Series(sign_sketch_bands(m, planes, n_bands).tolist())
+        lst = vecs.tolist()
+        try:
+            m = np.array(lst, dtype=np.float64)
+            fast = m.ndim == 2 and m.shape[1] == dim
+        except (ValueError, TypeError):
+            fast = False
+        if fast:
+            return pd.Series(sign_sketch_bands(m, planes, n_bands).tolist())
+        # ragged batch (a wrong-dim vector must not kill the stage):
+        # correct-dim rows sketch normally, the rest get null bands —
+        # posexplode skips nulls downstream, which is the right
+        # semantic (a wrong-dim vector cannot be cosine-compared)
+        out = []
+        for v in lst:
+            if v is not None and len(v) == dim:
+                row = np.array([v], dtype=np.float64)
+                out.append(sign_sketch_bands(row, planes, n_bands)[0].tolist())
+            else:
+                out.append(None)
+        return pd.Series(out)
 
     sk = nn.select(F.col(id_col), sketch_udf(F.col(vec_col)).alias("bands"))
     if cache:

@@ -95,11 +95,29 @@ def assign_cells(emb: DataFrame, centroids, vec_col: str = "embedding") -> DataF
     cents = _np_normalize(np.asarray(centroids, dtype=np.float64))
     bc = cents  # captured in closure, shipped once per task
 
+    dim = bc.shape[1]
+
     @F.pandas_udf(T.IntegerType())
     def cell_udf(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
-        m = _np_normalize(m)
-        return pd.Series(np.argmax(m @ bc.T, axis=1).astype(np.int32))
+        lst = vecs.tolist()
+        try:
+            m = np.array(lst, dtype=np.float64)
+            fast = m.ndim == 2 and m.shape[1] == dim
+        except (ValueError, TypeError):
+            fast = False
+        if fast:
+            m = _np_normalize(m)
+            return pd.Series(np.argmax(m @ bc.T, axis=1).astype(np.int32))
+        # ragged batch: wrong-dim vectors get a null cell (excluded by
+        # any cell filter downstream) instead of killing the stage
+        out = []
+        for v in lst:
+            if v is not None and len(v) == dim:
+                row = _np_normalize(np.array([v], dtype=np.float64))
+                out.append(int(np.argmax(row @ bc.T, axis=1)[0]))
+            else:
+                out.append(None)
+        return pd.Series(out, dtype="Int32")
 
     return emb.filter(F.col(vec_col).isNotNull()).withColumn("cell", cell_udf(F.col(vec_col)))
 

@@ -136,6 +136,39 @@ def test_empty_input_lsh_path(spark):
     assert embedding_near_dups(df, threshold=0.9).count() == 0
 
 
+def test_ragged_dims_do_not_kill_the_stage(spark):
+    """A wrong-dimension vector in the column (corrupt upstream write)
+    must not crash the batch: correct-dim rows sketch/assign normally,
+    the bad row is excluded (null bands / null cell)."""
+    rows = _clustered_vectors(n_clusters=6, per_cluster=3, dim=16)
+    rows.append((9999, [0.5] * 7))  # wrong dim
+    rows.append((9998, None))
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+
+    sk = {r["vec_id"]: r["bands"] for r in embedding_sketches(df, n_planes=16, n_bands=8).collect()}
+    assert sk[9999] is None
+    assert 9998 not in sk  # null vector filtered before the UDF
+    assert sum(v is not None for v in sk.values()) == 18
+
+    pairs = embedding_near_dups(df, threshold=0.95, n_planes=16, n_bands=8)
+    ids = {i for r in pairs.collect() for i in (r["id_a"], r["id_b"])}
+    assert 9999 not in ids and 9998 not in ids
+    assert len(ids) >= 12  # real clusters still found
+
+
+def test_ragged_dims_assign_cells(spark):
+    rows = _clustered_vectors(n_clusters=4, per_cluster=2, dim=16)
+    rows.append((9999, [0.5] * 7))
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+
+    from pdf_extraction_spark.operators.similarity import assign_cells, kmeans_lite
+
+    cents = kmeans_lite(np.array([r[1] for r in rows[:8]], dtype=np.float64), 4)
+    got = {r["vec_id"]: r["cell"] for r in assign_cells(df, cents).collect()}
+    assert got[9999] is None
+    assert all(v is not None for k, v in got.items() if k != 9999)
+
+
 def test_plane_count_validation(spark, emb):
     with pytest.raises(ValueError):
         embedding_sketches(emb, n_planes=10, n_bands=8)
