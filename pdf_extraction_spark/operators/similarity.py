@@ -167,9 +167,29 @@ def brute_force_topk_batch(
         )
     )
 
+    q_dim = q_mat.shape[1]
+
     @F.pandas_udf(out_type)
     def sims_udf(vecs: pd.Series) -> pd.Series:
-        m = np.array(vecs.tolist(), dtype=np.float64)
+        lst = vecs.tolist()
+        try:
+            m = np.array(lst, dtype=np.float64)
+            fast = m.ndim == 2 and m.shape[1] == q_dim
+        except (ValueError, TypeError):
+            fast = False
+        if not fast:
+            # ragged batch: wrong-dim rows score null (dropped by the
+            # explode) instead of killing the stage
+            out = []
+            for v in lst:
+                if v is not None and len(v) == q_dim:
+                    row = _np_normalize(np.array([v], dtype=np.float64))[0] @ q_mat.T
+                    out.append(
+                        [(int(q_ids[j]), float(round(row[j], 6))) for j in range(len(q_ids))]
+                    )
+                else:
+                    out.append(None)
+            return pd.Series(out)
         m = _np_normalize(m)
         s = m @ q_mat.T  # (batch, n_queries)
         return pd.Series(

@@ -169,6 +169,27 @@ def test_ragged_dims_assign_cells(spark):
     assert all(v is not None for k, v in got.items() if k != 9999)
 
 
+def test_ragged_dims_topk_batch(spark):
+    from pyspark.sql import types as T2
+
+    from pdf_extraction_spark.operators.similarity import brute_force_topk_batch
+
+    rows = _clustered_vectors(n_clusters=4, per_cluster=2, dim=16)
+    rows.append((9999, [0.5] * 7))
+    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    q_schema = T2.StructType(
+        [
+            T2.StructField("q_id", T2.LongType()),
+            T2.StructField("q_vec", T2.ArrayType(T2.DoubleType())),
+        ]
+    )
+    queries = spark.createDataFrame([(1, rows[0][1])], q_schema)
+    top = brute_force_topk_batch(df, queries, k=3)
+    got = {r["vec_id"] for r in top.collect()}
+    assert rows[0][0] in got  # the query's own vector ranks
+    assert 9999 not in got
+
+
 def test_plane_count_validation(spark, emb):
     with pytest.raises(ValueError):
         embedding_sketches(emb, n_planes=10, n_bands=8)
