@@ -551,6 +551,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return dedup_lines(_docs(spark, sf), "text", "doc_id", min_occurrences=3)
 
+    # -- corpus-level keep-first line dedup (keep ONE copy, C4-style) -------
+    def q_dedup_keepfirst(spark, sf):
+        from pdf_extraction_spark.operators.curation import dedup_lines_keep_first
+
+        return dedup_lines_keep_first(_docs(spark, sf), "text", "doc_id")
+
     # -- PII scrub (C4-style masking) ---------------------------------------
     def q_pii_scrub(spark, sf):
         from pdf_extraction_spark.operators.curation import scrub_pii
@@ -876,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "gopher_quality": q_gopher_quality,
         "dedup_lines": q_dedup_lines,
+        "dedup_keepfirst": q_dedup_keepfirst,
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
@@ -918,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.components import sql_dedup_clusters
     from pdf_extraction_spark.operators.curation import (
         sql_dedup_lines,
+        sql_dedup_lines_keep_first,
         sql_flag_contaminated,
         sql_gopher_flags,
         sql_pack_sequences,
@@ -1283,6 +1291,7 @@ def oracle_sql() -> dict[str, str]:
         # --- curation suite (native expressions, exact SQL twins) ----------
         "gopher_quality": sql_gopher_flags("text"),
         "dedup_lines": sql_dedup_lines(min_occurrences=3),
+        "dedup_keepfirst": sql_dedup_lines_keep_first(),
         "pii_scrub": sql_scrub_pii("text"),
         "stratified_sample": (
             "SELECT doc_id, source FROM documents WHERE "

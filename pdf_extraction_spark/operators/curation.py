@@ -196,6 +196,100 @@ def dedup_lines(
     )
 
 
+def dedup_lines_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The OTHER canonical corpus line-dedup semantic (C4-style): keep
+    exactly ONE copy of every normalized line corpus-wide — the first by
+    (doc_id, line_no) — and drop the rest. (:func:`dedup_lines` removes
+    ALL copies of boilerplate lines; keep-first preserves the content
+    once.)
+
+    Scale shape: the winner per line key is found with a
+    ``min(struct(doc_id, line_no))`` aggregation — map-side combinable,
+    so a universal boilerplate line (billions of copies at 100 TB) costs
+    one partial-aggregated shuffle, NOT a single-reducer window rank.
+    Same rebuild/return contract as dedup_lines."""
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+            ).alias("line_no", "line"),
+        )
+        .filter(F.trim(F.col("line")) != "")
+        .withColumn("line_key", F.md5(F.lower(F.trim(F.col("line")))))
+    )
+    first = lines.groupBy("line_key").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("first")
+    )
+    kept = (
+        lines.join(first, "line_key")
+        .filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("line_no") == F.col("first.line_no"))
+        )
+        .drop("first")
+    )
+    n_total = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(
+            lines.groupBy("doc_id").agg(F.count("*").alias("n_lines_total")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("n_lines_total", F.lit(0)).alias("n_lines_total"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    return (
+        n_total.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.col("n_lines_total") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+    )
+
+
+def sql_dedup_lines_keep_first() -> str:
+    """DuckDB twin of dedup_lines_keep_first: the keep-first winner is
+    recomputed with a window rank (oracle-scale only; the Spark plan
+    uses the combinable min-struct aggregation instead)."""
+    return (
+        "WITH lines AS (SELECT doc_id, i - 1 AS line_no, l AS line, "
+        "md5(lower(trim(l))) AS line_key FROM ("
+        "SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS l, "
+        "unnest(generate_series(1, len(string_split(coalesce(text, ''), chr(10))))) AS i "
+        "FROM documents) WHERE trim(l) <> ''), "
+        "kept AS (SELECT doc_id, line_no, line FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY line_key ORDER BY doc_id, line_no) AS rk "
+        "FROM lines) WHERE rk = 1), "
+        "totals AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_lines_total "
+        "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM lines GROUP BY doc_id) c "
+        "ON d.doc_id = c.doc_id), "
+        "rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text, "
+        "count(*) AS n_lines_kept FROM kept GROUP BY doc_id) "
+        "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
+        "CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept, "
+        "CAST(t.n_lines_total - coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_removed "
+        "FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id"
+    )
+
+
 def sql_dedup_lines(min_occurrences: int = 2) -> str:
     """DuckDB twin of dedup_lines over the ``documents`` view."""
     return (

@@ -78,6 +78,43 @@ class TestLineDedup:
         out = dedup_lines(docs_df, "text", "doc_id", min_occurrences=2)
         _compare(out, _con(), sql_dedup_lines(min_occurrences=2))
 
+    def test_keep_first_cross_engine(self, docs_df):
+        from pdf_extraction_spark.operators.curation import (
+            dedup_lines_keep_first,
+            sql_dedup_lines_keep_first,
+        )
+
+        out = dedup_lines_keep_first(docs_df, "text", "doc_id")
+        _compare(out, _con(), sql_dedup_lines_keep_first())
+
+    def test_keep_first_semantics(self, docs_df):
+        """Exactly ONE copy of each normalized line survives, in the
+        earliest (doc_id, line_no) position — the C4 semantic, vs
+        dedup_lines' remove-all-copies."""
+        from pdf_extraction_spark.operators.curation import dedup_lines_keep_first
+
+        rows = {
+            r["doc_id"]: r for r in dedup_lines_keep_first(docs_df).collect()
+        }
+        # the shared boilerplate line survives ONLY in doc 0 (lowest id)
+        assert "boilerplate" in rows[0]["clean_text"].lower()
+        for d in (1, 2):
+            assert "boilerplate" not in rows[d]["clean_text"].lower()
+            assert rows[d]["n_lines_removed"] >= 1
+        # every distinct normalized line appears exactly once corpus-wide
+        from collections import Counter
+
+        all_lines = Counter(
+            line.strip().lower()
+            for r in rows.values()
+            for line in r["clean_text"].split("\n")
+            if line.strip()
+        )
+        assert all(c == 1 for c in all_lines.values()), all_lines.most_common(3)
+        # totality
+        for d in (6, 9):
+            assert rows[d]["clean_text"] == ""
+
     def test_boilerplate_removed_case_insensitively(self, docs_df):
         from pdf_extraction_spark.operators.curation import dedup_lines
 
@@ -328,6 +365,12 @@ class TestRandomizedCrossEngine:
         _compare(out, con, sql_gopher_flags("text"))
         _compare(scrub_pii(df, "text", "doc_id"), con, sql_scrub_pii("text"))
         _compare(dedup_lines(df, min_occurrences=2), con, sql_dedup_lines(2))
+        from pdf_extraction_spark.operators.curation import (
+            dedup_lines_keep_first,
+            sql_dedup_lines_keep_first,
+        )
+
+        _compare(dedup_lines_keep_first(df), con, sql_dedup_lines_keep_first())
         fr = {"src0": 0.4, "src1": 0.9}
         _compare(
             stratified_sample(df, "doc_id", "source", fr, 0.1).select("doc_id", "source"),
