@@ -147,6 +147,25 @@ URL_FILTER_ROWS = [
 ]
 URL_BLOCKED_HOSTS = ("spam.example",)
 
+# URL canonicalization fixture: every edge the op defines — tracking
+# strip with order preserved, empty '&&' segment, second '?' kept as
+# query content, bare '?', default vs non-default ports, case rules
+# (head lowered, path/query case kept), non-URL passthrough, NULL
+URL_CANON_ROWS = [
+    (0, "https://EXAMPLE.com/Path/Page?a=1&utm_source=x&b=2#frag"),
+    (1, "http://Host.Example:80/index.html"),
+    (2, "https://host.example:443/x?utm_campaign=spring"),
+    (3, "https://host.example:8443/x"),
+    (4, "http://host.example/x?gclid=abc&fbclid=def"),
+    (5, "https://host.example/a?x=1&&y=2?z=3"),
+    (6, "not a url at all?utm_source=x"),
+    (7, None),
+    (8, "HTTPS://UPPER.example/KeepCasePath"),
+    (9, "https://host.example/p?"),
+    (10, "ftp://Files.Example/readme.TXT#top"),
+    (11, "https://host.example/only?utm_a=1&utm_b=2"),
+]
+
 # decontamination eval fixture: two rows excerpt real sf0.01 document
 # prefixes (so overlap genuinely fires), one is novel (no overlap)
 EVAL_ROWS = [
@@ -579,6 +598,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         urls = spark.createDataFrame(URL_FILTER_ROWS, "uid int, url string")
         return filter_urls(urls, blocked_hosts=URL_BLOCKED_HOSTS)
 
+    # -- URL canonicalization (crawl hygiene, pre-URL-dedup) ----------------
+    def q_url_canonical(spark, sf):
+        from pdf_extraction_spark.operators.curation import canonical_url_col
+
+        urls = spark.createDataFrame(URL_CANON_ROWS, "uid int, url string")
+        return urls.select("uid", canonical_url_col(F.col("url")).alias("canonical"))
+
     # -- benchmark decontamination (eval n-gram overlap, oracle-able) -------
     def q_decontaminate(spark, sf):
         from pdf_extraction_spark.operators.curation import flag_contaminated
@@ -888,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "url_filter": q_url_filter,
+        "url_canonical": q_url_canonical,
         "nation_revenue": q_nation_revenue,
     }
 
@@ -931,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         sql_pack_sequences,
         sql_scrub_pii,
         sql_stratified_sample,
+        sql_canonical_url,
         sql_url_filter,
     )
     from pdf_extraction_spark.operators.dedup import (
@@ -1305,6 +1333,12 @@ def oracle_sql() -> dict[str, str]:
             + _sql_values(URL_FILTER_ROWS, ["uid", "url"])
             + " WHERE "
             + sql_url_filter("url", blocked_hosts=URL_BLOCKED_HOSTS)
+        ),
+        "url_canonical": (
+            "SELECT uid, "
+            + sql_canonical_url("url")
+            + " AS canonical FROM "
+            + _sql_values(URL_CANON_ROWS, ["uid", "url"])
         ),
         "decontaminate": (
             "SELECT * FROM ("

@@ -431,6 +431,78 @@ def sql_url_filter(
     return "(" + " AND ".join(parts) + ")"
 
 
+# URL canonicalization — the pre-URL-dedup normalization every crawl
+# pipeline runs. Conservative, well-defined subset: strip the fragment,
+# drop tracking params (utm_*/gclid/fbclid) preserving the order of the
+# rest (empty '&&' segments and a bare trailing '?' also go),
+# lowercase the scheme://host[:port] head only (path/query case is
+# significant), and remove explicit default ports (http:80, https:443).
+# Non-URL strings pass through untouched; NULL stays NULL. Pure native
+# expressions in Spark, RE2∩Java-safe patterns shared with the twin.
+
+_URL_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)"
+_URL_CANON_HEAD_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+
+def canonical_url_col(url: Column) -> Column:
+    no_frag = F.substring_index(url, "#", 1)
+    qpos = F.instr(no_frag, "?")
+    base = F.when(qpos > 0, no_frag.substr(F.lit(1), qpos - F.lit(1))).otherwise(no_frag)
+    query = F.when(qpos > 0, no_frag.substr(qpos + F.lit(1), F.length(no_frag)))
+    kept = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda x: (x != "") & ~x.rlike(_URL_TRACKING_RE),
+    )
+    q_str = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    joined = F.concat(base, q_str)
+    head = F.regexp_extract(joined, _URL_CANON_HEAD_RE, 1)
+    tail = joined.substr(F.length(head) + F.lit(1), F.length(joined))
+    head_low = F.regexp_replace(
+        F.regexp_replace(F.lower(head), r"^(http://[^/:?#]*):80$", r"$1"),
+        r"^(https://[^/:?#]*):443$",
+        r"$1",
+    )
+    is_url = F.regexp_extract(F.coalesce(url, F.lit("")), _URL_CANON_HEAD_RE, 1) != ""
+    return (
+        F.when(url.isNull(), F.lit(None).cast("string"))
+        .when(~is_url, url)  # not a URL shape: pass through UNTOUCHED
+        .otherwise(F.concat(head_low, tail))
+    )
+
+
+def sql_canonical_url(url_expr: str) -> str:
+    """DuckDB twin of canonical_url_col (same RE2∩Java patterns; \\1
+    backreference form for RE2, $1 on the Java side)."""
+    nf = f"split_part({url_expr}, '#', 1)"
+    base = f"CASE WHEN position('?' IN {nf}) > 0 THEN substr({nf}, 1, position('?' IN {nf}) - 1) ELSE {nf} END"
+    qs = f"CASE WHEN position('?' IN {nf}) > 0 THEN substr({nf}, position('?' IN {nf}) + 1) ELSE '' END"
+    kept = (
+        f"list_filter(string_split({qs}, '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, '{_URL_TRACKING_RE}'))"
+    )
+    joined = (
+        f"({base} || CASE WHEN len({kept}) > 0 "
+        f"THEN '?' || array_to_string({kept}, '&') ELSE '' END)"
+    )
+    head = f"coalesce(regexp_extract({joined}, '{_URL_CANON_HEAD_RE}', 1), '')"
+    head_low = (
+        f"regexp_replace(regexp_replace(lower({head}), "
+        r"'^(http://[^/:?#]*):80$', '\1'), "
+        r"'^(https://[^/:?#]*):443$', '\1')"
+    )
+    is_url = (
+        f"coalesce(regexp_extract(coalesce({url_expr}, ''), "
+        f"'{_URL_CANON_HEAD_RE}', 1), '') <> ''"
+    )
+    return (
+        f"CASE WHEN {url_expr} IS NULL THEN NULL "
+        f"WHEN NOT ({is_url}) THEN {url_expr} "
+        f"ELSE {head_low} || substr({joined}, length({head}) + 1) END"
+    )
+
+
 # --------------------------------------------------------------------------
 # benchmark decontamination (eval-set n-gram overlap)
 # --------------------------------------------------------------------------

@@ -71,6 +71,58 @@ class TestGopher:
         assert rows[8]["gopher_pass"] is True  # clean prose
 
 
+class TestUrlCanonical:
+    def test_fixture_cross_engine_and_values(self, spark):
+        import __spark_entry__ as e
+
+        got = {
+            r["uid"]: r["canonical"]
+            for r in e.queries()["url_canonical"](spark, "/root/testdata/sf0.001").collect()
+        }
+        assert got[0] == "https://example.com/Path/Page?a=1&b=2"  # frag+utm gone, order kept
+        assert got[1] == "http://host.example/index.html"  # :80 stripped, host lowered
+        assert got[2] == "https://host.example/x"  # :443 + tracking-only query gone
+        assert got[3] == "https://host.example:8443/x"  # non-default port kept
+        assert got[5] == "https://host.example/a?x=1&y=2?z=3"  # '&&' collapsed, 2nd '?' is data
+        assert got[6] == "not a url at all?utm_source=x"  # non-URL untouched
+        assert got[7] is None
+        assert got[8] == "https://upper.example/KeepCasePath"  # path case kept
+        assert got[9] == "https://host.example/p"  # bare '?' dropped
+        assert got[11] == "https://host.example/only"
+
+    def test_randomized_cross_engine(self, spark):
+        """Seeded random URL-ish strings through both engines — catches
+        split/position/regex divergence the fixture can't."""
+        import random
+
+        import __spark_entry__ as e
+        from pdf_extraction_spark.operators.curation import (
+            canonical_url_col,
+            sql_canonical_url,
+        )
+
+        rng = random.Random(77)
+        frags = ["https://", "http://", "", "Host.EX:80", "host:443", "a.b",
+                 "/p/q", "?", "utm_source=1", "x=2", "&", "#f", "gclid=9",
+                 "UPPER", "ü", "??", "=", "&&", ":8080"]
+        rows = [(i, "".join(rng.choice(frags) for _ in range(rng.randint(0, 8))))
+                for i in range(120)]
+        df = spark.createDataFrame(rows, "uid int, url string")
+        spark_out = sorted(
+            (r["uid"], r["canonical"])
+            for r in df.select("uid", canonical_url_col(F.col("url")).alias("canonical")).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE urls (uid INT, url VARCHAR)")
+        con.executemany("INSERT INTO urls VALUES (?, ?)", rows)
+        duck_out = sorted(
+            con.execute(
+                f"SELECT uid, {sql_canonical_url('url')} AS canonical FROM urls"
+            ).fetchall()
+        )
+        assert spark_out == duck_out
+
+
 class TestLineDedup:
     def test_cross_engine(self, docs_df):
         from pdf_extraction_spark.operators.curation import dedup_lines, sql_dedup_lines
