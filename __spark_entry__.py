@@ -151,6 +151,20 @@ URL_BLOCKED_HOSTS = ("spam.example",)
 # strip with order preserved, empty '&&' segment, second '?' kept as
 # query content, bare '?', default vs non-default ports, case rules
 # (head lowered, path/query case kept), non-URL passthrough, NULL
+# NFC fixture: composed vs decomposed accents, ligature (unchanged in
+# NFC), compatibility char, combining sequences, ASCII, empty, NULL
+NFC_ROWS = [
+    (0, "caf\u00e9 composed"),
+    (1, "cafe\u0301 decomposed"),
+    (2, "\ufb01le ligature stays"),
+    (3, "A\u030a ring composes"),
+    (4, "\u00bd vulgar fraction stays"),
+    (5, "plain ascii"),
+    (6, ""),
+    (7, None),
+    (8, "mixed e\u0301\u0323 reorders"),
+]
+
 URL_CANON_ROWS = [
     (0, "https://EXAMPLE.com/Path/Page?a=1&utm_source=x&b=2#frag"),
     (1, "http://Host.Example:80/index.html"),
@@ -598,6 +612,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         urls = spark.createDataFrame(URL_FILTER_ROWS, "uid int, url string")
         return filter_urls(urls, blocked_hosts=URL_BLOCKED_HOSTS)
 
+    # -- Unicode NFC normalization (pre-dedup canonicalization) -------------
+    def q_nfc_normalize(spark, sf):
+        from pdf_extraction_spark.operators.textanalysis import nfc_normalize_col
+
+        rows = spark.createDataFrame(NFC_ROWS, "uid int, s string")
+        return rows.select("uid", nfc_normalize_col(F.col("s")).alias("normalized"))
+
     # -- URL canonicalization (crawl hygiene, pre-URL-dedup) ----------------
     def q_url_canonical(spark, sf):
         from pdf_extraction_spark.operators.curation import canonical_url_col
@@ -915,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "url_filter": q_url_filter,
         "url_canonical": q_url_canonical,
+        "nfc_normalize": q_nfc_normalize,
         "nation_revenue": q_nation_revenue,
     }
 
@@ -1333,6 +1355,10 @@ def oracle_sql() -> dict[str, str]:
             + _sql_values(URL_FILTER_ROWS, ["uid", "url"])
             + " WHERE "
             + sql_url_filter("url", blocked_hosts=URL_BLOCKED_HOSTS)
+        ),
+        "nfc_normalize": (
+            "SELECT uid, nfc_normalize(s) AS normalized FROM "
+            + _sql_values(NFC_ROWS, ["uid", "s"])
         ),
         "url_canonical": (
             "SELECT uid, "

@@ -118,3 +118,25 @@ def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("detected_lang", langid_udf(c))
         .withColumn("doc_fingerprint", fingerprint_udf(c))
     )
+
+
+# --------------------------------------------------------------------------
+# Unicode NFC normalization (UAX #15)
+# --------------------------------------------------------------------------
+
+@pandas_udf(T.StringType())
+def nfc_normalize_udf(s: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return s.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
+
+
+def nfc_normalize_col(text: Column) -> Column:
+    """Unicode NFC normalization — the canonicalization that must
+    precede any hash-keyed text dedup: composed ('é') and decomposed
+    ('e' + U+0301) spellings of the same text otherwise get different
+    128-bit keys and silently escape dedup_exact / dedup_lines. Spark
+    has no native normalizer, so this is an Arrow-batched pandas UDF
+    (unicodedata.normalize per batch); DuckDB's built-in nfc_normalize
+    is the oracle twin. Total: NULL → NULL."""
+    return nfc_normalize_udf(text)

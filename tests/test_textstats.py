@@ -80,3 +80,48 @@ class TestMinhashSimhash:
         assert jaccard(set(), set()) == 1.0
         assert jaccard({"a"}, set()) == 0.0
         assert jaccard({"a", "b"}, {"b", "c"}) == 1 / 3
+
+
+class TestNfcNormalize:
+    def test_crafted_and_dedup_interaction(self, spark):
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.operators.dedup import exact_duplicates
+        from pdf_extraction_spark.operators.textanalysis import nfc_normalize_col
+
+        composed = "café menu"
+        decomposed = "café menu"
+        assert composed != decomposed  # different code points...
+        df = spark.createDataFrame(
+            [(1, composed), (2, decomposed)], "doc_id long, text string"
+        )
+        # ...so WITHOUT normalization they escape exact dedup
+        assert exact_duplicates(df, "text", "doc_id").count() == 0
+        # WITH NFC they collapse
+        norm = df.withColumn("text", nfc_normalize_col(F.col("text")))
+        groups = exact_duplicates(norm, "text", "doc_id").collect()
+        assert len(groups) == 1 and groups[0]["n_dups"] == 2
+
+    def test_randomized_cross_engine(self, spark):
+        import random
+
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.operators.textanalysis import nfc_normalize_col
+
+        rng = random.Random(31)
+        atoms = ["e", "́", "̣", "é", "A", "̊", "ﬁ",
+                 "½", " ", "x", "क", "ा", "Å", "Å"]
+        rows = [(i, "".join(rng.choice(atoms) for _ in range(rng.randint(0, 12))))
+                for i in range(150)] + [(150, None)]
+        df = spark.createDataFrame(rows, "uid int, s string")
+        got = sorted(
+            (r["uid"], r["n"])
+            for r in df.select("uid", nfc_normalize_col(F.col("s")).alias("n")).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (uid INT, s VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(con.execute("SELECT uid, nfc_normalize(s) FROM t").fetchall())
+        assert got == want
