@@ -838,6 +838,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             assign_cells(emb, cents), cents, _query_vec(), k=5, n_probe=3
         ).select("vec_id", "similarity")
 
+    # -- semantic dup clusters: components over the embedding-LSH pairs -----
+    def q_embedding_clusters(spark, sf):
+        """Composition: banded sign-sketch LSH pairs → pointer-jumping
+        connected components. The twin recomputes BOTH stages
+        relationally (banding from the sketch fixture, components via a
+        recursive reachability CTE)."""
+        from pdf_extraction_spark.operators.components import dedup_clusters
+        from pdf_extraction_spark.operators.dedup import embedding_near_dups
+
+        pairs = embedding_near_dups(
+            _emb(spark, sf), threshold=0.35, n_planes=16, n_bands=8, max_bucket=200
+        )
+        return dedup_clusters(pairs)
+
     # -- embedding near-dup via the banded-LSH scale path -------------------
     def q_embedding_lsh(spark, sf):
         """Exercises the production LSH path (pandas-UDF sign sketch →
@@ -886,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_probe": q_ivf_probe,
         "embedding_lsh": q_embedding_lsh,
+        "embedding_clusters": q_embedding_clusters,
         "media_features": q_media_features,
         "media_features_real": q_media_features_real,
         "curate_corpus": q_curate,
@@ -1390,6 +1405,14 @@ def oracle_sql() -> dict[str, str]:
             n_bands=8,
             max_bucket=200,
             threshold=0.35,
+        ),
+        "embedding_clusters": sql_dedup_clusters(
+            sql_embedding_lsh_neardups(
+                _fixture("emb_sketches_sf0_01.parquet"),
+                n_bands=8,
+                max_bucket=200,
+                threshold=0.35,
+            )
         ),
         "ivf_probe": (
             # full fixed-centroid IVF recomputed relationally: argmax
