@@ -147,10 +147,6 @@ URL_FILTER_ROWS = [
 ]
 URL_BLOCKED_HOSTS = ("spam.example",)
 
-# URL canonicalization fixture: every edge the op defines — tracking
-# strip with order preserved, empty '&&' segment, second '?' kept as
-# query content, bare '?', default vs non-default ports, case rules
-# (head lowered, path/query case kept), non-URL passthrough, NULL
 # NFC fixture: composed vs decomposed accents, ligature (unchanged in
 # NFC), compatibility char, combining sequences, ASCII, empty, NULL
 NFC_ROWS = [
@@ -165,6 +161,10 @@ NFC_ROWS = [
     (8, "mixed e\u0301\u0323 reorders"),
 ]
 
+# URL canonicalization fixture: every edge the op defines — tracking
+# strip with order preserved, empty '&&' segment, second '?' kept as
+# query content, bare '?', default vs non-default ports, case rules
+# (head lowered, path/query case kept), non-URL passthrough, NULL
 URL_CANON_ROWS = [
     (0, "https://EXAMPLE.com/Path/Page?a=1&utm_source=x&b=2#frag"),
     (1, "http://Host.Example:80/index.html"),

@@ -132,22 +132,10 @@ def sql_gopher_flags(text_expr: str, id_expr: str = "doc_id") -> str:
 # corpus-level line dedup (CCNet / C4-style boilerplate removal)
 # --------------------------------------------------------------------------
 
-def dedup_lines(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    min_occurrences: int = 2,
-) -> DataFrame:
-    """Remove lines whose normalized form (lower+trim) occurs ≥
-    ``min_occurrences`` times across the corpus; rebuild each doc from
-    its surviving lines in original order.
-
-    Returns (doc_id, clean_text, n_lines_kept, n_lines_removed) — one
-    row per input row, always (total on NULL/empty text: such docs come
-    back with clean_text='' rather than vanishing).
-    One shuffle on the 128-bit line key + one anti-join + one per-doc
-    rebuild shuffle. Whitespace-only lines are dropped up front."""
-    lines = (
+def _exploded_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shared line-dedup scaffolding: (doc_id, line_no, line, line_key)
+    with whitespace-only lines dropped and a 128-bit normalized key."""
+    return (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(
@@ -157,13 +145,11 @@ def dedup_lines(
         .filter(F.trim(F.col("line")) != "")
         .withColumn("line_key", F.md5(F.lower(F.trim(F.col("line")))))
     )
-    boilerplate = (
-        lines.groupBy("line_key")
-        .agg(F.count("*").alias("n_occ"))
-        .filter(F.col("n_occ") >= min_occurrences)
-        .select("line_key")
-    )
-    kept = lines.join(boilerplate, "line_key", "left_anti")
+
+
+def _rebuild_docs(df: DataFrame, id_col: str, lines: DataFrame, kept: DataFrame) -> DataFrame:
+    """Shared rebuild: surviving lines in original order, total on every
+    input row — (doc_id, clean_text, n_lines_kept, n_lines_removed)."""
     n_total = (
         df.select(F.col(id_col).alias("doc_id"))
         .join(
@@ -194,6 +180,32 @@ def dedup_lines(
             ),
         )
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Remove lines whose normalized form (lower+trim) occurs ≥
+    ``min_occurrences`` times across the corpus; rebuild each doc from
+    its surviving lines in original order.
+
+    Returns (doc_id, clean_text, n_lines_kept, n_lines_removed) — one
+    row per input row, always (total on NULL/empty text: such docs come
+    back with clean_text='' rather than vanishing).
+    One shuffle on the 128-bit line key + one anti-join + one per-doc
+    rebuild shuffle. Whitespace-only lines are dropped up front."""
+    lines = _exploded_lines(df, text_col, id_col)
+    boilerplate = (
+        lines.groupBy("line_key")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occurrences)
+        .select("line_key")
+    )
+    kept = lines.join(boilerplate, "line_key", "left_anti")
+    return _rebuild_docs(df, id_col, lines, kept)
 
 
 def dedup_lines_keep_first(
@@ -212,16 +224,7 @@ def dedup_lines_keep_first(
     so a universal boilerplate line (billions of copies at 100 TB) costs
     one partial-aggregated shuffle, NOT a single-reducer window rank.
     Same rebuild/return contract as dedup_lines."""
-    lines = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.posexplode(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
-            ).alias("line_no", "line"),
-        )
-        .filter(F.trim(F.col("line")) != "")
-        .withColumn("line_key", F.md5(F.lower(F.trim(F.col("line")))))
-    )
+    lines = _exploded_lines(df, text_col, id_col)
     first = lines.groupBy("line_key").agg(
         F.min(F.struct("doc_id", "line_no")).alias("first")
     )
@@ -233,36 +236,7 @@ def dedup_lines_keep_first(
         )
         .drop("first")
     )
-    n_total = (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(
-            lines.groupBy("doc_id").agg(F.count("*").alias("n_lines_total")),
-            "doc_id",
-            "left",
-        )
-        .select("doc_id", F.coalesce("n_lines_total", F.lit(0)).alias("n_lines_total"))
-    )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                lambda x: x["line"],
-            ),
-        ).alias("clean_text"),
-        F.count("*").alias("n_lines_kept"),
-    )
-    return (
-        n_total.join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
-            (F.col("n_lines_total") - F.coalesce("n_lines_kept", F.lit(0))).alias(
-                "n_lines_removed"
-            ),
-        )
-    )
+    return _rebuild_docs(df, id_col, lines, kept)
 
 
 def sql_dedup_lines_keep_first() -> str:
@@ -375,7 +349,10 @@ def sql_scrub_pii(text_expr: str = "text", id_expr: str = "doc_id") -> str:
 
 _URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
-_URL_EXT_RE = r"(\.[A-Za-z0-9]{1,5})(?:[?#].*)?$"
+# \z not $: Java's $ matches before a final line terminator, RE2's only
+# at absolute end — a stray trailing newline in a scraped URL would
+# silently diverge the two engines. \z is absolute-end in BOTH.
+_URL_EXT_RE = r"(\.[A-Za-z0-9]{1,5})(?:[?#].*)?\z"
 
 DEFAULT_BLOCKED_EXTENSIONS = (
     ".jpg", ".jpeg", ".png", ".gif", ".webp", ".svg", ".ico",
@@ -440,7 +417,7 @@ def sql_url_filter(
 # Non-URL strings pass through untouched; NULL stays NULL. Pure native
 # expressions in Spark, RE2∩Java-safe patterns shared with the twin.
 
-_URL_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|$)"
+_URL_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid)(=|\z)"
 _URL_CANON_HEAD_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
 
 
@@ -460,8 +437,8 @@ def canonical_url_col(url: Column) -> Column:
     head = F.regexp_extract(joined, _URL_CANON_HEAD_RE, 1)
     tail = joined.substr(F.length(head) + F.lit(1), F.length(joined))
     head_low = F.regexp_replace(
-        F.regexp_replace(F.lower(head), r"^(http://[^/:?#]*):80$", r"$1"),
-        r"^(https://[^/:?#]*):443$",
+        F.regexp_replace(F.lower(head), r"^(http://[^/:?#]*):80\z", r"$1"),
+        r"^(https://[^/:?#]*):443\z",
         r"$1",
     )
     is_url = F.regexp_extract(F.coalesce(url, F.lit("")), _URL_CANON_HEAD_RE, 1) != ""

@@ -541,44 +541,44 @@ def embedding_sketches(
     (or pass ``cache=False`` to trade repeat UDF passes for zero
     residual cache).
 
-    ``dim`` should be passed from table metadata at scale; the
-    ``first()`` fallback is a bounded single-row metadata lookup."""
+    ``dim`` should be passed from table metadata at scale; the fallback
+    infers it as the MAJORITY length over a bounded sample — inferring
+    from a single first() row would let one truncated vector at the head
+    of the table poison the dim and silently null-sketch the whole
+    corpus (the ragged-row fallback below then treats the majority as
+    corrupt instead of the outlier)."""
     if n_planes % n_bands:
         raise ValueError("n_planes must be a multiple of n_bands")
     nn = emb.filter(F.col(vec_col).isNotNull())
     if dim is None:
-        first = nn.select(vec_col).first()
-        if first is None:  # empty input → empty sketch frame
+        sample = [
+            r[0] for r in nn.select(F.size(vec_col)).limit(256).collect()
+        ]
+        if not sample:  # empty input → empty sketch frame
             return nn.select(
                 F.col(id_col), F.lit(None).cast(_SIG_TYPE).alias("bands")
             ).limit(0)
-        dim = len(first[0])
+        from collections import Counter
+
+        dim = Counter(sample).most_common(1)[0][0]
     planes = hyperplanes(dim, n_planes, seed)
 
     @pandas_udf(_SIG_TYPE)
     def sketch_udf(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        lst = vecs.tolist()
-        try:
-            m = np.array(lst, dtype=np.float64)
-            fast = m.ndim == 2 and m.shape[1] == dim
-        except (ValueError, TypeError):
-            fast = False
-        if fast:
-            return pd.Series(sign_sketch_bands(m, planes, n_bands).tolist())
-        # ragged batch (a wrong-dim vector must not kill the stage):
-        # correct-dim rows sketch normally, the rest get null bands —
-        # posexplode skips nulls downstream, which is the right
-        # semantic (a wrong-dim vector cannot be cosine-compared)
-        out = []
-        for v in lst:
-            if v is not None and len(v) == dim:
-                row = np.array([v], dtype=np.float64)
-                out.append(sign_sketch_bands(row, planes, n_bands)[0].tolist())
-            else:
-                out.append(None)
-        return pd.Series(out)
+        from .batchutil import apply_masked
+
+        # wrong-dim rows get null bands (posexplode skips them — the
+        # right semantic, a wrong-dim vector cannot be cosine-compared);
+        # the good rows still sketch in ONE matmul per batch
+        return pd.Series(
+            apply_masked(
+                vecs.tolist(),
+                dim,
+                lambda m: sign_sketch_bands(m, planes, n_bands).tolist(),
+            )
+        )
 
     sk = nn.select(F.col(id_col), sketch_udf(F.col(vec_col)).alias("bands"))
     if cache:

@@ -99,25 +99,18 @@ def assign_cells(emb: DataFrame, centroids, vec_col: str = "embedding") -> DataF
 
     @F.pandas_udf(T.IntegerType())
     def cell_udf(vecs: pd.Series) -> pd.Series:
-        lst = vecs.tolist()
-        try:
-            m = np.array(lst, dtype=np.float64)
-            fast = m.ndim == 2 and m.shape[1] == dim
-        except (ValueError, TypeError):
-            fast = False
-        if fast:
-            m = _np_normalize(m)
-            return pd.Series(np.argmax(m @ bc.T, axis=1).astype(np.int32))
-        # ragged batch: wrong-dim vectors get a null cell (excluded by
-        # any cell filter downstream) instead of killing the stage
-        out = []
-        for v in lst:
-            if v is not None and len(v) == dim:
-                row = _np_normalize(np.array([v], dtype=np.float64))
-                out.append(int(np.argmax(row @ bc.T, axis=1)[0]))
-            else:
-                out.append(None)
-        return pd.Series(out, dtype="Int32")
+        from .batchutil import apply_masked
+
+        # wrong-dim vectors get a null cell (excluded by any cell filter
+        # downstream); the good rows assign in ONE matmul per batch
+        res = apply_masked(
+            vecs.tolist(),
+            dim,
+            lambda m: np.argmax(_np_normalize(m) @ bc.T, axis=1)
+            .astype(np.int32)
+            .tolist(),
+        )
+        return pd.Series(res, dtype="Int32")
 
     return emb.filter(F.col(vec_col).isNotNull()).withColumn("cell", cell_udf(F.col(vec_col)))
 
@@ -171,30 +164,18 @@ def brute_force_topk_batch(
 
     @F.pandas_udf(out_type)
     def sims_udf(vecs: pd.Series) -> pd.Series:
-        lst = vecs.tolist()
-        try:
-            m = np.array(lst, dtype=np.float64)
-            fast = m.ndim == 2 and m.shape[1] == q_dim
-        except (ValueError, TypeError):
-            fast = False
-        if not fast:
-            # ragged batch: wrong-dim rows score null (dropped by the
-            # explode) instead of killing the stage
-            out = []
-            for v in lst:
-                if v is not None and len(v) == q_dim:
-                    row = _np_normalize(np.array([v], dtype=np.float64))[0] @ q_mat.T
-                    out.append(
-                        [(int(q_ids[j]), float(round(row[j], 6))) for j in range(len(q_ids))]
-                    )
-                else:
-                    out.append(None)
-            return pd.Series(out)
-        m = _np_normalize(m)
-        s = m @ q_mat.T  # (batch, n_queries)
-        return pd.Series(
-            [[(int(q_ids[j]), float(round(row[j], 6))) for j in range(len(q_ids))] for row in s]
-        )
+        from .batchutil import apply_masked
+
+        def kern(m):
+            s = _np_normalize(m) @ q_mat.T  # (n_good, n_queries)
+            return [
+                [(int(q_ids[j]), float(round(row[j], 6))) for j in range(len(q_ids))]
+                for row in s
+            ]
+
+        # wrong-dim rows score null (dropped by the explode); the good
+        # rows score in ONE matmul per batch
+        return pd.Series(apply_masked(vecs.tolist(), q_dim, kern))
 
     scored = (
         emb.filter(F.col(vec_col).isNotNull())

@@ -104,7 +104,10 @@ class TestUrlCanonical:
         rng = random.Random(77)
         frags = ["https://", "http://", "", "Host.EX:80", "host:443", "a.b",
                  "/p/q", "?", "utm_source=1", "x=2", "&", "#f", "gclid=9",
-                 "UPPER", "ü", "??", "=", "&&", ":8080"]
+                 "UPPER", "ü", "??", "=", "&&", ":8080",
+                 # trailing-newline class: Java's $ matches before a final
+                 # \n, RE2's doesn't — the \z anchors must keep parity
+                 "\n", "utm_x\n", ":80\n"]
         rows = [(i, "".join(rng.choice(frags) for _ in range(rng.randint(0, 8))))
                 for i in range(120)]
         df = spark.createDataFrame(rows, "uid int, url string")

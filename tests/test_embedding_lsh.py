@@ -139,11 +139,14 @@ def test_empty_input_lsh_path(spark):
 def test_ragged_dims_do_not_kill_the_stage(spark):
     """A wrong-dimension vector in the column (corrupt upstream write)
     must not crash the batch: correct-dim rows sketch/assign normally,
-    the bad row is excluded (null bands / null cell)."""
-    rows = _clustered_vectors(n_clusters=6, per_cluster=3, dim=16)
-    rows.append((9999, [0.5] * 7))  # wrong dim
+    the bad row is excluded (null bands / null cell). The corrupt row
+    goes FIRST — dim inference must use the majority length, not the
+    first row (a first()-based inference would null-sketch the whole
+    corpus and silently no-op the dedup)."""
+    rows = [(9999, [0.5] * 7)]  # corrupt row at the head of the table
+    rows += _clustered_vectors(n_clusters=6, per_cluster=3, dim=16)
     rows.append((9998, None))
-    df = spark.createDataFrame(rows, VEC_SCHEMA)
+    df = spark.createDataFrame(rows, VEC_SCHEMA).coalesce(1)
 
     sk = {r["vec_id"]: r["bands"] for r in embedding_sketches(df, n_planes=16, n_bands=8).collect()}
     assert sk[9999] is None
