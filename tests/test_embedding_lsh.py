@@ -122,6 +122,20 @@ def test_mega_cluster_bucket_cap(spark):
     assert out.count() < 8 * (100 * 99) // 2  # << C(2000,2) = 1.999M
 
 
+def test_cache_sketches_opt_out(spark, emb):
+    """cache_sketches=False: identical output, zero new cached frames
+    (the one-shot-pipeline hygiene contract)."""
+    jsc = spark.sparkContext._jsc
+    baseline = jsc.getPersistentRDDs().size()
+    out = embedding_near_dups(
+        emb, threshold=0.35, n_planes=16, n_bands=8, cache_sketches=False
+    )
+    rows = sorted(map(tuple, out.collect()))
+    assert jsc.getPersistentRDDs().size() == baseline
+    cached = embedding_near_dups(emb, threshold=0.35, n_planes=16, n_bands=8)
+    assert rows == sorted(map(tuple, cached.collect()))
+
+
 def test_shared_sketches_param(spark, emb):
     sk = embedding_sketches(emb, n_planes=16, n_bands=8)
     direct = embedding_near_dups(emb, threshold=0.35, n_planes=16, n_bands=8)
