@@ -578,6 +578,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ellipsis_line_frac", "alpha_word_frac", "gopher_pass",
         )
 
+    # -- Gopher repetition rule: top word-bigram character fraction ---------
+    def q_top_ngram_frac(spark, sf):
+        from pdf_extraction_spark.operators.curation import top_ngram_char_frac
+
+        return top_ngram_char_frac(_docs(spark, sf), "text", "doc_id", n=2)
+
     # -- corpus-level line dedup (CCNet/C4 boilerplate removal) -------------
     def q_dedup_lines(spark, sf):
         from pdf_extraction_spark.operators.curation import dedup_lines
@@ -943,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "langid": q_langid,
         "gopher_quality": q_gopher_quality,
+        "top_ngram_frac": q_top_ngram_frac,
         "dedup_lines": q_dedup_lines,
         "dedup_keepfirst": q_dedup_keepfirst,
         "pii_scrub": q_pii_scrub,
@@ -989,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.components import sql_dedup_clusters
     from pdf_extraction_spark.operators.curation import (
         sql_dedup_lines,
+        sql_top_ngram_char_frac,
         sql_dedup_lines_keep_first,
         sql_flag_contaminated,
         sql_gopher_flags,
@@ -1356,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
         # --- curation suite (native expressions, exact SQL twins) ----------
         "gopher_quality": sql_gopher_flags("text"),
         "dedup_lines": sql_dedup_lines(min_occurrences=3),
+        "top_ngram_frac": sql_top_ngram_char_frac(n=2),
         "dedup_keepfirst": sql_dedup_lines_keep_first(),
         "pii_scrub": sql_scrub_pii("text"),
         "stratified_sample": (

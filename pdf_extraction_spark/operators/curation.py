@@ -128,6 +128,83 @@ def sql_gopher_flags(text_expr: str, id_expr: str = "doc_id") -> str:
     )
 
 
+def top_ngram_char_frac(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher §A1.1 repetition rule: the fraction of a document's
+    characters contained in its most frequent word ``n``-gram —
+    ``count(top gram) × len(top gram) / len(text)``. Returns
+    (doc_id, top_gram, top_ngram_char_frac); docs with < n tokens get
+    frac 0 and a NULL gram. Total on NULL text.
+
+    Scale shape: gram explode → count shuffle on (doc_id, gram) → the
+    per-doc winner via a map-side-combinable ``max(struct(cnt, gram))``
+    (count desc, gram desc tie-break — same combinable-winner pattern
+    as dedup_lines_keep_first, never a single-reducer window)."""
+    tx = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.lower(tx), r"\s+"), lambda w: w != F.lit(""))
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(tx).alias("n_chars"),
+        grams_arr.alias("grams"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    winners = counts.groupBy("doc_id").agg(
+        F.max(F.struct("cnt", "gram")).alias("top")
+    )
+    return (
+        base.select("doc_id", "n_chars")
+        .join(winners, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("top.gram").alias("top_gram"),
+            F.round(
+                F.coalesce(
+                    F.col("top.cnt") * F.length("top.gram"), F.lit(0)
+                ) / F.greatest(F.col("n_chars"), F.lit(1)),
+                6,
+            ).alias("top_ngram_char_frac"),
+        )
+    )
+
+
+def sql_top_ngram_char_frac(n: int = 2, text_expr: str = "text") -> str:
+    """DuckDB twin: same gram construction, the per-doc winner via a
+    window rank mirroring the max(struct) ordering (cnt desc, gram
+    desc)."""
+    tx = f"coalesce({text_expr}, '')"
+    return (
+        f"WITH t AS (SELECT doc_id, length({tx}) AS n_chars, "
+        f"list_filter(string_split_regex(lower({tx}), '\\s+'), x -> x <> '') AS w "
+        "FROM documents), "
+        f"g AS (SELECT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS gram "
+        f"FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i "
+        f"FROM t WHERE len(w) >= {n})), "
+        "c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram), "
+        "win AS (SELECT doc_id, gram, cnt FROM ("
+        "SELECT doc_id, gram, cnt, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rk FROM c) WHERE rk = 1) "
+        "SELECT t.doc_id, win.gram AS top_gram, "
+        "round(CAST(coalesce(win.cnt * length(win.gram), 0) AS DOUBLE) / "
+        "greatest(t.n_chars, 1), 6) AS top_ngram_char_frac "
+        "FROM t LEFT JOIN win ON t.doc_id = win.doc_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # corpus-level line dedup (CCNet / C4-style boilerplate removal)
 # --------------------------------------------------------------------------

@@ -71,6 +71,40 @@ class TestGopher:
         assert rows[8]["gopher_pass"] is True  # clean prose
 
 
+class TestTopNgramFrac:
+    def test_semantics(self, spark):
+        from pdf_extraction_spark.operators.curation import top_ngram_char_frac
+
+        rows = [
+            (1, "spam ham spam ham spam ham tail"),  # "spam ham" ×3
+            (2, "all distinct words here now"),       # every bigram once
+            (3, "one"),                               # < n tokens
+            (4, None),
+            (5, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in top_ngram_char_frac(df, n=2).collect()}
+        assert got[1]["top_gram"] == "spam ham"
+        assert got[1]["top_ngram_char_frac"] == round(3 * len("spam ham") / len(rows[0][1]), 6)
+        assert got[2]["top_ngram_char_frac"] > 0  # some bigram, count 1
+        assert got[3]["top_gram"] is None and got[3]["top_ngram_char_frac"] == 0.0
+        assert got[4]["top_ngram_char_frac"] == 0.0
+        assert got[5]["top_ngram_char_frac"] == 0.0
+
+    def test_cross_engine(self, docs_df):
+        from pdf_extraction_spark.operators.curation import (
+            sql_top_ngram_char_frac,
+            top_ngram_char_frac,
+        )
+
+        for n in (2, 3):
+            _compare(
+                top_ngram_char_frac(docs_df, n=n),
+                _con(),
+                sql_top_ngram_char_frac(n=n),
+            )
+
+
 class TestUrlCanonical:
     def test_fixture_cross_engine_and_values(self, spark):
         import __spark_entry__ as e
@@ -426,6 +460,12 @@ class TestRandomizedCrossEngine:
         )
 
         _compare(dedup_lines_keep_first(df), con, sql_dedup_lines_keep_first())
+        from pdf_extraction_spark.operators.curation import (
+            sql_top_ngram_char_frac,
+            top_ngram_char_frac,
+        )
+
+        _compare(top_ngram_char_frac(df, n=2), con, sql_top_ngram_char_frac(n=2))
         fr = {"src0": 0.4, "src1": 0.9}
         _compare(
             stratified_sample(df, "doc_id", "source", fr, 0.1).select("doc_id", "source"),
