@@ -584,6 +584,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return top_ngram_char_frac(_docs(spark, sf), "text", "doc_id", n=2)
 
+    # -- Gopher repetition rule: duplicate word-n-gram char fraction --------
+    def q_dup_ngram_frac(spark, sf):
+        from pdf_extraction_spark.operators.curation import dup_ngram_char_frac
+
+        return dup_ngram_char_frac(_docs(spark, sf), "text", "doc_id", n=2)
+
     # -- corpus-level line dedup (CCNet/C4 boilerplate removal) -------------
     def q_dedup_lines(spark, sf):
         from pdf_extraction_spark.operators.curation import dedup_lines
@@ -950,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "gopher_quality": q_gopher_quality,
         "top_ngram_frac": q_top_ngram_frac,
+        "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_lines": q_dedup_lines,
         "dedup_keepfirst": q_dedup_keepfirst,
         "pii_scrub": q_pii_scrub,
@@ -996,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.components import sql_dedup_clusters
     from pdf_extraction_spark.operators.curation import (
         sql_dedup_lines,
+        sql_dup_ngram_char_frac,
         sql_top_ngram_char_frac,
         sql_dedup_lines_keep_first,
         sql_flag_contaminated,
@@ -1365,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": sql_gopher_flags("text"),
         "dedup_lines": sql_dedup_lines(min_occurrences=3),
         "top_ngram_frac": sql_top_ngram_char_frac(n=2),
+        "dup_ngram_frac": sql_dup_ngram_char_frac(n=2),
         "dedup_keepfirst": sql_dedup_lines_keep_first(),
         "pii_scrub": sql_scrub_pii("text"),
         "stratified_sample": (

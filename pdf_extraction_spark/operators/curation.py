@@ -205,6 +205,106 @@ def sql_top_ngram_char_frac(n: int = 2, text_expr: str = "text") -> str:
     )
 
 
+def dup_ngram_char_frac(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher §A1.1 repetition rule, the *duplicate* n-gram family
+    (n = 5…10 in the paper): fraction of a document's characters covered
+    by word n-grams that occur more than once within the document.
+
+    Character spans are UNIONed — a token covered by several duplicate
+    grams (or several occurrences of the same gram) counts once, which
+    is the paper's "fraction of characters contained in duplicate
+    n-grams" rather than a double-counting sum. Numerator and
+    denominator both count non-whitespace characters (token lengths), so
+    the measure is separator-agnostic and identical across engines.
+    Docs with < n tokens (and NULL text) get 0.
+
+    Scale shape: tokens and gram occurrences are narrow posexplodes; the
+    duplicate test is ONE shuffle on (doc_id, gram) — the window key
+    includes doc_id, so no corpus-global hot key exists; covered token
+    positions dedup on (doc_id, idx) and re-join the token table on the
+    same key. Everything is native Catalyst — no Python.
+    """
+    from pyspark.sql import Window
+
+    tx = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(F.lower(tx), r"\s+"), lambda w: w != F.lit(""))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    totals = base.select(
+        "doc_id",
+        F.aggregate("toks", F.lit(0), lambda acc, w: acc + F.length(w)).alias(
+            "tot_chars"
+        ),
+    )
+    toktbl = base.select("doc_id", F.posexplode("toks").alias("idx", "tok"))
+    grams = base.filter(F.size("toks") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, n)),
+            )
+        ).alias("i", "gram"),
+    )
+    dup_occ = grams.withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("doc_id", "gram"))
+    ).filter(F.col("cnt") >= 2)
+    covered = dup_occ.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))).alias("idx"),
+    ).distinct()
+    cov_chars = (
+        covered.join(toktbl, ["doc_id", "idx"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.length("tok")).alias("cov_chars"))
+    )
+    return (
+        totals.join(cov_chars, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("cov_chars"), F.lit(0))
+                / F.greatest(F.col("tot_chars"), F.lit(1)),
+                6,
+            ).alias("dup_ngram_char_frac"),
+        )
+    )
+
+
+def sql_dup_ngram_char_frac(n: int = 3, text_expr: str = "text") -> str:
+    """DuckDB twin: same tokenization, gram construction, per-doc
+    duplicate-count window, span union, and character accounting."""
+    tx = f"coalesce({text_expr}, '')"
+    return (
+        f"WITH t AS (SELECT doc_id, "
+        f"list_filter(string_split_regex(lower({tx}), '\\s+'), x -> x <> '') AS w "
+        "FROM documents), "
+        "tot AS (SELECT doc_id, "
+        "coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS tot_chars FROM t), "
+        "tok AS (SELECT doc_id, i - 1 AS idx, w[i] AS tok FROM ("
+        "SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t)), "
+        f"g AS (SELECT doc_id, i - 1 AS i0, array_to_string(w[i:i+{n - 1}], ' ') AS gram "
+        f"FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i "
+        f"FROM t WHERE len(w) >= {n})), "
+        "d AS (SELECT doc_id, i0 FROM ("
+        "SELECT doc_id, i0, count(*) OVER (PARTITION BY doc_id, gram) AS cnt FROM g) "
+        "WHERE cnt >= 2), "
+        f"cov AS (SELECT DISTINCT doc_id, i0 + unnest(generate_series(0, {n - 1})) AS idx "
+        "FROM d), "
+        "cc AS (SELECT cov.doc_id, sum(length(tok.tok)) AS cov_chars "
+        "FROM cov JOIN tok ON cov.doc_id = tok.doc_id AND cov.idx = tok.idx "
+        "GROUP BY cov.doc_id) "
+        "SELECT tot.doc_id, "
+        "round(CAST(coalesce(cc.cov_chars, 0) AS DOUBLE) / greatest(tot.tot_chars, 1), 6) "
+        "AS dup_ngram_char_frac "
+        "FROM tot LEFT JOIN cc ON tot.doc_id = cc.doc_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # corpus-level line dedup (CCNet / C4-style boilerplate removal)
 # --------------------------------------------------------------------------

@@ -105,6 +105,39 @@ class TestTopNgramFrac:
             )
 
 
+class TestDupNgramFrac:
+    def test_semantics(self, spark):
+        from pdf_extraction_spark.operators.curation import dup_ngram_char_frac
+
+        rows = [
+            (1, "spam ham spam ham spam ham tail"),  # both bigrams dup; covers all but 'tail'
+            (2, "all distinct words here now"),       # every bigram once
+            (3, "one"),                               # < n tokens
+            (4, None),
+            (5, "x x x"),                             # "x x" @0,@1 — union covers everything
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["dup_ngram_char_frac"]
+               for r in dup_ngram_char_frac(df, n=2).collect()}
+        assert got[1] == round(21 / 25, 6)  # 6 covered tokens of the 7; tail excluded
+        assert got[2] == 0.0
+        assert got[3] == 0.0 and got[4] == 0.0
+        assert got[5] == 1.0  # overlapping occurrences counted once, full cover
+
+    def test_cross_engine(self, docs_df):
+        from pdf_extraction_spark.operators.curation import (
+            dup_ngram_char_frac,
+            sql_dup_ngram_char_frac,
+        )
+
+        for n in (2, 3):
+            _compare(
+                dup_ngram_char_frac(docs_df, n=n),
+                _con(),
+                sql_dup_ngram_char_frac(n=n),
+            )
+
+
 class TestUrlCanonical:
     def test_fixture_cross_engine_and_values(self, spark):
         import __spark_entry__ as e

@@ -34,7 +34,7 @@ NATIVE_QUERIES = [
     "gopher_quality", "dedup_lines", "pii_scrub", "stratified_sample",
     "nation_revenue", "keep_last", "salted_agg", "url_dates",
     "embedding_neardup", "corpus_profile", "category_pivot",
-    "dedup_keepfirst", "url_canonical",
+    "dedup_keepfirst", "url_canonical", "top_ngram_frac", "dup_ngram_frac",
 ]
 
 
