@@ -602,6 +602,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return dedup_lines_keep_first(_docs(spark, sf), "text", "doc_id")
 
+    # -- corpus-level paragraph dedup (RefinedWeb/Dolma granularity) --------
+    def q_dedup_paragraphs(spark, sf):
+        from pdf_extraction_spark.operators.curation import dedup_paragraphs
+
+        return dedup_paragraphs(_docs(spark, sf), "text", "doc_id", min_occurrences=2)
+
     # -- PII scrub (C4-style masking) ---------------------------------------
     def q_pii_scrub(spark, sf):
         from pdf_extraction_spark.operators.curation import scrub_pii
@@ -958,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngram_frac": q_top_ngram_frac,
         "dup_ngram_frac": q_dup_ngram_frac,
         "dedup_lines": q_dedup_lines,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "dedup_keepfirst": q_dedup_keepfirst,
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
@@ -1003,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.components import sql_dedup_clusters
     from pdf_extraction_spark.operators.curation import (
         sql_dedup_lines,
+        sql_dedup_paragraphs,
         sql_dup_ngram_char_frac,
         sql_top_ngram_char_frac,
         sql_dedup_lines_keep_first,
@@ -1372,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
         # --- curation suite (native expressions, exact SQL twins) ----------
         "gopher_quality": sql_gopher_flags("text"),
         "dedup_lines": sql_dedup_lines(min_occurrences=3),
+        "dedup_paragraphs": sql_dedup_paragraphs(min_occurrences=2),
         "top_ngram_frac": sql_top_ngram_char_frac(n=2),
         "dup_ngram_frac": sql_dup_ngram_char_frac(n=2),
         "dedup_keepfirst": sql_dedup_lines_keep_first(),

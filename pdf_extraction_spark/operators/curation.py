@@ -309,14 +309,24 @@ def sql_dup_ngram_char_frac(n: int = 3, text_expr: str = "text") -> str:
 # corpus-level line dedup (CCNet / C4-style boilerplate removal)
 # --------------------------------------------------------------------------
 
-def _exploded_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Shared line-dedup scaffolding: (doc_id, line_no, line, line_key)
-    with whitespace-only lines dropped and a 128-bit normalized key."""
+# Blank-line paragraph separator, spelled with explicit ASCII classes so
+# Java (Spark) and RE2 (DuckDB) agree — Java's \s includes \x0B, RE2's
+# doesn't. Handles 2+ consecutive blank lines and space-padded blanks.
+PARA_SPLIT_RE = r"\n[ \t\r]*\n(?:[ \t\r]*\n)*"
+
+
+def _exploded_lines(
+    df: DataFrame, text_col: str, id_col: str, split_re: str = r"\n"
+) -> DataFrame:
+    """Shared unit-dedup scaffolding: (doc_id, line_no, line, line_key)
+    with whitespace-only units dropped and a 128-bit normalized key.
+    ``split_re`` picks the unit: a newline for lines (default),
+    :data:`PARA_SPLIT_RE` for blank-line-separated paragraphs."""
     return (
         df.select(
             F.col(id_col).alias("doc_id"),
             F.posexplode(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+                F.split(F.coalesce(F.col(text_col), F.lit("")), split_re)
             ).alias("line_no", "line"),
         )
         .filter(F.trim(F.col("line")) != "")
@@ -324,7 +334,13 @@ def _exploded_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _rebuild_docs(df: DataFrame, id_col: str, lines: DataFrame, kept: DataFrame) -> DataFrame:
+def _rebuild_docs(
+    df: DataFrame,
+    id_col: str,
+    lines: DataFrame,
+    kept: DataFrame,
+    joiner: str = "\n",
+) -> DataFrame:
     """Shared rebuild: surviving lines in original order, total on every
     input row — (doc_id, clean_text, n_lines_kept, n_lines_removed)."""
     n_total = (
@@ -338,7 +354,7 @@ def _rebuild_docs(df: DataFrame, id_col: str, lines: DataFrame, kept: DataFrame)
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
-            "\n",
+            joiner,
             F.transform(
                 F.array_sort(F.collect_list(F.struct("line_no", "line"))),
                 lambda x: x["line"],
@@ -460,6 +476,66 @@ def sql_dedup_lines(min_occurrences: int = 2) -> str:
         "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
         "CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept, "
         "CAST(t.n_lines_total - coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_removed "
+        "FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id"
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Paragraph-granularity corpus dedup (the RefinedWeb / Dolma
+    companion to :func:`dedup_lines`): units are blank-line-separated
+    paragraphs, normalized lower+trim, and every paragraph whose 128-bit
+    key occurs ≥ ``min_occurrences`` times corpus-wide is removed from
+    every doc. Docs are rebuilt from surviving paragraphs in original
+    order, re-joined with a single blank line.
+
+    Returns (doc_id, clean_text, n_paras_kept, n_paras_removed), one row
+    per input row (total on NULL/empty text). Same scale shape as
+    dedup_lines — ONE shuffle on the 128-bit paragraph key, an anti-join
+    (the dup set is corpus-sized at web scale, never broadcast), one
+    per-doc rebuild shuffle."""
+    paras = _exploded_lines(df, text_col, id_col, split_re=PARA_SPLIT_RE)
+    boilerplate = (
+        paras.groupBy("line_key")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occurrences)
+        .select("line_key")
+    )
+    kept = paras.join(boilerplate, "line_key", "left_anti")
+    return _rebuild_docs(df, id_col, paras, kept, joiner="\n\n").select(
+        "doc_id",
+        "clean_text",
+        F.col("n_lines_kept").alias("n_paras_kept"),
+        F.col("n_lines_removed").alias("n_paras_removed"),
+    )
+
+
+def sql_dedup_paragraphs(min_occurrences: int = 2) -> str:
+    """DuckDB twin of dedup_paragraphs: same split regex (RE2∩Java by
+    construction), normalization, threshold, and blank-line rebuild."""
+    split = PARA_SPLIT_RE.replace("'", "''")
+    return (
+        "WITH paras AS (SELECT doc_id, i - 1 AS para_no, p AS para, "
+        "md5(lower(trim(p))) AS para_key FROM ("
+        f"SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '{split}')) AS p, "
+        f"unnest(generate_series(1, len(string_split_regex(coalesce(text, ''), '{split}')))) AS i "
+        "FROM documents) WHERE trim(p) <> ''), "
+        "boiler AS (SELECT para_key FROM paras GROUP BY para_key "
+        f"HAVING count(*) >= {min_occurrences}), "
+        "kept AS (SELECT * FROM paras WHERE para_key NOT IN (SELECT para_key FROM boiler)), "
+        "totals AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_paras_total "
+        "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM paras GROUP BY doc_id) c "
+        "ON d.doc_id = c.doc_id), "
+        "rebuilt AS (SELECT doc_id, "
+        "string_agg(para, chr(10) || chr(10) ORDER BY para_no) AS clean_text, "
+        "count(*) AS n_paras_kept FROM kept GROUP BY doc_id) "
+        "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
+        "CAST(coalesce(r.n_paras_kept, 0) AS BIGINT) AS n_paras_kept, "
+        "CAST(t.n_paras_total - coalesce(r.n_paras_kept, 0) AS BIGINT) AS n_paras_removed "
         "FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id"
     )
 

@@ -138,6 +138,46 @@ class TestDupNgramFrac:
             )
 
 
+class TestParagraphDedup:
+    PARA_DOCS = [
+        (1, "unique one\nstill para one\n\nSHARED FOOTER TEXT\nline two of footer"),
+        # same footer modulo lower+trim; blanks padded with space / tab
+        (2, "shared footer text\nLINE TWO OF FOOTER\n \n\t\nother content here"),
+        (3, "solo paragraph no dup"),
+        (4, None),
+        (5, "a\n\n\n\nb\n\nshared footer text\nline two of footer"),  # 3+ blank lines
+        (6, ""),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.PARA_DOCS, "doc_id long, text string")
+
+    def test_semantics(self, spark):
+        from pdf_extraction_spark.operators.curation import dedup_paragraphs
+
+        got = {r["doc_id"]: r for r in dedup_paragraphs(self._df(spark)).collect()}
+        # the footer paragraph (3 normalized copies) is gone everywhere
+        assert got[1]["clean_text"] == "unique one\nstill para one"
+        assert got[2]["clean_text"] == "other content here"
+        assert got[5]["clean_text"] == "a\n\nb"  # multi-blank separators collapse
+        assert got[5]["n_paras_removed"] == 1
+        # unique paragraphs survive verbatim; NULL/empty docs stay, empty
+        assert got[3]["clean_text"] == "solo paragraph no dup"
+        assert got[4]["clean_text"] == "" and got[4]["n_paras_kept"] == 0
+        assert got[6]["n_paras_removed"] == 0
+
+    def test_cross_engine(self, spark):
+        from pdf_extraction_spark.operators.curation import (
+            dedup_paragraphs,
+            sql_dedup_paragraphs,
+        )
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", self.PARA_DOCS)
+        _compare(dedup_paragraphs(self._df(spark)), con, sql_dedup_paragraphs())
+
+
 class TestUrlCanonical:
     def test_fixture_cross_engine_and_values(self, spark):
         import __spark_entry__ as e
