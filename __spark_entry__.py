@@ -574,7 +574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_extraction_spark.operators.curation import with_gopher_flags
 
         return with_gopher_flags(_docs(spark, sf), "text").select(
-            "doc_id", "dup_line_frac", "symbol_word_ratio", "bullet_line_frac",
+            "doc_id", "dup_line_frac", "dup_para_frac", "dup_line_char_frac",
+            "dup_para_char_frac", "symbol_word_ratio", "bullet_line_frac",
             "ellipsis_line_frac", "alpha_word_frac", "gopher_pass",
         )
 

@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 # --------------------------------------------------------------------------
 
 GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_PARA_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP_PARA_CHAR_FRAC = 0.20
 GOPHER_MAX_SYMBOL_WORD_RATIO = 0.10
 GOPHER_MAX_BULLET_LINE_FRAC = 0.90
 GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.30
@@ -46,11 +49,23 @@ def _words(c: Column) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
 
 
+def _sum_lengths(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0), lambda acc, x: acc + F.length(x))
+
+
 def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc repetition/quality signals + the combined pass flag.
 
-    Columns: dup_line_frac, symbol_word_ratio, bullet_line_frac,
+    Columns: dup_line_frac, dup_para_frac, dup_line_char_frac,
+    dup_para_char_frac, symbol_word_ratio, bullet_line_frac,
     ellipsis_line_frac, alpha_word_frac (all rounded to 4), gopher_pass.
+
+    The four duplicate fractions are Gopher §A1.1's full repetition set
+    at line/paragraph granularity: count fractions are repeats beyond
+    the first occurrence over total units; char fractions count the
+    characters of those repeat occurrences over the characters of all
+    units (unit lengths, separator-agnostic) — computed shuffle-free via
+    the identity repeat_chars = total_chars − distinct_chars.
 
     Total on NULL text (treated as empty — one bad crawl row must not
     produce NULL flags that silently drop from boolean filters).
@@ -61,9 +76,27 @@ def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     safe_lines = F.greatest(n_lines, F.lit(1))
     words = _words(c)
     safe_words = F.greatest(F.size(words), F.lit(1))
+    paras = F.filter(
+        F.split(c, PARA_SPLIT_RE), lambda p: F.trim(p) != F.lit("")
+    )
+    n_paras = F.size(paras)
+    safe_paras = F.greatest(n_paras, F.lit(1))
 
     dup_line = F.round(
         (n_lines - F.size(F.array_distinct(lines))) / safe_lines, 4
+    )
+    dup_para = F.round(
+        (n_paras - F.size(F.array_distinct(paras))) / safe_paras, 4
+    )
+    dup_line_char = F.round(
+        (_sum_lengths(lines) - _sum_lengths(F.array_distinct(lines)))
+        / F.greatest(_sum_lengths(lines), F.lit(1)),
+        4,
+    )
+    dup_para_char = F.round(
+        (_sum_lengths(paras) - _sum_lengths(F.array_distinct(paras)))
+        / F.greatest(_sum_lengths(paras), F.lit(1)),
+        4,
     )
     symbol_ratio = F.round(
         F.size(F.regexp_extract_all(c, F.lit(_SYMBOL_RE), F.lit(0))) / safe_words, 4
@@ -80,6 +113,9 @@ def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     out = (
         df.withColumn("dup_line_frac", dup_line)
+        .withColumn("dup_para_frac", dup_para)
+        .withColumn("dup_line_char_frac", dup_line_char)
+        .withColumn("dup_para_char_frac", dup_para_char)
         .withColumn("symbol_word_ratio", symbol_ratio)
         .withColumn("bullet_line_frac", bullet)
         .withColumn("ellipsis_line_frac", ellipsis)
@@ -88,6 +124,9 @@ def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn(
         "gopher_pass",
         (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (F.col("dup_para_frac") <= GOPHER_MAX_DUP_PARA_FRAC)
+        & (F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+        & (F.col("dup_para_char_frac") <= GOPHER_MAX_DUP_PARA_CHAR_FRAC)
         & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_WORD_RATIO)
         & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
         & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
@@ -97,17 +136,27 @@ def with_gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def sql_gopher_flags(text_expr: str, id_expr: str = "doc_id") -> str:
     """DuckDB twin of with_gopher_flags (identical regexes — all chosen
-    RE2∩Java-compatible — and identical rounding)."""
+    RE2∩Java-compatible — identical rounding, and the same
+    total−distinct identity for the char fractions)."""
     sym = _SYMBOL_RE.replace("'", "''")
+    para_split = PARA_SPLIT_RE.replace("'", "''")
     text_expr = f"coalesce({text_expr}, '')"  # total on NULL, like the operator
+    chars = "coalesce(list_sum(list_transform({0}, x -> length(x))), 0)"
     return (
         f"WITH g AS (SELECT {id_expr} AS doc_id, {text_expr} AS t, "
         f"list_filter(string_split({text_expr}, chr(10)), l -> trim(l) <> '') AS lines, "
+        f"list_filter(string_split_regex({text_expr}, '{para_split}'), p -> trim(p) <> '') AS paras, "
         f"list_filter(string_split_regex({text_expr}, '\\s+'), w -> w <> '') AS words FROM documents), "
         "m AS (SELECT doc_id, "
         "greatest(len(lines), 1) AS sl, greatest(len(words), 1) AS sw, "
+        "greatest(len(paras), 1) AS sp, "
         "len(lines) AS nl, "
         "len(lines) - len(list_distinct(lines)) AS ndup, "
+        "len(paras) - len(list_distinct(paras)) AS ndup_p, "
+        f"{chars.format('lines')} - {chars.format('list_distinct(lines)')} AS dupc_l, "
+        f"greatest({chars.format('lines')}, 1) AS slc, "
+        f"{chars.format('paras')} - {chars.format('list_distinct(paras)')} AS dupc_p, "
+        f"greatest({chars.format('paras')}, 1) AS spc, "
         f"len(regexp_extract_all(t, '{sym}')) AS nsym, "
         f"len(list_filter(lines, l -> regexp_matches(l, '{_BULLET_RE}'))) AS nbul, "
         f"len(list_filter(lines, l -> regexp_matches(l, '{_ELLIPSIS_END_RE}'))) AS nell, "
@@ -115,11 +164,17 @@ def sql_gopher_flags(text_expr: str, id_expr: str = "doc_id") -> str:
         "FROM g) "
         "SELECT doc_id, "
         "round(CAST(ndup AS DOUBLE) / sl, 4) AS dup_line_frac, "
+        "round(CAST(ndup_p AS DOUBLE) / sp, 4) AS dup_para_frac, "
+        "round(CAST(dupc_l AS DOUBLE) / slc, 4) AS dup_line_char_frac, "
+        "round(CAST(dupc_p AS DOUBLE) / spc, 4) AS dup_para_char_frac, "
         "round(CAST(nsym AS DOUBLE) / sw, 4) AS symbol_word_ratio, "
         "round(CAST(nbul AS DOUBLE) / sl, 4) AS bullet_line_frac, "
         "round(CAST(nell AS DOUBLE) / sl, 4) AS ellipsis_line_frac, "
         "round(CAST(nalpha AS DOUBLE) / sw, 4) AS alpha_word_frac, "
         f"(round(CAST(ndup AS DOUBLE) / sl, 4) <= {GOPHER_MAX_DUP_LINE_FRAC} "
+        f"AND round(CAST(ndup_p AS DOUBLE) / sp, 4) <= {GOPHER_MAX_DUP_PARA_FRAC} "
+        f"AND round(CAST(dupc_l AS DOUBLE) / slc, 4) <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC} "
+        f"AND round(CAST(dupc_p AS DOUBLE) / spc, 4) <= {GOPHER_MAX_DUP_PARA_CHAR_FRAC} "
         f"AND round(CAST(nsym AS DOUBLE) / sw, 4) <= {GOPHER_MAX_SYMBOL_WORD_RATIO} "
         f"AND round(CAST(nbul AS DOUBLE) / sl, 4) <= {GOPHER_MAX_BULLET_LINE_FRAC} "
         f"AND round(CAST(nell AS DOUBLE) / sl, 4) <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC} "

@@ -56,7 +56,8 @@ class TestGopher:
         )
 
         out = with_gopher_flags(docs_df, "text").select(
-            "doc_id", "dup_line_frac", "symbol_word_ratio", "bullet_line_frac",
+            "doc_id", "dup_line_frac", "dup_para_frac", "dup_line_char_frac",
+            "dup_para_char_frac", "symbol_word_ratio", "bullet_line_frac",
             "ellipsis_line_frac", "alpha_word_frac", "gopher_pass",
         )
         _compare(out, _con(), sql_gopher_flags("text"))
@@ -66,6 +67,10 @@ class TestGopher:
 
         rows = {r["doc_id"]: r for r in with_gopher_flags(docs_df, "text").collect()}
         assert rows[7]["dup_line_frac"] == pytest.approx(2 / 3, abs=1e-4)  # x,x,x
+        assert rows[7]["dup_line_char_frac"] == pytest.approx(2 / 3, abs=1e-4)
+        # paragraphs of doc 7 are "x" and "x\nx" — distinct, no para dup
+        assert rows[7]["dup_para_frac"] == 0.0
+        assert rows[7]["dup_para_char_frac"] == 0.0
         assert rows[3]["bullet_line_frac"] == 1.0
         assert rows[5]["gopher_pass"] is False  # symbol soup
         assert rows[8]["gopher_pass"] is True  # clean prose
@@ -521,7 +526,8 @@ class TestRandomizedCrossEngine:
         df, con = self._both(spark, docs)
 
         out = with_gopher_flags(df, "text").select(
-            "doc_id", "dup_line_frac", "symbol_word_ratio", "bullet_line_frac",
+            "doc_id", "dup_line_frac", "dup_para_frac", "dup_line_char_frac",
+            "dup_para_char_frac", "symbol_word_ratio", "bullet_line_frac",
             "ellipsis_line_frac", "alpha_word_frac", "gopher_pass",
         )
         _compare(out, con, sql_gopher_flags("text"))
