@@ -148,7 +148,7 @@ def bench_queries(spark) -> dict:
         "pack_sequences", "decontaminate",
         # round 3: banded embedding LSH + fixed-centroid IVF assignment
         "embedding_lsh", "ivf_assign", "media_features_real",
-        "dedup_keepfirst",
+        "dedup_keepfirst", "dedup_paragraphs", "dup_ngram_frac",
     ]
     out = {}
     for name in picks:
