@@ -1010,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.categorize import sql_categories
     from pdf_extraction_spark.operators.components import sql_dedup_clusters
     from pdf_extraction_spark.operators.curation import (
+        WORD_SPLIT_RE,
         sql_dedup_lines,
         sql_dedup_paragraphs,
         sql_dup_ngram_char_frac,
@@ -1278,11 +1279,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_wordset": (
             "SELECT count(*) AS n_dups, min(doc_id) AS keep_id FROM documents "
             "GROUP BY md5(array_to_string(list_sort(list_distinct("
-            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ')) "
+            # Spark splits with Java \s ( = the explicit class below,
+            # \x0B included); RE2's \s lacks \x0B, so spell it out
+            f"list_filter(string_split_regex(lower(text), '{WORD_SPLIT_RE}'), x -> x <> ''))), ' ')) "
             "HAVING count(*) > 1"
         ),
         "ngram_jaccard": (
-            "WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w FROM documents), "
+            f"WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '{WORD_SPLIT_RE}'), x -> x <> '') AS w FROM documents), "
             "grams AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
             "list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) "
             "ELSE [array_to_string(w, ' ')] END AS gs FROM toks), "
@@ -1307,7 +1310,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_ratios": (
             "WITH w AS (SELECT doc_id, text, length(text) AS n_chars, "
-            "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words FROM documents) "
+            f"list_filter(string_split_regex(lower(text), '{WORD_SPLIT_RE}'), x -> x <> '') AS words FROM documents) "
             "SELECT doc_id, CAST(len(words) AS INT) AS n_words, "
             "round(CAST(n_chars AS DOUBLE) / greatest(len(words), 1), 4) AS avg_word_len, "
             # \p classes: RE2's bare \w is ASCII, Spark's (?U)[^\w\s] is

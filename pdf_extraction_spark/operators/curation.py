@@ -35,9 +35,16 @@ GOPHER_MAX_BULLET_LINE_FRAC = 0.90
 GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.30
 GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
 
+# Java's \s is [ \t\n\x0B\f\r]; RE2's omits \x0B. Every twin regex that
+# splits or skips whitespace spells the Java set explicitly so both
+# engines agree on EVERY input, vertical tabs included (same fix class
+# as PARA_SPLIT_RE below).
+_WS = r"[ \t\n\x0B\f\r]"
+WORD_SPLIT_RE = _WS + "+"
+
 _SYMBOL_RE = r"#|\.\.\.|…"
-_BULLET_RE = r"^\s*[-*•]"
-_ELLIPSIS_END_RE = r"(\.\.\.|…)\s*$"
+_BULLET_RE = rf"^{_WS}*[-*•]"
+_ELLIPSIS_END_RE = rf"(\.\.\.|…){_WS}*$"
 _ALPHA_RE = r"[A-Za-z]"
 
 
@@ -46,7 +53,31 @@ def _nonempty_lines(c: Column) -> Column:
 
 
 def _words(c: Column) -> Column:
-    return F.filter(F.split(c, r"\s+"), lambda w: w != F.lit(""))
+    return F.filter(F.split(c, WORD_SPLIT_RE), lambda w: w != F.lit(""))
+
+
+def _lower_words(c: Column) -> Column:
+    """Shared tokenization for the word-n-gram repetition rules."""
+    return F.filter(F.split(F.lower(c), WORD_SPLIT_RE), lambda w: w != F.lit(""))
+
+
+def _sql_lower_words(tx: str) -> str:
+    """DuckDB fragment twin of :func:`_lower_words`."""
+    return (
+        f"list_filter(string_split_regex(lower({tx}), '{WORD_SPLIT_RE}'), "
+        "x -> x <> '')"
+    )
+
+
+def _sql_grams(n: int) -> str:
+    """DuckDB fragment: word ``n``-grams with 0-based start index ``i0``
+    from a CTE ``t(doc_id, w)`` — shared by both n-gram repetition
+    twins so gram construction can't drift between them."""
+    return (
+        f"SELECT doc_id, i - 1 AS i0, array_to_string(w[i:i+{n - 1}], ' ') AS gram "
+        f"FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i "
+        f"FROM t WHERE len(w) >= {n})"
+    )
 
 
 def _sum_lengths(arr: Column) -> Column:
@@ -146,7 +177,7 @@ def sql_gopher_flags(text_expr: str, id_expr: str = "doc_id") -> str:
         f"WITH g AS (SELECT {id_expr} AS doc_id, {text_expr} AS t, "
         f"list_filter(string_split({text_expr}, chr(10)), l -> trim(l) <> '') AS lines, "
         f"list_filter(string_split_regex({text_expr}, '{para_split}'), p -> trim(p) <> '') AS paras, "
-        f"list_filter(string_split_regex({text_expr}, '\\s+'), w -> w <> '') AS words FROM documents), "
+        f"list_filter(string_split_regex({text_expr}, '{WORD_SPLIT_RE}'), w -> w <> '') AS words FROM documents), "
         "m AS (SELECT doc_id, "
         "greatest(len(lines), 1) AS sl, greatest(len(words), 1) AS sw, "
         "greatest(len(paras), 1) AS sp, "
@@ -200,7 +231,7 @@ def top_ngram_char_frac(
     (count desc, gram desc tie-break — same combinable-winner pattern
     as dedup_lines_keep_first, never a single-reducer window)."""
     tx = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.filter(F.split(F.lower(tx), r"\s+"), lambda w: w != F.lit(""))
+    toks = _lower_words(tx)
     grams_arr = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -244,11 +275,9 @@ def sql_top_ngram_char_frac(n: int = 2, text_expr: str = "text") -> str:
     tx = f"coalesce({text_expr}, '')"
     return (
         f"WITH t AS (SELECT doc_id, length({tx}) AS n_chars, "
-        f"list_filter(string_split_regex(lower({tx}), '\\s+'), x -> x <> '') AS w "
+        f"{_sql_lower_words(tx)} AS w "
         "FROM documents), "
-        f"g AS (SELECT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS gram "
-        f"FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i "
-        f"FROM t WHERE len(w) >= {n})), "
+        f"g AS ({_sql_grams(n)}), "
         "c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram), "
         "win AS (SELECT doc_id, gram, cnt FROM ("
         "SELECT doc_id, gram, cnt, row_number() OVER ("
@@ -287,7 +316,7 @@ def dup_ngram_char_frac(
     from pyspark.sql import Window
 
     tx = F.coalesce(F.col(text_col), F.lit(""))
-    toks = F.filter(F.split(F.lower(tx), r"\s+"), lambda w: w != F.lit(""))
+    toks = _lower_words(tx)
     base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
     totals = base.select(
         "doc_id",
@@ -336,15 +365,13 @@ def sql_dup_ngram_char_frac(n: int = 3, text_expr: str = "text") -> str:
     tx = f"coalesce({text_expr}, '')"
     return (
         f"WITH t AS (SELECT doc_id, "
-        f"list_filter(string_split_regex(lower({tx}), '\\s+'), x -> x <> '') AS w "
+        f"{_sql_lower_words(tx)} AS w "
         "FROM documents), "
         "tot AS (SELECT doc_id, "
         "coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS tot_chars FROM t), "
         "tok AS (SELECT doc_id, i - 1 AS idx, w[i] AS tok FROM ("
         "SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM t)), "
-        f"g AS (SELECT doc_id, i - 1 AS i0, array_to_string(w[i:i+{n - 1}], ' ') AS gram "
-        f"FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - {n - 1})) AS i "
-        f"FROM t WHERE len(w) >= {n})), "
+        f"g AS ({_sql_grams(n)}), "
         "d AS (SELECT doc_id, i0 FROM ("
         "SELECT doc_id, i0, count(*) OVER (PARTITION BY doc_id, gram) AS cnt FROM g) "
         "WHERE cnt >= 2), "
@@ -430,6 +457,28 @@ def _rebuild_docs(
     )
 
 
+def _dedup_units(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_occurrences: int,
+    split_re: str,
+    joiner: str,
+) -> DataFrame:
+    """Shared remove-all-copies core for line/paragraph dedup: drop every
+    unit whose normalized key occurs ≥ ``min_occurrences`` corpus-wide,
+    rebuild docs from the survivors in original order."""
+    units = _exploded_lines(df, text_col, id_col, split_re=split_re)
+    boilerplate = (
+        units.groupBy("line_key")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occurrences)
+        .select("line_key")
+    )
+    kept = units.join(boilerplate, "line_key", "left_anti")
+    return _rebuild_docs(df, id_col, units, kept, joiner=joiner)
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -445,15 +494,7 @@ def dedup_lines(
     back with clean_text='' rather than vanishing).
     One shuffle on the 128-bit line key + one anti-join + one per-doc
     rebuild shuffle. Whitespace-only lines are dropped up front."""
-    lines = _exploded_lines(df, text_col, id_col)
-    boilerplate = (
-        lines.groupBy("line_key")
-        .agg(F.count("*").alias("n_occ"))
-        .filter(F.col("n_occ") >= min_occurrences)
-        .select("line_key")
-    )
-    kept = lines.join(boilerplate, "line_key", "left_anti")
-    return _rebuild_docs(df, id_col, lines, kept)
+    return _dedup_units(df, text_col, id_col, min_occurrences, r"\n", "\n")
 
 
 def dedup_lines_keep_first(
@@ -512,26 +553,39 @@ def sql_dedup_lines_keep_first() -> str:
     )
 
 
+def _sql_dedup_units(
+    split_sql: str, min_occurrences: int, joiner_sql: str, unit: str
+) -> str:
+    """DuckDB twin builder of :func:`_dedup_units`. ``split_sql`` is a
+    format string over ``{t}`` (the coalesced text expr), ``joiner_sql``
+    a SQL expression for the rebuild separator, ``unit`` the
+    kept/removed column infix (``lines``/``paras``)."""
+    sp = split_sql.format(t="coalesce(text, '')")
+    return (
+        "WITH units AS (SELECT doc_id, i - 1 AS line_no, u AS line, "
+        "md5(lower(trim(u))) AS line_key FROM ("
+        f"SELECT doc_id, unnest({sp}) AS u, "
+        f"unnest(generate_series(1, len({sp}))) AS i "
+        "FROM documents) WHERE trim(u) <> ''), "
+        "boiler AS (SELECT line_key FROM units GROUP BY line_key "
+        f"HAVING count(*) >= {min_occurrences}), "
+        "kept AS (SELECT * FROM units WHERE line_key NOT IN (SELECT line_key FROM boiler)), "
+        "totals AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_total "
+        "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM units GROUP BY doc_id) c "
+        "ON d.doc_id = c.doc_id), "
+        f"rebuilt AS (SELECT doc_id, string_agg(line, {joiner_sql} ORDER BY line_no) AS clean_text, "
+        "count(*) AS n_kept FROM kept GROUP BY doc_id) "
+        "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
+        f"CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_{unit}_kept, "
+        f"CAST(t.n_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_{unit}_removed "
+        "FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id"
+    )
+
+
 def sql_dedup_lines(min_occurrences: int = 2) -> str:
     """DuckDB twin of dedup_lines over the ``documents`` view."""
-    return (
-        "WITH lines AS (SELECT doc_id, i - 1 AS line_no, l AS line, "
-        "md5(lower(trim(l))) AS line_key FROM ("
-        "SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS l, "
-        "unnest(generate_series(1, len(string_split(coalesce(text, ''), chr(10))))) AS i "
-        "FROM documents) WHERE trim(l) <> ''), "
-        "boiler AS (SELECT line_key FROM lines GROUP BY line_key "
-        f"HAVING count(*) >= {min_occurrences}), "
-        "kept AS (SELECT * FROM lines WHERE line_key NOT IN (SELECT line_key FROM boiler)), "
-        "totals AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_lines_total "
-        "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM lines GROUP BY doc_id) c "
-        "ON d.doc_id = c.doc_id), "
-        "rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text, "
-        "count(*) AS n_lines_kept FROM kept GROUP BY doc_id) "
-        "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
-        "CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept, "
-        "CAST(t.n_lines_total - coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_removed "
-        "FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id"
+    return _sql_dedup_units(
+        "string_split({t}, chr(10))", min_occurrences, "chr(10)", "lines"
     )
 
 
@@ -553,15 +607,9 @@ def dedup_paragraphs(
     dedup_lines — ONE shuffle on the 128-bit paragraph key, an anti-join
     (the dup set is corpus-sized at web scale, never broadcast), one
     per-doc rebuild shuffle."""
-    paras = _exploded_lines(df, text_col, id_col, split_re=PARA_SPLIT_RE)
-    boilerplate = (
-        paras.groupBy("line_key")
-        .agg(F.count("*").alias("n_occ"))
-        .filter(F.col("n_occ") >= min_occurrences)
-        .select("line_key")
-    )
-    kept = paras.join(boilerplate, "line_key", "left_anti")
-    return _rebuild_docs(df, id_col, paras, kept, joiner="\n\n").select(
+    return _dedup_units(
+        df, text_col, id_col, min_occurrences, PARA_SPLIT_RE, "\n\n"
+    ).select(
         "doc_id",
         "clean_text",
         F.col("n_lines_kept").alias("n_paras_kept"),
@@ -573,25 +621,11 @@ def sql_dedup_paragraphs(min_occurrences: int = 2) -> str:
     """DuckDB twin of dedup_paragraphs: same split regex (RE2∩Java by
     construction), normalization, threshold, and blank-line rebuild."""
     split = PARA_SPLIT_RE.replace("'", "''")
-    return (
-        "WITH paras AS (SELECT doc_id, i - 1 AS para_no, p AS para, "
-        "md5(lower(trim(p))) AS para_key FROM ("
-        f"SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '{split}')) AS p, "
-        f"unnest(generate_series(1, len(string_split_regex(coalesce(text, ''), '{split}')))) AS i "
-        "FROM documents) WHERE trim(p) <> ''), "
-        "boiler AS (SELECT para_key FROM paras GROUP BY para_key "
-        f"HAVING count(*) >= {min_occurrences}), "
-        "kept AS (SELECT * FROM paras WHERE para_key NOT IN (SELECT para_key FROM boiler)), "
-        "totals AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_paras_total "
-        "FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS n FROM paras GROUP BY doc_id) c "
-        "ON d.doc_id = c.doc_id), "
-        "rebuilt AS (SELECT doc_id, "
-        "string_agg(para, chr(10) || chr(10) ORDER BY para_no) AS clean_text, "
-        "count(*) AS n_paras_kept FROM kept GROUP BY doc_id) "
-        "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
-        "CAST(coalesce(r.n_paras_kept, 0) AS BIGINT) AS n_paras_kept, "
-        "CAST(t.n_paras_total - coalesce(r.n_paras_kept, 0) AS BIGINT) AS n_paras_removed "
-        "FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id"
+    return _sql_dedup_units(
+        f"string_split_regex({{t}}, '{split}')",
+        min_occurrences,
+        "chr(10) || chr(10)",
+        "paras",
     )
 
 
@@ -847,7 +881,7 @@ def sql_flag_contaminated(eval_values: str, n: int = 8, min_overlap: int = 1) ->
             f"SELECT {idexpr} AS gid, unnest(CASE WHEN len(w) >= {n} THEN "
             f"list_distinct([array_to_string(w[i:i+{n - 1}], ' ') FOR i IN range(1, len(w) - {n - 2})]) "
             f"ELSE [array_to_string(w, ' ')] END) AS shingle FROM "
-            f"(SELECT {idexpr}, list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '') AS w "
+            f"(SELECT {idexpr}, list_filter(string_split_regex(lower({text_expr}), '{WORD_SPLIT_RE}'), x -> x <> '') AS w "
         )
 
     return (
