@@ -1009,6 +1009,11 @@ def oracle_sql() -> dict[str, str]:
     )
     from pdf_extraction_spark.operators.categorize import sql_categories
     from pdf_extraction_spark.operators.components import sql_dedup_clusters
+    from pdf_extraction_spark.kernels.wsre import (
+        JAVA_WS_SPLIT,
+        WHITE_SPACE_BODY,
+        java_ws_exact,
+    )
     from pdf_extraction_spark.operators.curation import (
         WORD_SPLIT_RE,
         sql_dedup_lines,
@@ -1085,7 +1090,7 @@ def oracle_sql() -> dict[str, str]:
     def sql_amounts(patterns):
         selects = []
         for pi, pat in enumerate(patterns):
-            p = ("(?i)" + pat).replace("'", "''")
+            p = java_ws_exact("(?i)" + pat).replace("'", "''")
             selects.append(
                 f"SELECT doc_id, {pi} AS pat_no, "
                 f"unnest(regexp_extract_all(content, '{p}', 0)) AS raw_text, "
@@ -1107,7 +1112,7 @@ def oracle_sql() -> dict[str, str]:
 
         selects = []
         for pi, pat in enumerate(GROWTH_PATTERNS):
-            p = ("(?i)" + pat).replace("'", "''")
+            p = java_ws_exact("(?i)" + pat).replace("'", "''")
             selects.append(
                 f"SELECT doc_id, {pi} AS pat_no, "
                 f"unnest(regexp_extract_all(content, '{p}', 0)) AS raw_text, "
@@ -1129,7 +1134,7 @@ def oracle_sql() -> dict[str, str]:
 
         selects = []
         for pi, pat in enumerate(MARGIN_PATTERNS):
-            p = ("(?i)" + pat).replace("'", "''")
+            p = java_ws_exact("(?i)" + pat).replace("'", "''")
             selects.append(
                 f"SELECT doc_id, {pi} AS pat_no, "
                 f"unnest(regexp_extract_all(content, '{p}', 0)) AS raw_text, "
@@ -1185,14 +1190,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "coalesce(array_to_string(list_sort(list_distinct(regexp_extract_all(content, '(?i)\\b(Q[1-4])\\b', 1))), '|'), '') AS quarters, "
             "coalesce(array_to_string(list_sort(list_distinct("
-            "list_transform(regexp_extract_all(content, '(?i)\\bFY\\s*(\\d{2,4})\\b', 1), "
+            "list_transform(regexp_extract_all(content, '(?i)\\bFY[ \\t\\n\\x0B\\f\\r]*(\\d{2,4})\\b', 1), "
             "y -> CASE WHEN length(y) = 2 THEN 'FY' || y ELSE 'FY' || substring(y, length(y)-1, 2) END) || "
-            "list_transform(regexp_extract_all(content, '(?i)\\b(?:fiscal\\s+year\\s+)?(\\d{4})-(\\d{2,4})\\b', 2), y -> 'FY' || y)"
+            "list_transform(regexp_extract_all(content, '(?i)\\b(?:fiscal[ \\t\\n\\x0B\\f\\r]+year[ \\t\\n\\x0B\\f\\r]+)?(\\d{4})-(\\d{2,4})\\b', 2), y -> 'FY' || y)"
             ")), '|'), '') AS fiscal_years, "
             "coalesce(array_to_string(list_sort(list_distinct("
             "list_transform(list_zip("
-            "regexp_extract_all(content, '(?i)\\b(Q[1-4])\\s*FY\\s*(\\d{2,4})\\b', 1), "
-            "regexp_extract_all(content, '(?i)\\b(Q[1-4])\\s*FY\\s*(\\d{2,4})\\b', 2)), "
+            "regexp_extract_all(content, '(?i)\\b(Q[1-4])[ \\t\\n\\x0B\\f\\r]*FY[ \\t\\n\\x0B\\f\\r]*(\\d{2,4})\\b', 1), "
+            "regexp_extract_all(content, '(?i)\\b(Q[1-4])[ \\t\\n\\x0B\\f\\r]*FY[ \\t\\n\\x0B\\f\\r]*(\\d{2,4})\\b', 2)), "
             "p -> upper(p[1]) || ' FY' || (CASE WHEN length(p[2]) = 2 THEN p[2] ELSE substring(p[2], length(p[2])-1, 2) END)"
             "))), '|'), '') AS combined "
             f"FROM {fin_values}"
@@ -1204,12 +1209,18 @@ def oracle_sql() -> dict[str, str]:
             + _sql_values(ROSTER_ROWS, ["roster_pos", "executive", "role"])
             + "), norm AS (SELECT cid, speaker, "
             # \p classes ≈ Java (?U)\w / Python \w (RE2 bare \w is ASCII)
-            "trim(regexp_replace(upper(speaker), '[^\\p{L}\\p{N}_\\s]', '', 'g')) AS cs FROM chunks WHERE speaker <> 'MANAGEMENT'), "
+            # Spark norm is (?U)[^\w\s]: \s there is White_Space — spell
+            # that body explicitly so RE2 preserves the same chars
+            # (\w ≈ \p{L}\p{N}_ residual stays documented)
+            "trim(regexp_replace(upper(speaker), '[^\\p{L}\\p{N}_"
+            + WHITE_SPACE_BODY
+            + "]', '', 'g')) AS cs FROM chunks WHERE speaker <> 'MANAGEMENT'), "
             "matched AS (SELECT n.cid, n.speaker, r.executive, r.role, r.roster_pos, "
             "row_number() OVER (PARTITION BY n.cid ORDER BY r.roster_pos) AS rn "
             "FROM norm n JOIN roster r ON "
-            "list_extract(string_split_regex(n.cs, '\\s+'), len(string_split_regex(n.cs, '\\s+'))) = "
-            "list_extract(string_split_regex(r.executive, '\\s+'), len(string_split_regex(r.executive, '\\s+')))) "
+            # last-token split mirrors Spark's bare Java \s (ASCII six)
+            f"list_extract(string_split_regex(n.cs, '{JAVA_WS_SPLIT}'), len(string_split_regex(n.cs, '{JAVA_WS_SPLIT}'))) = "
+            f"list_extract(string_split_regex(r.executive, '{JAVA_WS_SPLIT}'), len(string_split_regex(r.executive, '{JAVA_WS_SPLIT}')))) "
             "SELECT cid, speaker, executive, role AS executive_role FROM matched WHERE rn = 1"
         ),
         "top3_per_segment": (
@@ -1314,8 +1325,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(words) AS INT) AS n_words, "
             "round(CAST(n_chars AS DOUBLE) / greatest(len(words), 1), 4) AS avg_word_len, "
             # \p classes: RE2's bare \w is ASCII, Spark's (?U)[^\w\s] is
-            # Unicode — accented letters must not count as punctuation
-            "round(CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio, "
+            # Unicode — accented letters must not count as punctuation,
+            # and (?U)\s = White_Space, spelled as the explicit body so
+            # exotic spaces don't count as punctuation either
+            "round(CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_"
+            + WHITE_SPACE_BODY
+            + "]')) AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio, "
             "round(CAST(len(list_filter(words, x -> list_contains(['the','a','of','to','and','in','is'], x))) AS DOUBLE) / greatest(len(words), 1), 4) AS stopword_ratio "
             "FROM w"
         ),

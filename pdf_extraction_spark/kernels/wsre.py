@@ -1,0 +1,100 @@
+"""Cross-engine whitespace regex classes (measured, not assumed).
+
+Three regex engines meet in this repo — Java (Spark), RE2 (DuckDB
+twins), and Python ``re`` / ``str.split()`` (kernels) — and each has a
+different ``\\s``:
+
+========  =============================================================
+engine    ``\\s`` matches
+========  =============================================================
+Java      ``[ \\t\\n\\x0B\\f\\r]`` (ASCII six)
+RE2       ``[ \\t\\n\\f\\r]`` (ASCII five — NO vertical tab)
+Python    Unicode White_Space ∪ ``[\\x1C-\\x1F]`` (29 code points;
+          ``str.split()`` uses the same set)
+Java(?U)  Unicode White_Space (Python's set minus ``\\x1C-\\x1F``)
+========  =============================================================
+
+Any twin that tokenizes with a bare ``\\s`` therefore disagrees with its
+Spark or kernel counterpart on vertical tabs / exotic Unicode spaces.
+The fix used across the engine: spell the intended set as an explicit
+character class whose *text* parses identically in all three engines
+(verified by an exhaustive 0..0x3200 code-point sweep in
+``tests/test_wsre.py``). Use:
+
+- :data:`JAVA_WS` (+ :data:`JAVA_WS_SPLIT`) when the Spark side uses a
+  bare Java ``\\s`` and the twin must agree exactly;
+- :data:`PY_WS` (+ :data:`PY_WS_SPLIT`) when the contract side is
+  Python ``str.split()`` / ``re`` (kernels) — also the right class for
+  a Spark operator that must match such a kernel bit-exactly;
+- :data:`WHITE_SPACE_BODY` when the Spark side uses Java ``(?U)\\s``.
+
+Residual (documented, deliberate): regexes that are the *reference's
+spec* (kernels/financial.py, kernels/executives.py NAME_PATTERNS) keep
+their original ``\\s`` spelling on the kernel side — the pattern text IS
+the ported contract. Twins of those kernels route the pattern through
+:func:`py_ws_exact` so the DuckDB copy means what Python meant.
+"""
+
+# class bodies (no brackets) so they can be unioned into larger classes
+JAVA_WS_BODY = r" \t\n\x0B\f\r"
+# Java (?U)\s == Unicode White_Space (PropList.txt): tab..CR, space,
+# NEL, NBSP, OGHAM, EN QUAD..HAIR SPACE, LS, PS, NNBSP, MMSP, IDSP
+WHITE_SPACE_BODY = (
+    r"\t-\r \x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}"
+    r"\x{202F}\x{205F}\x{3000}"
+)
+# Python str.split() / re \s == White_Space plus the C0 separators
+PY_WS_BODY = (
+    r"\t-\r\x{1C}-\x{1F} \x{85}\x{A0}\x{1680}\x{2000}-\x{200A}"
+    r"\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}"
+)
+
+JAVA_WS = "[" + JAVA_WS_BODY + "]"
+PY_WS = "[" + PY_WS_BODY + "]"
+
+JAVA_WS_SPLIT = JAVA_WS + "+"
+PY_WS_SPLIT = PY_WS + "+"
+
+
+def _rewrite_ws(pattern: str, body: str) -> str:
+    """Rewrite every ``\\s`` in ``pattern`` to the explicit class with
+    body ``body``: standalone ``\\s`` becomes ``[body]``, ``\\s`` inside
+    a character class becomes the bracketless body. Escapes and class
+    state are tracked; ``\\S`` is refused (no call site uses it; a
+    silent pass-through would reintroduce the divergence this module
+    exists to close)."""
+    out = []
+    in_class = False
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            nxt = pattern[i + 1]
+            if nxt == "s":
+                out.append(body if in_class else "[" + body + "]")
+            elif nxt == "S":
+                raise ValueError(r"ws rewrite: \S unsupported")
+            else:
+                out.append(ch + nxt)
+            i += 2
+            continue
+        if ch == "[" and not in_class:
+            in_class = True
+        elif ch == "]" and in_class:
+            in_class = False
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def py_ws_exact(pattern: str) -> str:
+    """For twins of *Python-re* kernels: make ``\\s`` mean what Python
+    meant, in any engine."""
+    return _rewrite_ws(pattern, PY_WS_BODY)
+
+
+def java_ws_exact(pattern: str) -> str:
+    """For DuckDB twins of *Spark-native* regexes: make ``\\s`` mean
+    what Java's default (ASCII-six) ``\\s`` means, vertical tab
+    included, in RE2 too."""
+    return _rewrite_ws(pattern, JAVA_WS_BODY)

@@ -38,9 +38,9 @@ GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
 # Java's \s is [ \t\n\x0B\f\r]; RE2's omits \x0B. Every twin regex that
 # splits or skips whitespace spells the Java set explicitly so both
 # engines agree on EVERY input, vertical tabs included (same fix class
-# as PARA_SPLIT_RE below).
-_WS = r"[ \t\n\x0B\f\r]"
-WORD_SPLIT_RE = _WS + "+"
+# as PARA_SPLIT_RE below). Classes live in kernels.wsre (measured sets).
+from ..kernels.wsre import JAVA_WS as _WS
+from ..kernels.wsre import JAVA_WS_SPLIT as WORD_SPLIT_RE
 
 _SYMBOL_RE = r"#|\.\.\.|…"
 _BULLET_RE = rf"^{_WS}*[-*•]"

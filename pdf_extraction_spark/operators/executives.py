@@ -54,9 +54,13 @@ def sql_extract_executives(values_clause: str) -> str:
     whitespace collapse, executive-role gate, later-match-overrides
     dict semantics per url, later-url-overrides across urls."""
     from ..kernels.executives import EXECUTIVE_ROLES, NAME_PATTERNS
+    from ..kernels.wsre import PY_WS, PY_WS_SPLIT, py_ws_exact
 
     def esc(p):
-        return ("(?i)" + p).replace("'", "''")
+        # the kernel applies NAME_PATTERNS with Python re — rewrite \s
+        # to the explicit Python whitespace class so RE2 reads the
+        # pattern the way Python did (kernels.wsre)
+        return py_ws_exact("(?i)" + p).replace("'", "''")
 
     hits = []
     # patterns 0 and 2 capture (title, name, role); pattern 1 (name, role)
@@ -88,7 +92,12 @@ def sql_extract_executives(values_clause: str) -> str:
         f"WITH src AS (SELECT * FROM {values_clause}), "
         f"hits AS ({all_hits}), "
         "cleaned AS (SELECT url, pat, pos, "
-        "regexp_replace(trim(regexp_replace(cand, '^(MR\\.|MS\\.|DR\\.)\\s*', '')), '\\s+', ' ', 'g') AS executive, "
+        # _TITLE_PREFIX / _WS_RUN are Python re — same explicit class.
+        # trim() strips only ASCII space in DuckDB vs Python str.strip()
+        # Unicode — the \s* of the prefix regex and the collapse step
+        # make the residual unreachable (leading ws is consumed, inner
+        # runs collapse to ' ').
+        f"regexp_replace(trim(regexp_replace(cand, '^(MR\\.|MS\\.|DR\\.){PY_WS}*', '')), '{PY_WS_SPLIT}', ' ', 'g') AS executive, "
         f"role FROM hits WHERE {role_gate}), "
         # dict-insert order per url: later (pattern, match) overrides
         "per_url AS (SELECT url, executive, role FROM ("

@@ -16,17 +16,17 @@ from ..kernels.filters import (
     REMOVE_KEYWORDS,
     REMOVE_SPEAKERS,
 )
+from ..kernels.wsre import PY_WS_SPLIT
 
 
 def word_count_col(col: Column) -> Column:
     """Python ``len(s.split())`` semantics: split on whitespace runs,
-    drop empty tokens. (?U): Java ``\\s`` is ASCII-only by default, but
-    the kernel's ``str.split()`` splits on Unicode whitespace (NBSP,
-    U+2028, ...) — the Unicode flag keeps Spark and kernel word counts
-    identical on such texts. The DuckDB twin (``sql_word_count``) stays
-    RE2-ASCII: a documented residual that only diverges on exotic
-    whitespace, which never survives ``clean_text``."""
-    return F.size(F.filter(F.split(col, r"(?U)\s+"), lambda x: x != F.lit("")))
+    drop empty tokens. The split class is the *measured* Python
+    whitespace set spelled explicitly (kernels.wsre.PY_WS) — Java
+    ``(?U)\\s`` would miss the C0 separators ``\\x1C-\\x1F`` that
+    ``str.split()`` honors, and the same class text drives the DuckDB
+    twin, so kernel, Spark, and oracle agree on EVERY input."""
+    return F.size(F.filter(F.split(col, PY_WS_SPLIT), lambda x: x != F.lit("")))
 
 
 def contains_any(col: Column, needles) -> Column:
@@ -76,8 +76,12 @@ def filter_chunks(df: DataFrame, speaker_col: str = "speaker", content_col: str 
 # ---------------------------------------------------------------------------
 
 def sql_word_count(expr: str) -> str:
-    # CAST: DuckDB len() yields BIGINT, Spark size() yields INT
-    return f"CAST(len(list_filter(string_split_regex({expr}, '\\s+'), x -> x <> '')) AS INT)"
+    # CAST: DuckDB len() yields BIGINT, Spark size() yields INT.
+    # Same explicit Python-whitespace class text as word_count_col.
+    return (
+        f"CAST(len(list_filter(string_split_regex({expr}, '{PY_WS_SPLIT}'), "
+        "x -> x <> '')) AS INT)"
+    )
 
 
 def sql_contains_any(expr: str, needles) -> str:

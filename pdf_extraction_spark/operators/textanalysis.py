@@ -86,10 +86,12 @@ def fingerprint_udf(texts: pd.Series) -> pd.Series:
 def sql_detect_language(text_expr: str) -> str:
     """DuckDB oracle twin of kernels.textstats.detect_language: stopword
     occurrence counts per language, first-in-dict-order language with
-    the max count wins, 'und' below 2 hits. The word split is RE2-ASCII
-    ``\\s+`` vs the kernel's Unicode ``str.split()`` — identical on every
-    corpus the engine tests (no exotic whitespace survives clean_text)."""
+    the max count wins, 'und' below 2 hits. The word split spells the
+    kernel's Python ``str.split()`` whitespace set explicitly
+    (kernels.wsre.PY_WS) so both engines agree on every input, exotic
+    whitespace included."""
     from ..kernels.textstats import _LANG_STOPWORDS
+    from ..kernels.wsre import PY_WS_SPLIT
 
     langs = list(_LANG_STOPWORDS)  # dict order IS the tie-break order
     hit_cols = []
@@ -106,7 +108,7 @@ def sql_detect_language(text_expr: str) -> str:
         + f" ELSE '{langs[-1]}' END AS detected_lang FROM ("
         + f"SELECT doc_id, {best} AS best, * FROM ("
         + "SELECT doc_id, " + ", ".join(hit_cols)
-        + f" FROM (SELECT doc_id, list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '') AS words FROM documents)))"
+        + f" FROM (SELECT doc_id, list_filter(string_split_regex(lower({text_expr}), '{PY_WS_SPLIT}'), x -> x <> '') AS words FROM documents)))"
     )
 
 
