@@ -910,6 +910,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("mean_intensity", 4).alias("mean_intensity"),
         )
 
+    # -- per-host cap: combinable bounded top-K, no window funnel -----------
+    def q_host_cap(spark, sf):
+        from pdf_extraction_spark.operators.hostcap import host_cap
+
+        return host_cap(_docs(spark, sf), F.col("n_chars").cast("double"), k=5)
+
+    # -- hashed-linear quality classifier (fasttext-style gate) -------------
+    def q_qual_classify(spark, sf):
+        """Scoring plumbing under a deterministic weight table (both
+        engines derive the same (bucket, w) rows from pure integer
+        arithmetic); training has its own determinism/separation tests
+        in tests/test_mlfilter.py."""
+        from pdf_extraction_spark.operators.mlfilter import score_quality
+
+        weights = spark.range(4096).select(
+            F.format_string("%03x", F.col("id")).alias("bucket"),
+            (((F.col("id") * 2654435761) % 2001 - 1000) / 1000.0).alias("w"),
+        )
+        return score_quality(_docs(spark, sf), weights, bias=0.1)
+
+    # -- bigram stupid-backoff LM fluency score (KenLM-style gate) ----------
+    def q_lm_score(spark, sf):
+        from pdf_extraction_spark.operators.mlfilter import (
+            score_bigram_lm,
+            train_bigram_lm,
+        )
+
+        docs = _docs(spark, sf)
+        return score_bigram_lm(docs, train_bigram_lm(docs))
+
     return {
         "extract_pipeline": q_extract_pipeline,
         "salted_agg": q_salted_agg,
@@ -975,6 +1005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "nfc_normalize": q_nfc_normalize,
         "nation_revenue": q_nation_revenue,
+        "host_cap": q_host_cap,
+        "qual_classify": q_qual_classify,
+        "lm_score": q_lm_score,
     }
 
 
@@ -1013,6 +1046,11 @@ def oracle_sql() -> dict[str, str]:
         JAVA_WS_SPLIT,
         WHITE_SPACE_BODY,
         java_ws_exact,
+    )
+    from pdf_extraction_spark.operators.hostcap import sql_host_cap
+    from pdf_extraction_spark.operators.mlfilter import (
+        sql_score_bigram_lm,
+        sql_score_quality,
     )
     from pdf_extraction_spark.operators.curation import (
         WORD_SPLIT_RE,
@@ -1344,6 +1382,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
+        "host_cap": sql_host_cap("CAST(n_chars AS DOUBLE)", k=5),
+        "qual_classify": sql_score_quality(
+            "(SELECT printf('%03x', i) AS bucket, "
+            "((i * 2654435761) % 2001 - 1000) / 1000.0 AS w "
+            "FROM range(4096) t(i)) w",
+            bias=0.1,
+        ),
+        "lm_score": sql_score_bigram_lm(),
         "url_dates": (
             "WITH u AS (SELECT uid, url, CAST(ts AS TIMESTAMP) AS warc_ts, "
             "regexp_replace(list_extract(string_split(url, '/'), len(string_split(url, '/'))), '\\.[^.]*$', '') AS name "

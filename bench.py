@@ -149,6 +149,8 @@ def bench_queries(spark) -> dict:
         # round 3: banded embedding LSH + fixed-centroid IVF assignment
         "embedding_lsh", "ivf_assign", "media_features_real",
         "dedup_keepfirst", "dedup_paragraphs", "dup_ngram_frac",
+        # round 3 late: model-based gates + per-host cap
+        "host_cap", "qual_classify", "lm_score",
     ]
     out = {}
     for name in picks:

@@ -1,0 +1,369 @@
+"""Model-based curation filters: hashed linear quality classifier and
+bigram stupid-backoff LM scoring — the two standard "learned" web-corpus
+filters (CCNet / LLaMA-style fasttext quality gate; KenLM-style fluency
+gate), re-expressed as pure relational plans.
+
+Spark-first design notes
+------------------------
+* **Scoring is exploded-join-aggregate, not a UDF.** A hashed
+  bag-of-words linear model is `Σ w[h(tok)] / n_tokens + b`: explode
+  tokens, map each to its hash bucket, broadcast-join the (tiny) weight
+  table, one groupBy(doc) sum. Everything stays in whole-stage codegen;
+  at 10^12 docs the explode is linear and the weight join is
+  broadcast — no shuffle beyond the per-doc aggregation.
+* **The hash bucket is an md5 *prefix string*, not an integer.** Both
+  engines produce identical lowercase-hex `md5()`, so
+  ``substr(md5(tok), 1, 3)`` is a 4096-bucket hash whose key needs no
+  hex→int arithmetic and is bit-identical in Spark and DuckDB (the same
+  device the line-dedup family uses for its 128-bit keys).
+* **Training is the kmeans_lite pattern** (similarity.py): featurize
+  distributedly, collect a *bounded* sample to the driver, fit with a
+  deterministic pure-numpy loop, broadcast the weights back as a small
+  DataFrame. At 100 TB the sample stays bounded (`sample_size`), the
+  featurization cost is the corpus scan you were doing anyway.
+* **The LM is trained relationally.** Unigram/bigram counts are two
+  groupBys over the exploded token stream; scoring joins each document
+  bigram against the count tables (shuffle join keyed on the bigram —
+  bounded by vocabulary, not corpus size) and averages log-probs per
+  doc. Stupid backoff (Brants et al. 2007): no normalization, score
+  S(w2|w1) = B(w1,w2)/U(w1), else alpha * U(w2)/N.
+
+Tokenization is the explicit Java ASCII whitespace class
+(kernels.wsre.JAVA_WS_SPLIT) on both sides, lowercased — the same
+contract as the n-gram dedup family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernels.wsre import JAVA_WS_SPLIT
+
+HASH_PREFIX_LEN = 3  # 3 hex chars -> 4096 buckets
+LM_ALPHA = 0.4  # stupid-backoff discount
+LM_FLOOR = 1e-9  # unseen-unigram floor so log() is total
+
+
+def _tokens(c: Column) -> Column:
+    return F.filter(F.split(F.lower(c), JAVA_WS_SPLIT), lambda w: w != F.lit(""))
+
+
+def _sql_tokens(tx: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({tx}), '{JAVA_WS_SPLIT}'), "
+        "x -> x <> '')"
+    )
+
+
+def bucket_col(tok: Column, prefix_len: int = HASH_PREFIX_LEN) -> Column:
+    """Hash bucket of a token: first ``prefix_len`` hex chars of md5."""
+    return F.substring(F.md5(tok), 1, prefix_len)
+
+
+def sql_bucket(tok_expr: str, prefix_len: int = HASH_PREFIX_LEN) -> str:
+    return f"substr(md5({tok_expr}), 1, {prefix_len})"
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier
+# ---------------------------------------------------------------------------
+
+def doc_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = HASH_PREFIX_LEN,
+) -> DataFrame:
+    """(doc_id, bucket, cnt, n_tokens): the sparse hashed bag-of-words.
+    One explode + one groupBy; at web scale this shuffles (doc, bucket)
+    pairs — bounded by tokens, and the per-doc token total rides along
+    via a window-free max() (every row of a doc carries it)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        _tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+    )
+    exploded = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.explode_outer("toks").alias("tok"),
+    )
+    return (
+        exploded.withColumn("bucket", bucket_col(F.col("tok"), prefix_len))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("tok").alias("cnt"), F.max("n_tokens").alias("n_tokens"))
+    )
+
+
+def train_quality_weights(
+    spark: SparkSession,
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    prefix_len: int = HASH_PREFIX_LEN,
+    sample_size: int = 8192,
+    lr: float = 0.5,
+    n_iter: int = 200,
+    seed: int = 7,
+) -> tuple[DataFrame, float]:
+    """Fit logistic weights over hashed mean-of-counts features.
+
+    Distributed featurization → bounded driver-side sample → pure-numpy
+    full-batch gradient descent (deterministic: fixed seed, fixed
+    iteration count, no shuffling). Returns (weights_df(bucket, w),
+    bias). At 100 TB pass a sampled ``labeled`` frame; the collect is
+    capped at ``sample_size`` docs regardless."""
+    tagged = labeled.select(
+        F.col(text_col).alias("text"),
+        F.col(label_col).cast("double").alias("y"),
+    ).withColumn("doc_id", F.xxhash64(F.col("text")))
+    feats = doc_bucket_counts(tagged, "text", "doc_id", prefix_len)
+    sample = (
+        feats.join(tagged.select("doc_id", "y"), "doc_id")
+        .groupBy("doc_id", "y")
+        .agg(F.collect_list(F.struct("bucket", "cnt", "n_tokens")).alias("fs"))
+        # orderBy before limit: a bare limit is plan-dependent — the
+        # trained weights must not change across runs/cluster sizes
+        .orderBy("doc_id")
+        .limit(sample_size)
+        .collect()
+    )
+    dim = 16 ** prefix_len
+    X = np.zeros((len(sample), dim))
+    y = np.zeros(len(sample))
+    for i, row in enumerate(sample):
+        y[i] = row.y
+        for f in row.fs:
+            if f.bucket is not None and f.n_tokens:
+                X[i, int(f.bucket, 16)] += f.cnt / f.n_tokens
+    rng = np.random.RandomState(seed)
+    w = rng.normal(0.0, 0.01, dim)
+    b = 0.0
+    for _ in range(n_iter):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g) / len(y)
+        b -= lr * float(g.mean())
+    hexfmt = "%0" + str(prefix_len) + "x"
+    rows = [(hexfmt % i, round(float(w[i]), 6)) for i in range(dim) if w[i] != 0.0]
+    weights = spark.createDataFrame(rows, "bucket string, w double")
+    return weights, round(float(b), 6)
+
+
+def _ordered_fold_sum(terms_sorted: Column) -> Column:
+    """Fold-left sum over an already-ordered double array. Double
+    addition is not associative: a plain ``sum()`` over grouped rows is
+    engine-order-dependent and flips the 6th decimal between Spark and
+    DuckDB. A left fold over a deterministically-ordered term list is
+    the same IEEE sequence everywhere (the twin folds with
+    ``list_reduce`` over a ``list(... ORDER BY ...)``)."""
+    return F.aggregate(terms_sorted, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def score_quality(
+    df: DataFrame,
+    weights: DataFrame,
+    bias: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = HASH_PREFIX_LEN,
+) -> DataFrame:
+    """(doc_id, logit, prob): logit = b + Σ w[bucket]·cnt / n_tokens.
+    Weight table broadcast; the per-doc sum is a bucket-ordered left
+    fold (see :func:`_ordered_fold_sum`) so the result is bit-stable
+    across engines, runs, and cluster sizes; probabilities rounded to
+    6 digits (exp() last-ulp drift across engines is below that).
+    Per-doc state is bounded by the bucket space (16^prefix_len)."""
+    feats = doc_bucket_counts(df, text_col, id_col, prefix_len)
+    matched = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", (F.col("cnt") * F.col("w")).alias("t")))
+            ).alias("terms")
+        )
+        .select(
+            "doc_id",
+            _ordered_fold_sum(F.transform("terms", lambda s: s["t"])).alias("wsum"),
+        )
+    )
+    per_doc = feats.groupBy("doc_id").agg(F.max("n_tokens").alias("n_tokens"))
+    scored = per_doc.join(matched, "doc_id", "left").select(
+        "doc_id",
+        (
+            F.lit(bias)
+            + F.coalesce(F.col("wsum") / F.nullif(F.col("n_tokens"), F.lit(0)), F.lit(0.0))
+        ).alias("raw"),
+    )
+    return scored.select(
+        "doc_id",
+        F.round("raw", 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("raw"))), 6).alias("prob"),
+    )
+
+
+def sql_score_quality(
+    weights_values: str,
+    bias: float,
+    text_expr: str = "text",
+    prefix_len: int = HASH_PREFIX_LEN,
+) -> str:
+    """DuckDB twin of :func:`score_quality` over the ``documents`` view.
+    ``weights_values`` is an inline relation literal ``(VALUES ...) AS
+    w(bucket, w)``."""
+    tx = f"coalesce({text_expr}, '')"
+    return (
+        f"WITH t AS (SELECT doc_id, {_sql_tokens(tx)} AS toks FROM documents), "
+        "e AS (SELECT doc_id, len(toks) AS n_tokens, unnest("
+        "CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS tok FROM t), "
+        f"f AS (SELECT doc_id, {sql_bucket('tok', prefix_len)} AS bucket, "
+        "count(tok) AS cnt, max(n_tokens) AS n_tokens FROM e GROUP BY doc_id, bucket), "
+        # bucket-ordered left fold == Spark's _ordered_fold_sum sequence
+        "m AS (SELECT f.doc_id, "
+        "list_reduce(list_prepend(0.0, list(f.cnt * w.w ORDER BY f.bucket)), (a, b) -> a + b) AS wsum "
+        f"FROM f JOIN {weights_values} ON f.bucket = w.bucket GROUP BY f.doc_id), "
+        "n AS (SELECT doc_id, max(n_tokens) AS n_tokens FROM f GROUP BY doc_id), "
+        f"s AS (SELECT n.doc_id, {bias} + coalesce(m.wsum / nullif(n.n_tokens, 0), 0.0) AS raw "
+        "FROM n LEFT JOIN m ON n.doc_id = m.doc_id) "
+        "SELECT doc_id, round(raw, 6) AS logit, "
+        "round(1.0 / (1.0 + exp(-raw)), 6) AS prob FROM s"
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram stupid-backoff LM scoring
+# ---------------------------------------------------------------------------
+
+def _positioned_tokens(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        _tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+    )
+    return toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+
+
+def _with_prev(pt: DataFrame) -> DataFrame:
+    """Attach the previous token per (doc, pos) with one window shuffle
+    keyed on doc_id — documents are length-bounded, so no skew; a
+    self-join on (doc_id, pos-1) would shuffle the stream twice."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return pt.withColumn("prev", F.lag("tok").over(w))
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> dict:
+    """Unigram + bigram count tables over the corpus — two groupBys on
+    the exploded token stream. Returns {'uni': DF(tok, u_cnt),
+    'bi': DF(prev, tok, b_cnt), 'total': long}. Count tables are
+    vocabulary-sized, not corpus-sized; at 100 TB they are still
+    join-able (shuffle keyed on token / token-pair), never collected."""
+    pt = _positioned_tokens(df, text_col, id_col)
+    uni = pt.groupBy("tok").agg(F.count("*").alias("u_cnt"))
+    bi = (
+        _with_prev(pt)
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count("*").alias("b_cnt"))
+    )
+    total = pt.count()
+    return {"uni": uni, "bi": bi, "total": total}
+
+
+def score_bigram_lm(
+    df: DataFrame,
+    lm: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = LM_ALPHA,
+) -> DataFrame:
+    """(doc_id, n_scored, avg_logprob): mean log10 stupid-backoff
+    probability over positions ≥ 1 (position 0 scores its unigram).
+    Shuffle joins on token / (prev, tok) keys — vocabulary-keyed, with
+    the usual AQE skew handling for stop-word-heavy keys."""
+    total = float(lm["total"])
+    pairs = _with_prev(_positioned_tokens(df, text_col, id_col))
+    # no broadcast hints: count tables are vocabulary-sized and can be
+    # large on a real web corpus — AQE picks broadcast when they fit
+    joined = (
+        pairs.join(
+            lm["uni"]
+            .withColumnRenamed("tok", "prev")
+            .withColumnRenamed("u_cnt", "prev_cnt"),
+            "prev",
+            "left",
+        )
+        .join(lm["uni"], "tok", "left")
+        .join(lm["bi"], ["prev", "tok"], "left")
+    )
+    uni_p = F.coalesce(F.col("u_cnt").cast("double") / F.lit(total), F.lit(LM_FLOOR))
+    prob = F.when(
+        F.col("b_cnt").isNotNull() & F.col("prev_cnt").isNotNull(),
+        F.col("b_cnt").cast("double") / F.col("prev_cnt").cast("double"),
+    ).otherwise(
+        F.when(F.col("prev").isNotNull(), F.lit(alpha) * uni_p).otherwise(uni_p)
+    )
+    # position-ordered fold, not avg(): float addition order must be
+    # identical across engines/runs (see _ordered_fold_sum)
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.log10(prob).alias("lp")))
+            ).alias("terms"),
+        )
+        .select(
+            "doc_id",
+            "n_scored",
+            F.round(
+                _ordered_fold_sum(F.transform("terms", lambda s: s["lp"]))
+                / F.col("n_scored"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def sql_score_bigram_lm(
+    text_expr: str = "text", alpha: float = LM_ALPHA
+) -> str:
+    """DuckDB twin: same count tables, same backoff, same log10/round.
+    Note the broadcast hints above are physical-only — the logical plan
+    here is identical."""
+    tx = f"coalesce({text_expr}, '')"
+    return (
+        f"WITH t AS (SELECT doc_id, {_sql_tokens(tx)} AS toks FROM documents), "
+        "pt AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM ("
+        "SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)), "
+        "uni AS (SELECT tok, count(*) AS u_cnt FROM pt GROUP BY tok), "
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pt), "
+        "bi AS (SELECT a.tok AS prev, b.tok AS nxt, count(*) AS b_cnt "
+        "FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "GROUP BY a.tok, b.tok), "
+        "pairs AS (SELECT c.doc_id, c.pos, c.tok, p.tok AS prev "
+        "FROM pt c LEFT JOIN pt p ON c.doc_id = p.doc_id AND p.pos = c.pos - 1), "
+        "j AS (SELECT pr.doc_id, pr.pos, "
+        "CASE WHEN bi.b_cnt IS NOT NULL AND up.u_cnt IS NOT NULL "
+        "THEN CAST(bi.b_cnt AS DOUBLE) / up.u_cnt "
+        f"WHEN pr.prev IS NOT NULL THEN {alpha} * coalesce(uc.u_cnt / tot.n, {LM_FLOOR}) "
+        f"ELSE coalesce(uc.u_cnt / tot.n, {LM_FLOOR}) END AS prob "
+        "FROM pairs pr "
+        "LEFT JOIN uni up ON pr.prev = up.tok "
+        "LEFT JOIN uni uc ON pr.tok = uc.tok "
+        "LEFT JOIN bi ON pr.prev = bi.prev AND pr.tok = bi.nxt "
+        "CROSS JOIN tot) "
+        # position-ordered fold mirrors Spark's _ordered_fold_sum
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored, "
+        "round(list_reduce(list_prepend(0.0, list(log10(prob) ORDER BY pos)), "
+        "(a, b) -> a + b) / count(*), 6) AS avg_logprob FROM j GROUP BY doc_id"
+    )

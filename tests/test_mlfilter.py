@@ -1,0 +1,170 @@
+"""host_cap / quality classifier / bigram-LM scoring: cross-engine
+agreement, determinism, and skew-safety semantics."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators.hostcap import host_cap, sql_host_cap
+from pdf_extraction_spark.operators.mlfilter import (
+    score_bigram_lm,
+    score_quality,
+    sql_score_bigram_lm,
+    sql_score_quality,
+    train_bigram_lm,
+    train_quality_weights,
+)
+
+
+def _ddb_docs(rows):
+    con = duckdb.connect()
+
+    def lit(t):
+        return "NULL" if t is None else "'" + t.replace("'", "''") + "'"
+
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {lit(t)}, {n if n is not None else 'NULL'}, '{s}')"
+            for i, t, n, s in rows
+        )
+        + ") AS t(doc_id, text, n_chars, source)"
+    )
+    return con
+
+
+# ---------------------------------------------------------------------------
+# host_cap
+# ---------------------------------------------------------------------------
+
+def test_host_cap_matches_window_twin(spark):
+    rows = []
+    # power-law: host h0 has 400 docs, others 3 each; include score ties
+    for i in range(400):
+        rows.append((i, "t", (i * 7) % 50, "h0"))
+    for h in range(1, 10):
+        for j in range(3):
+            rows.append((1000 + h * 10 + j, "t", j % 2, f"h{h}"))
+    rows.append((9999, "t", None, "h1"))  # null score sorts last
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long, source string")
+
+    got = (
+        host_cap(df, F.col("n_chars").cast("double"), k=5)
+        .orderBy("source", "host_rank")
+        .collect()
+    )
+    con = _ddb_docs(rows)
+    exp = con.execute(
+        sql_host_cap("CAST(n_chars AS DOUBLE)") + " ORDER BY source, host_rank"
+    ).fetchall()
+    assert [(r.source, r.host_rank, r.doc_id, r.score) for r in got] == exp
+    # the cap actually caps: h0 contributes exactly 5
+    assert sum(1 for r in got if r.source == "h0") == 5
+
+
+def test_host_cap_mega_host_stays_bounded(spark):
+    # mega-host with many more rows than k*salt_buckets — result is the
+    # true global top-k, not a per-bucket artifact
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("h").alias("source"),
+        (F.col("id") % 997).cast("double").alias("s"),
+    )
+    got = host_cap(df, F.col("s"), k=3, salt_buckets=8).collect()
+    top = sorted(((i % 997), i) for i in range(n))
+    expect = sorted(top, key=lambda t: (-t[0], t[1]))[:3]
+    assert sorted((r.host_rank, r.doc_id) for r in got) == [
+        (rk + 1, i) for rk, (_, i) in enumerate(expect)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# quality classifier
+# ---------------------------------------------------------------------------
+
+WEIGHTS_SQL = (
+    "(SELECT printf('%03x', i) AS bucket, "
+    "((i * 2654435761) % 2001 - 1000) / 1000.0 AS w FROM range(4096) t(i)) w"
+)
+
+
+def _weights_df(spark):
+    return spark.range(4096).select(
+        F.format_string("%03x", F.col("id")).alias("bucket"),
+        (((F.col("id") * 2654435761) % 2001 - 1000) / 1000.0).alias("w"),
+    )
+
+
+def test_score_quality_matches_twin(spark):
+    rows = [
+        (0, "the quick brown fox", 19, "s"),
+        (1, "the the the the", 15, "s"),
+        (2, "", 0, "s"),
+        (3, None, None, "s"),
+        (4, "completely different words here now", 35, "s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long, source string")
+    got = (
+        score_quality(df, _weights_df(spark), bias=0.1)
+        .orderBy("doc_id")
+        .collect()
+    )
+    con = _ddb_docs(rows)
+    exp = con.execute(
+        sql_score_quality(WEIGHTS_SQL, bias=0.1) + " ORDER BY doc_id"
+    ).fetchall()
+    assert [(r.doc_id, r.logit, r.prob) for r in got] == exp
+
+
+def test_train_quality_weights_separates_and_is_deterministic(spark):
+    good = [f"solid prose sentence number {i} flows well" for i in range(20)]
+    bad = [f"zz qq xx jj vv kk ww {i}" for i in range(20)]
+    rows = [(t, 1) for t in good] + [(t, 0) for t in bad]
+    labeled = spark.createDataFrame(rows, "text string, label int")
+    w1, b1 = train_quality_weights(spark, labeled, n_iter=60)
+    w2, b2 = train_quality_weights(spark, labeled, n_iter=60)
+    assert b1 == b2
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+    docs = spark.createDataFrame(
+        [(0, good[0]), (1, bad[0])], "doc_id long, text string"
+    )
+    scored = {r.doc_id: r.prob for r in score_quality(docs, w1, b1).collect()}
+    assert scored[0] > 0.5 > scored[1]
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+def test_bigram_lm_matches_twin(spark):
+    rows = [
+        (0, "the cat sat on the mat", 22, "s"),
+        (1, "the cat sat on the hat", 22, "s"),
+        (2, "mat the on sat cat the", 22, "s"),
+        (3, "completely unseen words", 23, "s"),
+        (4, "the", 3, "s"),
+        (5, "", 0, "s"),  # no tokens: absent from both outputs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long, source string")
+    lm = train_bigram_lm(df)
+    got = score_bigram_lm(df, lm).orderBy("doc_id").collect()
+    con = _ddb_docs(rows)
+    exp = con.execute(sql_score_bigram_lm() + " ORDER BY doc_id").fetchall()
+    assert [(r.doc_id, r.n_scored, r.avg_logprob) for r in got] == exp
+    by_id = {r.doc_id: r.avg_logprob for r in got}
+    # fluent-order text scores above its own scrambled tokens
+    assert by_id[0] > by_id[2]
+    assert 5 not in by_id
+
+
+def test_bigram_lm_scores_unseen_corpus(spark):
+    train = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "a b a b")], "doc_id long, text string"
+    )
+    lm = train_bigram_lm(train)
+    test = spark.createDataFrame(
+        [(0, "a b c"), (1, "z z z")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.avg_logprob for r in score_bigram_lm(test, lm).collect()}
+    assert got[0] > got[1]  # in-domain beats fully-unseen

@@ -35,7 +35,7 @@ NATIVE_QUERIES = [
     "nation_revenue", "keep_last", "salted_agg", "url_dates",
     "embedding_neardup", "corpus_profile", "category_pivot",
     "dedup_keepfirst", "url_canonical", "top_ngram_frac", "dup_ngram_frac",
-    "dedup_paragraphs",
+    "dedup_paragraphs", "host_cap", "qual_classify", "lm_score",
 ]
 
 
