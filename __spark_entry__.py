@@ -940,6 +940,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf)
         return score_bigram_lm(docs, train_bigram_lm(docs))
 
+    # -- mojibake repair: native encode/decode, zero Python ----------------
+    def q_fix_mojibake(spark, sf):
+        """Oracle = committed fixture whose expected column is the
+        pure-Python contract recompute (kernels/encoding.py)."""
+        from pdf_extraction_spark.operators.textanalysis import fix_mojibake_col
+
+        fx = spark.read.parquet(_os.path.join(_FIXTURE_DIR, "mojibake_sf0_01.parquet"))
+        return fx.select(
+            "doc_id", fix_mojibake_col(F.col("text"), passes=2).alias("fixed_text")
+        )
+
     return {
         "extract_pipeline": q_extract_pipeline,
         "salted_agg": q_salted_agg,
@@ -1008,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "qual_classify": q_qual_classify,
         "lm_score": q_lm_score,
+        "fix_mojibake": q_fix_mojibake,
     }
 
 
@@ -1390,6 +1402,10 @@ def oracle_sql() -> dict[str, str]:
             bias=0.1,
         ),
         "lm_score": sql_score_bigram_lm(),
+        "fix_mojibake": (
+            "SELECT doc_id, fixed_text FROM "
+            + _fixture("mojibake_sf0_01.parquet")
+        ),
         "url_dates": (
             "WITH u AS (SELECT uid, url, CAST(ts AS TIMESTAMP) AS warc_ts, "
             "regexp_replace(list_extract(string_split(url, '/'), len(string_split(url, '/'))), '\\.[^.]*$', '') AS name "

@@ -150,7 +150,7 @@ def bench_queries(spark) -> dict:
         "embedding_lsh", "ivf_assign", "media_features_real",
         "dedup_keepfirst", "dedup_paragraphs", "dup_ngram_frac",
         # round 3 late: model-based gates + per-host cap
-        "host_cap", "qual_classify", "lm_score",
+        "host_cap", "qual_classify", "lm_score", "fix_mojibake",
     ]
     out = {}
     for name in picks:

@@ -112,6 +112,34 @@ def sql_detect_language(text_expr: str) -> str:
     )
 
 
+def fix_mojibake_col(c: Column, passes: int = 1) -> Column:
+    """Mojibake repair (UTF-8-as-Latin-1), entirely native — the JVM
+    does the re-encode/re-decode, no Python crossing. Guard chain and
+    semantics are the pure-Python contract in kernels/encoding.py:
+    repair only when (1) every char ≤ 0xFF, (2) a lead-byte+
+    continuation-byte marker pair is present, (3) the Latin-1 bytes
+    are valid UTF-8 in full. Spark 4's strict ``encode`` never throws
+    here: guard (1) makes ISO-8859-1 encoding total, and CASE WHEN
+    evaluates the repair branch only on guarded rows. ``passes=2``
+    unwinds doubly-damaged text."""
+    from ..kernels.encoding import MARKER_PATTERN
+
+    out = c
+    for _ in range(passes):
+        latin1 = F.encode(out, "ISO-8859-1")
+        # nested WHEN: the encode must only ever run on rows that
+        # passed the ≤0xFF range guard (branch evaluation is lazy per
+        # row; relying on And short-circuit order would be fragile
+        # under expression rewrites)
+        out = F.when(
+            out.rlike(r"^[\x00-\xff]*$") & out.rlike(MARKER_PATTERN),
+            F.when(
+                F.is_valid_utf8(latin1), F.decode(latin1, "UTF-8")
+            ).otherwise(out),
+        ).otherwise(out)
+    return out
+
+
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return (

@@ -389,6 +389,37 @@ def media_features_real_table(n_rows: int = 24) -> pa.Table:
     )
 
 
+def mojibake_table():
+    """(doc_id, text, fixed_text): deterministic mojibake corpus over
+    the sf0.01 documents — singly/doubly damaged, legit-Unicode,
+    plain-ASCII, and marker-but-invalid rows — with the expected repair
+    recomputed through the pure-Python contract
+    (kernels/encoding.py:fix_mojibake, passes=2)."""
+    from pdf_extraction_spark.kernels.encoding import fix_mojibake
+
+    ids, texts, fixed = [], [], []
+    for doc_id, text in _read_documents():
+        base = (text or "")[:160]
+        acc = base.replace("a", "á").replace("e", "é").replace("o", "ö")
+        case = doc_id % 5
+        if case == 0:
+            t = acc.encode("utf-8").decode("latin-1")
+        elif case == 1:
+            t = acc.encode("utf-8").decode("latin-1").encode("utf-8").decode("latin-1")
+        elif case == 2:
+            t = acc + " —€"  # chars > 0xFF: range guard leaves it alone
+        elif case == 3:
+            t = base  # pure ASCII is a fixed point
+        else:
+            t = "Ã(" + base  # marker present but bytes invalid as UTF-8
+        ids.append(doc_id)
+        texts.append(t)
+        fixed.append(fix_mojibake(t, passes=2))
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": texts, "fixed_text": fixed}
+    )
+
+
 FIXTURES = {
     "minhash_sigs_sf0_01.parquet": minhash_sigs_table,
     "simhash_sf0_01.parquet": simhash_table,
@@ -399,6 +430,7 @@ FIXTURES = {
     "curate_docs.parquet": curate_docs_table,
     "media_features.parquet": media_features_table,
     "media_features_real.parquet": media_features_real_table,
+    "mojibake_sf0_01.parquet": mojibake_table,
 }
 
 

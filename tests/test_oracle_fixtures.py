@@ -38,6 +38,9 @@ class TestFixtureFreshness:
             mk.media_features_real_table()
         )
 
+    def test_mojibake(self):
+        assert _committed("mojibake_sf0_01.parquet").equals(mk.mojibake_table())
+
     def test_minhash_sigs_sample(self):
         from pdf_extraction_spark.kernels.textstats import minhash_signature
 

@@ -125,3 +125,65 @@ class TestNfcNormalize:
         con.executemany("INSERT INTO t VALUES (?, ?)", rows)
         want = sorted(con.execute("SELECT uid, nfc_normalize(s) FROM t").fetchall())
         assert got == want
+
+
+class TestMojibake:
+    GOOD = "café déjà vu — naïve € »quotes« 中文"
+
+    def _damage(self, s):
+        return s.encode("utf-8").decode("latin-1")
+
+    def test_kernel_repairs_and_guards(self):
+        from pdf_extraction_spark.kernels.encoding import fix_mojibake
+
+        assert fix_mojibake(self._damage(self.GOOD)) == self.GOOD
+        assert fix_mojibake(self._damage(self._damage(self.GOOD)), passes=2) == self.GOOD
+        # one pass only unwinds one layer
+        assert fix_mojibake(self._damage(self._damage(self.GOOD)), passes=1) == self._damage(self.GOOD)
+        assert fix_mojibake(self.GOOD) == self.GOOD  # >0xFF chars: untouched
+        assert fix_mojibake("plain ascii") == "plain ascii"
+        assert fix_mojibake("é legit latin-1 prose") == "é legit latin-1 prose"
+        assert fix_mojibake("Ã(not valid utf8") == "Ã(not valid utf8"
+        assert fix_mojibake("") == ""
+        assert fix_mojibake(None) is None
+
+    def test_spark_native_matches_kernel(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.kernels.encoding import fix_mojibake
+        from pdf_extraction_spark.operators.textanalysis import fix_mojibake_col
+
+        rng = random.Random(42)
+        cases = [
+            self.GOOD,
+            self._damage(self.GOOD),
+            self._damage(self._damage(self.GOOD)),
+            "plain",
+            "",
+            None,
+            "Ã(x",
+            "é legit latin1",
+            "Â° almost-marker",
+        ]
+        for _ in range(300):
+            n = rng.randint(0, 12)
+            cases.append(
+                "".join(
+                    chr(rng.randint(1, 0x400 if rng.random() < 0.2 else 0xFF))
+                    for _ in range(n)
+                )
+            )
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(cases)], "i int, t string"
+        )
+        for passes in (1, 2):
+            got = {
+                r.i: r.f
+                for r in df.select(
+                    "i", fix_mojibake_col(F.col("t"), passes).alias("f")
+                ).collect()
+            }
+            for i, t in enumerate(cases):
+                assert got[i] == fix_mojibake(t, passes), repr(t)
