@@ -1408,7 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "url_dates": (
             "WITH u AS (SELECT uid, url, CAST(ts AS TIMESTAMP) AS warc_ts, "
-            "regexp_replace(list_extract(string_split(url, '/'), len(string_split(url, '/'))), '\\.[^.]*$', '') AS name "
+            "regexp_replace(list_extract(string_split(url, '/'), len(string_split(url, '/'))), '\\.[^.]*\\z', '') AS name "
             "FROM " + _sql_values(URL_ROWS, ["uid", "url", "ts"]) + "), "
             "d AS (SELECT uid, name, warc_ts, "
             "try_strptime(substring(regexp_extract(name, '([A-Za-z]{3,9})_(\\d{4})', 1), 1, 3) || ' ' || "

@@ -44,7 +44,9 @@ from ..kernels.wsre import JAVA_WS_SPLIT as WORD_SPLIT_RE
 
 _SYMBOL_RE = r"#|\.\.\.|…"
 _BULLET_RE = rf"^{_WS}*[-*•]"
-_ELLIPSIS_END_RE = rf"(\.\.\.|…){_WS}*$"
+# \z not $: Java's $ also matches before a FINAL NEL/LS/PS line
+# terminator, RE2's does not — \z is absolute-end in both engines
+_ELLIPSIS_END_RE = rf"(\.\.\.|…){_WS}*\z"
 _ALPHA_RE = r"[A-Za-z]"
 
 

@@ -190,7 +190,8 @@ def with_quarter_info(df: DataFrame, content_col: str = "content") -> DataFrame:
 def url_filename_col(url: Column) -> Column:
     """basename without extension (Path(...).stem analogue)."""
     base = F.element_at(F.split(url, "/"), -1)
-    return F.regexp_replace(base, r"\.[^.]*$", "")
+    # \z not $ (Java $ matches before a trailing line terminator)
+    return F.regexp_replace(base, r"\.[^.]*\z", "")
 
 
 def with_url_date(df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts") -> DataFrame:

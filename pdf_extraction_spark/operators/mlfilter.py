@@ -39,22 +39,16 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..kernels.wsre import JAVA_WS_SPLIT
 
 HASH_PREFIX_LEN = 3  # 3 hex chars -> 4096 buckets
 LM_ALPHA = 0.4  # stupid-backoff discount
 LM_FLOOR = 1e-9  # unseen-unigram floor so log() is total
 
 
-def _tokens(c: Column) -> Column:
-    return F.filter(F.split(F.lower(c), JAVA_WS_SPLIT), lambda w: w != F.lit(""))
-
-
-def _sql_tokens(tx: str) -> str:
-    return (
-        f"list_filter(string_split_regex(lower({tx}), '{JAVA_WS_SPLIT}'), "
-        "x -> x <> '')"
-    )
+# tokenization IS the n-gram dedup family's — imported, not re-spelled,
+# so a future whitespace-class fix cannot desynchronize the two families
+from .curation import _lower_words as _tokens
+from .curation import _sql_lower_words as _sql_tokens
 
 
 def bucket_col(tok: Column, prefix_len: int = HASH_PREFIX_LEN) -> Column:
@@ -113,11 +107,23 @@ def train_quality_weights(
     full-batch gradient descent (deterministic: fixed seed, fixed
     iteration count, no shuffling). Returns (weights_df(bucket, w),
     bias). At 100 TB pass a sampled ``labeled`` frame; the collect is
-    capped at ``sample_size`` docs regardless."""
-    tagged = labeled.select(
-        F.col(text_col).alias("text"),
-        F.col(label_col).cast("double").alias("y"),
-    ).withColumn("doc_id", F.xxhash64(F.col("text")))
+    capped at ``sample_size`` docs regardless.
+
+    Exact-duplicate texts are collapsed to ONE training doc first
+    (conflicting labels resolve to the max, i.e. positive wins) — the
+    doc key is a text hash, so without the collapse a duplicated text
+    would merge its bucket counts and then fan back out through the
+    label join, silently inflating its features ~4× and making the
+    ordered sample cut nondeterministic."""
+    tagged = (
+        labeled.select(
+            F.col(text_col).alias("text"),
+            F.col(label_col).cast("double").alias("y"),
+        )
+        .groupBy("text")
+        .agg(F.max("y").alias("y"))
+        .withColumn("doc_id", F.xxhash64(F.col("text")))
+    )
     feats = doc_bucket_counts(tagged, "text", "doc_id", prefix_len)
     sample = (
         feats.join(tagged.select("doc_id", "y"), "doc_id")

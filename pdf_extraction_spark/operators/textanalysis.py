@@ -33,10 +33,14 @@ def token_count_col(text: Column) -> Column:
 # DuckDB (RE2) twin of the Java-Unicode token pattern: RE2's bare \w is
 # ASCII-only, so accented letters would split off as punctuation tokens
 # and break oracle parity on any non-English text. \p{L}\p{N}_ matches
-# Java (?U)\w for real-world NFC text (residuals: combining marks and
-# exotic Unicode whitespace, neither of which survives clean_text).
+# Java (?U)\w for real-world NFC text (residual: combining marks).
+# The punctuation class excludes Java (?U)\s — spelled as the explicit
+# White_Space body (kernels.wsre) because RE2's bare \s lacks NEL/LS/PS
+# etc. and would otherwise count them as punctuation tokens.
+from ..kernels.wsre import WHITE_SPACE_BODY as _UWS
+
 _RE2_W = r"[\p{L}\p{N}_]"
-_RE2_TOKEN_PATTERN = rf"{_RE2_W}+(?:'{_RE2_W}+)?|[^\p{{L}}\p{{N}}_\s]"
+_RE2_TOKEN_PATTERN = rf"{_RE2_W}+(?:'{_RE2_W}+)?|[^\p{{L}}\p{{N}}_{_UWS}]"
 
 
 def sql_token_count(expr: str) -> str:
@@ -131,8 +135,12 @@ def fix_mojibake_col(c: Column, passes: int = 1) -> Column:
         # passed the ≤0xFF range guard (branch evaluation is lazy per
         # row; relying on And short-circuit order would be fragile
         # under expression rewrites)
+        # negated find, not '^[...]*$': Java's $ matches before a FINAL
+        # U+2028/U+2029/NEL, so the anchored form would wave through a
+        # text whose only supra-0xFF char is a trailing line separator —
+        # and the strict encode below would then throw on it
         out = F.when(
-            out.rlike(r"^[\x00-\xff]*$") & out.rlike(MARKER_PATTERN),
+            ~out.rlike(r"[^\x00-\xff]") & out.rlike(MARKER_PATTERN),
             F.when(
                 F.is_valid_utf8(latin1), F.decode(latin1, "UTF-8")
             ).otherwise(out),

@@ -21,6 +21,9 @@ DOCS = [
     (7, "x\n\n\nx\nx"),
     (8, "the quick brown fox jumps over the lazy dog again and again today"),
     (9, None),  # operators must be total: NULL text ≡ empty, row kept
+    # trailing NEL/LS after an ellipsis: Java's $ matches before these
+    # final terminators, RE2's doesn't — pins the \z in _ELLIPSIS_END_RE
+    (10, "ends with dots...\u0085\nsecond line...\u2028\nthird plain"),
 ]
 
 

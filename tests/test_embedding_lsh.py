@@ -126,12 +126,19 @@ def test_cache_sketches_opt_out(spark, emb):
     """cache_sketches=False: identical output, zero new cached frames
     (the one-shot-pipeline hygiene contract)."""
     jsc = spark.sparkContext._jsc
-    baseline = jsc.getPersistentRDDs().size()
+    emb.count()  # materialize the fixture's own persist() pre-baseline
+
+    def cached_ids():
+        # id sets, not counts: the async ContextCleaner may release
+        # OTHER tests' stale entries mid-test
+        return {k for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    baseline = cached_ids()
     out = embedding_near_dups(
         emb, threshold=0.35, n_planes=16, n_bands=8, cache_sketches=False
     )
     rows = sorted(map(tuple, out.collect()))
-    assert jsc.getPersistentRDDs().size() == baseline
+    assert not (cached_ids() - baseline)
     cached = embedding_near_dups(emb, threshold=0.35, n_planes=16, n_bands=8)
     assert rows == sorted(map(tuple, cached.collect()))
 

@@ -48,14 +48,24 @@ def test_host_cap_matches_window_twin(spark):
     rows.append((9999, "t", None, "h1"))  # null score sorts last
     df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long, source string")
 
-    got = (
-        host_cap(df, F.col("n_chars").cast("double"), k=5)
-        .orderBy("source", "host_rank")
-        .collect()
+    # NaN scores must rank like NULL (-inf) in BOTH engines — DuckDB's
+    # ORDER BY would otherwise put NaN above +inf while Spark sorts it
+    # last after negation
+    score = F.when(F.col("doc_id") == 9998, F.lit(float("nan"))).otherwise(
+        F.col("n_chars").cast("double")
     )
-    con = _ddb_docs(rows)
+    rows_nan = rows + [(9998, "t", 1, "h2")]
+    df = spark.createDataFrame(
+        rows_nan, "doc_id long, text string, n_chars long, source string"
+    )
+    got = host_cap(df, score, k=5).orderBy("source", "host_rank").collect()
+    con = _ddb_docs(rows_nan)
     exp = con.execute(
-        sql_host_cap("CAST(n_chars AS DOUBLE)") + " ORDER BY source, host_rank"
+        sql_host_cap(
+            "CASE WHEN doc_id = 9998 THEN CAST('nan' AS DOUBLE) "
+            "ELSE CAST(n_chars AS DOUBLE) END"
+        )
+        + " ORDER BY source, host_rank"
     ).fetchall()
     assert [(r.source, r.host_rank, r.doc_id, r.score) for r in got] == exp
     # the cap actually caps: h0 contributes exactly 5
@@ -71,7 +81,7 @@ def test_host_cap_mega_host_stays_bounded(spark):
         F.lit("h").alias("source"),
         (F.col("id") % 997).cast("double").alias("s"),
     )
-    got = host_cap(df, F.col("s"), k=3, salt_buckets=8).collect()
+    got = host_cap(df, F.col("s"), k=3, fan_in=8).collect()
     top = sorted(((i % 997), i) for i in range(n))
     expect = sorted(top, key=lambda t: (-t[0], t[1]))[:3]
     assert sorted((r.host_rank, r.doc_id) for r in got) == [
@@ -126,6 +136,14 @@ def test_train_quality_weights_separates_and_is_deterministic(spark):
     w2, b2 = train_quality_weights(spark, labeled, n_iter=60)
     assert b1 == b2
     assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+    # duplicate texts (incl. a conflicting label) collapse to one doc:
+    # training on the duplicated frame equals training on the clean one
+    dup_rows = rows + [(good[0], 1), (good[0], 1), (good[0], 0)]
+    w3, b3 = train_quality_weights(
+        spark, spark.createDataFrame(dup_rows, "text string, label int"), n_iter=60
+    )
+    assert b3 == b1
+    assert sorted(map(tuple, w3.collect())) == sorted(map(tuple, w1.collect()))
     docs = spark.createDataFrame(
         [(0, good[0]), (1, bad[0])], "doc_id long, text string"
     )

@@ -89,7 +89,14 @@ class TestCurate:
         from pdf_extraction_spark.plans.curate import curate_corpus
 
         jsc = spark.sparkContext._jsc
-        baseline = jsc.getPersistentRDDs().size()
+
+        def cached_ids():
+            # compare id SETS, not counts: the async ContextCleaner may
+            # release other tests' unreferenced cache entries mid-test,
+            # so absolute sizes can shrink under us (seen in CI)
+            return {k for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+        baseline = cached_ids()
         # minhash_bits differs from the earlier pipeline test so the
         # signature plan is distinct — Spark's cache manager would
         # otherwise silently reuse that test's (leaked) cache entry
@@ -97,9 +104,9 @@ class TestCurate:
         out["docs"].count()
         out["neardup_pairs"].count()
         out["stats"].count()
-        assert jsc.getPersistentRDDs().size() > baseline  # sigs cached in-job
+        assert cached_ids() - baseline  # sigs cached in-job
         out["sigs"].unpersist(blocking=True)
-        assert jsc.getPersistentRDDs().size() == baseline
+        assert not (cached_ids() - baseline)
 
     def test_simhash_no_cache_flag(self, spark, pages):
         from pdf_extraction_spark.operators.dedup import simhash_pairs
@@ -112,15 +119,22 @@ class TestCurate:
             "concat('sample doc text variant ', CAST(pmod(xxhash64(url), 5) AS STRING)) AS text",
         )
         jsc = spark.sparkContext._jsc
-        baseline = jsc.getPersistentRDDs().size()
+
+        def cached_ids():
+            # id sets, not counts: the async ContextCleaner may release
+            # OTHER tests' stale entries mid-test
+            return {k for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+        baseline = cached_ids()
         cached = simhash_pairs(docs, "text", "doc_id", cache_signatures=True)
         cached.count()
-        assert jsc.getPersistentRDDs().size() == baseline + 1
+        new_ids = cached_ids() - baseline
+        assert len(new_ids) == 1
         uncached = simhash_pairs(docs, "text", "doc_id", cache_signatures=False)
         assert sorted(map(tuple, uncached.collect())) == sorted(
             map(tuple, cached.collect())
         )
-        assert jsc.getPersistentRDDs().size() == baseline + 1  # no new cache
+        assert cached_ids() - baseline == new_ids  # no new cache
 
 
 class TestLineageResume:

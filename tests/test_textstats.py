@@ -166,6 +166,12 @@ class TestMojibake:
             "Ã(x",
             "é legit latin1",
             "Â° almost-marker",
+            # trailing LS/PS/NEL: the range guard must reject these —
+            # an anchored '[\\x00-\\xff]*$' would pass them in Java and
+            # the strict encode would throw on the unmappable char
+            "caf\u00c3\u00a9\u2028",
+            "caf\u00c3\u00a9\u2029",
+            "caf\u00c3\u00a9\u0085",
         ]
         for _ in range(300):
             n = rng.randint(0, 12)

@@ -67,6 +67,10 @@ def test_classes_parse_identically_in_java(spark):
     assert java_set(PY_WS_SPLIT) == PY_SET
     assert java_set(JAVA_WS_SPLIT) == JAVA_S_SET
     assert java_set(r"\s+") == JAVA_S_SET  # the premise of JAVA_WS
+    # the premise of every twin that substitutes WHITE_SPACE_BODY for a
+    # Spark-side (?U)\s: the hand-spelled list must equal THIS JDK's
+    # White_Space set (the set has shifted across Unicode versions)
+    assert java_set("[" + WHITE_SPACE_BODY + "]+") == java_set(r"(?U)\s+")
 
 
 def test_rewriter_standalone_and_in_class():
