@@ -940,6 +940,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf)
         return score_bigram_lm(docs, train_bigram_lm(docs))
 
+    # -- incremental ingestion dedup vs historical signature store ----------
+    def q_incremental_dedup(spark, sf):
+        """New batch = deterministic transform of the corpus (exact
+        copies / near-dups / distinct docs, mirrored in
+        tests/make_oracle_fixtures.new_batch_text); history = the
+        committed kernel-signature store. Drops recomputed relationally
+        end-to-end in the twin."""
+        from pdf_extraction_spark.operators.dedup import minhash_incremental_drops
+
+        docs = _docs(spark, sf)
+        new_df = docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0, F.coalesce("text", F.lit("")))
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.coalesce("text", F.lit("")), F.lit(" zzz www qqq")),
+            )
+            .otherwise(F.concat(F.lit("zyx "), F.reverse(F.coalesce("text", F.lit("")))))
+            .alias("text"),
+        )
+        history = spark.read.parquet(
+            _os.path.join(_FIXTURE_DIR, "minhash_sigs_sf0_01.parquet")
+        )
+        return minhash_incremental_drops(
+            new_df, history, num_hashes=32, bands=8, threshold=0.5
+        )
+
     # -- mojibake repair: native encode/decode, zero Python ----------------
     def q_fix_mojibake(spark, sf):
         """Oracle = committed fixture whose expected column is the
@@ -1020,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qual_classify": q_qual_classify,
         "lm_score": q_lm_score,
         "fix_mojibake": q_fix_mojibake,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -1081,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pdf_extraction_spark.operators.dedup import (
         sql_embedding_lsh_neardups,
+        sql_minhash_incremental_drops,
         sql_minhash_lsh_pairs,
         sql_simhash_pairs,
     )
@@ -1405,6 +1434,14 @@ def oracle_sql() -> dict[str, str]:
         "fix_mojibake": (
             "SELECT doc_id, fixed_text FROM "
             + _fixture("mojibake_sf0_01.parquet")
+        ),
+        "incremental_dedup": sql_minhash_incremental_drops(
+            _fixture("minhash_sigs_sf0_01.parquet"),
+            _fixture("minhash_sigs_new_sf0_01.parquet"),
+            num_hashes=32,
+            bands=8,
+            max_bucket=200,
+            threshold=0.5,
         ),
         "url_dates": (
             "WITH u AS (SELECT uid, url, CAST(ts AS TIMESTAMP) AS warc_ts, "

@@ -365,6 +365,168 @@ def minhash_near_dup_drops(
     return dup_members.union(rep_pairs.select(F.col("id_b").alias("doc_id"))).distinct()
 
 
+def minhash_incremental_drops(
+    new_df: DataFrame,
+    history_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+    sigs: DataFrame = None,
+) -> DataFrame:
+    """Incremental ingestion dedup: drop set for a NEW batch against an
+    immutable historical signature store — the shape a production crawl
+    pipeline actually runs (each batch dedups against everything ever
+    kept, history is never dropped).
+
+    1. within-batch identical-signature collapse (non-min members drop);
+    2. batch representatives whose signature already EXISTS in history
+       drop outright;
+    3. the remaining representatives go through banded LSH against
+       history ∪ survivors with *asymmetric* candidates — (history, new)
+       and (new_a < new_b) pairs only, so history cannot be dropped and
+       no history×history pair is ever built; est-jaccard ≥ threshold
+       drops the new side.
+
+    Returns a one-column (doc_id) drop frame over new-batch ids.
+    ``append_history`` builds the updated store. Caller contract: new
+    and history ids are disjoint. Like the batch drop-set path, the
+    rule is representative-based, not transitive (a new doc that
+    near-dups a *dropped* new doc but nothing kept survives).
+
+    Scale: history is corpus-sized — its banding shuffle is the
+    dominant recurring cost. At 10^12 docs, persist the banded frame
+    (band, bucket, doc_id) alongside the store and feed it here instead
+    of re-banding per batch; the relational shape is unchanged."""
+    if sigs is None:
+        sigs = minhash_signatures(new_df, text_col, id_col, num_hashes, n)
+    groups = sigs.groupBy("sig").agg(F.min("doc_id").alias("rep"))
+    within_drops = (
+        sigs.join(groups, "sig").filter(F.col("doc_id") != F.col("rep")).select("doc_id")
+    )
+    reps = groups.select(F.col("rep").alias("doc_id"), "sig")
+    hist_set = history_sigs.select("sig").distinct()
+    exact_hist_drops = reps.join(hist_set, "sig").select("doc_id")
+    survivors = reps.join(hist_set, "sig", "left_anti")
+    tagged = history_sigs.select(
+        "doc_id", "sig", F.lit(False).alias("is_new")
+    ).unionByName(survivors.select("doc_id", "sig", F.lit(True).alias("is_new")))
+    lsh_drops = _asym_lsh_drops(tagged, num_hashes, bands, max_bucket, threshold)
+    return within_drops.union(exact_hist_drops).union(lsh_drops).distinct()
+
+
+def append_history(
+    history_sigs: DataFrame, new_sigs: DataFrame, drops: DataFrame
+) -> DataFrame:
+    """The updated signature store: history ∪ (new minus drops)."""
+    kept = new_sigs.join(drops, "doc_id", "left_anti")
+    return history_sigs.select("doc_id", "sig").unionByName(
+        kept.select("doc_id", "sig")
+    )
+
+
+def _asym_lsh_drops(
+    tagged: DataFrame, num_hashes: int, bands: int, max_bucket: int, threshold: float
+) -> DataFrame:
+    """Banded-LSH drop ids over a (doc_id, sig, is_new) frame: pairs
+    must include a new right side; history never appears as id_b."""
+    rows_per_band = num_hashes // bands
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = tagged.select(
+        "doc_id",
+        "is_new",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "is_new", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    banded_ok = banded.join(
+        bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+    )
+    a = banded_ok.select(
+        F.col("doc_id").alias("id_a"), F.col("is_new").alias("new_a"), "band", "bucket"
+    )
+    b = banded_ok.filter("is_new").select(F.col("doc_id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (~F.col("new_a") | (F.col("id_a") < F.col("id_b")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = tagged.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = tagged.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    ) / F.lit(num_hashes)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.round(est, 6) >= threshold)
+        .select(F.col("id_b").alias("doc_id"))
+    )
+
+
+def sql_minhash_incremental_drops(
+    hist_rel: str,
+    new_sigs_rel: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 200,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of ``minhash_incremental_drops`` over precomputed
+    signature relations (kernel sigs come from fixtures; ALL the
+    relational math — grouping, exact-vs-history, asymmetric banding,
+    cap, est — is recomputed here independently)."""
+    rpb = num_hashes // bands
+    return (
+        f"WITH hs AS (SELECT doc_id, sig FROM {hist_rel}), "
+        f"ns AS (SELECT doc_id, sig FROM {new_sigs_rel}), "
+        "g AS (SELECT sig, min(doc_id) AS rep FROM ns GROUP BY sig), "
+        "wd AS (SELECT ns.doc_id FROM ns JOIN g ON ns.sig = g.sig WHERE ns.doc_id <> g.rep), "
+        "reps AS (SELECT rep AS doc_id, sig FROM g), "
+        "hset AS (SELECT DISTINCT sig FROM hs), "
+        "ehd AS (SELECT r.doc_id FROM reps r JOIN hset h ON r.sig = h.sig), "
+        "surv AS (SELECT r.* FROM reps r WHERE NOT EXISTS (SELECT 1 FROM hset h WHERE h.sig = r.sig)), "
+        "tagged AS (SELECT doc_id, sig, FALSE AS is_new FROM hs "
+        "UNION ALL SELECT doc_id, sig, TRUE FROM surv), "
+        f"banded AS (SELECT doc_id, is_new, b AS band, "
+        f"array_to_string(list_transform(list_slice(sig, b*{rpb}+1, b*{rpb}+{rpb}), x -> CAST(x AS VARCHAR)), ',') AS bucket "
+        f"FROM tagged, (SELECT unnest(range(0, {bands})) AS b)), "
+        f"ok AS (SELECT band, bucket FROM banded GROUP BY band, bucket HAVING count(*) <= {max_bucket}), "
+        "bo AS (SELECT banded.* FROM banded JOIN ok USING (band, bucket)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bo a JOIN bo b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND b.is_new AND a.doc_id <> b.doc_id AND (NOT a.is_new OR a.doc_id < b.doc_id)), "
+        "ld AS (SELECT id_b AS doc_id FROM cand "
+        "JOIN tagged sa ON id_a = sa.doc_id JOIN tagged sb ON id_b = sb.doc_id "
+        f"WHERE round(CAST(len(list_filter(range(1, {num_hashes + 1}), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / {num_hashes}, 6) >= {threshold}) "
+        "SELECT DISTINCT doc_id FROM (SELECT doc_id FROM wd "
+        "UNION ALL SELECT doc_id FROM ehd UNION ALL SELECT doc_id FROM ld)"
+    )
+
+
 def _lsh_pairs_from_sigs(
     sigs: DataFrame, num_hashes: int, bands: int, max_bucket: int
 ) -> DataFrame:

@@ -81,6 +81,35 @@ def minhash_sigs_table() -> pa.Table:
     )
 
 
+def new_batch_text(doc_id: int, text: str) -> str:
+    """The deterministic 'incoming batch' transform, mirrored natively
+    in __spark_entry__.q_incremental_dedup — keep the two in lockstep.
+    doc_id%3==0: exact copy of history; ==1: near-dup (tail append);
+    ==2: distinct (reversed + marker)."""
+    t = text or ""
+    if doc_id % 3 == 0:
+        return t
+    if doc_id % 3 == 1:
+        return t + " zzz www qqq"
+    return "zyx " + t[::-1]
+
+
+def minhash_sigs_new_table() -> pa.Table:
+    """Kernel signatures of the synthetic incoming batch (ids offset by
+    100000) for the incremental-dedup twin."""
+    from pdf_extraction_spark.kernels.textstats import minhash_signature
+
+    docs = _read_documents()
+    ids = [d + 100000 for d, _ in docs]
+    sigs = [
+        [_to_i64(v) for v in minhash_signature(new_batch_text(d, t), MINHASH_NUM)]
+        for d, t in docs
+    ]
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "sig": pa.array(sigs, pa.list_(pa.int64()))}
+    )
+
+
 def simhash_table() -> pa.Table:
     from pdf_extraction_spark.kernels.textstats import simhash
 
@@ -431,6 +460,7 @@ FIXTURES = {
     "media_features.parquet": media_features_table,
     "media_features_real.parquet": media_features_real_table,
     "mojibake_sf0_01.parquet": mojibake_table,
+    "minhash_sigs_new_sf0_01.parquet": minhash_sigs_new_table,
 }
 
 

@@ -141,3 +141,90 @@ class TestMinhashNearDupDrops:
             ).collect()
         }
         assert drops == set(range(1, 300))  # min id 0 survives, 1000 untouched
+
+
+class TestIncrementalDedup:
+    def _hist_and_new(self, spark):
+        from pdf_extraction_spark.operators.dedup import minhash_signatures
+
+        hist_docs = spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                (1, "completely different historical content about spark plans"),
+            ],
+            "doc_id long, text string",
+        )
+        history = minhash_signatures(hist_docs, num_hashes=32)
+        new_docs = spark.createDataFrame(
+            [
+                # exact copy of history doc 0 → drops
+                (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                # two identical new docs → min id survives phase 1, then
+                # the rep ALSO exact-matches history → all copies drop
+                (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                # near-dup of history doc 1 (tail tweak) → LSH drop
+                (102, "completely different historical content about spark planning"),
+                # genuinely new → kept
+                (103, "fresh never before seen text with its own words entirely"),
+                # two identical NEW-only docs: higher id drops, lower kept
+                (104, "brand new duplicated batch content here once more again"),
+                (105, "brand new duplicated batch content here once more again"),
+            ],
+            "doc_id long, text string",
+        )
+        return hist_docs, history, new_docs
+
+    def test_semantics_and_history_immutability(self, spark):
+        from pdf_extraction_spark.operators.dedup import (
+            append_history,
+            minhash_incremental_drops,
+        )
+
+        hist_docs, history, new_docs = self._hist_and_new(spark)
+        drops = {
+            r.doc_id
+            for r in minhash_incremental_drops(
+                new_docs, history, num_hashes=32, bands=8, threshold=0.5
+            ).collect()
+        }
+        assert drops == {100, 101, 102, 105}
+        # history ids never appear in the drop set by construction
+        assert all(d >= 100 for d in drops)
+        # store update: history plus the kept new sigs
+        from pdf_extraction_spark.operators.dedup import minhash_signatures
+
+        new_sigs = minhash_signatures(new_docs, num_hashes=32)
+        updated = append_history(history, new_sigs, spark.createDataFrame(
+            [(d,) for d in drops], "doc_id long"
+        ))
+        assert {r.doc_id for r in updated.select("doc_id").collect()} == {0, 1, 103, 104}
+
+    def test_empty_history_reduces_to_batch_drop_set(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from pdf_extraction_spark.operators.dedup import (
+            minhash_incremental_drops,
+            minhash_near_dup_drops,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        empty_hist = spark.createDataFrame(
+            [], T.StructType([
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ])
+        )
+        inc = {
+            r.doc_id
+            for r in minhash_incremental_drops(
+                docs, empty_hist, num_hashes=32, bands=8, threshold=0.5
+            ).collect()
+        }
+        batch = {
+            r.doc_id
+            for r in minhash_near_dup_drops(
+                docs, "text", "doc_id", num_hashes=32, bands=8, threshold=0.5
+            ).collect()
+        }
+        assert inc == batch

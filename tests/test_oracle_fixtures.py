@@ -41,6 +41,20 @@ class TestFixtureFreshness:
     def test_mojibake(self):
         assert _committed("mojibake_sf0_01.parquet").equals(mk.mojibake_table())
 
+    def test_minhash_sigs_new_sample(self):
+        from pdf_extraction_spark.kernels.textstats import minhash_signature
+
+        t = _committed("minhash_sigs_new_sf0_01.parquet").to_pydict()
+        assert len(t["doc_id"]) == 500
+        docs = dict(mk._read_documents())
+        for i in range(0, 500, 50):
+            d = t["doc_id"][i] - 100000
+            expected = [
+                mk._to_i64(v)
+                for v in minhash_signature(mk.new_batch_text(d, docs[d]), mk.MINHASH_NUM)
+            ]
+            assert t["sig"][i] == expected
+
     def test_minhash_sigs_sample(self):
         from pdf_extraction_spark.kernels.textstats import minhash_signature
 
