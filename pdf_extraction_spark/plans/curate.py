@@ -38,9 +38,17 @@ def curate_corpus(
     neardup_threshold: float = 0.8,
     minhash_bits: int = 32,
     bands: int = 8,
+    min_lm_logprob: float = None,
+    classifier: tuple = None,
+    host_cap_k: int = None,
 ) -> dict:
     """Returns {'docs': curated frame, 'neardup_pairs': flagged pairs,
     'stats': per-host rollup, 'sigs': the shared signature frame}.
+
+    Optional model-based gates (all off by default, applied after the
+    cheap filters): ``min_lm_logprob`` — self-trained bigram LM fluency
+    floor; ``classifier`` — (weights_df, bias, min_prob) hashed linear
+    quality gate; ``host_cap_k`` — per-host contribution cap.
     Mostly lazy; the MinHash signature pass runs eagerly (cached once,
     reused by every returned frame). Cache hygiene: once the returned
     frames are materialized, call ``result['sigs'].unpersist()`` — in a
@@ -79,6 +87,35 @@ def curate_corpus(
         & (F.col("stopword_ratio") <= max_stopword_ratio)
         & (F.col("detected_lang").isin(list(languages)))
     )
+
+    # optional model-based gates (after the cheap filters so the
+    # exploded-token scoring passes run over the smallest frame)
+    if min_lm_logprob is not None:
+        from ..operators.mlfilter import score_bigram_lm, train_bigram_lm
+
+        lm_scores = score_bigram_lm(curated, train_bigram_lm(curated))
+        curated = curated.join(
+            lm_scores.filter(F.col("avg_logprob") >= min_lm_logprob).select("doc_id"),
+            "doc_id",
+        )
+    if classifier is not None:
+        from ..operators.mlfilter import score_quality
+
+        weights, bias, min_prob = classifier
+        q = score_quality(curated, weights, bias)
+        curated = curated.join(
+            q.filter(F.col("prob") >= min_prob).select("doc_id"), "doc_id"
+        )
+    if host_cap_k is not None:
+        from ..operators.hostcap import host_cap
+
+        kept = host_cap(
+            curated.withColumn("__host", host_col(F.col("url"))),
+            F.col("token_count").cast("double"),
+            host_col="__host",
+            k=host_cap_k,
+        )
+        curated = curated.join(kept.select("doc_id"), "doc_id")
 
     stats = salted_agg(
         curated,

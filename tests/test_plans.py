@@ -108,6 +108,41 @@ class TestCurate:
         out["sigs"].unpersist(blocking=True)
         assert not (cached_ids() - baseline)
 
+    def test_model_gates_compose(self, spark, pages):
+        """The optional LM / classifier / host-cap gates only ever
+        shrink the corpus and compose without conflict."""
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.plans.curate import curate_corpus
+
+        base = curate_corpus(pages, min_tokens=10, languages=("en",))
+        n_base = base["docs"].count()
+        weights = spark.range(4096).select(
+            F.format_string("%03x", F.col("id")).alias("bucket"),
+            (((F.col("id") * 2654435761) % 2001 - 1000) / 1000.0).alias("w"),
+        )
+        gated = curate_corpus(
+            pages,
+            min_tokens=10,
+            languages=("en",),
+            min_lm_logprob=-6.0,
+            classifier=(weights, 0.1, 0.2),
+            host_cap_k=50,
+        )
+        n_gated = gated["docs"].count()
+        assert 0 < n_gated <= n_base
+        # host cap actually binds: no host exceeds k
+        hosts = (
+            gated["docs"]
+            .groupBy(F.regexp_extract("url", r"https?://([^/]+)/", 1))
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert hosts <= 50
+        base["sigs"].unpersist()
+        gated["sigs"].unpersist()
+
     def test_simhash_no_cache_flag(self, spark, pages):
         from pdf_extraction_spark.operators.dedup import simhash_pairs
         from pdf_extraction_spark.plans.curate import curate_corpus  # noqa: F401
