@@ -54,3 +54,34 @@ def dedup_stream_by_content(
         .dropDuplicatesWithinWatermark(["__content_key"])
         .drop("__content_key")
     )
+
+
+def dedup_stream_against_history(
+    stream_docs: DataFrame,
+    history_sigs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Drop in-flight documents whose MinHash signature already exists
+    in the historical store — the streaming arm of
+    ``operators.dedup.minhash_incremental_drops`` (exact-signature
+    phase only; near-dup banding needs the batch job, which also
+    refreshes the store via ``append_history``).
+
+    Implementation is a stream-static LEFT ANTI join on the signature:
+    the static side is re-read per micro-batch, so a store updated by
+    the nightly batch job takes effect on the next micro-batch with no
+    restart. The signature UDF is the same Arrow-batched kernel as the
+    batch path, so stream and batch agree bit-exactly on what "already
+    seen" means.
+
+    State: none beyond the join (the store is at-rest data, not
+    streaming state) — this scales with micro-batch size, not corpus
+    size, and complements the within-horizon operators above."""
+    from ..operators.dedup import make_minhash_udf
+
+    mh = make_minhash_udf(num_hashes, n)
+    keyed = stream_docs.withColumn("__sig", mh(F.col(text_col)))
+    hist = history_sigs.select(F.col("sig").alias("__sig")).distinct()
+    return keyed.join(hist, "__sig", "left_anti").drop("__sig")

@@ -342,6 +342,38 @@ class TestStreaming:
         n = spark.sql("SELECT count(*) c FROM dedup_content").first().c
         assert n == 20  # mirror payload collapsed too
 
+    def test_streaming_dedup_against_history(self, spark, tmp_path):
+        """Stream-static anti join vs the signature store: docs already
+        in history are dropped in-flight; stream and batch agree on
+        what 'already seen' means (same signature kernel)."""
+        from pdf_extraction_spark.operators.dedup import minhash_signatures
+        from pdf_extraction_spark.streaming.dedup import (
+            dedup_stream_against_history,
+        )
+        from pdf_extraction_spark.streaming.events import run_stream_to_memory
+
+        hist_docs = spark.createDataFrame(
+            [(i, f"historical document number {i} body text here") for i in range(5)],
+            "doc_id long, text string",
+        )
+        history = minhash_signatures(hist_docs, num_hashes=32)
+        # incoming: 3 exact re-crawls of history + 4 genuinely new
+        incoming = spark.createDataFrame(
+            [(100 + i, f"historical document number {i} body text here") for i in range(3)]
+            + [(200 + i, f"fresh streaming document {i} never seen before") for i in range(4)],
+            "doc_id long, text string",
+        )
+        stream_dir = str(tmp_path / "hist_stream")
+        incoming.write.parquet(stream_dir)
+        stream = spark.readStream.schema(incoming.schema).parquet(stream_dir)
+        q = run_stream_to_memory(
+            dedup_stream_against_history(stream, history), "vs_history"
+        )
+        q.awaitTermination(180)
+        kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM vs_history").collect()}
+        assert kept == {200, 201, 202, 203}
+        history.unpersist()
+
     def test_empty_first_batch_sink(self, spark, pages, tmp_path):
         """ADVICE fix: an empty first-ever micro-batch used to write a
         schema-less docs dir whose lineage read-back failed the whole
