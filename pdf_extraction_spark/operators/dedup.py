@@ -394,8 +394,18 @@ def minhash_incremental_drops(
     Returns a one-column (doc_id) drop frame over new-batch ids.
     ``append_history`` builds the updated store. Caller contract: new
     and history ids are disjoint. Like the batch drop-set path, the
-    rule is representative-based, not transitive (a new doc that
-    near-dups a *dropped* new doc but nothing kept survives).
+    rule is representative-based, not transitive; note that
+    representatives dropped in the LSH phase still act as droppers for
+    later-id survivors (drop chains through LSH-dropped reps), while
+    docs dropped in the exact-signature phases do not.
+
+    In the production nightly loop, compute ``new_sigs =
+    minhash_signatures(new_df)`` yourself and pass it BOTH here (as
+    ``sigs=``) and to ``append_history`` — you need the handle for the
+    store update anyway, and it is also the cache-hygiene contract:
+    with ``sigs=None`` this function persists an internal signature
+    frame it cannot release (same contract as ``minhash_signatures``;
+    unpersist your handle once the drops are materialized).
 
     Scale: history is corpus-sized — its banding shuffle is the
     dominant recurring cost. At 10^12 docs, persist the banded frame
@@ -433,34 +443,7 @@ def _asym_lsh_drops(
 ) -> DataFrame:
     """Banded-LSH drop ids over a (doc_id, sig, is_new) frame: pairs
     must include a new right side; history never appears as id_b."""
-    rows_per_band = num_hashes // bands
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = tagged.select(
-        "doc_id",
-        "is_new",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "is_new", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
-    banded_ok = banded.join(
-        bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
-    )
+    banded_ok = _banded_ok(tagged, num_hashes, bands, max_bucket, extra_cols=("is_new",))
     a = banded_ok.select(
         F.col("doc_id").alias("id_a"), F.col("is_new").alias("new_a"), "band", "bucket"
     )
@@ -527,15 +510,24 @@ def sql_minhash_incremental_drops(
     )
 
 
-def _lsh_pairs_from_sigs(
-    sigs: DataFrame, num_hashes: int, bands: int, max_bucket: int
+def _banded_ok(
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+    extra_cols: tuple = (),
 ) -> DataFrame:
-    """Banded-LSH candidate pairs + est-jaccard over a precomputed
-    (doc_id, sig) frame — the relational core of minhash_lsh_pairs."""
+    """(doc_id, [extra_cols...], band, bucket) rows surviving the
+    bucket-size cap — the ONE place the banding math lives (band
+    slicing, the 64-bit xxhash64 bucket key whose width rationale is
+    documented at minhash_lsh_pairs, and the cap). Shared by the batch
+    pairs path and the incremental asymmetric path so they cannot
+    diverge."""
     rows_per_band = num_hashes // bands
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
         "doc_id",
+        *extra_cols,
         F.explode(
             F.transform(
                 band_idx,
@@ -553,12 +545,22 @@ def _lsh_pairs_from_sigs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(
+        "doc_id", *extra_cols, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     bucket_sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
-    banded_ok = banded.join(
+    return banded.join(
         bucket_sizes.filter(F.col("bsz") <= max_bucket).select("band", "bucket"),
         ["band", "bucket"],
     )
+
+
+def _lsh_pairs_from_sigs(
+    sigs: DataFrame, num_hashes: int, bands: int, max_bucket: int
+) -> DataFrame:
+    """Banded-LSH candidate pairs + est-jaccard over a precomputed
+    (doc_id, sig) frame — the relational core of minhash_lsh_pairs."""
+    banded_ok = _banded_ok(sigs, num_hashes, bands, max_bucket)
     a = banded_ok.select(F.col("doc_id").alias("id_a"), "band", "bucket")
     b = banded_ok.select(F.col("doc_id").alias("id_b"), "band", "bucket")
     cand = (

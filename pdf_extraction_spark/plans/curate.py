@@ -47,8 +47,13 @@ def curate_corpus(
 
     Optional model-based gates (all off by default, applied after the
     cheap filters): ``min_lm_logprob`` — self-trained bigram LM fluency
-    floor; ``classifier`` — (weights_df, bias, min_prob) hashed linear
-    quality gate; ``host_cap_k`` — per-host contribution cap.
+    floor (docs with no tokens have no fluency evidence and are KEPT,
+    matching the classifier's bias-scored treatment); ``classifier`` —
+    (weights_df, bias, min_prob) hashed linear quality gate;
+    ``host_cap_k`` — per-host contribution cap. Enabling any gate
+    persists the gate-input frame (several scoring subtrees consume
+    it) and makes the call partially eager (LM training counts the
+    token stream); release everything via ``result['caches']``.
     Mostly lazy; the MinHash signature pass runs eagerly (cached once,
     reused by every returned frame). Cache hygiene: once the returned
     frames are materialized, call ``result['sigs'].unpersist()`` — in a
@@ -90,13 +95,28 @@ def curate_corpus(
 
     # optional model-based gates (after the cheap filters so the
     # exploded-token scoring passes run over the smallest frame)
+    gates_on = (
+        min_lm_logprob is not None or classifier is not None or host_cap_k is not None
+    )
+    if gates_on:
+        # each gate's scoring subtree plus the final docs/stats outputs
+        # would otherwise re-execute the extract/langid/dedup lineage
+        # independently (6-8 full UDF passes) — persist the gate input
+        # once; released with the sigs handle (result['caches'])
+        curated = curated.persist()
+    caches = [sigs] + ([curated] if gates_on else [])
     if min_lm_logprob is not None:
         from ..operators.mlfilter import score_bigram_lm, train_bigram_lm
 
         lm_scores = score_bigram_lm(curated, train_bigram_lm(curated))
+        # anti-join on the FAILING set: docs with no LM row (no tokens)
+        # have no fluency evidence and are kept, matching the
+        # classifier gate's treatment of token-less docs (scored at
+        # bias) rather than silently vanishing on an inner join
         curated = curated.join(
-            lm_scores.filter(F.col("avg_logprob") >= min_lm_logprob).select("doc_id"),
+            lm_scores.filter(F.col("avg_logprob") < min_lm_logprob).select("doc_id"),
             "doc_id",
+            "left_anti",
         )
     if classifier is not None:
         from ..operators.mlfilter import score_quality
@@ -132,4 +152,5 @@ def curate_corpus(
         "neardup_pairs": neardup_pairs,
         "stats": stats,
         "sigs": sigs,
+        "caches": caches,
     }

@@ -70,11 +70,14 @@ def dedup_stream_against_history(
     refreshes the store via ``append_history``).
 
     Implementation is a stream-static LEFT ANTI join on the signature:
-    the static side is re-read per micro-batch, so a store updated by
-    the nightly batch job takes effect on the next micro-batch with no
-    restart. The signature UDF is the same Arrow-batched kernel as the
-    batch path, so stream and batch agree bit-exactly on what "already
-    seen" means.
+    the static side is re-evaluated per micro-batch, so a store updated
+    by the nightly batch job takes effect on the next micro-batch with
+    no restart — PROVIDED ``history_sigs`` is an un-cached file-backed
+    read of the store (``spark.read.parquet(store_path)``). A persisted
+    frame (e.g. the output of ``minhash_signatures``, which self-caches)
+    pins every micro-batch to the cached snapshot instead. The
+    signature UDF is the same Arrow-batched kernel as the batch path,
+    so stream and batch agree bit-exactly on what "already seen" means.
 
     State: none beyond the join (the store is at-rest data, not
     streaming state) — this scales with micro-batch size, not corpus

@@ -136,7 +136,8 @@ def main(argv=None):
     # cache hygiene: every sink is materialized — release the shared
     # signature cache and the fan-out cache so a long-lived session
     # composing several corpora holds no residual cached frames
-    out["sigs"].unpersist()
+    for frame in out.get("caches", [out["sigs"]]):
+        frame.unpersist()
     docs.unpersist()
 
     n = card["n_docs"]

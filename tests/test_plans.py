@@ -131,17 +131,21 @@ class TestCurate:
         )
         n_gated = gated["docs"].count()
         assert 0 < n_gated <= n_base
-        # host cap actually binds: no host exceeds k
+        # host cap actually binds: no host exceeds k — grouped by the
+        # SAME host key the gate uses
+        from pdf_extraction_spark.operators.skew import host_col
+
         hosts = (
             gated["docs"]
-            .groupBy(F.regexp_extract("url", r"https?://([^/]+)/", 1))
+            .groupBy(host_col(F.col("url")))
             .count()
             .agg(F.max("count"))
             .first()[0]
         )
         assert hosts <= 50
-        base["sigs"].unpersist()
-        gated["sigs"].unpersist()
+        for out in (base, gated):
+            for frame in out["caches"]:
+                frame.unpersist()
 
     def test_simhash_no_cache_flag(self, spark, pages):
         from pdf_extraction_spark.operators.dedup import simhash_pairs
