@@ -967,6 +967,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             new_df, history, num_hashes=32, bands=8, threshold=0.5
         )
 
+    # -- epoch-weighted training mix (downsample + multi-epoch) -------------
+    def q_weighted_mix(spark, sf):
+        from pdf_extraction_spark.operators.curation import weighted_mix
+
+        return weighted_mix(
+            _docs(spark, sf),
+            key_col="doc_id",
+            stratum_col="source",
+            rates={"src0": 2.5, "src1": 0.4, "src2": 1.0},
+            default_rate=0.25,
+        ).select("doc_id", "source", "copy_no")
+
     # -- mojibake repair: native encode/decode, zero Python ----------------
     def q_fix_mojibake(spark, sf):
         """Oracle = committed fixture whose expected column is the
@@ -1048,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "fix_mojibake": q_fix_mojibake,
         "incremental_dedup": q_incremental_dedup,
+        "weighted_mix": q_weighted_mix,
     }
 
 
@@ -1104,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
         sql_pack_sequences,
         sql_scrub_pii,
         sql_stratified_sample,
+        sql_weighted_mix,
         sql_canonical_url,
         sql_url_filter,
     )
@@ -1434,6 +1448,12 @@ def oracle_sql() -> dict[str, str]:
         "fix_mojibake": (
             "SELECT doc_id, fixed_text FROM "
             + _fixture("mojibake_sf0_01.parquet")
+        ),
+        "weighted_mix": sql_weighted_mix(
+            "doc_id",
+            "source",
+            rates={"src0": 2.5, "src1": 0.4, "src2": 1.0},
+            default_rate=0.25,
         ),
         "incremental_dedup": sql_minhash_incremental_drops(
             _fixture("minhash_sigs_sf0_01.parquet"),

@@ -993,6 +993,87 @@ def sql_pack_sequences(
 # deterministic stratified sampling
 # --------------------------------------------------------------------------
 
+def _rate_case_col(stratum_col: str, rates: dict, default_rate: float) -> Column:
+    """Per-stratum rate ×10000 as an int column (shared by the sampling
+    and mixing operators so rate resolution cannot drift)."""
+    rate = None
+    for value, r in sorted(rates.items()):
+        cond = F.col(stratum_col) == value
+        branch = F.lit(int(round(r * 10000)))
+        rate = F.when(cond, branch) if rate is None else rate.when(cond, branch)
+    default = int(round(default_rate * 10000))
+    return rate.otherwise(default) if rate is not None else F.lit(default)
+
+
+def _sql_rate_case(stratum_expr: str, rates: dict, default_rate: float) -> str:
+    whens = " ".join(
+        f"WHEN {stratum_expr} = '{v}' THEN {int(round(r * 10000))}"
+        for v, r in sorted(rates.items())
+    )
+    default = int(round(default_rate * 10000))
+    return f"CASE {whens} ELSE {default} END" if rates else str(default)
+
+
+def weighted_mix(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict,
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Epoch-weighted training mix (the Pile/LLaMA data-mixture step):
+    per-stratum rate r emits floor(r) copies of every row plus one more
+    for a deterministic frac(r) of rows — r=0.4 downsamples to 40%,
+    r=2.5 means "2.5 epochs" (2 copies + a 3rd for half the rows).
+
+    Output = input columns + ``copy_no`` (0-based) so downstream
+    packing can distinguish epochs. Same md5-bucket device as
+    stratified_sample: reproducible across runs, engines, and cluster
+    sizes, and a pure narrow map — no shuffle, the explode is the only
+    row-count change."""
+    bucket = sample_bucket_col(F.col(key_col), salt)
+    rate = _rate_case_col(stratum_col, rates, default_rate)
+    n_copies = (
+        F.floor(rate / F.lit(10000)).cast("int")
+        + F.when(bucket < rate % 10000, F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            "copy_no",
+            F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)),
+        )
+        .drop("__n_copies")
+    )
+
+
+def sql_weighted_mix(
+    key_expr: str,
+    stratum_expr: str,
+    rates: dict,
+    default_rate: float = 0.0,
+    salt: str = "mix",
+    select_cols: str = "doc_id, source",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`weighted_mix` (same bucket math, same rate
+    resolution, same floor+frac copy count)."""
+    bucket = (
+        f"(CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 8) AS BIGINT) % 10000)"
+    )
+    rate = _sql_rate_case(stratum_expr, rates, default_rate)
+    return (
+        f"WITH t AS (SELECT {select_cols}, "
+        f"CAST(floor(({rate}) / 10000) AS INT) + "
+        f"CASE WHEN {bucket} < ({rate}) % 10000 THEN 1 ELSE 0 END AS n_copies "
+        f"FROM {table}) "
+        f"SELECT {select_cols}, CAST(unnest(range(0, CAST(n_copies AS BIGINT))) AS INT) AS copy_no "
+        "FROM t WHERE n_copies > 0"
+    )
+
+
 def sample_bucket_col(key: Column, salt: str = "sample") -> Column:
     """Stable [0, 10000) bucket from md5 of (key || salt) — identical in
     any engine with md5 (reproducible across runs, engines, cluster
@@ -1013,16 +1094,7 @@ def stratified_sample(
     its stratum — exact, reproducible downsampling by source/domain/lang
     (the standard way a training mix is drawn from a web corpus)."""
     bucket = sample_bucket_col(F.col(key_col), salt)
-    rate = None
-    for value, frac in sorted(fractions.items()):
-        cond = F.col(stratum_col) == value
-        branch = F.lit(int(round(frac * 10000)))
-        rate = F.when(cond, branch) if rate is None else rate.when(cond, branch)
-    rate = (
-        rate.otherwise(int(round(default_fraction * 10000)))
-        if rate is not None
-        else F.lit(int(round(default_fraction * 10000)))
-    )
+    rate = _rate_case_col(stratum_col, fractions, default_fraction)
     return df.filter(bucket < rate)
 
 
@@ -1034,11 +1106,7 @@ def sql_stratified_sample(
     salt: str = "sample",
 ) -> str:
     """DuckDB twin predicate (same md5-bucket math)."""
-    whens = " ".join(
-        f"WHEN {stratum_expr} = '{v}' THEN {int(round(f * 10000))}"
-        for v, f in sorted(fractions.items())
-    )
-    rate = f"CASE {whens} ELSE {int(round(default_fraction * 10000))} END"
+    rate = _sql_rate_case(stratum_expr, fractions, default_fraction)
     bucket = (
         f"(CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 8) AS BIGINT) % 10000)"
     )

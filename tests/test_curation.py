@@ -679,3 +679,57 @@ class TestRandomizedRound1Twins:
             "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))), ' ')) "
             "HAVING count(*) > 1",
         )
+
+
+class TestWeightedMix:
+    def test_semantics(self, spark):
+        from pdf_extraction_spark.operators.curation import weighted_mix
+
+        rows = [(i, f"s{i % 2}") for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = weighted_mix(
+            df, "doc_id", "source", rates={"s0": 2.5, "s1": 0.4}
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r.copy_no)
+        # s0 docs appear 2 or 3 times, copy_no contiguous from 0
+        n3 = 0
+        for i in range(0, 400, 2):
+            copies = sorted(by_doc[i])
+            assert copies in ([0, 1], [0, 1, 2])
+            n3 += len(copies) == 3
+        # the fractional epoch hits ~half of s0 (md5-uniform)
+        assert 60 <= n3 <= 140
+        # s1 keeps ~40%, one copy each
+        s1_docs = [d for d in by_doc if d % 2 == 1]
+        assert 50 <= len(s1_docs) <= 110
+        assert all(by_doc[d] == [0] for d in s1_docs)
+
+    def test_rate_zero_and_default(self, spark):
+        from pdf_extraction_spark.operators.curation import weighted_mix
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, source string"
+        )
+        out = weighted_mix(
+            df, "doc_id", "source", rates={"a": 0.0, "b": 1.0}, default_rate=0.0
+        ).collect()
+        # a: rate 0 → gone; c: default 0 → gone; b survives once
+        assert [(r.doc_id, r.copy_no) for r in out] == [(2, 0)]
+
+    def test_cross_engine(self, docs_df):
+        from pdf_extraction_spark.operators.curation import (
+            sql_weighted_mix,
+            weighted_mix,
+        )
+
+        _compare(
+            weighted_mix(
+                docs_df, "doc_id", "source", rates={"src0": 3.2, "src1": 0.6}
+            ).select("doc_id", "source", "copy_no"),
+            _con(),
+            sql_weighted_mix(
+                "doc_id", "source", rates={"src0": 3.2, "src1": 0.6}
+            ),
+        )
