@@ -1098,8 +1098,22 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.kernels.wsre import (
         JAVA_WS_SPLIT,
         WHITE_SPACE_BODY,
+        ascii_i_exact,
         java_ws_exact,
     )
+    from pdf_extraction_spark.operators.financial import (
+        COMBINED_PATTERN,
+        FY_DIRECT_PATTERN,
+        FY_RANGE_PATTERN,
+        QUARTER_PATTERN,
+        URL_QFY_PATTERN,
+    )
+
+    def _fin_pat(pat):
+        """Twin form of a Spark '(?i)'+pat regex: explicit ASCII dual
+        casing (Java (?i) folds ASCII only; RE2's folds Unicode) +
+        explicit Java \s class, single-quote escaped."""
+        return java_ws_exact(ascii_i_exact(pat)).replace("'", "''")
     from pdf_extraction_spark.operators.hostcap import sql_host_cap
     from pdf_extraction_spark.operators.mlfilter import (
         sql_score_bigram_lm,
@@ -1183,7 +1197,7 @@ def oracle_sql() -> dict[str, str]:
     def sql_amounts(patterns):
         selects = []
         for pi, pat in enumerate(patterns):
-            p = java_ws_exact("(?i)" + pat).replace("'", "''")
+            p = _fin_pat(pat)
             selects.append(
                 f"SELECT doc_id, {pi} AS pat_no, "
                 f"unnest(regexp_extract_all(content, '{p}', 0)) AS raw_text, "
@@ -1205,7 +1219,7 @@ def oracle_sql() -> dict[str, str]:
 
         selects = []
         for pi, pat in enumerate(GROWTH_PATTERNS):
-            p = java_ws_exact("(?i)" + pat).replace("'", "''")
+            p = _fin_pat(pat)
             selects.append(
                 f"SELECT doc_id, {pi} AS pat_no, "
                 f"unnest(regexp_extract_all(content, '{p}', 0)) AS raw_text, "
@@ -1227,7 +1241,7 @@ def oracle_sql() -> dict[str, str]:
 
         selects = []
         for pi, pat in enumerate(MARGIN_PATTERNS):
-            p = java_ws_exact("(?i)" + pat).replace("'", "''")
+            p = _fin_pat(pat)
             selects.append(
                 f"SELECT doc_id, {pi} AS pat_no, "
                 f"unnest(regexp_extract_all(content, '{p}', 0)) AS raw_text, "
@@ -1279,18 +1293,21 @@ def oracle_sql() -> dict[str, str]:
         "fin_growth": sql_growth(),
         "fin_ebitda": sql_amounts(EBITDA_PATTERNS),
         "fin_margins": sql_margins(),
+        # patterns derived from the SAME constants the Spark operators
+        # use, via _fin_pat (explicit ASCII casing + explicit Java \s)
         "fin_quarters": (
             "SELECT doc_id, "
-            "coalesce(array_to_string(list_sort(list_distinct(regexp_extract_all(content, '(?i)\\b(Q[1-4])\\b', 1))), '|'), '') AS quarters, "
+            f"coalesce(array_to_string(list_sort(list_distinct(regexp_extract_all(content, '{_fin_pat(QUARTER_PATTERN)}', 1)"
+            ")), '|'), '') AS quarters, "
             "coalesce(array_to_string(list_sort(list_distinct("
-            "list_transform(regexp_extract_all(content, '(?i)\\bFY[ \\t\\n\\x0B\\f\\r]*(\\d{2,4})\\b', 1), "
+            f"list_transform(regexp_extract_all(content, '{_fin_pat(FY_DIRECT_PATTERN)}', 1), "
             "y -> CASE WHEN length(y) = 2 THEN 'FY' || y ELSE 'FY' || substring(y, length(y)-1, 2) END) || "
-            "list_transform(regexp_extract_all(content, '(?i)\\b(?:fiscal[ \\t\\n\\x0B\\f\\r]+year[ \\t\\n\\x0B\\f\\r]+)?(\\d{4})-(\\d{2,4})\\b', 2), y -> 'FY' || y)"
+            f"list_transform(regexp_extract_all(content, '{_fin_pat(FY_RANGE_PATTERN)}', 2), y -> 'FY' || y)"
             ")), '|'), '') AS fiscal_years, "
             "coalesce(array_to_string(list_sort(list_distinct("
             "list_transform(list_zip("
-            "regexp_extract_all(content, '(?i)\\b(Q[1-4])[ \\t\\n\\x0B\\f\\r]*FY[ \\t\\n\\x0B\\f\\r]*(\\d{2,4})\\b', 1), "
-            "regexp_extract_all(content, '(?i)\\b(Q[1-4])[ \\t\\n\\x0B\\f\\r]*FY[ \\t\\n\\x0B\\f\\r]*(\\d{2,4})\\b', 2)), "
+            f"regexp_extract_all(content, '{_fin_pat(COMBINED_PATTERN)}', 1), "
+            f"regexp_extract_all(content, '{_fin_pat(COMBINED_PATTERN)}', 2)), "
             "p -> upper(p[1]) || ' FY' || (CASE WHEN length(p[2]) = 2 THEN p[2] ELSE substring(p[2], length(p[2])-1, 2) END)"
             "))), '|'), '') AS combined "
             f"FROM {fin_values}"
@@ -1470,8 +1487,10 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT uid, name, warc_ts, "
             "try_strptime(substring(regexp_extract(name, '([A-Za-z]{3,9})_(\\d{4})', 1), 1, 3) || ' ' || "
             "regexp_extract(name, '([A-Za-z]{3,9})_(\\d{4})', 2), '%b %Y') AS month_year, "
-            "TRY_CAST(regexp_extract(name, 'Q(\\d)_FY(\\d{2,4})', 1, 'i') AS INT) AS qn, "
-            "regexp_extract(name, 'Q(\\d)_FY(\\d{2,4})', 2, 'i') AS fy_raw, "
+            # no 'i' flag: DuckDB's folds Unicode, Spark's (?i) is
+            # ASCII-only — explicit dual casing via _fin_pat instead
+            f"TRY_CAST(regexp_extract(name, '{_fin_pat(URL_QFY_PATTERN)}', 1) AS INT) AS qn, "
+            f"regexp_extract(name, '{_fin_pat(URL_QFY_PATTERN)}', 2) AS fy_raw, "
             "TRY_CAST(regexp_extract(name, '(\\d{4})', 1) AS INT) AS bare_year "
             "FROM u), "
             "e AS (SELECT *, "

@@ -98,3 +98,75 @@ def java_ws_exact(pattern: str) -> str:
     what Java's default (ASCII-six) ``\\s`` means, vertical tab
     included, in RE2 too."""
     return _rewrite_ws(pattern, JAVA_WS_BODY)
+
+
+def ascii_i_exact(pattern: str) -> str:
+    """Replace the engine-varying ``(?i)`` flag with explicit ASCII
+    dual-casing, measured semantics: Java's ``(?i)`` folds ASCII ONLY
+    (``ſ``/``K``/``İ`` never match s/k/i, in classes or out), RE2's
+    ``(?i)`` folds Unicode simple-fold (ſ and K match, İ doesn't), and
+    Python's folds a wider set still (İ matches i). A twin that keeps
+    ``(?i)`` therefore extracts more than Spark on non-ASCII case
+    variants. This rewriter emits a flag-free pattern that means
+    Java-(?i) in every engine: ASCII letters outside classes become
+    ``[cC]``; single letters and same-case letter ranges inside classes
+    gain their swapped-case counterparts.
+
+    Run this BEFORE :func:`java_ws_exact`/:func:`py_ws_exact` — the
+    whitespace bodies contain ``\\x0B`` whose ``B`` must not be
+    dual-cased. Input must not itself carry a ``(?i)`` flag."""
+    if "(?i" in pattern:
+        raise ValueError("ascii_i_exact: pass the bare pattern, not (?i)...")
+
+    def swap_range(lo: str, hi: str) -> str:
+        if lo.islower() and hi.islower():
+            return lo.upper() + "-" + hi.upper()
+        if lo.isupper() and hi.isupper():
+            return lo.lower() + "-" + hi.lower()
+        return ""
+
+    out = []
+    in_class = False
+    i = 0
+    n = len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if not in_class:
+            if ch == "[":
+                in_class = True
+                out.append(ch)
+            elif ch.isascii() and ch.isalpha():
+                out.append("[" + ch + (ch.upper() if ch.islower() else ch.lower()) + "]")
+            else:
+                out.append(ch)
+            i += 1
+            continue
+        # inside a character class
+        if ch == "]":
+            in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        is_range = (
+            i + 2 < n
+            and pattern[i + 1] == "-"
+            and pattern[i + 2] not in "]\\"
+        )
+        if is_range:
+            lo, hi = ch, pattern[i + 2]
+            out.append(lo + "-" + hi)
+            if lo.isascii() and lo.isalpha() and hi.isascii() and hi.isalpha():
+                out.append(swap_range(lo, hi))
+            i += 3
+            continue
+        out.append(ch)
+        if ch.isascii() and ch.isalpha():
+            swapped = ch.upper() if ch.islower() else ch.lower()
+            if swapped != ch:
+                out.append(swapped)
+        i += 1
+    return "".join(out)

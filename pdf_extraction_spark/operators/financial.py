@@ -28,6 +28,9 @@ EBITDA_PATTERNS = list(_EBITDA_PATTERNS)
 MARGIN_PATTERNS = list(_MARGIN_PATTERNS)
 QUARTER_PATTERN = r"\b(Q[1-4])\b"
 COMBINED_PATTERN = r"\b(Q[1-4])\s*FY\s*(\d{2,4})\b"
+FY_DIRECT_PATTERN = r"\bFY\s*(\d{2,4})\b"
+FY_RANGE_PATTERN = r"\b(?:fiscal\s+year\s+)?(\d{4})-(\d{2,4})\b"
+URL_QFY_PATTERN = r"Q(\d)_FY(\d{2,4})"
 
 
 def _hits_array(content: Column, patterns) -> Column:
@@ -147,14 +150,14 @@ def fiscal_years_col(content: Column) -> Column:
     + last-2 (4-digit second group of the range form is kept whole,
     matching the reference's 2-group branch)."""
     fy_direct = F.transform(
-        F.regexp_extract_all(content, F.lit(r"(?i)\bFY\s*(\d{2,4})\b"), F.lit(1)),
+        F.regexp_extract_all(content, F.lit("(?i)" + FY_DIRECT_PATTERN), F.lit(1)),
         lambda y: F.when(F.length(y) == 2, F.concat(F.lit("FY"), y)).otherwise(
             F.concat(F.lit("FY"), F.substring(y, -2, 2))
         ),
     )
     fy_range = F.transform(
         F.regexp_extract_all(
-            content, F.lit(r"(?i)\b(?:fiscal\s+year\s+)?(\d{4})-(\d{2,4})\b"), F.lit(2)
+            content, F.lit("(?i)" + FY_RANGE_PATTERN), F.lit(2)
         ),
         lambda y: F.concat(F.lit("FY"), y),
     )
@@ -210,8 +213,8 @@ def with_url_date(df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts") 
 
     # try_cast everywhere: unmatched regex groups are '' and ANSI mode
     # (Spark 4 default) hard-fails plain casts on them
-    q = F.regexp_extract(name, r"(?i)Q(\d)_FY(\d{2,4})", 1).try_cast("int")
-    fy_raw = F.regexp_extract(name, r"(?i)Q(\d)_FY(\d{2,4})", 2)
+    q = F.regexp_extract(name, "(?i)" + URL_QFY_PATTERN, 1).try_cast("int")
+    fy_raw = F.regexp_extract(name, "(?i)" + URL_QFY_PATTERN, 2)
     fy_int = fy_raw.try_cast("int")
     fy = F.when(
         F.length(fy_raw) == 2,

@@ -144,3 +144,32 @@ def test_langid_twin_agreement_on_exotic_ws(spark):
     rows = con.execute(sql_detect_language("text")).fetchall()
     for doc_id, lang in rows:
         assert lang == detect_language(EXOTIC_TEXTS[doc_id]), EXOTIC_TEXTS[doc_id]
+
+
+def test_ascii_i_exact_rewrites():
+    from pdf_extraction_spark.kernels.wsre import ascii_i_exact
+
+    assert ascii_i_exact("abc") == "[aA][bB][cC]"
+    assert ascii_i_exact(r"\bFY\s*(\d{2,4})\b") == r"\b[Ff][Yy]\s*(\d{2,4})\b"
+    # classes: ranges gain the swapped-case range, escapes untouched
+    assert ascii_i_exact("[A-Z]+") == "[A-Za-z]+"
+    assert ascii_i_exact(r"[\d,]") == r"[\d,]"
+    assert ascii_i_exact("(?:crores?|cr)") == "(?:[cC][rR][oO][rR][eE][sS]?|[cC][rR])"
+    with pytest.raises(ValueError):
+        ascii_i_exact("(?i)x")
+
+
+def test_ascii_i_exact_equals_java_fold_in_re2():
+    """The rewritten (flag-free) pattern must accept exactly what Java
+    (?i) accepts: ASCII case pairs yes, Unicode fold-pairs (ſ, K, İ) no
+    — even though RE2's own (?i) would accept the first two."""
+    from pdf_extraction_spark.kernels.wsre import ascii_i_exact
+
+    con = duckdb.connect()
+    pat = ascii_i_exact(r"rs[A-Z]")
+    for s, want in [("RSX", True), ("rsx", True), ("Rsq", True),
+                    ("ſsX", False), ("rſX", False), ("rsſ", False)]:
+        got = con.execute(
+            "select regexp_full_match(?, ?)", [s, pat]
+        ).fetchone()[0]
+        assert got == want, (s, pat)
