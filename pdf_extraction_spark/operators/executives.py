@@ -59,7 +59,12 @@ def sql_extract_executives(values_clause: str) -> str:
     def esc(p):
         # the kernel applies NAME_PATTERNS with Python re — rewrite \s
         # to the explicit Python whitespace class so RE2 reads the
-        # pattern the way Python did (kernels.wsre)
+        # pattern the way Python did (kernels.wsre). (?i) is kept:
+        # Python's fold table ⊃ RE2's (both fold ſ/K; Python also
+        # folds İ↔i) — RE2 (?i) is the closest expressible form, and
+        # the İ-class residual is unreachable for the UPPER-ASCII
+        # roster domain (documented; see wsre.ascii_i_exact for the
+        # Java-side variant of this problem)
         return py_ws_exact("(?i)" + p).replace("'", "''")
 
     hits = []

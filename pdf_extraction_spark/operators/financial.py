@@ -3,9 +3,12 @@
 Each extractor family becomes ``regexp_extract_all`` per pattern →
 ``flatten``-style union → struct transform with CASE classification —
 all Catalyst, codegen'd, no Python in the hot path. Pattern strings are
-shared verbatim with the pure kernels (kernels/financial.py) and with
-the DuckDB oracle twins ((?i) inline flag works in both Java regex and
-RE2).
+shared verbatim with the pure kernels (kernels/financial.py); the
+DuckDB oracle twins derive from the SAME constants via
+kernels.wsre.ascii_i_exact + java_ws_exact — the bare (?i) flag means
+different fold tables in Java (ASCII) and RE2 (Unicode simple fold),
+so the twin spells the ASCII casing explicitly
+(tests/test_fin_regex_parity.py pins the family).
 
 Row shape: rather than arrays of structs (hash-unfriendly across
 engines), the query-level operators explode to one row per hit with the
