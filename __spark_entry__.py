@@ -1098,7 +1098,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.kernels.wsre import (
         JAVA_WS_SPLIT,
         WHITE_SPACE_BODY,
-        ascii_i_exact,
+        java_i_twin,
         java_ws_exact,
     )
     from pdf_extraction_spark.operators.financial import (
@@ -1113,7 +1113,7 @@ def oracle_sql() -> dict[str, str]:
         """Twin form of a Spark '(?i)'+pat regex: explicit ASCII dual
         casing (Java (?i) folds ASCII only; RE2's folds Unicode) +
         explicit Java \s class, single-quote escaped."""
-        return java_ws_exact(ascii_i_exact(pat)).replace("'", "''")
+        return java_i_twin(pat).replace("'", "''")
     from pdf_extraction_spark.operators.hostcap import sql_host_cap
     from pdf_extraction_spark.operators.mlfilter import (
         sql_score_bigram_lm,

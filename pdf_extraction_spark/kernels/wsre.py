@@ -100,6 +100,15 @@ def java_ws_exact(pattern: str) -> str:
     return _rewrite_ws(pattern, JAVA_WS_BODY)
 
 
+def java_i_twin(pattern: str) -> str:
+    """The full twin-derivation chain for a Spark-side ``(?i)+pattern``
+    regex: explicit ASCII dual casing, then the explicit Java ``\\s``
+    class — ONE shared spelling so the driver oracle
+    (``__spark_entry__._fin_pat``) and the parity fuzz
+    (tests/test_fin_regex_parity.py) provably run the same rewrite."""
+    return java_ws_exact(ascii_i_exact(pattern))
+
+
 def ascii_i_exact(pattern: str) -> str:
     """Replace the engine-varying ``(?i)`` flag with explicit ASCII
     dual-casing, measured semantics: Java's ``(?i)`` folds ASCII ONLY
@@ -123,7 +132,9 @@ def ascii_i_exact(pattern: str) -> str:
             return lo.upper() + "-" + hi.upper()
         if lo.isupper() and hi.isupper():
             return lo.lower() + "-" + hi.lower()
-        return ""
+        # [B-d]-style mixed-case ranges fold non-contiguously under
+        # Java (?i); silently skipping the fold would under-match
+        raise ValueError(f"ascii_i_exact: mixed-case range {lo}-{hi} unsupported")
 
     out = []
     in_class = False
@@ -132,6 +143,16 @@ def ascii_i_exact(pattern: str) -> str:
     while i < n:
         ch = pattern[i]
         if ch == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if nxt in "xupP0":
+                # multi-char escapes (\xHH, \uHHHH, \p{..}, octal):
+                # consuming only 2 chars would dual-case the trailing
+                # hex/property letters — refuse rather than corrupt
+                # (also why this rewriter must run BEFORE java_ws_exact,
+                # whose output contains \x0B)
+                raise ValueError(
+                    f"ascii_i_exact: \\{nxt}... escapes unsupported"
+                )
             out.append(pattern[i : i + 2])
             i += 2
             continue

@@ -973,7 +973,7 @@ def sql_pack_sequences(
 ) -> str:
     """DuckDB twin of pack_sequences (same md5 shard, same window)."""
     shard = (
-        f"(CAST('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || '{salt}'), 1, 8) AS BIGINT) % {n_shards})"
+        _sql_md5_bucket(id_expr, salt, n_shards)
     )
     return (
         f"WITH t AS (SELECT {id_expr} AS doc_id, CAST({token_expr} AS BIGINT) AS token_count, "
@@ -993,6 +993,17 @@ def sql_pack_sequences(
 # deterministic stratified sampling
 # --------------------------------------------------------------------------
 
+def _sql_md5_bucket(key_expr: str, salt: str, mod: int) -> str:
+    """DuckDB twin of :func:`sample_bucket_col` / the md5 shard key —
+    ONE home for the bucket expression so the sampling, mixing, and
+    packing twins cannot drift from each other or from the Column
+    form."""
+    return (
+        f"(CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 8) "
+        f"AS BIGINT) % {mod})"
+    )
+
+
 def _rate_case_col(stratum_col: str, rates: dict, default_rate: float) -> Column:
     """Per-stratum rate ×10000 as an int column (shared by the sampling
     and mixing operators so rate resolution cannot drift)."""
@@ -1007,7 +1018,9 @@ def _rate_case_col(stratum_col: str, rates: dict, default_rate: float) -> Column
 
 def _sql_rate_case(stratum_expr: str, rates: dict, default_rate: float) -> str:
     whens = " ".join(
-        f"WHEN {stratum_expr} = '{v}' THEN {int(round(r * 10000))}"
+        "WHEN {} = '{}' THEN {}".format(
+            stratum_expr, str(v).replace("'", "''"), int(round(r * 10000))
+        )
         for v, r in sorted(rates.items())
     )
     default = int(round(default_rate * 10000))
@@ -1032,6 +1045,12 @@ def weighted_mix(
     stratified_sample: reproducible across runs, engines, and cluster
     sizes, and a pure narrow map — no shuffle, the explode is the only
     row-count change."""
+    for col in ("copy_no", "__n_copies"):
+        if col in df.columns:
+            raise ValueError(
+                f"weighted_mix: input already has a '{col}' column — "
+                "re-mixing mixed output would silently clobber it"
+            )
     bucket = sample_bucket_col(F.col(key_col), salt)
     rate = _rate_case_col(stratum_col, rates, default_rate)
     n_copies = (
@@ -1061,7 +1080,7 @@ def sql_weighted_mix(
     """DuckDB twin of :func:`weighted_mix` (same bucket math, same rate
     resolution, same floor+frac copy count)."""
     bucket = (
-        f"(CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 8) AS BIGINT) % 10000)"
+        _sql_md5_bucket(key_expr, salt, 10000)
     )
     rate = _sql_rate_case(stratum_expr, rates, default_rate)
     return (
@@ -1108,6 +1127,6 @@ def sql_stratified_sample(
     """DuckDB twin predicate (same md5-bucket math)."""
     rate = _sql_rate_case(stratum_expr, fractions, default_fraction)
     bucket = (
-        f"(CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 8) AS BIGINT) % 10000)"
+        _sql_md5_bucket(key_expr, salt, 10000)
     )
     return f"{bucket} < {rate}"

@@ -30,7 +30,7 @@ from pdf_extraction_spark.kernels.financial import (
     _MARGIN_PATTERNS,
     _REVENUE_PATTERNS,
 )
-from pdf_extraction_spark.kernels.wsre import ascii_i_exact, java_ws_exact
+from pdf_extraction_spark.kernels.wsre import java_i_twin
 from pdf_extraction_spark.operators.financial import (
     COMBINED_PATTERN,
     FY_DIRECT_PATTERN,
@@ -85,7 +85,7 @@ def test_fin_patterns_cross_engine(spark, group):
     con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
     for pat in ALL_PATTERNS:
         jp = "(?i)" + pat
-        rp = java_ws_exact(ascii_i_exact(pat)).replace("'", "''")
+        rp = java_i_twin(pat).replace("'", "''")
         got = {
             r.i: r.m
             for r in df.select(
