@@ -149,6 +149,18 @@ URL_BLOCKED_HOSTS = ("spam.example",)
 
 # NFC fixture: composed vs decomposed accents, ligature (unchanged in
 # NFC), compatibility char, combining sequences, ASCII, empty, NULL
+FOLD_ROWS = [
+    (0, "caf\u00e9 menu"),
+    (1, "cafe\u0301 menu"),       # decomposed spelling, same fold
+    (2, "na\u00efve r\u00e9sum\u00e9"),
+    (3, "\u0142\u00f8\u00df no decomposition"),  # pass through whole
+    (4, "\u0915\u093e spacing mark drops"),       # Devanagari ka + aa matra
+    (5, "plain ascii"),
+    (6, ""),
+    (7, None),
+    (8, "A\u030a ring and e\u0301\u0323 stack"),
+]
+
 NFC_ROWS = [
     (0, "caf\u00e9 composed"),
     (1, "cafe\u0301 decomposed"),
@@ -638,6 +650,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rows = spark.createDataFrame(NFC_ROWS, "uid int, s string")
         return rows.select("uid", nfc_normalize_col(F.col("s")).alias("normalized"))
 
+    # -- accent folding (aggressive dedup-key normalization) ----------------
+    def q_fold_accents(spark, sf):
+        from pdf_extraction_spark.operators.textanalysis import fold_accents_col
+
+        rows = spark.createDataFrame(FOLD_ROWS, "uid int, s string")
+        return rows.select("uid", fold_accents_col(F.col("s")).alias("folded"))
+
     # -- URL canonicalization (crawl hygiene, pre-URL-dedup) ----------------
     def q_url_canonical(spark, sf):
         from pdf_extraction_spark.operators.curation import canonical_url_col
@@ -1054,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "url_canonical": q_url_canonical,
         "nfc_normalize": q_nfc_normalize,
+        "fold_accents": q_fold_accents,
         "nation_revenue": q_nation_revenue,
         "host_cap": q_host_cap,
         "qual_classify": q_qual_classify,
@@ -1558,6 +1578,10 @@ def oracle_sql() -> dict[str, str]:
         "nfc_normalize": (
             "SELECT uid, nfc_normalize(s) AS normalized FROM "
             + _sql_values(NFC_ROWS, ["uid", "s"])
+        ),
+        "fold_accents": (
+            "SELECT uid, strip_accents(s) AS folded FROM "
+            + _sql_values(FOLD_ROWS, ["uid", "s"])
         ),
         "url_canonical": (
             "SELECT uid, "

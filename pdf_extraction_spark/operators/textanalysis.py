@@ -178,3 +178,33 @@ def nfc_normalize_col(text: Column) -> Column:
     (unicodedata.normalize per batch); DuckDB's built-in nfc_normalize
     is the oracle twin. Total: NULL → NULL."""
     return nfc_normalize_udf(text)
+
+
+@pandas_udf(T.StringType())
+def fold_accents_udf(s: pd.Series) -> pd.Series:
+    import unicodedata
+
+    def fold(t):
+        if t is None:
+            return None
+        return "".join(
+            c
+            for c in unicodedata.normalize("NFD", t)
+            if not unicodedata.category(c).startswith("M")
+        )
+
+    return s.map(fold)
+
+
+def fold_accents_col(text: Column) -> Column:
+    """Accent/diacritic folding (NFD → drop every Mark-category char):
+    the aggressive text-key normalization one step past NFC — 'café',
+    'café' (decomposed), and 'cafe' all collapse to one dedup key, the
+    standard looser-matching key for near-dup mining and query-side
+    folding. Dropping gc=M* (not just nonzero-combining-class — spacing
+    marks like Devanagari matras are ccc=0 but still marks) is exactly
+    what DuckDB's strip_accents builtin does, measured on randomized
+    multi-script input (tests/test_textstats.py::TestFoldAccents), so
+    the twin is the builtin. Chars with no decomposition (ł, ø, ß)
+    pass through unchanged in both. Total: NULL → NULL."""
+    return fold_accents_udf(text)

@@ -193,3 +193,43 @@ class TestMojibake:
             }
             for i, t in enumerate(cases):
                 assert got[i] == fix_mojibake(t, passes), repr(t)
+
+class TestFoldAccents:
+    def test_collapses_spellings_for_dedup(self, spark):
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.operators.dedup import exact_duplicates
+        from pdf_extraction_spark.operators.textanalysis import fold_accents_col
+
+        df = spark.createDataFrame(
+            [(1, "café menu"), (2, "café menu"), (3, "cafe menu")],
+            "doc_id long, text string",
+        )
+        # NFC alone would merge 1+2; accent folding merges all three
+        folded = df.withColumn("text", fold_accents_col(F.col("text")))
+        groups = exact_duplicates(folded, "text", "doc_id").collect()
+        assert len(groups) == 1 and groups[0]["n_dups"] == 3
+
+    def test_randomized_cross_engine(self, spark):
+        import random
+
+        import duckdb
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.operators.textanalysis import fold_accents_col
+
+        rng = random.Random(5)
+        atoms = ["é", "e", "́", "ü", "ł", "ø", "ñ", "Å", "ﬁ", "½", "ç",
+                 "ß", "あ", "क", "ा", "x", "İ", "ō", "ê", " ", "ḉ", "ấ"]
+        rows = [(i, "".join(rng.choice(atoms) for _ in range(rng.randint(0, 12))))
+                for i in range(200)] + [(200, None)]
+        df = spark.createDataFrame(rows, "uid int, s string")
+        got = sorted(
+            (r["uid"], r["f"])
+            for r in df.select("uid", fold_accents_col(F.col("s")).alias("f")).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (uid INT, s VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(con.execute("SELECT uid, strip_accents(s) FROM t").fetchall())
+        assert got == want
