@@ -650,6 +650,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rows = spark.createDataFrame(NFC_ROWS, "uid int, s string")
         return rows.select("uid", nfc_normalize_col(F.col("s")).alias("normalized"))
 
+    # -- span-level exact-substring dedup (Lee et al. 2022) -----------------
+    def q_dedup_spans(spark, sf):
+        from pdf_extraction_spark.operators.curation import dedup_spans
+
+        return dedup_spans(_docs(spark, sf), k=8)
+
     # -- accent folding (aggressive dedup-key normalization) ----------------
     def q_fold_accents(spark, sf):
         from pdf_extraction_spark.operators.textanalysis import fold_accents_col
@@ -1074,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "nfc_normalize": q_nfc_normalize,
         "fold_accents": q_fold_accents,
+        "dedup_spans": q_dedup_spans,
         "nation_revenue": q_nation_revenue,
         "host_cap": q_host_cap,
         "qual_classify": q_qual_classify,
@@ -1142,6 +1149,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.curation import (
         WORD_SPLIT_RE,
         sql_dedup_lines,
+        sql_dedup_spans,
         sql_dedup_paragraphs,
         sql_dup_ngram_char_frac,
         sql_top_ngram_char_frac,
@@ -1583,6 +1591,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT uid, strip_accents(s) AS folded FROM "
             + _sql_values(FOLD_ROWS, ["uid", "s"])
         ),
+        "dedup_spans": sql_dedup_spans(k=8),
         "url_canonical": (
             "SELECT uid, "
             + sql_canonical_url("url")

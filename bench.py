@@ -151,7 +151,7 @@ def bench_queries(spark) -> dict:
         "dedup_keepfirst", "dedup_paragraphs", "dup_ngram_frac",
         # round 3 late: model-based gates + per-host cap
         "host_cap", "qual_classify", "lm_score", "fix_mojibake",
-        "incremental_dedup", "weighted_mix", "fold_accents",
+        "incremental_dedup", "weighted_mix", "fold_accents", "dedup_spans",
     ]
     out = {}
     for name in picks:

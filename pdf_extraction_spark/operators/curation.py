@@ -993,6 +993,135 @@ def sql_pack_sequences(
 # deterministic stratified sampling
 # --------------------------------------------------------------------------
 
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    ``k``-token window whose exact token sequence occurs ≥
+    ``min_occurrences`` times corpus-wide is removed from EVERY doc —
+    finer than doc/line dedup (it catches boilerplate sentences pasted
+    into otherwise-unique pages), coarser than a true suffix array
+    (fixed window length; overlapping repeated windows union into one
+    span, so a long repeated passage is removed wholesale).
+
+    Relational shape, all native: explode tokens with positions → one
+    groupBy on the 128-bit window key (corpus-wide counts — the dup
+    set is corpus-sized at web scale and is NOT broadcast) → join
+    flagged windows back → explode covered positions → distinct →
+    anti-join against the token table → per-doc ordered rebuild.
+    Returns (doc_id, clean_text, n_tokens_kept, n_tokens_removed);
+    docs shorter than ``k`` tokens pass through whole.
+
+    Tokens are taken verbatim (no lowering — the published method is
+    byte-exact); the window key is md5 over the chr(31)-joined tokens
+    (unit separator — cannot appear in whitespace-split tokens, so
+    token boundaries cannot be forged)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        _words(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+    )
+    pt = toks.select(
+        "doc_id", F.size("toks").alias("n_toks"), F.posexplode_outer("toks").alias("pos", "tok")
+    )
+    win = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - k),
+                    lambda i: F.struct(
+                        i.alias("i0"),
+                        F.md5(
+                            F.array_join(
+                                F.slice(F.col("toks"), i + 1, k), "\x1f"
+                            )
+                        ).alias("wkey"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("w"),
+    ).select("doc_id", F.col("w.i0").alias("i0"), F.col("w.wkey").alias("wkey"))
+    dup_keys = (
+        win.groupBy("wkey")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occurrences)
+        .select("wkey")
+    )
+    drop_pos = (
+        win.join(dup_keys, "wkey")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i0"), F.col("i0") + (k - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = pt.filter(F.col("tok").isNotNull()).join(
+        drop_pos, ["doc_id", "pos"], "left_anti"
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    totals = pt.groupBy("doc_id").agg(
+        F.max(F.when(F.col("tok").isNotNull(), F.col("n_toks")).otherwise(0)).alias(
+            "n_total"
+        )
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_tokens_kept", F.lit(0)).cast("long").alias("n_tokens_kept"),
+        (F.col("n_total") - F.coalesce("n_tokens_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )
+
+
+def sql_dedup_spans(k: int = 8, min_occurrences: int = 2) -> str:
+    """DuckDB twin of :func:`dedup_spans` over the ``documents`` view —
+    same tokenization, window key, threshold, span union, and ordered
+    rebuild, recomputed relationally."""
+    toks = f"list_filter(string_split_regex(coalesce(text, ''), '{WORD_SPLIT_RE}'), x -> x <> '')"
+    return (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        "pt AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM ("
+        "SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)), "
+        f"win AS (SELECT doc_id, i - 1 AS i0, "
+        f"md5(array_to_string(toks[i:i+{k - 1}], chr(31))) AS wkey FROM ("
+        f"SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {k - 1})) AS i "
+        f"FROM t WHERE len(toks) >= {k})), "
+        "dup AS (SELECT wkey FROM win GROUP BY wkey "
+        f"HAVING count(*) >= {min_occurrences}), "
+        "dp AS (SELECT DISTINCT doc_id, i0 + s AS pos FROM win "
+        f"JOIN dup USING (wkey), (SELECT unnest(range(0, {k})) AS s)), "
+        "kept AS (SELECT pt.doc_id, pt.pos, pt.tok FROM pt "
+        "LEFT JOIN dp ON pt.doc_id = dp.doc_id AND pt.pos = dp.pos "
+        "WHERE dp.pos IS NULL), "
+        "rebuilt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_kept, "
+        "string_agg(tok, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id), "
+        "totals AS (SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS n_total FROM t) "
+        "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
+        "CAST(coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept, "
+        "CAST(t.n_total - coalesce(r.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed "
+        "FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id"
+    )
+
+
 def _sql_md5_bucket(key_expr: str, salt: str, mod: int) -> str:
     """DuckDB twin of :func:`sample_bucket_col` / the md5 shard key —
     ONE home for the bucket expression so the sampling, mixing, and

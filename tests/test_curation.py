@@ -733,3 +733,50 @@ class TestWeightedMix:
                 "doc_id", "source", rates={"src0": 3.2, "src1": 0.6}
             ),
         )
+
+
+class TestDedupSpans:
+    def test_semantics(self, spark):
+        from pdf_extraction_spark.operators.curation import dedup_spans
+
+        shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 toks
+        rows = [
+            (1, f"intro words here {shared} outro part"),
+            (2, f"totally different beginning {shared} and ending text"),
+            (3, "a unique document with no repeated windows at all today"),
+            (4, "tiny doc"),            # < k tokens: passes through whole
+            (5, None),
+            (6, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in dedup_spans(df, k=8).collect()}
+        # the shared 10-token passage spans 3 overlapping 8-windows that
+        # union into ONE removed span in both docs
+        assert got[1].clean_text == "intro words here outro part"
+        assert got[2].clean_text == "totally different beginning and ending text"
+        assert got[1].n_tokens_removed == 10 and got[2].n_tokens_removed == 10
+        assert got[3].n_tokens_removed == 0
+        assert got[4].clean_text == "tiny doc" and got[4].n_tokens_removed == 0
+        assert got[5].clean_text == "" and got[5].n_tokens_kept == 0
+        assert got[6].clean_text == ""
+
+    def test_within_doc_repetition_counts(self, spark):
+        from pdf_extraction_spark.operators.curation import dedup_spans
+
+        eight = "one two three four five six seven eight"
+        df = spark.createDataFrame(
+            [(1, f"{eight} middle bit {eight}")], "doc_id long, text string"
+        )
+        got = dedup_spans(df, k=8).collect()[0]
+        # both copies of the window occur >= 2 times -> both removed
+        assert got.clean_text == "middle bit"
+        assert got.n_tokens_removed == 16
+
+    def test_cross_engine(self, docs_df):
+        from pdf_extraction_spark.operators.curation import (
+            dedup_spans,
+            sql_dedup_spans,
+        )
+
+        for k in (3, 8):
+            _compare(dedup_spans(docs_df, k=k), _con(), sql_dedup_spans(k=k))
