@@ -1018,15 +1018,16 @@ def dedup_spans(
     docs shorter than ``k`` tokens pass through whole.
 
     Tokens are taken verbatim (no lowering — the published method is
-    byte-exact); the window key is md5 over the chr(31)-joined tokens
-    (unit separator — cannot appear in whitespace-split tokens, so
-    token boundaries cannot be forged)."""
+    byte-exact); the window key is md5 over the newline-joined tokens —
+    newline is IN the whitespace split class, so it can never survive
+    inside a token and window boundaries cannot be forged (chr(31)
+    would be forgeable: it is not whitespace)."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         _words(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
     )
     pt = toks.select(
-        "doc_id", F.size("toks").alias("n_toks"), F.posexplode_outer("toks").alias("pos", "tok")
+        "doc_id", F.posexplode_outer("toks").alias("pos", "tok")
     )
     win = toks.select(
         "doc_id",
@@ -1039,7 +1040,7 @@ def dedup_spans(
                         i.alias("i0"),
                         F.md5(
                             F.array_join(
-                                F.slice(F.col("toks"), i + 1, k), "\x1f"
+                                F.slice(F.col("toks"), i + 1, k), "\n"
                             )
                         ).alias("wkey"),
                     ),
@@ -1077,11 +1078,11 @@ def dedup_spans(
             ).alias("clean_text"),
         )
     )
-    totals = pt.groupBy("doc_id").agg(
-        F.max(F.when(F.col("tok").isNotNull(), F.col("n_toks")).otherwise(0)).alias(
-            "n_total"
-        )
-    )
+    # per-doc totals come from the PRE-explode frame — aggregating the
+    # exploded token table to recover a per-row constant would shuffle
+    # the whole corpus for nothing (and diverge from the twin's
+    # non-aggregated shape on pathological duplicate ids)
+    totals = toks.select("doc_id", F.size("toks").alias("n_total"))
     return totals.join(rebuilt, "doc_id", "left").select(
         "doc_id",
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
@@ -1102,7 +1103,7 @@ def sql_dedup_spans(k: int = 8, min_occurrences: int = 2) -> str:
         "pt AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM ("
         "SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)), "
         f"win AS (SELECT doc_id, i - 1 AS i0, "
-        f"md5(array_to_string(toks[i:i+{k - 1}], chr(31))) AS wkey FROM ("
+        f"md5(array_to_string(toks[i:i+{k - 1}], chr(10))) AS wkey FROM ("
         f"SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {k - 1})) AS i "
         f"FROM t WHERE len(toks) >= {k})), "
         "dup AS (SELECT wkey FROM win GROUP BY wkey "

@@ -187,24 +187,32 @@ def fold_accents_udf(s: pd.Series) -> pd.Series:
     def fold(t):
         if t is None:
             return None
-        return "".join(
+        stripped = "".join(
             c
             for c in unicodedata.normalize("NFD", t)
             if not unicodedata.category(c).startswith("M")
         )
+        # recompose: without this, NFD leaves Hangul syllables as jamo
+        # (they decompose but carry no marks) and the fold would
+        # diverge from strip_accents on every precomposed syllable
+        return unicodedata.normalize("NFC", stripped)
 
     return s.map(fold)
 
 
 def fold_accents_col(text: Column) -> Column:
-    """Accent/diacritic folding (NFD → drop every Mark-category char):
-    the aggressive text-key normalization one step past NFC — 'café',
+    """Accent/diacritic folding (NFC ∘ drop-gc=M* ∘ NFD): the
+    aggressive text-key normalization one step past NFC — 'café',
     'café' (decomposed), and 'cafe' all collapse to one dedup key, the
     standard looser-matching key for near-dup mining and query-side
     folding. Dropping gc=M* (not just nonzero-combining-class — spacing
-    marks like Devanagari matras are ccc=0 but still marks) is exactly
-    what DuckDB's strip_accents builtin does, measured on randomized
-    multi-script input (tests/test_textstats.py::TestFoldAccents), so
-    the twin is the builtin. Chars with no decomposition (ł, ø, ß)
-    pass through unchanged in both. Total: NULL → NULL."""
+    marks like Devanagari matras are ccc=0 but still marks) then
+    recomposing matches DuckDB's strip_accents builtin, verified by an
+    exhaustive BMP sweep (tests/test_textstats.py::TestFoldAccents):
+    the ONLY divergent code points are the 40 combining marks added in
+    Unicode 13/14 (U+0898.., U+0B55, U+1AC1.., ...), which this
+    Python's newer Unicode tables drop and DuckDB's older utf8proc
+    keeps — a pinned engine-version skew, not an algorithm difference.
+    Chars with no decomposition (ł, ø, ß) pass through unchanged in
+    both. Total: NULL → NULL."""
     return fold_accents_udf(text)
