@@ -780,3 +780,39 @@ class TestDedupSpans:
 
         for k in (3, 8):
             _compare(dedup_spans(docs_df, k=k), _con(), sql_dedup_spans(k=k))
+
+    def test_window_keys_not_forgeable_by_control_chars(self, spark):
+        """Regression: with a chr(31)-joined key, these two UNIQUE docs
+        (the same letters split differently by an embedded \\x1f) had
+        colliding window keys and were both wiped. Newline joining is
+        unforgeable — \\n is whitespace and can't survive in a token."""
+        from pdf_extraction_spark.operators.curation import (
+            dedup_spans,
+            sql_dedup_spans,
+        )
+
+        rows = [
+            (1, "a\x1fb c d e f g h i"),
+            (2, "a b c d e f g h\x1fi"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in dedup_spans(df, k=8).collect()}
+        assert got[1].n_tokens_removed == 0
+        assert got[2].n_tokens_removed == 0
+        # and the twin agrees
+        _compare(
+            dedup_spans(
+                spark.createDataFrame(
+                    [(i, t, "s") for i, t in rows],
+                    "doc_id long, text string, source string",
+                ),
+                k=8,
+            ),
+            (lambda c: (c.execute(
+                "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, source VARCHAR)"
+            ), c.executemany(
+                "INSERT INTO documents VALUES (?, ?, ?)",
+                [(i, t, "s") for i, t in rows],
+            ), c)[-1])(duckdb.connect()),
+            sql_dedup_spans(k=8),
+        )
