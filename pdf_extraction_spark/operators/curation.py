@@ -1015,7 +1015,12 @@ def dedup_spans(
     flagged windows back → explode covered positions → distinct →
     anti-join against the token table → per-doc ordered rebuild.
     Returns (doc_id, clean_text, n_tokens_kept, n_tokens_removed);
-    docs shorter than ``k`` tokens pass through whole.
+    docs shorter than ``k`` tokens keep their full token sequence.
+    ``clean_text`` is the surviving token stream single-space-joined —
+    original whitespace structure is NOT preserved (even for untouched
+    docs), exactly like the published method's token-level output: run
+    span dedup AFTER the line/paragraph operators, or feed its output
+    to token-level consumers (packing, LM scoring).
 
     Tokens are taken verbatim (no lowering — the published method is
     byte-exact); the window key is md5 over the newline-joined tokens —

@@ -12,10 +12,13 @@ the slice. The cap here is a **tree of bounded top-K reductions** in
 which every aggregation buffer has a hard size bound:
 
 1. group by ``(host, spark_partition_id())`` — each group lives inside
-   ONE input partition, so the collect buffer is bounded by partition
-   size (the memory the task already holds), and the partial
-   aggregation completes map-side: the shuffle carries at most K rows
-   per (host, input-partition);
+   ONE input partition, so every aggregation buffer is bounded by
+   partition size (the memory the task already holds). The stage-1
+   shuffle still ships each group's struct array once (16-byte
+   (score, id) structs only — the corpus-sized shuffle any grouped
+   aggregation pays, same bytes the window formulation ships); what
+   the slice bounds is every buffer and every stage OUTPUT, so no
+   reducer ever materializes a mega-host;
 2. group the ≤ P×K survivors by ``(host, hash-salt)`` with ``fan_in``
    buckets — buffer ≤ ~P×K/fan_in;
 3. final group by host over ≤ fan_in×K rows — buffer bounded by a

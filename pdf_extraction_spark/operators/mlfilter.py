@@ -183,25 +183,32 @@ def score_quality(
     6 digits (exp() last-ulp drift across engines is below that).
     Per-doc state is bounded by the bucket space (16^prefix_len)."""
     feats = doc_bucket_counts(df, text_col, id_col, prefix_len)
-    matched = (
-        feats.join(F.broadcast(weights), "bucket")
+    # ONE pass over feats: a left join against the broadcast weights,
+    # then a single per-doc aggregation producing both the token total
+    # and the matched term list (collect_list drops the NULL entries of
+    # unmatched buckets) — consuming feats from two aggregations would
+    # run the corpus-sized explode+shuffle twice
+    term = F.when(
+        F.col("w").isNotNull(),
+        F.struct("bucket", (F.col("cnt") * F.col("w")).alias("t")),
+    )
+    per_doc = (
+        feats.join(F.broadcast(weights), "bucket", "left")
         .groupBy("doc_id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct("bucket", (F.col("cnt") * F.col("w")).alias("t")))
-            ).alias("terms")
-        )
-        .select(
-            "doc_id",
-            _ordered_fold_sum(F.transform("terms", lambda s: s["t"])).alias("wsum"),
+            F.max("n_tokens").alias("n_tokens"),
+            F.array_sort(F.collect_list(term)).alias("terms"),
         )
     )
-    per_doc = feats.groupBy("doc_id").agg(F.max("n_tokens").alias("n_tokens"))
-    scored = per_doc.join(matched, "doc_id", "left").select(
+    scored = per_doc.select(
         "doc_id",
         (
             F.lit(bias)
-            + F.coalesce(F.col("wsum") / F.nullif(F.col("n_tokens"), F.lit(0)), F.lit(0.0))
+            + F.coalesce(
+                _ordered_fold_sum(F.transform("terms", lambda s: s["t"]))
+                / F.nullif(F.col("n_tokens"), F.lit(0)),
+                F.lit(0.0),
+            )
         ).alias("raw"),
     )
     return scored.select(
@@ -227,13 +234,15 @@ def sql_score_quality(
         "CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS tok FROM t), "
         f"f AS (SELECT doc_id, {sql_bucket('tok', prefix_len)} AS bucket, "
         "count(tok) AS cnt, max(n_tokens) AS n_tokens FROM e GROUP BY doc_id, bucket), "
-        # bucket-ordered left fold == Spark's _ordered_fold_sum sequence
-        "m AS (SELECT f.doc_id, "
-        "list_reduce(list_prepend(0.0, list(f.cnt * w.w ORDER BY f.bucket)), (a, b) -> a + b) AS wsum "
-        f"FROM f JOIN {weights_values} ON f.bucket = w.bucket GROUP BY f.doc_id), "
-        "n AS (SELECT doc_id, max(n_tokens) AS n_tokens FROM f GROUP BY doc_id), "
-        f"s AS (SELECT n.doc_id, {bias} + coalesce(m.wsum / nullif(n.n_tokens, 0), 0.0) AS raw "
-        "FROM n LEFT JOIN m ON n.doc_id = m.doc_id) "
+        # one pass like the Spark side: left join + a single per-doc
+        # aggregation; bucket-ordered left fold == _ordered_fold_sum
+        "m AS (SELECT f.doc_id, max(f.n_tokens) AS n_tokens, "
+        "list_reduce(list_prepend(0.0, coalesce("
+        "list(f.cnt * w.w ORDER BY f.bucket) FILTER (WHERE w.w IS NOT NULL), [])), "
+        "(a, b) -> a + b) AS wsum "
+        f"FROM f LEFT JOIN {weights_values} ON f.bucket = w.bucket GROUP BY f.doc_id), "
+        f"s AS (SELECT doc_id, {bias} + coalesce(wsum / nullif(n_tokens, 0), 0.0) AS raw "
+        "FROM m) "
         "SELECT doc_id, round(raw, 6) AS logit, "
         "round(1.0 / (1.0 + exp(-raw)), 6) AS prob FROM s"
     )

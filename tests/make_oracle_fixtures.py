@@ -440,7 +440,10 @@ def mojibake_table():
         elif case == 3:
             t = base  # pure ASCII is a fixed point
         else:
-            t = "Ã(" + base  # marker present but bytes invalid as UTF-8
+            # TRUE guard-3 case: marker pair present (Ã© = C3 A9, valid
+            # prefix) but the full Latin-1 byte stream is invalid UTF-8
+            # (C5 lead byte followed by ASCII) — repair must refuse
+            t = "Ã©\u00c5" + base
         ids.append(doc_id)
         texts.append(t)
         fixed.append(fix_mojibake(t, passes=2))

@@ -46,7 +46,6 @@ def test_host_cap_matches_window_twin(spark):
         for j in range(3):
             rows.append((1000 + h * 10 + j, "t", j % 2, f"h{h}"))
     rows.append((9999, "t", None, "h1"))  # null score sorts last
-    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long, source string")
 
     # NaN scores must rank like NULL (-inf) in BOTH engines — DuckDB's
     # ORDER BY would otherwise put NaN above +inf while Spark sorts it

@@ -143,7 +143,11 @@ class TestMojibake:
         assert fix_mojibake(self.GOOD) == self.GOOD  # >0xFF chars: untouched
         assert fix_mojibake("plain ascii") == "plain ascii"
         assert fix_mojibake("é legit latin-1 prose") == "é legit latin-1 prose"
+        # guard 2 (no marker pair — '(' is not a continuation byte)
         assert fix_mojibake("Ã(not valid utf8") == "Ã(not valid utf8"
+        # guard 3 (marker present, Latin-1 bytes invalid as UTF-8:
+        # C5 lead byte followed by ASCII)
+        assert fix_mojibake("Ã©\u00c5a broken") == "Ã©\u00c5a broken"
         assert fix_mojibake("") == ""
         assert fix_mojibake(None) is None
 
@@ -164,6 +168,7 @@ class TestMojibake:
             "",
             None,
             "Ã(x",
+            "caf\u00c3\u00a9\u00c5x",  # guard 3: marker + invalid bytes
             "é legit latin1",
             "Â° almost-marker",
             # trailing LS/PS/NEL: the range guard must reject these —
