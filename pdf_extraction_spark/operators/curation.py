@@ -841,27 +841,46 @@ def flag_contaminated(
     an evaluation set — the standard pre-training decontamination pass
     (GPT-3 App. C / PaLM-style n-gram overlap).
 
-    Scale shape: eval sets are small by construction, so the eval
-    shingle set is BROADCAST and the overlap check is a broadcast
-    semi-join against the exploded doc shingles — the corpus side
-    shuffles once on doc_id for the count, never on the shingle.
+    Scale shape, two phases, result EXACT:
+
+    1. **Hash prefilter over the whole corpus**: the doc scan computes
+       64-bit xxhash64 gram keys (:func:`~.dedup.shingle_hash_df` — no
+       gram STRING is ever materialized) and broadcast-semi-joins the
+       hashed eval set. Before this prefilter the corpus scan allocated
+       an ~n-word string per gram; that garbage, not the (tiny, 28 MB
+       at 1.2M docs) shuffle, made wall time grow 12.9× for 10× input
+       (BENCH/curation_sf1.json round 3). Eval sets are small by
+       construction, so the hashed eval grams broadcast at 8
+       bytes/gram.
+    2. **Exact string recheck on candidates only**: docs with ≥1 hash
+       hit (a vanishing fraction of a clean corpus) recompute real
+       string shingles and the exact overlap count. Hash equality has
+       no false negatives (equal token tuples hash equal), so
+       non-candidates are exactly the n_overlaps=0 docs, and a phase-1
+       collision just sends one extra doc to the recheck where its true
+       count (possibly 0) is restored.
 
     Returns (doc_id, n_overlaps, contaminated)."""
-    from .dedup import shingle_df
+    from .dedup import shingle_df, shingle_hash_df
 
-    doc_sh = shingle_df(docs, text_col, id_col, n)
-    eval_sh = (
-        shingle_df(
-            eval_df.select(F.col(eval_text_col).alias("__t"), F.lit(0).alias("__i")),
-            "__t",
-            "__i",
-            n,
-        )
-        .select("shingle")
+    eval_named = eval_df.select(F.col(eval_text_col).alias("__t"), F.lit(0).alias("__i"))
+    eval_gh = shingle_hash_df(eval_named, "__t", "__i", n).select("gh").distinct()
+    doc_gh = shingle_hash_df(docs, text_col, id_col, n)
+    cand = (
+        doc_gh.join(F.broadcast(eval_gh), "gh")
+        .select("doc_id")
         .distinct()
+        .withColumnRenamed("doc_id", "__cand_id")
     )
-    hits = doc_sh.join(F.broadcast(eval_sh), "shingle").groupBy("doc_id").agg(
-        F.count("*").alias("n_overlaps")
+    cand_docs = docs.join(
+        F.broadcast(cand), docs[id_col] == F.col("__cand_id"), "left_semi"
+    )
+    eval_sh = shingle_df(eval_named, "__t", "__i", n).select("shingle").distinct()
+    hits = (
+        shingle_df(cand_docs, text_col, id_col, n)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlaps"))
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"))

@@ -101,6 +101,38 @@ def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFra
     return with_toks.select("doc_id", F.explode(grams).alias("shingle"))
 
 
+def shingle_hash_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """One row per distinct word-n-gram HASH per doc — the 64-bit
+    prefilter form of :func:`shingle_df`.
+
+    The n-gram string is never materialized: ``xxhash64`` streams over
+    the n token columns directly, so the hot scan allocates no ~60-byte
+    gram strings (at 10^6+ docs the gram-string garbage, not the
+    shuffle, dominates :func:`shingle_df`-based wall time — measured in
+    BENCH/curation_sf1.json). Join keys are 8 bytes instead of n words.
+    Hash equality admits false positives (resolved by an exact string
+    recheck on the surviving candidates) and no false negatives: equal
+    token tuples always hash equal. Mirrors shingle_df's short-doc rule
+    (< n tokens → one whole-text gram, hashed as the joined string)."""
+    toks_expr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    with_toks = df.select(F.col(id_col).alias("doc_id"), toks_expr.alias("__toks"))
+    toks = F.col("__toks")
+    hashes_all = F.transform(
+        toks,
+        lambda t, i: F.when(
+            i <= F.size(toks) - n,
+            F.xxhash64(t, *[F.get(toks, i + k) for k in range(1, n)]),
+        ),
+    )
+    hashes = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.filter(hashes_all, lambda h: h.isNotNull())),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    return with_toks.select("doc_id", F.explode(hashes).alias("gh"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -15,7 +15,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -73,7 +73,14 @@ def train_centroids(
     ``total_count`` may be passed from table metadata to skip the count
     job; ``n_cells`` defaults to the √N rule (:func:`default_n_cells`).
     Lloyd iterations run in :func:`kmeans_lite` (deterministic given
-    seed + sample)."""
+    seed + sample).
+
+    Ceiling: the driver sample holds ≤ ``sample_size`` rows, so this
+    path can achieve at most ``sample_size`` distinct cells. When
+    ``n_cells > sample_size`` (the √N rule crosses 4,096 around
+    N ≈ 1.7×10^7 vectors) training dispatches to
+    :func:`train_centroids_distributed`, whose Lloyd iterations run on
+    the EXECUTORS and whose driver footprint is the model itself."""
     nn = emb.select(vec_col).filter(F.col(vec_col).isNotNull())
     if total_count is None:
         total_count = nn.count()
@@ -81,12 +88,86 @@ def train_centroids(
         raise ValueError("train_centroids: no non-null vectors")
     if n_cells is None:
         n_cells = default_n_cells(total_count)
+    if n_cells > sample_size:
+        return train_centroids_distributed(
+            emb, vec_col=vec_col, n_cells=n_cells, iters=iters, seed=seed,
+            total_count=total_count,
+        )
     frac = min(1.0, (sample_size * 1.25) / total_count)
     sampled = nn if frac >= 1.0 else nn.sample(False, frac, seed)
     sample = np.array(
         sampled.limit(sample_size).toPandas()[vec_col].tolist(), dtype=np.float64
     )
     return kmeans_lite(sample, n_cells, iters=iters, seed=seed)
+
+
+def train_centroids_distributed(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = None,
+    iters: int = 5,
+    seed: int = 42,
+    total_count: int = None,
+):
+    """Distributed spherical Lloyd for ``n_cells`` beyond the driver
+    sample ceiling (IVF at 10^9+ vectors wants √N ≈ 10^4–10^5 cells).
+
+    Shape per iteration: assignment is the :func:`assign_cells`
+    pandas-UDF matmul (one matmul per Arrow batch, centroids shipped in
+    the task closure — the same broadcast cost ``ivf_topk`` itself
+    pays); the centroid update is a NATIVE per-dimension ``SUM``
+    aggregation over L2-normalized vectors (``groupBy(cell).agg(count,
+    sum(v[0]), …, sum(v[d-1]))``) — one shuffle of n_cells·(dim+1)
+    partial sums per executor, map-side combined. The only data that
+    ever reaches the driver is the n_cells×dim update matrix, i.e. the
+    model itself, which any IVF design must hold to broadcast.
+
+    Initialization takes ``n_cells`` rows from a seeded distributed
+    Bernoulli sample (deterministic for a fixed input layout). Empty
+    cells keep their previous centroid; zero vectors contribute their
+    raw components (norm clamped to 1), mirroring :func:`kmeans_lite`'s
+    rules so small-scale behavior matches the driver path."""
+    nn = emb.select(vec_col).filter(F.col(vec_col).isNotNull())
+    if total_count is None:
+        total_count = nn.count()
+    if total_count == 0:
+        raise ValueError("train_centroids_distributed: no non-null vectors")
+    if n_cells is None:
+        n_cells = default_n_cells(total_count)
+    n_cells = min(n_cells, total_count)
+
+    frac = min(1.0, (n_cells * 1.25 + 64) / total_count)
+    sampled = nn if frac >= 1.0 else nn.sample(False, frac, seed)
+    init = np.array(
+        sampled.limit(n_cells).toPandas()[vec_col].tolist(), dtype=np.float64
+    )
+    if len(init) < n_cells:  # sparse sample undershot — top up deterministically
+        init = np.array(nn.limit(n_cells).toPandas()[vec_col].tolist(), dtype=np.float64)
+    centroids = _np_normalize(init)
+    dim = centroids.shape[1]
+
+    # L2-normalize natively (zero norm clamps to 1, kmeans_lite's rule)
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(F.col(vec_col), lambda x: x / F.when(norm == 0.0, 1.0).otherwise(norm))
+    unit_df = nn.select(unit.alias("u"))
+
+    for _ in range(iters):
+        assigned = assign_cells(unit_df, centroids, vec_col="u")
+        stats = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.col("u")[i]).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        nxt = centroids.copy()
+        for row in stats:
+            c = row["cell"]
+            if row["n"]:
+                nxt[c] = np.array([row[f"s{i}"] for i in range(dim)]) / row["n"]
+        centroids = _np_normalize(nxt)
+    return centroids
 
 
 def assign_cells(emb: DataFrame, centroids, vec_col: str = "embedding") -> DataFrame:
@@ -146,10 +227,25 @@ def brute_force_topk_batch(
     id_col: str = "vec_id",
     q_vec_col: str = "q_vec",
     q_id_col: str = "q_id",
+    fan_in: int = 64,
 ) -> DataFrame:
     """Top-k per query for a batch of queries: broadcast the query matrix,
     score each embedding batch against all queries in one numpy matmul,
-    rank per query with a window."""
+    then rank per query with a **tree of bounded top-k reductions**
+    (the hostcap.py shape) instead of a global window.
+
+    A ``row_number() OVER (PARTITION BY q_id)`` window shuffles all
+    N·Q scored rows and funnels each query's N rows through ONE task —
+    at 10^9 docs that is a single-partition-per-query exchange where
+    only k rows survive. Here stage 1 groups by (q_id,
+    spark_partition_id()) so every aggregation buffer is bounded by
+    partition size and map-side combining reduces the shuffle to
+    ≤ P·Q·k struct rows; stage 2 salts into ``fan_in`` buckets; the
+    final per-query merge sees ≤ fan_in·k rows. Order: similarity
+    descending (negated in the sort struct — double negation is
+    exact), id ascending as the deterministic tie-break. NaN/NULL
+    similarities normalize to -inf (sorted last), matching the
+    SQL-window twin."""
     qrows = queries.select(q_id_col, q_vec_col).collect()
     q_ids = [r[0] for r in qrows]
     q_mat = _np_normalize(np.array([r[1] for r in qrows], dtype=np.float64))
@@ -182,5 +278,27 @@ def brute_force_topk_batch(
         .select(F.col(id_col), F.explode(sims_udf(F.col(vec_col))).alias("qs"))
         .select(id_col, F.col("qs.q_id").alias("q_id"), F.col("qs.sim").alias("similarity"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("similarity"), F.col(id_col))
-    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k).drop("rk")
+    neg_inf = F.lit(float("-inf"))
+    clean = F.coalesce(F.nanvl(F.col("similarity"), neg_inf), neg_inf)
+    base = scored.select(
+        "q_id",
+        F.spark_partition_id().alias("__pid"),
+        F.struct((-clean).alias("ns"), F.col(id_col).alias("id")).alias("e"),
+    )
+
+    def _merge(df, group_cols):
+        return (
+            df.groupBy(*group_cols)
+            .agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("top"))
+            .select("q_id", F.explode("top").alias("e"))
+        )
+
+    local = _merge(base, ["q_id", "__pid"])  # buffer ≤ partition, map-side complete
+    salted = local.withColumn("__salt", F.pmod(F.xxhash64(F.col("e.id")), F.lit(fan_in)))
+    mid = _merge(salted, ["q_id", "__salt"])  # buffer ≤ P·k/fan_in
+    final = mid.groupBy("q_id").agg(
+        F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("top")
+    )
+    return final.select("q_id", F.explode("top").alias("e")).select(
+        F.col("e.id").alias(id_col), "q_id", (-F.col("e.ns")).alias("similarity")
+    )

@@ -104,13 +104,18 @@ _ANSWER_SYSTEM_PROMPT = (
     "call transcripts."
 )
 
+# the "complete" path's system message (complete_rag.py:292-294)
+_COMPREHENSIVE_SYSTEM_PROMPT = (
+    "You are a senior business analyst expert in earnings call analysis. "
+    "Provide detailed, accurate, and well-structured responses based on "
+    "the provided earnings call transcripts."
+)
 
-def build_answer_prompt(question: str, search_results) -> str:
-    """Byte-parity with the reference's prompt assembly
-    (simple_rag.py:205-246): numbered Source blocks from the top-5
-    results + the analyst-instructions template. The prompt text IS the
-    spec — a pluggable LLM client must see the same bytes the reference
-    sends."""
+
+def _context_block(search_results) -> str:
+    """Numbered Source blocks from the top-5 results — the context
+    assembly both reference scripts share (simple_rag.py:209-223,
+    complete_rag.py:209-225: identical f-string shape)."""
     context_parts = []
     for i, result in enumerate(search_results[:5], 1):
         metadata = result.get("metadata") or {}
@@ -121,7 +126,87 @@ Category: {metadata.get('category', 'Unknown')} | Date: {(metadata.get('date') o
 Content: {result['content']}
 ---"""
         )
-    context = "\n".join(context_parts)
+    return "\n".join(context_parts)
+
+
+def build_answer_prompt(question: str, search_results, style: str = "simple") -> str:
+    """Byte-parity with the reference's prompt assembly. The prompt text
+    IS the spec — a pluggable LLM client must see the same bytes the
+    reference sends.
+
+    ``style="simple"``: numbered Source blocks + the analyst-instructions
+    template (simple_rag.py:205-246).
+    ``style="comprehensive"``: the complete-RAG business-intelligence
+    report template (complete_rag.py:227-287) — same Source blocks under
+    a "Recent Earnings Call Context" heading, then the eight-section
+    analysis framework, response structure, and critical requirements."""
+    context = _context_block(search_results)
+    if style == "comprehensive":
+        return f"""You are a senior business analyst with 15+ years of experience analyzing public companies across industries. Based on the provided earnings call transcripts, deliver a comprehensive business intelligence report.
+
+User Question: {question}
+
+Recent Earnings Call Context:
+{context}
+
+COMPREHENSIVE ANALYSIS FRAMEWORK:
+
+\U0001F4CA FINANCIAL HEALTH & TRENDS:
+- Revenue growth patterns, margin trajectories, profitability trends
+- Quarter-over-quarter and year-over-year performance analysis
+- Cash flow generation, debt levels, return metrics
+
+\U0001F3ED OPERATIONAL PERFORMANCE:
+- Business capacity utilization, operational efficiency
+- Supply chain resilience, inventory management
+- Cost optimization initiatives, productivity improvements
+
+\U0001F3AF PRODUCT/SERVICE PORTFOLIO:
+- New product/service launches and market reception
+- Innovation pipeline and development progress
+- Portfolio mix and performance by segment
+
+\U0001F30D MARKET POSITIONING & EXPANSION:
+- Geographic revenue mix and market presence
+- Market share evolution, competitive positioning
+- Pricing dynamics and market trends
+
+⚖️ REGULATORY & COMPLIANCE:
+- Regulatory environment and compliance status
+- Industry-specific approvals and certifications
+- Quality initiatives and governance
+
+\U0001F4BC MANAGEMENT STRATEGY & EXECUTION:
+- Strategic priorities and execution progress
+- Capital allocation decisions, M&A activities
+- Leadership stability and organizational changes
+
+⚠️ RISK ASSESSMENT:
+- Industry risks, competitive threats
+- Economic impacts, operational vulnerabilities
+- Market pressures and business challenges
+
+\U0001F52E FORWARD-LOOKING INSIGHTS:
+- Management guidance and confidence levels
+- Growth drivers and investment priorities
+- Market outlook and strategic positioning
+
+RESPONSE STRUCTURE:
+1. **Executive Summary** (2-3 key takeaways)
+2. **Detailed Analysis** (organize by relevant categories above)
+3. **Latest Trends** (highlight most recent developments)
+4. **Management Stability** (leadership confidence, strategic consistency)
+5. **Comparative Context** (if multiple companies, clear comparisons)
+6. **Source Attribution** (cite specific executives and dates)
+
+CRITICAL REQUIREMENTS:
+- Prioritize recent information (highlight latest quarters)
+- Distinguish between management statements vs analyst questions
+- Flag any concerning trends or positive momentum
+- Use specific numbers, percentages, and metrics when available
+- Maintain objectivity while highlighting management confidence/concerns
+
+Answer:"""
     return f"""You are an expert financial analyst reviewing earnings call transcripts. Based on the provided context from executive statements, answer the user's question comprehensively.
 
 User Question: {question}
@@ -167,17 +252,24 @@ def _extractive_answer(question: str, search_results, k_sentences: int = 3) -> s
     return "Based on the retrieved statements:\n" + "\n".join(lines)
 
 
-def generate_answer(question: str, search_results, llm=None) -> str:
-    """The reference's answer step (simple_rag.py:205-262) with the
-    OpenAI call factored into a pluggable ``llm(system, prompt) -> str``
-    hook (network is a presentation-layer concern, SURVEY §2.10). With
-    no client, a deterministic extractive summary stands in. Empty
-    results and the error-string shape mirror the reference exactly."""
+def generate_answer(question: str, search_results, llm=None, style: str = "simple") -> str:
+    """The reference's answer step (simple_rag.py:205-262 for
+    ``style="simple"``, complete_rag.py:203-309 for
+    ``style="comprehensive"``) with the OpenAI call factored into a
+    pluggable ``llm(system, prompt) -> str`` hook (network is a
+    presentation-layer concern, SURVEY §2.10). With no client, a
+    deterministic extractive summary stands in. Empty results and the
+    error-string shape mirror the reference exactly."""
     if not search_results:
         return "I couldn't find relevant information to answer your question."
     if llm is not None:
+        system = (
+            _COMPREHENSIVE_SYSTEM_PROMPT
+            if style == "comprehensive"
+            else _ANSWER_SYSTEM_PROMPT
+        )
         try:
-            return llm(_ANSWER_SYSTEM_PROMPT, build_answer_prompt(question, search_results))
+            return llm(system, build_answer_prompt(question, search_results, style=style))
         except Exception as e:
             return f"Error generating response: {str(e)}"
     return _extractive_answer(question, search_results)

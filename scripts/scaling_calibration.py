@@ -195,17 +195,32 @@ def main():
         import bench
 
         pages_path = bench.ensure_pages(args.spark_pages)
-        for n_exec in (1, 4):
-            key = f"{n_exec}x4"
-            local_cluster[key] = bench_local_cluster(n_exec, 4, pages_path, args.reps)
-            print(f"local-cluster[{key}]: {local_cluster[key]}", file=sys.stderr)
-        if "1x4" in local_cluster and "4x4" in local_cluster:
-            local_cluster["efficiency_1x4_to_4x4"] = round(
-                local_cluster["4x4"]["docs_per_sec"]
-                / local_cluster["1x4"]["docs_per_sec"]
-                / 4,
-                3,
-            )
+        # Interleave levels A,B,A,B,... (fresh JVMs each round) so both
+        # legs of every per-round pair share one weather window; report
+        # per-round efficiencies AND the best-per-level pair.  This is
+        # the headline N→4N-executor proxy (separate executor JVMs,
+        # package shipped via addPyFile == the spark-submit shape).
+        rounds = []
+        for r in range(args.reps):
+            lo = bench_local_cluster(1, 4, pages_path, reps=2)
+            hi = bench_local_cluster(4, 4, pages_path, reps=2)
+            e = round(hi["docs_per_sec"] / lo["docs_per_sec"] / 4, 3)
+            rounds.append({"1x4": lo, "4x4": hi, "efficiency": e})
+            print(f"local-cluster round {r}: eff={e} "
+                  f"(1x4={lo['docs_per_sec']}, 4x4={hi['docs_per_sec']})",
+                  file=sys.stderr)
+        best_lo = max((r["1x4"]["docs_per_sec"] for r in rounds))
+        best_hi = max((r["4x4"]["docs_per_sec"] for r in rounds))
+        local_cluster = {
+            "rounds": rounds,
+            "1x4": max((r["1x4"] for r in rounds), key=lambda d: d["docs_per_sec"]),
+            "4x4": max((r["4x4"] for r in rounds), key=lambda d: d["docs_per_sec"]),
+            "efficiency_per_round": [r["efficiency"] for r in rounds],
+            "efficiency_median_round": sorted(r["efficiency"] for r in rounds)[
+                len(rounds) // 2
+            ],
+            "efficiency_1x4_to_4x4": round(best_hi / best_lo / 4, 3),
+        }
 
     result = {
         "mp_curve": mp_curve,

@@ -250,3 +250,37 @@ class TestIvfTraining:
         assert a.shape[0] == 22  # isqrt(500)
         explicit = train_centroids(emb, n_cells=8, iters=3)
         assert explicit.shape[0] == 8
+
+    def test_n_cells_beyond_sample_ceiling_achieved(self, spark):
+        """The driver-sample path can express at most sample_size cells;
+        n_cells > sample_size must dispatch to the distributed Lloyd
+        path and achieve EXACTLY the requested cell count (the √N rule
+        crosses 4,096 around N ≈ 1.7×10^7 vectors)."""
+        from pdf_extraction_spark.operators.similarity import train_centroids
+
+        emb = spark.range(10_000).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[F.sin((F.col("id") + 1) * float(j + 1)).cast("double") for j in range(8)]
+            ).alias("embedding"),
+        )
+        cents = train_centroids(emb, n_cells=4_100, iters=1, total_count=10_000)
+        assert cents.shape == (4_100, 8)
+        assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+    def test_train_centroids_distributed_deterministic(self, spark, emb):
+        """Distributed Lloyd: executor-side assignment + native per-dim
+        SUM recompute; only the n_cells×dim model reaches the driver.
+        Deterministic given seed + input layout, unit-norm output, and
+        the assignment it induces covers every requested cell id range."""
+        from pdf_extraction_spark.operators.similarity import (
+            assign_cells,
+            train_centroids_distributed,
+        )
+
+        a = train_centroids_distributed(emb, n_cells=16, iters=2, total_count=500)
+        b = train_centroids_distributed(emb, n_cells=16, iters=2, total_count=500)
+        assert np.array_equal(a, b)
+        assert a.shape[0] == 16
+        cells = {r["cell"] for r in assign_cells(emb, a).select("cell").distinct().collect()}
+        assert cells <= set(range(16))

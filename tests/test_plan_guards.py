@@ -53,7 +53,7 @@ def test_no_cartesian_products_anywhere(spark):
     embedding near-dup oracle mode (id_a < id_b theta join)."""
     import __spark_entry__ as e
 
-    allowed = {"embedding_neardup", "ivf_topk"}
+    allowed = {"embedding_neardup"}
     for name, fn in e.queries().items():
         if name in allowed:
             continue
@@ -66,6 +66,19 @@ def test_topk_is_heap_not_global_sort(spark):
 
     p = _plan(e.queries()["cosine_topk"](spark, SF))
     assert "TakeOrderedAndProject" in p
+
+
+def test_topk_batch_is_bounded_tree_not_window(spark):
+    """brute_force_topk_batch must rank via the bounded top-k reduction
+    tree (hostcap shape), NOT a row_number window — a window funnels all
+    N·Q scored rows through one task per query (single-partition-per-
+    query exchange), where only k survive."""
+    import __spark_entry__ as e
+
+    p = _plan(e.queries()["topk_batch"](spark, SF))
+    assert "Window" not in p, "topk_batch plans a global window rank"
+    # the scoring UDF is the only Python stage; ranking is native aggs
+    assert p.count("ArrowEvalPython") <= 1
 
 
 def test_executive_join_is_broadcast(spark):

@@ -133,6 +133,72 @@ class TestGenerateAnswer:
         assert p.rstrip().endswith("Answer:")
         assert "6. Keep the answer professional and analytical" in p
 
+    def test_comprehensive_prompt_golden(self):
+        """Byte-parity with the complete-RAG path's prompt assembly
+        (complete_rag.py:203-309): same Source blocks under the
+        'Recent Earnings Call Context' heading, the eight-section
+        analysis framework, response structure, critical requirements,
+        and the senior-business-analyst system message."""
+        from pdf_extraction_spark.plans.rag import (
+            _COMPREHENSIVE_SYSTEM_PROMPT,
+            build_answer_prompt,
+        )
+
+        p = build_answer_prompt(
+            "What was revenue growth?", self.RESULTS, style="comprehensive"
+        )
+        assert p.startswith(
+            "You are a senior business analyst with 15+ years of experience "
+            "analyzing public companies across industries. Based on the "
+            "provided earnings call transcripts, deliver a comprehensive "
+            "business intelligence report."
+        )
+        assert "User Question: What was revenue growth?" in p
+        assert "Recent Earnings Call Context:\n" in p
+        # context block shape is shared with the simple path
+        assert "\nSource 1: CIPLA - A. Sharma (CFO)\n" in p
+        assert "Category: Financial Performance | Date: 2024-05-10 Q4\n" in p
+        assert "\nSource 2: LUPIN - Unknown (Unknown)\n" in p
+        # the eight framework sections, in order
+        sections = [
+            "\U0001F4CA FINANCIAL HEALTH & TRENDS:",
+            "\U0001F3ED OPERATIONAL PERFORMANCE:",
+            "\U0001F3AF PRODUCT/SERVICE PORTFOLIO:",
+            "\U0001F30D MARKET POSITIONING & EXPANSION:",
+            "⚖️ REGULATORY & COMPLIANCE:",
+            "\U0001F4BC MANAGEMENT STRATEGY & EXECUTION:",
+            "⚠️ RISK ASSESSMENT:",
+            "\U0001F52E FORWARD-LOOKING INSIGHTS:",
+        ]
+        idx = [p.index(s) for s in sections]
+        assert idx == sorted(idx)
+        assert "RESPONSE STRUCTURE:\n1. **Executive Summary** (2-3 key takeaways)" in p
+        assert (
+            "- Maintain objectivity while highlighting management confidence/concerns"
+            in p
+        )
+        assert p.rstrip().endswith("Answer:")
+        assert _COMPREHENSIVE_SYSTEM_PROMPT.startswith(
+            "You are a senior business analyst expert in earnings call analysis."
+        )
+
+    def test_comprehensive_style_reaches_llm_hook(self):
+        from pdf_extraction_spark.plans.rag import (
+            _COMPREHENSIVE_SYSTEM_PROMPT,
+            generate_answer,
+        )
+
+        seen = {}
+
+        def llm(system, prompt):
+            seen["system"], seen["prompt"] = system, prompt
+            return "ok"
+
+        out = generate_answer("q?", self.RESULTS, llm=llm, style="comprehensive")
+        assert out == "ok"
+        assert seen["system"] == _COMPREHENSIVE_SYSTEM_PROMPT
+        assert "COMPREHENSIVE ANALYSIS FRAMEWORK:" in seen["prompt"]
+
     def test_empty_results_message_parity(self):
         from pdf_extraction_spark.plans.rag import generate_answer
 

@@ -1,9 +1,11 @@
 """IVF ANN tests: full-probe exactness and partial-probe recall.
 
-ivf_topk is the one deliberately rows-only driver query (approximate by
-design), so its quality gate lives here instead: probing every cell must
-reproduce brute force exactly, and the default partial probe must keep
-recall@k high on the real embeddings table.
+The driver's ivf_* queries run over COMMITTED fixture centroids so the
+whole path gets strict SQL twins; the sampled-TRAINING variant
+(train_centroids → assign → probe) is approximate by design and its
+quality gate lives here instead: probing every cell must reproduce
+brute force exactly, and the default partial probe must keep recall@k
+high on the real embeddings table.
 """
 
 import pytest
