@@ -1031,6 +1031,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", fix_mojibake_col(F.col("text"), passes=2).alias("fixed_text")
         )
 
+    # -- BM25 lexical retrieval (round 4) -----------------------------------
+    def q_bm25(spark, sf):
+        from pdf_extraction_spark.operators.retrieval import bm25_topk
+
+        return bm25_topk(_docs(spark, sf), ["table", "join", "window"], k=10)
+
+    # -- sliding-window RAG chunker (round 4) -------------------------------
+    def q_chunk_docs(spark, sf):
+        from pdf_extraction_spark.operators.retrieval import chunk_sliding_window
+
+        return chunk_sliding_window(_docs(spark, sf), size=64, overlap=16)
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -1074,6 +1086,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_probe": q_ivf_probe,
         "media_features_real": q_media_features_real,
+        # -- new in round 4 ----------------------------------------------
+        "bm25_topk": q_bm25,
+        "chunk_docs": q_chunk_docs,
         # -- multi-round-green rotation (scale-critical first) -----------
         "curate_corpus": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1093,9 +1108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "text_ratios": q_text_ratios,
         "token_count": q_token_count,
+        # ---- position 51+ (fixture-stable, green in BOTH r2 and r3) ----
         "corpus_profile": q_corpus_profile,
         "zscore_by_group": q_zscore,
-        # ---- position 51+ (fixture-stable, green in BOTH r2 and r3) ----
         "url_dates": q_url_dates,
         "roster_extract": q_roster,
         "pass_rate": q_pass_rate,
@@ -1202,6 +1217,10 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.executives import sql_extract_executives
     from pdf_extraction_spark.operators.filters import sql_keep_chunk, sql_word_count
     from pdf_extraction_spark.operators.project import sql_quality_score, sql_speaker_role
+    from pdf_extraction_spark.operators.retrieval import (
+        sql_bm25_topk as _sql_bm25_topk,
+        sql_chunk_sliding_window as _sql_chunk_sliding_window,
+    )
     from pdf_extraction_spark.operators.textanalysis import (
         sql_detect_language,
         sql_token_count,
@@ -1505,6 +1524,10 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             f"SELECT doc_id, {sql_token_count('text')} AS token_count FROM documents"
         ),
+        "bm25_topk": _sql_bm25_topk(
+            "documents", ["table", "join", "window"], k=10
+        ),
+        "chunk_docs": _sql_chunk_sliding_window("documents", size=64, overlap=16),
         "nation_revenue": (
             "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
             "count(*) AS n_items FROM lineitem "
