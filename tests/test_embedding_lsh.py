@@ -284,3 +284,24 @@ class TestIvfTraining:
         assert a.shape[0] == 16
         cells = {r["cell"] for r in assign_cells(emb, a).select("cell").distinct().collect()}
         assert cells <= set(range(16))
+
+    def test_corrupt_vector_does_not_collapse_centroids(self, spark):
+        """REGRESSION: assign_cells emits cell=NULL for wrong-dim
+        vectors; a NULL cell group reaching the numpy update loop as
+        ``nxt[None] = mean`` is newaxis indexing — it silently
+        overwrites EVERY centroid with that group's mean. One corrupt
+        row must leave training equal to the clean run."""
+        from pdf_extraction_spark.operators.similarity import (
+            train_centroids_distributed,
+        )
+
+        clean_rows = _clustered_vectors(n_clusters=6, per_cluster=20, dim=16)
+        clean = spark.createDataFrame(clean_rows, VEC_SCHEMA)
+        dirty = spark.createDataFrame(
+            clean_rows + [(9999, [0.5] * 7)], VEC_SCHEMA
+        )
+        a = train_centroids_distributed(clean, n_cells=6, iters=2, total_count=120)
+        b = train_centroids_distributed(dirty, n_cells=6, iters=2, total_count=120)
+        # centroids must be distinct points, not one collapsed mean
+        assert len({tuple(np.round(c, 9)) for c in b}) == 6
+        assert np.allclose(a, b)

@@ -79,3 +79,25 @@ def test_scan_pruning(spark, emb):
     n_probed = cells.filter(F.col("cell").isin(probe)).count()
     assert n_probed < n_all
     assert probed.count() == 5
+
+
+def test_topk_batch_nan_ranks_last(spark):
+    """REGRESSION: a NaN-component embedding scores NaN; the bounded
+    tree normalizes it to -inf so it ranks LAST — and the DuckDB twin
+    applies the same normalization (DuckDB's ORDER BY DESC would
+    otherwise rank NaN FIRST, silently inverting the top-k)."""
+    from pdf_extraction_spark.operators.similarity import brute_force_topk_batch
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [float("nan"), 1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(7, [1.0, 0.0, 0.0, 0.0])], "q_id long, q_vec array<double>")
+    got = {r["vec_id"]: r["similarity"] for r in brute_force_topk_batch(df, q, k=3).collect()}
+    assert got[1] == 1.0 and got[2] > 0.9
+    assert got[3] == float("-inf")  # NaN normalized, ranked last
+    order = [r["vec_id"] for r in brute_force_topk_batch(df, q, k=3)
+             .orderBy(F.desc("similarity"), "vec_id").collect()]
+    assert order == [1, 2, 3]
