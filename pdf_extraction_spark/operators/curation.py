@@ -1288,3 +1288,161 @@ def sql_stratified_sample(
         _sql_md5_bucket(key_expr, salt, 10000)
     )
     return f"{bucket} < {rate}"
+
+
+# --------------------------------------------------------------------------
+# C4-style document cleaning (Raffel et al. 2020 §2.2)
+# --------------------------------------------------------------------------
+#
+# The published C4 rule set, restated deterministically so the Spark and
+# DuckDB sides agree byte-for-byte:
+#   line level (a line is kept iff ALL hold, after whitespace trim):
+#     - ends in a terminal punctuation mark (. ! ? " ')
+#     - has >= C4_MIN_WORDS_PER_LINE words (Java-WS split)
+#     - does not contain "javascript" (case-insensitive)
+#   page level (c4_pass is true iff ALL hold):
+#     - the cleaned page has >= C4_MIN_SENTENCES sentences (sentence =
+#       one non-overlapping match of [.!?] in the kept-lines text — a
+#       deterministic stand-in for C4's language-aware splitter)
+#     - the ORIGINAL page does not contain "lorem ipsum" (case-insens.)
+#     - the ORIGINAL page does not contain "{"
+#     - no word of the original page is on the bad-word blocklist
+#
+# Everything is native Catalyst expression math (split / transform /
+# filter / rlike / regexp_count): a narrow shuffle-free map — all JVM,
+# no Python crossing — that scales linearly with input bytes. The
+# blocklist is inlined as a literal set — at the real LDNOOBW list size
+# (~400 words/language) that is still a literal-array `exists`, far
+# below broadcast-join territory.
+
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+# ends-with terminal punct; \z not $ (Java's $ also matches before a
+# final NEL/LS/PS terminator, RE2's does not)
+_C4_TERMINAL_RE = "[.!?\"']\\z"
+_C4_TRIM_RE = rf"^{_WS}+|{_WS}+\z"
+_C4_SENTENCE_RE = r"[.!?]"
+# Representative subset of the public "List of Dirty, Naughty, Obscene
+# or Otherwise Bad Words" C4 uses; production swaps in the full list
+# (still a literal-array membership test, same plan shape).
+C4_BAD_WORDS = ("fuck", "shit", "porn", "bitch", "viagra", "xxx")
+
+
+def _c4_kept_lines(c: Column, min_words: int) -> Column:
+    trimmed = F.transform(
+        F.split(c, r"\n"), lambda l: F.regexp_replace(l, _C4_TRIM_RE, "")
+    )
+    return F.filter(
+        trimmed,
+        lambda l: l.rlike(_C4_TERMINAL_RE)
+        & (
+            F.size(F.filter(F.split(l, WORD_SPLIT_RE), lambda w: w != F.lit("")))
+            >= F.lit(min_words)
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+
+
+def with_c4_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = C4_MIN_WORDS_PER_LINE,
+    min_sentences: int = C4_MIN_SENTENCES,
+    bad_words=C4_BAD_WORDS,
+) -> DataFrame:
+    """Per-doc C4 cleaning: the kept-lines text plus the page-level keep
+    flag. Columns: c4_text, n_lines_kept, n_sentences, c4_pass.
+
+    NULL text is treated as empty (flags must stay non-NULL so boolean
+    filters never silently drop a bad crawl row).
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    # staged projections so the higher-order kept-lines scan runs ONCE
+    # per row: HOF lambdas are interpreted (not codegen-CSE'd), and
+    # CollapseProject keeps multiply-referenced non-cheap expressions in
+    # their own project instead of re-inlining them 4x
+    staged = df.select(
+        F.col(id_col),
+        c.alias("__c4_src"),
+        _c4_kept_lines(c, min_words).alias("__c4_kept"),
+    )
+    kept = F.col("__c4_kept")
+    src = F.col("__c4_src")
+    staged = staged.select(
+        id_col,
+        src.alias("__c4_src"),
+        kept.alias("__c4_kept"),
+        F.array_join(kept, "\n").alias("__c4_text"),
+    )
+    staged = staged.select(
+        id_col,
+        src.alias("__c4_src"),
+        kept.alias("__c4_kept"),
+        F.col("__c4_text"),
+        F.regexp_count(F.col("__c4_text"), F.lit(_C4_SENTENCE_RE))
+        .cast("long")
+        .alias("__c4_nsent"),
+    )
+    n_sent = F.col("__c4_nsent")
+    bad_hit = F.exists(_lower_words(src), lambda w: w.isin(list(bad_words)))
+    c4_pass = (
+        (n_sent >= F.lit(min_sentences))
+        & ~F.lower(src).contains("lorem ipsum")
+        & ~src.contains("{")
+        & ~bad_hit
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("__c4_text").alias("c4_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        c4_pass.alias("c4_pass"),
+    )
+
+
+def c4_filter(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", **kw) -> DataFrame:
+    """The filtering form: docs that pass, with the cleaned text."""
+    flagged = with_c4_flags(df, text_col, id_col, **kw)
+    return flagged.filter(F.col("c4_pass")).select(id_col, "c4_text")
+
+
+def sql_c4_flags(
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    min_words: int = C4_MIN_WORDS_PER_LINE,
+    min_sentences: int = C4_MIN_SENTENCES,
+    bad_words=C4_BAD_WORDS,
+) -> str:
+    """DuckDB twin of :func:`with_c4_flags` (same Java-WS classes, same
+    \\z anchors; regexp_replace needs the explicit 'g' flag DuckDB
+    requires for replace-all)."""
+    bad = ", ".join("'" + w.replace("'", "''") + "'" for w in bad_words)
+    term = _C4_TERMINAL_RE.replace("'", "''")
+    kept = (
+        f"list_filter(list_transform(string_split(tx, chr(10)), "
+        f"l -> regexp_replace(l, '{_C4_TRIM_RE}', '', 'g')), "
+        f"l -> regexp_matches(l, '{term}') "
+        f"AND len(list_filter(string_split_regex(l, '{WORD_SPLIT_RE}'), "
+        f"x -> x <> '')) >= {min_words} "
+        f"AND NOT contains(lower(l), 'javascript'))"
+    )
+    return (
+        f"WITH t AS (SELECT {id_expr} AS doc_id, coalesce({text_expr}, '') AS tx "
+        "FROM documents), "
+        f"k AS (SELECT doc_id, tx, {kept} AS kept FROM t), "
+        # DuckDB array_to_string([]) is NULL where Spark array_join([])
+        # is '' — coalesce pins the empty-page case to the Spark value
+        "s AS (SELECT doc_id, tx, kept, "
+        "coalesce(array_to_string(kept, chr(10)), '') AS c4_text, "
+        "len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), "
+        f"'{_C4_SENTENCE_RE}')) AS n_sent "
+        "FROM k) "
+        "SELECT doc_id, c4_text, CAST(len(kept) AS BIGINT) AS n_lines_kept, "
+        "CAST(n_sent AS BIGINT) AS n_sentences, "
+        f"(n_sent >= {min_sentences} "
+        "AND NOT contains(lower(tx), 'lorem ipsum') "
+        "AND NOT contains(tx, '{') "
+        f"AND NOT list_has_any({_sql_lower_words('tx')}, [{bad}])) AS c4_pass "
+        "FROM s"
+    )

@@ -816,3 +816,75 @@ class TestDedupSpans:
             ), c)[-1])(duckdb.connect()),
             sql_dedup_spans(k=8),
         )
+
+
+class TestC4:
+    ROWS = [
+        # passes: 3 kept lines, >= 3 sentences
+        (1, "This is a good first sentence here.\n"
+            "The second line also has enough words.\n"
+            "A third full sentence ends properly too."),
+        # line rules: 4-word terminal line dropped; 6-word no-punct line
+        # dropped; javascript line dropped (case-insensitive)
+        (2, "Only four words here.\n"
+            "six words but no terminal punctuation\n"
+            "Please enable JavaScript to view this page.\n"
+            "This one good line survives the filter intact."),
+        # page rules: lorem ipsum / curly brace / bad word each veto the
+        # page even when the lines themselves are clean
+        (3, "Lorem Ipsum dolor sit amet is filler.\n"
+            "A second clean sentence sits right here.\n"
+            "A third clean sentence closes it out."),
+        (4, "This config block contains a { brace today.\n"
+            "A second clean sentence sits right here.\n"
+            "A third clean sentence closes it out."),
+        (5, "This page says shit in plain words.\n"
+            "A second clean sentence sits right here.\n"
+            "A third clean sentence closes it out."),
+        # only two sentences -> fails the 3-sentence minimum
+        (6, "A first full sentence lives right here.\n"
+            "The second and final sentence stops now."),
+        (7, None),  # total on NULL text
+        # end-quote is terminal punctuation; trailing CR/spaces trimmed
+        (8, "He said the words \"this line counts here.\"\n"
+            "Another long enough line ends with period.   \r\n"
+            "A third full sentence ends properly too."),
+        # NEL after the period: not Java-WS, so the trimmed line does NOT
+        # end in terminal punct; \z (not $) makes both engines drop it
+        (9, "Ends with a period before the terminator.\u0085\n"
+            "A second clean sentence sits right here.\n"
+            "A third clean sentence closes it out.\n"
+            "A fourth full sentence ends properly too."),
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id long, text string")
+
+    def test_semantics(self, spark):
+        from pdf_extraction_spark.operators.curation import c4_filter, with_c4_flags
+
+        got = {r.doc_id: r for r in with_c4_flags(self._docs(spark)).collect()}
+        assert got[1].c4_pass is True and got[1].n_lines_kept == 3
+        assert got[1].n_sentences == 3
+        # doc 2: only the final line survives -> 1 sentence -> page fails
+        assert got[2].n_lines_kept == 1
+        assert got[2].c4_text == "This one good line survives the filter intact."
+        assert got[2].c4_pass is False
+        assert got[3].c4_pass is False  # lorem ipsum
+        assert got[4].c4_pass is False  # curly brace
+        assert got[5].c4_pass is False  # bad word
+        assert got[6].c4_pass is False and got[6].n_sentences == 2
+        assert got[7].c4_pass is False and got[7].c4_text == ""
+        assert got[8].c4_pass is True and got[8].n_lines_kept == 3
+        # NEL line dropped; the other three carry the page
+        assert got[9].n_lines_kept == 3 and got[9].c4_pass is True
+        kept = {r.doc_id for r in c4_filter(self._docs(spark)).collect()}
+        assert kept == {1, 8, 9}
+
+    def test_cross_engine(self, spark):
+        from pdf_extraction_spark.operators.curation import sql_c4_flags, with_c4_flags
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", self.ROWS)
+        _compare(with_c4_flags(self._docs(spark)), con, sql_c4_flags("text", "doc_id"))
