@@ -1335,10 +1335,7 @@ def _c4_kept_lines(c: Column, min_words: int) -> Column:
     return F.filter(
         trimmed,
         lambda l: l.rlike(_C4_TERMINAL_RE)
-        & (
-            F.size(F.filter(F.split(l, WORD_SPLIT_RE), lambda w: w != F.lit("")))
-            >= F.lit(min_words)
-        )
+        & (F.size(_words(l)) >= F.lit(min_words))
         & ~F.lower(l).contains("javascript"),
     )
 
@@ -1365,19 +1362,23 @@ def with_c4_flags(
     staged = df.select(
         F.col(id_col),
         c.alias("__c4_src"),
+        F.lower(c).alias("__c4_low"),
         _c4_kept_lines(c, min_words).alias("__c4_kept"),
     )
     kept = F.col("__c4_kept")
     src = F.col("__c4_src")
+    low = F.col("__c4_low")
     staged = staged.select(
         id_col,
         src.alias("__c4_src"),
+        low.alias("__c4_low"),
         kept.alias("__c4_kept"),
         F.array_join(kept, "\n").alias("__c4_text"),
     )
     staged = staged.select(
         id_col,
         src.alias("__c4_src"),
+        low.alias("__c4_low"),
         kept.alias("__c4_kept"),
         F.col("__c4_text"),
         F.regexp_count(F.col("__c4_text"), F.lit(_C4_SENTENCE_RE))
@@ -1385,10 +1386,15 @@ def with_c4_flags(
         .alias("__c4_nsent"),
     )
     n_sent = F.col("__c4_nsent")
-    bad_hit = F.exists(_lower_words(src), lambda w: w.isin(list(bad_words)))
+    # bad-word split + lorem-ipsum scan both read the ONE staged
+    # lowercase column — lowering a large crawl page is itself O(len)
+    bad_hit = F.exists(
+        F.filter(F.split(low, WORD_SPLIT_RE), lambda w: w != F.lit("")),
+        lambda w: w.isin(list(bad_words)),
+    )
     c4_pass = (
         (n_sent >= F.lit(min_sentences))
-        & ~F.lower(src).contains("lorem ipsum")
+        & ~low.contains("lorem ipsum")
         & ~src.contains("{")
         & ~bad_hit
     )
@@ -1427,22 +1433,25 @@ def sql_c4_flags(
         f"x -> x <> '')) >= {min_words} "
         f"AND NOT contains(lower(l), 'javascript'))"
     )
+    lower_words = (
+        f"list_filter(string_split_regex(lowtx, '{WORD_SPLIT_RE}'), x -> x <> '')"
+    )
     return (
-        f"WITH t AS (SELECT {id_expr} AS doc_id, coalesce({text_expr}, '') AS tx "
-        "FROM documents), "
-        f"k AS (SELECT doc_id, tx, {kept} AS kept FROM t), "
+        f"WITH t AS (SELECT {id_expr} AS doc_id, coalesce({text_expr}, '') AS tx, "
+        f"lower(coalesce({text_expr}, '')) AS lowtx FROM documents), "
+        f"k AS (SELECT doc_id, tx, lowtx, {kept} AS kept FROM t), "
         # DuckDB array_to_string([]) is NULL where Spark array_join([])
-        # is '' — coalesce pins the empty-page case to the Spark value
-        "s AS (SELECT doc_id, tx, kept, "
+        # is '' — coalesce pins the empty-page case to the Spark value;
+        # n_sent reads the c4_text lateral alias so the two can't drift
+        "s AS (SELECT doc_id, tx, lowtx, kept, "
         "coalesce(array_to_string(kept, chr(10)), '') AS c4_text, "
-        "len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), "
-        f"'{_C4_SENTENCE_RE}')) AS n_sent "
+        f"len(regexp_extract_all(c4_text, '{_C4_SENTENCE_RE}')) AS n_sent "
         "FROM k) "
         "SELECT doc_id, c4_text, CAST(len(kept) AS BIGINT) AS n_lines_kept, "
         "CAST(n_sent AS BIGINT) AS n_sentences, "
         f"(n_sent >= {min_sentences} "
-        "AND NOT contains(lower(tx), 'lorem ipsum') "
+        "AND NOT contains(lowtx, 'lorem ipsum') "
         "AND NOT contains(tx, '{') "
-        f"AND NOT list_has_any({_sql_lower_words('tx')}, [{bad}])) AS c4_pass "
+        f"AND NOT list_has_any({lower_words}, [{bad}])) AS c4_pass "
         "FROM s"
     )
