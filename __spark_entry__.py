@@ -1049,6 +1049,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return with_c4_flags(_docs(spark, sf), "text", "doc_id")
 
+    # -- SemDeDup (Abbas et al. 2023, round 4) -------------------------------
+    def q_semdedup(spark, sf):
+        """Semantic near-dup removal within embedding clusters over the
+        committed centroid fixture: the twin recomputes assignment
+        (argmax), centroid similarity, and the within-cell pair test
+        (priority = least-similar-to-centroid survives) relationally."""
+        from pdf_extraction_spark.operators.similarity import semantic_dedup
+
+        cents_df = spark.read.parquet(
+            _os.path.join(_FIXTURE_DIR, "ivf_centroids_sf0_01.parquet")
+        )
+        cents = [
+            r["centroid"] for r in sorted(cents_df.collect(), key=lambda r: r["cell"])
+        ]
+        return semantic_dedup(_emb(spark, sf), cents, threshold=0.35)
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -1096,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25,
         "chunk_docs": q_chunk_docs,
         "c4_filter": q_c4_filter,
+        "semdedup": q_semdedup,
         # -- multi-round-green rotation (scale-critical first) -----------
         "curate_corpus": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1225,6 +1242,7 @@ def oracle_sql() -> dict[str, str]:
         sql_url_filter,
         sql_c4_flags as _sql_c4_flags,
     )
+    from pdf_extraction_spark.operators.similarity import sql_semantic_dedup
     from pdf_extraction_spark.operators.dedup import (
         sql_embedding_lsh_neardups,
         sql_minhash_incremental_drops,
@@ -1701,6 +1719,9 @@ def oracle_sql() -> dict[str, str]:
                 max_bucket=200,
                 threshold=0.35,
             )
+        ),
+        "semdedup": sql_semantic_dedup(
+            _fixture("ivf_centroids_sf0_01.parquet"), threshold=0.35
         ),
         "ivf_topk": (
             # end-to-end fixed-centroid IVF (n_probe=2, k=4, cell kept in

@@ -337,3 +337,158 @@ def brute_force_topk_batch(
     return final.select("q_id", F.explode("top").alias("e")).select(
         F.col("e.id").alias(id_col), "q_id", (-F.col("e.ns")).alias("similarity")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal restricted to embedding clusters.
+
+    Every vector is assigned to its nearest centroid (the same
+    pandas-UDF matmul as the IVF path), then pairwise cosine is tested
+    ONLY within a cluster — the paper's core trick for avoiding the
+    all-pairs comparison. A vector is dropped when some other vector in
+    its cluster is a near-duplicate (rounded cosine >= ``threshold``)
+    and outranks it in keep priority. Keep priority follows the paper's
+    rule: within a duplicate group the vector LEAST similar to its
+    cluster centroid survives (it contributes the most diversity); ties
+    break to the lowest id so the result is deterministic.
+
+    Returns ``(id_col, cell, cent_sim, kept)`` for every assignable
+    vector (null embeddings and wrong-dimension rows are excluded, the
+    assign_cells contract).
+
+    100-TB shape: the wide operations are the cell equi-join (shuffle
+    keyed by cell; AQE splits a skewed cell's join work) and the
+    distinct over dropped ids. Pair work is quadratic only WITHIN a
+    cell — with the sqrt(N)-cells training default the expected cell
+    size is sqrt(N); a pathological mega-cell should be pre-thinned
+    with the banded sign-sketch LSH (dedup.embedding_near_dups) before
+    the exact pass, mirroring the paper's per-cluster cap. The centroid
+    table is broadcast, so n_cells is bounded by executor memory —
+    identical to the IVF assignment closure it composes.
+    """
+    from .topk import cosine_col, dot_col, norm_col
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+        "cell int, centroid array<double>",
+    )
+    assigned = (
+        assign_cells(emb, centroids, vec_col=vec_col)
+        .filter(F.col("cell").isNotNull())
+        .join(F.broadcast(cent_df), "cell")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col(vec_col).alias("v"),
+            norm_col(F.col(vec_col)).alias("nrm"),
+            F.round(
+                cosine_col(F.col(vec_col), F.col("centroid")), round_digits
+            ).alias("cent_sim"),
+        )
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        "cell",
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+        F.col("cent_sim").alias("cs_a"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        "cell",
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+        F.col("cent_sim").alias("cs_b"),
+    )
+    pair_sim = F.round(
+        F.when((F.col("n_a") == 0.0) | (F.col("n_b") == 0.0), 0.0).otherwise(
+            dot_col(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        ),
+        round_digits,
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") != F.col("id_b"))
+        # priority gate FIRST: the expensive pair fold only runs on the
+        # ordered half of each candidate pair
+        .filter(
+            (F.col("cs_b") < F.col("cs_a"))
+            | ((F.col("cs_b") == F.col("cs_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .filter(pair_sim >= F.lit(float(threshold)))
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cell", "cent_sim")
+        .join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("cent_sim"),
+            F.col("__dropped").isNull().alias("kept"),
+        )
+    )
+
+
+def sql_semantic_dedup(
+    cent_rel: str,
+    threshold: float,
+    emb_rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`semantic_dedup` over fixed
+    centroids: argmax assignment (the ivf_assign CTE shape), then
+    centroid similarity and the within-cell pair test recomputed with
+    the same left-fold cosine (identical accumulation order to
+    topk.dot_col) and the same rounding, priority and tie-break rules.
+    """
+
+    def fold_cos(va: str, vb: str) -> str:
+        dot = (
+            f"list_aggregate(list_transform(list_zip({va}::DOUBLE[], "
+            f"{vb}::DOUBLE[]), p -> p[1] * p[2]), 'sum')"
+        )
+        na = f"sqrt(list_aggregate(list_transform({va}::DOUBLE[], x -> x*x), 'sum'))"
+        nb = f"sqrt(list_aggregate(list_transform({vb}::DOUBLE[], x -> x*x), 'sum'))"
+        return (
+            f"round(CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
+            f"ELSE {dot} / ({na} * {nb}) END, {round_digits})"
+        )
+
+    return (
+        f"WITH s AS (SELECT e.{id_col} AS vid, c.cell, "
+        f"CASE WHEN sqrt(list_dot_product(e.{vec_col}::DOUBLE[], e.{vec_col}::DOUBLE[])) = 0 "
+        "THEN 0.0 ELSE "
+        f"list_dot_product(e.{vec_col}::DOUBLE[], c.centroid) / "
+        f"(sqrt(list_dot_product(e.{vec_col}::DOUBLE[], e.{vec_col}::DOUBLE[])) * "
+        f"sqrt(list_dot_product(c.centroid, c.centroid))) END AS sim "
+        f"FROM {emb_rel} e, {cent_rel} c WHERE e.{vec_col} IS NOT NULL), "
+        "assign AS (SELECT vid, cell FROM (SELECT vid, cell, "
+        "row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cell) AS rk FROM s) "
+        "WHERE rk = 1), "
+        f"ac AS (SELECT a.vid, a.cell, e.{vec_col} AS v, "
+        f"{fold_cos('e.' + vec_col, 'c.centroid')} AS cent_sim "
+        f"FROM assign a JOIN {emb_rel} e ON a.vid = e.{id_col} "
+        f"JOIN {cent_rel} c ON a.cell = c.cell), "
+        "drp AS (SELECT DISTINCT d.vid FROM ac d JOIN ac o "
+        "ON d.cell = o.cell AND d.vid <> o.vid "
+        "AND (o.cent_sim < d.cent_sim OR (o.cent_sim = d.cent_sim AND o.vid < d.vid)) "
+        f"AND {fold_cos('d.v', 'o.v')} >= {float(threshold)!r}) "
+        f"SELECT ac.vid AS {id_col}, ac.cell, ac.cent_sim, "
+        "(drp.vid IS NULL) AS kept "
+        "FROM ac LEFT JOIN drp ON ac.vid = drp.vid"
+    )

@@ -101,3 +101,56 @@ def test_topk_batch_nan_ranks_last(spark):
     order = [r["vec_id"] for r in brute_force_topk_batch(df, q, k=3)
              .orderBy(F.desc("similarity"), "vec_id").collect()]
     assert order == [1, 2, 3]
+
+
+class TestSemanticDedup:
+    """SemDeDup semantics on hand-built clusters (the registered query's
+    cross-engine parity is pinned by the strict DuckDB twin; these pin
+    the paper's keep rule itself)."""
+
+    CENTS = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+    def _run(self, spark, rows, threshold=0.9):
+        from pdf_extraction_spark.operators.similarity import semantic_dedup
+
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(df, self.CENTS, threshold=threshold)
+        return {r["vec_id"]: r for r in out.collect()}
+
+    def test_least_centroid_similar_survives(self, spark):
+        # cluster 0: three near-identical vectors at different angles to
+        # the centroid — the FARTHEST from the centroid (lowest
+        # cent_sim) must be the survivor, not the first or closest
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),        # cent_sim = 1.0
+            (2, [0.99, 0.14, 0.0, 0.0]),      # slightly off-axis
+            (3, [0.97, 0.24, 0.0, 0.0]),      # farthest off-axis → keep
+            (10, [0.1, 1.0, 0.0, 0.0]),        # cluster 1, no dup → keep
+        ]
+        got = self._run(spark, rows, threshold=0.98)
+        assert [got[i]["kept"] for i in (1, 2, 3, 10)] == [False, False, True, True]
+        assert got[3]["cent_sim"] < got[2]["cent_sim"] < got[1]["cent_sim"]
+
+    def test_tie_breaks_to_lowest_id(self, spark):
+        # identical vectors → identical cent_sim → the lowest id wins
+        rows = [(7, [1.0, 0.0, 0.0, 0.0]), (3, [1.0, 0.0, 0.0, 0.0])]
+        got = self._run(spark, rows, threshold=0.99)
+        assert got[3]["kept"] is True and got[7]["kept"] is False
+
+    def test_cross_cluster_pairs_never_compared(self, spark):
+        # two vectors on the 45° diagonal are near-identical (cosine 1)
+        # but argmax-assign to DIFFERENT cells (ties go to the lower
+        # cell only for exact ties; these are nudged) → both kept:
+        # SemDeDup only tests pairs within a cluster, by construction
+        rows = [
+            (1, [1.0, 0.9, 0.0, 0.0]),   # cell 0
+            (2, [0.9, 1.0, 0.0, 0.0]),   # cell 1
+        ]
+        got = self._run(spark, rows, threshold=0.9)
+        assert got[1]["cell"] != got[2]["cell"]
+        assert got[1]["kept"] and got[2]["kept"]
+
+    def test_null_embeddings_excluded(self, spark):
+        rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, None)]
+        got = self._run(spark, rows, threshold=0.9)
+        assert set(got) == {1}
