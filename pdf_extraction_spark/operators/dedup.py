@@ -893,13 +893,9 @@ def sql_embedding_lsh_neardups(
     tests/make_oracle_fixtures.py; the kernel itself is pinned by
     bit-identity tests). Banding, bucket cap, candidate generation and
     the exact left-fold cosine are recomputed relationally here."""
-    dot = (
-        f"list_aggregate(list_transform(list_zip(a.{vec_col}::DOUBLE[], "
-        f"b.{vec_col}::DOUBLE[]), p -> p[1] * p[2]), 'sum')"
-    )
-    norm = "sqrt(list_aggregate(list_transform({v}::DOUBLE[], x -> x*x), 'sum'))"
-    na, nb = norm.format(v=f"a.{vec_col}"), norm.format(v=f"b.{vec_col}")
-    cos = f"round(CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END, 6)"
+    from .topk import sql_fold_cos
+
+    cos = sql_fold_cos(f"a.{vec_col}", f"b.{vec_col}", round_digits=6)
     return (
         f"WITH sk AS (SELECT {id_col} AS vid, bands FROM {sketch_rel}), "
         f"banded AS (SELECT vid, b AS band, bands[b + 1] AS bucket "

@@ -346,6 +346,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    cache: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate removal restricted to embedding clusters.
@@ -373,6 +374,13 @@ def semantic_dedup(
     the exact pass, mirroring the paper's per-cluster cap. The centroid
     table is broadcast, so n_cells is bounded by executor memory —
     identical to the IVF assignment closure it composes.
+
+    ``cache``: the assignment frame feeds three consumers (both
+    self-join sides and the kept-join); caching it stops the embedding
+    scan + matmul assignment re-executing per consumer. Same cache
+    hygiene as dedup.embedding_sketches — a long-lived session should
+    pass False (repeat passes, no residue) or unpersist via its own
+    composition.
     """
     from .topk import cosine_col, dot_col, norm_col
 
@@ -396,6 +404,8 @@ def semantic_dedup(
             ).alias("cent_sim"),
         )
     )
+    if cache:
+        assigned = assigned.persist()
     a = assigned.select(
         F.col(id_col).alias("id_a"),
         "cell",
@@ -455,19 +465,19 @@ def sql_semantic_dedup(
     centroid similarity and the within-cell pair test recomputed with
     the same left-fold cosine (identical accumulation order to
     topk.dot_col) and the same rounding, priority and tie-break rules.
+
+    Fixture-scope assumptions (shared with the existing ivf_* oracles):
+    the assignment CTE's list_dot_product path has no zero-norm-centroid
+    guard and no wrong-dimension / NULL-element exclusion — Spark
+    handles those inputs (assign_cells clamps zero norms and null-cells
+    bad rows) while DuckDB would diverge or abort. The committed
+    centroid fixture is unit-norm and the test tables are clean, so the
+    twin is exact over everything the driver runs.
     """
+    from .topk import sql_fold_cos
 
     def fold_cos(va: str, vb: str) -> str:
-        dot = (
-            f"list_aggregate(list_transform(list_zip({va}::DOUBLE[], "
-            f"{vb}::DOUBLE[]), p -> p[1] * p[2]), 'sum')"
-        )
-        na = f"sqrt(list_aggregate(list_transform({va}::DOUBLE[], x -> x*x), 'sum'))"
-        nb = f"sqrt(list_aggregate(list_transform({vb}::DOUBLE[], x -> x*x), 'sum'))"
-        return (
-            f"round(CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
-            f"ELSE {dot} / ({na} * {nb}) END, {round_digits})"
-        )
+        return sql_fold_cos(va, vb, round_digits=round_digits)
 
     return (
         f"WITH s AS (SELECT e.{id_col} AS vid, c.cell, "

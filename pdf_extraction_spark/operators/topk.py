@@ -127,17 +127,27 @@ def assemble_context(
     )
 
 
-def sql_cosine(vec_expr: str, query_vec, round_digits: int = 4) -> str:
-    """DuckDB oracle twin of cosine_topk's similarity expression —
-    identical left-fold accumulation order over doubles."""
-    lit = "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in query_vec) + "]"
+def sql_fold_cos(va: str, vb: str, round_digits: int = 4) -> str:
+    """DuckDB twin of ``round(cosine_col(a, b), round_digits)`` between
+    two vector expressions — identical left-fold accumulation order over
+    doubles and the same zero-norm → 0.0 guard. The SINGLE source of the
+    oracle-side cosine shape (sql_cosine, sql_embedding_lsh_neardups and
+    sql_semantic_dedup all build on it) so a fold-order or guard fix
+    lands everywhere at once."""
     dot = (
-        f"list_aggregate(list_transform(list_zip({vec_expr}::DOUBLE[], {lit}), "
+        f"list_aggregate(list_transform(list_zip({va}::DOUBLE[], {vb}::DOUBLE[]), "
         f"p -> p[1] * p[2]), 'sum')"
     )
-    norm_v = f"sqrt(list_aggregate(list_transform({vec_expr}::DOUBLE[], x -> x*x), 'sum'))"
-    norm_q = f"sqrt(list_aggregate(list_transform({lit}, x -> x*x), 'sum'))"
+    na = f"sqrt(list_aggregate(list_transform({va}::DOUBLE[], x -> x*x), 'sum'))"
+    nb = f"sqrt(list_aggregate(list_transform({vb}::DOUBLE[], x -> x*x), 'sum'))"
     return (
-        f"round(CASE WHEN {norm_v} = 0 OR {norm_q} = 0 THEN 0.0 "
-        f"ELSE {dot} / ({norm_v} * {norm_q}) END, {round_digits})"
+        f"round(CASE WHEN {na} = 0 OR {nb} = 0 THEN 0.0 "
+        f"ELSE {dot} / ({na} * {nb}) END, {round_digits})"
     )
+
+
+def sql_cosine(vec_expr: str, query_vec, round_digits: int = 4) -> str:
+    """DuckDB oracle twin of cosine_topk's similarity expression —
+    the shared fold against a literal query vector."""
+    lit = "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in query_vec) + "]"
+    return sql_fold_cos(vec_expr, lit, round_digits)
