@@ -1065,6 +1065,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return semantic_dedup(_emb(spark, sf), cents, threshold=0.35)
 
+    # -- CCNet perplexity bucketing (Wenzek et al. 2020 §4.4, round 4) ------
+    def q_ppl_buckets(spark, sf):
+        """LM-score every doc (the lm_score pipeline), then label
+        head/middle/tail by per-language discrete tercile cutoffs —
+        actual round-6 score values at ranks ceil(n/3)/ceil(2n/3), so
+        no percentile-interpolation convention exists to diverge
+        cross-engine."""
+        from pdf_extraction_spark.operators.mlfilter import (
+            bucket_by_lm_score,
+            score_bigram_lm,
+            train_bigram_lm,
+        )
+
+        docs = _docs(spark, sf)
+        scored = score_bigram_lm(docs, train_bigram_lm(docs)).join(
+            docs.select("doc_id", "lang"), "doc_id"
+        )
+        return bucket_by_lm_score(scored).select(
+            "doc_id", "lang", "avg_logprob", "bucket"
+        )
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -1113,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "c4_filter": q_c4_filter,
         "semdedup": q_semdedup,
+        "ppl_buckets": q_ppl_buckets,
         # -- multi-round-green rotation (scale-critical first) -----------
         "curate_corpus": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1221,6 +1243,7 @@ def oracle_sql() -> dict[str, str]:
         return java_i_twin(pat).replace("'", "''")
     from pdf_extraction_spark.operators.hostcap import sql_host_cap
     from pdf_extraction_spark.operators.mlfilter import (
+        sql_ppl_buckets,
         sql_score_bigram_lm,
         sql_score_quality,
     )
@@ -1579,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
             bias=0.1,
         ),
         "lm_score": sql_score_bigram_lm(),
+        "ppl_buckets": sql_ppl_buckets(),
         "fix_mojibake": (
             "SELECT doc_id, fixed_text FROM "
             + _fixture("mojibake_sf0_01.parquet")

@@ -382,3 +382,95 @@ def sql_score_bigram_lm(
         "round(list_reduce(list_prepend(0.0, list(log10(prob) ORDER BY pos)), "
         "(a, b) -> a + b) / count(*), 6) AS avg_logprob FROM j GROUP BY doc_id"
     )
+
+
+def ppl_bucket_cutoffs(
+    scored: DataFrame,
+    score_col: str = "avg_logprob",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group head/middle cutoff scores for CCNet-style perplexity
+    bucketing (Wenzek et al. 2020 §4.4): split each language's score
+    distribution into thirds.
+
+    The cutoffs are DISCRETE quantiles — actual score values at ranks
+    ceil(n/3) and ceil(2n/3) of the descending score order — not
+    interpolated percentiles, so there is no float-interpolation
+    convention to match cross-engine: the cutoff is one of the round-6
+    scores whose bit-parity the lm_score twin already proves.
+
+    Shape: the cumulative rank runs over the per-(group, score)
+    HISTOGRAM (CCNet's own device), not the corpus — scores are round-6
+    per-doc means, so the histogram is orders smaller than the corpus
+    and the per-group window partition is bounded by distinct-score
+    count. At 10^12 docs coarsen further by rounding the score before
+    bucketing, or sample the histogram the way CCNet samples its
+    training corpus; returns 2 values per group either way.
+    """
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(group_col, score_col).agg(F.count("*").alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy(group_col).orderBy(F.desc(score_col))
+        ),
+    )
+    tot = scored.groupBy(group_col).agg(F.count("*").alias("n"))
+    j = cum.join(tot, group_col)
+    k1 = ((F.col("n") + F.lit(2)) / 3).cast("long")        # ceil(n/3)
+    k2 = ((F.lit(2) * F.col("n") + F.lit(2)) / 3).cast("long")  # ceil(2n/3)
+    return j.groupBy(group_col).agg(
+        F.max(F.when(F.col("cum") >= k1, F.col(score_col))).alias("c1"),
+        F.max(F.when(F.col("cum") >= k2, F.col(score_col))).alias("c2"),
+    )
+
+
+def bucket_by_lm_score(
+    scored: DataFrame,
+    score_col: str = "avg_logprob",
+    group_col: str = "lang",
+) -> DataFrame:
+    """CCNet perplexity bucketing: label each doc head / middle / tail
+    by where its LM score falls in its language's tercile cutoffs
+    (higher avg_logprob = more fluent = head). Ties at a cutoff all land
+    in the better bucket — the standard discrete-quantile tie rule, so
+    buckets can exceed n/3 exactly when a score mass point straddles the
+    boundary (deterministic in both engines).
+
+    The cutoff table is 2 values per language — broadcast, so bucketing
+    itself is a narrow map over the scored frame."""
+    cuts = ppl_bucket_cutoffs(scored, score_col, group_col)
+    return scored.join(F.broadcast(cuts), group_col).select(
+        *[c for c in scored.columns],
+        F.when(F.col(score_col) >= F.col("c1"), F.lit("head"))
+        .when(F.col(score_col) >= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def sql_ppl_buckets(
+    text_expr: str = "text", alpha: float = LM_ALPHA
+) -> str:
+    """DuckDB twin of lm-score → per-language discrete-tercile
+    bucketing: same histogram/cumulative-rank cutoffs, same >= tie rule
+    over the bit-parity round-6 scores."""
+    return (
+        "WITH scored AS (" + sql_score_bigram_lm(text_expr, alpha) + "), "
+        "sl AS (SELECT s.doc_id, d.lang, s.avg_logprob "
+        "FROM scored s JOIN documents d USING (doc_id)), "
+        "hist AS (SELECT lang, avg_logprob AS s, count(*) AS cnt "
+        "FROM sl GROUP BY lang, avg_logprob), "
+        "cum AS (SELECT lang, s, sum(cnt) OVER ("
+        "PARTITION BY lang ORDER BY s DESC) AS cum FROM hist), "
+        "tot AS (SELECT lang, count(*) AS n FROM sl GROUP BY lang), "
+        "cuts AS (SELECT c.lang, "
+        "max(CASE WHEN cum >= CAST(floor((n + 2) / 3) AS BIGINT) THEN s END) AS c1, "
+        "max(CASE WHEN cum >= CAST(floor((2 * n + 2) / 3) AS BIGINT) THEN s END) AS c2 "
+        "FROM cum c JOIN tot t ON c.lang = t.lang GROUP BY c.lang) "
+        "SELECT sl.doc_id, sl.lang, sl.avg_logprob, "
+        "CASE WHEN sl.avg_logprob >= cuts.c1 THEN 'head' "
+        "WHEN sl.avg_logprob >= cuts.c2 THEN 'middle' ELSE 'tail' END AS bucket "
+        "FROM sl JOIN cuts ON sl.lang = cuts.lang"
+    )

@@ -185,3 +185,50 @@ def test_bigram_lm_scores_unseen_corpus(spark):
     )
     got = {r.doc_id: r.avg_logprob for r in score_bigram_lm(test, lm).collect()}
     assert got[0] > got[1]  # in-domain beats fully-unseen
+
+
+class TestPplBuckets:
+    """CCNet tercile bucketing semantics (cross-engine parity of the
+    registered query is pinned by the strict ppl_buckets twin)."""
+
+    def _bucket(self, spark, rows):
+        from pdf_extraction_spark.operators.mlfilter import bucket_by_lm_score
+
+        scored = spark.createDataFrame(
+            rows, "doc_id long, lang string, avg_logprob double"
+        )
+        out = bucket_by_lm_score(scored).collect()
+        return {r["doc_id"]: r["bucket"] for r in out}
+
+    def test_terciles_by_rank_descending(self, spark):
+        # 9 docs, distinct scores: exactly 3 per bucket, best scores head
+        rows = [(i, "en", -1.0 * i) for i in range(9)]  # doc 0 best
+        got = self._bucket(spark, rows)
+        assert [got[i] for i in range(9)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+
+    def test_tie_mass_point_lands_in_better_bucket(self, spark):
+        # 6 docs, 4 share the boundary score: the cutoff IS that score,
+        # so the whole mass point labels head (discrete-quantile rule)
+        rows = [(0, "en", -1.0)] + [(i, "en", -2.0) for i in range(1, 5)] + [
+            (5, "en", -3.0)
+        ]
+        got = self._bucket(spark, rows)
+        assert got[0] == "head"
+        assert all(got[i] == "head" for i in range(1, 5))
+        assert got[5] == "tail"
+
+    def test_languages_bucket_independently(self, spark):
+        # a score that is head-grade in a weak language is tail-grade in
+        # a strong one
+        rows = [(i, "en", -1.0 * i) for i in range(9)] + [
+            (100 + i, "de", -10.0 - i) for i in range(3)
+        ]
+        got = self._bucket(spark, rows)
+        assert got[100] == "head" and got[102] == "tail"
+        assert got[8] == "tail"  # -8 is tail for en despite beating all de
+
+    def test_single_doc_language_is_head(self, spark):
+        got = self._bucket(spark, [(1, "fr", -5.0)])
+        assert got == {1: "head"}

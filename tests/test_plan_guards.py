@@ -36,7 +36,7 @@ NATIVE_QUERIES = [
     "embedding_neardup", "corpus_profile", "category_pivot",
     "dedup_keepfirst", "url_canonical", "top_ngram_frac", "dup_ngram_frac",
     "dedup_paragraphs", "host_cap", "qual_classify", "lm_score",
-    "fix_mojibake", "weighted_mix", "dedup_spans",
+    "fix_mojibake", "weighted_mix", "dedup_spans", "ppl_buckets",
 ]
 
 
