@@ -409,15 +409,17 @@ def ppl_bucket_cutoffs(
     """
     from pyspark.sql import Window
 
+    # group totals come from the histogram itself (sum of counts over
+    # the same window partition) — no second corpus scan, and NULL
+    # groups need no join to find their total (window partitioning
+    # groups NULLs together in both engines)
     hist = scored.groupBy(group_col, score_col).agg(F.count("*").alias("cnt"))
-    cum = hist.withColumn(
+    j = hist.withColumn(
         "cum",
         F.sum("cnt").over(
             Window.partitionBy(group_col).orderBy(F.desc(score_col))
         ),
-    )
-    tot = scored.groupBy(group_col).agg(F.count("*").alias("n"))
-    j = cum.join(tot, group_col)
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy(group_col)))
     k1 = ((F.col("n") + F.lit(2)) / 3).cast("long")        # ceil(n/3)
     k2 = ((F.lit(2) * F.col("n") + F.lit(2)) / 3).cast("long")  # ceil(2n/3)
     return j.groupBy(group_col).agg(
@@ -430,6 +432,7 @@ def bucket_by_lm_score(
     scored: DataFrame,
     score_col: str = "avg_logprob",
     group_col: str = "lang",
+    cache: bool = True,
 ) -> DataFrame:
     """CCNet perplexity bucketing: label each doc head / middle / tail
     by where its LM score falls in its language's tercile cutoffs
@@ -438,10 +441,24 @@ def bucket_by_lm_score(
     buckets can exceed n/3 exactly when a score mass point straddles the
     boundary (deterministic in both engines).
 
+    Docs with a NULL group (unidentified language) bucket among
+    themselves — the cutoff lookup is null-safe, so no row silently
+    disappears from the output.
+
     The cutoff table is 2 values per language — broadcast, so bucketing
-    itself is a narrow map over the scored frame."""
-    cuts = ppl_bucket_cutoffs(scored, score_col, group_col)
-    return scored.join(F.broadcast(cuts), group_col).select(
+    itself is a narrow map over the scored frame. ``cache``: the scored
+    frame feeds both the cutoff histogram and the final join; caching
+    stops the (often expensive — e.g. the whole LM-score pipeline)
+    upstream from executing twice. Same hygiene contract as
+    similarity.semantic_dedup."""
+    if cache:
+        scored = scored.persist()
+    cuts = ppl_bucket_cutoffs(scored, score_col, group_col).withColumnRenamed(
+        group_col, "__grp"
+    )
+    return scored.join(
+        F.broadcast(cuts), F.col(group_col).eqNullSafe(F.col("__grp"))
+    ).select(
         *[c for c in scored.columns],
         F.when(F.col(score_col) >= F.col("c1"), F.lit("head"))
         .when(F.col(score_col) >= F.col("c2"), F.lit("middle"))
@@ -462,15 +479,17 @@ def sql_ppl_buckets(
         "FROM scored s JOIN documents d USING (doc_id)), "
         "hist AS (SELECT lang, avg_logprob AS s, count(*) AS cnt "
         "FROM sl GROUP BY lang, avg_logprob), "
+        # group total via a window over the histogram — mirrors Spark:
+        # no second corpus scan, NULL langs need no (null-unsafe) join
         "cum AS (SELECT lang, s, sum(cnt) OVER ("
-        "PARTITION BY lang ORDER BY s DESC) AS cum FROM hist), "
-        "tot AS (SELECT lang, count(*) AS n FROM sl GROUP BY lang), "
-        "cuts AS (SELECT c.lang, "
+        "PARTITION BY lang ORDER BY s DESC) AS cum, "
+        "sum(cnt) OVER (PARTITION BY lang) AS n FROM hist), "
+        "cuts AS (SELECT lang, "
         "max(CASE WHEN cum >= CAST(floor((n + 2) / 3) AS BIGINT) THEN s END) AS c1, "
         "max(CASE WHEN cum >= CAST(floor((2 * n + 2) / 3) AS BIGINT) THEN s END) AS c2 "
-        "FROM cum c JOIN tot t ON c.lang = t.lang GROUP BY c.lang) "
+        "FROM cum GROUP BY lang) "
         "SELECT sl.doc_id, sl.lang, sl.avg_logprob, "
         "CASE WHEN sl.avg_logprob >= cuts.c1 THEN 'head' "
         "WHEN sl.avg_logprob >= cuts.c2 THEN 'middle' ELSE 'tail' END AS bucket "
-        "FROM sl JOIN cuts ON sl.lang = cuts.lang"
+        "FROM sl JOIN cuts ON sl.lang IS NOT DISTINCT FROM cuts.lang"
     )

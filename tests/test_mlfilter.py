@@ -232,3 +232,15 @@ class TestPplBuckets:
     def test_single_doc_language_is_head(self, spark):
         got = self._bucket(spark, [(1, "fr", -5.0)])
         assert got == {1: "head"}
+
+    def test_null_lang_buckets_among_itself(self, spark):
+        # unidentified-language docs must not vanish: they form their
+        # own group via the null-safe cutoff lookup
+        rows = [(i, "en", -1.0 * i) for i in range(3)] + [
+            (100, None, -50.0),
+            (101, None, -60.0),
+            (102, None, -70.0),
+        ]
+        got = self._bucket(spark, rows)
+        assert len(got) == 6
+        assert got[100] == "head" and got[101] == "middle" and got[102] == "tail"
