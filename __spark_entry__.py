@@ -1086,6 +1086,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "lang", "avg_logprob", "bucket"
         )
 
+    # -- RefinedWeb line-wise correction (Penedo et al. 2023, round 4) ------
+    def q_refinedweb(spark, sf):
+        """The synthetic documents contain no boilerplate, so the input
+        is augmented with deterministic boilerplate lines derived from
+        doc fields (uppercase source → mainly-upper rule, n_chars →
+        numeric-only, a counter, a nav phrase, plus one line that must
+        survive) — every removal rule AND the 5% page gate fire for
+        real; the twin applies the identical augmentation."""
+        from pdf_extraction_spark.operators.curation import with_refinedweb_flags
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.coalesce(F.col("text"), F.lit("")),
+                F.upper(F.col("source")),
+                F.col("n_chars").cast("string"),
+                F.lit("12 likes"),
+                F.lit("Read More"),
+                F.lit("This closing line survives."),
+            ).alias("text"),
+        )
+        return with_refinedweb_flags(docs, "text", "doc_id")
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -1135,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "semdedup": q_semdedup,
         "ppl_buckets": q_ppl_buckets,
+        "refinedweb_lines": q_refinedweb,
         # -- multi-round-green rotation (scale-critical first) -----------
         "curate_corpus": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1264,6 +1289,7 @@ def oracle_sql() -> dict[str, str]:
         sql_canonical_url,
         sql_url_filter,
         sql_c4_flags as _sql_c4_flags,
+        sql_refinedweb_flags as _sql_rw_flags,
     )
     from pdf_extraction_spark.operators.similarity import sql_semantic_dedup
     from pdf_extraction_spark.operators.dedup import (
@@ -1587,6 +1613,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_docs": _sql_chunk_sliding_window("documents", size=64, overlap=16),
         "c4_filter": _sql_c4_flags("text", "doc_id"),
+        "refinedweb_lines": _sql_rw_flags(
+            # identical augmentation to q_refinedweb (concat_ws skips no
+            # NULLs here: text is coalesced on both sides)
+            "concat_ws(chr(10), coalesce(text, ''), upper(source), "
+            "CAST(n_chars AS VARCHAR), '12 likes', 'Read More', "
+            "'This closing line survives.')",
+            "doc_id",
+        ),
         "nation_revenue": (
             "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
             "count(*) AS n_items FROM lineitem "

@@ -1455,3 +1455,138 @@ def sql_c4_flags(
         f"AND NOT list_has_any({lower_words}, [{bad}])) AS c4_pass "
         "FROM s"
     )
+
+
+# --------------------------------------------------------------------------
+# RefinedWeb-style line-wise correction (Penedo et al. 2023, §G.2).
+# Line removal rules (applied to the whitespace-trimmed line):
+#     - mainly uppercase: cased ASCII letters exist and MORE than half
+#       are uppercase (2·upper > cased — integer math, no float ratio);
+#     - numeric-only: at least one digit and zero ASCII letters (dates,
+#       bare counters, phone fragments);
+#     - social counter: "<n> likes/comments/shares/..." exactly;
+#     - navigation phrase: the whole lowercased line is one of the
+#       known nav/boilerplate phrases ("home", "sign in", "read more").
+# Page rule: if the removed lines account for MORE than 5% of the
+# document's characters the whole document is dropped — again integer
+# math (20·chars_removed > len(text)), so the twin needs no float
+# convention. ASCII [A-Z]/[a-z]/[0-9] classes are engine-identical;
+# Unicode letters are deliberately outside the heuristic (documented
+# deviation: the paper's implementation is unspecified on this).
+# --------------------------------------------------------------------------
+
+RW_NAV_LINES = (
+    "home", "menu", "search", "share", "reply", "more", "read more",
+    "sign in", "sign up", "sign-in", "sign-up", "log in", "log out",
+    "login", "logout", "register", "subscribe", "next", "previous",
+    "skip to content", "accept cookies", "advertisement", "print",
+    "email", "facebook", "twitter", "instagram", "rss",
+)
+_RW_COUNTER_RE = (
+    r"\A[0-9]+" + _WS + r"+(likes?|comments?|shares?|views?|votes?|"
+    r"points?|upvotes?|retweets?|repl(?:y|ies)|followers?)\z"
+)
+
+
+def _rw_removed_pred(line: Column) -> Column:
+    """True when the (trimmed) line matches a removal rule."""
+    t = F.regexp_replace(line, _C4_TRIM_RE, "")
+    low = F.lower(t)
+    upper = F.regexp_count(t, F.lit("[A-Z]"))
+    lower_c = F.regexp_count(t, F.lit("[a-z]"))
+    digits = F.regexp_count(t, F.lit("[0-9]"))
+    cased = upper + lower_c
+    return (
+        ((cased > F.lit(0)) & (upper * 2 > cased))
+        | ((digits > F.lit(0)) & (cased == F.lit(0)))
+        | low.rlike(_RW_COUNTER_RE)
+        | low.isin(list(RW_NAV_LINES))
+    )
+
+
+def with_refinedweb_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc RefinedWeb line-wise correction: the corrected text plus
+    the page-level keep flag. Columns: rw_text, n_lines_removed,
+    chars_removed, rw_pass. NULL text is treated as empty (non-NULL
+    flags, the with_c4_flags contract); an untouched doc reproduces its
+    text byte-for-byte (split + join on \\n is lossless)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    # staged projections for the same reason as with_c4_flags: the
+    # interpreted HOF line scan must evaluate once per row
+    staged = df.select(
+        F.col(id_col),
+        c.alias("__rw_src"),
+        F.split(c, r"\n").alias("__rw_lines"),
+    )
+    staged = staged.select(
+        id_col,
+        F.col("__rw_src"),
+        F.size(F.col("__rw_lines")).alias("__rw_nlines"),
+        F.filter(
+            F.col("__rw_lines"), lambda l: ~_rw_removed_pred(l)
+        ).alias("__rw_kept"),
+    )
+    staged = staged.select(
+        id_col,
+        F.col("__rw_src"),
+        F.col("__rw_nlines"),
+        F.col("__rw_kept"),
+        F.array_join(F.col("__rw_kept"), "\n").alias("__rw_text"),
+    )
+    chars_removed = (
+        F.length(F.col("__rw_src")) - F.length(F.col("__rw_text"))
+    ).cast("long")
+    return staged.select(
+        F.col(id_col),
+        F.col("__rw_text").alias("rw_text"),
+        (F.col("__rw_nlines") - F.size(F.col("__rw_kept")))
+        .cast("long")
+        .alias("n_lines_removed"),
+        chars_removed.alias("chars_removed"),
+        (chars_removed * 20 <= F.length(F.col("__rw_src"))).alias("rw_pass"),
+    )
+
+
+def refinedweb_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The filtering form: docs whose corrections stay within the 5%
+    budget, with the corrected text."""
+    flagged = with_refinedweb_flags(df, text_col, id_col)
+    return flagged.filter(F.col("rw_pass")).select(id_col, "rw_text")
+
+
+def sql_refinedweb_flags(text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`with_refinedweb_flags` — same trim regex,
+    same ASCII letter/digit counting, same integer 5% rule; pins the
+    array_to_string([])→NULL vs array_join([])→'' divergence the C4
+    twin documents."""
+    nav = ", ".join("'" + w + "'" for w in RW_NAV_LINES)
+    counter = _RW_COUNTER_RE.replace("'", "''")
+    trim = _C4_TRIM_RE.replace("'", "''")
+    t = f"regexp_replace(x, '{trim}', '', 'g')"  # the trimmed line
+    removed = (
+        f"(len(regexp_extract_all({t}, '[A-Z]')) * 2 > "
+        f"len(regexp_extract_all({t}, '[A-Za-z]')) "
+        f"AND len(regexp_extract_all({t}, '[A-Za-z]')) > 0) "
+        f"OR (len(regexp_extract_all({t}, '[0-9]')) > 0 "
+        f"AND len(regexp_extract_all({t}, '[A-Za-z]')) = 0) "
+        f"OR regexp_matches(lower({t}), '{counter}') "
+        f"OR lower({t}) IN ({nav})"
+    )
+    return (
+        f"WITH d AS (SELECT {id_expr} AS doc_id, coalesce({text_expr}, '') AS tx "
+        "FROM documents), "
+        "l AS (SELECT doc_id, tx, string_split(tx, chr(10)) AS lines FROM d), "
+        "k AS (SELECT doc_id, tx, len(lines) AS nlines, "
+        f"list_filter(lines, x -> NOT ({removed})) AS kept FROM l), "
+        "s AS (SELECT doc_id, tx, nlines, kept, "
+        "coalesce(array_to_string(kept, chr(10)), '') AS rw_text FROM k) "
+        "SELECT doc_id, rw_text, "
+        "CAST(nlines - len(kept) AS BIGINT) AS n_lines_removed, "
+        "CAST(length(tx) - length(rw_text) AS BIGINT) AS chars_removed, "
+        "((length(tx) - length(rw_text)) * 20 <= length(tx)) AS rw_pass "
+        "FROM s"
+    )

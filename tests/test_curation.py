@@ -888,3 +888,62 @@ class TestC4:
         con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
         con.executemany("INSERT INTO documents VALUES (?, ?)", self.ROWS)
         _compare(with_c4_flags(self._docs(spark)), con, sql_c4_flags("text", "doc_id"))
+
+
+class TestRefinedWeb:
+    """RefinedWeb line-wise correction semantics (cross-engine parity of
+    the registered query is pinned by the strict refinedweb_lines twin
+    over boilerplate-augmented input)."""
+
+    def _run(self, spark, texts):
+        from pdf_extraction_spark.operators.curation import with_refinedweb_flags
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r["doc_id"]: r for r in with_refinedweb_flags(df).collect()}
+
+    def test_each_removal_rule(self, spark):
+        text = "\n".join(
+            [
+                "A normal sentence stays here.",
+                "BREAKING NEWS HEADLINE",   # mainly uppercase
+                "12/03/2020",               # numeric-only (no letters)
+                "12 likes",                 # social counter
+                "  Sign In  ",              # nav phrase (trimmed, cased)
+                "Another normal line stays.",
+            ]
+        )
+        got = self._run(spark, [text])[0]
+        assert got["n_lines_removed"] == 4
+        assert got["rw_text"] == (
+            "A normal sentence stays here.\nAnother normal line stays."
+        )
+
+    def test_exactly_half_uppercase_is_kept(self, spark):
+        # "mainly" = strictly more than half the cased letters
+        got = self._run(spark, ["AAbb stays AAbb stays"])[0]
+        assert got["n_lines_removed"] == 0
+
+    def test_counter_needs_known_noun(self, spark):
+        got = self._run(spark, ["3 cats"])[0]  # not a social counter
+        assert got["n_lines_removed"] == 0
+
+    def test_untouched_doc_roundtrips_byte_identical(self, spark):
+        text = "Line one stays.\n\nLine two stays.\r\nLine three."
+        got = self._run(spark, [text])[0]
+        assert got["rw_text"] == text and got["chars_removed"] == 0
+        assert got["rw_pass"] is True
+
+    def test_five_percent_budget_boundary(self, spark):
+        # removed = "2020" + its newline = 5 chars. len 100 -> 5*20 <= 100
+        # passes; len 99 -> 100 > 99 fails.
+        keep95 = "x" * 95
+        keep94 = "x" * 94
+        got = self._run(spark, [keep95 + "\n2020", keep94 + "\n2020"])
+        assert got[0]["chars_removed"] == 5 and got[0]["rw_pass"] is True
+        assert got[1]["chars_removed"] == 5 and got[1]["rw_pass"] is False
+
+    def test_null_text_is_empty_and_passes(self, spark):
+        got = self._run(spark, [None])[0]
+        assert got["rw_text"] == "" and got["rw_pass"] is True
