@@ -1488,19 +1488,41 @@ _RW_COUNTER_RE = (
 )
 
 
-def _rw_removed_pred(line: Column) -> Column:
-    """True when the (trimmed) line matches a removal rule."""
-    t = F.regexp_replace(line, _C4_TRIM_RE, "")
-    low = F.lower(t)
-    upper = F.regexp_count(t, F.lit("[A-Z]"))
-    lower_c = F.regexp_count(t, F.lit("[a-z]"))
-    digits = F.regexp_count(t, F.lit("[0-9]"))
-    cased = upper + lower_c
+def _rw_line_structs(lines: Column) -> Column:
+    """Per-line feature structs, each expensive expression evaluated
+    ONCE per line: HOF lambdas are interpreted (no codegen CSE), so the
+    trim/lower/counts are staged through two nested transforms — the
+    second reads the first's fields (cheap struct access), mirroring the
+    projection staging with_c4_flags does at row level."""
+    trimmed = F.transform(
+        lines,
+        lambda l: F.struct(
+            l.alias("raw"),
+            F.regexp_replace(l, _C4_TRIM_RE, "").alias("t"),
+        ),
+    )
+    return F.transform(
+        trimmed,
+        lambda s: F.struct(
+            s["raw"].alias("raw"),
+            F.lower(s["t"]).alias("low"),
+            F.regexp_count(s["t"], F.lit("[A-Z]")).alias("up"),
+            F.regexp_count(s["t"], F.lit("[a-z]")).alias("lo"),
+            F.regexp_count(s["t"], F.lit("[0-9]")).alias("dg"),
+        ),
+    )
+
+
+def _rw_removed_pred(s: Column) -> Column:
+    """Removal rules over a :func:`_rw_line_structs` entry — every input
+    is a precomputed field, so the predicate itself is arithmetic plus
+    one anchored rlike and one literal IN."""
+    cased = s["up"] + s["lo"]
     return (
-        ((cased > F.lit(0)) & (upper * 2 > cased))
-        | ((digits > F.lit(0)) & (cased == F.lit(0)))
-        | low.rlike(_RW_COUNTER_RE)
-        | low.isin(list(RW_NAV_LINES))
+        ((cased > F.lit(0)) & (s["up"] * 2 > cased))
+        | ((s["dg"] > F.lit(0)) & (cased == F.lit(0)))
+        | s["low"].rlike(_RW_COUNTER_RE)
+        | s["low"].isin(list(RW_NAV_LINES))
     )
 
 
@@ -1518,14 +1540,15 @@ def with_refinedweb_flags(
     staged = df.select(
         F.col(id_col),
         c.alias("__rw_src"),
-        F.split(c, r"\n").alias("__rw_lines"),
+        _rw_line_structs(F.split(c, r"\n")).alias("__rw_lines"),
     )
     staged = staged.select(
         id_col,
         F.col("__rw_src"),
         F.size(F.col("__rw_lines")).alias("__rw_nlines"),
-        F.filter(
-            F.col("__rw_lines"), lambda l: ~_rw_removed_pred(l)
+        F.transform(
+            F.filter(F.col("__rw_lines"), lambda s: ~_rw_removed_pred(s)),
+            lambda s: s["raw"],
         ).alias("__rw_kept"),
     )
     staged = staged.select(

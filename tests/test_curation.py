@@ -947,3 +947,38 @@ class TestRefinedWeb:
     def test_null_text_is_empty_and_passes(self, spark):
         got = self._run(spark, [None])[0]
         assert got["rw_text"] == "" and got["rw_pass"] is True
+
+    def test_cross_engine(self, docs_df):
+        # in-pytest twin guard (the oracle sweep is out-of-band): the
+        # fixture docs plus adversarial boilerplate rows
+        from pdf_extraction_spark.operators.curation import (
+            sql_refinedweb_flags,
+            with_refinedweb_flags,
+        )
+
+        extra = [
+            (900, "MOSTLY UPPER line\nnormal line.\n12 likes\nHome", "src0"),
+            (901, "  2020  \n3 cats\nSIGN IN\nSign In", "src1"),
+            (902, "x" * 95 + "\n2020", "src2"),
+        ]
+        con = _con()
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", extra)
+        df = docs_df.sparkSession.createDataFrame(
+            [(i, t) for i, t, _ in extra], "doc_id long, text string"
+        )
+        both = docs_df.select("doc_id", "text").unionByName(df)
+        _compare(with_refinedweb_flags(both), con, sql_refinedweb_flags("text"))
+
+    def test_filter_form_keeps_passing_docs(self, spark):
+        from pdf_extraction_spark.operators.curation import refinedweb_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "A fine document line.\nAnother fine line."),
+                (2, "HEADLINE ONLY\n2020\n12 likes"),  # everything removed
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["rw_text"] for r in refinedweb_filter(df).collect()}
+        assert set(rows) == {1}
+        assert rows[1] == "A fine document line.\nAnother fine line."
