@@ -163,6 +163,10 @@ def bench_queries(spark) -> dict:
         except Exception as e:  # pragma: no cover
             log(f"query {name} failed: {e}")
             out[name] = -1.0
+        finally:
+            # drop internally-persisted frames (semdedup, ppl_buckets,
+            # curate_corpus) so cache residue can't skew later timings
+            spark.catalog.clearCache()
     return out
 
 

@@ -67,6 +67,11 @@ def main():
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"[FAIL-spark] {name}: {e}")
             continue
+        finally:
+            # several operators persist internal frames (semdedup,
+            # ppl_buckets, curate_corpus) — drop residue so one query
+            # cannot skew the next's memory/runtime across the sweep
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"[rows-only] {name}: {len(srows)} rows")
             continue
