@@ -347,6 +347,11 @@ def semantic_dedup(
     id_col: str = "vec_id",
     round_digits: int = 6,
     cache: bool = True,
+    max_cell: int | None = None,
+    n_planes: int = 16,
+    n_bands: int = 8,
+    seed: int = 42,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate removal restricted to embedding clusters.
@@ -369,11 +374,20 @@ def semantic_dedup(
     keyed by cell; AQE splits a skewed cell's join work) and the
     distinct over dropped ids. Pair work is quadratic only WITHIN a
     cell — with the sqrt(N)-cells training default the expected cell
-    size is sqrt(N); a pathological mega-cell should be pre-thinned
-    with the banded sign-sketch LSH (dedup.embedding_near_dups) before
-    the exact pass, mirroring the paper's per-cluster cap. The centroid
-    table is broadcast, so n_cells is bounded by executor memory —
-    identical to the IVF assignment closure it composes.
+    size is sqrt(N). The centroid table is broadcast, so n_cells is
+    bounded by executor memory — identical to the IVF assignment
+    closure it composes.
+
+    ``max_cell`` is the mega-cell guard (the paper's per-cluster cap):
+    cells larger than it swap the exact within-cell self-join for
+    banded sign-sketch LSH candidates keyed by (cell, band, bucket) —
+    pair work in a c-member mega-cell drops from c² to collision
+    buckets, at the cost of LSH recall (≈0.98 at τ=0.35 with the 16/8
+    defaults; tighter thresholds recall higher). Cells at or under the
+    cap stay EXACT, so ``max_cell=None`` (the default, and the oracled
+    path) is exhaustive everywhere. The approximate path is recall-
+    pinned in tests/test_similarity.py, the same treatment as
+    sampled-training IVF.
 
     ``cache``: the assignment frame feeds three consumers (both
     self-join sides and the kept-join); caching it stops the embedding
@@ -426,9 +440,78 @@ def semantic_dedup(
         ),
         round_digits,
     )
+    if max_cell is None:
+        pairs = a.join(b, "cell").filter(F.col("id_a") != F.col("id_b"))
+    else:
+        # mega-cell guard: exact self-join only where the cell is small
+        # enough; oversized cells go through banded sign-sketch LSH with
+        # the cell in the bucket key, so collisions never cross cells
+        from .dedup import embedding_sketches
+
+        sizes = assigned.groupBy("cell").agg(F.count("*").alias("__csz"))
+        small = assigned.join(
+            F.broadcast(sizes.filter(F.col("__csz") <= max_cell)), "cell"
+        )
+        big = assigned.join(
+            F.broadcast(sizes.filter(F.col("__csz") > max_cell)), "cell"
+        )
+        sa = small.select(F.col(id_col).alias("id_a"), "cell")
+        sb = small.select(F.col(id_col).alias("id_b"), "cell")
+        small_cand = sa.join(sb, "cell").filter(F.col("id_a") != F.col("id_b"))
+        sk = embedding_sketches(
+            big.select(id_col, F.col("v")),
+            vec_col="v",
+            id_col=id_col,
+            n_planes=n_planes,
+            n_bands=n_bands,
+            seed=seed,
+            cache=cache,
+        )
+        banded = (
+            sk.select(F.col(id_col), F.posexplode("bands").alias("band", "bucket"))
+            .join(big.select(id_col, "cell", "cent_sim"), id_col)
+        )
+        bsizes = banded.groupBy("cell", "band", "bucket").agg(
+            F.count("*").alias("__bsz"),
+            # bucket's top-priority member (min (cent_sim, id) — the one
+            # every other member would be dropped against)
+            F.min(F.struct(F.col("cent_sim"), F.col(id_col))).alias("__top"),
+        )
+        ok = banded.join(
+            bsizes.filter(F.col("__bsz") <= max_bucket).select(
+                "cell", "band", "bucket"
+            ),
+            ["cell", "band", "bucket"],
+        )
+        ba = ok.select(F.col(id_col).alias("id_a"), "cell", "band", "bucket")
+        bb = ok.select(F.col(id_col).alias("id_b"), "cell", "band", "bucket")
+        pair_cand = (
+            ba.join(bb, ["cell", "band", "bucket"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        # duplicate-flooded buckets (> max_bucket: near-identical
+        # vectors share every band) collapse to a STAR — every member
+        # is a candidate against the bucket's top-priority member only,
+        # so pair work stays linear and the downstream exact cosine
+        # still verifies every drop (no invented drops, some recall
+        # loss vs all-pairs — the documented approximate trade)
+        star_cand = (
+            banded.join(
+                bsizes.filter(F.col("__bsz") > max_bucket),
+                ["cell", "band", "bucket"],
+            )
+            .filter(F.col(id_col) != F.col("__top")[id_col])
+            .select(
+                F.col(id_col).alias("id_a"),
+                F.col("__top")[id_col].alias("id_b"),
+            )
+        )
+        big_cand = pair_cand.unionByName(star_cand).distinct()
+        cand = small_cand.select("id_a", "id_b").unionByName(big_cand)
+        pairs = cand.join(a.drop("cell"), "id_a").join(b.drop("cell"), "id_b")
     dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") != F.col("id_b"))
+        pairs
         # priority gate FIRST: the expensive pair fold only runs on the
         # ordered half of each candidate pair
         .filter(

@@ -154,3 +154,41 @@ class TestSemanticDedup:
         rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, None)]
         got = self._run(spark, rows, threshold=0.9)
         assert set(got) == {1}
+
+    def test_mega_cell_lsh_path_recall(self, spark):
+        # one mega-cluster of 300 tight near-dups + one small cluster;
+        # max_cell forces the LSH path for the mega-cell only. The
+        # approximate drop set must agree with the exact path on ≥90%
+        # of drops, and the small cell must be decided identically.
+        import math
+
+        from pdf_extraction_spark.operators.similarity import semantic_dedup
+
+        rows = []
+        for i in range(300):  # mega-cluster near centroid 0
+            rows.append(
+                (i, [1.0 + 0.001 * math.sin(i * 1.7), 0.001 * math.cos(i * 2.3), 0.0, 0.0])
+            )
+        for i in range(300, 310):  # small cluster near centroid 1
+            rows.append((i, [0.01 * (i - 300), 1.0, 0.0, 0.0]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        exact = {
+            r["vec_id"]: r["kept"]
+            for r in semantic_dedup(df, self.CENTS, threshold=0.999).collect()
+        }
+        approx = {
+            r["vec_id"]: r["kept"]
+            for r in semantic_dedup(
+                df, self.CENTS, threshold=0.999, max_cell=100, n_planes=32
+            ).collect()
+        }
+        assert set(exact) == set(approx)
+        # small cell (under the cap) stays exact
+        assert all(exact[i] == approx[i] for i in range(300, 310))
+        ex_drop = {i for i, k in exact.items() if not k and i < 300}
+        ap_drop = {i for i, k in approx.items() if not k and i < 300}
+        assert ex_drop, "exact path must drop mega-cluster members"
+        # LSH may miss pairs (recall) but must not invent drops beyond
+        # the exact transitive-priority set semantics
+        assert len(ex_drop & ap_drop) / len(ex_drop) >= 0.9
