@@ -853,15 +853,23 @@ def embedding_near_dups(
     )
 
 
+def exploded_bands(sketches: DataFrame, id_col: str) -> DataFrame:
+    """(id, band, bucket) from a (id, bands) sketch frame — the shared
+    explode for every banded-LSH consumer (:func:`_band_candidates`
+    here; similarity.semantic_dedup's cell-keyed mega-cell path). Null
+    bands (wrong-dim vectors) are skipped by posexplode."""
+    return sketches.select(
+        F.col(id_col), F.posexplode("bands").alias("band", "bucket")
+    )
+
+
 def _band_candidates(sketches: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
     """(id_a, id_b) distinct band-collision candidates from a
     (id, bands) sketch frame — posexplode → bucket-size cap →
     per-(band, bucket) self-join. Same relational core as
     _lsh_pairs_from_sigs, minus the est-jaccard (the exact cosine is
     the filter here)."""
-    banded = sketches.select(
-        F.col(id_col), F.posexplode("bands").alias("band", "bucket")
-    )
+    banded = exploded_bands(sketches, id_col)
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
     ok = banded.join(
         sizes.filter(F.col("bsz") <= max_bucket).select("band", "bucket"),

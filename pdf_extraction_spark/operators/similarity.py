@@ -348,10 +348,11 @@ def semantic_dedup(
     round_digits: int = 6,
     cache: bool = True,
     max_cell: int | None = None,
-    n_planes: int = 16,
+    n_planes: int = 64,
     n_bands: int = 8,
     seed: int = 42,
     max_bucket: int = 200,
+    sketches: DataFrame = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate removal restricted to embedding clusters.
@@ -382,12 +383,19 @@ def semantic_dedup(
     cells larger than it swap the exact within-cell self-join for
     banded sign-sketch LSH candidates keyed by (cell, band, bucket) —
     pair work in a c-member mega-cell drops from c² to collision
-    buckets, at the cost of LSH recall (≈0.98 at τ=0.35 with the 16/8
-    defaults; tighter thresholds recall higher). Cells at or under the
-    cap stay EXACT, so ``max_cell=None`` (the default, and the oracled
-    path) is exhaustive everywhere. The approximate path is recall-
-    pinned in tests/test_similarity.py, the same treatment as
-    sampled-training IVF.
+    buckets. The 64-plane / 8-band defaults give 8 bits (256 buckets)
+    per band — ≈0.99 band-collision recall at τ=0.95, the regime
+    SemDeDup runs in; buckets a cap-violating duplicate flood still
+    saturates collapse to a STAR against the bucket's top-priority
+    member, so the flood is dropped linearly rather than silently
+    skipped. Cells at or under the cap stay EXACT, so ``max_cell=None``
+    (the default, and the oracled path) is exhaustive everywhere. The
+    approximate path is recall-pinned (and no-invented-drops-pinned) in
+    tests/test_similarity.py, the same treatment as sampled-training
+    IVF. ``sketches``: precomputed (id, bands) frame to reuse across
+    calls (the dedup.embedding_near_dups contract) — when omitted the
+    internal build is cached under the same ``cache`` flag and hygiene
+    note as the assignment frame.
 
     ``cache``: the assignment frame feeds three consumers (both
     self-join sides and the kept-join); caching it stops the embedding
@@ -446,30 +454,32 @@ def semantic_dedup(
         # mega-cell guard: exact self-join only where the cell is small
         # enough; oversized cells go through banded sign-sketch LSH with
         # the cell in the bucket key, so collisions never cross cells
-        from .dedup import embedding_sketches
+        from .dedup import embedding_sketches, exploded_bands
 
         sizes = assigned.groupBy("cell").agg(F.count("*").alias("__csz"))
-        small = assigned.join(
-            F.broadcast(sizes.filter(F.col("__csz") <= max_cell)), "cell"
-        )
-        big = assigned.join(
-            F.broadcast(sizes.filter(F.col("__csz") > max_cell)), "cell"
-        )
+        with_sz = assigned.join(F.broadcast(sizes), "cell")
+        small = with_sz.filter(F.col("__csz") <= max_cell)
+        big = with_sz.filter(F.col("__csz") > max_cell)
         sa = small.select(F.col(id_col).alias("id_a"), "cell")
         sb = small.select(F.col(id_col).alias("id_b"), "cell")
         small_cand = sa.join(sb, "cell").filter(F.col("id_a") != F.col("id_b"))
-        sk = embedding_sketches(
-            big.select(id_col, F.col("v")),
-            vec_col="v",
-            id_col=id_col,
-            n_planes=n_planes,
-            n_bands=n_bands,
-            seed=seed,
-            cache=cache,
-        )
-        banded = (
-            sk.select(F.col(id_col), F.posexplode("bands").alias("band", "bucket"))
-            .join(big.select(id_col, "cell", "cent_sim"), id_col)
+        if sketches is None:
+            sk = embedding_sketches(
+                big.select(id_col, F.col("v")),
+                vec_col="v",
+                id_col=id_col,
+                n_planes=n_planes,
+                n_bands=n_bands,
+                seed=seed,
+                # dim is known from the centroids (assign_cells only
+                # passes matching-dim rows) — skip the sampling job
+                dim=int(cents.shape[1]),
+                cache=cache,
+            )
+        else:
+            sk = sketches
+        banded = exploded_bands(sk, id_col).join(
+            big.select(id_col, "cell", "cent_sim"), id_col
         )
         bsizes = banded.groupBy("cell", "band", "bucket").agg(
             F.count("*").alias("__bsz"),

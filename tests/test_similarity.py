@@ -189,6 +189,9 @@ class TestSemanticDedup:
         ex_drop = {i for i, k in exact.items() if not k and i < 300}
         ap_drop = {i for i, k in approx.items() if not k and i < 300}
         assert ex_drop, "exact path must drop mega-cluster members"
-        # LSH may miss pairs (recall) but must not invent drops beyond
-        # the exact transitive-priority set semantics
+        # no invented drops: LSH candidates are a subset of the exact
+        # within-cell pairs and every drop is exact-cosine-verified, so
+        # the approximate drop set must be contained in the exact one
+        assert ap_drop <= ex_drop
+        # recall: ≥90% of the exact drops must survive the LSH thinning
         assert len(ex_drop & ap_drop) / len(ex_drop) >= 0.9
