@@ -128,6 +128,30 @@ def main(argv=None):
         )
         print(f"n={n} cells={n_cells}: {wall:.2f}s kept={kept}")
 
+    # mega-cell guard: ALL rows in one cell (n_cells=1 — the worst
+    # case the max_cell LSH path exists for). Exact would be n² pairs;
+    # the guard must finish in seconds and still drop the near-dup mass.
+    mega_n = sizes[-1]
+    vecs = clustered_vectors(spark, mega_n, 1).persist()
+    vecs.count()
+    t0 = time.time()
+    out = semantic_dedup(
+        vecs, _centers(1), threshold=0.9, cache=True, max_cell=CELL_TARGET
+    )
+    m_total, m_kept = out.agg(
+        F.count("*"), F.sum(F.col("kept").cast("long"))
+    ).first()
+    mega_wall = time.time() - t0
+    vecs.unpersist()
+    spark.catalog.clearCache()
+    assert m_total == mega_n and 0 < m_kept < mega_n
+    mega = {
+        "n": mega_n, "n_cells": 1, "max_cell": CELL_TARGET,
+        "wall_s": round(mega_wall, 3), "kept": m_kept,
+        "dropped": mega_n - m_kept,
+    }
+    print(f"mega-cell n={mega_n}: {mega_wall:.2f}s kept={m_kept}")
+
     ratios = [
         round(levels[i + 1]["wall_s"] / levels[i]["wall_s"], 3)
         for i in range(len(levels) - 1)
@@ -145,6 +169,7 @@ def main(argv=None):
         "levels": levels,
         "ratios": ratios,
         "linear": linear,
+        "mega_cell_guard": mega,
     }
     with open(ns.out, "w") as f:
         json.dump(result, f, indent=2)
