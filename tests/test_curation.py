@@ -982,3 +982,31 @@ class TestRefinedWeb:
         rows = {r["doc_id"]: r["rw_text"] for r in refinedweb_filter(df).collect()}
         assert set(rows) == {1}
         assert rows[1] == "A fine document line.\nAnother fine line."
+
+    def test_batch_invariants_on_random_text(self, spark):
+        # seeded adversarial batch, one job: kept lines must be an
+        # ordered subsequence of the original lines, chars_removed must
+        # match the length identity, and the page flag must equal the
+        # integer rule exactly
+        import random
+
+        rng = random.Random(42)
+        alphabet = "aA zZ09.!?\n\ré LIKES likes comments Home SIGN IN {}"
+        texts = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 300)))
+            for _ in range(120)
+        ] + [None, "", "\n\n\n", "2020\n2020\n2020"]
+        from pdf_extraction_spark.operators.curation import with_refinedweb_flags
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        for r in with_refinedweb_flags(df).collect():
+            src = texts[r["doc_id"]] or ""
+            src_lines = src.split("\n")
+            kept_lines = r["rw_text"].split("\n") if r["rw_text"] != "" else []
+            it = iter(src_lines)  # ordered-subsequence check
+            assert all(any(k == s for s in it) for k in kept_lines), r["doc_id"]
+            assert r["chars_removed"] == len(src) - len(r["rw_text"]) >= 0
+            assert r["rw_pass"] == (r["chars_removed"] * 20 <= len(src))
+            assert 0 <= r["n_lines_removed"] <= len(src_lines)

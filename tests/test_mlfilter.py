@@ -244,3 +244,37 @@ class TestPplBuckets:
         got = self._bucket(spark, rows)
         assert len(got) == 6
         assert got[100] == "head" and got[101] == "middle" and got[102] == "tail"
+
+    def test_batch_invariants_random_scores(self, spark):
+        # seeded random scores across languages, one job: per language,
+        # head must hold at least ceil(n/3) docs and tail at most
+        # n - ceil(2n/3) (tie mass points only ever inflate the BETTER
+        # bucket), and every input doc appears exactly once
+        import math
+        import random
+
+        rng = random.Random(13)
+        rows = []
+        i = 0
+        for lang, n in (("en", 97), ("de", 31), ("fr", 7), ("xx", 1)):
+            for _ in range(n):
+                rows.append((i, lang, round(rng.uniform(-9, -1), 2)))
+                i += 1
+        from pdf_extraction_spark.operators.mlfilter import bucket_by_lm_score
+
+        scored = spark.createDataFrame(
+            rows, "doc_id long, lang string, avg_logprob double"
+        )
+        got = bucket_by_lm_score(scored).collect()
+        assert len(got) == len(rows)
+        per_lang = {}
+        for r in got:
+            per_lang.setdefault(r["lang"], []).append(r["bucket"])
+        for lang, buckets in per_lang.items():
+            n = len(buckets)
+            k1 = math.ceil(n / 3)
+            k2 = math.ceil(2 * n / 3)
+            heads = buckets.count("head")
+            tails = buckets.count("tail")
+            assert heads >= k1, (lang, heads, k1)
+            assert tails <= n - k2, (lang, tails, n - k2)

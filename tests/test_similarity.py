@@ -195,3 +195,29 @@ class TestSemanticDedup:
         assert ap_drop <= ex_drop
         # recall: ≥90% of the exact drops must survive the LSH thinning
         assert len(ex_drop & ap_drop) / len(ex_drop) >= 0.9
+
+    def test_batch_invariants_random_vectors(self, spark):
+        # seeded random batch: output covers every assignable vector
+        # exactly once, and every nonempty cell keeps at least one
+        # vector (the cell's top-priority member can never be dropped)
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(400)
+        ] + [(400, None), (401, [0.0, 0.0, 0.0, 0.0])]
+        from pdf_extraction_spark.operators.similarity import semantic_dedup
+
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(df, self.CENTS, threshold=0.8).collect()
+        ids = [r["vec_id"] for r in out]
+        assert sorted(ids) == sorted(set(ids))  # one row per vector
+        assert set(ids) == set(range(400)) | {401}  # null out, zero-vec in
+        by_cell = {}
+        for r in out:
+            by_cell.setdefault(r["cell"], []).append(r)
+        for cell, members in by_cell.items():
+            assert any(m["kept"] for m in members), f"cell {cell} kept nothing"
+            # the (cent_sim, id)-minimal member is always kept
+            top = min(members, key=lambda m: (m["cent_sim"], m["vec_id"]))
+            assert top["kept"]
