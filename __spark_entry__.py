@@ -1110,6 +1110,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return with_refinedweb_flags(docs, "text", "doc_id")
 
+    # -- CCNet-style URL-level dedup (canonicalize → keep best, round 4) ----
+    def q_dedup_url(spark, sf):
+        """Composition: synthetic colliding URLs (mixed-case scheme and
+        host + a utm tracking param — canonicalization must collapse the
+        variants) → keep the longest doc per canonical URL, ties to the
+        lowest doc_id, via the combinable min(struct) device (no window
+        funnel — the keep-first line-dedup shape)."""
+        from pdf_extraction_spark.operators.curation import canonical_url_col
+
+        docs = _docs(spark, sf)
+        raw = F.concat(
+            F.lit("HTTPS://"),
+            F.upper(F.col("source")),
+            F.lit(".Example.com/p/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("?utm_source=feed&ref=rss"),
+        )
+        d = docs.select(
+            "doc_id", "n_chars", canonical_url_col(raw).alias("curl")
+        )
+        best = d.groupBy("curl").agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("negc"),
+                    F.col("doc_id").alias("keep_id"),
+                )
+            ).alias("w")
+        )
+        return best.select(
+            "curl",
+            F.col("w.keep_id").alias("doc_id"),
+            (-F.col("w.negc")).cast("long").alias("n_chars"),
+        )
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -1160,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "ppl_buckets": q_ppl_buckets,
         "refinedweb_lines": q_refinedweb,
+        "dedup_url": q_dedup_url,
         # -- multi-round-green rotation (scale-critical first) -----------
         "curate_corpus": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1613,6 +1648,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "chunk_docs": _sql_chunk_sliding_window("documents", size=64, overlap=16),
         "c4_filter": _sql_c4_flags("text", "doc_id"),
+        "dedup_url": (
+            "WITH d AS (SELECT doc_id, n_chars, "
+            + sql_canonical_url(
+                "'HTTPS://' || upper(source) || '.Example.com/p/' || "
+                "CAST(doc_id % 50 AS VARCHAR) || '?utm_source=feed&ref=rss'"
+            )
+            + " AS curl FROM documents) "
+            "SELECT curl, doc_id, n_chars FROM ("
+            "SELECT curl, doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY curl ORDER BY n_chars DESC, doc_id) AS rn FROM d) "
+            "WHERE rn = 1"
+        ),
         "refinedweb_lines": _sql_rw_flags(
             # identical augmentation to q_refinedweb (concat_ws skips no
             # NULLs here: text is coalesced on both sides)

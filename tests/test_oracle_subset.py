@@ -26,6 +26,12 @@ FAST_QUERIES = [
     "salted_agg",
     "session_stats",
     "dedup_wordset",
+    # round-4 additions (strict full-suite parity in oracle_check.py;
+    # this keeps a pytest-collected guard on their twins)
+    "semdedup",
+    "ppl_buckets",
+    "refinedweb_lines",
+    "dedup_url",
 ]
 
 
