@@ -1130,18 +1130,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = docs.select(
             "doc_id", "n_chars", canonical_url_col(raw).alias("curl")
         )
+        # rank on coalesce(n_chars, -1): Spark's struct-min sorts a NULL
+        # field FIRST while the twin's ORDER BY ... DESC puts NULLs last
+        # — coalescing pins one rule in both engines; the raw value
+        # rides along in the struct ((negc, keep_id) is already unique,
+        # so the third field never influences the min)
         best = d.groupBy("curl").agg(
             F.min(
                 F.struct(
-                    (-F.col("n_chars")).alias("negc"),
+                    (-F.coalesce(F.col("n_chars"), F.lit(-1))).alias("negc"),
                     F.col("doc_id").alias("keep_id"),
+                    F.col("n_chars").alias("n_chars"),
                 )
             ).alias("w")
         )
         return best.select(
             "curl",
             F.col("w.keep_id").alias("doc_id"),
-            (-F.col("w.negc")).cast("long").alias("n_chars"),
+            F.col("w.n_chars").alias("n_chars"),
         )
 
     # Dict ORDER is driver-facing: the correctness snapshot samples the
@@ -1657,7 +1663,7 @@ def oracle_sql() -> dict[str, str]:
             + " AS curl FROM documents) "
             "SELECT curl, doc_id, n_chars FROM ("
             "SELECT curl, doc_id, n_chars, row_number() OVER ("
-            "PARTITION BY curl ORDER BY n_chars DESC, doc_id) AS rn FROM d) "
+            "PARTITION BY curl ORDER BY coalesce(n_chars, -1) DESC, doc_id) AS rn FROM d) "
             "WHERE rn = 1"
         ),
         "refinedweb_lines": _sql_rw_flags(
