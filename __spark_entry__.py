@@ -1611,7 +1611,8 @@ def oracle_sql() -> dict[str, str]:
             f"WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '{WORD_SPLIT_RE}'), x -> x <> '') AS w FROM documents), "
             "grams AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
             "list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) "
-            "ELSE [array_to_string(w, ' ')] END AS gs FROM toks), "
+            "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] "
+            "ELSE [] END AS gs FROM toks), "
             "sh AS (SELECT doc_id, unnest(gs) AS shingle FROM grams), "
             "sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id), "
             "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common "
@@ -1640,7 +1641,7 @@ def oracle_sql() -> dict[str, str]:
             # Unicode — accented letters must not count as punctuation,
             # and (?U)\s = White_Space, spelled as the explicit body so
             # exotic spaces don't count as punctuation either
-            "round(CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_"
+            "round(CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{M}\\p{N}_"
             + WHITE_SPACE_BODY
             + "]')) AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio, "
             "round(CAST(len(list_filter(words, x -> list_contains(['the','a','of','to','and','in','is'], x))) AS DOUBLE) / greatest(len(words), 1), 4) AS stopword_ratio "

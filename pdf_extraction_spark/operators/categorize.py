@@ -94,7 +94,10 @@ def sql_categories(content_expr: str, keywords_by_category=None, id_expr: str = 
         for p in pats.values()
     )
     selects.append(
+        # coalesce: NULL content matches nothing, but the General
+        # remainder must still fire (Spark's categorizer labels a NULL
+        # doc General; bare NOT(NULL) would silently drop the row)
         f"SELECT {id_expr} AS doc_id, 'General' AS category FROM documents "
-        f"WHERE NOT ({any_match})"
+        f"WHERE NOT coalesce(({any_match}), FALSE)"
     )
     return " UNION ALL ".join(selects)

@@ -94,10 +94,17 @@ def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFra
             F.concat_ws(" ", t, *[F.get(toks, i + k) for k in range(1, n)]),
         ),
     )
+    # short docs (1..n-1 tokens) fall back to one whole-text gram so
+    # near-identical short docs can still pair; ZERO-token docs (empty
+    # or NULL text) emit NO gram at all — an empty doc must not pair
+    # with every other empty doc at jaccard 1.0 (that is exact dedup's
+    # job), and the twin's array_to_string([])->NULL would disagree
     grams = F.when(
         F.size(toks) >= n,
         F.array_distinct(F.filter(grams_all, lambda g: g.isNotNull())),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    ).when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array().cast("array<string>")
+    )
     return with_toks.select("doc_id", F.explode(grams).alias("shingle"))
 
 
@@ -113,7 +120,8 @@ def shingle_hash_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Da
     Hash equality admits false positives (resolved by an exact string
     recheck on the surviving candidates) and no false negatives: equal
     token tuples always hash equal. Mirrors shingle_df's short-doc rule
-    (< n tokens → one whole-text gram, hashed as the joined string)."""
+    (1..n-1 tokens → one whole-text gram, hashed as the joined string;
+    0 tokens → none)."""
     toks_expr = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
@@ -129,7 +137,9 @@ def shingle_hash_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Da
     hashes = F.when(
         F.size(toks) >= n,
         F.array_distinct(F.filter(hashes_all, lambda h: h.isNotNull())),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks))))
+    ).when(F.size(toks) > 0, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
+        F.array().cast("array<long>")
+    )
     return with_toks.select("doc_id", F.explode(hashes).alias("gh"))
 
 

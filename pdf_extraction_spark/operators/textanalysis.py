@@ -32,14 +32,15 @@ def token_count_col(text: Column) -> Column:
 
 # DuckDB (RE2) twin of the Java-Unicode token pattern: RE2's bare \w is
 # ASCII-only, so accented letters would split off as punctuation tokens
-# and break oracle parity on any non-English text. \p{L}\p{N}_ matches
-# Java (?U)\w for real-world NFC text (residual: combining marks).
+# and break oracle parity on any non-English text. \p{L}\p{M}\p{N}_
+# matches Java (?U)\w including combining marks (Java \w covers
+# Mn/Mc/Me; residual: the two join controls ZWNJ/ZWJ).
 # The punctuation class excludes Java (?U)\s — spelled as the explicit
 # White_Space body (kernels.wsre) because RE2's bare \s lacks NEL/LS/PS
 # etc. and would otherwise count them as punctuation tokens.
 from ..kernels.wsre import WHITE_SPACE_BODY as _UWS
 
-_RE2_W = r"[\p{L}\p{N}_]"
+_RE2_W = r"[\p{L}\p{M}\p{N}_]"
 _RE2_TOKEN_PATTERN = rf"{_RE2_W}+(?:'{_RE2_W}+)?|[^\p{{L}}\p{{N}}_{_UWS}]"
 
 
@@ -112,7 +113,11 @@ def sql_detect_language(text_expr: str) -> str:
         + f" ELSE '{langs[-1]}' END AS detected_lang FROM ("
         + f"SELECT doc_id, {best} AS best, * FROM ("
         + "SELECT doc_id, " + ", ".join(hit_cols)
-        + f" FROM (SELECT doc_id, list_filter(string_split_regex(lower({text_expr}), '{PY_WS_SPLIT}'), x -> x <> '') AS words FROM documents)))"
+        # NULL text must read as empty: otherwise every h_* is NULL, no
+        # CASE arm fires, and the ELSE emits the LAST language
+        + f" FROM (SELECT doc_id, list_filter(string_split_regex("
+        f"lower(coalesce({text_expr}, '')), '{PY_WS_SPLIT}'), "
+        "x -> x <> '') AS words FROM documents)))"
     )
 
 

@@ -1,0 +1,146 @@
+"""Adversarial cross-engine twin sweep.
+
+The driver gate and the strict sweep run every oracle over the BENIGN
+synthetic tables; a twin can pass there while still diverging on the
+inputs a real crawl serves up (NULLs, empty strings, CRLF/NEL line
+ends, unicode soup, boilerplate floods, PII shapes). This module
+re-runs every FIXTURE-FREE documents-twinned query — the 36 oracles
+whose SQL recomputes entirely from the input tables — over a crafted
+hostile documents table, comparing Spark vs DuckDB value-for-value with
+the same normalize logic as tests/oracle_check.py (loose float form:
+the goal here is semantic agreement on hostile input; bit-exactness on
+the pinned data is the strict sweep's job).
+
+Fixture-bound oracles (kernel-signature or recompute-golden fixtures
+tied to the pinned corpora) are out of scope by construction — their
+kernel bit-identity is pinned elsewhere.
+"""
+
+import os
+import shutil
+
+import duckdb
+import pytest
+
+ADVERSARIAL_DOCS = [
+    # (doc_id, text, lang, source, n_chars) — n_chars deliberately
+    # inconsistent with len(text) in places (it is a stored column, not
+    # a derived one)
+    (0, None, "en", "web", None),
+    (1, "", "", "", 0),
+    (2, "\n\n\n\n", None, "web", 4),
+    (3, "x", "en", None, 1),
+    (4, "A normal English sentence, with punctuation.", "en", "news", 44),
+    (5, "ALL CAPS HEADLINE\n12 likes\nHome\n2020\nReal content line here.", "en", "web", 60),
+    (6, "lorem ipsum dolor sit amet " * 10, "la", "web", 270),
+    (7, "function() { return 42; } // javascript", "en", "code", 39),
+    (8, "Line one.\r\nLine two.\r\nLine one.\r\n", "en", "web", 33),
+    (9, "Repeated line\nRepeated line\nRepeated line\nUnique tail line.", "en", "web", 60),
+    (10, "日本語のテキストです。これはテストです。", "ja", "web", 20),
+    (11, "نص عربي للاختبار مع علامات الترقيم.", "ar", "web", 35),
+    (12, "Café naïve façade — résumé coöperate", "fr", "web", 36),
+    (13, "combining áccents and NELafter", "en", "web", 30),
+    (14, "NBSP separated words and LS separator", "en", "web", 38),
+    (15, "emoji 🙂🚀 and astral 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 chars", "en", "web", 33),
+    (16, "contact me at bob@example.com or 192.168.1.1 or 555-123-4567", "en", "web", 60),
+    (17, "a b c d e f g h i j " * 50, "en", "web", 1000),
+    (18, "word " * 300, "en", "longsrc", 1500),
+    (19, "!!! ??? ... --- *** … —", "xx", "web", 25),
+    (20, "1 2 3 4 5 6 7 8 9 10", "en", "web", 20),
+    (21, "Tab\tseparated\tcolumns\there", "en", "web", 26),
+    (22, "fuck this shit", "en", "web", 14),  # C4 bad words
+    (23, "Quote \"nested 'quotes' here\" end.", "en", "web", 33),
+    (24, "Ends without terminal punct", "en", "web", 27),
+    (25, "Multi.\n\nParagraph.\n\nDocument. With sentences! And more?", "en", "web", 56),
+    (26, "\x00null byte and \x1f controls", "en", "web", 25),
+    (27, "www.example.com/path?q=1&utm_source=x", "en", "web", 37),
+    (28, "Ｆｕｌｌｗｉｄｔｈ　ｔｅｘｔ", "ja", "web", 14),
+    (29, "mixed English och svenska und Deutsch", None, None, 37),
+    (30, "  leading and trailing whitespace   ", "en", "web", 36),
+    (31, "single\nword\nper\nline\nstack", "en", "web", 26),
+    (32, "An extremely long single line " + "y" * 500 + " end.", "en", "web", 540),
+    (33, "Ésta es una oración española. ¡Con signos invertidos!", "es", "web", 53),
+    (34, "Duplicate body", "en", "web", 14),
+    (35, "Duplicate body", "en", "web", 14),  # exact dup pair
+    (36, "Duplicate body", "de", "other", 14),  # same text, other stratum
+    (37, "shared passage of exactly eight tokens here padded\nunique a", "en", "web", 59),
+    (38, "shared passage of exactly eight tokens here padded\nunique b", "en", "web", 59),
+    (39, "-5", "en", "web", -5),  # negative stored n_chars
+]
+
+QUERIES = [
+    "filter_short", "word_stats", "quality_score", "categorize",
+    "category_counts", "corpus_profile", "category_pivot", "dedup_exact",
+    "dedup_wordset", "ngram_jaccard", "text_ratios", "token_count",
+    "bm25_topk", "chunk_docs", "c4_filter", "dedup_url",
+    "refinedweb_lines", "host_cap", "qual_classify", "lm_score",
+    "ppl_buckets", "weighted_mix", "pass_rate", "salted_agg",
+    "categorize_join", "gopher_quality", "dedup_lines",
+    "dedup_paragraphs", "top_ngram_frac", "dup_ngram_frac",
+    "dedup_keepfirst", "pii_scrub", "stratified_sample",
+    "pack_sequences", "dedup_spans", "langid",
+]
+
+BASE_SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory, spark):
+    d = tmp_path_factory.mktemp("adv_sf")
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ]:
+        shutil.copy(os.path.join(BASE_SF, f"{t}.parquet"), d / f"{t}.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*ADVERSARIAL_DOCS))
+    table = pa.table(
+        {
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "text": pa.array(cols[1], pa.string()),
+            "lang": pa.array(cols[2], pa.string()),
+            "source": pa.array(cols[3], pa.string()),
+            "n_chars": pa.array(cols[4], pa.int64()),
+        }
+    )
+    pq.write_table(table, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_con(adv_dir):
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{adv_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_adversarial_twin_parity(spark, adv_dir, adv_con, name):
+    from oracle_check import normalize
+
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.queries()[name](spark, adv_dir)
+    scols = sdf.columns
+    srows = [r.asDict() for r in sdf.collect()]
+    spark.catalog.clearCache()
+    res = adv_con.execute(entrymod.oracle_sql()[name])
+    ocols = [dd[0] for dd in res.description]
+    orows = [dict(zip(ocols, r)) for r in res.fetchall()]
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
+    sn, on = normalize(srows, scols), normalize(orows, ocols)
+    assert len(sn) == len(on), f"{name}: rows spark={len(sn)} duck={len(on)}"
+    if sn != on:
+        diff_s = [x for x in sn if x not in set(on)][:3]
+        diff_o = [x for x in on if x not in set(sn)][:3]
+        raise AssertionError(
+            f"{name}: values diverge\n  spark_only={diff_s}\n  duck_only={diff_o}"
+        )
