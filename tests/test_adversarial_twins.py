@@ -144,3 +144,102 @@ def test_adversarial_twin_parity(spark, adv_dir, adv_con, name):
         raise AssertionError(
             f"{name}: values diverge\n  spark_only={diff_s}\n  duck_only={diff_o}"
         )
+
+
+# --- adversarial embeddings sweep -----------------------------------------
+# The IVF / SemDeDup twins recompute from whatever embeddings table they
+# are pointed at (the committed centroid fixture is a MODEL, not a
+# data-derived fixture), so the vector-query family gets the same
+# hostile treatment: zero vectors, exact duplicates, sign flips,
+# near-duplicates at the threshold, tiny/huge magnitudes, NULL rows.
+
+import math
+
+
+def _adv_vec(i, dim=64):
+    return [math.sin((i + 1) * (j + 3) * 0.21) for j in range(dim)]
+
+
+def _adversarial_embeddings():
+    rows = []
+    for i in range(20):
+        rows.append((i, _adv_vec(i), i % 3))
+    base = _adv_vec(3)
+    rows += [
+        (100, None, 0),                               # NULL embedding
+        (101, [0.0] * 64, 0),                          # zero vector
+        (102, base, 1),                                # exact dup of 3
+        (103, [-x for x in base], 1),                  # antipode
+        (104, [x * 1e-6 for x in base], 2),            # tiny magnitude
+        (105, [x * 1e6 for x in base], 2),             # huge magnitude
+        (106, [x + 1e-9 for x in base], 0),            # epsilon neighbor
+    ]
+    return rows
+
+
+EMB_QUERIES = [
+    "cosine_topk", "embedding_neardup", "topk_batch",
+    "ivf_assign", "ivf_probe", "ivf_topk", "semdedup",
+]
+
+
+@pytest.fixture(scope="module")
+def emb_adv_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("emb_adv_sf")
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents",
+    ]:
+        shutil.copy(os.path.join(BASE_SF, f"{t}.parquet"), d / f"{t}.parquet")
+    rows = _adversarial_embeddings()
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def emb_adv_con(emb_adv_dir):
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{emb_adv_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_adversarial_embedding_twin_parity(spark, emb_adv_dir, emb_adv_con, name):
+    from oracle_check import normalize
+
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.queries()[name](spark, emb_adv_dir)
+    scols = sdf.columns
+    srows = [r.asDict() for r in sdf.collect()]
+    spark.catalog.clearCache()
+    res = emb_adv_con.execute(entrymod.oracle_sql()[name])
+    ocols = [dd[0] for dd in res.description]
+    orows = [dict(zip(ocols, r)) for r in res.fetchall()]
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
+    sn, on = normalize(srows, scols), normalize(orows, ocols)
+    assert len(sn) == len(on), f"{name}: rows spark={len(sn)} duck={len(on)}"
+    if sn != on:
+        diff_s = [x for x in sn if x not in set(on)][:3]
+        diff_o = [x for x in on if x not in set(sn)][:3]
+        raise AssertionError(
+            f"{name}: values diverge\n  spark_only={diff_s}\n  duck_only={diff_o}"
+        )
