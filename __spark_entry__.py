@@ -1593,7 +1593,10 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": __import__("pdf_extraction_spark.streaming.stateful", fromlist=["sql_session_stats"]).sql_session_stats(30),
         "windowed_counts": (
             "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
-            "event_type, count(*) AS n_events FROM events GROUP BY 1, 2"
+            # Spark window() cannot bucket a NULL timestamp — it drops
+            # the row; time_bucket(NULL) would keep a NULL group
+            "event_type, count(*) AS n_events FROM events "
+            "WHERE ts IS NOT NULL GROUP BY 1, 2"
         ),
         "dedup_exact": (
             "SELECT count(*) AS n_dups, min(doc_id) AS keep_id FROM documents "

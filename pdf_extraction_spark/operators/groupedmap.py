@@ -22,10 +22,17 @@ def zscore_by_group(
 ) -> DataFrame:
     """One row per input row: (id, group, zscore) where zscore is
     standardized within the group (population stddev; 0.0 for
-    zero-variance groups)."""
+    zero-variance groups).
+
+    Non-finite values (±inf, NaN — one corrupt crawl metric) are
+    treated as NULL: excluded from the group's mean/stddev and given a
+    NULL zscore, instead of NaN-poisoning the WHOLE group's statistics
+    (and the DuckDB twin's stddev_pop raises outright on infinity)."""
+    import numpy as np
 
     def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf[value_col]
+        v = pd.to_numeric(pdf[value_col], errors="coerce")
+        v = v.where(np.isfinite(v))
         std = v.std(ddof=0)
         z = (v - v.mean()) / std if std > 0 else v * 0.0
         return pd.DataFrame(
@@ -46,10 +53,13 @@ def sql_zscore_by_group(
     value_col: str = "value",
     id_col: str = "event_id",
 ) -> str:
+    # isfinite gate mirrors the operator: non-finite values drop out of
+    # the window stats and score NULL
+    fv = f"CASE WHEN isfinite({value_col}) THEN {value_col} END"
     return (
         f"SELECT {id_col}, {group_col}, "
-        f"round(CASE WHEN stddev_pop({value_col}) OVER (PARTITION BY {group_col}) > 0 "
-        f"THEN ({value_col} - avg({value_col}) OVER (PARTITION BY {group_col})) / "
-        f"stddev_pop({value_col}) OVER (PARTITION BY {group_col}) "
-        f"ELSE 0.0 END, 6) AS zscore FROM {table}"
+        f"round(CASE WHEN stddev_pop({fv}) OVER (PARTITION BY {group_col}) > 0 "
+        f"THEN ({fv} - avg({fv}) OVER (PARTITION BY {group_col})) / "
+        f"stddev_pop({fv}) OVER (PARTITION BY {group_col}) "
+        f"ELSE 0.0 * ({fv}) END, 6) AS zscore FROM {table}"
     )

@@ -53,7 +53,8 @@ def sql_session_stats(gap_minutes: int = 30) -> str:
         "WITH o AS (SELECT user_id, ts, value, "
         "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
         f"> INTERVAL '{gap_minutes}' MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
-        "THEN 1 ELSE 0 END AS new_s FROM events), "
+        # session_window drops NULL-timestamp rows in Spark; mirror it
+        "THEN 1 ELSE 0 END AS new_s FROM events WHERE ts IS NOT NULL), "
         "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
         "ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
         "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "

@@ -243,3 +243,140 @@ def test_adversarial_embedding_twin_parity(spark, emb_adv_dir, emb_adv_con, name
         raise AssertionError(
             f"{name}: values diverge\n  spark_only={diff_s}\n  duck_only={diff_o}"
         )
+
+
+# --- adversarial events/orders sweep ---------------------------------------
+# The time-windowed / sessionization / join-family twins get hostile
+# relational input: NULL timestamps, NULL keys, NULL values, duplicate
+# composite keys, same-instant ties, empty-string enum values.
+
+import datetime as _dt
+
+_T0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _adversarial_events():
+    rows = []
+    for i in range(40):
+        rows.append(
+            (i, _T0 + _dt.timedelta(minutes=7 * i), i % 5,
+             ["click", "view", "purchase", "error", "signup"][i % 5],
+             round(1.5 * i, 2), '{"k": %d}' % i)
+        )
+    rows += [
+        (100, None, 1, "click", 5.0, "{}"),            # NULL ts
+        (101, _T0, None, "view", 5.0, "{}"),            # NULL user
+        (102, _T0, 2, None, 5.0, "{}"),                 # NULL type
+        (103, _T0, 2, "", 5.0, "{}"),                   # empty type
+        (104, _T0, 2, "click", None, "{}"),             # NULL value
+        (105, _T0, 2, "click", 5.0, None),              # NULL props
+        (106, _T0, 2, "click", 5.0, "{}"),              # same-instant tie
+        (107, _T0, 2, "click", 5.0, "{}"),              # same-instant tie
+        (108, _T0 + _dt.timedelta(days=400), 3, "click", float("inf"), "{}"),
+        (109, _T0 - _dt.timedelta(days=400), 3, "click", -1e18, "{}"),
+    ]
+    return rows
+
+
+def _adversarial_orders():
+    rows = []
+    for i in range(30):
+        rows.append(
+            (i, i % 7, ["O", "F", "P"][i % 3], round(100.0 + i, 2),
+             _T0 + _dt.timedelta(days=i), f"{i % 5}-PRIO")
+        )
+    rows += [
+        (200, None, "O", 10.0, _T0, "1-PRIO"),          # NULL custkey
+        (201, 3, None, 10.0, _T0, "1-PRIO"),            # NULL status
+        (202, 3, "O", None, _T0, "1-PRIO"),             # NULL price
+        (203, 3, "O", 10.0, None, "1-PRIO"),            # NULL orderdate
+        (204, 4, "O", 10.0, _T0 + _dt.timedelta(days=3), "1-PRIO"),
+        (205, 4, "O", 10.0, _T0 + _dt.timedelta(days=3), "1-PRIO"),  # date tie
+    ]
+    return rows
+
+
+EVT_QUERIES = [
+    "events_rollup", "recency_weights", "weighted_rerank",
+    "zscore_by_group", "session_stats", "windowed_counts",
+    "top3_per_segment", "keep_last",
+]
+
+
+@pytest.fixture(scope="module")
+def evt_adv_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("evt_adv_sf")
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "lineitem", "documents", "embeddings",
+    ]:
+        shutil.copy(os.path.join(BASE_SF, f"{t}.parquet"), d / f"{t}.parquet")
+    ev = _adversarial_events()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in ev], pa.int64()),
+                "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in ev], pa.int64()),
+                "event_type": pa.array([r[3] for r in ev], pa.string()),
+                "value": pa.array([r[4] for r in ev], pa.float64()),
+                "props": pa.array([r[5] for r in ev], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    od = _adversarial_orders()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in od], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in od], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in od], pa.string()),
+                "o_totalprice": pa.array([r[3] for r in od], pa.float64()),
+                "o_orderdate": pa.array([r[4] for r in od], pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[5] for r in od], pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def evt_adv_con(evt_adv_dir):
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{evt_adv_dir}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", EVT_QUERIES)
+def test_adversarial_events_twin_parity(spark, evt_adv_dir, evt_adv_con, name):
+    from oracle_check import normalize
+
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.queries()[name](spark, evt_adv_dir)
+    scols = sdf.columns
+    srows = [r.asDict() for r in sdf.collect()]
+    spark.catalog.clearCache()
+    res = evt_adv_con.execute(entrymod.oracle_sql()[name])
+    ocols = [dd[0] for dd in res.description]
+    orows = [dict(zip(ocols, r)) for r in res.fetchall()]
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
+    sn, on = normalize(srows, scols), normalize(orows, ocols)
+    assert len(sn) == len(on), f"{name}: rows spark={len(sn)} duck={len(on)}"
+    if sn != on:
+        diff_s = [x for x in sn if x not in set(on)][:3]
+        diff_o = [x for x in on if x not in set(sn)][:3]
+        raise AssertionError(
+            f"{name}: values diverge\n  spark_only={diff_s}\n  duck_only={diff_o}"
+        )
