@@ -6,38 +6,42 @@ import pytest
 
 
 @pytest.fixture(scope="module")
-def bucketed_spark(tmp_path_factory):
-    from pdf_extraction_spark.session import get_spark
+def bucketed_spark(tmp_path_factory, spark):
+    """The shared session, with the broadcast threshold disabled for the
+    duration of this module (AQE broadcasting the small side would hide
+    the Exchange this module asserts about).
 
-    wh = str(tmp_path_factory.mktemp("warehouse"))
-    s = get_spark(
-        app_name="bucketing",
-        master="local[4]",
-        extra_conf={
-            "spark.sql.warehouse.dir": wh,
-            "spark.ui.showConsoleProgress": "false",
-            # AQE can re-add exchanges around cached plans; keep the demo
-            # plan deterministic
-            "spark.sql.autoBroadcastJoinThreshold": "-1",
-        },
-    )
-    yield s
-    s.stop()
+    IMPORTANT: this fixture must NOT create-and-stop its own session —
+    ``get_spark`` getOrCreates, so when another module already owns the
+    session-scoped fixture a ``stop()`` here kills the session for every
+    module that runs after (exactly what happened when a new
+    alphabetically-earlier test module landed)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield spark
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
-def test_bucketed_join_has_no_exchange(bucketed_spark):
+def test_bucketed_join_has_no_exchange(bucketed_spark, tmp_path_factory):
     spark = bucketed_spark
+    wh = tmp_path_factory.mktemp("bucketed_tables")
     orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
 
+    # external tables at tmp paths: the shared session's default
+    # warehouse must not collect residue inside the repo
     (
         orders.write.mode("overwrite")
+        .option("path", str(wh / "orders_b"))
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
         .saveAsTable("orders_b")
     )
     (
         lineitem.write.mode("overwrite")
+        .option("path", str(wh / "lineitem_b"))
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
         .saveAsTable("lineitem_b")
