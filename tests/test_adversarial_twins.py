@@ -83,6 +83,44 @@ QUERIES = [
 
 BASE_SF = "/root/testdata/sf0.001"
 
+def _connect(sf_dir):
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _assert_twin_parity(spark, sf_dir, con, name):
+    """Run one registered query on Spark and its DuckDB twin on the same
+    (hostile) tables; compare with oracle_check's normalize form. The
+    SINGLE comparison body for all three sweeps — a fix here applies to
+    documents, embeddings, and events legs alike."""
+    from oracle_check import normalize
+
+    import __spark_entry__ as entrymod
+
+    sdf = entrymod.queries()[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [r.asDict() for r in sdf.collect()]
+    spark.catalog.clearCache()
+    res = con.execute(entrymod.oracle_sql()[name])
+    ocols = [dd[0] for dd in res.description]
+    orows = [dict(zip(ocols, r)) for r in res.fetchall()]
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
+    sn, on = normalize(srows, scols), normalize(orows, ocols)
+    assert len(sn) == len(on), f"{name}: rows spark={len(sn)} duck={len(on)}"
+    if sn != on:
+        on_set, sn_set = set(on), set(sn)
+        diff_s = [x for x in sn if x not in on_set][:3]
+        diff_o = [x for x in on if x not in sn_set][:3]
+        raise AssertionError(
+            f"{name}: values diverge\n  spark_only={diff_s}\n  duck_only={diff_o}"
+        )
+
+
 
 @pytest.fixture(scope="module")
 def adv_dir(tmp_path_factory, spark):
@@ -111,39 +149,12 @@ def adv_dir(tmp_path_factory, spark):
 
 @pytest.fixture(scope="module")
 def adv_con(adv_dir):
-    con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{adv_dir}/{t}.parquet'"
-        )
-    return con
+    return _connect(adv_dir)
 
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_adversarial_twin_parity(spark, adv_dir, adv_con, name):
-    from oracle_check import normalize
-
-    import __spark_entry__ as entrymod
-
-    sdf = entrymod.queries()[name](spark, adv_dir)
-    scols = sdf.columns
-    srows = [r.asDict() for r in sdf.collect()]
-    spark.catalog.clearCache()
-    res = adv_con.execute(entrymod.oracle_sql()[name])
-    ocols = [dd[0] for dd in res.description]
-    orows = [dict(zip(ocols, r)) for r in res.fetchall()]
-    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
-    sn, on = normalize(srows, scols), normalize(orows, ocols)
-    assert len(sn) == len(on), f"{name}: rows spark={len(sn)} duck={len(on)}"
-    if sn != on:
-        diff_s = [x for x in sn if x not in set(on)][:3]
-        diff_o = [x for x in on if x not in set(sn)][:3]
-        raise AssertionError(
-            f"{name}: values diverge\n  spark_only={diff_s}\n  duck_only={diff_o}"
-        )
+    _assert_twin_parity(spark, adv_dir, adv_con, name)
 
 
 # --- adversarial embeddings sweep -----------------------------------------
@@ -210,39 +221,12 @@ def emb_adv_dir(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def emb_adv_con(emb_adv_dir):
-    con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{emb_adv_dir}/{t}.parquet'"
-        )
-    return con
+    return _connect(emb_adv_dir)
 
 
 @pytest.mark.parametrize("name", EMB_QUERIES)
 def test_adversarial_embedding_twin_parity(spark, emb_adv_dir, emb_adv_con, name):
-    from oracle_check import normalize
-
-    import __spark_entry__ as entrymod
-
-    sdf = entrymod.queries()[name](spark, emb_adv_dir)
-    scols = sdf.columns
-    srows = [r.asDict() for r in sdf.collect()]
-    spark.catalog.clearCache()
-    res = emb_adv_con.execute(entrymod.oracle_sql()[name])
-    ocols = [dd[0] for dd in res.description]
-    orows = [dict(zip(ocols, r)) for r in res.fetchall()]
-    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
-    sn, on = normalize(srows, scols), normalize(orows, ocols)
-    assert len(sn) == len(on), f"{name}: rows spark={len(sn)} duck={len(on)}"
-    if sn != on:
-        diff_s = [x for x in sn if x not in set(on)][:3]
-        diff_o = [x for x in on if x not in set(sn)][:3]
-        raise AssertionError(
-            f"{name}: values diverge\n  spark_only={diff_s}\n  duck_only={diff_o}"
-        )
+    _assert_twin_parity(spark, emb_adv_dir, emb_adv_con, name)
 
 
 # --- adversarial events/orders sweep ---------------------------------------
@@ -347,36 +331,9 @@ def evt_adv_dir(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def evt_adv_con(evt_adv_dir):
-    con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{evt_adv_dir}/{t}.parquet'"
-        )
-    return con
+    return _connect(evt_adv_dir)
 
 
 @pytest.mark.parametrize("name", EVT_QUERIES)
 def test_adversarial_events_twin_parity(spark, evt_adv_dir, evt_adv_con, name):
-    from oracle_check import normalize
-
-    import __spark_entry__ as entrymod
-
-    sdf = entrymod.queries()[name](spark, evt_adv_dir)
-    scols = sdf.columns
-    srows = [r.asDict() for r in sdf.collect()]
-    spark.catalog.clearCache()
-    res = evt_adv_con.execute(entrymod.oracle_sql()[name])
-    ocols = [dd[0] for dd in res.description]
-    orows = [dict(zip(ocols, r)) for r in res.fetchall()]
-    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
-    sn, on = normalize(srows, scols), normalize(orows, ocols)
-    assert len(sn) == len(on), f"{name}: rows spark={len(sn)} duck={len(on)}"
-    if sn != on:
-        diff_s = [x for x in sn if x not in set(on)][:3]
-        diff_o = [x for x in on if x not in set(sn)][:3]
-        raise AssertionError(
-            f"{name}: values diverge\n  spark_only={diff_s}\n  duck_only={diff_o}"
-        )
+    _assert_twin_parity(spark, evt_adv_dir, evt_adv_con, name)
