@@ -41,6 +41,11 @@ def curate_corpus(
     min_lm_logprob: float = None,
     classifier: tuple = None,
     host_cap_k: int = None,
+    refinedweb: bool = False,
+    c4: bool = False,
+    ppl_keep: tuple = None,
+    semdedup_threshold: float = None,
+    semdedup_cells: int = None,
 ) -> dict:
     """Returns {'docs': curated frame, 'neardup_pairs': flagged pairs,
     'stats': per-host rollup, 'sigs': the shared signature frame}.
@@ -50,7 +55,16 @@ def curate_corpus(
     floor (docs with no tokens have no fluency evidence and are KEPT,
     matching the classifier's bias-scored treatment); ``classifier`` —
     (weights_df, bias, min_prob) hashed linear quality gate;
-    ``host_cap_k`` — per-host contribution cap. Enabling any gate
+    ``host_cap_k`` — per-host contribution cap;
+    ``refinedweb`` / ``c4`` — published line-level cleaners applied to
+    the EXTRACTED text before analysis/dedup (RefinedWeb §G.2 line
+    corrections + 5% page budget; C4 §2.2 line filter + page gate), so
+    every downstream stat and signature sees the cleaned text;
+    ``ppl_keep`` — CCNet perplexity-tercile keep set per detected
+    language, e.g. ("head", "middle"); ``semdedup_threshold`` — SemDeDup
+    pass over deterministic document embeddings (centroids trained
+    in-corpus; ``semdedup_cells`` overrides the sqrt-N default).
+    Enabling any gate
     persists the gate-input frame (several scoring subtrees consume
     it) and makes the call partially eager (LM training counts the
     token stream); release everything via ``result['caches']``.
@@ -60,6 +74,27 @@ def curate_corpus(
     long-lived session composing several corpora the cached signatures
     would otherwise accumulate until clearCache()."""
     docs = extract_parse(pages).withColumn("doc_id", F.xxhash64("url"))
+
+    if refinedweb:
+        from ..operators.curation import with_refinedweb_flags
+
+        rw = with_refinedweb_flags(docs, "text", "doc_id")
+        docs = docs.drop("text").join(
+            rw.filter(F.col("rw_pass")).select(
+                "doc_id", F.col("rw_text").alias("text")
+            ),
+            "doc_id",
+        )
+    if c4:
+        from ..operators.curation import with_c4_flags
+
+        cf = with_c4_flags(docs, "text", "doc_id")
+        docs = docs.drop("text").join(
+            cf.filter(F.col("c4_pass")).select(
+                "doc_id", F.col("c4_text").alias("text")
+            ),
+            "doc_id",
+        )
 
     analyzed = (
         with_quality_ratios(docs, "text")
@@ -96,7 +131,11 @@ def curate_corpus(
     # optional model-based gates (after the cheap filters so the
     # exploded-token scoring passes run over the smallest frame)
     gates_on = (
-        min_lm_logprob is not None or classifier is not None or host_cap_k is not None
+        min_lm_logprob is not None
+        or classifier is not None
+        or host_cap_k is not None
+        or ppl_keep is not None
+        or semdedup_threshold is not None
     )
     if gates_on:
         # each gate's scoring subtree plus the final docs/stats outputs
@@ -135,6 +174,45 @@ def curate_corpus(
             host_col="__host",
             k=host_cap_k,
         )
+        curated = curated.join(kept.select("doc_id"), "doc_id")
+
+    if ppl_keep is not None:
+        from ..operators.mlfilter import (
+            bucket_by_lm_score,
+            score_bigram_lm,
+            train_bigram_lm,
+        )
+
+        scored = score_bigram_lm(curated, train_bigram_lm(curated)).join(
+            curated.select("doc_id", F.col("detected_lang").alias("lang")),
+            "doc_id",
+        )
+        curated = curated.join(
+            bucket_by_lm_score(scored)
+            .filter(F.col("bucket").isin(list(ppl_keep)))
+            .select("doc_id"),
+            "doc_id",
+        )
+    if semdedup_threshold is not None:
+        from ..operators.embed import embed_documents
+        from ..operators.similarity import (
+            default_n_cells,
+            semantic_dedup,
+            train_centroids,
+        )
+
+        emb = embed_documents(
+            curated.select("doc_id", "text"), text_col="text"
+        ).select("doc_id", "embedding")
+        n_cells = (
+            semdedup_cells
+            if semdedup_cells is not None
+            else default_n_cells(emb.count())
+        )
+        cents = train_centroids(emb, n_cells=n_cells)
+        kept = semantic_dedup(
+            emb, cents, threshold=semdedup_threshold, id_col="doc_id"
+        ).filter(F.col("kept"))
         curated = curated.join(kept.select("doc_id"), "doc_id")
 
     stats = salted_agg(

@@ -10,7 +10,13 @@ from pdf_extraction_spark.sources.pages import synth_pages_df
 
 @pytest.fixture(scope="module")
 def pages(spark):
-    return synth_pages_df(spark, 80).cache()
+    # materialize the cache NOW: getPersistentRDDs only lists a frame
+    # once computed, so a lazily-cached fixture materializing inside
+    # test_cache_hygiene would read as that test's own "leak" when the
+    # module runs in isolation (-k cache_hygiene)
+    df = synth_pages_df(spark, 80).cache()
+    df.count()
+    return df
 
 
 class TestPipeline:
@@ -174,6 +180,55 @@ class TestCurate:
             map(tuple, cached.collect())
         )
         assert cached_ids() - baseline == new_ids  # no new cache
+
+
+    def test_published_pipeline_stages_compose(self, spark, pages):
+        """The round-4 stages (RefinedWeb + C4 cleaners, CCNet tercile
+        keep, SemDeDup) wire into curate_corpus and only ever shrink
+        the corpus; the cleaners run BEFORE analysis so downstream
+        stats reflect the cleaned text."""
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.plans.curate import curate_corpus
+
+        base = curate_corpus(pages, min_tokens=5, languages=("en",))
+        n_base = base["docs"].count()
+
+        full = curate_corpus(
+            pages,
+            min_tokens=5,
+            languages=("en",),
+            refinedweb=True,
+            c4=True,
+            ppl_keep=("head", "middle"),
+            semdedup_threshold=0.35,
+            semdedup_cells=4,
+        )
+        docs = full["docs"]
+        n_full = docs.count()
+        assert 0 < n_full <= n_base
+        # the tercile gate binds: roughly the bottom third per language
+        # is gone (ties only ever keep MORE, never fewer)
+        ppl_only = curate_corpus(
+            pages, min_tokens=5, languages=("en",), ppl_keep=("head", "middle")
+        )
+        n_ppl = ppl_only["docs"].count()
+        pre = curate_corpus(pages, min_tokens=5, languages=("en",))["docs"].count()
+        assert n_ppl < pre
+        # cleaned text flows downstream: token counts recomputed on the
+        # cleaned column, no doc exceeds its raw-text token count
+        raw_tokens = {
+            r["doc_id"]: r["token_count"]
+            for r in base["docs"].select("doc_id", "token_count").collect()
+        }
+        for r in docs.select("doc_id", "token_count").collect():
+            if r["doc_id"] in raw_tokens:
+                assert r["token_count"] <= raw_tokens[r["doc_id"]]
+        for c in full["caches"]:
+            c.unpersist()
+        for c in base["caches"] + ppl_only["caches"]:
+            c.unpersist()
+        spark.catalog.clearCache()
 
 
 class TestLineageResume:
