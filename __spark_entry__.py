@@ -1086,6 +1086,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "lang", "avg_logprob", "bucket"
         )
 
+    # -- DSIR importance resampling (Xie et al. 2023, round 4) --------------
+    def q_dsir_select(spark, sf):
+        """Resample 100 docs toward the English subset of the corpus:
+        hashed unigram+bigram bag-of-words log-likelihood-ratio weights
+        (relationally fit, bucket space bounds every model table) +
+        deterministic hash-Gumbel top-k — the full published DSIR
+        recipe, end-to-end relational."""
+        from pdf_extraction_spark.operators.mlfilter import dsir_select
+
+        docs = _docs(spark, sf)
+        return dsir_select(docs, docs.filter(F.col("lang") == "en"), k=100)
+
     # -- RefinedWeb line-wise correction (Penedo et al. 2023, round 4) ------
     def q_refinedweb(spark, sf):
         """The synthetic documents contain no boilerplate, so the input
@@ -1201,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "refinedweb_lines": q_refinedweb,
         "dedup_url": q_dedup_url,
+        "dsir_select": q_dsir_select,
         # -- multi-round-green rotation (scale-critical first) -----------
         "curate_corpus": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1310,6 +1323,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.hostcap import sql_host_cap
     from pdf_extraction_spark.operators.mlfilter import (
         sql_ppl_buckets,
+        sql_dsir_select,
         sql_score_bigram_lm,
         sql_score_quality,
     )
@@ -1694,6 +1708,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lm_score": sql_score_bigram_lm(),
         "ppl_buckets": sql_ppl_buckets(),
+        "dsir_select": sql_dsir_select(100, "lang = 'en'"),
         "fix_mojibake": (
             "SELECT doc_id, fixed_text FROM "
             + _fixture("mojibake_sf0_01.parquet")

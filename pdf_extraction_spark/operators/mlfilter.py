@@ -493,3 +493,237 @@ def sql_ppl_buckets(
         "WHEN sl.avg_logprob >= cuts.c2 THEN 'middle' ELSE 'tail' END AS bucket "
         "FROM sl JOIN cuts ON sl.lang IS NOT DISTINCT FROM cuts.lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+#
+# The published recipe for picking pretraining documents that *look like*
+# a target domain: featurize every doc as hashed n-gram counts, fit two
+# bag-of-words models (target vs raw), weight each raw doc by its
+# log-likelihood ratio, and resample k docs ∝ weight without
+# replacement via Gumbel-top-k.
+#
+# Spark-first shape (every stage relational, nothing reaches the driver):
+#   * features  — one explode + one (doc, bucket) groupBy, exactly the
+#     classifier's hashed-BoW plan above; buckets are md5-prefix strings
+#     so the hash is bit-identical cross-engine.
+#   * "training" — the two multinomials are bucket-keyed groupBys whose
+#     output is bounded by the bucket space (16^prefix_len rows), NOT by
+#     the corpus; the log-ratio table is therefore broadcastable by
+#     construction at any corpus size.
+#   * weights   — broadcast-join the ratio table, one bucket-ordered
+#     left fold per doc (float addition order pinned, see
+#     _ordered_fold_sum).
+#   * sampling  — Gumbel-top-k (Vieira 2014): rank log w + g where g is
+#     standard Gumbel noise derived from md5(doc_id‖salt) — seeded-hash
+#     noise, not rand(), so the drawn subset is reproducible across
+#     runs, engines and cluster sizes. orderBy(key).limit(k) compiles to
+#     TakeOrderedAndProject — bounded state, no global sort.
+
+DSIR_SMOOTH = 1.0  # Laplace smoothing pseudo-count per bucket
+DSIR_GUMBEL_SALT = "dsir"
+_TWO_52 = float(1 << 52)
+
+
+def _dsir_grams(toks: Column) -> Column:
+    """DSIR's hashed n-gram feature stream (§3.2 of the paper):
+    unigrams plus space-joined bigrams over the shared lowercased
+    word-token contract (same tokenizer as the n-gram dedup family)."""
+    bi = F.transform(
+        # first n-1 tokens; slice length clamps at 0 so 0/1-token docs
+        # yield no bigram rather than erroring on a negative length
+        F.slice(toks, 1, F.greatest(F.size(toks) - F.lit(1), F.lit(0))),
+        lambda t, i: F.concat(t, F.lit(" "), F.element_at(toks, i + F.lit(2))),
+    )
+    return F.concat(toks, bi)
+
+
+def _sql_dsir_grams(toks_expr: str) -> str:
+    """DuckDB twin of :func:`_dsir_grams` (1-based list indexing;
+    generate_series(1, 0) is empty, matching the clamped slice)."""
+    return (
+        f"list_concat({toks_expr}, list_transform("
+        f"generate_series(1, len({toks_expr}) - 1), "
+        f"i -> {toks_expr}[i] || ' ' || {toks_expr}[i + 1]))"
+    )
+
+
+def dsir_doc_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = HASH_PREFIX_LEN,
+) -> DataFrame:
+    """(doc_id, bucket, cnt): hashed unigram+bigram counts per doc.
+
+    explode_outer keeps gram-less docs (empty/NULL text) as a
+    (doc, NULL bucket, 0) row so they survive to the weight fold with
+    log w = 0 instead of silently vanishing from the sample frame."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        _dsir_grams(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("grams"),
+    )
+    return (
+        toks.select("doc_id", F.explode_outer("grams").alias("g"))
+        .withColumn("bucket", bucket_col(F.col("g"), prefix_len))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("g").alias("cnt"))
+    )
+
+
+def dsir_log_ratio(
+    raw_feats: DataFrame,
+    target_feats: DataFrame,
+    prefix_len: int = HASH_PREFIX_LEN,
+    smooth: float = DSIR_SMOOTH,
+) -> DataFrame:
+    """(bucket, lr): log p̂_target(b) − log p̂_raw(b), Laplace-smoothed,
+    over every bucket the RAW corpus realizes.
+
+    Fully relational "training": two bucket-keyed sums, a full outer
+    join, and corpus totals via a whole-frame window — legal here
+    because the frame is bounded by the bucket space (≤ 2·16^prefix_len
+    rows), never by the corpus. Buckets absent from the raw side are
+    dropped (a doc scored against this table is a raw doc, so its
+    grams are raw grams by construction); buckets absent from the
+    target side get the smoothing mass. lr is rounded to 6 digits so
+    the engine-local ln() ulp cannot leak into downstream folds."""
+    from pyspark.sql import Window
+
+    n_buckets = float(16**prefix_len)
+    r = (
+        raw_feats.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("rc"))
+    )
+    t = (
+        target_feats.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("tc"))
+    )
+    w = Window.partitionBy()
+    j = (
+        r.join(t, "bucket", "full")
+        .withColumn("nr", F.sum("rc").over(w))
+        .withColumn("nt", F.sum("tc").over(w))
+        .filter(F.col("rc").isNotNull())
+    )
+    lr = (
+        F.log(F.coalesce(F.col("tc"), F.lit(0)).cast("double") + F.lit(smooth))
+        - F.log(F.coalesce(F.col("nt"), F.lit(0)).cast("double") + F.lit(smooth * n_buckets))
+        - F.log(F.col("rc").cast("double") + F.lit(smooth))
+        + F.log(F.col("nr").cast("double") + F.lit(smooth * n_buckets))
+    )
+    return j.select("bucket", F.round(lr, 6).alias("lr"))
+
+
+def dsir_log_weights(feats: DataFrame, log_ratio: DataFrame) -> DataFrame:
+    """(doc_id, log_w): log importance weight Σ_b cnt·lr[b].
+
+    The ratio table is broadcast — bounded by the bucket space, so the
+    hint is safe at any corpus size (unlike a corpus-derived set). The
+    per-doc sum is a bucket-ordered left fold for cross-engine
+    bit-stability; gram-less docs fold an empty term list to 0.0."""
+    term = F.when(
+        F.col("lr").isNotNull(),
+        F.struct("bucket", (F.col("cnt") * F.col("lr")).alias("t")),
+    )
+    return (
+        feats.join(F.broadcast(log_ratio), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(term)).alias("terms"))
+        .select(
+            "doc_id",
+            F.round(
+                _ordered_fold_sum(F.transform("terms", lambda s: s["t"])), 6
+            ).alias("log_w"),
+        )
+    )
+
+
+def gumbel_key_col(key: Column, salt: str = DSIR_GUMBEL_SALT) -> Column:
+    """Deterministic standard-Gumbel noise from md5(key‖salt).
+
+    13 hex chars = 52 uniform bits v; u = (v + 0.5) / 2^52 ∈ (0,1) is
+    EXACTLY representable (the ulp anywhere below 2^52 is ≤ 0.5 and the
+    divisor is a power of two), so both engines feed ln() the identical
+    double; g = −ln(−ln(u)) is then rounded to 6 digits to absorb the
+    engines' last-ulp ln() drift."""
+    v = F.conv(
+        F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 13), 16, 10
+    ).cast("long")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(_TWO_52)
+    return F.round(-F.log(-F.log(u)), 6)
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = HASH_PREFIX_LEN,
+    smooth: float = DSIR_SMOOTH,
+    salt: str = DSIR_GUMBEL_SALT,
+) -> DataFrame:
+    """Importance-resample ``k`` docs from ``df`` toward ``target``:
+    (doc_id, log_w, g, key) of the k largest key = log w + Gumbel(id),
+    i.e. a without-replacement draw ∝ exp(log w) (Gumbel-top-k).
+
+    ``target`` is typically a filtered view of the same corpus (the
+    paper's "high-quality subset"); any frame with the same text column
+    works. Ties on the rounded key break on doc_id so the drawn set is
+    total-order deterministic."""
+    raw_feats = dsir_doc_features(df, text_col, id_col, prefix_len)
+    tgt_feats = dsir_doc_features(target, text_col, id_col, prefix_len)
+    lrt = dsir_log_ratio(raw_feats, tgt_feats, prefix_len, smooth)
+    w = dsir_log_weights(raw_feats, lrt)
+    scored = w.select(
+        "doc_id", "log_w", gumbel_key_col(F.col("doc_id"), salt).alias("g")
+    ).withColumn("key", F.round(F.col("log_w") + F.col("g"), 6))
+    return scored.orderBy(F.desc("key"), "doc_id").limit(k)
+
+
+def sql_dsir_select(
+    k: int,
+    target_where: str,
+    text_expr: str = "text",
+    prefix_len: int = HASH_PREFIX_LEN,
+    smooth: float = DSIR_SMOOTH,
+    salt: str = DSIR_GUMBEL_SALT,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dsir_select` with target = ``table`` rows
+    satisfying ``target_where`` — same grams, same md5 buckets, same
+    smoothing/rounding, same ordered fold, same hash-Gumbel keys."""
+    tx = f"coalesce({text_expr}, '')"
+    n_buckets = float(16**prefix_len)
+    return (
+        f"WITH t AS (SELECT doc_id, {_sql_tokens(tx)} AS toks FROM {table}), "
+        f"g AS (SELECT doc_id, unnest({_sql_dsir_grams('toks')}) AS gram FROM t), "
+        f"f AS (SELECT doc_id, {sql_bucket('gram', prefix_len)} AS bucket, "
+        "count(*) AS cnt FROM g GROUP BY doc_id, bucket), "
+        f"tgt AS (SELECT doc_id FROM {table} WHERE {target_where}), "
+        "rdist AS (SELECT bucket, sum(cnt) AS rc FROM f GROUP BY bucket), "
+        "tdist AS (SELECT bucket, sum(cnt) AS tc FROM f JOIN tgt USING (doc_id) "
+        "GROUP BY bucket), "
+        # full outer join + whole-frame window totals — mirrors the
+        # Spark side exactly (frame bounded by the bucket space)
+        "lrt AS (SELECT bucket, round("
+        f"ln(coalesce(tc, 0) + {smooth}) - ln(coalesce(sum(tc) OVER (), 0) + {smooth * n_buckets}) "
+        f"- ln(rc + {smooth}) + ln(sum(rc) OVER () + {smooth * n_buckets}), 6) AS lr "
+        "FROM rdist FULL OUTER JOIN tdist USING (bucket) "
+        "QUALIFY rc IS NOT NULL), "
+        "w AS (SELECT f.doc_id, round(list_reduce(list_prepend(0.0, "
+        "list(f.cnt * lrt.lr ORDER BY f.bucket)), (a, b) -> a + b), 6) AS log_w "
+        "FROM f JOIN lrt USING (bucket) GROUP BY f.doc_id), "
+        f"allw AS (SELECT d.doc_id, coalesce(w.log_w, 0.0) AS log_w "
+        f"FROM {table} d LEFT JOIN w USING (doc_id)), "
+        "scored AS (SELECT doc_id, log_w, round(-ln(-ln("
+        f"(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 13) "
+        f"AS BIGINT) + 0.5) / {_TWO_52!r})), 6) AS g FROM allw) "
+        "SELECT doc_id, log_w, g, round(log_w + g, 6) AS key FROM scored "
+        f"ORDER BY key DESC, doc_id LIMIT {k}"
+    )

@@ -78,7 +78,7 @@ QUERIES = [
     "categorize_join", "gopher_quality", "dedup_lines",
     "dedup_paragraphs", "top_ngram_frac", "dup_ngram_frac",
     "dedup_keepfirst", "pii_scrub", "stratified_sample",
-    "pack_sequences", "dedup_spans", "langid",
+    "pack_sequences", "dedup_spans", "langid", "dsir_select",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"
