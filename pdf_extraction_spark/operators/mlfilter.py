@@ -69,19 +69,26 @@ def doc_bucket_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_len: int = HASH_PREFIX_LEN,
+    gram_fn=None,
 ) -> DataFrame:
     """(doc_id, bucket, cnt, n_tokens): the sparse hashed bag-of-words.
     One explode + one groupBy; at web scale this shuffles (doc, bucket)
     pairs — bounded by tokens, and the per-doc token total rides along
-    via a window-free max() (every row of a doc carries it)."""
+    via a window-free max() (every row of a doc carries it).
+
+    ``gram_fn`` optionally maps the token array to the unit stream that
+    is hashed (e.g. DSIR's unigram+bigram grams); default: the tokens
+    themselves. ONE home for the featurize shape — explode_outer keeps
+    gram-less docs as a (doc, NULL bucket, 0) row in every family."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         _tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
     )
+    units = gram_fn(F.col("toks")) if gram_fn is not None else F.col("toks")
     exploded = toks.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
-        F.explode_outer("toks").alias("tok"),
+        F.explode_outer(units).alias("tok"),
     )
     return (
         exploded.withColumn("bucket", bucket_col(F.col("tok"), prefix_len))
@@ -550,27 +557,34 @@ def _sql_dsir_grams(toks_expr: str) -> str:
     )
 
 
+def _round6z(c: Column) -> Column:
+    """round(·, 6) then ``+ 0.0`` to collapse IEEE −0.0 to +0.0: Spark
+    and DuckDB round() disagree on the sign of a zero result for tiny
+    negative inputs, and the parity harness distinguishes '0' from
+    '-0'. Adding +0.0 is exact for every other finite double."""
+    return F.round(c, 6) + F.lit(0.0)
+
+
+def _sql_round6z(expr: str) -> str:
+    """DuckDB twin of :func:`_round6z`."""
+    return f"(round({expr}, 6) + 0.0)"
+
+
 def dsir_doc_features(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_len: int = HASH_PREFIX_LEN,
 ) -> DataFrame:
-    """(doc_id, bucket, cnt): hashed unigram+bigram counts per doc.
-
-    explode_outer keeps gram-less docs (empty/NULL text) as a
-    (doc, NULL bucket, 0) row so they survive to the weight fold with
-    log w = 0 instead of silently vanishing from the sample frame."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        _dsir_grams(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("grams"),
-    )
-    return (
-        toks.select("doc_id", F.explode_outer("grams").alias("g"))
-        .withColumn("bucket", bucket_col(F.col("g"), prefix_len))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count("g").alias("cnt"))
-    )
+    """(doc_id, bucket, cnt): hashed unigram+bigram counts per doc —
+    :func:`doc_bucket_counts` (the module's single featurize shape)
+    with the DSIR gram transform. explode_outer keeps gram-less docs
+    (empty/NULL text) as a (doc, NULL bucket, 0) row so they survive to
+    the weight fold with log w = 0 instead of silently vanishing from
+    the sample frame."""
+    return doc_bucket_counts(
+        df, text_col, id_col, prefix_len, gram_fn=_dsir_grams
+    ).select("doc_id", "bucket", "cnt")
 
 
 def dsir_log_ratio(
@@ -616,7 +630,7 @@ def dsir_log_ratio(
         - F.log(F.col("rc").cast("double") + F.lit(smooth))
         + F.log(F.col("nr").cast("double") + F.lit(smooth * n_buckets))
     )
-    return j.select("bucket", F.round(lr, 6).alias("lr"))
+    return j.select("bucket", _round6z(lr).alias("lr"))
 
 
 def dsir_log_weights(feats: DataFrame, log_ratio: DataFrame) -> DataFrame:
@@ -636,8 +650,8 @@ def dsir_log_weights(feats: DataFrame, log_ratio: DataFrame) -> DataFrame:
         .agg(F.array_sort(F.collect_list(term)).alias("terms"))
         .select(
             "doc_id",
-            F.round(
-                _ordered_fold_sum(F.transform("terms", lambda s: s["t"])), 6
+            _round6z(
+                _ordered_fold_sum(F.transform("terms", lambda s: s["t"]))
             ).alias("log_w"),
         )
     )
@@ -655,7 +669,18 @@ def gumbel_key_col(key: Column, salt: str = DSIR_GUMBEL_SALT) -> Column:
         F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 13), 16, 10
     ).cast("long")
     u = (v.cast("double") + F.lit(0.5)) / F.lit(_TWO_52)
-    return F.round(-F.log(-F.log(u)), 6)
+    return _round6z(-F.log(-F.log(u)))
+
+
+def sql_gumbel_key(key_expr: str, salt: str = DSIR_GUMBEL_SALT) -> str:
+    """DuckDB twin of :func:`gumbel_key_col` — ONE home for the hash-
+    Gumbel recipe (hex width, +0.5 offset, divisor, rounding) so the
+    Column and SQL spellings cannot drift."""
+    u = (
+        f"(CAST('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || '{salt}'), 1, 13) "
+        f"AS BIGINT) + 0.5) / {_TWO_52!r}"
+    )
+    return _sql_round6z(f"-ln(-ln({u}))")
 
 
 def dsir_select(
@@ -682,8 +707,12 @@ def dsir_select(
     w = dsir_log_weights(raw_feats, lrt)
     scored = w.select(
         "doc_id", "log_w", gumbel_key_col(F.col("doc_id"), salt).alias("g")
-    ).withColumn("key", F.round(F.col("log_w") + F.col("g"), 6))
-    return scored.orderBy(F.desc("key"), "doc_id").limit(k)
+    ).withColumn("key", _round6z(F.col("log_w") + F.col("g")))
+    # NULL placement pinned explicitly — Spark and DuckDB defaults
+    # differ, and a NULL doc_id yields a NULL Gumbel key
+    return scored.orderBy(
+        F.desc_nulls_last("key"), F.asc_nulls_last("doc_id")
+    ).limit(k)
 
 
 def sql_dsir_select(
@@ -696,34 +725,42 @@ def sql_dsir_select(
     table: str = "documents",
 ) -> str:
     """DuckDB twin of :func:`dsir_select` with target = ``table`` rows
-    satisfying ``target_where`` — same grams, same md5 buckets, same
-    smoothing/rounding, same ordered fold, same hash-Gumbel keys."""
+    satisfying ``target_where`` (a row-subset of the scored corpus, as
+    in the registered query) — same grams, same md5 buckets, same
+    smoothing/rounding, same ordered fold, same hash-Gumbel keys.
+
+    The doc universe is derived from the grouped FEATURE frame exactly
+    as on the Spark side (explode_outer emulated with the
+    empty-list→[NULL] device, fold over a LEFT join against the ratio
+    table) — not re-joined from the base table — so duplicate doc_id
+    rows collapse to one output row and a NULL doc_id keeps its true
+    fold weight in both engines."""
     tx = f"coalesce({text_expr}, '')"
     n_buckets = float(16**prefix_len)
+    grams = _sql_dsir_grams("toks")
     return (
         f"WITH t AS (SELECT doc_id, {_sql_tokens(tx)} AS toks FROM {table}), "
-        f"g AS (SELECT doc_id, unnest({_sql_dsir_grams('toks')}) AS gram FROM t), "
+        # explode_outer twin: a gram-less doc yields one NULL gram row
+        f"g AS (SELECT doc_id, unnest(CASE WHEN len({grams}) = 0 "
+        f"THEN [NULL] ELSE {grams} END) AS gram FROM t), "
         f"f AS (SELECT doc_id, {sql_bucket('gram', prefix_len)} AS bucket, "
-        "count(*) AS cnt FROM g GROUP BY doc_id, bucket), "
+        "count(gram) AS cnt FROM g GROUP BY doc_id, bucket), "
         f"tgt AS (SELECT doc_id FROM {table} WHERE {target_where}), "
-        "rdist AS (SELECT bucket, sum(cnt) AS rc FROM f GROUP BY bucket), "
+        "rdist AS (SELECT bucket, sum(cnt) AS rc FROM f "
+        "WHERE bucket IS NOT NULL GROUP BY bucket), "
         "tdist AS (SELECT bucket, sum(cnt) AS tc FROM f JOIN tgt USING (doc_id) "
-        "GROUP BY bucket), "
+        "WHERE bucket IS NOT NULL GROUP BY bucket), "
         # full outer join + whole-frame window totals — mirrors the
         # Spark side exactly (frame bounded by the bucket space)
-        "lrt AS (SELECT bucket, round("
-        f"ln(coalesce(tc, 0) + {smooth}) - ln(coalesce(sum(tc) OVER (), 0) + {smooth * n_buckets}) "
-        f"- ln(rc + {smooth}) + ln(sum(rc) OVER () + {smooth * n_buckets}), 6) AS lr "
+        f"lrt AS (SELECT bucket, {_sql_round6z(f'ln(coalesce(tc, 0) + {smooth}) - ln(coalesce(sum(tc) OVER (), 0) + {smooth * n_buckets}) - ln(rc + {smooth}) + ln(sum(rc) OVER () + {smooth * n_buckets})')} AS lr "
         "FROM rdist FULL OUTER JOIN tdist USING (bucket) "
         "QUALIFY rc IS NOT NULL), "
-        "w AS (SELECT f.doc_id, round(list_reduce(list_prepend(0.0, "
-        "list(f.cnt * lrt.lr ORDER BY f.bucket)), (a, b) -> a + b), 6) AS log_w "
-        "FROM f JOIN lrt USING (bucket) GROUP BY f.doc_id), "
-        f"allw AS (SELECT d.doc_id, coalesce(w.log_w, 0.0) AS log_w "
-        f"FROM {table} d LEFT JOIN w USING (doc_id)), "
-        "scored AS (SELECT doc_id, log_w, round(-ln(-ln("
-        f"(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 13) "
-        f"AS BIGINT) + 0.5) / {_TWO_52!r})), 6) AS g FROM allw) "
-        "SELECT doc_id, log_w, g, round(log_w + g, 6) AS key FROM scored "
-        f"ORDER BY key DESC, doc_id LIMIT {k}"
+        # LEFT join + FILTER: unmatched/NULL buckets drop from the term
+        # list but the doc row survives with an empty fold (= 0.0)
+        f"w AS (SELECT f.doc_id, {_sql_round6z('list_reduce(list_prepend(0.0, coalesce(list(f.cnt * lrt.lr ORDER BY f.bucket) FILTER (WHERE lrt.lr IS NOT NULL), [])), (a, b) -> a + b)')} AS log_w "
+        "FROM f LEFT JOIN lrt USING (bucket) GROUP BY f.doc_id), "
+        "scored AS (SELECT doc_id, log_w, "
+        f"{sql_gumbel_key('doc_id', salt)} AS g FROM w) "
+        f"SELECT doc_id, log_w, g, {_sql_round6z('log_w + g')} AS key FROM scored "
+        f"ORDER BY key DESC NULLS LAST, doc_id ASC NULLS LAST LIMIT {k}"
     )

@@ -97,3 +97,49 @@ def test_plan_is_bounded_topk_no_python(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in p, f"unexpected Python stage: {marker}"
     assert "CartesianProduct" not in p
+
+
+def test_twin_parity_on_duplicate_and_null_doc_ids(spark, tmp_path):
+    """The review-found hole: the twin must derive the doc universe from
+    the grouped feature frame (like Spark), so duplicate doc_id rows
+    collapse to one output row and a NULL doc_id keeps its fold weight."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extraction_spark.operators.mlfilter import sql_dsir_select
+
+    rows = [
+        (7, "enzyme protein genome neuron quantum tensor"),
+        (7, "buy cheap click now winner prize"),  # duplicate id
+        (None, "enzyme protein genome neuron quantum tensor"),  # NULL id
+        (1, "enzyme protein genome neuron"),
+        (2, "buy cheap click now"),
+        (3, None),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    sdf = dsir_select(docs, docs.filter(F.col("doc_id") == 1), k=10)
+    srows = sorted(
+        [tuple(r) for r in sdf.collect()],
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path / 'documents.parquet'}'"
+    )
+    orows = sorted(
+        con.execute(sql_dsir_select(10, "doc_id = 1")).fetchall(),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert len(srows) == 5  # 4 distinct ids + the NULL group, 7 once
+    assert srows == orows
