@@ -1098,6 +1098,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf)
         return dsir_select(docs, docs.filter(F.col("lang") == "en"), k=100)
 
+    # -- fixed-point host PageRank (Page et al. 1999, round 4) --------------
+    def q_host_pagerank(spark, sf):
+        """PageRank over a deterministic host graph derived from the
+        documents table (source → quadratic-residue target, so degrees
+        and ranks actually differentiate, and hosts src20+ are dangling
+        sinks). All-integer fixed-point recursion — plain sums are
+        exact and associative, so no fold machinery is needed for
+        cross-engine bit-parity."""
+        from pdf_extraction_spark.operators.components import pagerank
+
+        docs = _docs(spark, sf)
+        edges = docs.select(
+            F.col("source").alias("src"),
+            F.concat(
+                F.lit("src"),
+                ((F.col("doc_id") * F.col("doc_id") * 5 + F.col("doc_id")) % 29).cast(
+                    "string"
+                ),
+            ).alias("dst"),
+        )
+        return pagerank(edges, n_iter=5)
+
     # -- RefinedWeb line-wise correction (Penedo et al. 2023, round 4) ------
     def q_refinedweb(spark, sf):
         """The synthetic documents contain no boilerplate, so the input
@@ -1214,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refinedweb_lines": q_refinedweb,
         "dedup_url": q_dedup_url,
         "dsir_select": q_dsir_select,
+        "host_pagerank": q_host_pagerank,
         # -- multi-round-green rotation (scale-critical first) -----------
         "curate_corpus": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1300,7 +1323,10 @@ def oracle_sql() -> dict[str, str]:
         SIM_WEIGHT,
     )
     from pdf_extraction_spark.operators.categorize import sql_categories
-    from pdf_extraction_spark.operators.components import sql_dedup_clusters
+    from pdf_extraction_spark.operators.components import (
+        sql_dedup_clusters,
+        sql_pagerank,
+    )
     from pdf_extraction_spark.kernels.wsre import (
         JAVA_WS_SPLIT,
         WHITE_SPACE_BODY,
@@ -1709,6 +1735,11 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": sql_score_bigram_lm(),
         "ppl_buckets": sql_ppl_buckets(),
         "dsir_select": sql_dsir_select(100, "lang = 'en'"),
+        "host_pagerank": sql_pagerank(
+            "SELECT source AS src, 'src' || CAST((doc_id * doc_id * 5 + doc_id) % 29 "
+            "AS VARCHAR) AS dst FROM documents",
+            n_iter=5,
+        ),
         "fix_mojibake": (
             "SELECT doc_id, fixed_text FROM "
             + _fixture("mojibake_sf0_01.parquet")

@@ -113,3 +113,139 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
         F.count("*").alias("n_members"),
         F.min("node").alias("keep_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-point PageRank (Page et al. 1999) over a host/link graph
+# ---------------------------------------------------------------------------
+#
+# The classic web-scale host-quality signal crawl curation pipelines key
+# on (Common-Crawl-style harmonic/centrality host ranks). Fixed
+# iteration count, damping + uniform dangling-mass redistribution.
+#
+# All arithmetic is FIXED-POINT INTEGER: ranks live as int64 scaled by
+# ``scale`` (default 10^12), every step is integer multiply / floor
+# divide / sum. Integer sums are exact and associative, so a plain
+# groupBy().sum() is bit-identical across engines, partitionings and
+# cluster sizes — no ordered-fold machinery, no per-group collect_list
+# buffer, even for hosts with millions of in-links. Floats appear only
+# in the final display division.
+#
+# Scale shape per iteration: ranks ⋈ edges on src (shuffle keyed on
+# src), one dst-keyed sum (map-side combinable), plus two scalar
+# aggregates (node count once, dangling mass per round) broadcast back
+# as 1-row frames. Lineage is n_iter joins deep — pass cache=True (the
+# default) so the static edge/degree/node frames are computed once.
+#
+# Precision bound: the quantum is 1/scale, so rank mass below n/scale
+# is truncated — with scale=10^12, ranks stay meaningful up to ~10^9
+# hosts (3+ significant digits at the uniform floor); raise ``scale``
+# (int64 holds up to ~9·10^18/damping_pct headroom) for bigger graphs.
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+    cache: bool = True,
+) -> DataFrame:
+    """(node, rank): ``n_iter`` PageRank rounds over the DISTINCT
+    (src, dst) edge set (parallel edges collapse; self-loops dropped;
+    NULL endpoints dropped). ``damping_pct`` is an integer percentage so
+    the whole recursion stays in exact int64 arithmetic. Output rank is
+    the fixed-point value divided back to a round-6 double."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    if cache:
+        e = e.persist()
+        nodes = nodes.persist()
+        deg = deg.persist()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    base = ((100 - damping_pct) * scale) // (100 * n)  # exact int, == SQL //
+    ranks = nodes.select("node", F.lit(scale // n).alias("r"))
+    for _ in range(n_iter):
+        dang = ranks.join(deg, ranks["node"] == deg["src"], "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).alias("dm")
+        )
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div deg")).alias("cs"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.expr(
+                    f"{base}L + ({damping_pct} * (coalesce(cs, 0L) "
+                    f"+ dm div {n})) div 100"
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        "node",
+        (F.round(F.col("r").cast("double") / F.lit(float(scale)), 6) + F.lit(0.0)).alias(
+            "rank"
+        ),
+    )
+
+
+def sql_pagerank(
+    edges_select: str,
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the same recursion unrolled as
+    one CTE per round (`//` is floor division — identical to Spark's
+    `div` on the all-positive fixed-point values)."""
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_select}) "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, {scale} // (SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    for i in range(n_iter):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(r), 0) AS dm FROM {prev} "
+            f"LEFT JOIN deg ON {prev}.node = deg.src WHERE deg.src IS NULL)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, sum({prev}.r // deg.deg) AS cs "
+            f"FROM e JOIN {prev} ON e.src = {prev}.node "
+            "JOIN deg ON e.src = deg.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"{cur} AS (SELECT nodes.node, "
+            f"(({100 - damping_pct} * {scale}) // (100 * (SELECT n FROM nn))) + "
+            f"({damping_pct} * (coalesce(c{i}.cs, 0) + (SELECT dm FROM d{i}) "
+            f"// (SELECT n FROM nn))) // 100 AS r "
+            f"FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node, (round(CAST(r AS DOUBLE) / {float(scale)!r}, 6) + 0.0) "
+        f"AS rank FROM r{n_iter}"
+    )

@@ -50,3 +50,81 @@ class TestConnectedComponents:
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r.component for r in connected_components(df, max_iterations=50).collect()}
         assert got == {0}
+
+
+class TestPagerank:
+    """Fixed-point integer PageRank: parity with a pure-Python
+    implementation of the SAME integer recursion, conservation, and
+    graph-hygiene rules. Cross-engine twin parity lives in the strict
+    oracle sweep (host_pagerank)."""
+
+    @staticmethod
+    def _py_pagerank(edges, n_iter=5, damping_pct=85, scale=10**12):
+        es = {(s, d) for s, d in edges if s is not None and d is not None and s != d}
+        nodes = sorted({s for s, _ in es} | {d for _, d in es})
+        out = {}
+        for s, _ in es:
+            out[s] = out.get(s, 0) + 1
+        n = len(nodes)
+        base = ((100 - damping_pct) * scale) // (100 * n)
+        r = {v: scale // n for v in nodes}
+        for _ in range(n_iter):
+            dm = sum(r[v] for v in nodes if v not in out)
+            cs = {v: 0 for v in nodes}
+            for s, d in es:
+                cs[d] += r[s] // out[s]
+            r = {
+                v: base + (damping_pct * (cs[v] + dm // n)) // 100
+                for v in nodes
+            }
+        return {v: round(r[v] / scale, 6) + 0.0 for v in nodes}
+
+    def _run(self, spark, edges, n_iter=5):
+        from pdf_extraction_spark.operators.components import pagerank
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.rank for r in pagerank(df, n_iter=n_iter).collect()}
+        want = self._py_pagerank(edges, n_iter=n_iter)
+        assert got == want
+
+    def test_matches_pure_python_recursion(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+        self._run(spark, edges)
+
+    def test_dangling_sink_and_hygiene(self, spark):
+        # parallel edge, self-loop, NULL endpoint all collapse/drop;
+        # "sink" has no out-edges — its mass must recirculate
+        edges = [
+            ("a", "sink"), ("a", "sink"), ("b", "sink"), ("b", "b"),
+            ("a", "b"), (None, "a"), ("b", None),
+        ]
+        self._run(spark, edges)
+        from pdf_extraction_spark.operators.components import pagerank
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        ranks = {r.node: r.rank for r in pagerank(df, n_iter=5).collect()}
+        assert set(ranks) == {"a", "b", "sink"}
+        assert ranks["sink"] > ranks["a"]  # sink absorbs from both
+        assert abs(sum(ranks.values()) - 1.0) < 1e-3
+
+    def test_partition_invariance(self, spark):
+        random.seed(11)
+        edges = [
+            (f"h{random.randrange(30)}", f"h{random.randrange(40)}")
+            for _ in range(300)
+        ]
+        from pdf_extraction_spark.operators.components import pagerank
+
+        df1 = spark.createDataFrame(edges, "src string, dst string")
+        a = sorted(map(tuple, pagerank(df1, n_iter=4).collect()))
+        b = sorted(
+            map(tuple, pagerank(df1.repartition(13), n_iter=4).collect())
+        )
+        assert a == b
+        self._run(spark, edges, n_iter=4)
+
+    def test_empty_graph(self, spark):
+        from pdf_extraction_spark.operators.components import pagerank
+
+        df = spark.createDataFrame([], "src string, dst string")
+        assert pagerank(df).collect() == []
