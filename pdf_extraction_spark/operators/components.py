@@ -128,14 +128,19 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> 
 # divide / sum. Integer sums are exact and associative, so a plain
 # groupBy().sum() is bit-identical across engines, partitionings and
 # cluster sizes — no ordered-fold machinery, no per-group collect_list
-# buffer, even for hosts with millions of in-links. Floats appear only
-# in the final display division.
+# buffer, even for hosts with millions of in-links. Even the final
+# 6-decimal rounding happens in the integer domain (half-up on the
+# fixed-point quantum), so no engine's float-rounding rule ever runs.
 #
 # Scale shape per iteration: ranks ⋈ edges on src (shuffle keyed on
 # src), one dst-keyed sum (map-side combinable), plus two scalar
 # aggregates (node count once, dangling mass per round) broadcast back
-# as 1-row frames. Lineage is n_iter joins deep — pass cache=True (the
-# default) so the static edge/degree/node frames are computed once.
+# as 1-row frames. Each round's ranks frame is localCheckpoint()ed —
+# referencing the prior round twice (dangling mass + contributions)
+# would otherwise double the logical plan per round (2^n_iter subtrees;
+# same device as connected_components above); the static edge/degree/
+# node/dangling frames are persisted for the loop and released before
+# return.
 #
 # Precision bound: the quantum is 1/scale, so rank mass below n/scale
 # is truncated — with scale=10^12, ranks stay meaningful up to ~10^9
@@ -156,7 +161,13 @@ def pagerank(
     (src, dst) edge set (parallel edges collapse; self-loops dropped;
     NULL endpoints dropped). ``damping_pct`` is an integer percentage so
     the whole recursion stays in exact int64 arithmetic. Output rank is
-    the fixed-point value divided back to a round-6 double."""
+    half-up-rounded to 6 decimals IN THE INTEGER DOMAIN, then divided —
+    engines disagree on float half-ties (Spark HALF_UP on the decimal
+    repr, Python correct-rounds the binary value), so the tie is
+    resolved before any float exists. ``scale`` must be a multiple of
+    10^6 (the display quantum)."""
+    if scale % 10**6 != 0:
+        raise ValueError("scale must be a multiple of 10^6")
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(
@@ -170,17 +181,22 @@ def pagerank(
         e.select(F.col("dst").alias("node"))
     ).distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    dangling = nodes.join(deg, nodes["node"] == deg["src"], "left_anti")
     if cache:
         e = e.persist()
         nodes = nodes.persist()
         deg = deg.persist()
+        dangling = dangling.persist()
     n = nodes.count()
     if n == 0:
+        if cache:
+            for frame in (e, nodes, deg, dangling):
+                frame.unpersist()
         return nodes.select("node", F.lit(0.0).alias("rank"))
     base = ((100 - damping_pct) * scale) // (100 * n)  # exact int, == SQL //
     ranks = nodes.select("node", F.lit(scale // n).alias("r"))
     for _ in range(n_iter):
-        dang = ranks.join(deg, ranks["node"] == deg["src"], "left_anti").agg(
+        dang = ranks.join(dangling, "node").agg(
             F.coalesce(F.sum("r"), F.lit(0)).alias("dm")
         )
         contrib = (
@@ -200,12 +216,22 @@ def pagerank(
                 ).alias("r"),
             )
         )
-    return ranks.select(
+        # the next round reads this frame twice (dangling mass +
+        # contributions): cut the lineage or the plan doubles per round
+        ranks = ranks.localCheckpoint()
+    q = scale // 10**6
+    out = ranks.select(
         "node",
-        (F.round(F.col("r").cast("double") / F.lit(float(scale)), 6) + F.lit(0.0)).alias(
-            "rank"
-        ),
+        # integer half-up to the 10^-6 quantum, THEN the exact float
+        # division (result ≤ 10^6 ≪ 2^53, so the double is exact)
+        (
+            F.expr(f"(r + {q // 2}L) div {q}L").cast("double") / F.lit(1e6)
+        ).alias("rank"),
     )
+    if cache:
+        for frame in (e, nodes, deg, dangling):
+            frame.unpersist()
+    return out
 
 
 def sql_pagerank(
@@ -216,20 +242,27 @@ def sql_pagerank(
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the same recursion unrolled as
     one CTE per round (`//` is floor division — identical to Spark's
-    `div` on the all-positive fixed-point values)."""
+    `div` on the all-positive fixed-point values). The node count is
+    greatest(n, 1) so the empty graph emits zero rows instead of a
+    division-by-zero error (Spark guards with an early return)."""
+    if scale % 10**6 != 0:
+        raise ValueError("scale must be a multiple of 10^6")
+    q = scale // 10**6
     parts = [
         f"e AS (SELECT DISTINCT src, dst FROM ({edges_select}) "
         "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
-        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "dang AS (SELECT node FROM nodes LEFT JOIN deg ON node = deg.src "
+        "WHERE deg.src IS NULL)",
+        "nn AS (SELECT greatest(count(*), 1) AS n FROM nodes)",
         f"r0 AS (SELECT node, {scale} // (SELECT n FROM nn) AS r FROM nodes)",
     ]
     for i in range(n_iter):
         prev, cur = f"r{i}", f"r{i + 1}"
         parts.append(
             f"d{i} AS (SELECT coalesce(sum(r), 0) AS dm FROM {prev} "
-            f"LEFT JOIN deg ON {prev}.node = deg.src WHERE deg.src IS NULL)"
+            "JOIN dang USING (node))"
         )
         parts.append(
             f"c{i} AS (SELECT e.dst AS node, sum({prev}.r // deg.deg) AS cs "
@@ -246,6 +279,7 @@ def sql_pagerank(
     return (
         "WITH "
         + ", ".join(parts)
-        + f" SELECT node, (round(CAST(r AS DOUBLE) / {float(scale)!r}, 6) + 0.0) "
+        # integer half-up to the 10^-6 quantum, then exact division
+        + f" SELECT node, CAST((r + {q // 2}) // {q} AS DOUBLE) / 1e6 "
         f"AS rank FROM r{n_iter}"
     )

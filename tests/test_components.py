@@ -77,7 +77,8 @@ class TestPagerank:
                 v: base + (damping_pct * (cs[v] + dm // n)) // 100
                 for v in nodes
             }
-        return {v: round(r[v] / scale, 6) + 0.0 for v in nodes}
+        q = scale // 10**6  # integer half-up, mirroring the operator
+        return {v: ((r[v] + q // 2) // q) / 1e6 for v in nodes}
 
     def _run(self, spark, edges, n_iter=5):
         from pdf_extraction_spark.operators.components import pagerank
@@ -128,3 +129,93 @@ class TestPagerank:
 
         df = spark.createDataFrame([], "src string, dst string")
         assert pagerank(df).collect() == []
+
+    def test_half_tie_rounds_identically(self, spark):
+        """A fixed-point rank landing exactly on a 6th-decimal half-tie
+        must round half-up in BOTH engines (integer-domain rounding;
+        float round() rules differ per engine). scale=10^8 makes the
+        uniform starting rank of a 4-node cycle hit r % 100 == 50."""
+        from pdf_extraction_spark.operators.components import (
+            pagerank,
+            sql_pagerank,
+        )
+        import duckdb
+
+        # direct check of the crafted tie value: fixed-point 3_500_000
+        # at scale 10^12 is rank 3.5e-6 — integer half-up must give
+        # 4e-6 in both engines (float round() would disagree: Spark
+        # HALF_UPs the decimal repr, Python correct-rounds the binary)
+        import duckdb as _d
+        from pyspark.sql import functions as F
+
+        spark_tie = (
+            spark.range(1)
+            .select(
+                (
+                    F.expr("(3500000L + 500000L) div 1000000L").cast("double")
+                    / 1e6
+                ).alias("rank")
+            )
+            .first()
+            .rank
+        )
+        duck_tie = _d.connect().execute(
+            "SELECT CAST((3500000 + 500000) // 1000000 AS DOUBLE) / 1e6"
+        ).fetchone()[0]
+        assert spark_tie == 4e-06 == duck_tie
+        # and the full recursion at a non-default scale stays three-way
+        # identical (Spark vs pure-Python replay vs DuckDB twin)
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.node: r.rank
+            for r in pagerank(df, n_iter=3, scale=10**8).collect()
+        }
+        want = self._py_pagerank(edges, n_iter=3, scale=10**8)
+        assert got == want
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE edges_t AS SELECT * FROM (VALUES "
+            + ", ".join(f"('{s}', '{d}')" for s, d in edges)
+            + ") t(src, dst)"
+        )
+        orows = dict(
+            con.execute(
+                sql_pagerank("SELECT src, dst FROM edges_t", 3, scale=10**8)
+            ).fetchall()
+        )
+        assert got == orows
+
+    def test_empty_graph_twin_emits_zero_rows(self, spark):
+        """All-NULL / self-loop edges: Spark returns [], and the twin
+        must emit zero rows rather than divide by zero."""
+        import duckdb
+
+        from pdf_extraction_spark.operators.components import (
+            pagerank,
+            sql_pagerank,
+        )
+
+        edges = [(None, "a"), ("b", None), ("c", "c")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        assert pagerank(df).collect() == []
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE edges_t(src VARCHAR, dst VARCHAR); "
+            "INSERT INTO edges_t VALUES (NULL, 'a'), ('b', NULL), ('c', 'c')"
+        )
+        assert con.execute(
+            sql_pagerank("SELECT src, dst FROM edges_t")
+        ).fetchall() == []
+
+    def test_deep_iteration_plan_stays_bounded(self, spark):
+        """n_iter=20 (a normal PageRank depth) must finish quickly —
+        the per-round localCheckpoint keeps the plan linear instead of
+        2^n_iter subtrees."""
+        from pdf_extraction_spark.operators.components import pagerank
+
+        edges = [(f"h{i}", f"h{(i * 3 + 1) % 10}") for i in range(10)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        ranks = pagerank(df, n_iter=20).collect()
+        assert len(ranks) == 10
+        assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-3
