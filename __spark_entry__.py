@@ -1120,6 +1120,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank(edges, n_iter=5)
 
+    # -- BPE vocabulary induction (Sennrich et al. 2016, round 4) -----------
+    def q_bpe_merges(spark, sf):
+        """Learn the corpus's first 16 byte-pair merges relationally:
+        every round is two vocabulary-sized shuffles (integer pair
+        counts + a total-ordered top-1) and a fold rewrite — no driver
+        dict, no floats anywhere, so parity needs no rounding rules."""
+        from pdf_extraction_spark.operators.bpe import bpe_merges, word_counts
+
+        return bpe_merges(word_counts(_docs(spark, sf)), n_merges=16)
+
     # -- RefinedWeb line-wise correction (Penedo et al. 2023, round 4) ------
     def q_refinedweb(spark, sf):
         """The synthetic documents contain no boilerplate, so the input
@@ -1237,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": q_dedup_url,
         "dsir_select": q_dsir_select,
         "host_pagerank": q_host_pagerank,
+        "bpe_merges": q_bpe_merges,
         # -- multi-round-green rotation (scale-critical first) -----------
         "curate_corpus": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1327,6 +1338,7 @@ def oracle_sql() -> dict[str, str]:
         sql_dedup_clusters,
         sql_pagerank,
     )
+    from pdf_extraction_spark.operators.bpe import sql_bpe_merges
     from pdf_extraction_spark.kernels.wsre import (
         JAVA_WS_SPLIT,
         WHITE_SPACE_BODY,
@@ -1740,6 +1752,7 @@ def oracle_sql() -> dict[str, str]:
             "AS VARCHAR) AS dst FROM documents",
             n_iter=5,
         ),
+        "bpe_merges": sql_bpe_merges(16),
         "fix_mojibake": (
             "SELECT doc_id, fixed_text FROM "
             + _fixture("mojibake_sf0_01.parquet")

@@ -1,0 +1,182 @@
+"""BPE vocabulary induction (Sennrich et al. 2016) — learn the top-k
+byte-pair merges of a corpus, fully relationally.
+
+Tokenizer training is the last leg of an LLM data pipeline (after
+dedup/quality/selection/mixing/packing): the merge table IS the
+tokenizer. The textbook algorithm is a driver-side loop over a Python
+dict; this version keeps every step distributed and deterministic:
+
+* **Word counts, not the corpus.** One scan tokenizes (the shared
+  whitespace contract) and groups to (word, cnt) — every later round
+  works on the VOCABULARY, which is orders smaller than the corpus and
+  stays so at 100 TB (Heaps' law).
+* **A merge round is two shuffles on the vocab.** Pair counts = one
+  explode of adjacent symbol pairs weighted by word count + a groupBy
+  sum (integer counts — exact, associative, bit-identical across
+  engines and partitionings with a plain sum). The winning pair is a
+  bounded top-1 (count DESC, then lexicographic a, b — total order, so
+  ties cannot flip between engines or runs).
+* **The rewrite is a left fold, not Python.** Each word's symbol array
+  folds left-to-right into a SEP-delimited string: if the accumulator
+  ends with SEP‖a and the next symbol equals b, append b (merging the
+  pair); else append SEP‖symbol. Greedy non-overlapping semantics
+  ("aaa" + merge(a,a) → [aa, a]) fall out of checking the POST-merge
+  accumulator — the same IEEE-free pure-string recursion in Spark's
+  ``aggregate`` and DuckDB's ``list_reduce`` (init via list_prepend).
+* **The winning pair rides a 1-row broadcast** (crossJoin of a bounded
+  frame), and each round's word frame is localCheckpoint()ed: the
+  frame is read by both the next pair count and the next rewrite, so
+  without the cut the logical plan doubles per round.
+
+SEP is U+0001; it is stripped from words up front (identically in both
+engines), so no symbol can ever contain the delimiter. The word-end
+marker is the standard ``</w>`` symbol appended after the character
+split. Everything is integers and strings — no float exists anywhere,
+so cross-engine parity needs no rounding conventions at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .curation import _lower_words as _tokens
+from .curation import _sql_lower_words as _sql_tokens
+
+SEP = "\x01"
+END_OF_WORD = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt): lowercased whitespace-token frequencies — the
+    bounded frame every BPE round iterates on."""
+    return (
+        df.select(
+            F.explode(
+                _tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("word")
+        )
+        .select(F.replace(F.col("word"), F.lit(SEP), F.lit("")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _char_symbols(word) -> "F.Column":
+    """word → [c1, c2, …, '</w>'] (codepoint split + word-end marker)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substr(word, i, F.lit(1)),
+    )
+    return F.concat(chars, F.array(F.lit(END_OF_WORD)))
+
+
+def _adjacent_pairs(syms) -> "F.Column":
+    """[(s_i, s_{i+1})] — slice-length clamps at 0 for 1-symbol words."""
+    return F.transform(
+        F.slice(syms, 1, F.greatest(F.size(syms) - F.lit(1), F.lit(0))),
+        lambda s, i: F.struct(
+            s.alias("a"), F.element_at(syms, i + F.lit(2)).alias("b")
+        ),
+    )
+
+
+def bpe_merges(
+    words: DataFrame,
+    n_merges: int = 20,
+    word_col: str = "word",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """(step, a, b, pair_count): the first ``n_merges`` BPE merges of
+    the (word, cnt) vocabulary, most-frequent pair first. Stops early
+    (fewer rows) when no pair remains. All arithmetic is integer and
+    every tie has a total order, so the table is bit-identical across
+    engines, runs, and cluster sizes."""
+    w = words.select(
+        F.col(cnt_col).alias("cnt"),
+        _char_symbols(F.col(word_col)).alias("syms"),
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            w.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        best = pairs.orderBy(
+            F.desc("pair_count"), F.asc("a"), F.asc("b")
+        ).limit(1)
+        merges.append(best.select(F.lit(step).alias("step"), "a", "b", "pair_count"))
+        folded = F.aggregate(
+            F.col("syms"),
+            F.lit(""),
+            lambda acc, s: F.when(
+                acc.endswith(F.concat(F.lit(SEP), F.col("a")))
+                & (s == F.col("b")),
+                F.concat(acc, s),
+            ).otherwise(F.concat(acc, F.lit(SEP), s)),
+        )
+        w = (
+            w.crossJoin(F.broadcast(best))
+            .select("cnt", F.slice(F.split(folded, SEP), 2, 2**30).alias("syms"))
+        )
+        # read twice next round (pair count + rewrite): cut the lineage
+        w = w.localCheckpoint()
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def sql_bpe_merges(
+    n_merges: int = 20,
+    text_expr: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of word_counts → :func:`bpe_merges`: the identical
+    recursion unrolled one CTE trio per round (pair counts, top-1,
+    fold rewrite), same SEP-string fold via list_reduce. The chained
+    w/b CTEs are MATERIALIZED: each is referenced twice (next round's
+    pair count + rewrite; the final union), and DuckDB inlines plain
+    CTEs per reference — 2^n_merges scan subtrees otherwise (the exact
+    analogue of the Spark side's per-round localCheckpoint)."""
+    tx = f"coalesce({text_expr}, '')"
+    fold = (
+        "string_split(list_reduce(list_prepend('', syms), (acc, s) -> "
+        "CASE WHEN ends_with(acc, chr(1) || b{i}.a) AND s = b{i}.b "
+        "THEN acc || s ELSE acc || chr(1) || s END), chr(1))[2:]"
+    )
+    parts = [
+        f"toks AS (SELECT unnest({_sql_tokens(tx)}) AS word FROM {table})",
+        "wc AS (SELECT word, count(*) AS cnt FROM ("
+        "SELECT replace(word, chr(1), '') AS word FROM toks) "
+        "WHERE word <> '' GROUP BY word)",
+        "w0 AS MATERIALIZED (SELECT cnt, list_append(list_transform("
+        "generate_series(1, length(word)), i -> substr(word, i, 1)), "
+        "'</w>') AS syms FROM wc)",
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"e{i} AS (SELECT cnt, syms, "
+            f"unnest(generate_series(1, len(syms) - 1)) AS j FROM {prev})"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT syms[j] AS a, syms[j + 1] AS b, "
+            f"sum(cnt) AS pair_count FROM e{i} GROUP BY syms[j], syms[j + 1])"
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT a, b, pair_count FROM p{i} "
+            "ORDER BY pair_count DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT cnt, {fold.format(i=i)} AS syms "
+            f"FROM {prev}, b{i})"
+        )
+    steps = " UNION ALL ".join(
+        f"SELECT {i} AS step, a, b, CAST(pair_count AS BIGINT) AS pair_count "
+        f"FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ", ".join(parts) + " " + steps

@@ -1,0 +1,117 @@
+"""BPE vocabulary induction — parity with a pure-Python replay of the
+same recursion (greedy left-to-right merge, count-then-lexicographic
+tie-break), determinism, and degenerate inputs. Cross-engine twin
+parity lives in the strict oracle sweep (bpe_merges)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators.bpe import (
+    END_OF_WORD,
+    SEP,
+    bpe_merges,
+    sql_bpe_merges,
+    word_counts,
+)
+
+
+def _py_bpe(word_cnt: dict, n_merges: int):
+    """Textbook dict-loop BPE with the operator's exact semantics."""
+    words = {tuple(w) + (END_OF_WORD,): c for w, c in word_cnt.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get(
+                    (syms[i], syms[i + 1]), 0
+                ) + c
+        if not pairs:
+            break
+        (a, b), pc = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, pc))
+        nxt = {}
+        for syms, c in words.items():
+            out = []
+            for s in syms:  # greedy left-to-right on the POST-merge tail
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        words = nxt
+    return merges
+
+
+def _spark_bpe(spark, word_cnt, n_merges):
+    df = spark.createDataFrame(list(word_cnt.items()), "word string, cnt long")
+    return [tuple(r) for r in bpe_merges(df, n_merges=n_merges).collect()]
+
+
+def test_matches_textbook_loop(spark):
+    wc = {"lower": 5, "lowest": 3, "newer": 6, "wider": 2, "new": 4}
+    assert _spark_bpe(spark, wc, 10) == _py_bpe(wc, 10)
+
+
+def test_overlapping_run_merges_greedily(spark):
+    # "aaa" + merge (a,a) → [aa, a]: the second overlap must NOT merge
+    wc = {"aaa": 7, "aa": 2}
+    got = _spark_bpe(spark, wc, 3)
+    assert got == _py_bpe(wc, 3)
+    assert got[0][1:3] == ("a", "a")
+
+
+def test_tiebreak_is_lexicographic(spark):
+    # every pair appears exactly once → counts all tie → ('b','c') vs
+    # ('a','d'): lexicographic a wins
+    wc = {"bc": 1, "ad": 1}
+    got = _spark_bpe(spark, wc, 1)
+    assert got == _py_bpe(wc, 1)
+    assert got[0][1:3] == ("a", "d")
+
+
+def test_partition_invariance_and_repeatability(spark):
+    wc = {f"w{i}x{i % 7}y": i + 1 for i in range(200)}
+    df = spark.createDataFrame(list(wc.items()), "word string, cnt long")
+    a = [tuple(r) for r in bpe_merges(df, n_merges=8).collect()]
+    b = [
+        tuple(r)
+        for r in bpe_merges(df.repartition(17), n_merges=8).collect()
+    ]
+    assert a == b == _py_bpe(wc, 8)
+
+
+def test_runs_dry_early(spark):
+    # single-char words: round 1 merges (x, </w>), after which no pair
+    # remains — fewer rows than requested, not an error
+    wc = {"x": 3}
+    got = _spark_bpe(spark, wc, 5)
+    assert got == _py_bpe(wc, 5)
+    assert len(got) == 1 and got[0][1:3] == ("x", END_OF_WORD)
+
+
+def test_word_counts_strips_separator_and_empties(spark):
+    docs = spark.createDataFrame(
+        [(1, f"a{SEP}b ab {SEP} ab"), (2, None), (3, "  ")],
+        "doc_id long, text string",
+    )
+    got = {r.word: r.cnt for r in word_counts(docs).collect()}
+    assert got == {"ab": 3}
+
+
+def test_twin_parity_on_unicode_words(spark):
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(1, "日本語 日本 語"), (2, "naïve café café"), (3, "\U0001F642\U0001F680 \U0001F642")],
+        "doc_id long, text string",
+    )
+    got = [
+        tuple(r) for r in bpe_merges(word_counts(docs), n_merges=6).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for r in docs.collect():
+        con.execute("INSERT INTO documents VALUES (?, ?)", [r.doc_id, r.text])
+    orows = [tuple(r) for r in con.execute(sql_bpe_merges(6)).fetchall()]
+    assert got == orows
