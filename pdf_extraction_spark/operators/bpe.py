@@ -64,10 +64,19 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _char_symbols(word) -> "F.Column":
-    """word → [c1, c2, …, '</w>'] (codepoint split + word-end marker)."""
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(word)),
-        lambda i: F.substr(word, i, F.lit(1)),
+    """word → [c1, c2, …, '</w>'] (codepoint split + word-end marker).
+
+    NULL/empty words yield just ['</w>'] — F.sequence(1, 0) would step
+    DOWN to [1, 0] and mint phantom '' symbols the DuckDB twin
+    (generate_series(1, 0) = []) never sees, so the upper bound clamps
+    at 1 and the out-of-range '' substr results are filtered."""
+    w = F.coalesce(word, F.lit(""))
+    chars = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(w), F.lit(1))),
+            lambda i: F.substr(w, i, F.lit(1)),
+        ),
+        lambda c: c != F.lit(""),
     )
     return F.concat(chars, F.array(F.lit(END_OF_WORD)))
 
@@ -93,6 +102,12 @@ def bpe_merges(
     (fewer rows) when no pair remains. All arithmetic is integer and
     every tie has a total order, so the table is bit-identical across
     engines, runs, and cluster sizes."""
+    spark = words.sparkSession
+    empty = spark.createDataFrame(
+        [], "step int, a string, b string, pair_count bigint"
+    )
+    if n_merges < 1:
+        return empty
     w = words.select(
         F.col(cnt_col).alias("cnt"),
         _char_symbols(F.col(word_col)).alias("syms"),
@@ -104,10 +119,17 @@ def bpe_merges(
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("pair_count"))
         )
-        best = pairs.orderBy(
-            F.desc("pair_count"), F.asc("a"), F.asc("b")
-        ).limit(1)
+        # checkpoint the 1-row winner: it feeds the rewrite AND the
+        # returned union — without the cut, collecting the merge table
+        # re-runs every round's vocabulary-wide aggregation job
+        best = (
+            pairs.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint()
+        )
         merges.append(best.select(F.lit(step).alias("step"), "a", "b", "pair_count"))
+        if step == n_merges:
+            break  # the last rewrite has no reader — skip the dead job
         folded = F.aggregate(
             F.col("syms"),
             F.lit(""),
@@ -123,10 +145,10 @@ def bpe_merges(
         )
         # read twice next round (pair count + rewrite): cut the lineage
         w = w.localCheckpoint()
-    out = merges[0]
-    for m in merges[1:]:
+    out = empty
+    for m in merges:
         out = out.unionAll(m)
-    return out
+    return out.orderBy("step")
 
 
 def sql_bpe_merges(
@@ -141,6 +163,11 @@ def sql_bpe_merges(
     pair count + rewrite; the final union), and DuckDB inlines plain
     CTEs per reference — 2^n_merges scan subtrees otherwise (the exact
     analogue of the Spark side's per-round localCheckpoint)."""
+    if n_merges < 1:
+        return (
+            "SELECT 0 AS step, '' AS a, '' AS b, "
+            "CAST(0 AS BIGINT) AS pair_count WHERE FALSE"
+        )
     tx = f"coalesce({text_expr}, '')"
     fold = (
         "string_split(list_reduce(list_prepend('', syms), (acc, s) -> "
@@ -170,13 +197,17 @@ def sql_bpe_merges(
             f"b{i} AS MATERIALIZED (SELECT a, b, pair_count FROM p{i} "
             "ORDER BY pair_count DESC, a, b LIMIT 1)"
         )
-        parts.append(
-            f"w{i} AS MATERIALIZED (SELECT cnt, {fold.format(i=i)} AS syms "
-            f"FROM {prev}, b{i})"
-        )
+        if i < n_merges:  # the last rewrite has no reader — skip it
+            parts.append(
+                f"w{i} AS MATERIALIZED (SELECT cnt, {fold.format(i=i)} AS syms "
+                f"FROM {prev}, b{i})"
+            )
     steps = " UNION ALL ".join(
         f"SELECT {i} AS step, a, b, CAST(pair_count AS BIGINT) AS pair_count "
         f"FROM b{i}"
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ", ".join(parts) + " " + steps
+    return (
+        "WITH " + ", ".join(parts) + " SELECT * FROM (" + steps + ") "
+        "ORDER BY step"
+    )

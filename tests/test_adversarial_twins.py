@@ -4,8 +4,8 @@ The driver gate and the strict sweep run every oracle over the BENIGN
 synthetic tables; a twin can pass there while still diverging on the
 inputs a real crawl serves up (NULLs, empty strings, CRLF/NEL line
 ends, unicode soup, boilerplate floods, PII shapes). This module
-re-runs every FIXTURE-FREE documents-twinned query — the 36 oracles
-whose SQL recomputes entirely from the input tables — over a crafted
+re-runs every FIXTURE-FREE documents-twinned query (every oracle
+whose SQL recomputes entirely from the input tables) over a crafted
 hostile documents table, comparing Spark vs DuckDB value-for-value with
 the same normalize logic as tests/oracle_check.py (loose float form:
 the goal here is semantic agreement on hostile input; bit-exactness on

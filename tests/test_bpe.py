@@ -115,3 +115,25 @@ def test_twin_parity_on_unicode_words(spark):
         con.execute("INSERT INTO documents VALUES (?, ?)", [r.doc_id, r.text])
     orows = [tuple(r) for r in con.execute(sql_bpe_merges(6)).fetchall()]
     assert got == orows
+
+
+def test_zero_merges_yields_empty_table(spark):
+    import duckdb
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    assert bpe_merges(word_counts(docs), n_merges=0).collect() == []
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    assert con.execute(sql_bpe_merges(0)).fetchall() == []
+
+
+def test_empty_word_rows_match_twin(spark):
+    """Raw (word, cnt) frames with ''/NULL words: both engines must
+    treat them as the bare '</w>' symbol (no phantom '' pairs)."""
+    words = spark.createDataFrame(
+        [("", 50), (None, 50), ("ab", 2)], "word string, cnt long"
+    )
+    got = [tuple(r) for r in bpe_merges(words, n_merges=2).collect()]
+    # '' and NULL contribute no pairs at all: the only pairs come
+    # from 'ab</w>' — phantom ('','') pairs would win at count 50
+    assert got[0][1:3] == ("a", "b") and got[0][3] == 2
