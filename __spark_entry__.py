@@ -1130,6 +1130,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bpe_merges(word_counts(_docs(spark, sf)), n_merges=16)
 
+    def q_bpe_encode(spark, sf):
+        """Tokenize every doc with the BPE vocabulary learned from the
+        same corpus — the merge chain runs once over the vocabulary
+        carrying the word column; docs join the final word→count table
+        (vocabulary-keyed, never a per-doc re-encode)."""
+        from pdf_extraction_spark.operators.bpe import bpe_encode
+
+        return bpe_encode(_docs(spark, sf), n_merges=12)
+
     # -- RefinedWeb line-wise correction (Penedo et al. 2023, round 4) ------
     def q_refinedweb(spark, sf):
         """The synthetic documents contain no boilerplate, so the input
@@ -1248,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "host_pagerank": q_host_pagerank,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         # -- multi-round-green rotation (scale-critical first) -----------
         "curate_corpus": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1338,7 +1348,7 @@ def oracle_sql() -> dict[str, str]:
         sql_dedup_clusters,
         sql_pagerank,
     )
-    from pdf_extraction_spark.operators.bpe import sql_bpe_merges
+    from pdf_extraction_spark.operators.bpe import sql_bpe_encode, sql_bpe_merges
     from pdf_extraction_spark.kernels.wsre import (
         JAVA_WS_SPLIT,
         WHITE_SPACE_BODY,
@@ -1753,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
             n_iter=5,
         ),
         "bpe_merges": sql_bpe_merges(16),
+        "bpe_encode": sql_bpe_encode(12),
         "fix_mojibake": (
             "SELECT doc_id, fixed_text FROM "
             + _fixture("mojibake_sf0_01.parquet")

@@ -91,6 +91,55 @@ def _adjacent_pairs(syms) -> "F.Column":
     )
 
 
+def _fold_merge(syms, a, b):
+    """One merge rewrite: fold ``syms`` left-to-right into a
+    SEP-delimited string, gluing (a, b) greedily, then re-split."""
+    folded = F.aggregate(
+        syms,
+        F.lit(""),
+        lambda acc, s: F.when(
+            acc.endswith(F.concat(F.lit(SEP), a)) & (s == b),
+            F.concat(acc, s),
+        ).otherwise(F.concat(acc, F.lit(SEP), s)),
+    )
+    return F.slice(F.split(folded, SEP), 2, 2**30)
+
+
+def _merge_chain(w: DataFrame, n_merges: int, carry: list, final_rewrite: bool):
+    """Run the merge recursion over a frame with (cnt, syms, *carry)
+    columns. Returns (per-step winner frames, final rewritten frame —
+    or None when ``final_rewrite`` is False and the last dead rewrite
+    is skipped)."""
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            w.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        # checkpoint the 1-row winner: it feeds the rewrite AND the
+        # returned union — without the cut, collecting the merge table
+        # re-runs every round's vocabulary-wide aggregation job
+        best = (
+            pairs.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        merges.append(
+            best.select(F.lit(step).alias("step"), "a", "b", "pair_count")
+        )
+        if step == n_merges and not final_rewrite:
+            return merges, None  # the last rewrite has no reader
+        w = w.crossJoin(F.broadcast(best)).select(
+            "cnt",
+            _fold_merge(F.col("syms"), F.col("a"), F.col("b")).alias("syms"),
+            *carry,
+        )
+        # read twice next round (pair count + rewrite): cut the lineage
+        w = w.localCheckpoint()
+    return merges, w
+
+
 def bpe_merges(
     words: DataFrame,
     n_merges: int = 20,
@@ -112,43 +161,57 @@ def bpe_merges(
         F.col(cnt_col).alias("cnt"),
         _char_symbols(F.col(word_col)).alias("syms"),
     )
-    merges = []
-    for step in range(1, n_merges + 1):
-        pairs = (
-            w.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
-            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").alias("pair_count"))
-        )
-        # checkpoint the 1-row winner: it feeds the rewrite AND the
-        # returned union — without the cut, collecting the merge table
-        # re-runs every round's vocabulary-wide aggregation job
-        best = (
-            pairs.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .localCheckpoint()
-        )
-        merges.append(best.select(F.lit(step).alias("step"), "a", "b", "pair_count"))
-        if step == n_merges:
-            break  # the last rewrite has no reader — skip the dead job
-        folded = F.aggregate(
-            F.col("syms"),
-            F.lit(""),
-            lambda acc, s: F.when(
-                acc.endswith(F.concat(F.lit(SEP), F.col("a")))
-                & (s == F.col("b")),
-                F.concat(acc, s),
-            ).otherwise(F.concat(acc, F.lit(SEP), s)),
-        )
-        w = (
-            w.crossJoin(F.broadcast(best))
-            .select("cnt", F.slice(F.split(folded, SEP), 2, 2**30).alias("syms"))
-        )
-        # read twice next round (pair count + rewrite): cut the lineage
-        w = w.localCheckpoint()
+    merges, _ = _merge_chain(w, n_merges, carry=[], final_rewrite=False)
     out = empty
     for m in merges:
         out = out.unionAll(m)
     return out.orderBy("step")
+
+
+def bpe_encode(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens): tokenize every doc with the
+    BPE vocabulary learned from the SAME corpus — the production
+    token-counting op (mixture budgeting, packing, billing all key on
+    learned-tokenizer counts, not whitespace counts).
+
+    The merge chain runs once over the VOCABULARY carrying the word
+    column; docs then join their words to the final (word → symbol
+    count) table — a vocabulary-keyed broadcast-or-shuffle join, never
+    a per-doc re-encode. Empty/NULL docs survive with zero counts."""
+    words = word_counts(df, text_col)
+    w = words.select(
+        F.col("cnt").alias("cnt"),
+        _char_symbols(F.col("word")).alias("syms"),
+        "word",
+    )
+    if n_merges >= 1:
+        _, w = _merge_chain(w, n_merges, carry=["word"], final_rewrite=True)
+    vocab = w.select("word", F.size("syms").alias("n_sym"))
+    # SEP is stripped at TEXT level here (it is not whitespace, so the
+    # strip commutes with tokenization) — a word-level strip would mint
+    # '' tokens that the vocabulary, by construction, never contains
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(
+            _tokens(
+                F.replace(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(SEP),
+                    F.lit(""),
+                )
+            )
+        ).alias("word"),
+    )
+    joined = toks.join(vocab, "word", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("word").alias("n_words"),
+        F.coalesce(F.sum("n_sym"), F.lit(0)).alias("n_bpe_tokens"),
+    )
 
 
 def sql_bpe_merges(
@@ -168,7 +231,30 @@ def sql_bpe_merges(
             "SELECT 0 AS step, '' AS a, '' AS b, "
             "CAST(0 AS BIGINT) AS pair_count WHERE FALSE"
         )
+    parts = _sql_chain(n_merges, text_expr, table, carry_word=False,
+                       final_rewrite=False)
+    steps = " UNION ALL ".join(
+        f"SELECT {i} AS step, a, b, CAST(pair_count AS BIGINT) AS pair_count "
+        f"FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ", ".join(parts) + " SELECT * FROM (" + steps + ") "
+        "ORDER BY step"
+    )
+
+
+def _sql_chain(
+    n_merges: int,
+    text_expr: str,
+    table: str,
+    carry_word: bool,
+    final_rewrite: bool,
+) -> list:
+    """Shared CTE builder for the merge recursion (see sql_bpe_merges
+    docstring for why the chained CTEs are MATERIALIZED)."""
     tx = f"coalesce({text_expr}, '')"
+    word_sel = ", word" if carry_word else ""
     fold = (
         "string_split(list_reduce(list_prepend('', syms), (acc, s) -> "
         "CASE WHEN ends_with(acc, chr(1) || b{i}.a) AND s = b{i}.b "
@@ -181,7 +267,7 @@ def sql_bpe_merges(
         "WHERE word <> '' GROUP BY word)",
         "w0 AS MATERIALIZED (SELECT cnt, list_append(list_transform("
         "generate_series(1, length(word)), i -> substr(word, i, 1)), "
-        "'</w>') AS syms FROM wc)",
+        f"'</w>') AS syms{word_sel} FROM wc)",
     ]
     for i in range(1, n_merges + 1):
         prev = f"w{i - 1}"
@@ -197,17 +283,41 @@ def sql_bpe_merges(
             f"b{i} AS MATERIALIZED (SELECT a, b, pair_count FROM p{i} "
             "ORDER BY pair_count DESC, a, b LIMIT 1)"
         )
-        if i < n_merges:  # the last rewrite has no reader — skip it
+        if i < n_merges or final_rewrite:
             parts.append(
-                f"w{i} AS MATERIALIZED (SELECT cnt, {fold.format(i=i)} AS syms "
-                f"FROM {prev}, b{i})"
+                f"w{i} AS MATERIALIZED (SELECT cnt, {fold.format(i=i)} "
+                f"AS syms{word_sel} FROM {prev}, b{i})"
             )
-    steps = " UNION ALL ".join(
-        f"SELECT {i} AS step, a, b, CAST(pair_count AS BIGINT) AS pair_count "
-        f"FROM b{i}"
-        for i in range(1, n_merges + 1)
-    )
+    return parts
+
+
+def sql_bpe_encode(
+    n_merges: int = 20,
+    text_expr: str = "text",
+    table: str = "documents",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bpe_encode`: the same merge chain carrying
+    the word column, then each doc's tokens join the final (word →
+    symbol count) vocabulary. Docs whose text is empty after the
+    separator strip keep a zero-count row (explode_outer twin)."""
+    tx = f"replace(coalesce({text_expr}, ''), chr(1), '')"
+    n = max(n_merges, 0)
+    final = f"w{n}"
+    parts = _sql_chain(n, text_expr, table, carry_word=True,
+                       final_rewrite=True)
+    parts += [
+        f"vocab AS (SELECT word, len(syms) AS n_sym FROM {final})",
+        f"dt AS (SELECT {id_expr} AS doc_id, {_sql_tokens(tx)} AS ws "
+        f"FROM {table})",
+        "dtok AS (SELECT doc_id, unnest(CASE WHEN len(ws) = 0 "
+        "THEN [NULL] ELSE ws END) AS word FROM dt)",
+        "j AS (SELECT dtok.doc_id, dtok.word, vocab.n_sym "
+        "FROM dtok LEFT JOIN vocab USING (word))",
+    ]
     return (
-        "WITH " + ", ".join(parts) + " SELECT * FROM (" + steps + ") "
-        "ORDER BY step"
+        "WITH " + ", ".join(parts) + " "
+        "SELECT doc_id, count(word) AS n_words, "
+        "CAST(coalesce(sum(n_sym), 0) AS BIGINT) AS n_bpe_tokens "
+        "FROM j GROUP BY doc_id"
     )

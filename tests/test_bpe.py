@@ -137,3 +137,75 @@ def test_empty_word_rows_match_twin(spark):
     # '' and NULL contribute no pairs at all: the only pairs come
     # from 'ab</w>' — phantom ('','') pairs would win at count 50
     assert got[0][1:3] == ("a", "b") and got[0][3] == 2
+
+
+def _py_encode(doc_words: dict, word_cnt: dict, n_merges: int):
+    """Reference: learn merges with _py_bpe's loop, apply to each doc."""
+    merges = _py_bpe(word_cnt, n_merges)
+    vocab = {}
+    for w in word_cnt:
+        syms = list(w) + [END_OF_WORD]
+        for _, a, b, _pc in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        vocab[w] = len(syms)
+    return {
+        d: (len(ws), sum(vocab[w] for w in ws)) for d, ws in doc_words.items()
+    }
+
+
+def test_encode_matches_reference(spark):
+    texts = {
+        1: "new lower newer lowest",
+        2: "wider new new newer",
+        3: "lower lower",
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    from pdf_extraction_spark.operators.bpe import bpe_encode
+
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in
+           bpe_encode(docs, n_merges=6).collect()}
+    wc = {}
+    for t in texts.values():
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _py_encode({d: t.split() for d, t in texts.items()}, wc, 6)
+    assert got == want
+    # merging strictly reduces (or keeps) token counts vs chars+marker
+    raw = {d: sum(len(w) + 1 for w in t.split()) for d, t in texts.items()}
+    assert all(got[d][1] <= raw[d] for d in texts)
+
+
+def test_encode_zero_merges_counts_chars_plus_marker(spark):
+    from pdf_extraction_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame([(1, "ab cde")], "doc_id long, text string")
+    r = bpe_encode(docs, n_merges=0).first()
+    assert (r.n_words, r.n_bpe_tokens) == (2, 3 + 4)
+
+
+def test_encode_degenerate_docs(spark):
+    import duckdb
+
+    from pdf_extraction_spark.operators.bpe import bpe_encode, sql_bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, SEP), (4, "ok ok.")],
+        "doc_id long, text string",
+    )
+    got = sorted(tuple(r) for r in bpe_encode(docs, n_merges=3).collect())
+    assert [g[0] for g in got] == [1, 2, 3, 4]
+    assert got[0][1:] == (0, 0) and got[2][1:] == (0, 0)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for r in docs.collect():
+        con.execute("INSERT INTO documents VALUES (?, ?)", [r.doc_id, r.text])
+    orows = sorted(map(tuple, con.execute(sql_bpe_encode(3)).fetchall()))
+    assert got == orows
