@@ -47,17 +47,40 @@ SEP = "\x01"
 END_OF_WORD = "</w>"
 
 
+def _doc_tokens(df: DataFrame, text_col: str, id_col=None) -> DataFrame:
+    """(doc_id, word): SEP-stripped, tokenized, lowercased — ONE home
+    for the token stream so the vocabulary and doc sides cannot drift.
+    The strip happens at TEXT level BEFORE lowercasing: SEP is not
+    whitespace (the strip commutes with tokenization) but Java's
+    lowercasing is context-sensitive (final sigma), so strip order
+    must be identical everywhere a word is produced. explode_outer
+    keeps token-less docs as a NULL-word row."""
+    doc_id = F.col(id_col) if id_col is not None else F.lit(0)
+    return df.select(
+        doc_id.alias("doc_id"),
+        F.explode_outer(
+            _tokens(
+                F.replace(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(SEP),
+                    F.lit(""),
+                )
+            )
+        ).alias("word"),
+    )
+
+
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt): lowercased whitespace-token frequencies — the
     bounded frame every BPE round iterates on."""
+    return word_counts_from_tokens(_doc_tokens(df, text_col))
+
+
+def word_counts_from_tokens(toks: DataFrame) -> DataFrame:
+    """Vocabulary from an existing (…, word) token frame — lets
+    bpe_encode tokenize the corpus exactly once."""
     return (
-        df.select(
-            F.explode(
-                _tokens(F.coalesce(F.col(text_col), F.lit("")))
-            ).alias("word")
-        )
-        .select(F.replace(F.col("word"), F.lit(SEP), F.lit("")).alias("word"))
-        .filter(F.col("word") != "")
+        toks.filter(F.col("word").isNotNull())
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
@@ -109,7 +132,19 @@ def _merge_chain(w: DataFrame, n_merges: int, carry: list, final_rewrite: bool):
     """Run the merge recursion over a frame with (cnt, syms, *carry)
     columns. Returns (per-step winner frames, final rewritten frame —
     or None when ``final_rewrite`` is False and the last dead rewrite
-    is skipped)."""
+    is skipped).
+
+    When the merges run DRY (no adjacent pair left anywhere), the raw
+    winner frame is empty: the merge table correctly gains no row, but
+    the rewrite must NOT cross-join the vocabulary against an empty
+    frame (that would annihilate it — and zero every downstream token
+    count). The rewrite therefore joins a padded winner: the real pair
+    if one exists, else a ('', '') sentinel that can never match (no
+    symbol is empty), making the rewrite the identity."""
+    spark = w.sparkSession
+    noop = spark.createDataFrame(
+        [("", "", -1)], "a string, b string, pair_count bigint"
+    )
     merges = []
     for step in range(1, n_merges + 1):
         pairs = (
@@ -130,7 +165,14 @@ def _merge_chain(w: DataFrame, n_merges: int, carry: list, final_rewrite: bool):
         )
         if step == n_merges and not final_rewrite:
             return merges, None  # the last rewrite has no reader
-        w = w.crossJoin(F.broadcast(best)).select(
+        # real pair counts are ≥ 1, so the -1 sentinel only wins when
+        # the round ran dry
+        rewrite_by = (
+            best.unionAll(noop)
+            .orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        w = w.crossJoin(F.broadcast(rewrite_by)).select(
             "cnt",
             _fold_merge(F.col("syms"), F.col("a"), F.col("b")).alias("syms"),
             *carry,
@@ -182,8 +224,12 @@ def bpe_encode(
     The merge chain runs once over the VOCABULARY carrying the word
     column; docs then join their words to the final (word → symbol
     count) table — a vocabulary-keyed broadcast-or-shuffle join, never
-    a per-doc re-encode. Empty/NULL docs survive with zero counts."""
-    words = word_counts(df, text_col)
+    a per-doc re-encode. The corpus is tokenized exactly ONCE (the
+    vocabulary derives from the same cached token frame the docs join
+    from, which also pins one strip/lowercase order for both sides).
+    Empty/NULL docs survive with zero counts."""
+    toks = _doc_tokens(df, text_col, id_col).persist()
+    words = word_counts_from_tokens(toks)
     w = words.select(
         F.col("cnt").alias("cnt"),
         _char_symbols(F.col("word")).alias("syms"),
@@ -192,21 +238,6 @@ def bpe_encode(
     if n_merges >= 1:
         _, w = _merge_chain(w, n_merges, carry=["word"], final_rewrite=True)
     vocab = w.select("word", F.size("syms").alias("n_sym"))
-    # SEP is stripped at TEXT level here (it is not whitespace, so the
-    # strip commutes with tokenization) — a word-level strip would mint
-    # '' tokens that the vocabulary, by construction, never contains
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(
-            _tokens(
-                F.replace(
-                    F.coalesce(F.col(text_col), F.lit("")),
-                    F.lit(SEP),
-                    F.lit(""),
-                )
-            )
-        ).alias("word"),
-    )
     joined = toks.join(vocab, "word", "left")
     return joined.groupBy("doc_id").agg(
         F.count("word").alias("n_words"),
@@ -252,19 +283,22 @@ def _sql_chain(
     final_rewrite: bool,
 ) -> list:
     """Shared CTE builder for the merge recursion (see sql_bpe_merges
-    docstring for why the chained CTEs are MATERIALIZED)."""
-    tx = f"coalesce({text_expr}, '')"
+    docstring for why the chained CTEs are MATERIALIZED). The SEP strip
+    happens at TEXT level before lowercasing — mirroring _doc_tokens —
+    and each rewrite joins the PADDED winner bb{i} (sentinel ('','')
+    when the round ran dry) so an exhausted merge table cannot
+    annihilate the vocabulary."""
+    tx = f"replace(coalesce({text_expr}, ''), chr(1), '')"
     word_sel = ", word" if carry_word else ""
     fold = (
         "string_split(list_reduce(list_prepend('', syms), (acc, s) -> "
-        "CASE WHEN ends_with(acc, chr(1) || b{i}.a) AND s = b{i}.b "
+        "CASE WHEN ends_with(acc, chr(1) || bb{i}.a) AND s = bb{i}.b "
         "THEN acc || s ELSE acc || chr(1) || s END), chr(1))[2:]"
     )
     parts = [
         f"toks AS (SELECT unnest({_sql_tokens(tx)}) AS word FROM {table})",
-        "wc AS (SELECT word, count(*) AS cnt FROM ("
-        "SELECT replace(word, chr(1), '') AS word FROM toks) "
-        "WHERE word <> '' GROUP BY word)",
+        "wc AS (SELECT word, count(*) AS cnt FROM toks "
+        "WHERE word IS NOT NULL GROUP BY word)",
         "w0 AS MATERIALIZED (SELECT cnt, list_append(list_transform("
         "generate_series(1, length(word)), i -> substr(word, i, 1)), "
         f"'</w>') AS syms{word_sel} FROM wc)",
@@ -285,8 +319,13 @@ def _sql_chain(
         )
         if i < n_merges or final_rewrite:
             parts.append(
+                f"bb{i} AS (SELECT a, b FROM (SELECT a, b, pair_count "
+                f"FROM b{i} UNION ALL SELECT '', '', -1) "
+                "ORDER BY pair_count DESC, a, b LIMIT 1)"
+            )
+            parts.append(
                 f"w{i} AS MATERIALIZED (SELECT cnt, {fold.format(i=i)} "
-                f"AS syms{word_sel} FROM {prev}, b{i})"
+                f"AS syms{word_sel} FROM {prev}, bb{i})"
             )
     return parts
 
@@ -297,21 +336,30 @@ def sql_bpe_encode(
     table: str = "documents",
     id_expr: str = "doc_id",
 ) -> str:
-    """DuckDB twin of :func:`bpe_encode`: the same merge chain carrying
-    the word column, then each doc's tokens join the final (word →
-    symbol count) vocabulary. Docs whose text is empty after the
-    separator strip keep a zero-count row (explode_outer twin)."""
+    """DuckDB twin of :func:`bpe_encode`: the doc token CTE feeds BOTH
+    the vocabulary (via the chain's wc) and the per-doc join — one
+    tokenization, one strip/lowercase order, like the Spark side. Docs
+    whose text is empty after the separator strip keep a zero-count
+    row (explode_outer twin)."""
     tx = f"replace(coalesce({text_expr}, ''), chr(1), '')"
     n = max(n_merges, 0)
-    final = f"w{n}"
     parts = _sql_chain(n, text_expr, table, carry_word=True,
                        final_rewrite=True)
-    parts += [
-        f"vocab AS (SELECT word, len(syms) AS n_sym FROM {final})",
+    # reroute the chain's word source through the doc-token frame so
+    # the corpus tokenizes once (the chain's own toks CTE goes unused
+    # for word counting)
+    parts[0] = (
         f"dt AS (SELECT {id_expr} AS doc_id, {_sql_tokens(tx)} AS ws "
-        f"FROM {table})",
+        f"FROM {table})"
+    )
+    parts[1] = (
         "dtok AS (SELECT doc_id, unnest(CASE WHEN len(ws) = 0 "
-        "THEN [NULL] ELSE ws END) AS word FROM dt)",
+        "THEN [NULL] ELSE ws END) AS word FROM dt), "
+        "wc AS (SELECT word, count(*) AS cnt FROM dtok "
+        "WHERE word IS NOT NULL GROUP BY word)"
+    )
+    parts += [
+        f"vocab AS (SELECT word, len(syms) AS n_sym FROM w{n})",
         "j AS (SELECT dtok.doc_id, dtok.word, vocab.n_sym "
         "FROM dtok LEFT JOIN vocab USING (word))",
     ]

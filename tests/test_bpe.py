@@ -209,3 +209,25 @@ def test_encode_degenerate_docs(spark):
         con.execute("INSERT INTO documents VALUES (?, ?)", [r.doc_id, r.text])
     orows = sorted(map(tuple, con.execute(sql_bpe_encode(3)).fetchall()))
     assert got == orows
+
+
+def test_encode_survives_merge_exhaustion(spark):
+    """Merges run dry before n_merges: the rewrite must become the
+    identity, NOT annihilate the vocabulary (an empty winner frame
+    cross-joined against the vocab zeroes every token count)."""
+    import duckdb
+
+    from pdf_extraction_spark.operators.bpe import bpe_encode, sql_bpe_encode
+
+    docs = spark.createDataFrame([(1, "x x x")], "doc_id long, text string")
+    # round 1 merges (x, </w>); round 2+ have no pairs left
+    for n in (1, 2, 5):
+        r = bpe_encode(docs, n_merges=n).first()
+        assert (r.n_words, r.n_bpe_tokens) == (3, 3), f"n_merges={n}"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR); "
+                "INSERT INTO documents VALUES (1, 'x x x')")
+    assert con.execute(sql_bpe_encode(5)).fetchall() == [(1, 3, 3)]
+    # and the merge TABLE still stops early (no phantom sentinel rows)
+    got = _spark_bpe(spark, {"x": 3}, 5)
+    assert len(got) == 1
