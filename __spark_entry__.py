@@ -1139,6 +1139,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bpe_encode(_docs(spark, sf), n_merges=12)
 
+    # -- md5-register sketches (HLL distinct / CMS heavy hitters, round 4) --
+    def q_hll_words(spark, sf):
+        """HyperLogLog distinct-word estimate whose SKETCH is
+        bit-identical cross-engine (md5 registers + string-math ranks —
+        unlike approx_count_distinct, whose HLL++ lives inside the JVM
+        and can never be oracled)."""
+        from pdf_extraction_spark.operators.curation import _lower_words
+        from pdf_extraction_spark.operators.sketches import hll_distinct
+
+        words = _docs(spark, sf).select(
+            F.explode(
+                _lower_words(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("word")
+        )
+        return hll_distinct(words, F.col("word"))
+
+    def q_cms_topwords(spark, sf):
+        """Count-Min heavy hitters over the token stream — d salted md5
+        rows of exact integer sums, min-over-rows point queries,
+        integer end-to-end (no float convention needed anywhere)."""
+        from pdf_extraction_spark.operators.curation import _lower_words
+        from pdf_extraction_spark.operators.sketches import cms_heavy_hitters
+
+        words = _docs(spark, sf).select(
+            F.explode(
+                _lower_words(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("word")
+        )
+        return cms_heavy_hitters(words, F.col("word"), k=20)
+
     # -- RefinedWeb line-wise correction (Penedo et al. 2023, round 4) ------
     def q_refinedweb(spark, sf):
         """The synthetic documents contain no boilerplate, so the input
@@ -1258,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "hll_words": q_hll_words,
+        "cms_topwords": q_cms_topwords,
         # -- multi-round-green rotation (scale-critical first) -----------
         "curate_corpus": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1349,6 +1381,15 @@ def oracle_sql() -> dict[str, str]:
         sql_pagerank,
     )
     from pdf_extraction_spark.operators.bpe import sql_bpe_encode, sql_bpe_merges
+    from pdf_extraction_spark.operators.sketches import (
+        sql_cms_heavy_hitters,
+        sql_hll_distinct,
+    )
+    from pdf_extraction_spark.operators.curation import _sql_lower_words
+    _WORD_SRC = (
+        "(SELECT unnest(" + _sql_lower_words("coalesce(text, '')")
+        + ") AS word FROM documents)"
+    )
     from pdf_extraction_spark.kernels.wsre import (
         JAVA_WS_SPLIT,
         WHITE_SPACE_BODY,
@@ -1764,6 +1805,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_merges": sql_bpe_merges(16),
         "bpe_encode": sql_bpe_encode(12),
+        "hll_words": sql_hll_distinct("word", _WORD_SRC),
+        "cms_topwords": sql_cms_heavy_hitters("word", _WORD_SRC, k=20),
         "fix_mojibake": (
             "SELECT doc_id, fixed_text FROM "
             + _fixture("mojibake_sf0_01.parquet")

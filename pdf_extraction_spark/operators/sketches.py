@@ -1,0 +1,293 @@
+"""Mergeable sketches over md5 — HyperLogLog distinct counting and
+Count-Min heavy hitters, bit-identical across engines.
+
+Spark ships `approx_count_distinct`, but its HLL++ sketch is an engine
+internal: it can never be oracled, and its estimates are not
+reproducible outside the JVM. These sketches derive every register from
+``md5`` (the repo's cross-engine hash), so the SKETCH ITSELF — not just
+the estimate — is bit-identical in Spark and DuckDB, reproducible
+across runs and cluster sizes, and mergeable by construction:
+
+* **HLL** (Flajolet et al. 2007): register = first ``p`` hex chars of
+  md5(value); rank = leading-zero bits of the next 15 hex chars (60
+  uniform bits) + 1, computed with pure STRING ops (TRIM LEADING '0' +
+  a 15-way CASE on the first non-zero digit) — no float log2 whose
+  boundary rounding could flip a register cross-engine. The sketch is
+  one groupBy(register).max(rank): max is associative/commutative, so
+  partial aggregation and any merge order give the same registers —
+  union of corpora = max of sketches (pinned by test).
+* **Estimate**: αm²/Σ2^−M over all m registers. Each 2^−M term is an
+  exact dyadic double built by integer shift (no pow()); the Σ is a
+  register-ordered fold over the BOUNDED (≤ m = 16^p rows) sketch, so
+  the denominator is bit-identical everywhere. The small-range
+  linear-counting branch rounds its ln() to 6 digits BEFORE scaling by
+  m — the engines' ln() disagree by ~1e-10 (far beyond 1 ulp; measured)
+  and m multiplies that drift.
+* **Count-Min** (Cormode & Muthukrishnan 2005): d salted md5 rows ×
+  w columns of exact integer sums (associative — one groupBy, map-side
+  combined); a key's estimate is the min over its d cells. Integer
+  end-to-end: parity needs no float convention at all.
+
+Scale shape: both sketches are one explode-free scan + one groupBy
+whose output is bounded by the sketch size (m or d·w rows), never by
+the corpus — the canonical "fits in one broadcast at any input size"
+aggregation. At 10^12 docs the shuffle carries at most sketch-size
+rows per partial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_P_HEX = 3  # register address = 3 hex chars -> m = 4096 registers
+HLL_RANK_HEX = 15  # 60 uniform bits for the rank field
+CMS_DEPTH = 4
+CMS_WIDTH = 1024  # 2.5 hex chars; use 3 chars mod width
+
+
+def _hll_alpha_m2(m: int) -> float:
+    return (0.7213 / (1.0 + 1.079 / m)) * m * m
+
+
+def _rank_case(first_digit: Column) -> Column:
+    """Extra leading-zero BITS contributed by the first non-zero hex
+    digit (1 → 3 bits, 2-3 → 2, 4-7 → 1, 8-f → 0)."""
+    return (
+        F.when(first_digit == "1", 3)
+        .when(first_digit.isin("2", "3"), 2)
+        .when(first_digit.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+
+
+def hll_sketch(
+    df: DataFrame, value: Column, p_hex: int = HLL_P_HEX
+) -> DataFrame:
+    """(register, max_rank): the HLL sketch of a value column. NULLs
+    are skipped (md5(NULL) is NULL in both engines). Bounded by
+    16^p_hex rows; merge two sketches with groupBy(register).max."""
+    # staged selects keep one md5 evaluation per row
+    base = df.select(value.cast("string").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    base = base.select(F.md5("__v").alias("h"))
+    reg = F.substring(F.col("h"), 1, p_hex)
+    tail = F.substring(F.col("h"), p_hex + 1, HLL_RANK_HEX)
+    stripped = F.expr(f"trim(LEADING '0' FROM substring(h, {p_hex + 1}, {HLL_RANK_HEX}))")
+    nz_hex = F.length(tail) - F.length(stripped)
+    rank = F.when(stripped == "", 4 * HLL_RANK_HEX + 1).otherwise(
+        4 * nz_hex + _rank_case(F.substring(stripped, 1, 1)) + 1
+    )
+    return (
+        base.select(reg.alias("register"), rank.alias("rank"))
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, p_hex: int = HLL_P_HEX) -> DataFrame:
+    """One row (n_registers, est_distinct) from a sketch frame.
+
+    The harmonic denominator folds exact dyadic 2^−rank terms in
+    register order (the sketch is bounded, so the single-group
+    aggregation is legal); absent registers contribute 1.0 each, added
+    as one exact product. Small-range linear counting rounds ln() to 6
+    digits before scaling by m (see module docstring)."""
+    m = 16**p_hex
+    terms = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("register"),
+                # exact dyadic 2^-rank by integer shift (SQL form: the
+                # Python shiftleft() binding takes only literal counts)
+                F.expr(
+                    "1.0 / cast(shiftleft(1L, max_rank) as double)"
+                ).alias("t"),
+            )
+        )
+    )
+    agg = sketch.agg(
+        F.count("*").alias("present"),
+        F.aggregate(
+            F.transform(terms, lambda s: s["t"]), F.lit(0.0), lambda a, x: a + x
+        ).alias("hsum"),
+    )
+    est_raw = F.lit(_hll_alpha_m2(m)) / (
+        F.col("hsum") + (F.lit(m) - F.col("present")).cast("double")
+    )
+    zeros = F.lit(m) - F.col("present")
+    linear = F.lit(float(m)) * F.round(
+        F.log(F.lit(float(m)) / zeros.cast("double")), 6
+    )
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (zeros > 0), linear
+    ).otherwise(est_raw)
+    return agg.select(
+        F.col("present").alias("n_registers"),
+        (F.round(est, 4) + F.lit(0.0)).alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, value: Column, p_hex: int = HLL_P_HEX
+) -> DataFrame:
+    """Convenience: sketch + estimate in one call."""
+    return hll_estimate(hll_sketch(df, value, p_hex), p_hex)
+
+
+def sql_hll_distinct(
+    value_expr: str, from_clause: str, p_hex: int = HLL_P_HEX
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` — same registers, same rank
+    string math, same register-ordered dyadic fold, same branch and
+    rounding points."""
+    m = 16**p_hex
+    rk = HLL_RANK_HEX
+    return (
+        f"WITH v AS (SELECT md5(CAST({value_expr} AS VARCHAR)) AS h "
+        f"FROM {from_clause} WHERE {value_expr} IS NOT NULL), "
+        f"r AS (SELECT substr(h, 1, {p_hex}) AS register, "
+        f"CASE WHEN trim(LEADING '0' FROM substr(h, {p_hex + 1}, {rk})) = '' "
+        f"THEN {4 * rk + 1} ELSE "
+        f"4 * ({rk} - length(trim(LEADING '0' FROM substr(h, {p_hex + 1}, {rk})))) + "
+        f"(CASE substr(trim(LEADING '0' FROM substr(h, {p_hex + 1}, {rk})), 1, 1) "
+        "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+        "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+        "ELSE 0 END) + 1 END AS rank FROM v), "
+        "s AS (SELECT register, max(rank) AS max_rank FROM r GROUP BY register), "
+        "a AS (SELECT count(*) AS present, "
+        "list_reduce(list_prepend(0.0, list(1.0 / CAST((CAST(1 AS BIGINT) "
+        "<< max_rank) AS DOUBLE) ORDER BY register)), (x, y) -> x + y) AS hsum "
+        "FROM s) "
+        "SELECT CAST(present AS BIGINT) AS n_registers, "
+        "(round(CASE WHEN "
+        f"{_hll_alpha_m2(m)!r} / (hsum + CAST({m} - present AS DOUBLE)) "
+        f"<= {2.5 * m!r} AND {m} - present > 0 "
+        f"THEN {float(m)!r} * round(ln({float(m)!r} / "
+        f"CAST({m} - present AS DOUBLE)), 6) "
+        f"ELSE {_hll_alpha_m2(m)!r} / (hsum + CAST({m} - present AS DOUBLE)) "
+        "END, 4) + 0.0) AS est_distinct FROM a"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters
+# ---------------------------------------------------------------------------
+
+def cms_sketch(
+    df: DataFrame,
+    value: Column,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(row, col, c): the Count-Min table — one groupBy over d stacked
+    salted hash projections, exact integer sums, d·w rows total."""
+    base = df.select(value.cast("string").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    rows = None
+    for r in range(depth):
+        col = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), F.col("__v"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        part = base.select(F.lit(r).alias("row"), col.alias("col"))
+        rows = part if rows is None else rows.unionAll(part)
+    return rows.groupBy("row", "col").agg(F.count("*").alias("c"))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, value: Column,
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """(key, est): min-over-rows cell lookup for each key — the CMS
+    point query (an over-estimate, never under). The sketch is bounded
+    (d·w rows) and broadcast."""
+    k = keys.select(value.cast("string").alias("key")).filter(
+        F.col("key").isNotNull()
+    ).distinct()
+    probes = None
+    for r in range(depth):
+        col = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), F.col("key"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+        part = k.select("key", F.lit(r).alias("row"), col.alias("col"))
+        probes = part if probes is None else probes.unionAll(part)
+    joined = probes.join(F.broadcast(sketch), ["row", "col"], "left")
+    return joined.groupBy("key").agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value: Column,
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(key, est, exact): top-k keys by CMS estimate (ties by key) with
+    the exact count alongside — integer end-to-end, so the oracle twin
+    is bit-trivial; est >= exact always (CMS never under-counts)."""
+    base = df.select(value.cast("string").alias("__v"))
+    sk = cms_sketch(df, value, depth, width)
+    est = cms_estimate(sk, df.select(value), value, depth, width)
+    exact = (
+        base.filter(F.col("__v").isNotNull())
+        .groupBy(F.col("__v").alias("key"))
+        .agg(F.count("*").alias("exact"))
+    )
+    return (
+        est.join(exact, "key")
+        .orderBy(F.desc("est"), F.asc("key"))
+        .limit(k)
+    )
+
+
+def sql_cms_heavy_hitters(
+    value_expr: str,
+    from_clause: str,
+    k: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`cms_heavy_hitters` — same salted md5
+    columns, same integer mins, same tie order."""
+    cols = ", ".join(
+        f"(CAST('0x' || substr(md5('cms{r}:' || key), 1, 8) AS BIGINT) % {width})"
+        f" AS col{r}"
+        for r in range(depth)
+    )
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS row, col{r} AS col, key FROM probes"
+        for r in range(depth)
+    )
+    return (
+        f"WITH v AS (SELECT CAST({value_expr} AS VARCHAR) AS key "
+        f"FROM {from_clause} WHERE {value_expr} IS NOT NULL), "
+        f"probes AS (SELECT key, {cols} FROM (SELECT DISTINCT key FROM v)), "
+        f"cellkeys AS ({cells}), "
+        "sk AS (SELECT row, col, count(*) AS c FROM ("
+        + " UNION ALL ".join(
+            f"SELECT {r} AS row, "
+            f"(CAST('0x' || substr(md5('cms{r}:' || key), 1, 8) AS BIGINT) "
+            f"% {width}) AS col FROM v"
+            for r in range(depth)
+        )
+        + ") GROUP BY row, col), "
+        "est AS (SELECT cellkeys.key, min(coalesce(sk.c, 0)) AS est "
+        "FROM cellkeys LEFT JOIN sk USING (row, col) GROUP BY cellkeys.key), "
+        "exact AS (SELECT key, count(*) AS exact FROM v GROUP BY key) "
+        "SELECT est.key, CAST(est.est AS BIGINT) AS est, "
+        "CAST(exact.exact AS BIGINT) AS exact "
+        "FROM est JOIN exact USING (key) "
+        f"ORDER BY est DESC, key LIMIT {k}"
+    )

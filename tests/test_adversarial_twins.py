@@ -79,7 +79,7 @@ QUERIES = [
     "dedup_paragraphs", "top_ngram_frac", "dup_ngram_frac",
     "dedup_keepfirst", "pii_scrub", "stratified_sample",
     "pack_sequences", "dedup_spans", "langid", "dsir_select",
-    "host_pagerank", "bpe_merges", "bpe_encode",
+    "host_pagerank", "bpe_merges", "bpe_encode", "hll_words", "cms_topwords",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"
