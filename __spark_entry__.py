@@ -1140,34 +1140,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bpe_encode(_docs(spark, sf), n_merges=12)
 
     # -- md5-register sketches (HLL distinct / CMS heavy hitters, round 4) --
+    def _word_stream(spark, sf):
+        """Shared token stream for the sketch queries — ONE home
+        mirroring the oracle side's _WORD_SRC so neither query's
+        tokenization can drift from its twin alone."""
+        from pdf_extraction_spark.operators.curation import _lower_words
+
+        return _docs(spark, sf).select(
+            F.explode(
+                _lower_words(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("word")
+        )
+
     def q_hll_words(spark, sf):
         """HyperLogLog distinct-word estimate whose SKETCH is
         bit-identical cross-engine (md5 registers + string-math ranks —
         unlike approx_count_distinct, whose HLL++ lives inside the JVM
         and can never be oracled)."""
-        from pdf_extraction_spark.operators.curation import _lower_words
         from pdf_extraction_spark.operators.sketches import hll_distinct
 
-        words = _docs(spark, sf).select(
-            F.explode(
-                _lower_words(F.coalesce(F.col("text"), F.lit("")))
-            ).alias("word")
-        )
-        return hll_distinct(words, F.col("word"))
+        return hll_distinct(_word_stream(spark, sf), F.col("word"))
 
     def q_cms_topwords(spark, sf):
         """Count-Min heavy hitters over the token stream — d salted md5
         rows of exact integer sums, min-over-rows point queries,
         integer end-to-end (no float convention needed anywhere)."""
-        from pdf_extraction_spark.operators.curation import _lower_words
         from pdf_extraction_spark.operators.sketches import cms_heavy_hitters
 
-        words = _docs(spark, sf).select(
-            F.explode(
-                _lower_words(F.coalesce(F.col("text"), F.lit("")))
-            ).alias("word")
-        )
-        return cms_heavy_hitters(words, F.col("word"), k=20)
+        return cms_heavy_hitters(_word_stream(spark, sf), F.col("word"), k=20)
 
     # -- RefinedWeb line-wise correction (Penedo et al. 2023, round 4) ------
     def q_refinedweb(spark, sf):

@@ -28,11 +28,12 @@ across runs and cluster sizes, and mergeable by construction:
   combined); a key's estimate is the min over its d cells. Integer
   end-to-end: parity needs no float convention at all.
 
-Scale shape: both sketches are one explode-free scan + one groupBy
+Scale shape: both sketches are ONE scan of the input + one groupBy
 whose output is bounded by the sketch size (m or d·w rows), never by
 the corpus — the canonical "fits in one broadcast at any input size"
-aggregation. At 10^12 docs the shuffle carries at most sketch-size
-rows per partial.
+aggregation (CMS fans each row into its d cells via a literal-array
+explode inside the same scan). At 10^12 docs the shuffle carries at
+most sketch-size rows per partial.
 """
 
 from __future__ import annotations
@@ -43,7 +44,8 @@ from pyspark.sql import functions as F
 HLL_P_HEX = 3  # register address = 3 hex chars -> m = 4096 registers
 HLL_RANK_HEX = 15  # 60 uniform bits for the rank field
 CMS_DEPTH = 4
-CMS_WIDTH = 1024  # 2.5 hex chars; use 3 chars mod width
+CMS_WIDTH = 1024  # cell = first 8 md5 hex chars (32 bits) mod width;
+# 2^32 % 1024 == 0, so the mod is exactly uniform
 
 
 def _hll_alpha_m2(m: int) -> float:
@@ -182,45 +184,67 @@ def cms_sketch(
     width: int = CMS_WIDTH,
 ) -> DataFrame:
     """(row, col, c): the Count-Min table — one groupBy over d stacked
-    salted hash projections, exact integer sums, d·w rows total."""
-    base = df.select(value.cast("string").alias("__v")).filter(
-        F.col("__v").isNotNull()
+    salted hash projections, exact integer sums, d·w rows total.
+    ONE scan of the input: the d cells per row arrive via an explode of
+    a d-element literal array, not d unionAll branches (Spark does not
+    share scans across a union — the upstream pipeline would run d
+    times)."""
+    base = df.select(value.cast("string").alias("key")).filter(
+        F.col("key").isNotNull()
     )
-    rows = None
-    for r in range(depth):
-        col = (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), F.col("__v"))), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % width
-        )
-        part = base.select(F.lit(r).alias("row"), col.alias("col"))
-        rows = part if rows is None else rows.unionAll(part)
-    return rows.groupBy("row", "col").agg(F.count("*").alias("c"))
+    return (
+        base.select(F.explode(_cms_cells(F.col("key"), depth, width)).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count("*").alias("c"))
+    )
 
 
-def cms_estimate(sketch: DataFrame, keys: DataFrame, value: Column,
+def _cms_col(r: int, key: Column, width: int) -> Column:
+    """Cell column of ``key`` in salted row ``r``: first 8 hex chars of
+    md5('cms{r}:'‖key) — 32 uniform bits — mod width. ONE home for the
+    hash so sketch cells and point-query probes can never drift (a
+    probe hashing differently from the sketch silently breaks the
+    never-undercount guarantee)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), key)), 1, 8), 16, 10
+        ).cast("long")
+        % width
+    )
+
+
+def _cms_cells(key: Column, depth: int, width: int) -> Column:
+    """[(row, col)] literal-array of a key's d cells."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"), _cms_col(r, key, width).alias("col")
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def _sql_cms_col(r: int, key_expr: str, width: int) -> str:
+    """DuckDB twin of :func:`_cms_col`."""
+    return (
+        f"(CAST('0x' || substr(md5('cms{r}:' || {key_expr}), 1, 8) AS BIGINT) "
+        f"% {width})"
+    )
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame,
                  depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
-    """(key, est): min-over-rows cell lookup for each key — the CMS
-    point query (an over-estimate, never under). The sketch is bounded
-    (d·w rows) and broadcast."""
-    k = keys.select(value.cast("string").alias("key")).filter(
+    """(key, est): min-over-rows cell lookup for each key in the
+    ``keys`` frame's ``key`` column — the CMS point query (an
+    over-estimate, never under). The sketch is bounded (d·w rows) and
+    broadcast."""
+    k = keys.select(F.col("key").cast("string").alias("key")).filter(
         F.col("key").isNotNull()
     ).distinct()
-    probes = None
-    for r in range(depth):
-        col = (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), F.col("key"))), 1, 8),
-                16,
-                10,
-            ).cast("long")
-            % width
-        )
-        part = k.select("key", F.lit(r).alias("row"), col.alias("col"))
-        probes = part if probes is None else probes.unionAll(part)
+    probes = k.select(
+        "key", F.explode(_cms_cells(F.col("key"), depth, width)).alias("rc")
+    ).select("key", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
     joined = probes.join(F.broadcast(sketch), ["row", "col"], "left")
     return joined.groupBy("key").agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")
@@ -236,17 +260,30 @@ def cms_heavy_hitters(
 ) -> DataFrame:
     """(key, est, exact): top-k keys by CMS estimate (ties by key) with
     the exact count alongside — integer end-to-end, so the oracle twin
-    is bit-trivial; est >= exact always (CMS never under-counts)."""
-    base = df.select(value.cast("string").alias("__v"))
-    sk = cms_sketch(df, value, depth, width)
-    est = cms_estimate(sk, df.select(value), value, depth, width)
-    exact = (
-        base.filter(F.col("__v").isNotNull())
-        .groupBy(F.col("__v").alias("key"))
+    is bit-trivial; est >= exact always (CMS never under-counts).
+
+    The corpus is scanned ONCE into the exact (key, count) table —
+    bounded by distinct keys — and the sketch cells, probes, and exact
+    column all derive from that persisted frame (summing pre-grouped
+    counts into cells is arithmetically identical to counting raw
+    rows)."""
+    kc = (
+        df.select(value.cast("string").alias("key"))
+        .filter(F.col("key").isNotNull())
+        .groupBy("key")
         .agg(F.count("*").alias("exact"))
+        .persist()
     )
+    sk = (
+        kc.select(
+            "exact", F.explode(_cms_cells(F.col("key"), depth, width)).alias("rc")
+        )
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.sum("exact").alias("c"))
+    )
+    est = cms_estimate(sk, kc.select("key"), depth, width)
     return (
-        est.join(exact, "key")
+        est.join(kc, "key")
         .orderBy(F.desc("est"), F.asc("key"))
         .limit(k)
     )
@@ -259,35 +296,24 @@ def sql_cms_heavy_hitters(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
 ) -> str:
-    """DuckDB twin of :func:`cms_heavy_hitters` — same salted md5
-    columns, same integer mins, same tie order."""
-    cols = ", ".join(
-        f"(CAST('0x' || substr(md5('cms{r}:' || key), 1, 8) AS BIGINT) % {width})"
-        f" AS col{r}"
-        for r in range(depth)
-    )
+    """DuckDB twin of :func:`cms_heavy_hitters` — same shared cell
+    hash (:func:`_sql_cms_col`), same single (key, count) base, same
+    integer mins, same tie order."""
     cells = " UNION ALL ".join(
-        f"SELECT {r} AS row, col{r} AS col, key FROM probes"
+        f"SELECT key, exact, {r} AS row, {_sql_cms_col(r, 'key', width)} AS col "
+        "FROM kc"
         for r in range(depth)
     )
     return (
         f"WITH v AS (SELECT CAST({value_expr} AS VARCHAR) AS key "
         f"FROM {from_clause} WHERE {value_expr} IS NOT NULL), "
-        f"probes AS (SELECT key, {cols} FROM (SELECT DISTINCT key FROM v)), "
-        f"cellkeys AS ({cells}), "
-        "sk AS (SELECT row, col, count(*) AS c FROM ("
-        + " UNION ALL ".join(
-            f"SELECT {r} AS row, "
-            f"(CAST('0x' || substr(md5('cms{r}:' || key), 1, 8) AS BIGINT) "
-            f"% {width}) AS col FROM v"
-            for r in range(depth)
-        )
-        + ") GROUP BY row, col), "
-        "est AS (SELECT cellkeys.key, min(coalesce(sk.c, 0)) AS est "
-        "FROM cellkeys LEFT JOIN sk USING (row, col) GROUP BY cellkeys.key), "
-        "exact AS (SELECT key, count(*) AS exact FROM v GROUP BY key) "
+        "kc AS MATERIALIZED (SELECT key, count(*) AS exact FROM v GROUP BY key), "
+        f"cells AS MATERIALIZED ({cells}), "
+        "sk AS (SELECT row, col, sum(exact) AS c FROM cells GROUP BY row, col), "
+        "est AS (SELECT cells.key, min(coalesce(sk.c, 0)) AS est "
+        "FROM cells LEFT JOIN sk USING (row, col) GROUP BY cells.key) "
         "SELECT est.key, CAST(est.est AS BIGINT) AS est, "
-        "CAST(exact.exact AS BIGINT) AS exact "
-        "FROM est JOIN exact USING (key) "
+        "CAST(kc.exact AS BIGINT) AS exact "
+        "FROM est JOIN kc USING (key) "
         f"ORDER BY est DESC, key LIMIT {k}"
     )

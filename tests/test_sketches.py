@@ -124,6 +124,8 @@ def test_cms_merge_equals_union(spark):
     )
     est = {
         r.key: r.est
-        for r in cms_estimate(merged, a.unionAll(b), F.col("v")).collect()
+        for r in cms_estimate(
+            merged, a.unionAll(b).select(F.col("v").alias("key"))
+        ).collect()
     }
     assert est["x"] == 40 and est["y"] == 5 and est["z"] == 7
