@@ -32,6 +32,12 @@ FAST_QUERIES = [
     "ppl_buckets",
     "refinedweb_lines",
     "dedup_url",
+    "dsir_select",
+    "host_pagerank",
+    "bpe_merges",
+    "bpe_encode",
+    "hll_words",
+    "cms_topwords",
 ]
 
 
