@@ -699,8 +699,15 @@ def dsir_select(
 
     ``target`` is typically a filtered view of the same corpus (the
     paper's "high-quality subset"); any frame with the same text column
-    works. Ties on the rounded key break on doc_id so the drawn set is
-    total-order deterministic."""
+    works — a missing id column is synthesized from the text hash (the
+    target only contributes its gram DISTRIBUTION, whose totals are
+    invariant to how rows are grouped into docs). Ties on the rounded
+    key break on doc_id so the drawn set is total-order
+    deterministic."""
+    if id_col not in target.columns:
+        target = target.withColumn(
+            id_col, F.xxhash64(F.coalesce(F.col(text_col), F.lit("")))
+        )
     raw_feats = dsir_doc_features(df, text_col, id_col, prefix_len)
     tgt_feats = dsir_doc_features(target, text_col, id_col, prefix_len)
     lrt = dsir_log_ratio(raw_feats, tgt_feats, prefix_len, smooth)

@@ -46,6 +46,8 @@ def curate_corpus(
     ppl_keep: tuple = None,
     semdedup_threshold: float = None,
     semdedup_cells: int = None,
+    dsir_target: DataFrame = None,
+    dsir_k: int = None,
 ) -> dict:
     """Returns {'docs': curated frame, 'neardup_pairs': flagged pairs,
     'stats': per-host rollup, 'sigs': the shared signature frame}.
@@ -63,7 +65,12 @@ def curate_corpus(
     ``ppl_keep`` — CCNet perplexity-tercile keep set per detected
     language, e.g. ("head", "middle"); ``semdedup_threshold`` — SemDeDup
     pass over deterministic document embeddings (centroids trained
-    in-corpus; ``semdedup_cells`` overrides the sqrt-N default).
+    in-corpus; ``semdedup_cells`` overrides the sqrt-N default);
+    ``dsir_target`` + ``dsir_k`` — DSIR importance resampling as the
+    FINAL stage (runs after every gate, so the log-likelihood-ratio
+    model is fit on the cleaned corpus): keep the ``dsir_k`` surviving
+    docs whose hashed-n-gram distribution best matches the target
+    frame's ``text`` column, Gumbel-top-k without replacement.
     Enabling any gate
     persists the gate-input frame (several scoring subtrees consume
     it) and makes the call partially eager (LM training counts the
@@ -136,6 +143,7 @@ def curate_corpus(
         or host_cap_k is not None
         or ppl_keep is not None
         or semdedup_threshold is not None
+        or dsir_target is not None
     )
     if gates_on:
         # each gate's scoring subtree plus the final docs/stats outputs
@@ -214,6 +222,12 @@ def curate_corpus(
             emb, cents, threshold=semdedup_threshold, id_col="doc_id"
         ).filter(F.col("kept"))
         curated = curated.join(kept.select("doc_id"), "doc_id")
+
+    if dsir_target is not None:
+        from ..operators.mlfilter import dsir_select
+
+        picked = dsir_select(curated, dsir_target, k=dsir_k or 1000)
+        curated = curated.join(picked.select("doc_id"), "doc_id")
 
     stats = salted_agg(
         curated,

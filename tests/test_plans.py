@@ -230,6 +230,39 @@ class TestCurate:
             c.unpersist()
         spark.catalog.clearCache()
 
+    def test_dsir_stage_selects_exactly_k(self, spark, pages):
+        """The DSIR stage is the FINAL gate: exactly k docs survive
+        (or all, when k exceeds the gated corpus), each present in the
+        ungated output, and the draw is deterministic across calls."""
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.plans.curate import curate_corpus
+
+        base = curate_corpus(pages, min_tokens=5, languages=("en",))
+        n_base = base["docs"].count()
+        target = base["docs"].orderBy("doc_id").limit(5).select("text")
+        k = max(1, n_base // 2)
+        out = curate_corpus(
+            pages,
+            min_tokens=5,
+            languages=("en",),
+            dsir_target=target,
+            dsir_k=k,
+        )
+        picked = out["docs"]
+        ids = sorted(r.doc_id for r in picked.select("doc_id").collect())
+        assert len(ids) == min(k, n_base)
+        base_ids = {r.doc_id for r in base["docs"].select("doc_id").collect()}
+        assert set(ids) <= base_ids
+        again = curate_corpus(
+            pages, min_tokens=5, languages=("en",), dsir_target=target, dsir_k=k
+        )
+        ids2 = sorted(r.doc_id for r in again["docs"].select("doc_id").collect())
+        assert ids == ids2
+        for c in out["caches"] + base["caches"] + again["caches"]:
+            c.unpersist()
+        spark.catalog.clearCache()
+
 
 class TestLineageResume:
     def test_checkpoint_resume(self, spark, pages, tmp_path):
