@@ -1169,6 +1169,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return cms_heavy_hitters(_word_stream(spark, sf), F.col("word"), k=20)
 
+    def q_bloom_dedup(spark, sf):
+        """Bloom-prefiltered incremental exact-dedup gate (Bloom 1970):
+        history = every third doc, incoming = the whole table, so true
+        duplicates exist by construction; m_bits=1024 loads the filter
+        enough that false positives fire and the twin checks the
+        recheck branch, not just the happy path. Integer bit positions
+        end-to-end — the SKETCH, not just the verdict, is cross-engine
+        bit-identical."""
+        from pdf_extraction_spark.operators.sketches import bloom_dedup_flags
+
+        docs = _docs(spark, sf)
+        return bloom_dedup_flags(
+            docs,
+            docs.filter(F.col("doc_id") % 3 == 0),
+            m_bits=1024,
+        )
+
     # -- RefinedWeb line-wise correction (Penedo et al. 2023, round 4) ------
     def q_refinedweb(spark, sf):
         """The synthetic documents contain no boilerplate, so the input
@@ -1290,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "hll_words": q_hll_words,
         "cms_topwords": q_cms_topwords,
+        "bloom_dedup": q_bloom_dedup,
         # -- multi-round-green rotation (scale-critical first) -----------
         "curate_corpus": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1382,6 +1400,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pdf_extraction_spark.operators.bpe import sql_bpe_encode, sql_bpe_merges
     from pdf_extraction_spark.operators.sketches import (
+        sql_bloom_dedup_flags,
         sql_cms_heavy_hitters,
         sql_hll_distinct,
     )
@@ -1807,6 +1826,11 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": sql_bpe_encode(12),
         "hll_words": sql_hll_distinct("word", _WORD_SRC),
         "cms_topwords": sql_cms_heavy_hitters("word", _WORD_SRC, k=20),
+        "bloom_dedup": sql_bloom_dedup_flags(
+            "documents",
+            "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+            m_bits=1024,
+        ),
         "fix_mojibake": (
             "SELECT doc_id, fixed_text FROM "
             + _fixture("mojibake_sf0_01.parquet")

@@ -46,6 +46,8 @@ HLL_RANK_HEX = 15  # 60 uniform bits for the rank field
 CMS_DEPTH = 4
 CMS_WIDTH = 1024  # cell = first 8 md5 hex chars (32 bits) mod width;
 # 2^32 % 1024 == 0, so the mod is exactly uniform
+BLOOM_BITS = 1 << 17  # m = 131,072 bit positions (2^32 % m == 0 — uniform)
+BLOOM_HASHES = 4
 
 
 def _hll_alpha_m2(m: int) -> float:
@@ -316,4 +318,184 @@ def sql_cms_heavy_hitters(
         "CAST(kc.exact AS BIGINT) AS exact "
         "FROM est JOIN kc USING (key) "
         f"ORDER BY est DESC, key LIMIT {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the no-false-negative membership prefilter
+# ---------------------------------------------------------------------------
+
+def _bloom_pos(r: int, key: Column, m_bits: int) -> Column:
+    """Bit position of ``key`` in salted hash row ``r``: first 8 hex
+    chars of md5('bf{r}:'‖key) — 32 uniform bits — mod m_bits (a power
+    of two, so the mod is exactly uniform). ONE home for the hash, the
+    CMS lesson: sketch bits and probe bits must come from the same
+    function or the no-false-negative guarantee silently breaks."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bf{r}:"), key)), 1, 8), 16, 10
+        ).cast("long")
+        % m_bits
+    )
+
+
+def _bloom_positions(key: Column, n_hashes: int, m_bits: int) -> Column:
+    """[pos] literal-array of a key's bit positions."""
+    return F.array(*[_bloom_pos(r, key, m_bits) for r in range(n_hashes)])
+
+
+def bloom_sketch(
+    df: DataFrame,
+    value: Column,
+    n_hashes: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """(pos): the set bit positions of a Bloom filter over a value
+    column (Bloom 1970) — bounded by min(n_hashes·n_keys, m_bits) rows,
+    mergeable by union+distinct (bit-OR of filters == union of key
+    sets; pinned by test). NULLs are skipped (md5(NULL) is NULL in both
+    engines). Integer end-to-end: the sketch is bit-identical
+    cross-engine with no float convention anywhere."""
+    base = df.select(value.cast("string").alias("key")).filter(
+        F.col("key").isNotNull()
+    )
+    return (
+        base.select(
+            F.explode(_bloom_positions(F.col("key"), n_hashes, m_bits)).alias(
+                "pos"
+            )
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    keys: DataFrame,
+    n_hashes: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """(key, maybe): the membership probe — ``maybe`` is true iff ALL
+    n_hashes positions of ``key`` are set. Never a false negative;
+    false-positive rate ≈ (1 − e^{−kn/m})^k. The sketch is bounded
+    (≤ m_bits rows) and broadcast; NULL keys probe false."""
+    k = (
+        keys.select(F.col("key").cast("string").alias("key"))
+        .filter(F.col("key").isNotNull())
+        .distinct()
+    )
+    probes = k.select(
+        "key",
+        F.explode(_bloom_positions(F.col("key"), n_hashes, m_bits)).alias("pos"),
+    )
+    hits = probes.join(
+        F.broadcast(sketch.withColumn("__set", F.lit(True))), ["pos"], "left"
+    )
+    return hits.groupBy("key").agg(
+        (F.count(F.col("__set")) == F.lit(n_hashes)).alias("maybe")
+    )
+
+
+def bloom_dedup_flags(
+    incoming: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """(id, maybe_dup, is_dup): the Bloom-prefiltered incremental
+    exact-dedup gate — the production shape for "is this crawl doc
+    already in the corpus" at 10^12 history docs, where the history
+    keys themselves are too big to broadcast but the Bloom BITS
+    (≤ m_bits rows) always fit.
+
+    ``maybe_dup`` is the Bloom probe of the incoming doc's text against
+    the history sketch; ``is_dup`` is the EXACT verdict, computed by
+    joining history keys against ONLY the maybe_dup survivors — no
+    false negatives means the recheck set loses nothing, so the result
+    is exact while the expensive key join is bounded by true-dup count
+    + the FP rate, not the corpus. Rows with NULL text are kept with
+    both flags false (a NULL is never a duplicate — the exact-dedup
+    convention)."""
+    hist_keys = history.select(
+        F.col(text_col).cast("string").alias("key")
+    ).filter(F.col("key").isNotNull()).distinct()
+    sketch = bloom_sketch(hist_keys, F.col("key"), n_hashes, m_bits)
+    inc = incoming.select(
+        F.col(id_col).alias("__id"), F.col(text_col).cast("string").alias("key")
+    )
+    probed = (
+        inc.join(
+            bloom_probe(sketch, inc.select("key"), n_hashes, m_bits),
+            ["key"],
+            "left",
+        )
+        .select(
+            "__id", "key", F.coalesce("maybe", F.lit(False)).alias("maybe_dup")
+        )
+        # consumed twice (candidate derivation + final verdict join);
+        # persisting costs one corpus-sized cache, recomputing costs a
+        # second full probe pass — same tradeoff as cms_heavy_hitters
+        .persist()
+    )
+    # exact recheck bounded to the survivors: history side is semi-joined
+    # down to candidate keys before the verdict join
+    cand = probed.filter(F.col("maybe_dup")).select("key").distinct()
+    true_dups = hist_keys.join(cand, ["key"], "left_semi").withColumn(
+        "__dup", F.lit(True)
+    )
+    return (
+        probed.join(true_dups, ["key"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "maybe_dup",
+            F.coalesce("__dup", F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+def _sql_bloom_pos(r: int, key_expr: str, m_bits: int) -> str:
+    """DuckDB twin of :func:`_bloom_pos`."""
+    return (
+        f"(CAST('0x' || substr(md5('bf{r}:' || {key_expr}), 1, 8) AS BIGINT) "
+        f"% {m_bits})"
+    )
+
+
+def sql_bloom_dedup_flags(
+    incoming_rel: str,
+    history_rel: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    n_hashes: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> str:
+    """DuckDB twin of :func:`bloom_dedup_flags` — same salted position
+    hash, same all-k-positions probe, same NULL conventions. The
+    relations are SQL fragments selecting (id, text)-shaped rows."""
+    hist_pos = " UNION ALL ".join(
+        f"SELECT {_sql_bloom_pos(r, 'key', m_bits)} AS pos FROM hkeys"
+        for r in range(n_hashes)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT key, {_sql_bloom_pos(r, 'key', m_bits)} AS pos FROM ikeys"
+        for r in range(n_hashes)
+    )
+    return (
+        f"WITH hkeys AS MATERIALIZED (SELECT DISTINCT CAST({text_expr} AS VARCHAR) AS key "
+        f"FROM {history_rel} WHERE {text_expr} IS NOT NULL), "
+        f"inc AS MATERIALIZED (SELECT {id_expr} AS __id, "
+        f"CAST({text_expr} AS VARCHAR) AS key FROM {incoming_rel}), "
+        "ikeys AS MATERIALIZED (SELECT DISTINCT key FROM inc WHERE key IS NOT NULL), "
+        f"sketch AS MATERIALIZED (SELECT DISTINCT pos FROM ({hist_pos})), "
+        f"probes AS (SELECT key, pos FROM ({probe_pos})), "
+        "probed AS (SELECT p.key, "
+        f"count(s.pos) = {n_hashes} AS maybe FROM probes p "
+        "LEFT JOIN sketch s ON p.pos = s.pos GROUP BY p.key) "
+        "SELECT inc.__id AS doc_id, "
+        "coalesce(probed.maybe, FALSE) AS maybe_dup, "
+        "coalesce(probed.maybe, FALSE) AND inc.key IN (SELECT key FROM hkeys) "
+        "AS is_dup "
+        "FROM inc LEFT JOIN probed USING (key)"
     )

@@ -38,7 +38,7 @@ NATIVE_QUERIES = [
     "dedup_paragraphs", "host_cap", "qual_classify", "lm_score",
     "fix_mojibake", "weighted_mix", "dedup_spans", "ppl_buckets",
     "refinedweb_lines", "dedup_url", "dsir_select", "host_pagerank",
-    "bpe_merges", "bpe_encode", "hll_words", "cms_topwords",
+    "bpe_merges", "bpe_encode", "hll_words", "cms_topwords", "bloom_dedup",
 ]
 
 

@@ -129,3 +129,101 @@ def test_cms_merge_equals_union(spark):
         ).collect()
     }
     assert est["x"] == 40 and est["y"] == 5 and est["z"] == 7
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+from pdf_extraction_spark.operators.sketches import (  # noqa: E402
+    bloom_dedup_flags,
+    bloom_probe,
+    bloom_sketch,
+)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every member key must probe true — the guarantee the dedup gate
+    rests on. Tiny table (m=256) to make collisions abundant."""
+    members = spark.range(500).select(F.concat(F.lit("k"), "id").alias("key"))
+    sk = bloom_sketch(members, F.col("key"), m_bits=256)
+    probed = bloom_probe(sk, members, m_bits=256)
+    assert probed.filter(~F.col("maybe")).count() == 0
+
+
+def test_bloom_fp_rate_bounded(spark):
+    """Non-members over a loaded filter: the FP rate must land near the
+    analytic (1 − e^{−kn/m})^k — and must be nonzero here, so the
+    interesting branch (maybe=true, exact=false) is actually exercised."""
+    import math
+
+    n, m, k = 400, 1024, 4
+    members = spark.range(n).select(F.concat(F.lit("in"), "id").alias("key"))
+    sk = bloom_sketch(members, F.col("key"), n_hashes=k, m_bits=m)
+    outsiders = spark.range(5_000).select(
+        F.concat(F.lit("out"), "id").alias("key")
+    )
+    fp = (
+        bloom_probe(sk, outsiders, n_hashes=k, m_bits=m)
+        .filter(F.col("maybe"))
+        .count()
+    )
+    expected = (1 - math.exp(-k * n / m)) ** k
+    assert 0 < fp < 3 * expected * 5_000
+
+
+def test_bloom_merge_equals_union(spark):
+    """Bit-OR of shard filters == filter of the union: union+distinct
+    of sketch frames, the property that lets every executor sketch its
+    partition independently."""
+    a = spark.range(0, 300).select(F.concat(F.lit("m"), "id").alias("key"))
+    b = spark.range(200, 600).select(F.concat(F.lit("m"), "id").alias("key"))
+    merged = (
+        bloom_sketch(a, F.col("key"), m_bits=512)
+        .unionAll(bloom_sketch(b, F.col("key"), m_bits=512))
+        .distinct()
+    )
+    direct = bloom_sketch(a.unionAll(b), F.col("key"), m_bits=512)
+    assert sorted(r.pos for r in merged.collect()) == sorted(
+        r.pos for r in direct.collect()
+    )
+
+
+def test_bloom_dedup_flags_exact_and_null_safe(spark):
+    """The gate's verdict must be EXACT (bloom FPs rechecked away) and
+    NULL text must never count as a duplicate."""
+    history = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)], "doc_id int, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "alpha"),  # true dup
+            (11, "gamma"),  # fresh
+            (12, None),  # NULL: both flags false
+            (13, "beta"),  # true dup
+            (14, "beta"),  # duplicate incoming key, still a dup
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.maybe_dup, r.is_dup)
+        for r in bloom_dedup_flags(incoming, history, m_bits=64).collect()
+    }
+    assert len(out) == 5
+    assert out[10] == (True, True)
+    assert out[13] == (True, True)
+    assert out[14] == (True, True)
+    assert out[12] == (False, False)
+    # 11 may be a bloom FP at m=64, but the exact verdict must be false
+    assert out[11][1] is False
+    # no false negatives: is_dup implies maybe_dup
+    assert all(maybe or not dup for maybe, dup in out.values())
+
+
+def test_bloom_partition_invariance(spark):
+    df = spark.range(1_000).select(F.concat(F.lit("p"), "id").alias("key"))
+    s1 = bloom_sketch(df, F.col("key"))
+    s2 = bloom_sketch(df.repartition(13), F.col("key"))
+    assert sorted(r.pos for r in s1.collect()) == sorted(
+        r.pos for r in s2.collect()
+    )
