@@ -1186,6 +1186,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             m_bits=1024,
         )
 
+    def q_unigram_entropy(spark, sf):
+        """RedPajama-v2's rps_doc_unigram_entropy quality signal —
+        per-doc Shannon entropy of the unigram distribution via the
+        fixed-point int64 device (one rounded ln() per distinct word,
+        then exact associative integer sums), so the float result is
+        bit-identical across engines and partitionings."""
+        from pdf_extraction_spark.operators.textanalysis import (
+            with_unigram_entropy,
+        )
+
+        return with_unigram_entropy(_docs(spark, sf))
+
+    def q_host_quality(spark, sf):
+        """Two-level domain filtering (RefinedWeb-style host
+        induction): per-doc integer quality verdicts aggregated per
+        host; hosts past the bad-fraction threshold are dropped
+        wholesale, good-looking pages included. At sf0.01 both verdict
+        branches fire (bad fractions span 8–32% across hosts against
+        the 25% threshold)."""
+        from pdf_extraction_spark.operators.hostcap import host_quality_gate
+
+        return host_quality_gate(_docs(spark, sf))
+
     # -- RefinedWeb line-wise correction (Penedo et al. 2023, round 4) ------
     def q_refinedweb(spark, sf):
         """The synthetic documents contain no boilerplate, so the input
@@ -1308,6 +1331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_words": q_hll_words,
         "cms_topwords": q_cms_topwords,
         "bloom_dedup": q_bloom_dedup,
+        "unigram_entropy": q_unigram_entropy,
+        "host_quality": q_host_quality,
         # -- multi-round-green rotation (scale-critical first) -----------
         "curate_corpus": q_curate,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1404,6 +1429,8 @@ def oracle_sql() -> dict[str, str]:
         sql_cms_heavy_hitters,
         sql_hll_distinct,
     )
+    from pdf_extraction_spark.operators.hostcap import sql_host_quality_gate
+    from pdf_extraction_spark.operators.textanalysis import sql_unigram_entropy
     from pdf_extraction_spark.operators.curation import _sql_lower_words
     _WORD_SRC = (
         "(SELECT unnest(" + _sql_lower_words("coalesce(text, '')")
@@ -1831,6 +1858,8 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
             m_bits=1024,
         ),
+        "unigram_entropy": sql_unigram_entropy(),
+        "host_quality": sql_host_quality_gate(),
         "fix_mojibake": (
             "SELECT doc_id, fixed_text FROM "
             + _fixture("mojibake_sf0_01.parquet")

@@ -79,6 +79,115 @@ def host_cap(
     )
 
 
+def host_quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    low_avg: int = 4,
+    bad_mult: int = 4,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Two-level domain filtering (RefinedWeb/FineWeb-style host
+    induction): cheap per-DOC quality verdicts are aggregated per HOST,
+    and a host whose bad fraction exceeds the threshold is dropped
+    WHOLESALE — including its individually-fine docs. That is the point
+    of domain-level induction: a spam/SEO/boilerplate farm is a
+    property of the host, and its "good-looking" pages are the ones the
+    doc-level gates miss.
+
+    Doc verdict (integer math only, both clauses real Gopher/RefinedWeb
+    rules): bad = fewer than ``min_words`` tokens OR mean word length
+    below ``low_avg`` chars, spelled as the cross-multiplication
+    ``sum_chars < low_avg·n_words`` so no float convention exists to
+    diverge cross-engine. Host verdict: flagged when
+    ``bad_mult·n_bad > n_docs`` (default: >25% bad) with at least
+    ``min_docs`` docs of support (low-support hosts get the benefit of
+    the doubt rather than a verdict from one page).
+
+    Scale shape: one host-keyed integer aggregation (#hosts ≪ #docs,
+    map-side combined) + one host-keyed join back. The host-stats frame
+    is small but corpus-derived and unbounded, so no broadcast hint —
+    AQE decides (a planted mega-host would OOM a forced broadcast).
+    Skewed hosts cost nothing extra: the agg is combinable and the join
+    fans stats OUT to docs. NULL hosts group and join as one key
+    (eqNullSafe). Output: one row per input doc with the doc verdict,
+    the host evidence, and ``keep = NOT host_flagged``."""
+    from .curation import _lower_words
+
+    words = _lower_words(F.coalesce(F.col(text_col), F.lit("")))
+    n_words = F.size(words)
+    sum_chars = F.length(F.concat_ws("", words))
+    doc_bad = (n_words < F.lit(min_words)) | (
+        sum_chars < F.lit(low_avg) * n_words
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(host_col).alias("host"),
+        doc_bad.alias("doc_bad"),
+    )
+    stats = base.groupBy("host").agg(
+        F.count("*").alias("host_docs"),
+        F.sum(F.col("doc_bad").cast("long")).alias("host_bad"),
+    )
+    verdict = stats.select(
+        F.col("host").alias("v_host"),
+        "host_docs",
+        "host_bad",
+        (
+            (F.col("host_docs") >= F.lit(min_docs))
+            & (F.lit(bad_mult) * F.col("host_bad") > F.col("host_docs"))
+        ).alias("host_flagged"),
+    )
+    return (
+        base.join(verdict, base["host"].eqNullSafe(F.col("v_host")), "left")
+        .select(
+            id_col,
+            "host",
+            "doc_bad",
+            "host_docs",
+            "host_bad",
+            "host_flagged",
+            (~F.col("host_flagged")).alias("keep"),
+        )
+    )
+
+
+def sql_host_quality_gate(
+    table: str = "documents",
+    text_expr: str = "text",
+    host_expr: str = "source",
+    id_expr: str = "doc_id",
+    min_words: int = 30,
+    low_avg: int = 4,
+    bad_mult: int = 4,
+    min_docs: int = 3,
+) -> str:
+    """DuckDB twin of :func:`host_quality_gate` — same integer
+    recursion (DuckDB ``array_to_string([])`` is NULL where Spark
+    ``concat_ws`` gives ``''``, hence the coalesce; integer sums cast
+    back from HUGEINT)."""
+    from .curation import _sql_lower_words
+
+    ws = _sql_lower_words(f"coalesce({text_expr}, '')")
+    return (
+        f"WITH b AS (SELECT {id_expr} AS doc_id, {host_expr} AS host, "
+        f"(len(ws) < {min_words} OR "
+        f"coalesce(len(array_to_string(ws, '')), 0) < {low_avg} * len(ws)) "
+        f"AS doc_bad FROM (SELECT {id_expr}, {host_expr}, {ws} AS ws "
+        f"FROM {table})), "
+        "s AS (SELECT host, count(*) AS host_docs, "
+        "CAST(sum(CASE WHEN doc_bad THEN 1 ELSE 0 END) AS BIGINT) AS host_bad "
+        "FROM b GROUP BY host), "
+        f"v AS (SELECT *, (host_docs >= {min_docs} AND "
+        f"{bad_mult} * host_bad > host_docs) AS host_flagged FROM s) "
+        "SELECT b.doc_id, b.host, b.doc_bad, v.host_docs, v.host_bad, "
+        "v.host_flagged, NOT v.host_flagged AS keep "
+        "FROM b JOIN v ON b.host IS NOT DISTINCT FROM v.host"
+    )
+
+
 def sql_host_cap(
     score_expr: str,
     host_expr: str = "source",

@@ -69,6 +69,78 @@ def with_quality_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_unigram_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy of each document's unigram distribution —
+    RedPajama-v2's ``rps_doc_unigram_entropy`` quality signal (low
+    entropy = repetitive/templated/keyword-stuffed text; gibberish
+    byte soup scores anomalously high). H = -Σ (c/n)·ln(c/n) over the
+    per-doc word counts, computed as H = (n·I(n) − Σ c·I(c)) / (n·10⁹)
+    with I(x) = round(ln(x)·10⁹) as int64 — the md5-sketch fixed-point
+    device: the only float op either engine performs per word is one
+    ln() rounded to integer at 10⁹ scale (the engines' ln() disagree
+    by ~1000 ulps, ≪ half a quantum), after which every sum is exact
+    associative int64 arithmetic — bit-identical across engines,
+    partitionings, and cluster sizes, no ordered-fold machinery even
+    for million-word documents. Overflow bound: Σ c·I(c) ≤ n·ln(n)·10⁹
+    stays inside int64 for docs up to ~3·10⁸ words.
+
+    Scale shape: tokenize → explode → two map-side-combinable integer
+    groupBys ((doc, word) then doc). No window, no Python stage, no
+    driver state. Docs with zero tokens (NULL/empty/whitespace text)
+    have no unigram distribution and emit no row — in both engines.
+
+    Tokenization is the shared curation word splitter
+    (:func:`curation._lower_words`) so the signal can't drift from the
+    repetition/sketch family that feeds the same gates."""
+    from .curation import _lower_words
+    from .mlfilter import _round6z
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(_lower_words(F.coalesce(F.col(text_col), F.lit("")))).alias("w"),
+    )
+    counts = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+
+    def iln(c: Column) -> Column:
+        return F.round(F.log(c.cast("double")) * F.lit(1e9)).cast("long")
+
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.col("c") * iln(F.col("c"))).alias("s"),
+    )
+    n = F.col("n_words")
+    entropy = (n * iln(n) - F.col("s")) / (n.cast("double") * F.lit(1e9))
+    return per_doc.select(
+        id_col, "n_words", _round6z(entropy).alias("entropy")
+    )
+
+
+def sql_unigram_entropy(rel: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB oracle twin of :func:`with_unigram_entropy` — identical
+    fixed-point recursion; sums cast back to BIGINT (DuckDB widens
+    integer SUM to HUGEINT, Spark keeps long)."""
+    from .curation import _sql_lower_words
+    from .mlfilter import _sql_round6z
+
+    iln = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9) AS BIGINT)"
+    h = _sql_round6z(
+        "(n_words * " + iln.format(x="n_words")
+        + " - s) / (CAST(n_words AS DOUBLE) * 1e9)"
+    )
+    return (
+        "WITH w AS (SELECT doc_id, unnest("
+        + _sql_lower_words(f"coalesce({text_expr}, '')")
+        + f") AS w FROM {rel}), "
+        "c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w), "
+        "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
+        "CAST(sum(c * " + iln.format(x="c") + ") AS BIGINT) AS s "
+        "FROM c GROUP BY doc_id) "
+        f"SELECT doc_id, n_words, {h} AS entropy FROM a"
+    )
+
+
 @pandas_udf(T.StringType())
 def langid_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: detect_language(t or ""))

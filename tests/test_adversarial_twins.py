@@ -80,7 +80,7 @@ QUERIES = [
     "dedup_keepfirst", "pii_scrub", "stratified_sample",
     "pack_sequences", "dedup_spans", "langid", "dsir_select",
     "host_pagerank", "bpe_merges", "bpe_encode", "hll_words", "cms_topwords",
-    "bloom_dedup",
+    "bloom_dedup", "unigram_entropy", "host_quality",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

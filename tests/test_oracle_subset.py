@@ -38,6 +38,8 @@ FAST_QUERIES = [
     "bpe_encode",
     "hll_words",
     "cms_topwords",
+    "unigram_entropy",
+    "host_quality",
 ]
 
 

@@ -39,6 +39,7 @@ NATIVE_QUERIES = [
     "fix_mojibake", "weighted_mix", "dedup_spans", "ppl_buckets",
     "refinedweb_lines", "dedup_url", "dsir_select", "host_pagerank",
     "bpe_merges", "bpe_encode", "hll_words", "cms_topwords", "bloom_dedup",
+    "unigram_entropy", "host_quality",
 ]
 
 
