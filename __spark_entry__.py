@@ -1120,6 +1120,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pagerank(edges, n_iter=5)
 
+    def q_host_trustrank(spark, sf):
+        """TrustRank (Gyongyi et al. 2004) over the same deterministic
+        host graph: teleport + dangling return restricted to the
+        3-host trusted seed set, so rank mass decays with link distance
+        from the seeds and hosts unreachable from them read exactly 0.
+        Same fixed-point int64 recursion as host_pagerank."""
+        from pdf_extraction_spark.operators.components import trustrank
+
+        docs = _docs(spark, sf)
+        edges = docs.select(
+            F.col("source").alias("src"),
+            F.concat(
+                F.lit("src"),
+                ((F.col("doc_id") * F.col("doc_id") * 5 + F.col("doc_id")) % 29).cast(
+                    "string"
+                ),
+            ).alias("dst"),
+        )
+        seeds = (
+            docs.select(F.col("source").alias("node"))
+            .filter(F.col("node").isin("src0", "src7", "src14"))
+            .distinct()
+        )
+        return trustrank(edges, seeds, n_iter=5)
+
     # -- BPE vocabulary induction (Sennrich et al. 2016, round 4) -----------
     def q_bpe_merges(spark, sf):
         """Learn the corpus's first 16 byte-pair merges relationally:
@@ -1326,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": q_dedup_url,
         "dsir_select": q_dsir_select,
         "host_pagerank": q_host_pagerank,
+        "host_trustrank": q_host_trustrank,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "hll_words": q_hll_words,
@@ -1422,6 +1448,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.components import (
         sql_dedup_clusters,
         sql_pagerank,
+        sql_trustrank,
     )
     from pdf_extraction_spark.operators.bpe import sql_bpe_encode, sql_bpe_merges
     from pdf_extraction_spark.operators.sketches import (
@@ -1847,6 +1874,13 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": sql_pagerank(
             "SELECT source AS src, 'src' || CAST((doc_id * doc_id * 5 + doc_id) % 29 "
             "AS VARCHAR) AS dst FROM documents",
+            n_iter=5,
+        ),
+        "host_trustrank": sql_trustrank(
+            "SELECT source AS src, 'src' || CAST((doc_id * doc_id * 5 + doc_id) % 29 "
+            "AS VARCHAR) AS dst FROM documents",
+            "SELECT source AS node FROM documents "
+            "WHERE source IN ('src0', 'src7', 'src14')",
             n_iter=5,
         ),
         "bpe_merges": sql_bpe_merges(16),

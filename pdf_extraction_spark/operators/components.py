@@ -283,3 +283,185 @@ def sql_pagerank(
         + f" SELECT node, CAST((r + {q // 2}) // {q} AS DOUBLE) / 1e6 "
         f"AS rank FROM r{n_iter}"
     )
+
+
+# ---------------------------------------------------------------------------
+# TrustRank (Gyongyi, Garcia-Molina & Pedersen 2004) — seeded PageRank
+# ---------------------------------------------------------------------------
+#
+# The spam-demotion companion to PageRank: the teleport vector is
+# uniform over a TRUSTED SEED SET instead of all nodes, so rank mass
+# can only originate at seeds and decays with link distance from them —
+# hosts unreachable from any seed converge to 0. This is the standard
+# personalized-PageRank shape crawl pipelines use to propagate a small
+# human-audited whitelist over the full host graph.
+#
+# Same fixed-point int64 device as :func:`pagerank` (exact associative
+# integer sums, integer-domain rounding) with two deltas, both
+# faithful to the paper's d·T·t + (1-d)·s iteration:
+#   * the (1-damping) base term goes only to seeds, split uniformly;
+#   * dangling mass is redistributed uniformly over the SEEDS (not all
+#     nodes) — leaked mass re-enters at the trust source, keeping the
+#     "mass flows outward from seeds" invariant AND exact conservation.
+# Seeds not present in the graph are ignored (they can neither receive
+# nor forward mass); with zero in-graph seeds every rank is 0.
+#
+# Scale shape per round: identical to pagerank — one src-keyed join +
+# one dst-keyed map-side-combinable sum; the seed flag rides on the
+# persisted nodes frame, so seeding adds no extra shuffle.
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    cache: bool = True,
+) -> DataFrame:
+    """(node, rank): ``n_iter`` TrustRank rounds — PageRank whose
+    teleport (and dangling-mass return) is uniform over the in-graph
+    rows of ``seeds``. Same hygiene as :func:`pagerank` (distinct
+    edges, self-loops and NULL endpoints dropped), same integer
+    half-up rounding to 6 decimals before any float exists."""
+    if scale % 10**6 != 0:
+        raise ValueError("scale must be a multiple of 10^6")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    s = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
+    nodes_plain = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    # seed flag rides on the nodes frame — no per-round seed join
+    nodes = nodes_plain.join(
+        s.withColumn("is_seed", F.lit(True)), "node", "left"
+    ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    dangling = nodes.select("node").join(
+        deg, F.col("node") == deg["src"], "left_anti"
+    )
+    if cache:
+        e = e.persist()
+        nodes = nodes.persist()
+        deg = deg.persist()
+        dangling = dangling.persist()
+    n_seed = nodes.filter("is_seed").count()
+    if n_seed == 0:
+        out = nodes.select("node", F.lit(0.0).alias("rank"))
+        out = out.localCheckpoint()  # materialize before unpersist
+        if cache:
+            for frame in (e, nodes, deg, dangling):
+                frame.unpersist()
+        return out
+    base = ((100 - damping_pct) * scale) // (100 * n_seed)  # exact int
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(scale // n_seed)).otherwise(F.lit(0)).alias("r"),
+    )
+    for _ in range(n_iter):
+        dang = ranks.join(dangling, "node").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).alias("dm")
+        )
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("r div deg")).alias("cs"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.expr(
+                    "CASE WHEN is_seed THEN "
+                    f"{base}L + ({damping_pct} * (coalesce(cs, 0L) "
+                    f"+ dm div {n_seed})) div 100 "
+                    f"ELSE ({damping_pct} * coalesce(cs, 0L)) div 100 END"
+                ).alias("r"),
+            )
+        )
+        # read twice next round (dangling + contrib): cut the lineage
+        ranks = ranks.localCheckpoint()
+    q = scale // 10**6
+    out = ranks.select(
+        "node",
+        (
+            F.expr(f"(r + {q // 2}L) div {q}L").cast("double") / F.lit(1e6)
+        ).alias("rank"),
+    )
+    if cache:
+        for frame in (e, nodes, deg, dangling):
+            frame.unpersist()
+    return out
+
+
+def sql_trustrank(
+    edges_select: str,
+    seeds_select: str,
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`trustrank`: the identical integer
+    recursion unrolled one CTE per round. ``seeds_select`` must yield a
+    ``node`` column; in-graph seeds are selected with a semi-join and
+    greatest(n, 1) guards the zero-seed case (where every CASE branch
+    is already 0, matching Spark's early return)."""
+    if scale % 10**6 != 0:
+        raise ValueError("scale must be a multiple of 10^6")
+    q = scale // 10**6
+    parts = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_select}) "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
+        "np AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"sd AS (SELECT DISTINCT node FROM ({seeds_select}) "
+        "WHERE node IS NOT NULL)",
+        "nodes AS (SELECT np.node, sd.node IS NOT NULL AS is_seed "
+        "FROM np LEFT JOIN sd ON np.node = sd.node)",
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "dang AS (SELECT node FROM nodes LEFT JOIN deg ON node = deg.src "
+        "WHERE deg.src IS NULL)",
+        "ns AS (SELECT greatest(count(*), 1) AS n FROM nodes WHERE is_seed)",
+        f"r0 AS (SELECT node, CASE WHEN is_seed THEN {scale} // "
+        "(SELECT n FROM ns) ELSE 0 END AS r FROM nodes)",
+    ]
+    base = f"(({100 - damping_pct} * {scale}) // (100 * (SELECT n FROM ns)))"
+    for i in range(n_iter):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(r), 0) AS dm FROM {prev} "
+            "JOIN dang USING (node))"
+        )
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, sum({prev}.r // deg.deg) AS cs "
+            f"FROM e JOIN {prev} ON e.src = {prev}.node "
+            "JOIN deg ON e.src = deg.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"{cur} AS (SELECT nodes.node, CASE WHEN nodes.is_seed THEN "
+            f"{base} + ({damping_pct} * (coalesce(c{i}.cs, 0) + "
+            f"(SELECT dm FROM d{i}) // (SELECT n FROM ns))) // 100 "
+            f"ELSE ({damping_pct} * coalesce(c{i}.cs, 0)) // 100 END AS r "
+            f"FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node, CAST((r + {q // 2}) // {q} AS DOUBLE) / 1e6 "
+        f"AS rank FROM r{n_iter}"
+    )

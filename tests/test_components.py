@@ -219,3 +219,115 @@ class TestPagerank:
         ranks = pagerank(df, n_iter=20).collect()
         assert len(ranks) == 10
         assert abs(sum(r.rank for r in ranks) - 1.0) < 1e-3
+
+
+class TestTrustrank:
+    """Seeded fixed-point TrustRank: parity with a pure-Python replay
+    of the SAME integer recursion, seed semantics (zero rank off the
+    seed-reachable set, dangling mass returns to seeds), hygiene and
+    partition invariance. Cross-engine twin parity lives in the strict
+    oracle sweep (host_trustrank)."""
+
+    @staticmethod
+    def _py_trustrank(edges, seeds, n_iter=5, damping_pct=85, scale=10**12):
+        es = {(s, d) for s, d in edges if s is not None and d is not None and s != d}
+        nodes = sorted({s for s, _ in es} | {d for _, d in es})
+        sset = {s for s in seeds if s is not None} & set(nodes)
+        out = {}
+        for s, _ in es:
+            out[s] = out.get(s, 0) + 1
+        q = scale // 10**6
+        if not sset:
+            return {v: 0.0 for v in nodes}
+        k = len(sset)
+        base = ((100 - damping_pct) * scale) // (100 * k)
+        r = {v: (scale // k if v in sset else 0) for v in nodes}
+        for _ in range(n_iter):
+            dm = sum(r[v] for v in nodes if v not in out)
+            cs = {v: 0 for v in nodes}
+            for s, d in es:
+                cs[d] += r[s] // out[s]
+            r = {
+                v: (
+                    base + (damping_pct * (cs[v] + dm // k)) // 100
+                    if v in sset
+                    else (damping_pct * cs[v]) // 100
+                )
+                for v in nodes
+            }
+        return {v: ((r[v] + q // 2) // q) / 1e6 for v in nodes}
+
+    def _run(self, spark, edges, seeds, n_iter=5):
+        from pdf_extraction_spark.operators.components import trustrank
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+        got = {
+            r.node: r.rank
+            for r in trustrank(df, sdf, n_iter=n_iter).collect()
+        }
+        want = self._py_trustrank(edges, seeds, n_iter=n_iter)
+        assert got == want
+
+    def test_matches_pure_python_recursion(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+        self._run(spark, edges, ["a"])
+        self._run(spark, edges, ["a", "d"])
+
+    def test_unreachable_nodes_rank_zero(self, spark):
+        # two disjoint components; seeding only the first must leave
+        # the second at exactly 0 after any number of rounds
+        from pdf_extraction_spark.operators.components import trustrank
+
+        edges = [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        sdf = spark.createDataFrame([("a",)], "node string")
+        ranks = {r.node: r.rank for r in trustrank(df, sdf, n_iter=6).collect()}
+        assert ranks["x"] == 0.0 and ranks["y"] == 0.0
+        assert ranks["a"] > 0.0 and ranks["b"] > 0.0
+        # mass conservation: seeded component carries the whole unit
+        assert abs(sum(ranks.values()) - 1.0) < 1e-3
+        self._run(spark, edges, ["a"], n_iter=6)
+
+    def test_dangling_mass_returns_to_seeds(self, spark):
+        # "sink" has no out-edges; its mass must re-enter at the seed,
+        # plus full hygiene (parallel edge, self-loop, NULL endpoint)
+        edges = [
+            ("a", "sink"), ("a", "sink"), ("b", "sink"), ("b", "b"),
+            ("a", "b"), (None, "a"), ("b", None),
+        ]
+        self._run(spark, edges, ["a", None])
+
+    def test_out_of_graph_and_empty_seed_sets(self, spark):
+        from pdf_extraction_spark.operators.components import trustrank
+
+        edges = [("a", "b"), ("b", "a")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        # seeds entirely outside the graph behave like no seeds: all 0
+        sdf = spark.createDataFrame([("zz",)], "node string")
+        ranks = {r.node: r.rank for r in trustrank(df, sdf).collect()}
+        assert ranks == {"a": 0.0, "b": 0.0}
+        empty = spark.createDataFrame([], "node string")
+        ranks = {r.node: r.rank for r in trustrank(df, empty).collect()}
+        assert ranks == {"a": 0.0, "b": 0.0}
+
+    def test_partition_invariance(self, spark):
+        random.seed(13)
+        edges = [
+            (f"h{random.randrange(30)}", f"h{random.randrange(40)}")
+            for _ in range(300)
+        ]
+        seeds = ["h0", "h3", "h7"]
+        from pdf_extraction_spark.operators.components import trustrank
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "node string")
+        a = sorted(map(tuple, trustrank(df, sdf, n_iter=4).collect()))
+        b = sorted(
+            map(
+                tuple,
+                trustrank(df.repartition(13), sdf, n_iter=4).collect(),
+            )
+        )
+        assert a == b
+        self._run(spark, edges, seeds, n_iter=4)

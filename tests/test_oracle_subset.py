@@ -34,6 +34,7 @@ FAST_QUERIES = [
     "dedup_url",
     "dsir_select",
     "host_pagerank",
+    "host_trustrank",
     "bpe_merges",
     "bpe_encode",
     "hll_words",
