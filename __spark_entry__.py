@@ -1145,6 +1145,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return trustrank(edges, seeds, n_iter=5)
 
+    # -- Winnowing fingerprints (Schleimer et al. 2003, round 4) ------------
+    def q_winnow_fp(spark, sf):
+        """MOSS-style winnowing: hash every word 3-gram, keep the
+        rightmost minimum of each 4-hash window, dedupe per doc — the
+        local fingerprint index for clone/quotation detection. Pure
+        narrow map (zero exchanges); md5-prefix 52-bit gram hashes make
+        positions AND values bit-identical cross-engine."""
+        from pdf_extraction_spark.operators.dedup import winnow_fingerprints
+
+        return winnow_fingerprints(_docs(spark, sf), k=3, w=4)
+
     # -- BPE vocabulary induction (Sennrich et al. 2016, round 4) -----------
     def q_bpe_merges(spark, sf):
         """Learn the corpus's first 16 byte-pair merges relationally:
@@ -1352,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "host_pagerank": q_host_pagerank,
         "host_trustrank": q_host_trustrank,
+        "winnow_fp": q_winnow_fp,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "hll_words": q_hll_words,
@@ -1514,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
         sql_minhash_incremental_drops,
         sql_minhash_lsh_pairs,
         sql_simhash_pairs,
+        sql_winnow_fingerprints,
     )
     from pdf_extraction_spark.operators.executives import sql_extract_executives
     from pdf_extraction_spark.operators.filters import sql_keep_chunk, sql_word_count
@@ -1883,6 +1896,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source IN ('src0', 'src7', 'src14')",
             n_iter=5,
         ),
+        "winnow_fp": sql_winnow_fingerprints(k=3, w=4),
         "bpe_merges": sql_bpe_merges(16),
         "bpe_encode": sql_bpe_encode(12),
         "hll_words": sql_hll_distinct("word", _WORD_SRC),

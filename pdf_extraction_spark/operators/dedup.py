@@ -928,3 +928,138 @@ def sql_embedding_lsh_neardups(
         f"JOIN {emb_rel} b ON id_b = b.{id_col}) "
         f"WHERE cosine >= {threshold}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — MOSS)
+# ---------------------------------------------------------------------------
+#
+# The classic local document-fingerprinting scheme: hash every word
+# k-gram, slide a window of w consecutive gram hashes, keep the window
+# minimum (rightmost occurrence on ties), dedupe the selected
+# (position, hash) pairs. Guarantee: any shared token run of length
+# >= w + k - 1 produces at least one shared fingerprint, while only
+# ~2/(w+1) of grams are retained — the standard index for plagiarism /
+# clone / quotation detection over a web corpus (pairs come from a
+# plain equi-join on fp, like the shingle index, but ~w/2 times
+# smaller).
+#
+# Scale shape: one narrow projection chain per doc (tokenize → O(L)
+# indexed-transform gram hashes → window argmin over per-doc arrays) +
+# the final explode — ZERO exchanges; fingerprint selection is
+# embarrassingly parallel and partition-invariant by construction.
+# Gram hashes are the md5-prefix 52-bit integers (the cross-engine
+# device proven by DSIR/sketches), so the whole fingerprint — values
+# AND positions — is bit-identical in DuckDB.
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos, fp): winnowing fingerprints per doc — ``pos`` is
+    the 0-based gram index selected, ``fp`` the 52-bit gram hash.
+
+    Tokenization is the shared lowercase word split; docs with 1..k-1
+    tokens fall back to one whole-text gram (mirroring shingle_df's
+    short-doc rule) and 0-token docs emit nothing. Docs shorter than
+    ``w`` grams use a single window over all grams, so every non-empty
+    doc keeps >= 1 fingerprint. Ties inside a window select the
+    RIGHTMOST minimum (the paper's rule)."""
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    from .curation import _lower_words
+
+    toks_stage = df.select(
+        F.col(id_col).alias("doc_id"),
+        _lower_words(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    # O(L) indexed transform (a slice-per-offset gram build is O(L^2)
+    # per doc — the measured ngram_jaccard trap); hash streams straight
+    # to the 52-bit int, the gram string dies inside the expression
+    gram_hash = lambda *cols: F.conv(  # noqa: E731 — local spelling
+        F.substring(F.md5(F.concat_ws(" ", *cols)), 1, 13), 16, 10
+    ).cast("long")
+    hashes_all = F.transform(
+        toks,
+        lambda t, i: F.when(
+            i <= F.size(toks) - k,
+            gram_hash(t, *[F.get(toks, i + j) for j in range(1, k)]),
+        ),
+    )
+    hs = (
+        F.when(
+            F.size(toks) >= k,
+            F.filter(hashes_all, lambda h: h.isNotNull()),
+        )
+        .when(F.size(toks) > 0, F.array(gram_hash(F.concat_ws(" ", toks))))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    hashed = toks_stage.select("doc_id", hs.alias("hs"))
+    staged = hashed.select(
+        "doc_id",
+        "hs",
+        F.least(F.lit(w), F.size("hs")).alias("wp"),
+        F.when(F.size("hs") == 0, F.array().cast("array<int>"))
+        .otherwise(F.sequence(F.lit(0), F.greatest(F.size("hs") - w, F.lit(0))))
+        .alias("wins"),
+    )
+    # rightmost-min: wp - position of the min in the REVERSED window
+    fps = F.expr(
+        "array_distinct(transform(wins, j -> array("
+        "CAST(j AS BIGINT) + wp"
+        " - array_position(reverse(slice(hs, j + 1, wp)),"
+        "                  array_min(slice(hs, j + 1, wp))),"
+        "array_min(slice(hs, j + 1, wp)))))"
+    )
+    return staged.select("doc_id", F.explode(fps).alias("pf")).select(
+        "doc_id",
+        F.element_at("pf", 1).alias("pos"),
+        F.element_at("pf", 2).alias("fp"),
+    )
+
+
+def sql_winnow_fingerprints(
+    rel: str = "documents",
+    k: int = 3,
+    w: int = 4,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` — same tokenization
+    (shared _sql_lower_words fragment), same md5-prefix gram hash, same
+    window/tie rules; per-doc array_distinct becomes a row-level
+    DISTINCT (equal multisets: (pos, fp) pairs are unique per doc)."""
+    from .curation import _sql_lower_words
+
+    gram_h = (
+        "CAST('0x' || substr(md5(array_to_string("
+        "list_slice(toks, i, i + {kk}), ' ')), 1, 13) AS BIGINT)"
+    ).format(kk=k - 1)
+    whole_h = (
+        "CAST('0x' || substr(md5(array_to_string(toks, ' ')), 1, 13) AS BIGINT)"
+    )
+    return (
+        f"WITH t1 AS (SELECT {id_expr} AS doc_id, "
+        f"{_sql_lower_words(text_expr)} AS toks FROM {rel}), "
+        "t2 AS (SELECT doc_id, CASE "
+        f"WHEN len(toks) >= {k} THEN "
+        f"list_transform(generate_series(1, len(toks) - {k} + 1), i -> {gram_h}) "
+        f"WHEN len(toks) >= 1 THEN [{whole_h}] "
+        "ELSE CAST([] AS BIGINT[]) END AS hs FROM t1), "
+        "t3 AS (SELECT doc_id, hs, "
+        f"least({w}, len(hs)) AS wp, "
+        "CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) "
+        f"ELSE generate_series(0, greatest(len(hs) - {w}, 0)) END AS wins "
+        "FROM t2) "
+        "SELECT DISTINCT doc_id, "
+        "CAST(j AS BIGINT) + wp - list_position("
+        "list_reverse(list_slice(hs, j + 1, j + wp)), "
+        "list_min(list_slice(hs, j + 1, j + wp))) AS pos, "
+        "list_min(list_slice(hs, j + 1, j + wp)) AS fp "
+        "FROM t3, unnest(wins) AS u(j)"
+    )

@@ -35,6 +35,7 @@ FAST_QUERIES = [
     "dsir_select",
     "host_pagerank",
     "host_trustrank",
+    "winnow_fp",
     "bpe_merges",
     "bpe_encode",
     "hll_words",
