@@ -24,6 +24,20 @@ from pyspark.sql import functions as F
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+# Shared SQL fragment (valid in Spark SQL and DuckDB alike) appending
+# deterministic non-Latin suffixes to the ASCII-only synthetic docs so
+# script_profile's branches and the mixed-script rule fire for real.
+# doc_id % 5 == 4 plants Cyrillic homoglyphs inside Latin text — the
+# phishing shape the flag exists for.
+_SCRIPT_AUG = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN ' Привет мир сегодня' "
+    "WHEN 1 THEN ' 日本語のテキストです' "
+    "WHEN 2 THEN ' مرحبا بالعالم' "
+    "WHEN 3 THEN '' "
+    "ELSE ' pаypаl щ' END"
+)
+
 # Committed oracle fixtures (see tests/make_oracle_fixtures.py): kernel
 # outputs precomputed in pure Python so DuckDB twins can recompute the
 # relational math, plus sequential independent-path recompute goldens.
@@ -1156,6 +1170,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return winnow_fingerprints(_docs(spark, sf), k=3, w=4)
 
+    # -- Unicode script profile (round 4) ------------------------------------
+    def q_script_profile(spark, sf):
+        """Per-doc writing-system histogram + the mixed-script
+        (homoglyph-spam) flag. The synthetic docs are pure ASCII, so
+        the query appends deterministic non-Latin suffixes (identical
+        CASE expression in both engines) to make every script branch
+        and the integer mixed rule fire for real."""
+        from pdf_extraction_spark.operators.textanalysis import (
+            _SCRIPT_ORDER,
+            with_script_profile,
+        )
+
+        docs = _docs(spark, sf).withColumn(
+            "text", F.expr("text || " + _SCRIPT_AUG)
+        )
+        return with_script_profile(docs).select(
+            "doc_id",
+            "n_letters",
+            *[f"n_{n}" for n in _SCRIPT_ORDER],
+            "n_digits",
+            "main_script",
+            "main_frac",
+            "mixed_script",
+        )
+
     # -- BPE vocabulary induction (Sennrich et al. 2016, round 4) -----------
     def q_bpe_merges(spark, sf):
         """Learn the corpus's first 16 byte-pair merges relationally:
@@ -1364,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "host_trustrank": q_host_trustrank,
         "winnow_fp": q_winnow_fp,
+        "script_profile": q_script_profile,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "hll_words": q_hll_words,
@@ -1469,7 +1509,10 @@ def oracle_sql() -> dict[str, str]:
         sql_hll_distinct,
     )
     from pdf_extraction_spark.operators.hostcap import sql_host_quality_gate
-    from pdf_extraction_spark.operators.textanalysis import sql_unigram_entropy
+    from pdf_extraction_spark.operators.textanalysis import (
+        sql_script_profile,
+        sql_unigram_entropy,
+    )
     from pdf_extraction_spark.operators.curation import _sql_lower_words
     _WORD_SRC = (
         "(SELECT unnest(" + _sql_lower_words("coalesce(text, '')")
@@ -1897,6 +1940,9 @@ def oracle_sql() -> dict[str, str]:
             n_iter=5,
         ),
         "winnow_fp": sql_winnow_fingerprints(k=3, w=4),
+        "script_profile": sql_script_profile(
+            "(SELECT doc_id, text || " + _SCRIPT_AUG + " AS text FROM documents)"
+        ),
         "bpe_merges": sql_bpe_merges(16),
         "bpe_encode": sql_bpe_encode(12),
         "hll_words": sql_hll_distinct("word", _WORD_SRC),

@@ -36,6 +36,7 @@ FAST_QUERIES = [
     "host_pagerank",
     "host_trustrank",
     "winnow_fp",
+    "script_profile",
     "bpe_merges",
     "bpe_encode",
     "hll_words",
