@@ -27,15 +27,20 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 # Shared SQL fragment (valid in Spark SQL and DuckDB alike) appending
 # deterministic non-Latin suffixes to the ASCII-only synthetic docs so
 # script_profile's branches and the mixed-script rule fire for real.
-# doc_id % 5 == 4 plants Cyrillic homoglyphs inside Latin text — the
-# phishing shape the flag exists for.
+# doc_id % 5 == 4 plants Cyrillic homoglyphs inside Latin-looking words
+# — the phishing shape the mixed flag exists for. The suffix carries 39
+# Cyrillic chars vs 38 Latin, so the >5% rule fires for any doc with up
+# to 703 original Latin letters (corpus max across SFs: 479) — the
+# homoglyph branch is exercised with mixed_script = TRUE, not just
+# vacuously present. Branch 3 stays pure-Latin as the clean negative.
 _SCRIPT_AUG = (
     "CASE CAST(doc_id % 5 AS INT) "
     "WHEN 0 THEN ' Привет мир сегодня' "
     "WHEN 1 THEN ' 日本語のテキストです' "
     "WHEN 2 THEN ' مرحبا بالعالم' "
     "WHEN 3 THEN '' "
-    "ELSE ' pаypаl щ' END"
+    "ELSE ' раураl ассоunt асtіоn rеquіrеd vеrіfу sесurіtу dеtаіls "
+    "nоw соnfіrm раsswоrd іmmеdіаtеlу' END"
 )
 
 # Committed oracle fixtures (see tests/make_oracle_fixtures.py): kernel

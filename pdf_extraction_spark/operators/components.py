@@ -165,73 +165,27 @@ def pagerank(
     engines disagree on float half-ties (Spark HALF_UP on the decimal
     repr, Python correct-rounds the binary value), so the tie is
     resolved before any float exists. ``scale`` must be a multiple of
-    10^6 (the display quantum)."""
-    if scale % 10**6 != 0:
-        raise ValueError("scale must be a multiple of 10^6")
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & (F.col("src") != F.col("dst"))
-        )
-        .distinct()
+    10^6 (the display quantum).
+
+    Implemented as :func:`trustrank` with every edge endpoint seeded —
+    when seeds == all in-graph nodes, the seeded recursion reduces
+    TERM-FOR-TERM to classic PageRank (same r0 = scale // n, same
+    (1-d) base split over n, same uniform dangling return), so one
+    recursion body serves both ranks and cannot drift."""
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    seeds = e0.select(F.col("src").alias("node")).union(
+        e0.select(F.col("dst").alias("node"))
     )
-    nodes = e.select(F.col("src").alias("node")).union(
-        e.select(F.col("dst").alias("node"))
-    ).distinct()
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    dangling = nodes.join(deg, nodes["node"] == deg["src"], "left_anti")
-    if cache:
-        e = e.persist()
-        nodes = nodes.persist()
-        deg = deg.persist()
-        dangling = dangling.persist()
-    n = nodes.count()
-    if n == 0:
-        if cache:
-            for frame in (e, nodes, deg, dangling):
-                frame.unpersist()
-        return nodes.select("node", F.lit(0.0).alias("rank"))
-    base = ((100 - damping_pct) * scale) // (100 * n)  # exact int, == SQL //
-    ranks = nodes.select("node", F.lit(scale // n).alias("r"))
-    for _ in range(n_iter):
-        dang = ranks.join(dangling, "node").agg(
-            F.coalesce(F.sum("r"), F.lit(0)).alias("dm")
-        )
-        contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(deg, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.expr("r div deg")).alias("cs"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                F.expr(
-                    f"{base}L + ({damping_pct} * (coalesce(cs, 0L) "
-                    f"+ dm div {n})) div 100"
-                ).alias("r"),
-            )
-        )
-        # the next round reads this frame twice (dangling mass +
-        # contributions): cut the lineage or the plan doubles per round
-        ranks = ranks.localCheckpoint()
-    q = scale // 10**6
-    out = ranks.select(
-        "node",
-        # integer half-up to the 10^-6 quantum, THEN the exact float
-        # division (result ≤ 10^6 ≪ 2^53, so the double is exact)
-        (
-            F.expr(f"(r + {q // 2}L) div {q}L").cast("double") / F.lit(1e6)
-        ).alias("rank"),
+    return trustrank(
+        edges,
+        seeds,
+        n_iter=n_iter,
+        damping_pct=damping_pct,
+        scale=scale,
+        src=src,
+        dst=dst,
+        cache=cache,
     )
-    if cache:
-        for frame in (e, nodes, deg, dangling):
-            frame.unpersist()
-    return out
 
 
 def sql_pagerank(
@@ -240,48 +194,17 @@ def sql_pagerank(
     damping_pct: int = 85,
     scale: int = 10**12,
 ) -> str:
-    """DuckDB twin of :func:`pagerank`: the same recursion unrolled as
-    one CTE per round (`//` is floor division — identical to Spark's
-    `div` on the all-positive fixed-point values). The node count is
-    greatest(n, 1) so the empty graph emits zero rows instead of a
-    division-by-zero error (Spark guards with an early return)."""
-    if scale % 10**6 != 0:
-        raise ValueError("scale must be a multiple of 10^6")
-    q = scale // 10**6
-    parts = [
-        f"e AS (SELECT DISTINCT src, dst FROM ({edges_select}) "
-        "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
-        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
-        "dang AS (SELECT node FROM nodes LEFT JOIN deg ON node = deg.src "
-        "WHERE deg.src IS NULL)",
-        "nn AS (SELECT greatest(count(*), 1) AS n FROM nodes)",
-        f"r0 AS (SELECT node, {scale} // (SELECT n FROM nn) AS r FROM nodes)",
-    ]
-    for i in range(n_iter):
-        prev, cur = f"r{i}", f"r{i + 1}"
-        parts.append(
-            f"d{i} AS (SELECT coalesce(sum(r), 0) AS dm FROM {prev} "
-            "JOIN dang USING (node))"
-        )
-        parts.append(
-            f"c{i} AS (SELECT e.dst AS node, sum({prev}.r // deg.deg) AS cs "
-            f"FROM e JOIN {prev} ON e.src = {prev}.node "
-            "JOIN deg ON e.src = deg.src GROUP BY e.dst)"
-        )
-        parts.append(
-            f"{cur} AS (SELECT nodes.node, "
-            f"(({100 - damping_pct} * {scale}) // (100 * (SELECT n FROM nn))) + "
-            f"({damping_pct} * (coalesce(c{i}.cs, 0) + (SELECT dm FROM d{i}) "
-            f"// (SELECT n FROM nn))) // 100 AS r "
-            f"FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"
-        )
-    return (
-        "WITH "
-        + ", ".join(parts)
-        # integer half-up to the 10^-6 quantum, then exact division
-        + f" SELECT node, CAST((r + {q // 2}) // {q} AS DOUBLE) / 1e6 "
-        f"AS rank FROM r{n_iter}"
+    """DuckDB twin of :func:`pagerank` — :func:`sql_trustrank` with
+    every edge endpoint seeded (the same term-for-term reduction as the
+    Column side, so the two CTE builders cannot drift). The empty graph
+    emits zero rows (the seed count is greatest(n, 1)-guarded)."""
+    return sql_trustrank(
+        edges_select,
+        f"SELECT src AS node FROM ({edges_select}) "
+        f"UNION SELECT dst FROM ({edges_select})",
+        n_iter=n_iter,
+        damping_pct=damping_pct,
+        scale=scale,
     )
 
 

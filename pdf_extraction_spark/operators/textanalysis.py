@@ -308,10 +308,13 @@ def fold_accents_col(text: Column) -> Column:
 # ranges are embedded as actual Unicode characters, so the same
 # pattern string means the same thing to Java regex and RE2 with no
 # escape-dialect translation. The mixed-script rule is INTEGER math
-# (20 * off_script > n_letters, i.e. > 5% of letters outside the
-# dominant script), so the twin needs no float convention; the one
-# float column (dominant-script fraction) is an exact int/int IEEE
-# division rounded to 4 digits.
+# (20 * off_script > n_scripted, i.e. > 5% of script-classified chars
+# outside the dominant script), so the twin needs no float convention;
+# the one float column (dominant-script fraction) is rounded half-up
+# IN THE RATIONAL DOMAIN ((2*10^4*mx + ns) div (2*ns), the pagerank
+# device) before the exact final division — Spark's F.round and
+# DuckDB's round() disagree on double half-ties, so no engine's float
+# rounding ever runs.
 #
 # Scale shape: ~11 vectorized JVM regex scans per row inside one
 # codegen'd projection — narrow, zero exchanges.
@@ -368,10 +371,16 @@ def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         main = main.when(F.col(f"n_{name}") == mx, F.lit(name))
     return (
         out.withColumn("main_script", main)
+        .withColumn("__mx", mx.cast("long"))
+        .withColumn("__ns", ns.cast("long"))
         .withColumn(
+            # exact rational half-up to 4 digits, entirely in int64
+            # ((2e4*mx + ns) div (2*ns) <= 1e4 << 2^53, so the final
+            # division is exact)
             "main_frac",
-            F.round(
-                F.when(ns == 0, F.lit(0.0)).otherwise(mx / ns), 4
+            F.when(F.col("__ns") == 0, F.lit(0.0)).otherwise(
+                F.expr("(20000L * __mx + __ns) div (2L * __ns)").cast("double")
+                / F.lit(1e4)
             ),
         )
         .withColumn(
@@ -380,6 +389,7 @@ def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "mixed_script",
             (F.lit(20) * (ns - mx)) > ns,
         )
+        .drop("__mx", "__ns")
     )
 
 
@@ -407,7 +417,9 @@ def sql_script_profile(rel: str = "documents", text_expr: str = "text") -> str:
         f"{branches} END AS main_script"
     )
     cols.append(
-        f"round(CASE WHEN {ns} = 0 THEN 0.0 ELSE {mx} / {ns} END, 4) AS main_frac"
+        f"CASE WHEN {ns} = 0 THEN 0.0 ELSE "
+        f"CAST((20000 * {mx} + {ns}) // (2 * {ns}) AS DOUBLE) / 1e4 "
+        "END AS main_frac"
     )
     cols.append(f"(20 * ({ns} - {mx})) > {ns} AS mixed_script")
     return f"SELECT doc_id, {', '.join(cols)} FROM {rel}"

@@ -4,8 +4,6 @@ tie-break order, and null/empty semantics. Cross-engine twin parity
 lives in the strict oracle sweep (script_profile) and the adversarial
 sweep."""
 
-from pyspark.sql import functions as F
-
 from pdf_extraction_spark.operators.textanalysis import with_script_profile
 
 

@@ -7,8 +7,6 @@ parity lives in the strict oracle sweep (winnow_fp)."""
 import hashlib
 
 import pytest
-from pyspark.sql import functions as F
-
 from pdf_extraction_spark.operators.dedup import winnow_fingerprints
 
 
