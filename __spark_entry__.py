@@ -43,6 +43,37 @@ _SCRIPT_AUG = (
     "nоw соnfіrm раsswоrd іmmеdіаtеlу' END"
 )
 
+# Shared fragment building deterministic synthetic HTML pages from doc
+# fields (the documents table carries extracted text, not markup).
+# Branches exercise every html_meta field in both quote styles, a
+# multiline title (chr(10) — portable, unlike '\n' literals, which
+# DuckDB does not escape-process), absent fields, and attribute noise.
+# Single quotes inside the generated markup use standard SQL ''
+# doubling — identical in Spark SQL and DuckDB.
+_HTML_AUG = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    # double-quoted everything + og + canonical
+    "WHEN 0 THEN '<html lang=\"' || lang || '\"><head><title>' || source "
+    "|| ' page ' || doc_id || '</title>"
+    '<meta name="description" content="\' '
+    "|| substr(coalesce(text, ''), 1, 40) || '\">"
+    '<meta property="og:title" content="OG \' || source || \'">'
+    '<link rel="canonical" href="https://\' || source '
+    "|| '.example/p/' || doc_id || '\"></head><body>' "
+    "|| coalesce(text, '') || '</body></html>' "
+    # single-quoted attrs + wrapped title, no canonical/og
+    "WHEN 1 THEN '<html lang=''' || lang || '''><head><title>' "
+    "|| chr(10) || '  Wrapped ' || source || chr(10) "
+    "|| 'Title  </title><meta name=''description'' content=''' "
+    "|| substr(coalesce(text, ''), 1, 30) || '''></head>' "
+    # title only
+    "WHEN 2 THEN '<html><head><title>Only ' || source "
+    "|| '</title></head><body>no metadata</body></html>' "
+    # charset + lang, no title
+    "ELSE '<html lang=\"en-GB\"><head><meta charset=utf-8>"
+    "<meta name=\"robots\" content=\"noindex\"></head></html>' END"
+)
+
 # Committed oracle fixtures (see tests/make_oracle_fixtures.py): kernel
 # outputs precomputed in pure Python so DuckDB twins can recompute the
 # relational math, plus sequential independent-path recompute goldens.
@@ -1200,6 +1231,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mixed_script",
         )
 
+    # -- HTML head-metadata extraction (round 4) -----------------------------
+    def q_html_meta(spark, sf):
+        """Native <head> metadata extraction (title / description /
+        canonical / og:title / lang / charset) over deterministic
+        synthetic HTML built from doc fields — six vectorized JVM regex
+        scans, zero Python, zero exchanges; the RE2∩Java pattern set
+        avoids backreferences and spells whitespace as the literal Java
+        \\s body."""
+        from pdf_extraction_spark.operators.htmlmeta import with_html_meta
+
+        docs = _docs(spark, sf).withColumn("html", F.expr(_HTML_AUG))
+        return with_html_meta(docs).select(
+            "doc_id",
+            "page_title",
+            "meta_description",
+            "canonical_url",
+            "og_title",
+            "html_lang",
+            "html_charset",
+        )
+
     # -- BPE vocabulary induction (Sennrich et al. 2016, round 4) -----------
     def q_bpe_merges(spark, sf):
         """Learn the corpus's first 16 byte-pair merges relationally:
@@ -1409,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_trustrank": q_host_trustrank,
         "winnow_fp": q_winnow_fp,
         "script_profile": q_script_profile,
+        "html_meta": q_html_meta,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "hll_words": q_hll_words,
@@ -1514,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         sql_hll_distinct,
     )
     from pdf_extraction_spark.operators.hostcap import sql_host_quality_gate
+    from pdf_extraction_spark.operators.htmlmeta import sql_html_meta
     from pdf_extraction_spark.operators.textanalysis import (
         sql_script_profile,
         sql_unigram_entropy,
@@ -1947,6 +2001,9 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fp": sql_winnow_fingerprints(k=3, w=4),
         "script_profile": sql_script_profile(
             "(SELECT doc_id, text || " + _SCRIPT_AUG + " AS text FROM documents)"
+        ),
+        "html_meta": sql_html_meta(
+            "(SELECT doc_id, " + _HTML_AUG + " AS html FROM documents)"
         ),
         "bpe_merges": sql_bpe_merges(16),
         "bpe_encode": sql_bpe_encode(12),

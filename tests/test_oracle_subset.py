@@ -37,6 +37,7 @@ FAST_QUERIES = [
     "host_trustrank",
     "winnow_fp",
     "script_profile",
+    "html_meta",
     "bpe_merges",
     "bpe_encode",
     "hll_words",
