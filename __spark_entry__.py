@@ -1252,6 +1252,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "html_charset",
         )
 
+    # -- exact phrase search (round 4) ----------------------------------------
+    def q_phrase_search(spark, sf):
+        """Positional phrase matching over the BM25 tokenizer — every
+        occurrence of an ordered token run, exact under overlaps, as a
+        zero-join per-doc window scan with a semantics-free contains
+        prefilter. The capability bag-of-words BM25 can't express."""
+        from pdf_extraction_spark.operators.retrieval import phrase_match
+
+        return phrase_match(_docs(spark, sf), ["table", "hash"])
+
     # -- BPE vocabulary induction (Sennrich et al. 2016, round 4) -----------
     def q_bpe_merges(spark, sf):
         """Learn the corpus's first 16 byte-pair merges relationally:
@@ -1462,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "script_profile": q_script_profile,
         "html_meta": q_html_meta,
+        "phrase_search": q_phrase_search,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "hll_words": q_hll_words,
@@ -1636,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.retrieval import (
         sql_bm25_topk as _sql_bm25_topk,
         sql_chunk_sliding_window as _sql_chunk_sliding_window,
+        sql_phrase_match as _sql_phrase_match,
     )
     from pdf_extraction_spark.operators.textanalysis import (
         sql_detect_language,
@@ -1948,6 +1960,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", ["table", "join", "window"], k=10
         ),
         "chunk_docs": _sql_chunk_sliding_window("documents", size=64, overlap=16),
+        "phrase_search": _sql_phrase_match(["table", "hash"]),
         "c4_filter": _sql_c4_flags("text", "doc_id"),
         "dedup_url": (
             "WITH d AS (SELECT doc_id, n_chars, "

@@ -251,3 +251,91 @@ SELECT doc_id,
          AS chunk_text
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# exact phrase search (positional match)
+# ---------------------------------------------------------------------------
+#
+# The capability BM25's bag-of-words scoring cannot express: find every
+# occurrence of an ORDERED token run. Implemented as a per-doc window
+# scan over the shared BM25 tokenizer's token array — an indexed filter
+# over candidate start positions with O(m) lookups each — so the whole
+# operator is one narrow codegen'd projection + the final explode:
+# ZERO joins, zero shuffles, exact under overlaps ("a b a b" matches
+# "a b" at 0 AND 2, where replace()-counting devices undercount).
+#
+# Scale note: this is the SCAN shape (cost O(corpus tokens), perfectly
+# parallel). For repeated interactive phrase queries build the
+# positional index once instead — the same explode keyed by (term,
+# doc_id, pos) — and join; for one-off batch filtering (the curation
+# use: kill every doc carrying a banned phrase) the scan IS the right
+# shape, and a cheap `contains` prefilter on the rarest phrase word
+# keeps the window scan off non-candidate docs without changing
+# results (token equality implies substring presence).
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, match_pos): one row per occurrence of ``phrase`` as a
+    consecutive token run (0-based start index in the doc's token
+    array; overlapping occurrences all reported). Tokenization is the
+    shared BM25 alnum-lowercase tokenizer; docs without a match emit
+    nothing."""
+    m = len(phrase)
+    if m < 1:
+        raise ValueError("phrase must have at least one word")
+    words = [w.lower() for w in phrase]
+    if any(not w for w in words):
+        raise ValueError("phrase words must be non-empty")
+    # semantics-preserving prefilter: a doc whose token array contains
+    # the longest phrase word must contain it as a substring of the
+    # lowercased text (the tokenizer only ever splits, never rewrites)
+    rare = max(words, key=len)
+    staged = df.filter(
+        F.contains(F.lower(F.coalesce(F.col(text_col), F.lit(""))), F.lit(rare))
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        _tokens_col(F.coalesce(F.col(text_col), F.lit("")), True).alias("__toks"),
+    )
+    conds = " AND ".join(
+        f"get(__toks, i + {j}) = '{w}'" for j, w in enumerate(words)
+    )
+    starts = F.expr(
+        f"CASE WHEN size(__toks) >= {m} THEN "
+        f"filter(sequence(0, size(__toks) - {m}), i -> {conds}) "
+        "ELSE array() END"
+    )
+    return staged.select("doc_id", F.explode(starts).alias("__p")).select(
+        "doc_id", F.col("__p").cast("long").alias("match_pos")
+    )
+
+
+def sql_phrase_match(
+    phrase: list[str],
+    rel: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`phrase_match` — same tokenizer fragment,
+    same window-scan recursion (no prefilter: it is semantics-free, so
+    the twin skips it and the results must still agree)."""
+    words = [w.lower() for w in phrase]
+    m = len(words)
+    toks = _sql_tokens(f"coalesce({text_expr}, '')", True)
+    conds = " AND ".join(
+        "toks[i + {}] = '{}'".format(j + 1, w.replace("'", "''"))
+        for j, w in enumerate(words)
+    )
+    return (
+        f"WITH t AS (SELECT {id_expr} AS doc_id, {toks} AS toks FROM {rel}), "
+        "s AS (SELECT doc_id, CASE WHEN len(toks) >= "
+        f"{m} THEN list_filter(generate_series(0, len(toks) - {m}), "
+        f"i -> {conds}) ELSE CAST([] AS BIGINT[]) END AS starts FROM t) "
+        "SELECT doc_id, CAST(u.p AS BIGINT) AS match_pos "
+        "FROM s, unnest(starts) AS u(p)"
+    )

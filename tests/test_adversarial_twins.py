@@ -79,7 +79,7 @@ QUERIES = [
     "dedup_paragraphs", "top_ngram_frac", "dup_ngram_frac",
     "dedup_keepfirst", "pii_scrub", "stratified_sample",
     "pack_sequences", "dedup_spans", "langid", "dsir_select",
-    "host_pagerank", "host_trustrank", "winnow_fp", "script_profile", "html_meta", "bpe_merges", "bpe_encode", "hll_words", "cms_topwords",
+    "host_pagerank", "host_trustrank", "winnow_fp", "script_profile", "html_meta", "phrase_search", "bpe_merges", "bpe_encode", "hll_words", "cms_topwords",
     "bloom_dedup", "unigram_entropy", "host_quality",
 ]
 

@@ -38,6 +38,7 @@ FAST_QUERIES = [
     "winnow_fp",
     "script_profile",
     "html_meta",
+    "phrase_search",
     "bpe_merges",
     "bpe_encode",
     "hll_words",

@@ -37,7 +37,7 @@ NATIVE_QUERIES = [
     "dedup_keepfirst", "url_canonical", "top_ngram_frac", "dup_ngram_frac",
     "dedup_paragraphs", "host_cap", "qual_classify", "lm_score",
     "fix_mojibake", "weighted_mix", "dedup_spans", "ppl_buckets",
-    "refinedweb_lines", "dedup_url", "dsir_select", "host_pagerank", "host_trustrank", "winnow_fp", "script_profile", "html_meta",
+    "refinedweb_lines", "dedup_url", "dsir_select", "host_pagerank", "host_trustrank", "winnow_fp", "script_profile", "html_meta", "phrase_search",
     "bpe_merges", "bpe_encode", "hll_words", "cms_topwords", "bloom_dedup",
     "unigram_entropy", "host_quality",
 ]

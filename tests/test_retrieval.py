@@ -191,3 +191,70 @@ class TestBM25:
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestPhraseMatch:
+    """Positional phrase search: overlap exactness, boundary rules,
+    prefilter safety, multi-word ordering. Twin parity lives in the
+    strict oracle sweep (phrase_search)."""
+
+    @staticmethod
+    def _run(spark, rows, phrase):
+        from pdf_extraction_spark.operators.retrieval import phrase_match
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {}
+        for r in phrase_match(df, phrase).collect():
+            out.setdefault(r.doc_id, []).append(r.match_pos)
+        return {k: sorted(v) for k, v in out.items()}
+
+    def test_positions_and_overlaps(self, spark):
+        got = self._run(
+            spark,
+            [
+                (0, "a b a b a"),          # overlapping "a b a" at 0 and 2
+                (1, "x a b a y"),
+                (2, "a c a b b"),
+                (3, None),
+                (4, ""),
+            ],
+            ["a", "b", "a"],
+        )
+        assert got == {0: [0, 2], 1: [1]}
+
+    def test_case_and_punctuation_normalization(self, spark):
+        # the BM25 tokenizer lowercases and splits on non-alnum
+        got = self._run(spark, [(0, "The Table, HASH!")], ["table", "hash"])
+        assert got == {0: [1]}
+
+    def test_order_matters_and_no_cross_boundary(self, spark):
+        got = self._run(spark, [(0, "hash table"), (1, "table hash")], ["table", "hash"])
+        assert got == {1: [0]}
+
+    def test_single_word_and_doc_shorter_than_phrase(self, spark):
+        got = self._run(spark, [(0, "x y x"), (1, "x")], ["x"])
+        assert got == {0: [0, 2], 1: [0]}
+        got = self._run(spark, [(0, "a b")], ["a", "b", "c"])
+        assert got == {}
+
+    def test_prefilter_never_drops_matches(self, spark):
+        # longest word chosen for the contains prefilter is 'tables';
+        # a doc where it appears only inside a larger token still has
+        # to be scanned (and then correctly NOT matched)
+        got = self._run(
+            spark,
+            [(0, "many tables here"), (1, "turntables only")],
+            ["tables", "here"],
+        )
+        assert got == {0: [1]}
+
+    def test_bad_phrases_raise(self, spark):
+        import pytest
+
+        from pdf_extraction_spark.operators.retrieval import phrase_match
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            phrase_match(df, [])
+        with pytest.raises(ValueError):
+            phrase_match(df, ["a", ""])
