@@ -74,6 +74,60 @@ _HTML_AUG = (
     "<meta name=\"robots\" content=\"noindex\"></head></html>' END"
 )
 
+# Shared fragments for the link-graph query: a synthetic page URL and
+# anchor-rich HTML derived from doc fields. Links exercise: absolute
+# same-host, absolute cross-host with uppercase tag + www + :port (all
+# normalized away), protocol-relative, root-relative (resolves to the
+# page host), dropped schemes (mailto/javascript) and fragment-only,
+# a multiline anchor body (whitespace collapse) and an empty one
+# (NULL anchor_text).
+_LINKS_URL = "'https://' || source || '.example/p/' || doc_id"
+_LINKS_AUG = (
+    "'<html><body>'"
+    " || '<a href=\"https://' || source || '.example/p/' || ((doc_id + 1) % 500)"
+    " || '\">Next page</a>'"
+    " || '<A HREF=''http://WWW.src' || CAST(doc_id % 7 AS INT)"
+    " || '.Example:8080/x''>Cross' || chr(10) || '  Host Link</A>'"
+    " || '<a href=\"//cdn.src' || CAST(doc_id % 3 AS INT)"
+    " || '.example/lib.js\">cdn asset</a>'"
+    " || '<a href=\"/about.html\">About</a>'"
+    " || '<a href=\"#top\">top</a>'"
+    " || '<a href=\"mailto:ops@' || source || '.example\">mail</a>'"
+    " || '<a href=\"javascript:void(0)\">run</a>'"
+    " || CASE WHEN doc_id % 4 = 0 THEN"
+    " '<a href=''https://partner.example/deal''></a>' ELSE '' END"
+    " || '</body></html>'"
+)
+
+# Host-boilerplate fixture: per-host template lines (copyright + nav) on
+# every doc of the host → stripped at min_docs=3; 'Annual report notice'
+# appears on ~1 doc per host (doc_id % 25 == 0 → 20 docs over 20 hosts)
+# — ≥3 corpus-wide but <3 per host, so HOST scoping keeps it where
+# corpus-wide dedup_lines would strip it; 'Story id <id>' is unique per
+# doc and always survives.
+_BOILER_AUG = (
+    "coalesce(text, '') || chr(10) || 'Copyright 2024 ' || source || chr(10)"
+    " || 'Home | About | Contact — ' || source || chr(10)"
+    " || CASE WHEN doc_id % 25 = 0 THEN 'Annual report notice' || chr(10)"
+    " ELSE '' END"
+    " || 'Story id ' || doc_id"
+)
+
+# Robots fixture: both quote styles, multi-directive lists, case folding,
+# the 'none' alias, a token-boundary NEGATIVE ('noindexing nofollowup'
+# must not match), and a tag-free page (indexable by default).
+_ROBOTS_AUG = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN '<html><head><meta name=\"robots\" "
+    "content=\"noindex, nofollow\"></head></html>' "
+    "WHEN 1 THEN '<html><head><meta name=''robots'' "
+    "content=''NOFOLLOW''></head></html>' "
+    "WHEN 2 THEN '<head><meta name=\"robots\" content=\"none\"></head>' "
+    "WHEN 3 THEN '<head><meta name=\"robots\" "
+    "content=\"noindexing nofollowup\"></head>' "
+    "ELSE '<html><head><title>no robots</title></head></html>' END"
+)
+
 # Committed oracle fixtures (see tests/make_oracle_fixtures.py): kernel
 # outputs precomputed in pure Python so DuckDB twins can recompute the
 # relational math, plus sequential independent-path recompute goldens.
@@ -1252,6 +1306,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "html_charset",
         )
 
+    # -- HTML outlinks → host link graph (round 4) ---------------------------
+    def q_html_outlinks(spark, sf):
+        """Native <a href> extraction over synthetic anchor-rich pages,
+        resolved against the page host (absolute / protocol-relative /
+        root-relative; foreign schemes and fragments dropped; hosts
+        lowercased, :port and www. stripped), aggregated to the
+        (src_host, dst_host) edge list PageRank consumes. One JVM
+        regexp_extract_all scan + one map-side-combinable pair-keyed
+        groupBy — zero Python."""
+        from pdf_extraction_spark.operators.htmlgraph import (
+            extract_outlinks,
+            host_link_graph,
+        )
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_LINKS_AUG).alias("html"),
+        )
+        return host_link_graph(extract_outlinks(docs))
+
+    # -- host-scoped boilerplate strip (round 4) ------------------------------
+    def q_host_boilerplate(spark, sf):
+        """Per-host template removal: a line on ≥3 DISTINCT docs of the
+        SAME host is that host's nav/footer boilerplate and is stripped
+        host-wide; the same line spread one-per-host across 20 hosts
+        survives (the semantics corpus-wide dedup_lines cannot express).
+        Two map-side-combinable aggs + a co-keyed anti-join."""
+        from pdf_extraction_spark.operators.curation import (
+            host_boilerplate_strip,
+        )
+
+        docs = _docs(spark, sf).select(
+            "doc_id", "source", F.expr(_BOILER_AUG).alias("text")
+        )
+        return host_boilerplate_strip(docs, min_docs=3)
+
+    # -- meta-robots gate (round 4) -------------------------------------------
+    def q_robots_gate(spark, sf):
+        """Crawl-consent gate: parse <meta name=robots> directive lists
+        (both quote styles, case-folded, token-boundary exact, 'none'
+        alias) into noindex/nofollow/indexable flags — the filter a
+        crawl-derived corpus applies before anything else touches the
+        page. Fully native, zero exchanges."""
+        from pdf_extraction_spark.operators.htmlmeta import with_robots_flags
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_ROBOTS_AUG).alias("html")
+        )
+        return with_robots_flags(docs).select(
+            "doc_id", "robots_content", "noindex", "nofollow", "indexable"
+        )
+
     # -- exact phrase search (round 4) ----------------------------------------
     def q_phrase_search(spark, sf):
         """Positional phrase matching over the BM25 tokenizer — every
@@ -1472,6 +1579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": q_winnow_fp,
         "script_profile": q_script_profile,
         "html_meta": q_html_meta,
+        "html_outlinks": q_html_outlinks,
+        "host_boilerplate": q_host_boilerplate,
+        "robots_gate": q_robots_gate,
         "phrase_search": q_phrase_search,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -1578,7 +1688,12 @@ def oracle_sql() -> dict[str, str]:
         sql_hll_distinct,
     )
     from pdf_extraction_spark.operators.hostcap import sql_host_quality_gate
-    from pdf_extraction_spark.operators.htmlmeta import sql_html_meta
+    from pdf_extraction_spark.operators.htmlmeta import (
+        sql_html_meta,
+        sql_robots_flags,
+    )
+    from pdf_extraction_spark.operators.htmlgraph import sql_host_link_graph
+    from pdf_extraction_spark.operators.curation import sql_host_boilerplate
     from pdf_extraction_spark.operators.textanalysis import (
         sql_script_profile,
         sql_unigram_entropy,
@@ -2017,6 +2132,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "html_meta": sql_html_meta(
             "(SELECT doc_id, " + _HTML_AUG + " AS html FROM documents)"
+        ),
+        "html_outlinks": sql_host_link_graph(
+            "(SELECT doc_id, " + _LINKS_URL + " AS url, "
+            + _LINKS_AUG + " AS html FROM documents)"
+        ),
+        "host_boilerplate": sql_host_boilerplate(
+            min_docs=3,
+            rel="(SELECT doc_id, source, " + _BOILER_AUG
+            + " AS text FROM documents)",
+        ),
+        "robots_gate": sql_robots_flags(
+            "(SELECT doc_id, " + _ROBOTS_AUG + " AS html FROM documents)"
         ),
         "bpe_merges": sql_bpe_merges(16),
         "bpe_encode": sql_bpe_encode(12),

@@ -631,6 +631,81 @@ def sql_dedup_paragraphs(min_occurrences: int = 2) -> str:
     )
 
 
+def host_boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "source",
+    min_docs: int = 3,
+) -> DataFrame:
+    """HOST-scoped template removal — the navigation/footer/cookie-banner
+    complement to corpus-wide :func:`dedup_lines`: a line whose normalized
+    form (lower+trim) appears on ≥ ``min_docs`` DISTINCT documents of the
+    SAME host is that host's page template and is stripped from every doc
+    of the host. The same line on a different host is counted separately —
+    a phrase used once per site across a million sites is content, not
+    boilerplate, and survives (corpus-wide dedup_lines would remove it).
+
+    NULL hosts group as one key (coalesce to ''), matching the DuckDB
+    twin. Returns the dedup_lines contract: (doc_id, clean_text,
+    n_lines_kept, n_lines_removed), one row per input row.
+
+    Scale shape: countDistinct expands to two map-side-combinable
+    aggregations keyed (host, line_key, doc_id) → (host, line_key), so a
+    banner on 10^9 pages of one host ships as partial rows, never a
+    single-reducer funnel; the anti-join is co-keyed on the same
+    (host, line_key) pair. No window, no Python, no broadcast of the
+    (host-count-sized) template set."""
+    units = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.col(host_col), F.lit("")).alias("host"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+            ).alias("line_no", "line"),
+        )
+        .filter(F.trim(F.col("line")) != "")
+        .withColumn("line_key", F.md5(F.lower(F.trim(F.col("line")))))
+    )
+    template = (
+        units.groupBy("host", "line_key")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("host", "line_key")
+    )
+    kept = units.join(template, ["host", "line_key"], "left_anti")
+    return _rebuild_docs(df, id_col, units, kept)
+
+
+def sql_host_boilerplate(
+    min_docs: int = 3, rel: str = "documents", host_expr: str = "source"
+) -> str:
+    """DuckDB twin of :func:`host_boilerplate_strip` over ``rel``
+    (same normalization, per-host distinct-doc threshold, anti-join and
+    ordered rebuild)."""
+    return (
+        "WITH units AS (SELECT doc_id, host, i - 1 AS line_no, u AS line, "
+        "md5(lower(trim(u))) AS line_key FROM ("
+        f"SELECT doc_id, coalesce({host_expr}, '') AS host, "
+        "unnest(string_split(coalesce(text, ''), chr(10))) AS u, "
+        "unnest(generate_series(1, len(string_split(coalesce(text, ''), chr(10))))) AS i "
+        f"FROM {rel}) WHERE trim(u) <> ''), "
+        "template AS (SELECT host, line_key FROM units GROUP BY host, line_key "
+        f"HAVING count(DISTINCT doc_id) >= {min_docs}), "
+        "kept AS (SELECT u.* FROM units u LEFT JOIN template t "
+        "ON u.host = t.host AND u.line_key = t.line_key WHERE t.line_key IS NULL), "
+        "totals AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_lines_total "
+        f"FROM {rel} d LEFT JOIN (SELECT doc_id, count(*) AS n FROM units GROUP BY doc_id) c "
+        "ON d.doc_id = c.doc_id), "
+        "rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text, "
+        "count(*) AS n_kept FROM kept GROUP BY doc_id) "
+        "SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, "
+        "CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_kept, "
+        "CAST(t.n_lines_total - coalesce(r.n_kept, 0) AS BIGINT) AS n_lines_removed "
+        "FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id"
+    )
+
+
 # --------------------------------------------------------------------------
 # PII scrubbing (C4-style masking, sequential passes)
 # --------------------------------------------------------------------------

@@ -1,0 +1,220 @@
+"""Native HTML outlink extraction → host-level link graph.
+
+The web-graph complement to the head-metadata stage (htmlmeta.py): pull
+every ``<a href=…>`` from the raw markup, resolve it against the page's
+own host, and aggregate into a (src_host, dst_host) edge list — the
+input PageRank/TrustRank (components.py:pagerank) consume, closing the
+html → link-graph → host-quality loop end-to-end inside the engine.
+
+Spark-first shape (and why it scales to 10^12 pages):
+  * anchor scan = ONE vectorized JVM ``regexp_extract_all`` per row
+    inside a codegen'd projection — no Python, no parser object;
+  * the explode fans out by the page's anchor count (bounded by page
+    size, not corpus size) and stays a narrow map;
+  * the ONLY exchange is the final (src_host, dst_host)-keyed groupBy,
+    which is map-side combinable — a host pair seen 10^6 times on one
+    partition ships as one partial row, so the shuffle is edge-set
+    sized, not anchor-instance sized.
+
+Cross-engine parity rules (Java regex on Spark, RE2 on DuckDB) are the
+htmlmeta.py set: no backreferences (dq/sq patterns coalesced,
+double-quote preferred), whitespace spelled as the literal Java ``\\s``
+body, ``(?i)``/``(?s)`` only over ASCII literals.
+
+Documented deterministic limitations (same class as htmlmeta's
+attribute-order rule): attribute values containing ``>`` end the tag
+early; nested ``<a>`` tags (invalid HTML) match up to the first
+``</a>``.
+
+Link-resolution rules (applied identically in both engines):
+  * ``http://`` / ``https://`` absolute → target host from the URL;
+  * protocol-relative ``//host/…`` → that host;
+  * any OTHER scheme (``mailto:``, ``javascript:``, ``tel:``, ``data:``
+    …) → dropped;
+  * fragment-only (``#…``) or empty → dropped;
+  * everything else (path-relative / root-relative) → resolves to the
+    page's own host (a self-edge — real graphs keep these; PageRank's
+    damping handles them);
+  * host normalization: lowercase, strip one ``:port`` suffix, strip
+    one leading ``www.``.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels.wsre import JAVA_WS_BODY
+
+_WS = "[" + JAVA_WS_BODY + "]"
+
+# whole <a …>…</a> elements (group 0); (?s) so anchors wrap lines
+_ANCHOR_PAT = f"(?is)<a{_WS}[^>]*>.*?</a{_WS}*>"
+_HREF_DQ = f'(?i)href{_WS}*={_WS}*"([^"]*)"'
+_HREF_SQ = f"(?i)href{_WS}*={_WS}*'([^']*)'"
+_ANCHOR_TEXT_PAT = "(?is)^<a[^>]*>(.*)</a"
+_ABS_HOST_PAT = "(?i)^https?://([^/?#]+)"
+_PROTO_REL_HOST_PAT = "^//([^/?#]+)"
+_SCHEME_PAT = "^([A-Za-z][A-Za-z0-9+.-]*):"
+_PORT_PAT = ":[0-9]+$"
+_WWW_PAT = "(?i)^www\\."
+
+
+def _x(c: Column, pat: str) -> Column:
+    return F.nullif(F.regexp_extract(c, pat, 1), F.lit(""))
+
+
+def _clean_text(c: Column) -> Column:
+    return F.nullif(F.trim(F.regexp_replace(c, _WS + "+", " ")), F.lit(""))
+
+
+def normalize_host(c: Column) -> Column:
+    """lowercase, strip one :port suffix, strip one leading www."""
+    return F.nullif(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), _PORT_PAT, ""), _WWW_PAT, ""
+        ),
+        F.lit(""),
+    )
+
+
+def _resolve_dst(href: Column, src_host: Column) -> Column:
+    """Target host per the resolution rules above (NULL = dropped)."""
+    scheme = F.lower(F.regexp_extract(href, _SCHEME_PAT, 1))
+    return F.when(
+        href.rlike("(?i)^https?://"),
+        normalize_host(F.regexp_extract(href, _ABS_HOST_PAT, 1)),
+    ).when(
+        href.startswith("//"),
+        normalize_host(F.regexp_extract(href, _PROTO_REL_HOST_PAT, 1)),
+    ).when(
+        scheme != "", F.lit(None).cast("string")  # foreign scheme
+    ).when(
+        href.startswith("#") | (F.trim(href) == ""), F.lit(None).cast("string")
+    ).otherwise(src_host)
+
+
+def extract_outlinks(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per resolvable outlink: (doc_id, src_host, href,
+    dst_host, anchor_text). Anchors without an href attribute and
+    hrefs the resolution rules drop are filtered out; ``anchor_text``
+    is whitespace-collapsed and NULL when the element body is empty.
+
+    Narrow map + explode; zero exchanges (aggregate with
+    :func:`host_link_graph`)."""
+    c = F.coalesce(F.col(html_col), F.lit(""))
+    src = normalize_host(
+        F.regexp_extract(F.coalesce(F.col(url_col), F.lit("")), _ABS_HOST_PAT, 1)
+    )
+    anchors = df.select(
+        F.col(id_col).alias("doc_id"),
+        src.alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(c, F.lit(_ANCHOR_PAT), F.lit(0))
+        ).alias("elem"),
+    )
+    href = F.coalesce(
+        _x(F.col("elem"), _HREF_DQ), _x(F.col("elem"), _HREF_SQ)
+    )
+    out = anchors.select(
+        "doc_id",
+        "src_host",
+        href.alias("href"),
+        _clean_text(F.regexp_extract("elem", _ANCHOR_TEXT_PAT, 1)).alias(
+            "anchor_text"
+        ),
+    ).filter(F.col("href").isNotNull())
+    return out.withColumn(
+        "dst_host", _resolve_dst(F.col("href"), F.col("src_host"))
+    ).filter(F.col("dst_host").isNotNull())
+
+
+def host_link_graph(links: DataFrame) -> DataFrame:
+    """Aggregate outlinks into the host edge list PageRank consumes:
+    (src_host, dst_host, n_links, n_docs, sample_anchor) where n_docs
+    counts distinct linking pages and sample_anchor is the minimum
+    non-NULL anchor text (a deterministic witness that anchor capture
+    works). One map-side-combinable shuffle keyed on the host pair."""
+    return (
+        links.groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("anchor_text").alias("sample_anchor"),
+        )
+    )
+
+
+def pagerank_edges(graph: DataFrame) -> DataFrame:
+    """Adapter: the (src, dst) integer-weight edge frame
+    components.pagerank expects, weights = n_links."""
+    return graph.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins
+# ---------------------------------------------------------------------------
+
+
+def _sql_x(expr: str, pat: str) -> str:
+    p = pat.replace("'", "''")
+    return f"nullif(regexp_extract({expr}, '{p}', 1), '')"
+
+
+def _sql_clean(expr: str) -> str:
+    ws = _WS.replace("'", "''")
+    return f"nullif(trim(regexp_replace({expr}, '{ws}+', ' ', 'g')), '')"
+
+
+def _sql_norm_host(expr: str) -> str:
+    port = _PORT_PAT.replace("'", "''")
+    www = _WWW_PAT.replace("'", "''")
+    return (
+        "nullif(regexp_replace(regexp_replace("
+        f"lower({expr}), '{port}', ''), '{www}', ''), '')"
+    )
+
+
+def sql_host_link_graph(rel: str, html_expr: str = "html", url_expr: str = "url") -> str:
+    """DuckDB twin of extract_outlinks → host_link_graph (identical
+    pattern strings and resolution CASE)."""
+    ap = _ANCHOR_PAT.replace("'", "''")
+    abs_host = _ABS_HOST_PAT.replace("'", "''")
+    prel = _PROTO_REL_HOST_PAT.replace("'", "''")
+    scheme = _SCHEME_PAT.replace("'", "''")
+    src = _sql_norm_host(
+        f"regexp_extract(coalesce({url_expr}, ''), '{abs_host}', 1)"
+    )
+    href = (
+        f"coalesce({_sql_x('elem', _HREF_DQ)}, {_sql_x('elem', _HREF_SQ)})"
+    )
+    atext = _sql_clean(f"regexp_extract(elem, '{_ANCHOR_TEXT_PAT}', 1)")
+    abs_dst = _sql_norm_host(f"regexp_extract(href, '{abs_host}', 1)")
+    prel_dst = _sql_norm_host(f"regexp_extract(href, '{prel}', 1)")
+    dst = (
+        "CASE "
+        f"WHEN regexp_matches(href, '(?i)^https?://') THEN {abs_dst} "
+        f"WHEN href LIKE '//%' THEN {prel_dst} "
+        f"WHEN lower(regexp_extract(href, '{scheme}', 1)) <> '' THEN NULL "
+        "WHEN href LIKE '#%' OR trim(href) = '' THEN NULL "
+        "ELSE src_host END"
+    )
+    return (
+        f"WITH anchors AS (SELECT doc_id, {src} AS src_host, "
+        f"unnest(regexp_extract_all(coalesce({html_expr}, ''), '{ap}', 0)) AS elem "
+        f"FROM {rel}), "
+        f"links0 AS (SELECT doc_id, src_host, {href} AS href, {atext} AS anchor_text "
+        "FROM anchors), "
+        f"links AS (SELECT doc_id, src_host, href, anchor_text, {dst} AS dst_host "
+        "FROM links0 WHERE href IS NOT NULL) "
+        "SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "min(anchor_text) AS sample_anchor "
+        "FROM links WHERE dst_host IS NOT NULL "
+        "GROUP BY src_host, dst_host"
+    )

@@ -94,6 +94,63 @@ def with_html_meta(df: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
+# -- meta-robots gate ---------------------------------------------------
+# A page that declares <meta name="robots" content="noindex"> asked to
+# stay out of indexes — crawl-derived training corpora honor it (the
+# same consent class as robots.txt). Directive matching is token-wise
+# over the comma/whitespace-separated content list; "none" implies
+# noindex+nofollow per the de-facto standard. `\z` (not `$`) ends the
+# token pattern: Java's `$` matches before a final newline, RE2's does
+# not — `\z` reads identically in both.
+
+_ROBOTS_DQ, _ROBOTS_SQ = _attr_patterns("meta", "name", "robots", "content")
+
+
+def _directive_pat(name: str) -> str:
+    return f"(?i)(^|[,{JAVA_WS_BODY}]){name}([,{JAVA_WS_BODY}]|\\z)"
+
+
+def _has_directive(content: Column, name: str) -> Column:
+    return F.coalesce(content.rlike(_directive_pat(name)), F.lit(False))
+
+
+def with_robots_flags(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Append ``robots_content`` (the raw directive list, NULL when the
+    tag is absent), ``noindex``, ``nofollow`` and ``indexable`` (= NOT
+    noindex — absent tag means indexable, the crawler default). Fully
+    native: two regexp scans + token-boundary rlikes, zero exchanges."""
+    c = F.coalesce(F.col(html_col), F.lit(""))
+    content = F.coalesce(_x(c, _ROBOTS_DQ), _x(c, _ROBOTS_SQ))
+    df = df.withColumn("robots_content", content)
+    rc = F.col("robots_content")
+    noindex = _has_directive(rc, "noindex") | _has_directive(rc, "none")
+    nofollow = _has_directive(rc, "nofollow") | _has_directive(rc, "none")
+    return (
+        df.withColumn("noindex", noindex)
+        .withColumn("nofollow", nofollow)
+        .withColumn("indexable", ~noindex)
+    )
+
+
+def sql_robots_flags(rel: str, html_expr: str = "html") -> str:
+    """DuckDB twin of :func:`with_robots_flags` (doc_id + appended
+    columns; identical patterns, `\\z` anchors both sides)."""
+    c = f"coalesce({html_expr}, '')"
+    content = f"coalesce({_sql_x(c, _ROBOTS_DQ)}, {_sql_x(c, _ROBOTS_SQ)})"
+
+    def has(name):
+        p = _directive_pat(name).replace("'", "''")
+        return f"coalesce(regexp_matches(rc, '{p}'), FALSE)"
+
+    return (
+        f"WITH r AS (SELECT doc_id, {content} AS rc FROM {rel}) "
+        "SELECT doc_id, rc AS robots_content, "
+        f"({has('noindex')} OR {has('none')}) AS noindex, "
+        f"({has('nofollow')} OR {has('none')}) AS nofollow, "
+        f"NOT ({has('noindex')} OR {has('none')}) AS indexable FROM r"
+    )
+
+
 def _sql_x(expr: str, pat: str) -> str:
     p = pat.replace("'", "''")
     return f"nullif(regexp_extract({expr}, '{p}', 1), '')"

@@ -80,7 +80,8 @@ QUERIES = [
     "dedup_keepfirst", "pii_scrub", "stratified_sample",
     "pack_sequences", "dedup_spans", "langid", "dsir_select",
     "host_pagerank", "host_trustrank", "winnow_fp", "script_profile", "html_meta", "phrase_search", "bpe_merges", "bpe_encode", "hll_words", "cms_topwords",
-    "bloom_dedup", "unigram_entropy", "host_quality",
+    "bloom_dedup", "unigram_entropy", "host_quality", "html_outlinks",
+    "host_boilerplate", "robots_gate",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

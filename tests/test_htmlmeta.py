@@ -80,3 +80,71 @@ class TestHtmlMeta:
         assert got[1].meta_description is None
         assert got[2].meta_description is None
         assert got[3].html_lang is None  # class is [A-Za-z0-9_-]
+
+
+class TestRobotsFlags:
+    def _flags(self, spark, rows):
+        from pdf_extraction_spark.operators.htmlmeta import with_robots_flags
+
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        return {r.doc_id: r for r in with_robots_flags(df).collect()}
+
+    def test_directive_parsing(self, spark):
+        got = self._flags(spark, [
+            (0, '<meta name="robots" content="noindex, nofollow">'),
+            (1, "<meta name='robots' content='NOFOLLOW'>"),
+            (2, '<meta name="robots" content="none">'),
+            (3, '<meta name="robots" content="index, follow">'),
+            (4, "<html><head><title>no tag</title></head></html>"),
+        ])
+        assert (got[0].noindex, got[0].nofollow) == (True, True)
+        assert (got[1].noindex, got[1].nofollow) == (False, True)  # case fold
+        assert (got[2].noindex, got[2].nofollow) == (True, True)  # none alias
+        assert (got[3].noindex, got[3].indexable) == (False, True)
+        assert got[4].robots_content is None and got[4].indexable
+
+    def test_token_boundaries(self, spark):
+        # substrings must NOT match: noindexing / nofollowup
+        got = self._flags(spark, [
+            (0, '<meta name="robots" content="noindexing nofollowup">'),
+            (1, '<meta name="robots" content="noarchive,noindex">'),
+            (2, '<meta name="robots" content="noindex">'),  # single, \z edge
+        ])
+        assert (got[0].noindex, got[0].nofollow) == (False, False)
+        assert got[1].noindex is True
+        assert got[2].noindex is True and got[2].nofollow is False
+
+    def test_null_and_empty(self, spark):
+        got = self._flags(spark, [(0, None), (1, "")])
+        for i in (0, 1):
+            assert got[i].robots_content is None
+            assert not got[i].noindex and got[i].indexable
+
+    def test_twin_parity_on_crafted_rows(self, spark):
+        import duckdb
+
+        from pdf_extraction_spark.operators.htmlmeta import (
+            sql_robots_flags,
+            with_robots_flags,
+        )
+
+        rows = [
+            (0, '<meta name="robots" content="noindex, nofollow">'),
+            (1, "<meta name='robots' content='NONE'>"),
+            (2, '<meta name="robots" content="noindexing">'),
+            (3, '<meta name="robots" content="nofollow,noindex">'),
+            (4, "<html></html>"),
+            (5, None),
+            (6, '<meta name="robots" content="noindex\n">'),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, html string")
+        out = with_robots_flags(df).select(
+            "doc_id", "robots_content", "noindex", "nofollow", "indexable"
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pages (doc_id BIGINT, html VARCHAR)")
+        con.executemany("INSERT INTO pages VALUES (?, ?)", rows)
+        cols = ["doc_id", "robots_content", "noindex", "nofollow", "indexable"]
+        got = sorted(map(tuple, out.toPandas()[cols].itertuples(index=False)))
+        want = sorted(map(tuple, con.execute(sql_robots_flags("pages")).fetchall()))
+        assert got == want

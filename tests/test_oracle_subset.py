@@ -45,6 +45,9 @@ FAST_QUERIES = [
     "cms_topwords",
     "unigram_entropy",
     "host_quality",
+    "html_outlinks",
+    "host_boilerplate",
+    "robots_gate",
 ]
 
 

@@ -39,7 +39,8 @@ NATIVE_QUERIES = [
     "fix_mojibake", "weighted_mix", "dedup_spans", "ppl_buckets",
     "refinedweb_lines", "dedup_url", "dsir_select", "host_pagerank", "host_trustrank", "winnow_fp", "script_profile", "html_meta", "phrase_search",
     "bpe_merges", "bpe_encode", "hll_words", "cms_topwords", "bloom_dedup",
-    "unigram_entropy", "host_quality",
+    "unigram_entropy", "host_quality", "html_outlinks", "host_boilerplate",
+    "robots_gate",
 ]
 
 
