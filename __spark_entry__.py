@@ -1327,6 +1327,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return host_link_graph(extract_outlinks(docs))
 
+    def q_outlink_pagerank(spark, sf):
+        """The full web-graph loop INSIDE the engine: raw HTML → native
+        outlink extraction → host edge list → fixed-point integer
+        PageRank. Edges come straight off the anchor scan (pagerank
+        dedups/self-loop-drops internally); everything after the regex
+        projection is exact int64, so the composition inherits both
+        operators' bit-stability."""
+        from pdf_extraction_spark.operators.components import pagerank
+        from pdf_extraction_spark.operators.htmlgraph import extract_outlinks
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_LINKS_AUG).alias("html"),
+        )
+        edges = extract_outlinks(docs).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        return pagerank(edges, n_iter=4)
+
+    def q_anchor_terms(spark, sf):
+        """Incoming anchor-term profile per target host (the web-search
+        relevance signal): shared lowercase tokenizer over anchor texts,
+        one (dst_host, term)-keyed combinable aggregation with a
+        distinct-referrer count as the anti-spam column."""
+        from pdf_extraction_spark.operators.htmlgraph import (
+            anchor_terms,
+            extract_outlinks,
+        )
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_LINKS_AUG).alias("html"),
+        )
+        return anchor_terms(extract_outlinks(docs), min_count=2)
+
     # -- host-scoped boilerplate strip (round 4) ------------------------------
     def q_host_boilerplate(spark, sf):
         """Per-host template removal: a line on ≥3 DISTINCT docs of the
@@ -1580,6 +1617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "html_meta": q_html_meta,
         "html_outlinks": q_html_outlinks,
+        "outlink_pagerank": q_outlink_pagerank,
+        "anchor_terms": q_anchor_terms,
         "host_boilerplate": q_host_boilerplate,
         "robots_gate": q_robots_gate,
         "phrase_search": q_phrase_search,
@@ -1692,7 +1731,11 @@ def oracle_sql() -> dict[str, str]:
         sql_html_meta,
         sql_robots_flags,
     )
-    from pdf_extraction_spark.operators.htmlgraph import sql_host_link_graph
+    from pdf_extraction_spark.operators.htmlgraph import (
+        sql_anchor_terms,
+        sql_host_link_graph,
+        sql_links_ctes,
+    )
     from pdf_extraction_spark.operators.curation import sql_host_boilerplate
     from pdf_extraction_spark.operators.textanalysis import (
         sql_script_profile,
@@ -2136,6 +2179,19 @@ def oracle_sql() -> dict[str, str]:
         "html_outlinks": sql_host_link_graph(
             "(SELECT doc_id, " + _LINKS_URL + " AS url, "
             + _LINKS_AUG + " AS html FROM documents)"
+        ),
+        "outlink_pagerank": sql_pagerank(
+            "WITH " + sql_links_ctes(
+                "(SELECT doc_id, " + _LINKS_URL + " AS url, "
+                + _LINKS_AUG + " AS html FROM documents)"
+            )
+            + " SELECT src_host AS src, dst_host AS dst FROM links",
+            n_iter=4,
+        ),
+        "anchor_terms": sql_anchor_terms(
+            "(SELECT doc_id, " + _LINKS_URL + " AS url, "
+            + _LINKS_AUG + " AS html FROM documents)",
+            min_count=2,
         ),
         "host_boilerplate": sql_host_boilerplate(
             min_docs=3,

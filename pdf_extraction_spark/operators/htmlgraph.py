@@ -148,6 +148,38 @@ def host_link_graph(links: DataFrame) -> DataFrame:
     )
 
 
+def anchor_terms(links: DataFrame, min_count: int = 2) -> DataFrame:
+    """Incoming anchor-text term profile per target host — the classic
+    web-relevance signal (the terms OTHER pages use when linking here):
+    (dst_host, term, n_anchors, n_src_hosts). Terms come from the
+    engine's shared lowercase tokenizer (curation._lower_words, same
+    twin contract as the sketch/word-stat queries); ``n_src_hosts``
+    counts distinct referring hosts, the anti-spam discriminator (one
+    host repeating a term a million times still counts once). Rows
+    below ``min_count`` anchors are pruned.
+
+    Scale shape: token explode bounded by anchor-text length, then ONE
+    (dst_host, term)-keyed aggregation — countDistinct expands to two
+    map-side-combinable stages, no window, no Python."""
+    from .curation import _lower_words
+
+    toks = links.filter(F.col("dst_host").isNotNull()).select(
+        "dst_host",
+        "src_host",
+        F.explode(
+            _lower_words(F.coalesce(F.col("anchor_text"), F.lit("")))
+        ).alias("term"),
+    )
+    return (
+        toks.groupBy("dst_host", "term")
+        .agg(
+            F.count("*").alias("n_anchors"),
+            F.countDistinct("src_host").alias("n_src_hosts"),
+        )
+        .filter(F.col("n_anchors") >= min_count)
+    )
+
+
 def pagerank_edges(graph: DataFrame) -> DataFrame:
     """Adapter: the (src, dst) integer-weight edge frame
     components.pagerank expects, weights = n_links."""
@@ -180,9 +212,11 @@ def _sql_norm_host(expr: str) -> str:
     )
 
 
-def sql_host_link_graph(rel: str, html_expr: str = "html", url_expr: str = "url") -> str:
-    """DuckDB twin of extract_outlinks → host_link_graph (identical
-    pattern strings and resolution CASE)."""
+def sql_links_ctes(rel: str, html_expr: str = "html", url_expr: str = "url") -> str:
+    """The shared WITH-clause body recomputing extract_outlinks in
+    DuckDB: ``anchors`` → ``links0`` → ``links`` (doc_id, src_host,
+    href, anchor_text, dst_host — dst_host may be NULL = dropped link).
+    Used by every link-graph twin so the resolution rules live once."""
     ap = _ANCHOR_PAT.replace("'", "''")
     abs_host = _ABS_HOST_PAT.replace("'", "''")
     prel = _PROTO_REL_HOST_PAT.replace("'", "''")
@@ -205,16 +239,45 @@ def sql_host_link_graph(rel: str, html_expr: str = "html", url_expr: str = "url"
         "ELSE src_host END"
     )
     return (
-        f"WITH anchors AS (SELECT doc_id, {src} AS src_host, "
+        f"anchors AS (SELECT doc_id, {src} AS src_host, "
         f"unnest(regexp_extract_all(coalesce({html_expr}, ''), '{ap}', 0)) AS elem "
         f"FROM {rel}), "
         f"links0 AS (SELECT doc_id, src_host, {href} AS href, {atext} AS anchor_text "
         "FROM anchors), "
         f"links AS (SELECT doc_id, src_host, href, anchor_text, {dst} AS dst_host "
-        "FROM links0 WHERE href IS NOT NULL) "
+        "FROM links0 WHERE href IS NOT NULL)"
+    )
+
+
+def sql_host_link_graph(rel: str, html_expr: str = "html", url_expr: str = "url") -> str:
+    """DuckDB twin of extract_outlinks → host_link_graph (identical
+    pattern strings and resolution CASE)."""
+    return (
+        f"WITH {sql_links_ctes(rel, html_expr, url_expr)} "
         "SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links, "
         "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
         "min(anchor_text) AS sample_anchor "
         "FROM links WHERE dst_host IS NOT NULL "
         "GROUP BY src_host, dst_host"
+    )
+
+
+def sql_anchor_terms(
+    rel: str,
+    min_count: int = 2,
+    html_expr: str = "html",
+    url_expr: str = "url",
+) -> str:
+    """DuckDB twin of extract_outlinks → anchor_terms (shared link CTEs
+    + the shared tokenizer twin)."""
+    from .curation import _sql_lower_words
+
+    words = _sql_lower_words("coalesce(anchor_text, '')")
+    return (
+        f"WITH {sql_links_ctes(rel, html_expr, url_expr)}, "
+        f"toks AS (SELECT dst_host, src_host, unnest({words}) AS term "
+        "FROM links WHERE dst_host IS NOT NULL) "
+        "SELECT dst_host, term, CAST(count(*) AS BIGINT) AS n_anchors, "
+        "CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts "
+        f"FROM toks GROUP BY dst_host, term HAVING count(*) >= {min_count}"
     )

@@ -182,3 +182,50 @@ class TestHostBoilerplate:
             map(tuple, con.execute(sql_host_boilerplate(3)).fetchall())
         )
         assert got == want
+
+
+class TestAnchorTerms:
+    def test_term_profile_and_referrer_count(self, spark):
+        from pdf_extraction_spark.operators.htmlgraph import anchor_terms
+
+        rows = anchor_terms(_links(spark), min_count=1).collect()
+        by = {(r.dst_host, r.term): r for r in rows}
+        # 'link' reaches beta.example from doc 0 ("Cross  Link") — and
+        # alpha.example from doc 1 ("back\n  link")
+        assert by[("beta.example", "link")].n_anchors == 1
+        assert by[("alpha.example", "link")].n_src_hosts == 1
+        # empty/NULL anchors contribute no terms
+        assert ("beta.example", "") not in by
+
+    def test_min_count_prunes(self, spark):
+        from pdf_extraction_spark.operators.htmlgraph import anchor_terms
+
+        rows = anchor_terms(_links(spark), min_count=3).collect()
+        assert all(r.n_anchors >= 3 for r in rows)
+
+    def test_twin_parity_on_crafted_rows(self, spark):
+        from pdf_extraction_spark.operators.htmlgraph import (
+            anchor_terms,
+            sql_anchor_terms,
+        )
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE pages (doc_id BIGINT, url VARCHAR, html VARCHAR)"
+        )
+        con.executemany("INSERT INTO pages VALUES (?, ?, ?)", PAGES)
+        cols = ["dst_host", "term", "n_anchors", "n_src_hosts"]
+        got = sorted(
+            map(
+                tuple,
+                anchor_terms(_links(spark), min_count=1)
+                .toPandas()[cols]
+                .itertuples(index=False),
+            ),
+            key=str,
+        )
+        want = sorted(
+            map(tuple, con.execute(sql_anchor_terms("pages", 1)).fetchall()),
+            key=str,
+        )
+        assert got == want

@@ -48,6 +48,8 @@ FAST_QUERIES = [
     "html_outlinks",
     "host_boilerplate",
     "robots_gate",
+    "outlink_pagerank",
+    "anchor_terms",
 ]
 
 
