@@ -1396,6 +1396,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "robots_content", "noindex", "nofollow", "indexable"
         )
 
+    # -- corpus term statistics (round 4 continuation) ------------------------
+    def q_pmi_colloc(spark, sf):
+        """PMI collocation mining over adjacent token pairs (Church &
+        Hanks 1990) — the multi-word-expression signal a tokenizer/
+        vocabulary pass reads. Fixed-point ln device: five rounded ln()
+        per surviving pair combined in exact int64, so the score is
+        bit-identical across engines and partitionings."""
+        from pdf_extraction_spark.operators.terms import pmi_collocations
+
+        return pmi_collocations(_docs(spark, sf), min_count=5)
+
+    def q_doc_keyterms(spark, sf):
+        """Per-document TF-IDF top-3 key terms (Sparck Jones 1972):
+        integer score tf·(I(N)−I(df)), doc-bounded top-k buffer (no
+        corpus-sized window), deterministic (score desc, term asc)
+        tie-break in both engines."""
+        from pdf_extraction_spark.operators.terms import doc_key_terms
+
+        return doc_key_terms(_docs(spark, sf), k=3)
+
     # -- exact phrase search (round 4) ----------------------------------------
     def q_phrase_search(spark, sf):
         """Positional phrase matching over the BM25 tokenizer — every
@@ -1591,8 +1611,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "dedup_lines": q_dedup_lines,
         "pii_scrub": q_pii_scrub,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
         # -- changed this round (bounded-tree rework / new exact twin) ----
         "ivf_topk": q_ivf_topk,
         "topk_batch": q_topk_batch,
@@ -1615,6 +1633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_terms": q_anchor_terms,
         "host_boilerplate": q_host_boilerplate,
         "robots_gate": q_robots_gate,
+        "pmi_colloc": q_pmi_colloc,
+        "doc_keyterms": q_doc_keyterms,
         "phrase_search": q_phrase_search,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -1626,6 +1646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- multi-round-green rotation (scale-critical first; the six
         # r3-green unchanged entries demoted out of the 50-query driver
         # window to make room for every round-4 query above) -------------
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "extract_pipeline": q_extract_pipeline,
         "embedding_lsh": q_embedding_lsh,
         "embedding_clusters": q_embedding_clusters,
@@ -1739,6 +1761,10 @@ def oracle_sql() -> dict[str, str]:
         sql_links_ctes,
     )
     from pdf_extraction_spark.operators.curation import sql_host_boilerplate
+    from pdf_extraction_spark.operators.terms import (
+        sql_doc_key_terms,
+        sql_pmi_collocations,
+    )
     from pdf_extraction_spark.operators.textanalysis import (
         sql_script_profile,
         sql_unigram_entropy,
@@ -2203,6 +2229,8 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate": sql_robots_flags(
             "(SELECT doc_id, " + _ROBOTS_AUG + " AS html FROM documents)"
         ),
+        "pmi_colloc": sql_pmi_collocations(min_count=5),
+        "doc_keyterms": sql_doc_key_terms(k=3),
         "bpe_merges": sql_bpe_merges(16),
         "bpe_encode": sql_bpe_encode(12),
         "hll_words": sql_hll_distinct("word", _WORD_SRC),

@@ -1,0 +1,222 @@
+"""Corpus term statistics: PMI collocations and TF-IDF key terms.
+
+Two corpus-analysis staples a training-data pipeline runs before
+tokenizer/vocabulary decisions and for corpus cards:
+
+* :func:`pmi_collocations` — pointwise mutual information over adjacent
+  token pairs (Church & Hanks 1990), the standard collocation /
+  multi-word-expression miner ("new york", "machine learning").
+* :func:`doc_key_terms` — per-document TF-IDF top-k terms (Sparck
+  Jones 1972), the corpus-card "what is this document about" signal.
+
+Both use the engine's fixed-point ln device (see
+textanalysis.with_unigram_entropy): the ONLY float op per distinct
+count is one ln() rounded to int64 at 10⁹ scale — engines' ln()
+disagree by ~1000 ulps, far below half a quantum — after which all
+arithmetic is exact associative int64, so scores are bit-identical
+across engines, partitionings and cluster sizes with no ordered-fold
+machinery.
+
+Scale shapes:
+* PMI: tokenize → one doc-keyed window for the adjacent pair (documents
+  are length-bounded, so the window partition is too — the lm_score
+  contract), then VOCABULARY-keyed count tables and joins; the
+  min_count filter prunes the pair table before any join. No unbounded
+  window, no Python, no broadcast of corpus-sized state (count tables
+  join key-to-key; AQE may broadcast when they fit).
+* TF-IDF: two combinable groupBys for tf/df + a term-keyed join; top-k
+  per doc via slice(array_sort(collect_list)) whose buffer is bounded
+  by the DOCUMENT's distinct-term count (doc-bounded, the hostcap
+  local-stage argument), never corpus-sized.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ILN_SQL = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9) AS BIGINT)"
+
+
+def _iln(c: Column) -> Column:
+    """I(x) = round(ln(x)·10⁹) as int64 — the shared fixed-point ln."""
+    return F.round(F.log(c.cast("double")) * F.lit(1e9)).cast("long")
+
+
+def _words(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    from .curation import _lower_words
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            _lower_words(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "tok"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """(w1, w2, n_pair, pmi): PMI of adjacent token pairs occurring ≥
+    ``min_count`` times. With B = total bigrams, N = total tokens:
+    pmi = ln( (n_pair/B) / ((c1/N)·(c2/N)) )
+        = [I(n_pair) − I(B) − I(c1) − I(c2) + 2·I(N)] / 10⁹
+    — five rounded ln() calls per surviving pair, combined in exact
+    int64, divided once by the 10⁹ quantum (one IEEE op, identical in
+    both engines). Result rounded to 6 decimals in the integer domain
+    is unnecessary: the division by 1e9 of an int64 is already exact
+    parity, so the raw double ships."""
+    from pyspark.sql import Window
+
+    pt = _words(df, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        pt.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("tok").alias("w1"), "w2")
+    )
+    pair_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    uni = pt.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = pt.groupBy().agg(F.count("*").alias("n_tok"))
+    pair_total = pairs.groupBy().agg(F.count("*").alias("n_big"))
+    j = (
+        pair_counts.join(
+            uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1"
+        )
+        .join(
+            uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2"
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(pair_total))
+    )
+    pmi_nano = (
+        _iln(F.col("n_pair"))
+        - _iln(F.col("n_big"))
+        - _iln(F.col("c1"))
+        - _iln(F.col("c2"))
+        + F.lit(2) * _iln(F.col("n_tok"))
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "n_pair",
+        (pmi_nano.cast("double") / F.lit(1e9)).alias("pmi"),
+    )
+
+
+def sql_pmi_collocations(
+    rel: str = "documents", text_expr: str = "text", min_count: int = 5
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations` — identical tokenizer,
+    pair construction (pos self-join ≡ Spark's doc-keyed lead window),
+    fixed-point ln and integer combination."""
+    from .curation import _sql_lower_words
+
+    toks = _sql_lower_words(f"coalesce({text_expr}, '')")
+    i = _ILN_SQL.format
+    return (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM {rel}), "
+        "pt AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM ("
+        "SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)), "
+        "pairs AS (SELECT a.tok AS w1, b.tok AS w2 FROM pt a JOIN pt b "
+        "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1), "
+        "pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM pairs "
+        f"GROUP BY w1, w2 HAVING count(*) >= {min_count}), "
+        "uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM pt GROUP BY tok), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM pt), "
+        "bt AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM pairs) "
+        "SELECT pc.w1, pc.w2, pc.n_pair, "
+        "CAST("
+        + i(x="pc.n_pair") + " - " + i(x="bt.n_big") + " - "
+        + i(x="u1.c") + " - " + i(x="u2.c") + " + 2 * " + i(x="tot.n_tok")
+        + " AS DOUBLE) / 1e9 AS pmi "
+        "FROM pc JOIN uni u1 ON pc.w1 = u1.tok "
+        "JOIN uni u2 ON pc.w2 = u2.tok CROSS JOIN tot CROSS JOIN bt"
+    )
+
+
+def doc_key_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, term, tf, score): each document's top-``k`` TF-IDF
+    terms. score_nano = tf · (I(n_docs) − I(df)) — the classic
+    tf·ln(N/df), integer end-to-end (ties broken by term asc, exact in
+    both engines because the score IS an integer). Terms appearing in
+    every doc score 0 and still rank (deterministically) when nothing
+    beats them. n_docs counts docs WITH tokens — both engines derive it
+    from the tf table.
+
+    Returned score is the nano-scaled integer divided by 1e9 (exact
+    parity, one IEEE division)."""
+    words = _words(df, text_col, id_col).select("doc_id", "tok")
+    tf = words.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = tf.select("doc_id").distinct().groupBy().agg(
+        F.count("*").alias("n_docs")
+    )
+    scored = tf.join(dfreq, "tok").crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        F.col("tok").alias("term"),
+        "tf",
+        (
+            F.col("tf") * (_iln(F.col("n_docs")) - _iln(F.col("df")))
+        ).alias("score_nano"),
+    )
+    top = scored.groupBy("doc_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score_nano")).alias("neg"),
+                        F.col("term"),
+                        F.col("tf"),
+                        F.col("score_nano"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return top.select(
+        "doc_id", F.explode("top").alias("e")
+    ).select(
+        "doc_id",
+        F.col("e.term").alias("term"),
+        F.col("e.tf").alias("tf"),
+        (F.col("e.score_nano").cast("double") / F.lit(1e9)).alias("score"),
+    )
+
+
+def sql_doc_key_terms(
+    rel: str = "documents", text_expr: str = "text", k: int = 3
+) -> str:
+    """DuckDB twin of :func:`doc_key_terms` (window rank at oracle
+    scale; same integer score and (score desc, term asc) tie-break)."""
+    from .curation import _sql_lower_words
+
+    toks = _sql_lower_words(f"coalesce({text_expr}, '')")
+    i = _ILN_SQL.format
+    return (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM {rel}), "
+        "w AS (SELECT doc_id, unnest(toks) AS tok FROM t), "
+        "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf "
+        "FROM w GROUP BY doc_id, tok), "
+        "dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok), "
+        "nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf), "
+        "scored AS (SELECT tf.doc_id, tf.tok AS term, tf.tf, "
+        "tf.tf * (" + i(x="nd.n_docs") + " - " + i(x="dfreq.df") + ") AS score_nano "
+        "FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN nd), "
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score_nano DESC, term) AS rk FROM scored) "
+        "SELECT doc_id, term, tf, CAST(score_nano AS DOUBLE) / 1e9 AS score "
+        f"FROM ranked WHERE rk <= {k}"
+    )

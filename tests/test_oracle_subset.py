@@ -50,6 +50,8 @@ FAST_QUERIES = [
     "robots_gate",
     "outlink_pagerank",
     "anchor_terms",
+    "pmi_colloc",
+    "doc_keyterms",
 ]
 
 

@@ -40,7 +40,8 @@ NATIVE_QUERIES = [
     "refinedweb_lines", "dedup_url", "dsir_select", "host_pagerank", "host_trustrank", "winnow_fp", "script_profile", "html_meta", "phrase_search",
     "bpe_merges", "bpe_encode", "hll_words", "cms_topwords", "bloom_dedup",
     "unigram_entropy", "host_quality", "html_outlinks", "host_boilerplate",
-    "robots_gate", "outlink_pagerank", "anchor_terms",
+    "robots_gate", "outlink_pagerank", "anchor_terms", "pmi_colloc",
+    "doc_keyterms",
 ]
 
 

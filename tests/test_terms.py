@@ -1,0 +1,171 @@
+"""PMI collocations + TF-IDF key terms: semantics against a pure-Python
+replay of the same fixed-point integer formula, tie-breaks, degenerate
+inputs, and DuckDB twin parity on crafted rows."""
+
+import math
+
+import duckdb
+import pytest
+
+DOCS = [
+    (0, "new york is big and new york is loud"),
+    (1, "new york again but also brand new ideas"),
+    (2, "completely different words here entirely"),
+    (3, "the cat and the dog and the bird"),
+    (4, ""),
+    (5, None),
+]
+
+
+def _iln(x: int) -> int:
+    return int(round(math.log(x) * 1e9))
+
+
+def _tokens(t):
+    # exact replay of curation._lower_words: lowercase, split on runs of
+    # the Java \s body, drop empties (punctuation stays inside tokens)
+    import re
+
+    return [w for w in re.split(r"[ \t\n\x0B\f\r]+", (t or "").lower()) if w]
+
+
+def _replay_pmi(docs, min_count):
+    from collections import Counter
+
+    uni, pairs = Counter(), Counter()
+    for _, t in docs:
+        toks = _tokens(t)
+        uni.update(toks)
+        pairs.update(zip(toks, toks[1:]))
+    n_tok, n_big = sum(uni.values()), sum(pairs.values())
+    out = {}
+    for (w1, w2), c in pairs.items():
+        if c >= min_count:
+            nano = _iln(c) - _iln(n_big) - _iln(uni[w1]) - _iln(uni[w2]) \
+                + 2 * _iln(n_tok)
+            out[(w1, w2)] = (c, nano / 1e9)
+    return out
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+class TestPmi:
+    def test_matches_pure_python_replay(self, spark, docs_df):
+        from pdf_extraction_spark.operators.terms import pmi_collocations
+
+        got = {
+            (r.w1, r.w2): (r.n_pair, r.pmi)
+            for r in pmi_collocations(docs_df, min_count=1).collect()
+        }
+        want = _replay_pmi(DOCS, 1)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert got[k][1] == pytest.approx(want[k][1], abs=0)  # bit-equal
+
+    def test_collocation_beats_chance(self, spark, docs_df):
+        from pdf_extraction_spark.operators.terms import pmi_collocations
+
+        got = {
+            (r.w1, r.w2): r.pmi
+            for r in pmi_collocations(docs_df, min_count=1).collect()
+        }
+        # 'new york' (always adjacent: 3 pair occurrences) beats
+        # 'and new' (1 co-occurrence); with count(and) == count(york)
+        # the analytic gap is exactly ln(3/1) ≈ 1.0986
+        assert got[("new", "york")] > 1.0
+        assert got[("new", "york")] == pytest.approx(
+            got[("and", "new")] + math.log(3), abs=1e-6
+        )
+
+    def test_min_count_prunes(self, spark, docs_df):
+        from pdf_extraction_spark.operators.terms import pmi_collocations
+
+        rows = pmi_collocations(docs_df, min_count=3).collect()
+        assert {(r.w1, r.w2) for r in rows} == {("new", "york")}
+
+    def test_twin_parity(self, spark, docs_df):
+        from pdf_extraction_spark.operators.terms import (
+            pmi_collocations,
+            sql_pmi_collocations,
+        )
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+        cols = ["w1", "w2", "n_pair", "pmi"]
+        got = sorted(
+            map(
+                tuple,
+                pmi_collocations(docs_df, min_count=1)
+                .toPandas()[cols]
+                .itertuples(index=False),
+            )
+        )
+        want = sorted(
+            map(tuple, con.execute(sql_pmi_collocations(min_count=1)).fetchall())
+        )
+        assert got == want
+
+
+class TestKeyTerms:
+    def test_tokenless_docs_emit_nothing(self, spark, docs_df):
+        from pdf_extraction_spark.operators.terms import doc_key_terms
+
+        rows = doc_key_terms(docs_df, k=1).collect()
+        # one winner per doc with tokens; empty/NULL docs emit nothing
+        assert {r.doc_id for r in rows} == {0, 1, 2, 3}
+        assert len(rows) == 4
+
+    def test_score_and_tiebreak_match_replay(self, spark, docs_df):
+        from collections import Counter
+
+        from pdf_extraction_spark.operators.terms import doc_key_terms
+
+        tf = {}
+        for i, t in DOCS:
+            for w, c in Counter(_tokens(t)).items():
+                tf[(i, w)] = c
+        df_ = Counter(w for (_, w) in tf)
+        n_docs = len({i for (i, _) in tf})
+        best = {}
+        for (i, w), c in tf.items():
+            nano = c * (_iln(n_docs) - _iln(df_[w]))
+            key = (-nano, w)
+            if i not in best or key < best[i][0]:
+                best[i] = (key, w, c, nano / 1e9)
+        got = {r.doc_id: (r.term, r.tf, r.score)
+               for r in doc_key_terms(docs_df, k=1).collect()}
+        for i, (_, w, c, s) in best.items():
+            assert got[i] == (w, c, pytest.approx(s, abs=0))
+
+    def test_k_bounds_output(self, spark, docs_df):
+        from pdf_extraction_spark.operators.terms import doc_key_terms
+
+        rows = doc_key_terms(docs_df, k=2).collect()
+        from collections import Counter
+
+        per_doc = Counter(r.doc_id for r in rows)
+        assert all(v <= 2 for v in per_doc.values())
+
+    def test_twin_parity(self, spark, docs_df):
+        from pdf_extraction_spark.operators.terms import (
+            doc_key_terms,
+            sql_doc_key_terms,
+        )
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", DOCS)
+        cols = ["doc_id", "term", "tf", "score"]
+        got = sorted(
+            map(
+                tuple,
+                doc_key_terms(docs_df, k=3).toPandas()[cols].itertuples(index=False),
+            )
+        )
+        want = sorted(map(tuple, con.execute(sql_doc_key_terms(k=3)).fetchall()))
+        assert got == want
