@@ -32,10 +32,18 @@ def roster_udf(contents: pd.Series) -> pd.Series:
 def extract_executives(chunks: DataFrame, order_col: str = "url") -> DataFrame:
     """MANAGEMENT turns → executives dim (name, role); later files
     override earlier roles (D2 keep-last)."""
+    # explode_outer + null filter, NOT explode: a bare explode over a
+    # pandas-UDF column pushes a `size(col) > 0` pre-filter under the
+    # generator, which plans the UDF in TWO chained ArrowEvalPython
+    # stages — double evaluation, and the chained Python runners stall
+    # for seconds per task (measured 13→2 s on 3 rows). explode_outer
+    # keeps empty/NULL rosters as one NULL row (filtered right after,
+    # same semantics) and plans exactly ONE Python stage.
     rosters = (
         chunks.filter(F.col("speaker") == "MANAGEMENT")
         .withColumn("roster", roster_udf(F.col("content")))
-        .select(F.col(order_col).alias("__src"), F.explode("roster").alias("e"))
+        .select(F.col(order_col).alias("__src"), F.explode_outer("roster").alias("e"))
+        .filter(F.col("e").isNotNull())
         .select("__src", F.col("e.name").alias("executive"), F.col("e.role").alias("role"))
     )
     w = Window.partitionBy("executive").orderBy(F.desc("__src"))

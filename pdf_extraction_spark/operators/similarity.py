@@ -308,9 +308,17 @@ def brute_force_topk_batch(
         # rows score in ONE matmul per batch
         return pd.Series(apply_masked(vecs.tolist(), q_dim, kern))
 
+    # explode_outer + null filter, NOT explode: a bare explode over the
+    # UDF column pushes a `size > 0` pre-filter under the generator and
+    # plans sims_udf in TWO chained ArrowEvalPython stages — the O(N·Q)
+    # scoring matmul would run TWICE at scale (and chained Python
+    # runners stall per task). explode_outer keeps the wrong-dim NULL
+    # rows as one NULL element each (filtered right after) and plans
+    # exactly ONE Python stage.
     scored = (
         emb.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), F.explode(sims_udf(F.col(vec_col))).alias("qs"))
+        .select(F.col(id_col), F.explode_outer(sims_udf(F.col(vec_col))).alias("qs"))
+        .filter(F.col("qs").isNotNull())
         .select(id_col, F.col("qs.q_id").alias("q_id"), F.col("qs.sim").alias("similarity"))
     )
     neg_inf = F.lit(float("-inf"))
