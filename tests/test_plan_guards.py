@@ -82,8 +82,20 @@ def test_topk_batch_is_bounded_tree_not_window(spark):
 
     p = _plan(e.queries()["topk_batch"](spark, SF))
     assert "Window" not in p, "topk_batch plans a global window rank"
-    # the scoring UDF is the only Python stage; ranking is native aggs
-    assert p.count("ArrowEvalPython") <= 1
+    # the scoring UDF is the only Python stage AND runs exactly once —
+    # a bare explode over the UDF column would duplicate it into two
+    # chained ArrowEvalPython stages via the generator's pushed
+    # size>0 pre-filter (the explode_outer fix)
+    assert p.count("ArrowEvalPython") == 1
+
+
+def test_roster_extract_single_python_stage(spark):
+    """extract_executives must plan its roster UDF exactly once (the
+    explode_outer fix — see test_topk_batch comment)."""
+    import __spark_entry__ as e
+
+    p = _plan(e.queries()["roster_extract"](spark, SF))
+    assert p.count("ArrowEvalPython") == 1
 
 
 def test_executive_join_is_broadcast(spark):
