@@ -99,6 +99,49 @@ _LINKS_AUG = (
     " || '</body></html>'"
 )
 
+# Snapshot fixture (url-history expansion for snapshot_delta): each doc
+# becomes 1 + doc_id%5 snapshots of the SAME url at hourly spacing.
+# Text mutation is engine-identical SQL: even doc_ids change EVERY
+# snapshot (rate 1.0 → hot), odd multiples of 7 change once at j=3
+# (rate 1/(k-1) → hot at k=3, warm at k=4..5), other multi-snapshot
+# docs never change (cold), single-snapshot docs read 'new' — all four
+# recrawl buckets fire at sf0.01.
+_SNAP_TS = "1700000000 + (doc_id % 86400) + j * 3600"
+_SNAP_TEXT = (
+    "text || CASE WHEN doc_id % 2 = 0 THEN ' [rev ' || j || ']' "
+    "WHEN doc_id % 7 = 0 AND j >= 3 THEN ' [amended]' ELSE '' END"
+)
+
+# Frontier fixture: 23 synthetic hosts plus a NULL-host politeness
+# bucket (doc_id % 31); priority = n_chars % 97 so ties are plentiful
+# and the (priority DESC, url ASC) tie-break is actually exercised.
+_FRONTIER_HOST = (
+    "CASE WHEN doc_id % 31 = 0 THEN NULL ELSE 'h' || (doc_id % 23) END"
+)
+
+# robots.txt fixture: one synthetic file per host (from DISTINCT
+# source), engine-identical SQL. Exercises: comments, mixed-case keys
+# (User-Agent / DISALLOW / allow), tab after colon, unknown directives
+# (Crawl-delay, Sitemap) dropped, a blank separator line, and — on the
+# 5-char hosts (src10..src19) — a second group with STACKED agents
+# (MyBot + helper share rules). '*' group blocks /p/1 (prefix: /p/1,
+# /p/10..19, /p/100.. all match) but allows /p/12 back; the MyBot
+# group blocks everything under /p/ except the /p/7 prefix.
+_ROBOTS_HOST = "source || '.example'"
+_ROBOTS_TXT = (
+    "'# robots for ' || source || chr(10)"
+    " || 'User-Agent: *' || chr(10)"
+    " || 'Disallow: /p/1   # trailing comment' || chr(10)"
+    " || 'Allow:' || chr(9) || '/p/12' || chr(10)"
+    " || 'Crawl-delay: 10' || chr(10)"
+    " || '' || chr(10)"
+    " || CASE WHEN length(source) > 4 THEN"
+    " 'User-agent: MyBot' || chr(10) || 'User-agent: helper' || chr(10)"
+    " || 'DISALLOW: /p/' || chr(10) || 'allow: /p/7' || chr(10)"
+    " ELSE '' END"
+    " || 'Sitemap: https://' || source || '.example/sitemap.xml'"
+)
+
 # Host-boilerplate fixture: per-host template lines (copyright + nav) on
 # every doc of the host → stripped at min_docs=3; 'Annual report notice'
 # appears on ~1 doc per host (doc_id % 25 == 0 → 20 docs over 20 hosts)
@@ -1579,6 +1622,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("w.n_chars").alias("n_chars"),
         )
 
+    # -- HITS hubs & authorities (round-4 continuation) ----------------------
+    def q_host_hits(spark, sf):
+        """HITS (Kleinberg 1999) over the same deterministic host graph
+        as host_pagerank — hub and authority scores via the mutual
+        fixed-point recursion, with the L2 norm replaced by an exact
+        int64 ceil-divisor rescale so every half-step is associative
+        integer sums and the result is bit-identical across engines
+        and partitionings."""
+        from pdf_extraction_spark.operators.components import hits
+
+        docs = _docs(spark, sf)
+        edges = docs.select(
+            F.col("source").alias("src"),
+            F.concat(
+                F.lit("src"),
+                ((F.col("doc_id") * F.col("doc_id") * 5 + F.col("doc_id")) % 29).cast(
+                    "string"
+                ),
+            ).alias("dst"),
+        )
+        return hits(edges, n_iter=5)
+
+    # -- Flesch readability (round-4 continuation) ---------------------------
+    def q_readability(spark, sf):
+        """Flesch reading-ease + Flesch-Kincaid grade over the shared
+        whitespace tokenizer with the vowel-run syllable approximation
+        — two vectorized JVM regexp scans + one array filter, zero
+        exchanges, zero Python; both scores fixed-point int64 at 10^-6
+        before the only float division."""
+        from pdf_extraction_spark.operators.textanalysis import with_readability
+
+        return with_readability(_docs(spark, sf)).select(
+            "doc_id", "rd_words", "rd_sents", "rd_syllables", "flesch", "fk_grade"
+        )
+
+    # -- snapshot change tracking → recrawl priority (round-4 cont.) ---------
+    def q_snapshot_delta(spark, sf):
+        """Per-url content-change statistics over a deterministic
+        multi-snapshot expansion of the documents table (1 + doc_id%5
+        snapshots per url, engine-identical text mutation): NULL-safe
+        lag compare inside a url-keyed window whose partition is the
+        per-url snapshot count (bounded by crawl cadence), then one
+        map-side-combinable aggregate; change rate and recrawl buckets
+        stay in exact integer arithmetic."""
+        from pdf_extraction_spark.operators.crawl import snapshot_changes
+
+        docs = _docs(spark, sf)
+        snaps = docs.select(
+            F.expr(_LINKS_URL).alias("url"),
+            F.col("doc_id"),
+            F.col("text"),
+            F.explode(F.expr("sequence(1, 1 + CAST(doc_id % 5 AS INT))")).alias("j"),
+        ).select(
+            "url",
+            F.expr(_SNAP_TS).cast("long").alias("ts"),
+            F.expr(_SNAP_TEXT).alias("text"),
+        )
+        return snapshot_changes(snaps, ts_col="ts")
+
+    # -- politeness-interleaved frontier schedule (round-4 cont.) ------------
+    def q_frontier(spark, sf):
+        """Crawl-frontier wave assignment: within each host, candidates
+        rank by (priority DESC, url ASC); wave k holds every host's
+        k-th url, so executing waves in order fetches at most one url
+        per host per wave. One host-keyed window (compose after
+        host_cap when per-host counts are unbounded); NULL hosts form
+        one shared politeness bucket in both engines."""
+        from pdf_extraction_spark.operators.crawl import frontier_schedule
+
+        docs = _docs(spark, sf)
+        cands = docs.select(
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_FRONTIER_HOST).alias("host"),
+            F.expr("CAST(n_chars % 97 AS BIGINT)").alias("priority"),
+        )
+        return frontier_schedule(cands)
+
+    # -- robots.txt parse + URL admission (round-4 continuation) -------------
+    def _robots_hosts(spark, sf):
+        docs = _docs(spark, sf)
+        return docs.select("source").distinct().select(
+            F.expr(_ROBOTS_HOST).alias("host"),
+            F.expr(_ROBOTS_TXT).alias("robots_txt"),
+        )
+
+    def q_robots_rules(spark, sf):
+        """RFC 9309 robots.txt group parser over one synthetic file per
+        host: comment strip, first-colon key/value split, case-folded
+        keys and agent names, running-sum group attribution (stacked
+        User-agent lines share a group), agent × rule expansion. Fully
+        native — the only window is per-host over the file's own lines
+        (KB-bounded)."""
+        from pdf_extraction_spark.operators.robotstxt import parse_robots
+
+        return parse_robots(_robots_hosts(spark, sf))
+
+    def q_robots_allow(spark, sf):
+        """End-to-end REP admission gate: parse every host's
+        robots.txt, select MyBot's agent group (falling back to '*'
+        on hosts that don't declare one), then admit each candidate
+        url by longest-matching path prefix with Allow winning length
+        ties; urls with no matching rule default to allowed. One
+        host-keyed join; rule side is file-size-bounded per host."""
+        from pdf_extraction_spark.operators.robotstxt import (
+            parse_robots,
+            robots_allowed,
+        )
+
+        docs = _docs(spark, sf)
+        rules = parse_robots(_robots_hosts(spark, sf))
+        urls = docs.select(
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_ROBOTS_HOST).alias("host"),
+        )
+        return robots_allowed(urls, rules, agent="MyBot")
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -1697,6 +1856,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "recency_weights": q_recency,
         "weighted_rerank": q_weighted_rerank,
+        # ---- round-4 continuation additions (strict-local oracles; the
+        # 50-query driver window is already full of first-evidence rows) ----
+        "host_hits": q_host_hits,
+        "readability": q_readability,
+        "snapshot_delta": q_snapshot_delta,
+        "frontier_sched": q_frontier,
+        "robots_rules": q_robots_rules,
+        "robots_allow": q_robots_allow,
     }
 
 
@@ -1741,9 +1908,19 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.categorize import sql_categories
     from pdf_extraction_spark.operators.components import (
         sql_dedup_clusters,
+        sql_hits,
         sql_pagerank,
         sql_trustrank,
     )
+    from pdf_extraction_spark.operators.crawl import (
+        sql_frontier_schedule,
+        sql_snapshot_changes,
+    )
+    from pdf_extraction_spark.operators.robotstxt import (
+        sql_parse_robots,
+        sql_robots_allowed,
+    )
+    from pdf_extraction_spark.operators.textanalysis import sql_readability
     from pdf_extraction_spark.operators.bpe import sql_bpe_encode, sql_bpe_merges
     from pdf_extraction_spark.operators.sketches import (
         sql_bloom_dedup_flags,
@@ -2467,6 +2644,40 @@ def oracle_sql() -> dict[str, str]:
         "media_features": (
             "SELECT media_id, n_bytes, mean_intensity FROM "
             + _fixture("media_features.parquet")
+        ),
+        # ---- round-4 continuation additions ----
+        "host_hits": sql_hits(
+            "SELECT source AS src, 'src' || CAST((doc_id * doc_id * 5 + doc_id) % 29 "
+            "AS VARCHAR) AS dst FROM documents",
+            n_iter=5,
+        ),
+        "readability": sql_readability(),
+        "snapshot_delta": sql_snapshot_changes(
+            "SELECT " + _LINKS_URL + " AS url, "
+            "CAST(" + _SNAP_TS + " AS BIGINT) AS ts, "
+            + _SNAP_TEXT + " AS text "
+            "FROM documents, (SELECT unnest(range(1, 6)) AS j) r "
+            "WHERE j <= 1 + doc_id % 5"
+        ),
+        "frontier_sched": sql_frontier_schedule(
+            "SELECT " + _LINKS_URL + " AS url, "
+            + _FRONTIER_HOST + " AS host, "
+            "CAST(n_chars % 97 AS BIGINT) AS priority FROM documents"
+        ),
+        "robots_rules": sql_parse_robots(
+            "SELECT " + _ROBOTS_HOST + " AS host, "
+            + _ROBOTS_TXT + " AS robots_txt "
+            "FROM (SELECT DISTINCT source FROM documents) s"
+        ),
+        "robots_allow": sql_robots_allowed(
+            "SELECT " + _LINKS_URL + " AS url, "
+            + _ROBOTS_HOST + " AS host FROM documents",
+            sql_parse_robots(
+                "SELECT " + _ROBOTS_HOST + " AS host, "
+                + _ROBOTS_TXT + " AS robots_txt "
+                "FROM (SELECT DISTINCT source FROM documents) s"
+            ),
+            agent="MyBot",
         ),
     }
     return sql

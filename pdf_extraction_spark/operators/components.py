@@ -388,3 +388,201 @@ def sql_trustrank(
         + f" SELECT node, CAST((r + {q // 2}) // {q} AS DOUBLE) / 1e6 "
         f"AS rank FROM r{n_iter}"
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS (Kleinberg 1999) — hubs & authorities over the host link graph
+# ---------------------------------------------------------------------------
+#
+# The query-independent companion to PageRank: a node is a good
+# AUTHORITY when good hubs link to it, and a good HUB when it links to
+# good authorities — the mutual recursion crawl pipelines use to
+# separate directory/portal hosts (hubs) from content hosts
+# (authorities), where a single PageRank score conflates the two.
+#
+# Same exact-int64 device as :func:`pagerank`: scores are fixed-point
+# integers, every per-node update is a plain map-side-combinable SUM
+# (exact, associative → bit-identical across engines, partitionings and
+# cluster sizes), and the published L2 normalization is replaced by a
+# deterministic L1-style rescale that stays in the integer domain:
+#
+#   D = max(1, ceil(total / scale));  x' = x div D
+#
+# so after every half-step the score mass is ~``scale`` and each score
+# sits in [0, scale] — the ranking HITS produces is invariant to the
+# norm chosen (normalization only keeps the iteration from over/under-
+# flowing), and the integer rescale makes the RESULT reproducible where
+# a float L2 norm would drift with summation order. Documented
+# deviation from the paper's L2 norm; same spirit as the integer
+# damping in :func:`pagerank`.
+#
+# Scale shape per iteration: one src-keyed join + dst-keyed sum
+# (authority half-step), one dst-keyed join + src-keyed sum (hub
+# half-step), plus two 1-row scalar totals broadcast back. Both
+# half-step frames are localCheckpoint()ed — each is read twice (total
+# + rescale) and feeds the next round, so the logical plan would
+# otherwise double per round. Overflow bound: per-edge contribution
+# ≤ scale, so a half-step total fits int64 up to ~9·10^18/scale edges
+# (~9·10^9 edges at the default scale); raise/lower ``scale`` to trade
+# quantum precision against edge-count headroom.
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 5,
+    scale: int = 10**9,
+    src: str = "src",
+    dst: str = "dst",
+    cache: bool = True,
+) -> DataFrame:
+    """(node, hub, authority): ``n_iter`` HITS rounds over the DISTINCT
+    (src, dst) edge set (parallel edges collapse; self-loops and NULL
+    endpoints dropped — same hygiene as :func:`pagerank`). Scores are
+    L1-rescaled to ~``scale`` total per half-step in exact integer
+    arithmetic, then half-up-rounded to 6 decimals IN THE INTEGER
+    DOMAIN before the only float division, so no engine float-rounding
+    rule ever runs. Hub-less sinks read authority from their in-links
+    and hub 0; source-less nodes the reverse; the empty graph returns
+    zero rows."""
+    if scale % 10**6 != 0:
+        raise ValueError("scale must be a multiple of 10^6")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if cache:
+        e = e.persist()
+        nodes = nodes.persist()
+    h = nodes.select("node", F.lit(scale).alias("s"))
+    a = None
+    for _ in range(n_iter):
+        # authority half-step: pull hub mass along in-edges
+        a_raw = (
+            e.join(h, e["src"] == h["node"])
+            .groupBy("dst")
+            .agg(F.sum("s").alias("raw"))
+        )
+        a_raw = a_raw.localCheckpoint()  # read twice: total + rescale
+        a_tot = a_raw.agg(F.coalesce(F.sum("raw"), F.lit(0)).alias("tot"))
+        a = (
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .crossJoin(F.broadcast(a_tot))
+            .select(
+                "node",
+                F.expr(
+                    "coalesce(raw, 0L) div "
+                    f"greatest((tot + {scale - 1}L) div {scale}L, 1L)"
+                ).alias("s"),
+            )
+        )
+        a = a.localCheckpoint()
+        # hub half-step: pull authority mass along out-edges
+        h_raw = (
+            e.join(a, e["dst"] == a["node"])
+            .groupBy("src")
+            .agg(F.sum("s").alias("raw"))
+        )
+        h_raw = h_raw.localCheckpoint()
+        h_tot = h_raw.agg(F.coalesce(F.sum("raw"), F.lit(0)).alias("tot"))
+        h = (
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            .crossJoin(F.broadcast(h_tot))
+            .select(
+                "node",
+                F.expr(
+                    "coalesce(raw, 0L) div "
+                    f"greatest((tot + {scale - 1}L) div {scale}L, 1L)"
+                ).alias("s"),
+            )
+        )
+        h = h.localCheckpoint()
+    q = scale // 10**6
+    out = (
+        h.select("node", F.col("s").alias("hs"))
+        .join(a.select("node", F.col("s").alias("as_")), "node")
+        .select(
+            "node",
+            (F.expr(f"(hs + {q // 2}L) div {q}L").cast("double") / F.lit(1e6)).alias(
+                "hub"
+            ),
+            (F.expr(f"(as_ + {q // 2}L) div {q}L").cast("double") / F.lit(1e6)).alias(
+                "authority"
+            ),
+        )
+    )
+    if cache:
+        e.unpersist()
+        nodes.unpersist()
+    return out
+
+
+def sql_hits(
+    edges_select: str,
+    n_iter: int = 5,
+    scale: int = 10**9,
+) -> str:
+    """DuckDB twin of :func:`hits`: the identical integer mutual
+    recursion unrolled two CTEs per round (authority half-step, hub
+    half-step), with the same ceil-divisor L1 rescale — every quantity
+    is non-negative so DuckDB's floor ``//`` and Spark's ``div`` agree
+    term for term. Every per-round CTE is MATERIALIZED: each is
+    referenced 2-3 times (total + rescale + next half-step), and
+    DuckDB's default CTE inlining would otherwise replicate the chain
+    ~6× per round (exponential planning past n_iter≈3) — the exact
+    analogue of the Column side's localCheckpoint-per-round."""
+    if scale % 10**6 != 0:
+        raise ValueError("scale must be a multiple of 10^6")
+    q = scale // 10**6
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_select}) "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
+        "nodes AS MATERIALIZED "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"h0 AS MATERIALIZED (SELECT node, {scale} AS s FROM nodes)",
+    ]
+    for i in range(n_iter):
+        hp, ap, hn = f"h{i}", f"a{i + 1}", f"h{i + 1}"
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS node, sum({hp}.s) AS raw "
+            f"FROM e JOIN {hp} ON e.src = {hp}.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"at{i} AS MATERIALIZED "
+            f"(SELECT coalesce(sum(raw), 0) AS tot FROM ar{i})"
+        )
+        parts.append(
+            f"{ap} AS MATERIALIZED (SELECT nodes.node, coalesce(ar{i}.raw, 0) // "
+            f"greatest(((SELECT tot FROM at{i}) + {scale - 1}) // {scale}, 1) "
+            f"AS s FROM nodes LEFT JOIN ar{i} ON nodes.node = ar{i}.node)"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS node, sum({ap}.s) AS raw "
+            f"FROM e JOIN {ap} ON e.dst = {ap}.node GROUP BY e.src)"
+        )
+        parts.append(
+            f"ht{i} AS MATERIALIZED "
+            f"(SELECT coalesce(sum(raw), 0) AS tot FROM hr{i})"
+        )
+        parts.append(
+            f"{hn} AS MATERIALIZED (SELECT nodes.node, coalesce(hr{i}.raw, 0) // "
+            f"greatest(((SELECT tot FROM ht{i}) + {scale - 1}) // {scale}, 1) "
+            f"AS s FROM nodes LEFT JOIN hr{i} ON nodes.node = hr{i}.node)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT h{n_iter}.node, "
+        f"CAST((h{n_iter}.s + {q // 2}) // {q} AS DOUBLE) / 1e6 AS hub, "
+        f"CAST((a{n_iter}.s + {q // 2}) // {q} AS DOUBLE) / 1e6 AS authority "
+        f"FROM h{n_iter} JOIN a{n_iter} ON h{n_iter}.node = a{n_iter}.node"
+    )

@@ -423,3 +423,108 @@ def sql_script_profile(rel: str = "documents", text_expr: str = "text") -> str:
     )
     cols.append(f"(20 * ({ns} - {mx})) > {ns} AS mixed_script")
     return f"SELECT doc_id, {', '.join(cols)} FROM {rel}"
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch 1948 / Kincaid 1975) — fixed-point, fully native
+# ---------------------------------------------------------------------------
+#
+# The classic reading-ease / grade-level pair over the shared
+# whitespace tokenizer (curation._lower_words), with the standard
+# dictionary-free syllable approximation: a word's syllable count is
+# its number of [aeiouy]+ vowel runs, floored at 1. Because the
+# tokenizer splits on whitespace and a vowel run can never cross a
+# whitespace character, the per-doc syllable total decomposes into ONE
+# vectorized JVM regexp scan over the lowered text (total vowel runs)
+# plus the count of vowelless tokens — no per-word regexp loop in the
+# hot path.
+#
+# Both scores are computed in exact int64 fixed point at 10^-6
+# precision: each rational term (words/sentence, syllables/word) is
+# half-up rounded to 6 decimals by integer cross-multiplication BEFORE
+# any float exists, so Spark and DuckDB produce bit-identical doubles
+# regardless of their float-rounding conventions. Scores are clamped
+# at 0 (the published formulas go negative on degenerate text, and
+# engines disagree on floor-vs-truncate for negative integer division
+# — clamping in the integer domain keeps every division non-negative
+# where the two engines agree). Zero-word docs score NULL.
+#
+# Scale shape: pure narrow projection — two regexp scans + one array
+# filter per row, zero exchanges, zero Python.
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``rd_words``, ``rd_sents``, ``rd_syllables``, ``flesch``
+    (reading ease, clamped ≥ 0) and ``fk_grade`` (Flesch-Kincaid grade
+    level, clamped ≥ 0) — all from the shared whitespace tokenizer and
+    the vowel-run syllable approximation. NULL text counts as empty;
+    zero-word docs get NULL scores; sentence count floors at 1 so a
+    terminal-punctuation-free doc is one long sentence."""
+    from .curation import _lower_words
+
+    tx = F.coalesce(F.col(text_col), F.lit(""))
+    words = _lower_words(tx)
+    n_words = F.size(words).cast("long")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(tx, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    ).cast("long")
+    runs = F.size(F.regexp_extract_all(F.lower(tx), F.lit("[aeiouy]+"), F.lit(0)))
+    vowelless = F.size(F.filter(words, lambda w: ~w.rlike("[aeiouy]")))
+    n_syll = (runs + vowelless).cast("long")
+    out = (
+        df.withColumn("rd_words", n_words)
+        .withColumn("rd_sents", n_sents)
+        .withColumn("rd_syllables", n_syll)
+    )
+    wps6 = "(1015000L * rd_words + rd_sents div 2L) div rd_sents"
+    spw6 = "(84600000L * rd_syllables + rd_words div 2L) div rd_words"
+    g6 = "(390000L * rd_words + rd_sents div 2L) div rd_sents"
+    g2_6 = "(11800000L * rd_syllables + rd_words div 2L) div rd_words"
+    return out.withColumn(
+        "flesch",
+        F.expr(
+            "CASE WHEN rd_words > 0 THEN "
+            f"CAST(greatest(0L, 206835000L - ({wps6}) - ({spw6})) AS DOUBLE) / 1e6 "
+            "END"
+        ),
+    ).withColumn(
+        "fk_grade",
+        F.expr(
+            "CASE WHEN rd_words > 0 THEN "
+            f"CAST(greatest(0L, ({g6}) + ({g2_6}) - 15590000L) AS DOUBLE) / 1e6 "
+            "END"
+        ),
+    )
+
+
+def sql_readability(
+    rel: str = "documents", id_expr: str = "doc_id", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of :func:`with_readability` — same tokenizer
+    fragment, same vowel-run + vowelless-token syllable identity, same
+    int64 fixed-point terms (all operands non-negative, so DuckDB's
+    floor ``//`` equals Spark's ``div``)."""
+    from .curation import _sql_lower_words
+
+    w = _sql_lower_words(f"coalesce({text_expr}, '')")
+    tx = f"coalesce({text_expr}, '')"
+    wps6 = "(1015000 * rd_words + rd_sents // 2) // rd_sents"
+    spw6 = "(84600000 * rd_syllables + rd_words // 2) // rd_words"
+    g6 = "(390000 * rd_words + rd_sents // 2) // rd_sents"
+    g2_6 = "(11800000 * rd_syllables + rd_words // 2) // rd_words"
+    return (
+        f"WITH b AS (SELECT {id_expr} AS doc_id, "
+        f"CAST(len({w}) AS BIGINT) AS rd_words, "
+        f"CAST(greatest(len(regexp_extract_all({tx}, '[.!?]+')), 1) AS BIGINT) "
+        "AS rd_sents, "
+        f"CAST(len(regexp_extract_all(lower({tx}), '[aeiouy]+')) "
+        f"+ len(list_filter({w}, x -> NOT regexp_matches(x, '[aeiouy]'))) "
+        f"AS BIGINT) AS rd_syllables FROM {rel}) "
+        "SELECT doc_id, rd_words, rd_sents, rd_syllables, "
+        "CASE WHEN rd_words > 0 THEN "
+        f"CAST(greatest(0, 206835000 - ({wps6}) - ({spw6})) AS DOUBLE) / 1e6 "
+        "END AS flesch, "
+        "CASE WHEN rd_words > 0 THEN "
+        f"CAST(greatest(0, ({g6}) + ({g2_6}) - 15590000) AS DOUBLE) / 1e6 "
+        "END AS fk_grade FROM b"
+    )

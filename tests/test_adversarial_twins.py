@@ -82,7 +82,8 @@ QUERIES = [
     "host_pagerank", "host_trustrank", "winnow_fp", "script_profile", "html_meta", "phrase_search", "bpe_merges", "bpe_encode", "hll_words", "cms_topwords",
     "bloom_dedup", "unigram_entropy", "host_quality", "html_outlinks",
     "host_boilerplate", "robots_gate", "outlink_pagerank", "anchor_terms",
-    "pmi_colloc", "doc_keyterms",
+    "pmi_colloc", "doc_keyterms", "host_hits", "readability",
+    "snapshot_delta", "frontier_sched", "robots_rules", "robots_allow",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

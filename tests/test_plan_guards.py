@@ -41,7 +41,8 @@ NATIVE_QUERIES = [
     "bpe_merges", "bpe_encode", "hll_words", "cms_topwords", "bloom_dedup",
     "unigram_entropy", "host_quality", "html_outlinks", "host_boilerplate",
     "robots_gate", "outlink_pagerank", "anchor_terms", "pmi_colloc",
-    "doc_keyterms",
+    "doc_keyterms", "host_hits", "readability", "snapshot_delta",
+    "frontier_sched", "robots_rules", "robots_allow",
 ]
 
 
