@@ -142,6 +142,25 @@ _ROBOTS_TXT = (
     " || 'Sitemap: https://' || source || '.example/sitemap.xml'"
 )
 
+# sitemap fixture: one synthetic sitemap.xml per host. Entry 1 is
+# minimal (loc only); entry 2 pads <loc> with whitespace/newlines (the
+# edge-trim rule) and carries lastmod; entry 3 carries changefreq +
+# priority (0.N from the source ordinal — TRY_CAST/cast both parse);
+# on 5-char hosts a fourth, loc-LESS entry must be dropped.
+_SITEMAP_XML = (
+    "'<?xml version=\"1.0\"?><urlset>'"
+    " || '<url><loc>https://' || source || '.example/p/1</loc></url>'"
+    " || '<url><loc>' || chr(10) || '  https://' || source"
+    " || '.example/p/2 ' || chr(10) || '</loc>'"
+    " || '<lastmod>2024-0' || (1 + length(source) % 9) || '-15</lastmod></url>'"
+    " || '<url><loc>https://' || source || '.example/p/3</loc>'"
+    " || '<changefreq>daily</changefreq>'"
+    " || '<priority>0.' || (length(source) % 10) || '</priority></url>'"
+    " || CASE WHEN length(source) > 4 THEN"
+    " '<url><lastmod>2024-01-01</lastmod></url>' ELSE '' END"
+    " || '</urlset>'"
+)
+
 # Host-boilerplate fixture: per-host template lines (copyright + nav) on
 # every doc of the host → stripped at min_docs=3; 'Annual report notice'
 # appears on ~1 doc per host (doc_id % 25 == 0 → 20 docs over 20 hosts)
@@ -1738,6 +1757,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return robots_allowed(urls, rules, agent="MyBot")
 
+    # -- shingle containment (round-4 continuation) --------------------------
+    def q_containment(spark, sf):
+        """Directed n-gram containment pairs — the asymmetric
+        complement of ngram_jaccard (a quote or excerpt is CONTAINED
+        in its host even when symmetric Jaccard is tiny). Same
+        inverted-index shape (xxhash64 key, broadcast hot-shingle
+        anti-prune, 128-bit intersection hardening); the gate and the
+        reported value are integer-domain."""
+        from pdf_extraction_spark.operators.dedup import containment_pairs
+
+        return containment_pairs(
+            _docs(spark, sf), n=3, threshold_pct=50, max_shingle_freq=100000
+        )
+
+    # -- sitemap.xml parse (round-4 continuation) -----------------------------
+    def q_sitemap(spark, sf):
+        """sitemaps.org XML parser over one synthetic sitemap per host:
+        block scan + per-entry field extracts (loc edge-trimmed,
+        loc-less entries dropped, priority cast NULL-on-unparsable).
+        Fully native, one explode, zero joins."""
+        from pdf_extraction_spark.operators.crawl import parse_sitemap
+
+        docs = _docs(spark, sf)
+        maps = docs.select("source").distinct().select(
+            F.expr(_ROBOTS_HOST).alias("host"),
+            F.expr(_SITEMAP_XML).alias("sitemap_xml"),
+        )
+        return parse_sitemap(maps)
+
+    # -- composed crawl plan: robots gate → frontier waves (round-4 cont.) ---
+    def q_crawl_plan(spark, sf):
+        """The integrated fetch schedule: candidates pass the robots
+        admission gate (MyBot, longest-prefix match) and the survivors
+        get politeness waves per host — the composition a production
+        frontier actually runs. Two host-keyed shuffles end to end
+        (rules join, wave window); the rule side is file-size-bounded
+        per host."""
+        from pdf_extraction_spark.operators.crawl import frontier_schedule
+        from pdf_extraction_spark.operators.robotstxt import (
+            parse_robots,
+            robots_allowed,
+        )
+
+        docs = _docs(spark, sf)
+        rules = parse_robots(_robots_hosts(spark, sf))
+        urls = docs.select(
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_ROBOTS_HOST).alias("host"),
+            F.expr("CAST(n_chars % 97 AS BIGINT)").alias("priority"),
+        )
+        admitted = (
+            robots_allowed(urls, rules, agent="MyBot")
+            .filter(F.col("allowed"))
+            .select("url")
+        )
+        return frontier_schedule(urls.join(admitted, "url"))
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -1864,6 +1940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_sched": q_frontier,
         "robots_rules": q_robots_rules,
         "robots_allow": q_robots_allow,
+        "containment": q_containment,
+        "sitemap_parse": q_sitemap,
+        "crawl_plan": q_crawl_plan,
     }
 
 
@@ -1914,8 +1993,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from pdf_extraction_spark.operators.crawl import (
         sql_frontier_schedule,
+        sql_parse_sitemap,
         sql_snapshot_changes,
     )
+    from pdf_extraction_spark.operators.dedup import sql_containment_pairs
     from pdf_extraction_spark.operators.robotstxt import (
         sql_parse_robots,
         sql_robots_allowed,
@@ -2678,6 +2759,30 @@ def oracle_sql() -> dict[str, str]:
                 "FROM (SELECT DISTINCT source FROM documents) s"
             ),
             agent="MyBot",
+        ),
+        "containment": sql_containment_pairs(threshold_pct=50),
+        "sitemap_parse": sql_parse_sitemap(
+            "SELECT " + _ROBOTS_HOST + " AS host, "
+            + _SITEMAP_XML + " AS sitemap_xml "
+            "FROM (SELECT DISTINCT source FROM documents) s"
+        ),
+        "crawl_plan": sql_frontier_schedule(
+            "SELECT u.url, u.host, u.priority FROM "
+            "(SELECT " + _LINKS_URL + " AS url, "
+            + _ROBOTS_HOST + " AS host, "
+            "CAST(n_chars % 97 AS BIGINT) AS priority FROM documents) u "
+            "JOIN ("
+            + sql_robots_allowed(
+                "SELECT " + _LINKS_URL + " AS url, "
+                + _ROBOTS_HOST + " AS host FROM documents",
+                sql_parse_robots(
+                    "SELECT " + _ROBOTS_HOST + " AS host, "
+                    + _ROBOTS_TXT + " AS robots_txt "
+                    "FROM (SELECT DISTINCT source FROM documents) s"
+                ),
+                agent="MyBot",
+            )
+            + ") adm ON u.url = adm.url WHERE adm.allowed"
         ),
     }
     return sql

@@ -218,6 +218,138 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+# --- word n-gram containment (asymmetric near-dup / quote detection) --------
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_pct: int = 50,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """(src_id, dst_id, containment): DIRECTED shingle containment —
+    the fraction of src's word-n-grams that also appear in dst,
+    |S_src ∩ S_dst| / |S_src|. This is the asymmetric complement of
+    :func:`ngram_jaccard_pairs`: a quote, syndicated excerpt, or
+    superseded revision is CONTAINED in its host/expansion even when
+    the symmetric Jaccard is tiny (a paragraph inside a book), so
+    Jaccard-keyed dedup never pairs them. Emits both directions of a
+    candidate pair independently, each judged against its own source
+    size.
+
+    ``threshold_pct`` is an integer percentage and the gate is an
+    integer cross-multiplication (100·n_common ≥ pct·|S_src|); the
+    reported containment is half-up fixed-point at 10^-6 — no float
+    convention in either the filter or the value. Same inverted-index
+    scale shape as Jaccard (xxhash64 shuffle key, broadcast anti-prune
+    of hot shingles, second-hash collision hardening) with one
+    REMOVED prefilter: containment has no length-ratio bound (small ⊂
+    large is exactly the signal), so the hot-shingle cap is the
+    load-bearing candidate bound — size the cap, not the ratio, when
+    tuning at scale."""
+    sh = (
+        shingle_df(df, text_col, id_col, n)
+        .withColumn("sh_key", F.xxhash64(F.col("shingle")))
+        .withColumn("sh_key2", F.xxhash64(F.col("shingle"), F.lit(1)))
+        .drop("shingle")
+    )
+    hot = (
+        sh.groupBy("sh_key")
+        .agg(F.count("*").alias("df_freq"))
+        .filter(F.col("df_freq") > max_shingle_freq)
+        .select("sh_key")
+    )
+    sh_pruned = sh.join(F.broadcast(hot), "sh_key", "left_anti")
+    sizes = sh_pruned.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    sh_sized = sh_pruned.join(sizes, "doc_id")
+    a = sh_sized.select(
+        F.col("doc_id").alias("id_a"), "sh_key",
+        F.col("sh_key2").alias("sh_key2_a"), F.col("set_size").alias("size_a"),
+    )
+    b = sh_sized.select(
+        F.col("doc_id").alias("id_b"), "sh_key",
+        F.col("sh_key2").alias("sh_key2_b"), F.col("set_size").alias("size_b"),
+    )
+    inter = (
+        a.join(b, "sh_key")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sh_key2_a") == F.col("sh_key2_b"))
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    both = inter.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src_id"),
+                    F.col("id_b").alias("dst_id"),
+                    F.col("size_a").alias("size_src"),
+                    F.col("n_common").alias("n_common"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src_id"),
+                    F.col("id_a").alias("dst_id"),
+                    F.col("size_b").alias("size_src"),
+                    F.col("n_common").alias("n_common"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    return both.filter(
+        F.lit(100) * F.col("n_common") >= F.lit(threshold_pct) * F.col("size_src")
+    ).select(
+        "src_id",
+        "dst_id",
+        F.expr(
+            "CAST((1000000L * n_common + size_src div 2L) div size_src "
+            "AS DOUBLE) / 1e6"
+        ).alias("containment"),
+    )
+
+
+def sql_containment_pairs(
+    rel: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    n: int = 3,
+    threshold_pct: int = 50,
+) -> str:
+    """DuckDB twin of :func:`containment_pairs` (no hot prune — pick
+    ``max_shingle_freq`` above the fixture's max shingle frequency so
+    the prune is a no-op at oracle scale, exactly as the Jaccard twin
+    does): same shingle rule as shingle_df via the shared gram CTE
+    shape, exact string intersection, integer gate, fixed-point
+    value."""
+    from .curation import WORD_SPLIT_RE
+
+    return (
+        f"WITH toks AS (SELECT {id_expr} AS doc_id, "
+        f"list_filter(string_split_regex(lower({text_expr}), '{WORD_SPLIT_RE}'), "
+        "x -> x <> '') AS w FROM " + rel + "), "
+        f"grams AS (SELECT doc_id, CASE WHEN len(w) >= {n} THEN "
+        f"list_distinct([array_to_string(w[i:i+{n - 1}], ' ') "
+        f"FOR i IN range(1, len(w) - {n - 2})]) "
+        "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] "
+        "ELSE [] END AS gs FROM toks), "
+        "sh AS (SELECT doc_id, unnest(gs) AS shingle FROM grams), "
+        "sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "count(*) AS n_common FROM sh a JOIN sh b ON a.shingle = b.shingle "
+        "AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id), "
+        "bd AS (SELECT id_a AS src_id, id_b AS dst_id, n_common FROM inter "
+        "UNION ALL SELECT id_b, id_a, n_common FROM inter) "
+        "SELECT src_id, dst_id, "
+        "CAST((1000000 * n_common + s.set_size // 2) // s.set_size AS DOUBLE) "
+        "/ 1e6 AS containment "
+        "FROM bd JOIN sizes s ON src_id = s.doc_id "
+        f"WHERE 100 * n_common >= {threshold_pct} * s.set_size"
+    )
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 _SIG_TYPE = T.ArrayType(T.LongType())

@@ -203,10 +203,67 @@ def test_readability_known_values(spark):
 
 
 # ---------------------------------------------------------------------------
-# sf0.001 strict oracle parity for the four new driver queries
+# parse_sitemap
 # ---------------------------------------------------------------------------
 
-NEW_QUERIES = ["host_hits", "readability", "snapshot_delta", "frontier_sched"]
+
+def test_sitemap_fields_and_edge_trim(spark):
+    from pdf_extraction_spark.operators.crawl import parse_sitemap
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://h/p1</loc></url>"
+        "<url><loc>\n  https://h/p2 \n</loc><lastmod>2024-03-01</lastmod></url>"
+        "<url><loc>https://h/p3</loc><changefreq>daily</changefreq>"
+        "<priority>0.8</priority></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # loc-less → dropped
+        "<url><loc>https://h/p5</loc><priority>high</priority></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("h", xml), ("h2", None)], "host string, sitemap_xml string")
+    out = {r["loc"]: r for r in parse_sitemap(df).collect()}
+    assert set(out) == {"https://h/p1", "https://h/p2", "https://h/p3", "https://h/p5"}
+    assert out["https://h/p2"]["lastmod"] == "2024-03-01"
+    assert out["https://h/p3"]["changefreq"] == "daily"
+    assert out["https://h/p3"]["priority"] == 0.8
+    # unparsable priority → NULL, minimal entry → all-NULL fields
+    assert out["https://h/p5"]["priority"] is None
+    assert out["https://h/p1"]["lastmod"] is None
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_asymmetric(spark):
+    """A small doc fully inside a big one reads 1.0 in the small→big
+    direction; the reverse direction reads the small fraction and is
+    gated out — the case symmetric Jaccard can never pair."""
+    from pdf_extraction_spark.operators.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "unrelated text entirely different words here")],
+        "doc_id long, text string",
+    )
+    out = {(r["src_id"], r["dst_id"]): r["containment"]
+           for r in containment_pairs(df, threshold_pct=50).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (2, 1) not in out  # big is NOT contained in small
+    assert not any(3 in k for k in out)
+
+
+NEW_QUERIES = [
+    "host_hits",
+    "readability",
+    "snapshot_delta",
+    "frontier_sched",
+    "containment",
+    "sitemap_parse",
+    "crawl_plan",
+]
 
 
 @pytest.fixture(scope="module")

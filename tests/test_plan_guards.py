@@ -42,7 +42,8 @@ NATIVE_QUERIES = [
     "unigram_entropy", "host_quality", "html_outlinks", "host_boilerplate",
     "robots_gate", "outlink_pagerank", "anchor_terms", "pmi_colloc",
     "doc_keyterms", "host_hits", "readability", "snapshot_delta",
-    "frontier_sched", "robots_rules", "robots_allow",
+    "frontier_sched", "robots_rules", "robots_allow", "containment",
+    "sitemap_parse", "crawl_plan",
 ]
 
 
