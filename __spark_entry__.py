@@ -161,6 +161,19 @@ _SITEMAP_XML = (
     " || '</urlset>'"
 )
 
+# domain-parse fixture: five host shapes per source — country
+# multi-label suffix (co.uk), known gTLD with deep subdomain, the
+# single-label '.example' fallback (unknown TLD → implicit suffix),
+# a 3-label-tested com.au, and a bare-suffix host ('com') that must
+# parse to NULL registrable.
+_DOMAIN_HOST = (
+    "CASE doc_id % 5 WHEN 0 THEN 'www.' || source || '.co.uk' "
+    "WHEN 1 THEN 'blog.shop.' || source || '.com' "
+    "WHEN 2 THEN source || '.example' "
+    "WHEN 3 THEN 'cdn.static.' || source || '.com.au' "
+    "ELSE 'com' END"
+)
+
 # Host-boilerplate fixture: per-host template lines (copyright + nav) on
 # every doc of the host → stripped at min_docs=3; 'Annual report notice'
 # appears on ~1 doc per host (doc_id % 25 == 0 → 20 docs over 20 hosts)
@@ -1814,6 +1827,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return frontier_schedule(urls.join(admitted, "url"))
 
+    # -- registrable-domain parse (round-4 continuation) ----------------------
+    def q_domain_parse(spark, sf):
+        """Public-suffix parse (eTLD+1) over five deterministic host
+        shapes: longest-suffix-first cascade against the embedded PSL
+        subset (production swaps in the full publicsuffix.org
+        snapshot), implicit unknown-TLD rule, bare-suffix hosts →
+        NULL registrable. Pure per-row projection — zero exchanges
+        beyond the distinct, zero Python."""
+        from pdf_extraction_spark.operators.htmlgraph import domain_parse
+
+        docs = _docs(spark, sf)
+        hosts = docs.select(F.expr(_DOMAIN_HOST).alias("host")).distinct()
+        return domain_parse(hosts)
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -1943,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "sitemap_parse": q_sitemap,
         "crawl_plan": q_crawl_plan,
+        "domain_parse": q_domain_parse,
     }
 
 
@@ -2015,6 +2043,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pdf_extraction_spark.operators.htmlgraph import (
         sql_anchor_terms,
+        sql_domain_parse,
         sql_host_link_graph,
         sql_links_ctes,
     )
@@ -2761,6 +2790,9 @@ def oracle_sql() -> dict[str, str]:
             agent="MyBot",
         ),
         "containment": sql_containment_pairs(threshold_pct=50),
+        "domain_parse": sql_domain_parse(
+            "SELECT DISTINCT " + _DOMAIN_HOST + " AS host FROM documents"
+        ),
         "sitemap_parse": sql_parse_sitemap(
             "SELECT " + _ROBOTS_HOST + " AS host, "
             + _SITEMAP_XML + " AS sitemap_xml "

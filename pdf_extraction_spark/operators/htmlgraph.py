@@ -281,3 +281,119 @@ def sql_anchor_terms(
         "CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts "
         f"FROM toks GROUP BY dst_host, term HAVING count(*) >= {min_count}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Registrable-domain (public-suffix) parsing
+# ---------------------------------------------------------------------------
+#
+# Host-level operators (host_cap, host_quality_gate, the link graph)
+# key on the raw hostname, but crawl policy usually wants the
+# REGISTRABLE domain (PLD / "eTLD+1"): blog.shop.example.co.uk and
+# www.example.co.uk are the same site. The parse is the public-suffix
+# algorithm restricted to exact suffix rules: take the LONGEST known
+# suffix that matches the host's trailing labels (checked at 3, 2,
+# then 1 labels), else fall back to the last label (the PSL's implicit
+# "unknown TLD is a suffix" rule); the registrable domain is the
+# suffix plus one label, and anything left is the subdomain.
+#
+# _PSL_SUBSET is an embedded, documented SUBSET of the public suffix
+# list (publicsuffix.org) — enough for tests and for the multi-label
+# country suffixes that actually change grouping (co.uk, com.au, …).
+# Production swaps the literal for the full PSL snapshot; the parse is
+# a pure per-row projection either way (array ops on the split labels,
+# ZERO exchanges, zero Python) because the suffix set rides into the
+# plan as a literal IN-list / array_contains — the relational
+# equivalent of a broadcast join against a 10k-row dimension, without
+# paying a join for a table that small. Wildcard (*.ck) and exception
+# (!city.kobe.jp) PSL rules are out of scope and documented so.
+
+_PSL_SUBSET = [
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "ai", "dev",
+    "app", "info", "biz", "co", "uk", "de", "fr", "jp", "au", "br", "in",
+    "example",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "co.in", "ac.in",
+    "act.gov.au",
+]
+
+
+def domain_parse(
+    df: DataFrame, host_col: str = "host", psl: list[str] | None = None
+) -> DataFrame:
+    """Adds ``suffix`` (the matched public suffix), ``registrable``
+    (eTLD+1 — NULL when the host IS a bare suffix) and ``subdomain``
+    (labels left of the registrable domain, NULL when none). NULL /
+    empty hosts parse to all-NULL. Hosts are expected pre-normalized
+    (lowercase, no port — :func:`host_link_graph` form); no IDNA or
+    IP-literal handling (documented out of scope)."""
+    rules = sorted(psl if psl is not None else _PSL_SUBSET)
+    lit = F.array(*[F.lit(s) for s in rules])
+    labels = F.split(F.coalesce(F.col(host_col), F.lit("")), "\\.")
+    n = F.size(labels)
+
+    def tail(k):
+        return F.array_join(F.slice(labels, -k, k), ".")
+
+    base = df.withColumn("__labels", labels).withColumn("__n", n)
+    lv = F.col("__labels")
+    nn = F.col("__n")
+    suf_len = (
+        F.when((nn >= 3) & F.array_contains(lit, tail(3)), F.lit(3))
+        .when((nn >= 2) & F.array_contains(lit, tail(2)), F.lit(2))
+        .when(nn >= 1, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    out = base.withColumn("__sl", suf_len)
+    sl = F.col("__sl")
+    suffix = F.when(
+        (sl > 0) & (F.element_at(lv, 1) != F.lit("")),
+        F.array_join(F.slice(lv, -sl, sl), "."),
+    )
+    registrable = F.when(
+        suffix.isNotNull() & (nn > sl),
+        F.array_join(F.slice(lv, -(sl + 1), sl + 1), "."),
+    )
+    subdomain = F.when(
+        registrable.isNotNull() & (nn > sl + 1),
+        F.array_join(F.slice(lv, 1, nn - sl - 1), "."),
+    )
+    return (
+        out.withColumn("suffix", suffix)
+        .withColumn("registrable", registrable)
+        .withColumn("subdomain", subdomain)
+        .drop("__labels", "__n", "__sl")
+    )
+
+
+def sql_domain_parse(
+    hosts_select: str, psl: list[str] | None = None
+) -> str:
+    """DuckDB twin of :func:`domain_parse` over a subquery yielding
+    ``host`` — same split, same longest-suffix-first cascade, same
+    NULL rules (list slicing with negative offsets mirrors Spark's
+    slice(-k, k) tail semantics)."""
+    rules = sorted(psl if psl is not None else _PSL_SUBSET)
+    lit = "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in rules) + "]"
+
+    def tail(k: int) -> str:
+        return f"array_to_string(l[-{k}:], '.')"
+
+    return (
+        f"WITH dp0 AS ({hosts_select}), "
+        "dp1 AS (SELECT host, string_split(coalesce(host, ''), '.') AS l "
+        "FROM dp0), "
+        "dp2 AS (SELECT host, l, len(l) AS n, "
+        f"CASE WHEN len(l) >= 3 AND list_contains({lit}, {tail(3)}) THEN 3 "
+        f"WHEN len(l) >= 2 AND list_contains({lit}, {tail(2)}) THEN 2 "
+        "WHEN len(l) >= 1 THEN 1 ELSE 0 END AS sl FROM dp1), "
+        "dp3 AS (SELECT host, l, n, sl, "
+        "CASE WHEN sl > 0 AND l[1] <> '' THEN "
+        "array_to_string(l[-sl:], '.') END AS suffix FROM dp2) "
+        "SELECT host, suffix, "
+        "CASE WHEN suffix IS NOT NULL AND n > sl THEN "
+        "array_to_string(l[-(sl + 1):], '.') END AS registrable, "
+        "CASE WHEN suffix IS NOT NULL AND n > sl + 1 THEN "
+        "array_to_string(l[1:n - sl - 1], '.') END AS subdomain "
+        "FROM dp3"
+    )

@@ -84,7 +84,7 @@ QUERIES = [
     "host_boilerplate", "robots_gate", "outlink_pagerank", "anchor_terms",
     "pmi_colloc", "doc_keyterms", "host_hits", "readability",
     "snapshot_delta", "frontier_sched", "robots_rules", "robots_allow",
-    "containment", "sitemap_parse", "crawl_plan",
+    "containment", "sitemap_parse", "crawl_plan", "domain_parse",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

@@ -263,6 +263,7 @@ NEW_QUERIES = [
     "containment",
     "sitemap_parse",
     "crawl_plan",
+    "domain_parse",
 ]
 
 
