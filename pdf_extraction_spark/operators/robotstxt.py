@@ -197,12 +197,13 @@ def robots_allowed(
     from the first ``/`` after the authority (none → ``'/'``)."""
     al = agent.lower()
     pool = rules.filter(F.col("agent").isin(al, "*"))
-    flags = pool.groupBy("host").agg(
-        F.max((F.col("agent") == al).cast("int")).alias("has_exact")
-    )
-    sel = pool.join(flags, "host").filter(
-        (F.col("agent") == al).cast("int") == F.col("has_exact")
-    )
+    # group selection via a host-keyed window (partition = rules per
+    # host, file-size-bounded) instead of a groupBy + self-join — the
+    # join form re-executes the whole parse subtree for the flag side
+    hw = Window.partitionBy("host")
+    sel = pool.withColumn(
+        "has_exact", F.max((F.col("agent") == al).cast("int")).over(hw)
+    ).filter((F.col("agent") == al).cast("int") == F.col("has_exact"))
     cand = urls.select(
         F.col(url_col).alias("url"),
         F.col(host_col).alias("host"),
@@ -253,11 +254,11 @@ def sql_robots_allowed(urls_select: str, rules_select: str, agent: str = "*") ->
     return (
         f"WITH u0 AS ({urls_select}), "
         f"r0 AS ({rules_select}), "
-        f"pool AS (SELECT * FROM r0 WHERE agent IN ('*', '{al}')), "
-        f"fl AS (SELECT host, max(CASE WHEN agent = '{al}' THEN 1 ELSE 0 END) "
-        "AS has_exact FROM pool GROUP BY host), "
-        "sel AS (SELECT pool.* FROM pool JOIN fl ON pool.host = fl.host "
-        f"WHERE (CASE WHEN agent = '{al}' THEN 1 ELSE 0 END) = fl.has_exact), "
+        f"pool AS (SELECT *, max(CASE WHEN agent = '{al}' THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY host) AS has_exact FROM r0 "
+        f"WHERE agent IN ('*', '{al}')), "
+        "sel AS (SELECT * FROM pool "
+        f"WHERE (CASE WHEN agent = '{al}' THEN 1 ELSE 0 END) = has_exact), "
         "cand AS (SELECT url, host, coalesce(nullif(regexp_extract(url, "
         f"'{_PATH_RE}', 1), ''), '/') AS upath FROM u0), "
         "m AS (SELECT url, cand.host AS host, directive, path, row_number() OVER "
