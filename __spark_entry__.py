@@ -174,6 +174,32 @@ _DOMAIN_HOST = (
     "ELSE 'com' END"
 )
 
+# layout-template fixture: 4 tag-sequence layouts (2 body variants ×
+# 2 table variants) with per-doc TEXT variation (text must not affect
+# the layout key); group sizes straddle min_count=50 so both template
+# verdicts fire.
+_TEMPLATE_HTML = (
+    "'<html><head><title>T</title></head><body>'"
+    " || CASE WHEN doc_id % 4 = 0 THEN"
+    " '<div><ul><li><a></a></li></ul></div>' ELSE '<p><b></b></p>' END"
+    " || CASE WHEN doc_id % 7 < 2 THEN"
+    " '<table><tr><td></td></tr></table>' ELSE '' END"
+    " || '<p>text ' || doc_id || '</p></body></html>'"
+)
+
+# crawl-trap url fixture: six shapes — over-deep path, ;jsessionid
+# path parameter, /YYYY/MM/ calendar at depth 4, repeated segments,
+# session query param with multiple params, and a clean url.
+_TRAP_URL = (
+    "'https://' || source || '.example' || CASE doc_id % 6 "
+    "WHEN 0 THEN '/a/b/c/d/e/f/g/h/i/p' || doc_id "
+    "WHEN 1 THEN '/p/x;JSESSIONID=ABC' || doc_id "
+    "WHEN 2 THEN '/2023/11/events/p' || doc_id "
+    "WHEN 3 THEN '/cat/item/cat/item/p' || doc_id "
+    "WHEN 4 THEN '/p/' || doc_id || '?a=1&b=2&sid=' || doc_id "
+    "ELSE '/p/' || doc_id END"
+)
+
 # Host-boilerplate fixture: per-host template lines (copyright + nav) on
 # every doc of the host → stripped at min_docs=3; 'Annual report notice'
 # appears on ~1 doc per host (doc_id % 25 == 0 → 20 docs over 20 hosts)
@@ -1841,6 +1867,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hosts = docs.select(F.expr(_DOMAIN_HOST).alias("host")).distinct()
         return domain_parse(hosts)
 
+    # -- layout-template detection (round-4 continuation) ---------------------
+    def q_template_pages(spark, sf):
+        """Structural near-dup: md5 of each page's tag-name sequence
+        (text stripped by construction) groups mass-generated layouts
+        text dedup can't see; count per key via a map-side-combinable
+        groupBy + equi-join back (no window — a mega-template would
+        funnel one task; AQE splits the skewed join key)."""
+        from pdf_extraction_spark.operators.webshape import template_pages
+
+        docs = _docs(spark, sf).withColumn("html", F.expr(_TEMPLATE_HTML))
+        return template_pages(docs, min_count=50)
+
+    # -- crawl-trap url flags (round-4 continuation) ---------------------------
+    def q_url_traps(spark, sf):
+        """Pre-fetch trap detection from the URL alone: path depth,
+        param count, session ids (param and ;jsessionid path forms),
+        repeated path segments, deep calendar paths, combined verdict.
+        Pure projection, zero exchanges, zero Python."""
+        from pdf_extraction_spark.operators.webshape import url_trap_flags
+
+        urls = _docs(spark, sf).select(F.expr(_TRAP_URL).alias("url"))
+        return url_trap_flags(urls).select(
+            "url",
+            "path_depth",
+            "n_params",
+            "has_session_id",
+            "repeated_segment",
+            "deep_calendar",
+            "is_trap",
+        )
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -1971,6 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap,
         "crawl_plan": q_crawl_plan,
         "domain_parse": q_domain_parse,
+        "template_pages": q_template_pages,
+        "url_traps": q_url_traps,
     }
 
 
@@ -2025,6 +2084,10 @@ def oracle_sql() -> dict[str, str]:
         sql_snapshot_changes,
     )
     from pdf_extraction_spark.operators.dedup import sql_containment_pairs
+    from pdf_extraction_spark.operators.webshape import (
+        sql_template_pages,
+        sql_url_trap_flags,
+    )
     from pdf_extraction_spark.operators.robotstxt import (
         sql_parse_robots,
         sql_robots_allowed,
@@ -2792,6 +2855,13 @@ def oracle_sql() -> dict[str, str]:
         "containment": sql_containment_pairs(threshold_pct=50),
         "domain_parse": sql_domain_parse(
             "SELECT DISTINCT " + _DOMAIN_HOST + " AS host FROM documents"
+        ),
+        "template_pages": sql_template_pages(
+            "SELECT doc_id, " + _TEMPLATE_HTML + " AS html FROM documents",
+            min_count=50,
+        ),
+        "url_traps": sql_url_trap_flags(
+            "SELECT " + _TRAP_URL + " AS url FROM documents"
         ),
         "sitemap_parse": sql_parse_sitemap(
             "SELECT " + _ROBOTS_HOST + " AS host, "

@@ -1,0 +1,160 @@
+"""Page-shape analysis: layout-template detection and crawl-trap URL
+flags — the structural (non-text) curation signals.
+
+Mass-generated pages (listing shells, calendar archives, faceted
+search results) share an HTML LAYOUT even when their visible text
+differs, so text-level dedup never groups them; and crawl traps
+(session ids, unbounded calendars, self-similar paths) are visible in
+the URL before a byte is fetched. Both operators are fully native:
+
+* :func:`template_pages` — fingerprint each page's tag SEQUENCE (the
+  order of element names, attributes and text stripped) with a 128-bit
+  md5 key, count pages per fingerprint, flag layouts above a
+  replication threshold. One vectorized tag scan per page + one
+  map-side-combinable groupBy on the key + one key-equi-join back
+  (join, not a window — a mega-template's partition would otherwise
+  funnel through one task; AQE splits the skewed key on the join).
+* :func:`url_trap_flags` — per-url integer/boolean signals: path
+  depth, query-param count, session-id parameters, repeated path
+  segments (the self-similar-loop signature), deep calendar paths,
+  and the combined ``is_trap`` verdict. Pure projection, zero
+  exchanges, zero Python.
+
+Pattern hygiene: every regex is RE2∩Java (character classes + (?i) on
+ASCII only, no backreferences, no \\s); md5 is the cross-engine key
+device (the same choice as line/paragraph dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "template_pages",
+    "sql_template_pages",
+    "url_trap_flags",
+    "sql_url_trap_flags",
+]
+
+_TAG_RE = "</?([a-z][a-z0-9]*)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = "^[^?#]*\\?([^#]*)"
+_SESSION_RE = "(?i)(jsessionid|phpsessid|sessionid|session_id|sid)="
+_CAL_RE = "/(19|20)[0-9]{2}/[0-9]{1,2}(/|$)"
+
+
+def template_pages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_count: int = 50,
+) -> DataFrame:
+    """(doc_id, layout_key, n_tags, n_same_layout, is_template): md5
+    of the comma-joined lowercase tag-name sequence; a layout shared
+    by ≥ ``min_count`` pages is a template. NULL/tag-less html maps to
+    the empty-sequence key (all such docs group together — they are
+    indeed the same degenerate layout)."""
+    tags = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(html_col), F.lit(""))), F.lit(_TAG_RE), F.lit(1)
+    )
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.array_join(tags, ",")).alias("layout_key"),
+        F.size(tags).alias("n_tags"),
+    )
+    counts = keyed.groupBy("layout_key").agg(
+        F.count("*").alias("n_same_layout")
+    )
+    return keyed.join(counts, "layout_key").select(
+        "doc_id",
+        "layout_key",
+        "n_tags",
+        "n_same_layout",
+        (F.col("n_same_layout") >= F.lit(min_count)).alias("is_template"),
+    )
+
+
+def sql_template_pages(
+    pages_select: str, min_count: int = 50
+) -> str:
+    """DuckDB twin of :func:`template_pages` over a subquery yielding
+    (doc_id, html) — same tag scan, same md5 key, same threshold."""
+    return (
+        f"WITH p AS ({pages_select}), "
+        "k AS (SELECT doc_id, "
+        f"md5(array_to_string(regexp_extract_all(lower(coalesce(html, '')), "
+        f"'{_TAG_RE}', 1), ',')) AS layout_key, "
+        f"CAST(len(regexp_extract_all(lower(coalesce(html, '')), '{_TAG_RE}', 1)) "
+        "AS INT) AS n_tags FROM p), "
+        "c AS (SELECT layout_key, count(*) AS n_same_layout FROM k "
+        "GROUP BY layout_key) "
+        "SELECT doc_id, k.layout_key, n_tags, n_same_layout, "
+        f"n_same_layout >= {min_count} AS is_template "
+        "FROM k JOIN c ON k.layout_key = c.layout_key"
+    )
+
+
+def url_trap_flags(
+    df: DataFrame, url_col: str = "url", max_depth: int = 8
+) -> DataFrame:
+    """Adds ``path_depth``, ``n_params``, ``has_session_id``,
+    ``repeated_segment`` (any path segment occurring twice — the
+    self-similar-loop signature), ``deep_calendar`` (a /YYYY/MM/ pair
+    below depth 4) and the combined ``is_trap``. NULL urls flag
+    nothing (all-false, depth 0)."""
+    u = F.coalesce(F.col(url_col), F.lit(""))
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != F.lit(""))
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    params = F.filter(F.split(query, "&"), lambda x: x != F.lit(""))
+    depth = F.size(segs)
+    repeated = F.size(segs) > F.size(F.array_distinct(segs))
+    sess = u.rlike(_SESSION_RE) | F.lower(u).contains(";jsessionid=")
+    cal = path.rlike(_CAL_RE) & (depth >= F.lit(4))
+    out = (
+        df.withColumn("path_depth", depth)
+        .withColumn("n_params", F.size(params))
+        .withColumn("has_session_id", sess)
+        .withColumn("repeated_segment", repeated)
+        .withColumn("deep_calendar", cal)
+    )
+    return out.withColumn(
+        "is_trap",
+        F.col("has_session_id")
+        | F.col("repeated_segment")
+        | F.col("deep_calendar")
+        | (F.col("path_depth") > F.lit(max_depth)),
+    )
+
+
+def sql_url_trap_flags(
+    urls_select: str, max_depth: int = 8
+) -> str:
+    """DuckDB twin of :func:`url_trap_flags` over a subquery yielding
+    (url, …passthrough). Split-on-'/' of an empty path yields [''] in
+    both engines and the empty-string filter removes it, so depth
+    agrees; regexp_matches mirrors rlike (find-anywhere)."""
+    return (
+        f"WITH u0 AS ({urls_select}), "
+        "f AS (SELECT *, "
+        f"list_filter(string_split(regexp_extract(coalesce(url, ''), "
+        f"'{_PATH_RE}', 1), '/'), x -> x <> '') AS segs, "
+        f"list_filter(string_split(regexp_extract(coalesce(url, ''), "
+        f"'{_QUERY_RE}', 1), '&'), x -> x <> '') AS params, "
+        f"regexp_extract(coalesce(url, ''), '{_PATH_RE}', 1) AS pth FROM u0) "
+        "SELECT url, CAST(len(segs) AS INT) AS path_depth, "
+        "CAST(len(params) AS INT) AS n_params, "
+        f"(regexp_matches(coalesce(url, ''), '{_SESSION_RE}') "
+        "OR contains(lower(coalesce(url, '')), ';jsessionid=')) "
+        "AS has_session_id, "
+        "len(segs) > len(list_distinct(segs)) AS repeated_segment, "
+        f"(regexp_matches(pth, '{_CAL_RE}') AND len(segs) >= 4) "
+        "AS deep_calendar, "
+        f"(regexp_matches(coalesce(url, ''), '{_SESSION_RE}') "
+        "OR contains(lower(coalesce(url, '')), ';jsessionid=') "
+        "OR len(segs) > len(list_distinct(segs)) "
+        f"OR (regexp_matches(pth, '{_CAL_RE}') AND len(segs) >= 4) "
+        f"OR len(segs) > {max_depth}) AS is_trap "
+        "FROM f"
+    )

@@ -264,6 +264,8 @@ NEW_QUERIES = [
     "sitemap_parse",
     "crawl_plan",
     "domain_parse",
+    "template_pages",
+    "url_traps",
 ]
 
 

@@ -43,7 +43,8 @@ NATIVE_QUERIES = [
     "robots_gate", "outlink_pagerank", "anchor_terms", "pmi_colloc",
     "doc_keyterms", "host_hits", "readability", "snapshot_delta",
     "frontier_sched", "robots_rules", "robots_allow", "containment",
-    "sitemap_parse", "crawl_plan", "domain_parse",
+    "sitemap_parse", "crawl_plan", "domain_parse", "template_pages",
+    "url_traps",
 ]
 
 
