@@ -82,6 +82,14 @@ _HTML_AUG = (
 # a multiline anchor body (whitespace collapse) and an empty one
 # (NULL anchor_text).
 _LINKS_URL = "'https://' || source || '.example/p/' || doc_id"
+
+# Shared host-graph edge set for the rank-family oracles (pagerank,
+# trustrank, HITS, spam mass): source host -> a quadratic-residue-mixed
+# synthetic neighbor, so the graph has hubs, dangling nodes and cycles.
+_SPAM_EDGES = (
+    "SELECT source AS src, 'src' || CAST((doc_id * doc_id * 5 + doc_id) % 29 "
+    "AS VARCHAR) AS dst FROM documents"
+)
 _LINKS_AUG = (
     "'<html><body>'"
     " || '<a href=\"https://' || source || '.example/p/' || ((doc_id + 1) % 500)"
@@ -1898,6 +1906,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_trap",
         )
 
+    # -- link-spam mass (round-4 continuation) --------------------------------
+    def q_spam_mass(spark, sf):
+        """Spam mass (Gyongyi, Berkhin, Garcia-Molina & Pedersen 2006):
+        the PageRank fraction NOT attributable to trusted seeds —
+        pr − tr over the same host graph and seed set as
+        host_pagerank/host_trustrank. Both ranks are 6-decimal
+        fixed-point outputs, so the relative-mass verdict re-enters
+        the integer domain (round(rank·10⁶) is exact) and buckets by
+        integer cross-multiplication: spam if mass > 0.8·pr, suspect
+        if > 0.5·pr, else ham; zero-PageRank nodes are ham."""
+        from pdf_extraction_spark.operators.components import pagerank, trustrank
+
+        docs = _docs(spark, sf)
+        edges = docs.select(
+            F.col("source").alias("src"),
+            F.concat(
+                F.lit("src"),
+                ((F.col("doc_id") * F.col("doc_id") * 5 + F.col("doc_id")) % 29).cast(
+                    "string"
+                ),
+            ).alias("dst"),
+        )
+        seeds = docs.select(F.col("source").alias("node")).filter(
+            F.col("source").isin("src0", "src7", "src14")
+        )
+        pr = pagerank(edges, n_iter=5).withColumnRenamed("rank", "pr")
+        tr = trustrank(edges, seeds, n_iter=5).withColumnRenamed("rank", "tr")
+        j = pr.join(tr, "node")
+        return j.select(
+            "node",
+            "pr",
+            "tr",
+            F.expr("round(pr - tr, 6)").alias("spam_mass"),
+            F.expr(
+                "CASE WHEN CAST(round(pr * 1e6) AS BIGINT) = 0 THEN 'ham' "
+                "WHEN 5 * (CAST(round(pr * 1e6) AS BIGINT) "
+                "- CAST(round(tr * 1e6) AS BIGINT)) "
+                "> 4 * CAST(round(pr * 1e6) AS BIGINT) THEN 'spam' "
+                "WHEN 2 * (CAST(round(pr * 1e6) AS BIGINT) "
+                "- CAST(round(tr * 1e6) AS BIGINT)) "
+                "> CAST(round(pr * 1e6) AS BIGINT) THEN 'suspect' "
+                "ELSE 'ham' END"
+            ).alias("verdict"),
+        )
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -2030,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_parse": q_domain_parse,
         "template_pages": q_template_pages,
         "url_traps": q_url_traps,
+        "spam_mass": q_spam_mass,
     }
 
 
@@ -2885,6 +2939,28 @@ def oracle_sql() -> dict[str, str]:
                 agent="MyBot",
             )
             + ") adm ON u.url = adm.url WHERE adm.allowed"
+        ),
+        "spam_mass": (
+            "WITH pr AS ("
+            + sql_pagerank(_SPAM_EDGES, n_iter=5)
+            + "), tr AS ("
+            + sql_trustrank(
+                _SPAM_EDGES,
+                "SELECT source AS node FROM documents "
+                "WHERE source IN ('src0', 'src7', 'src14')",
+                n_iter=5,
+            )
+            + ") SELECT pr.node, pr.rank AS pr, tr.rank AS tr, "
+            "round(pr.rank - tr.rank, 6) AS spam_mass, "
+            "CASE WHEN CAST(round(pr.rank * 1e6) AS BIGINT) = 0 THEN 'ham' "
+            "WHEN 5 * (CAST(round(pr.rank * 1e6) AS BIGINT) "
+            "- CAST(round(tr.rank * 1e6) AS BIGINT)) "
+            "> 4 * CAST(round(pr.rank * 1e6) AS BIGINT) THEN 'spam' "
+            "WHEN 2 * (CAST(round(pr.rank * 1e6) AS BIGINT) "
+            "- CAST(round(tr.rank * 1e6) AS BIGINT)) "
+            "> CAST(round(pr.rank * 1e6) AS BIGINT) THEN 'suspect' "
+            "ELSE 'ham' END AS verdict "
+            "FROM pr JOIN tr ON pr.node = tr.node"
         ),
     }
     return sql
