@@ -1951,6 +1951,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("verdict"),
         )
 
+    # -- release sharding + integrity manifest (round-4 continuation) -------
+    def q_shard_manifest(spark, sf):
+        """Dataset-release manifest: deterministic md5 shard assignment
+        plus a per-shard order-independent integrity digest (bit_xor of
+        60-bit per-row md5 digests over every field). One map-side-
+        combinable groupBy bounded by n_shards rows at any corpus size;
+        manifests of disjoint sub-corpora merge exactly (sum/xor/
+        min-max), so daily increments manifest independently."""
+        from pdf_extraction_spark.operators.release import shard_manifest
+
+        return shard_manifest(_docs(spark, sf), n_shards=16)
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -2084,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_pages": q_template_pages,
         "url_traps": q_url_traps,
         "spam_mass": q_spam_mass,
+        "shard_manifest": q_shard_manifest,
     }
 
 
@@ -2173,6 +2186,7 @@ def oracle_sql() -> dict[str, str]:
         sql_script_profile,
         sql_unigram_entropy,
     )
+    from pdf_extraction_spark.operators.release import sql_shard_manifest
     from pdf_extraction_spark.operators.curation import _sql_lower_words
     _WORD_SRC = (
         "(SELECT unnest(" + _sql_lower_words("coalesce(text, '')")
@@ -2962,5 +2976,6 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 'ham' END AS verdict "
             "FROM pr JOIN tr ON pr.node = tr.node"
         ),
+        "shard_manifest": sql_shard_manifest(n_shards=16),
     }
     return sql

@@ -85,7 +85,7 @@ QUERIES = [
     "pmi_colloc", "doc_keyterms", "host_hits", "readability",
     "snapshot_delta", "frontier_sched", "robots_rules", "robots_allow",
     "containment", "sitemap_parse", "crawl_plan", "domain_parse",
-    "template_pages", "url_traps",
+    "template_pages", "url_traps", "shard_manifest",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

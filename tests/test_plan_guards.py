@@ -44,7 +44,7 @@ NATIVE_QUERIES = [
     "doc_keyterms", "host_hits", "readability", "snapshot_delta",
     "frontier_sched", "robots_rules", "robots_allow", "containment",
     "sitemap_parse", "crawl_plan", "domain_parse", "template_pages",
-    "url_traps", "spam_mass",
+    "url_traps", "spam_mass", "shard_manifest",
 ]
 
 

@@ -1,0 +1,101 @@
+"""Release sharding + integrity manifest: determinism, partition
+invariance, mergeability, tamper detection, NULL hygiene. Cross-engine
+twin parity lives in the strict oracle sweep (shard_manifest) and the
+adversarial hostile-input sweep."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extraction_spark.operators.release import (
+    merge_manifests,
+    shard_manifest,
+    with_shard,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_manifest_partition_invariant(spark, docs):
+    """The digest fold is associative+commutative, so the manifest is
+    identical on any partitioning — the property that makes it valid
+    evidence across cluster layouts."""
+    a = _rows(shard_manifest(docs.repartition(1), n_shards=8))
+    b = _rows(shard_manifest(docs.repartition(17, "lang"), n_shards=8))
+    assert a == b
+
+
+def test_manifest_row_order_invariant(spark, docs):
+    shuffled = docs.orderBy(F.md5(F.col("text").cast("string")))
+    assert _rows(shard_manifest(shuffled, n_shards=8)) == _rows(
+        shard_manifest(docs, n_shards=8)
+    )
+
+
+def test_writer_and_manifest_agree_on_membership(spark, docs):
+    """Counts per shard from the writer path (with_shard) must equal
+    the manifest's n_docs — one home for the shard hash."""
+    w = {
+        r.shard: r.n
+        for r in with_shard(docs, 8).groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    m = {r.shard: r.n_docs for r in shard_manifest(docs, n_shards=8).collect()}
+    assert w == m
+
+
+def test_submanifests_merge_to_whole(spark, docs):
+    """Disjoint sub-corpus manifests fold to the whole-corpus manifest
+    exactly — every executor / daily increment can manifest alone."""
+    part_a = docs.filter(F.col("doc_id") % 2 == 0)
+    part_b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = merge_manifests(
+        shard_manifest(part_a, n_shards=8).unionAll(
+            shard_manifest(part_b, n_shards=8)
+        )
+    )
+    assert _rows(merged) == _rows(shard_manifest(docs, n_shards=8))
+
+
+def test_any_field_edit_flips_the_digest(spark, docs):
+    base = {r.shard: r.xor_digest for r in shard_manifest(docs, n_shards=4).collect()}
+    tampered = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") == 7, F.lit("zz")).otherwise(F.col("lang")),
+    )
+    tam = {r.shard: r.xor_digest for r in shard_manifest(tampered, n_shards=4).collect()}
+    diffs = [s for s in base if base[s] != tam[s]]
+    assert len(diffs) == 1  # exactly the shard holding doc 7
+
+
+def test_row_loss_flips_digest_and_count(spark, docs):
+    base = _rows(shard_manifest(docs, n_shards=4))
+    lost = _rows(shard_manifest(docs.filter(F.col("doc_id") != 3), n_shards=4))
+    assert base != lost
+
+
+def test_null_ids_dropped_null_text_counts_zero_bytes(spark):
+    df = spark.createDataFrame(
+        [(None, "ghost", "en", "s", 5), (1, None, "en", "s", 0),
+         (2, "ab", "en", "s", 2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    m = shard_manifest(df, n_shards=1).collect()
+    assert len(m) == 1 and m[0].n_docs == 2 and m[0].n_bytes == 2
+
+
+def test_shard_ids_cover_range_and_nothing_else(spark, docs):
+    shards = {r.shard for r in shard_manifest(docs, n_shards=16).collect()}
+    assert shards <= set(range(16)) and len(shards) > 8
+
+
+def test_manifest_plan_is_one_native_agg(spark, docs):
+    plan = shard_manifest(docs, n_shards=16)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Cartesian" not in plan
