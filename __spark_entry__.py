@@ -1963,6 +1963,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return shard_manifest(_docs(spark, sf), n_shards=16)
 
+    # -- host communities via label propagation (round-4 continuation) ------
+    def q_host_communities(spark, sf):
+        """Synchronous deterministic label propagation (Raghavan 2007)
+        over a host graph with real community structure: 4 clusters of
+        10 hosts with dense intra-cluster links plus sparse doc_id%97
+        bridges — LPA recovers exactly the 4 planted communities, the
+        split connected_components cannot express (the graph is ONE
+        component). Tie rule: plurality count desc then smallest label;
+        integer counts + string labels, no float anywhere."""
+        from pdf_extraction_spark.operators.components import label_propagation
+
+        docs = _docs(spark, sf)
+        intra = docs.select(
+            F.expr("'h' || CAST(doc_id % 40 AS STRING)").alias("src"),
+            F.expr(
+                "'h' || CAST((doc_id % 40) div 10 * 10 + "
+                "((doc_id % 40) % 10 + 1 + doc_id % 7) % 10 AS STRING)"
+            ).alias("dst"),
+        )
+        bridge = docs.filter(F.expr("doc_id % 97 = 0")).select(
+            F.expr("'h' || CAST((doc_id % 4) * 10 AS STRING)").alias("src"),
+            F.expr("'h' || CAST(((doc_id % 4 + 1) % 4) * 10 AS STRING)").alias(
+                "dst"
+            ),
+        )
+        return label_propagation(intra.unionAll(bridge), n_iter=5)
+
+    # -- jusText context-sensitive boilerplate (round-4 continuation) -------
+    def q_justext(spark, sf):
+        """jusText (Pomikálek 2011) two-pass block classification. The
+        synthetic one-line docs only reach the 'bad' branch, so each
+        doc is augmented with a deterministic 13-line layout (identical
+        expression in the twin) that fires EVERY class and EVERY
+        context rule: good long blocks, short between goods (→good),
+        near-good beside good (→good), near-good between bads (→bad),
+        link-flood and copyright bads, and the mixed-neighborhood short
+        whose near-good bridge to the bad side rescues it (→good)."""
+        from pdf_extraction_spark.operators.justext import (
+            blocks_from_text,
+            justext_classify,
+        )
+
+        good = "It was the best of times and it was the worst of times for all of us. "
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.expr(f"repeat('{good}', 4)"),
+                F.lit("Continue reading"),
+                F.expr(f"repeat('{good}', 3)"),
+                F.lit(
+                    "It was a bright cold day in April and the clocks "
+                    "were striking thirteen all over town."
+                ),
+                F.lit(
+                    "Home www.example.com/a www.example.com/b "
+                    "www.example.com/c"
+                ),
+                F.lit(
+                    "He was the one who said that we could not go there "
+                    "on that day with them at all, ever."
+                ),
+                F.concat(F.lit("© "), F.coalesce("source", F.lit(""))),
+                F.coalesce("text", F.lit("")),
+                F.expr(f"repeat('{good}', 4)"),
+                F.lit("More"),
+                F.lit(
+                    "She said that it was not the only way to do it and "
+                    "that they would be there too."
+                ),
+                F.lit("www.example.com/end"),
+                F.lit("Thanks"),
+            ).alias("text"),
+        )
+        return justext_classify(blocks_from_text(docs))
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -2097,6 +2173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_traps": q_url_traps,
         "spam_mass": q_spam_mass,
         "shard_manifest": q_shard_manifest,
+        "host_communities": q_host_communities,
+        "justext_blocks": q_justext,
     }
 
 
@@ -2142,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.components import (
         sql_dedup_clusters,
         sql_hits,
+        sql_label_propagation,
         sql_pagerank,
         sql_trustrank,
     )
@@ -2187,6 +2266,10 @@ def oracle_sql() -> dict[str, str]:
         sql_unigram_entropy,
     )
     from pdf_extraction_spark.operators.release import sql_shard_manifest
+    from pdf_extraction_spark.operators.justext import (
+        sql_blocks_from_text,
+        sql_justext_classify,
+    )
     from pdf_extraction_spark.operators.curation import _sql_lower_words
     _WORD_SRC = (
         "(SELECT unnest(" + _sql_lower_words("coalesce(text, '')")
@@ -2977,5 +3060,42 @@ def oracle_sql() -> dict[str, str]:
             "FROM pr JOIN tr ON pr.node = tr.node"
         ),
         "shard_manifest": sql_shard_manifest(n_shards=16),
+        "justext_blocks": sql_justext_classify(
+            sql_blocks_from_text(
+                "SELECT doc_id, "
+                "concat_ws(chr(10), "
+                "repeat('It was the best of times and it was the worst "
+                "of times for all of us. ', 4), "
+                "'Continue reading', "
+                "repeat('It was the best of times and it was the worst "
+                "of times for all of us. ', 3), "
+                "'It was a bright cold day in April and the clocks "
+                "were striking thirteen all over town.', "
+                "'Home www.example.com/a www.example.com/b "
+                "www.example.com/c', "
+                "'He was the one who said that we could not go there "
+                "on that day with them at all, ever.', "
+                "'© ' || coalesce(source, ''), "
+                "coalesce(text, ''), "
+                "repeat('It was the best of times and it was the worst "
+                "of times for all of us. ', 4), "
+                "'More', "
+                "'She said that it was not the only way to do it and "
+                "that they would be there too.', "
+                "'www.example.com/end', "
+                "'Thanks') AS text "
+                "FROM documents"
+            )
+        ),
+        "host_communities": sql_label_propagation(
+            "SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src, "
+            "'h' || CAST((doc_id % 40) // 10 * 10 + "
+            "((doc_id % 40) % 10 + 1 + doc_id % 7) % 10 AS VARCHAR) AS dst "
+            "FROM documents "
+            "UNION ALL SELECT 'h' || CAST((doc_id % 4) * 10 AS VARCHAR), "
+            "'h' || CAST(((doc_id % 4 + 1) % 4) * 10 AS VARCHAR) "
+            "FROM documents WHERE doc_id % 97 = 0",
+            n_iter=5,
+        ),
     }
     return sql

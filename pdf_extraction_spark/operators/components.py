@@ -586,3 +586,119 @@ def sql_hits(
         f"CAST((a{n_iter}.s + {q // 2}) // {q} AS DOUBLE) / 1e6 AS authority "
         f"FROM h{n_iter} JOIN a{n_iter} ON h{n_iter}.node = a{n_iter}.node"
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (Raghavan, Albert & Kumara 2007) — host communities
+# ---------------------------------------------------------------------------
+#
+# Community detection over the host link graph: each node adopts the
+# label carried by the plurality of its neighbors, so densely linked
+# host clusters (site networks, link farms, topic hubs) converge onto
+# one label while sparse bridges between them do not — the grouping
+# connected_components cannot express (components merge ANY connected
+# hosts; LPA separates communities inside one giant component, which
+# is what a web graph is).
+#
+# Determinism: the published algorithm breaks plurality ties randomly
+# and updates asynchronously — both unreproducible on a cluster. This
+# implementation is SYNCHRONOUS with a total-order tie rule (highest
+# neighbor count, then lexicographically smallest label), a fixed
+# iteration count, and node-id initial labels, so the result is a pure
+# function of the edge set: bit-identical across engines, partitionings
+# and cluster sizes. Counts are exact integers and labels are strings —
+# no float exists anywhere in the operator. (Synchronous updates can
+# oscillate 2-cycles on bipartite structure — the known deviation for
+# deterministic LPA; a fixed n_iter makes the output well-defined, and
+# community quality degrades gracefully.)
+#
+# Scale shape per round: one nbr-keyed join (labels frame is node-
+# sized) feeding a (node, label)-keyed map-side-combinable count, then
+# a node-keyed min(struct(-count, label)) argmax — also map-side
+# combinable, NO window over corpus-sized partitions. Per-round frames
+# are localCheckpoint()ed (plan doubles per round otherwise — the
+# connected_components/pagerank device); the undirected edge frame is
+# persisted for the loop.
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    cache: bool = True,
+) -> DataFrame:
+    """(node, community): ``n_iter`` synchronous label-propagation
+    rounds over the UNDIRECTED distinct edge set (direction dropped —
+    community membership is a symmetric relation; self-loops and NULL
+    endpoints dropped, same hygiene as :func:`pagerank`). Tie rule:
+    plurality count desc, then smallest label; initial label = node id.
+    Every node in the output has ≥1 neighbor by construction (nodes
+    come from edges); the empty graph returns zero rows."""
+    d = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+    )
+    u = (
+        d.union(d.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    if cache:
+        u = u.persist()
+    labels = u.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(n_iter):
+        counts = (
+            u.join(labels, u["b"] == labels["node"])
+            .groupBy("a", "lbl")
+            .agg(F.count("*").alias("n"))
+        )
+        labels = (
+            counts.groupBy("a")
+            .agg(F.min(F.struct((-F.col("n")).alias("neg"), F.col("lbl").alias("l"))).alias("m"))
+            .select(F.col("a").alias("node"), F.col("m.l").alias("lbl"))
+        )
+        labels = labels.localCheckpoint()
+    out = labels.select("node", F.col("lbl").alias("community"))
+    if cache:
+        u.unpersist()
+    return out
+
+
+def sql_label_propagation(edges_select: str, n_iter: int = 5) -> str:
+    """DuckDB twin of :func:`label_propagation`: the identical
+    synchronous recursion unrolled one MATERIALIZED CTE per round (the
+    HITS lesson — default CTE inlining replicates the chain per
+    reference, exponential past a few rounds). The argmax is spelled
+    ``row_number() OVER (ORDER BY n DESC, lbl ASC)`` — term-for-term
+    the Column side's min(struct(-n, lbl)) on integer counts and
+    binary-collated strings."""
+    parts = [
+        "ud AS MATERIALIZED ("
+        f"SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM ({edges_select}) "
+        "UNION ALL "
+        f"SELECT dst AS a, src AS b FROM ({edges_select})) "
+        "WHERE a IS NOT NULL AND b IS NOT NULL AND a <> b)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM ud)",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT ud.a, l{i}.lbl, count(*) AS n "
+            f"FROM ud JOIN l{i} ON ud.b = l{i}.node GROUP BY ud.a, l{i}.lbl)"
+        )
+        parts.append(
+            f"l{i + 1} AS MATERIALIZED (SELECT a AS node, lbl FROM "
+            f"(SELECT a, lbl, row_number() OVER "
+            f"(PARTITION BY a ORDER BY n DESC, lbl ASC) AS rn FROM c{i}) "
+            "WHERE rn = 1)"
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT node, lbl AS community FROM l{n_iter}"
+    )

@@ -85,7 +85,8 @@ QUERIES = [
     "pmi_colloc", "doc_keyterms", "host_hits", "readability",
     "snapshot_delta", "frontier_sched", "robots_rules", "robots_allow",
     "containment", "sitemap_parse", "crawl_plan", "domain_parse",
-    "template_pages", "url_traps", "shard_manifest",
+    "template_pages", "url_traps", "shard_manifest", "host_communities",
+    "justext_blocks",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

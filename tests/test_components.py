@@ -331,3 +331,89 @@ class TestTrustrank:
         )
         assert a == b
         self._run(spark, edges, seeds, n_iter=4)
+
+
+class TestLabelPropagation:
+    """Deterministic synchronous LPA: parity with a pure-Python replay
+    of the SAME recursion, planted-community recovery, tie rule,
+    hygiene, invariances. Cross-engine twin parity lives in the strict
+    oracle sweep (host_communities)."""
+
+    @staticmethod
+    def _py_lpa(edges, n_iter=5):
+        es = {
+            (a, b)
+            for s, d in edges
+            if s is not None and d is not None and s != d
+            for a, b in ((s, d), (d, s))
+        }
+        nbrs = {}
+        for a, b in es:
+            nbrs.setdefault(a, []).append(b)
+        lbl = {v: v for v in nbrs}
+        for _ in range(n_iter):
+            new = {}
+            for v, ns in nbrs.items():
+                counts = {}
+                for u in ns:
+                    counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+                new[v] = min(counts, key=lambda c: (-counts[c], c))
+            lbl = new
+        return lbl
+
+    def _run(self, spark, edges, n_iter=5):
+        from pdf_extraction_spark.operators.components import label_propagation
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.node: r.community
+            for r in label_propagation(df, n_iter=n_iter).collect()
+        }
+        assert got == self._py_lpa(edges, n_iter=n_iter)
+        return got
+
+    def test_two_cliques_with_bridge_stay_separate(self, spark):
+        clique = lambda pre: [  # noqa: E731
+            (f"{pre}{i}", f"{pre}{j}") for i in range(4) for j in range(i + 1, 4)
+        ]
+        edges = clique("a") + clique("b") + [("a0", "b0")]
+        got = self._run(spark, edges)
+        assert {got[f"a{i}"] for i in range(4)} == {"a0"}
+        assert {got[f"b{i}"] for i in range(4)} == {"b0"}
+
+    def test_tie_breaks_to_smallest_label(self, spark):
+        # m sees one 'a' and one 'z' neighbor: counts tie, 'a' wins
+        got = self._run(spark, [("a", "m"), ("z", "m")], n_iter=1)
+        assert got["m"] == "a"
+
+    def test_hygiene_nulls_selfloops_parallel_edges(self, spark):
+        edges = [("a", "b"), ("a", "b"), ("b", "a"), ("a", "a"),
+                 (None, "b"), ("a", None)]
+        got = self._run(spark, edges)
+        assert set(got) == {"a", "b"}
+
+    def test_direction_is_ignored(self, spark):
+        e1 = [("a", "b"), ("b", "c"), ("c", "a")]
+        e2 = [(d, s) for s, d in e1]
+        assert self._run(spark, e1) == self._run(spark, e2)
+
+    def test_partition_invariance(self, spark):
+        from pdf_extraction_spark.operators.components import label_propagation
+
+        edges = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(17)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        a = sorted(
+            (r.node, r.community)
+            for r in label_propagation(df.repartition(1)).collect()
+        )
+        b = sorted(
+            (r.node, r.community)
+            for r in label_propagation(df.repartition(13, "dst")).collect()
+        )
+        assert a == b
+
+    def test_empty_graph_returns_zero_rows(self, spark):
+        from pdf_extraction_spark.operators.components import label_propagation
+
+        df = spark.createDataFrame([], "src string, dst string")
+        assert label_propagation(df, n_iter=2).count() == 0

@@ -44,7 +44,8 @@ NATIVE_QUERIES = [
     "doc_keyterms", "host_hits", "readability", "snapshot_delta",
     "frontier_sched", "robots_rules", "robots_allow", "containment",
     "sitemap_parse", "crawl_plan", "domain_parse", "template_pages",
-    "url_traps", "spam_mass", "shard_manifest",
+    "url_traps", "spam_mass", "shard_manifest", "host_communities",
+    "justext_blocks",
 ]
 
 
