@@ -59,6 +59,7 @@ __all__ = [
     "DEFAULT_STOPWORDS",
     "blocks_from_text",
     "justext_classify",
+    "justext_strip",
     "sql_blocks_from_text",
     "sql_justext_classify",
 ]
@@ -367,3 +368,42 @@ SELECT doc_id, block_idx, block, cf_class,
        END AS final_class
 FROM ctx
 """
+
+
+def justext_strip(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Docs with ``text_col`` replaced by the concatenation of their
+    final-GOOD blocks in original order (the jusText keep rule); docs
+    whose every block classifies bad disappear — a page with no main
+    content has nothing to contribute. The rebuild is the engine's
+    ordered-rebuild device (array_sort(collect_list(struct)) — map-side
+    combinable, no window), so the only shuffle beyond the classifier's
+    doc-keyed window Exchange is the doc-keyed rebuild aggregation that
+    reuses the same key."""
+    cls = justext_classify(
+        blocks_from_text(docs, text_col, id_col), **thresholds
+    )
+    rebuilt = (
+        cls.filter(F.col("final_class") == "good")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("block_idx", "block"))
+                    ),
+                    lambda x: x["block"],
+                ),
+                "\n",
+            ).alias("_jt_text")
+        )
+    )
+    return (
+        docs.drop(text_col)
+        .join(rebuilt.withColumnRenamed("doc_id", id_col), id_col, "inner")
+        .withColumnRenamed("_jt_text", text_col)
+    )

@@ -41,6 +41,7 @@ def curate_corpus(
     min_lm_logprob: float = None,
     classifier: tuple = None,
     host_cap_k: int = None,
+    justext: bool = False,
     refinedweb: bool = False,
     c4: bool = False,
     ppl_keep: tuple = None,
@@ -58,6 +59,10 @@ def curate_corpus(
     matching the classifier's bias-scored treatment); ``classifier`` —
     (weights_df, bias, min_prob) hashed linear quality gate;
     ``host_cap_k`` — per-host contribution cap;
+    ``justext`` — jusText block-level boilerplate strip applied FIRST
+    (text rebuilt from final-good blocks in original order; all-bad
+    pages disappear), so the line-level cleaners and every downstream
+    stat see only main-content blocks;
     ``refinedweb`` / ``c4`` — published line-level cleaners applied to
     the EXTRACTED text before analysis/dedup (RefinedWeb §G.2 line
     corrections + 5% page budget; C4 §2.2 line filter + page gate), so
@@ -82,6 +87,14 @@ def curate_corpus(
     would otherwise accumulate until clearCache()."""
     docs = extract_parse(pages).withColumn("doc_id", F.xxhash64("url"))
 
+    if justext:
+        # block-level boilerplate strip FIRST (jusText operates on the
+        # page's block structure; the line-level RefinedWeb/C4 cleaners
+        # then see only main-content blocks) — docs whose every block
+        # classifies bad disappear, like the rw/c4 page gates below
+        from ..operators.justext import justext_strip
+
+        docs = justext_strip(docs, "text", "doc_id")
     if refinedweb:
         from ..operators.curation import with_refinedweb_flags
 

@@ -230,6 +230,41 @@ class TestCurate:
             c.unpersist()
         spark.catalog.clearCache()
 
+    def test_justext_stage_strips_blocks_before_analysis(self, spark, pages):
+        """The jusText stage rebuilds text from final-good blocks only:
+        every surviving doc's lines are a subset of its raw lines (in
+        order), all-bad pages disappear, and downstream token counts
+        never exceed the raw ones."""
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.plans.curate import curate_corpus
+
+        base = curate_corpus(pages, min_tokens=1, languages=("en",))
+        raw = {
+            r["doc_id"]: (r["text"], r["token_count"])
+            for r in base["docs"].select("doc_id", "text", "token_count").collect()
+        }
+        # lenient thresholds so blocks survive the compact stoplist
+        jt = curate_corpus(
+            pages,
+            min_tokens=1,
+            languages=("en",),
+            justext=True,
+        )
+        docs = jt["docs"].select("doc_id", "text", "token_count").collect()
+        assert 0 < len(docs) <= len(raw)
+        for r in docs:
+            raw_text, raw_tokens = raw[r["doc_id"]]
+            raw_lines = raw_text.split("\n")
+            kept = r["text"].split("\n")
+            # kept lines appear in the raw text in the same order
+            it = iter(raw_lines)
+            assert all(line in it for line in kept), r["doc_id"]
+            assert r["token_count"] <= raw_tokens
+        for c in base["caches"] + jt["caches"]:
+            c.unpersist()
+        spark.catalog.clearCache()
+
     def test_dsir_stage_selects_exactly_k(self, spark, pages):
         """The DSIR stage is the FINAL gate: exactly k docs survive
         (or all, when k exceeds the gated corpus), each present in the
