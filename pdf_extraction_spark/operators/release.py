@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "with_shard",
+    "manifest_agg",
     "shard_manifest",
     "merge_manifests",
     "sql_shard_manifest",
@@ -93,18 +94,19 @@ def with_shard(
     )
 
 
-def shard_manifest(
+def manifest_agg(
     docs: DataFrame,
     n_shards: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
     extra_cols: tuple = ("lang", "source", "n_chars"),
 ) -> DataFrame:
-    """(shard, n_docs, n_bytes, xor_digest, min_doc_id, max_doc_id):
-    the release manifest. ``n_bytes`` is the UTF-8 octet length of the
-    payload column (NULL payloads contribute 0); ``xor_digest`` folds
-    the per-row digests over (id, payload, *extra_cols) so ANY field
-    edit, row loss, or row injection flips the shard digest."""
+    """The unordered manifest aggregation — shared by the batch
+    :func:`shard_manifest` and the streaming variant
+    (``streaming.manifest.streaming_shard_manifest``), so the two
+    surfaces cannot drift. Every aggregate is associative and
+    commutative, which is exactly what makes it valid as a streaming
+    complete-mode aggregation with state bounded by ``n_shards``."""
     d = docs.filter(F.col(id_col).isNotNull())
     cols = [F.col(id_col), F.col(text_col)] + [F.col(c) for c in extra_cols]
     return (
@@ -122,8 +124,24 @@ def shard_manifest(
             F.min("id").alias("min_doc_id"),
             F.max("id").alias("max_doc_id"),
         )
-        .orderBy("shard")
     )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple = ("lang", "source", "n_chars"),
+) -> DataFrame:
+    """(shard, n_docs, n_bytes, xor_digest, min_doc_id, max_doc_id):
+    the release manifest. ``n_bytes`` is the UTF-8 octet length of the
+    payload column (NULL payloads contribute 0); ``xor_digest`` folds
+    the per-row digests over (id, payload, *extra_cols) so ANY field
+    edit, row loss, or row injection flips the shard digest."""
+    return manifest_agg(
+        docs, n_shards, id_col, text_col, extra_cols
+    ).orderBy("shard")
 
 
 def merge_manifests(parts: DataFrame) -> DataFrame:

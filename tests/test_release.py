@@ -96,6 +96,26 @@ def test_shard_ids_cover_range_and_nothing_else(spark, docs):
     assert shards <= set(range(16)) and len(shards) > 8
 
 
+def test_streaming_manifest_matches_batch(spark, docs, tmp_path):
+    """Two micro-batches (two parquet files) fold into the same
+    manifest the batch path computes over the union — the mergeability
+    property exercised through Structured Streaming's state store."""
+    from pdf_extraction_spark.streaming.events import run_stream_to_memory
+    from pdf_extraction_spark.streaming.manifest import streaming_shard_manifest
+
+    stream_dir = str(tmp_path / "docs_stream")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(stream_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(stream_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(stream_dir)
+    q = run_stream_to_memory(
+        streaming_shard_manifest(stream, n_shards=8), "stream_manifest",
+        mode="complete",
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM stream_manifest").collect())
+    assert got == _rows(shard_manifest(docs, n_shards=8))
+
+
 def test_manifest_plan_is_one_native_agg(spark, docs):
     plan = shard_manifest(docs, n_shards=16)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Cartesian" not in plan
