@@ -2039,6 +2039,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return justext_classify(blocks_from_text(docs))
 
+    # -- table maintenance planners (round-4 continuation) -------------------
+    def q_compaction(spark, sf):
+        """Iceberg rewrite_data_files-style binpack planning: synthetic
+        file listing (one file per (source, doc_id%7) slice with its
+        UTF-8 byte sum), next-fit bins at a 16 KB target — at sf0.01
+        several small files merge per bin AND larger slices land alone,
+        so both rewrite verdicts appear. The window runs over the
+        metadata-sized file listing, the one place a global window is
+        the honest plan."""
+        from pdf_extraction_spark.operators.maintenance import compaction_plan
+
+        files = (
+            _docs(spark, sf)
+            .groupBy(
+                F.concat(
+                    F.col("source"),
+                    F.lit("-"),
+                    (F.col("doc_id") % 7).cast("string"),
+                ).alias("file_id")
+            )
+            .agg(
+                F.sum(
+                    F.coalesce(F.octet_length("text"), F.lit(0))
+                ).alias("bytes")
+            )
+        )
+        return compaction_plan(files, target_bytes=16000)
+
+    def q_mixture(spark, sf):
+        """Water-filled mixture allocation: per-mille targets over four
+        sources with a 3,000-token budget — src0's 60% share exceeds
+        its inventory and CAPS (water-filling redistributes its unused
+        share), the other weighted sources stay budget-limited, and
+        unweighted sources allocate 0: every branch of the fixed-point
+        recursion fires. rate_ppm feeds the weighted_mix sampler."""
+        from pdf_extraction_spark.operators.maintenance import mixture_plan
+
+        d = _docs(spark, sf).select(
+            "source",
+            F.size(
+                F.split(F.coalesce("text", F.lit("")), " ")
+            ).alias("token_count"),
+        )
+        return mixture_plan(
+            d,
+            {"src0": 600, "src1": 300, "src2": 200, "src5": 100},
+            budget_tokens=3000,
+        )
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -2175,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "host_communities": q_host_communities,
         "justext_blocks": q_justext,
+        "compaction_plan": q_compaction,
+        "mixture_plan": q_mixture,
     }
 
 
@@ -2269,6 +2320,10 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.justext import (
         sql_blocks_from_text,
         sql_justext_classify,
+    )
+    from pdf_extraction_spark.operators.maintenance import (
+        sql_compaction_plan,
+        sql_mixture_plan,
     )
     from pdf_extraction_spark.operators.curation import _sql_lower_words
     _WORD_SRC = (
@@ -3060,6 +3115,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM pr JOIN tr ON pr.node = tr.node"
         ),
         "shard_manifest": sql_shard_manifest(n_shards=16),
+        "compaction_plan": sql_compaction_plan(
+            "SELECT source || '-' || CAST(doc_id % 7 AS VARCHAR) AS file_id, "
+            "sum(coalesce(octet_length(encode(text)), 0)) AS bytes "
+            "FROM documents GROUP BY 1",
+            target_bytes=16000,
+        ),
+        "mixture_plan": sql_mixture_plan(
+            "SELECT source, len(string_split(coalesce(text, ''), ' ')) "
+            "AS token_count FROM documents",
+            {"src0": 600, "src1": 300, "src2": 200, "src5": 100},
+            budget_tokens=3000,
+        ),
         "justext_blocks": sql_justext_classify(
             sql_blocks_from_text(
                 "SELECT doc_id, "

@@ -86,7 +86,7 @@ QUERIES = [
     "snapshot_delta", "frontier_sched", "robots_rules", "robots_allow",
     "containment", "sitemap_parse", "crawl_plan", "domain_parse",
     "template_pages", "url_traps", "shard_manifest", "host_communities",
-    "justext_blocks",
+    "justext_blocks", "compaction_plan", "mixture_plan",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

@@ -45,7 +45,7 @@ NATIVE_QUERIES = [
     "frontier_sched", "robots_rules", "robots_allow", "containment",
     "sitemap_parse", "crawl_plan", "domain_parse", "template_pages",
     "url_traps", "spam_mass", "shard_manifest", "host_communities",
-    "justext_blocks",
+    "justext_blocks", "compaction_plan", "mixture_plan",
 ]
 
 
