@@ -74,6 +74,75 @@ _HTML_AUG = (
     "<meta name=\"robots\" content=\"noindex\"></head></html>' END"
 )
 
+# Credit-card augmentation for the Luhn scrub: valid public test
+# numbers in all three separator styles (space / hyphen / none, four
+# brands, 14-16 digits), a Luhn near-miss that must SURVIVE, a 20-digit
+# order id (candidate truncates to 19, fails Luhn, survives) and a
+# clean branch. Engine-identical SQL.
+_CC_AUG = (
+    "CASE CAST(doc_id % 6 AS INT) "
+    "WHEN 0 THEN ' card 4111 1111 1111 1111 ok' "
+    "WHEN 1 THEN ' pay 5500-0000-0000-0004 then 4012888888881881 fast' "
+    "WHEN 2 THEN ' invalid 4111111111111112 stays' "
+    "WHEN 3 THEN ' amex 340000000000009.' "
+    "WHEN 4 THEN ' order 12345678901234567890 and 6011000990139424' "
+    "ELSE '' END"
+)
+
+# Soft-404 text fixture: a short hard error shell (phrase + short →
+# soft404), a real doc with an incidental error sentence (phrase, long
+# → NOT soft404 for docs above the word floor), a short takedown page,
+# and untouched text as the clean branch.
+_ERR404_TEXT = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN 'HTTP 404 Error. The page you requested was not found "
+    "on this server.' "
+    "WHEN 1 THEN coalesce(text, '') || ' Note: an error occurred while "
+    "rendering comments.' "
+    "WHEN 2 THEN 'Sorry, this content is no longer available. It has "
+    "been removed by the author. Please return to the homepage.' "
+    "ELSE text END"
+)
+
+# Publication-date fixtures: a deterministic per-doc ISO day plus six
+# branches covering every source in priority order — meta beats a
+# conflicting JSON-LD (branch 0), single-quoted <time>, JSON-LD alone,
+# URL-path fallback, an invalid month/day (raw extracted, parse NULL)
+# and a dateless page. lpad/CAST(.. AS STRING) parse identically in
+# Spark SQL and DuckDB.
+_PUB_DT = (
+    "(CAST(2000 + doc_id % 25 AS STRING) || '-' || "
+    "lpad(CAST(1 + doc_id % 12 AS STRING), 2, '0') || '-' || "
+    "lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0'))"
+)
+_PUBDATE_URL = (
+    "'https://' || source || '.example' || CASE WHEN doc_id % 6 = 3 "
+    "THEN '/' || CAST(2000 + doc_id % 25 AS STRING) || '/' || "
+    "lpad(CAST(1 + doc_id % 12 AS STRING), 2, '0') || '/' || "
+    "lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0') || '/post' "
+    "ELSE '/p/' || CAST(doc_id AS STRING) END"
+)
+_PUBDATE_AUG = (
+    "CASE CAST(doc_id % 6 AS INT) "
+    "WHEN 0 THEN '<html><head>"
+    '<meta property="article:published_time" content="\' || '
+    + _PUB_DT
+    + " || 'T08:30:00+00:00\">"
+    '<script type="application/ld+json">'
+    '{"datePublished": "1999-01-01"}</script></head></html>\' '
+    "WHEN 1 THEN '<html><body><time datetime=''' || "
+    + _PUB_DT
+    + " || '''>today</time></body></html>' "
+    "WHEN 2 THEN '<script type=\"application/ld+json\">"
+    '{"datePublished": "\' || '
+    + _PUB_DT
+    + " || 'T12:00:00Z\"}</script>' "
+    "WHEN 3 THEN '<html><body>no dates here</body></html>' "
+    "WHEN 4 THEN '<meta property=\"article:published_time\" "
+    "content=\"2021-13-99T00:00:00\">' "
+    "ELSE '<html><body>plain</body></html>' END"
+)
+
 # Shared fragments for the link-graph query: a synthetic page URL and
 # anchor-rich HTML derived from doc fields. Links exercise: absolute
 # same-host, absolute cross-host with uppercase tag + www + :port (all
@@ -2088,6 +2157,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             budget_tokens=3000,
         )
 
+    # -- round-4 continuation: PII/CC, soft-404, quantiles, pub dates --
+    def q_cc_scrub(spark, sf):
+        """Luhn-validated credit-card masking over card-augmented doc
+        text: native regexp candidate scan + integer-HOF Luhn fold +
+        left-fold masking — zero Python, zero exchanges; Luhn rejects
+        order ids/timestamps so only real card shapes mask."""
+        from pdf_extraction_spark.operators.curation import scrub_credit_cards
+
+        docs = _docs(spark, sf).withColumn(
+            "text", F.expr("coalesce(text, '') || " + _CC_AUG)
+        )
+        return scrub_credit_cards(docs)
+
+    def q_soft404(spark, sf):
+        """Soft-404 detection (error shells served as HTTP 200, after
+        Bar-Yossef et al. 2004): error-phrase rlike + Java-WS word
+        count, short+phrase ⇒ soft404. Pure narrow projection."""
+        from pdf_extraction_spark.operators.webshape import soft404_flags
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_ERR404_TEXT).alias("text")
+        )
+        return soft404_flags(docs)
+
+    def q_group_quartiles(spark, sf):
+        """Per-language discrete quartiles of document length — the
+        generalized CCNet cutoff device (integer ranks over the
+        (group, value) histogram; no interpolation, no float rank).
+        Window partitions are histogram-sized, not corpus-sized."""
+        from pdf_extraction_spark.operators.agg import group_discrete_quantiles
+
+        return group_discrete_quantiles(_docs(spark, sf), "lang", "n_chars")
+
+    def q_html_pubdate(spark, sf):
+        """Publication-date extraction over synthetic article pages:
+        meta article:published_time → <time datetime> → JSON-LD
+        datePublished → /YYYY/MM/DD/ URL fallback, with the parsed DATE
+        taken from the ISO-day prefix via try_cast (identical NULLing
+        of invalid days in both engines). Fully native projection."""
+        from pdf_extraction_spark.operators.htmlmeta import with_pub_date
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(_PUBDATE_AUG).alias("html"),
+            F.expr(_PUBDATE_URL).alias("url"),
+        )
+        return with_pub_date(docs).select(
+            "doc_id", "pub_date_src", "pub_date_raw", "pub_date"
+        )
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -2226,6 +2345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "justext_blocks": q_justext,
         "compaction_plan": q_compaction,
         "mixture_plan": q_mixture,
+        "cc_scrub": q_cc_scrub,
+        "soft404": q_soft404,
+        "group_quartiles": q_group_quartiles,
+        "html_pubdate": q_html_pubdate,
     }
 
 
@@ -2325,6 +2448,10 @@ def oracle_sql() -> dict[str, str]:
         sql_compaction_plan,
         sql_mixture_plan,
     )
+    from pdf_extraction_spark.operators.agg import sql_group_discrete_quantiles
+    from pdf_extraction_spark.operators.curation import sql_scrub_credit_cards
+    from pdf_extraction_spark.operators.htmlmeta import sql_pub_date
+    from pdf_extraction_spark.operators.webshape import sql_soft404_flags
     from pdf_extraction_spark.operators.curation import _sql_lower_words
     _WORD_SRC = (
         "(SELECT unnest(" + _sql_lower_words("coalesce(text, '')")
@@ -3163,6 +3290,19 @@ def oracle_sql() -> dict[str, str]:
             "'h' || CAST(((doc_id % 4 + 1) % 4) * 10 AS VARCHAR) "
             "FROM documents WHERE doc_id % 97 = 0",
             n_iter=5,
+        ),
+        "cc_scrub": sql_scrub_credit_cards(
+            text_expr="coalesce(text, '') || " + _CC_AUG
+        ),
+        "soft404": sql_soft404_flags(
+            "(SELECT doc_id, " + _ERR404_TEXT + " AS text FROM documents)"
+        ),
+        "group_quartiles": sql_group_discrete_quantiles(
+            "documents", "lang", "n_chars"
+        ),
+        "html_pubdate": sql_pub_date(
+            "(SELECT doc_id, " + _PUBDATE_AUG + " AS html, "
+            + _PUBDATE_URL + " AS url FROM documents)"
         ),
     }
     return sql

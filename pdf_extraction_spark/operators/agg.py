@@ -64,3 +64,85 @@ def keep_last_by(df: DataFrame, key_cols, order_col) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+DEFAULT_QUANTILES = ((1, 4), (1, 2), (3, 4))
+
+
+def group_discrete_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs=DEFAULT_QUANTILES,
+) -> DataFrame:
+    """Per-group DISCRETE quantiles — the generalized form of the CCNet
+    tercile device (mlfilter.ppl_bucket_cutoffs): for each fraction
+    num/den, the cutoff is the actual value at ascending rank
+    ceil(q·n), i.e. the smallest v whose cumulative count reaches the
+    rank. No interpolation → no float convention to match cross-engine,
+    and the rank index is pure INTEGER math ((num·n + den − 1) div den)
+    so even the rank never touches a double.
+
+    Output: (group_col, q DOUBLE, cutoff) — one row per group × q.
+    NULL values are excluded (a NULL can't be a cutoff); NULL groups
+    quantile among themselves (window partitioning groups NULLs in both
+    engines).
+
+    Scale shape: the window runs over the per-(group, value) HISTOGRAM,
+    not the corpus — the partition is bounded by the group's distinct-
+    value count (round/bucket values upstream if that is unbounded);
+    one map-side-combinable groupBy + one histogram-sized window + one
+    tiny stack.
+    """
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    j = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(Window.partitionBy(group_col).orderBy(F.asc(value_col))),
+    ).withColumn("n", F.sum("cnt").over(Window.partitionBy(group_col)))
+    aggs = []
+    for i, (num, den) in enumerate(qs):
+        k = F.expr(f"CAST(({num} * n + {den} - 1) DIV {den} AS BIGINT)")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= k, F.col(value_col))).alias(f"__c{i}")
+        )
+    g = j.groupBy(group_col).agg(*aggs)
+    pairs = ", ".join(
+        f"CAST({num} AS DOUBLE) / {den}, __c{i}" for i, (num, den) in enumerate(qs)
+    )
+    return g.selectExpr(
+        group_col, f"stack({len(qs)}, {pairs}) AS (q, cutoff)"
+    )
+
+
+def sql_group_discrete_quantiles(
+    rel: str,
+    group_expr: str,
+    value_expr: str,
+    qs=DEFAULT_QUANTILES,
+) -> str:
+    """DuckDB twin of :func:`group_discrete_quantiles` — same histogram
+    window, same integer rank, long format via UNION ALL per q. The
+    group column is aliased back to ``group_expr``'s text (pass a bare
+    column name when the Spark side keeps the source column name)."""
+    base = (
+        f"WITH h AS (SELECT {group_expr} AS grp, {value_expr} AS val, "
+        f"count(*) AS cnt FROM {rel} WHERE {value_expr} IS NOT NULL "
+        "GROUP BY 1, 2), "
+        "c AS (SELECT grp, val, "
+        "sum(cnt) OVER (PARTITION BY grp ORDER BY val) AS cum, "
+        "sum(cnt) OVER (PARTITION BY grp) AS n FROM h) "
+    )
+    parts = [
+        (
+            f"SELECT grp, CAST({num} AS DOUBLE) / {den} AS q, "
+            f"min(CASE WHEN cum >= ({num} * n + {den} - 1) // {den} "
+            "THEN val END) AS cutoff FROM c GROUP BY grp"
+        )
+        for num, den in qs
+    ]
+    inner = " UNION ALL ".join(parts)
+    return f"{base} SELECT grp AS {group_expr}, q, cutoff FROM ({inner})"

@@ -763,6 +763,101 @@ def sql_scrub_pii(text_expr: str = "text", id_expr: str = "doc_id") -> str:
 
 
 # --------------------------------------------------------------------------
+# Credit-card PII (Luhn-validated masking)
+# --------------------------------------------------------------------------
+
+# Candidate = 13..19 digits joined by at most one space/hyphen between
+# neighbours. RE2 has NO lookarounds, so (unlike the IPv4 pattern above,
+# which can spell boundaries with Java lookaheads because its RE2 twin
+# uses \b) the candidate scan here is boundary-free in BOTH engines and
+# relies on the Luhn check to reject digit runs that are not card
+# numbers. Both engines scan leftmost-greedy and resume AFTER a match,
+# so a 32-digit run yields the same two candidates in each. A >19-digit
+# run truncated at 19 by the quantifier is a documented heuristic FP
+# *iff* its 19-digit prefix passes Luhn — identically in both engines.
+# Dual limitation (pinned by test): digits glued onto the FRONT of a
+# card through spaces/hyphens ("id16 4111...") extend the candidate
+# leftward, the widened candidate fails Luhn, and the scan resumes past
+# the real card — a deterministic false NEGATIVE, same in both engines.
+CC_CANDIDATE_RE = r"[0-9](?:[ -]?[0-9]){12,18}"
+
+
+def _luhn_ok(cand: Column) -> Column:
+    """Luhn checksum over the separator-stripped candidate — pure
+    integer HOF math (sequence + aggregate), bit-free of floats. The
+    doubled positions are those at even distance-from-right-minus-one
+    ((n - i) % 2 == 1 for 1-based i), i.e. every second digit leftward
+    from the check digit."""
+    c2 = F.regexp_replace(cand, "[ -]", "")
+    n = F.length(c2)
+
+    def term(s, i):
+        d = F.ascii(F.substr(c2, i, F.lit(1))) - F.lit(48)
+        doubled = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        return s + F.when((n - i) % 2 == 1, doubled).otherwise(d)
+
+    total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)
+    return (total % 10 == 0) & (n >= 13) & (n <= 19)
+
+
+def scrub_credit_cards(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask Luhn-valid card numbers with ``<CC>``; returns
+    (doc_id, cc_masked, n_cc). Fully native (regexp scan + array HOFs,
+    zero Python, zero exchanges): candidates that fail Luhn are left
+    untouched, so order numbers / timestamps / phone digits survive.
+    Masking folds left over the validated candidates with plain (non
+    regex) replace — each replaces ALL occurrences of that exact
+    candidate string, same semantics both engines. NULL text masks to
+    ''."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    valid = F.filter(
+        F.regexp_extract_all(t, F.lit(CC_CANDIDATE_RE), F.lit(0)), _luhn_ok
+    )
+    masked = F.aggregate(valid, t, lambda acc, c: F.replace(acc, c, F.lit("<CC>")))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        masked.alias("cc_masked"),
+        F.size(valid).cast("int").alias("n_cc"),
+    )
+
+
+def sql_scrub_credit_cards(text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    """DuckDB twin of :func:`scrub_credit_cards` — same candidate
+    pattern, same integer Luhn fold (list_transform over range),
+    same left fold for masking (list_reduce over list_prepend, so the
+    empty-candidate case returns the text unchanged, like Spark's
+    aggregate with the text as init)."""
+    pat = CC_CANDIDATE_RE.replace("'", "''")
+    # DuckDB forbids subqueries inside lambdas, so the stripped form is
+    # built ONCE per candidate by pairing each candidate with its
+    # stripped twin (list_transform to a two-element list), filtering
+    # on the Luhn of element 2 and projecting element 1 back out.
+    c2 = "p[2]"
+    luhn = (
+        f"(list_sum(list_transform(range(1, length({c2}) + 1), "
+        f"i -> CASE WHEN (length({c2}) - i) % 2 = 1 "
+        f"THEN CASE WHEN (ascii(substr({c2}, i, 1)) - 48) * 2 > 9 "
+        f"THEN (ascii(substr({c2}, i, 1)) - 48) * 2 - 9 "
+        f"ELSE (ascii(substr({c2}, i, 1)) - 48) * 2 END "
+        f"ELSE ascii(substr({c2}, i, 1)) - 48 END)) % 10 = 0 "
+        f"AND length({c2}) BETWEEN 13 AND 19)"
+    )
+    return (
+        f"WITH s0 AS (SELECT {id_expr} AS doc_id, coalesce({text_expr}, '') AS t "
+        "FROM documents), "
+        f"s1 AS (SELECT doc_id, t, list_transform(list_filter(list_transform("
+        f"regexp_extract_all(t, '{pat}'), "
+        "c -> [c, replace(replace(c, ' ', ''), '-', '')]), "
+        f"p -> {luhn}), p -> p[1]) AS valid FROM s0) "
+        "SELECT doc_id, "
+        "list_reduce(list_prepend(t, valid), (acc, c) -> replace(acc, c, '<CC>')) "
+        "AS cc_masked, CAST(len(valid) AS INT) AS n_cc FROM s1"
+    )
+
+
+# --------------------------------------------------------------------------
 # URL filtering (crawl hygiene — C4/RefinedWeb-style front gate)
 # --------------------------------------------------------------------------
 

@@ -179,3 +179,104 @@ def sql_html_meta(rel: str, html_expr: str = "html") -> str:
         f"{_sql_x(c, _CHARSET_PAT)} AS html_charset",
     ]
     return f"SELECT doc_id, {', '.join(cols)} FROM {rel}"
+
+
+# --------------------------------------------------------------------------
+# Publication-date extraction (meta / <time> / JSON-LD / URL path)
+# --------------------------------------------------------------------------
+
+# Priority order mirrors how news/article pipelines trust the signals:
+# explicit OpenGraph article metadata first, then the HTML5 <time>
+# element, then schema.org JSON-LD, then the /YYYY/MM/DD/ URL
+# convention. Each source keeps the RE2∩Java discipline of the head
+# scanner above (dual quote variants, no backreferences, literal Java
+# \s body). The parsed pub_date is the ISO day PREFIX only, via
+# try_cast — engine date parsers never see free-form timestamps (zone
+# suffixes, 'T' separators), which is where cross-engine parsing
+# conventions would diverge; invalid days ('2023-13-99') try_cast to
+# NULL in both engines.
+_PUB_DQ, _PUB_SQ = _attr_patterns(
+    "meta", "property", "article:published_time", "content"
+)
+_TIME_DT_DQ = f'(?i)<time{_WS}[^>]*datetime{_WS}*={_WS}*"([^"]*)"'
+_TIME_DT_SQ = f"(?i)<time{_WS}[^>]*datetime{_WS}*={_WS}*'([^']*)'"
+_JSONLD_PUB = f'"datePublished"{_WS}*:{_WS}*"([^"]*)"'
+_URL_DATE = r"/([0-9]{4})/([0-9]{2})/([0-9]{2})(/|\z)"
+_ISO_DAY = r"^([0-9]{4}-[0-9]{2}-[0-9]{2})"
+
+
+def with_pub_date(
+    df: DataFrame, html_col: str = "html", url_col: str | None = "url"
+) -> DataFrame:
+    """Append ``pub_date_src`` ('meta' | 'time' | 'jsonld' | 'url' |
+    NULL), ``pub_date_raw`` (the matched string; for 'url' the
+    constructed YYYY-MM-DD) and ``pub_date`` (DATE, NULL when the raw
+    form has no castable ISO-day prefix). Fully native: four regexp
+    scans + one coalesce inside one codegen'd projection, zero
+    exchanges. Pass ``url_col=None`` when no URL column exists."""
+    c = F.coalesce(F.col(html_col), F.lit(""))
+    meta = F.coalesce(_x(c, _PUB_DQ), _x(c, _PUB_SQ))
+    time_ = F.coalesce(_x(c, _TIME_DT_DQ), _x(c, _TIME_DT_SQ))
+    jsonld = _x(c, _JSONLD_PUB)
+    if url_col is not None:
+        u = F.coalesce(F.col(url_col), F.lit(""))
+        y = F.nullif(F.regexp_extract(u, _URL_DATE, 1), F.lit(""))
+        url_day = F.when(
+            y.isNotNull(),
+            F.concat_ws(
+                "-",
+                y,
+                F.regexp_extract(u, _URL_DATE, 2),
+                F.regexp_extract(u, _URL_DATE, 3),
+            ),
+        )
+    else:
+        url_day = F.lit(None).cast("string")
+    raw = F.coalesce(meta, time_, jsonld, url_day)
+    src = (
+        F.when(meta.isNotNull(), F.lit("meta"))
+        .when(time_.isNotNull(), F.lit("time"))
+        .when(jsonld.isNotNull(), F.lit("jsonld"))
+        .when(url_day.isNotNull(), F.lit("url"))
+    )
+    df = df.withColumn("pub_date_src", src).withColumn("pub_date_raw", raw)
+    return df.withColumn(
+        "pub_date",
+        F.expr(
+            "try_cast(nullif(regexp_extract(pub_date_raw, "
+            f"'{_ISO_DAY}', 1), '') AS DATE)"
+        ),
+    )
+
+
+def sql_pub_date(rel: str, html_expr: str = "html", url_expr: str = "url") -> str:
+    """DuckDB twin of :func:`with_pub_date` (doc_id + appended columns;
+    identical pattern strings; try_cast NULLs invalid days in both
+    engines). Pass ``url_expr=None`` to mirror ``url_col=None``."""
+    c = f"coalesce({html_expr}, '')"
+    meta = f"coalesce({_sql_x(c, _PUB_DQ)}, {_sql_x(c, _PUB_SQ)})"
+    time_ = f"coalesce({_sql_x(c, _TIME_DT_DQ)}, {_sql_x(c, _TIME_DT_SQ)})"
+    jsonld = _sql_x(c, _JSONLD_PUB)
+    ud = _URL_DATE.replace("'", "''")
+    if url_expr is not None:
+        u = f"coalesce({url_expr}, '')"
+        url_day = (
+            f"CASE WHEN nullif(regexp_extract({u}, '{ud}', 1), '') IS NOT NULL "
+            f"THEN concat_ws('-', regexp_extract({u}, '{ud}', 1), "
+            f"regexp_extract({u}, '{ud}', 2), regexp_extract({u}, '{ud}', 3)) "
+            "END"
+        )
+    else:
+        url_day = "CAST(NULL AS VARCHAR)"
+    iso = _ISO_DAY.replace("'", "''")
+    return (
+        f"WITH p AS (SELECT doc_id, {meta} AS m, {time_} AS tm, "
+        f"{jsonld} AS jl, {url_day} AS ud FROM {rel}) "
+        "SELECT doc_id, "
+        "CASE WHEN m IS NOT NULL THEN 'meta' WHEN tm IS NOT NULL THEN 'time' "
+        "WHEN jl IS NOT NULL THEN 'jsonld' WHEN ud IS NOT NULL THEN 'url' END "
+        "AS pub_date_src, "
+        "coalesce(m, tm, jl, ud) AS pub_date_raw, "
+        f"try_cast(nullif(regexp_extract(coalesce(m, tm, jl, ud), '{iso}', 1), '') "
+        "AS DATE) AS pub_date FROM p"
+    )

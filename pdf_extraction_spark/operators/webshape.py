@@ -35,6 +35,8 @@ __all__ = [
     "sql_template_pages",
     "url_trap_flags",
     "sql_url_trap_flags",
+    "soft404_flags",
+    "sql_soft404_flags",
 ]
 
 _TAG_RE = "</?([a-z][a-z0-9]*)"
@@ -157,4 +159,74 @@ def sql_url_trap_flags(
         f"OR (regexp_matches(pth, '{_CAL_RE}') AND len(segs) >= 4) "
         f"OR len(segs) > {max_depth}) AS is_trap "
         "FROM f"
+    )
+
+
+# --------------------------------------------------------------------------
+# Soft-404 detection (error pages served with HTTP 200)
+# --------------------------------------------------------------------------
+
+# Content-signature heuristic in the spirit of Bar-Yossef et al. 2004
+# ("Sic Transit Gloria Telae"): a page whose text carries an error
+# phrase AND is short is almost always an error shell, not content.
+# The phrase list is ASCII literal alternation under (?i) — RE2∩Java
+# identical, no \b (RE2's is ASCII-only vs Java's Unicode \b; the
+# surrounding-space spellings below need no boundary class at all).
+SOFT404_PHRASE_RE = (
+    "(?i)page not found|file not found|404 not found|error 404|404 error|"
+    "http 404|no longer (exists|available)|"
+    "has been (removed|deleted|moved|discontinued)|"
+    "access denied|not authorized|permission denied|"
+    "an error (has )?occurred|temporarily unavailable|service unavailable|"
+    "page (you requested|you are looking for) (was|does) not"
+)
+SOFT404_MAX_WORDS = 60
+
+
+def soft404_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_words: int = SOFT404_MAX_WORDS,
+) -> DataFrame:
+    """Appends ``n_words`` (Java-WS token count, the curation-family
+    convention), ``has_error_phrase`` and ``is_soft404`` (= phrase AND
+    < ``max_words`` words). Pure projection: one rlike + one split,
+    zero exchanges, zero Python — a 10^12-row narrow map. NULL text
+    counts 0 words and never flags a phrase."""
+    from ..kernels.wsre import JAVA_WS_SPLIT
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(t, JAVA_WS_SPLIT), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    phrase = t.rlike(SOFT404_PHRASE_RE)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("int").alias("n_words"),
+        phrase.alias("has_error_phrase"),
+        (phrase & (n_words < F.lit(max_words))).alias("is_soft404"),
+    )
+
+
+def sql_soft404_flags(
+    rel: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    max_words: int = SOFT404_MAX_WORDS,
+) -> str:
+    """DuckDB twin of :func:`soft404_flags` (identical pattern text;
+    string_split_regex + list_filter mirrors the Spark split-and-drop
+    convention on empties)."""
+    from ..kernels.wsre import JAVA_WS_SPLIT
+
+    pat = SOFT404_PHRASE_RE.replace("'", "''")
+    ws = JAVA_WS_SPLIT.replace("'", "''")
+    return (
+        f"WITH s AS (SELECT {id_expr} AS doc_id, coalesce({text_expr}, '') AS t "
+        f"FROM {rel}), "
+        "f AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(t, "
+        f"'{ws}'), w -> w <> '')) AS INT) AS n_words, "
+        f"regexp_matches(t, '{pat}') AS has_error_phrase FROM s) "
+        "SELECT doc_id, n_words, has_error_phrase, "
+        f"(has_error_phrase AND n_words < {max_words}) AS is_soft404 FROM f"
     )

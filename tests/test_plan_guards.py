@@ -46,6 +46,7 @@ NATIVE_QUERIES = [
     "sitemap_parse", "crawl_plan", "domain_parse", "template_pages",
     "url_traps", "spam_mass", "shard_manifest", "host_communities",
     "justext_blocks", "compaction_plan", "mixture_plan",
+    "cc_scrub", "soft404", "group_quartiles", "html_pubdate",
 ]
 
 

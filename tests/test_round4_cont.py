@@ -1,0 +1,213 @@
+"""Round-4 continuation operators: Luhn credit-card scrub, soft-404
+detection, per-group discrete quantiles, publication-date extraction.
+
+Each operator's cross-engine twin is exercised by oracle_check /
+test_oracle_subset through the __spark_entry__ registration; the tests
+here pin the SEMANTICS on hand-built edge cases (the twin only proves
+both engines agree — these prove they agree on the right answer).
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Luhn credit-card scrub
+# ---------------------------------------------------------------------------
+
+CC_ROWS = [
+    (1, "pay 4111 1111 1111 1111 now or 4111111111111112"),
+    (2, "amex 340000000000009 and order 12345678901234567890"),
+    (3, None),
+    (4, "cards 4111-1111-1111-1111 twice 4111-1111-1111-1111 ok"),
+    (5, "phone +1 (555) 123-4567 year 2024 zip 94110"),
+    (6, "diners 30569309025904 visa16 4012888888881881"),
+    (7, "mix 6011000990139424, then text 5555555555554444."),
+    (8, "run 4111111111111111111111111111111111"),
+]
+
+CC_EXPECT = {
+    # valid spaced Visa masks, near-miss (+1 check digit) survives
+    1: ("pay <CC> now or 4111111111111112", 1),
+    # 15-digit Amex masks; 20-digit order id is no candidate fit
+    2: ("amex <CC> and order 12345678901234567890", 1),
+    # NULL text → '' (the pass-through convention of scrub_pii)
+    3: ("", 0),
+    # the same card twice: one candidate value, both occurrences masked,
+    # but counted per match (2)
+    4: ("cards <CC> twice <CC> ok", 2),
+    # phone numbers and years never reach 13 joined digits
+    5: ("phone +1 (555) 123-4567 year 2024 zip 94110", 0),
+    # documented false negative: 'visa16 ' glues leading digits into the
+    # candidate chain, widened candidate fails Luhn, real card shadowed
+    6: ("diners <CC> visa16 4012888888881881", 1),
+    # punctuation breaks the chain cleanly on both sides
+    7: ("mix <CC>, then text <CC>.", 2),
+    # 34-digit run: 19-digit prefix candidate fails Luhn; remaining 15
+    # digits re-match and fail too → untouched
+    8: ("run 4111111111111111111111111111111111", 0),
+}
+
+
+def test_cc_scrub_semantics(spark):
+    from pdf_extraction_spark.operators.curation import scrub_credit_cards
+
+    df = spark.createDataFrame(CC_ROWS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["cc_masked"], r["n_cc"]) for r in scrub_credit_cards(df).collect()}
+    assert got == CC_EXPECT
+
+
+def test_cc_scrub_duckdb_parity_on_edges(spark):
+    """The oracle run covers corpus text; this pins parity on the
+    adversarial hand-built rows above (incl. the shadowing case)."""
+    from pdf_extraction_spark.operators.curation import (
+        scrub_credit_cards,
+        sql_scrub_credit_cards,
+    )
+
+    df = spark.createDataFrame(CC_ROWS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["cc_masked"], r["n_cc"]) for r in scrub_credit_cards(df).collect()}
+    con = duckdb.connect()
+    con.register("docs_src", pd.DataFrame(CC_ROWS, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_src")
+    want = {r[0]: (r[1], r[2]) for r in con.execute(sql_scrub_credit_cards()).fetchall()}
+    assert got == want
+
+
+def test_cc_scrub_is_native(spark):
+    from pdf_extraction_spark.operators.curation import scrub_credit_cards
+
+    df = spark.createDataFrame(CC_ROWS, "doc_id long, text string")
+    plan = scrub_credit_cards(df)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Soft-404 detection
+# ---------------------------------------------------------------------------
+
+def test_soft404_branches(spark):
+    from pdf_extraction_spark.operators.webshape import soft404_flags
+
+    rows = [
+        (0, "HTTP 404 Error. The page you requested was not found."),
+        (1, "word " * 200 + "an error occurred while rendering comments"),
+        (2, "Sorry, this page has been removed by the author."),
+        (3, "A perfectly normal article about gardening in spring."),
+        (4, None),
+        (5, "ACCESS DENIED"),  # case-insensitive phrase
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in soft404_flags(df).collect()}
+    assert got[0]["is_soft404"] and got[0]["has_error_phrase"]
+    # phrase present but the page is long → error mention, not a shell
+    assert got[1]["has_error_phrase"] and not got[1]["is_soft404"]
+    assert got[2]["is_soft404"]
+    assert not got[3]["has_error_phrase"] and not got[3]["is_soft404"]
+    assert got[4]["n_words"] == 0 and not got[4]["is_soft404"]
+    assert got[5]["is_soft404"]
+
+
+# ---------------------------------------------------------------------------
+# Per-group discrete quantiles
+# ---------------------------------------------------------------------------
+
+def test_group_quantiles_known_values(spark):
+    from pdf_extraction_spark.operators.agg import group_discrete_quantiles
+
+    # group a: values 1..8 → n=8; ceil(8/4)=2 → 2, ceil(8/2)=4 → 4,
+    # ceil(24/4)=6 → 6. group b: 10,10,10,40 → cum(10)=3 covers ranks
+    # 1,2,3 → q25=10, q50=10, q75=10 (discrete, no interpolation).
+    rows = [("a", v) for v in range(1, 9)] + [("b", 10), ("b", 10), ("b", 10), ("b", 40)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["q"]): r["cutoff"]
+        for r in group_discrete_quantiles(df, "g", "v").collect()
+    }
+    assert got == {
+        ("a", 0.25): 2, ("a", 0.5): 4, ("a", 0.75): 6,
+        ("b", 0.25): 10, ("b", 0.5): 10, ("b", 0.75): 10,
+    }
+
+
+def test_group_quantiles_null_group_and_values(spark):
+    from pdf_extraction_spark.operators.agg import group_discrete_quantiles
+
+    rows = [(None, 1), (None, 3), ("a", None), ("a", 5)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["q"]): r["cutoff"]
+        for r in group_discrete_quantiles(df, "g", "v", qs=((1, 2),)).collect()
+    }
+    # NULL group quantiles among itself; NULL values excluded
+    assert got == {(None, 0.5): 1, ("a", 0.5): 5}
+
+
+def test_group_quantiles_median_is_discrete(spark):
+    from pdf_extraction_spark.operators.agg import group_discrete_quantiles
+
+    # even n: discrete median = value at rank ceil(n/2) = 2nd of 4 —
+    # NOT the interpolated midpoint
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 2), ("x", 100), ("x", 200)], "g string, v long"
+    )
+    [(q, cut)] = [
+        (r["q"], r["cutoff"])
+        for r in group_discrete_quantiles(df, "g", "v", qs=((1, 2),)).collect()
+    ]
+    assert (q, cut) == (0.5, 2)
+
+
+# ---------------------------------------------------------------------------
+# Publication-date extraction
+# ---------------------------------------------------------------------------
+
+def _pub(spark, html, url="https://h.example/p/1"):
+    from pdf_extraction_spark.operators.htmlmeta import with_pub_date
+
+    df = spark.createDataFrame([(1, html, url)], "doc_id long, html string, url string")
+    return with_pub_date(df).select("pub_date_src", "pub_date_raw", "pub_date").first()
+
+
+def test_pubdate_meta_beats_jsonld(spark):
+    r = _pub(
+        spark,
+        '<meta property="article:published_time" content="2023-05-17T08:30:00Z">'
+        '<script type="application/ld+json">{"datePublished": "1999-01-01"}</script>',
+    )
+    assert r["pub_date_src"] == "meta"
+    assert str(r["pub_date"]) == "2023-05-17"
+
+
+def test_pubdate_time_and_jsonld(spark):
+    r = _pub(spark, "<time datetime='2021-02-03'>Feb 3</time>")
+    assert (r["pub_date_src"], str(r["pub_date"])) == ("time", "2021-02-03")
+    r = _pub(spark, '{"datePublished": "2020-12-31T23:59:59+01:00"}')
+    assert (r["pub_date_src"], str(r["pub_date"])) == ("jsonld", "2020-12-31")
+
+
+def test_pubdate_url_fallback_and_invalid(spark):
+    r = _pub(spark, "<html>no dates</html>", "https://h.example/2019/07/04/post")
+    assert (r["pub_date_src"], r["pub_date_raw"], str(r["pub_date"])) == (
+        "url", "2019-07-04", "2019-07-04",
+    )
+    # invalid month: raw survives, parsed date NULLs (try_cast)
+    r = _pub(spark, '<meta property="article:published_time" content="2021-13-99">')
+    assert r["pub_date_src"] == "meta"
+    assert r["pub_date_raw"] == "2021-13-99"
+    assert r["pub_date"] is None
+    # no source at all
+    r = _pub(spark, "<html>plain</html>")
+    assert r["pub_date_src"] is None and r["pub_date"] is None
+
+
+def test_pubdate_no_url_column(spark):
+    from pdf_extraction_spark.operators.htmlmeta import with_pub_date
+
+    df = spark.createDataFrame([(1, "<html>x</html>")], "doc_id long, html string")
+    r = with_pub_date(df, url_col=None).first()
+    assert r["pub_date_src"] is None and r["pub_date"] is None
