@@ -143,6 +143,32 @@ _PUBDATE_AUG = (
     "ELSE '<html><body>plain</body></html>' END"
 )
 
+# Head-link profile fixture: meta-refresh redirect (dq url / sq
+# delay-only), feeds in both attribute orders (the tag-scoped rlike
+# filter is order-free), an href-less feed tag (dropped from
+# feed_urls), an AMP alternate, hreflang pairs in both quote styles
+# plus an href-less hreflang (dropped), and a link-free page.
+_LINKPROF_AUG = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN '<html><head>"
+    '<meta http-equiv="refresh" content="0; url=https://moved.example/new">'
+    '<link rel="alternate" type="application/rss+xml" href="https://\' '
+    "|| source || '.example/feed.xml\">"
+    '<link rel="alternate" type="application/rss+xml">'
+    "</head></html>' "
+    "WHEN 1 THEN '<meta http-equiv=''refresh'' content=''5''>' "
+    "WHEN 2 THEN '<link type=\"application/atom+xml\" rel=\"alternate\" "
+    'href="/atom.xml"><link rel="amphtml" href="https://amp.\' '
+    "|| source || '.example/p/' || CAST(doc_id AS STRING) || '\">' "
+    "WHEN 3 THEN '<link rel=\"alternate\" type=\"application/rss+xml\" "
+    'href="/rss"><link rel="alternate" type="application/atom+xml" '
+    'href="/atom"><link rel="alternate" hreflang="en" '
+    'href="https://en.example/p"><link rel=\'\'alternate\'\' '
+    "hreflang=''de-AT'' href=''https://de.example/p''>"
+    '<link rel="alternate" hreflang="fr">\' '
+    "ELSE '<html><head><title>x</title></head></html>' END"
+)
+
 # Shared fragments for the link-graph query: a synthetic page URL and
 # anchor-rich HTML derived from doc fields. Links exercise: absolute
 # same-host, absolute cross-host with uppercase tag + www + :port (all
@@ -2207,6 +2233,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "pub_date_src", "pub_date_raw", "pub_date"
         )
 
+    def q_link_profile(spark, sf):
+        """Head-link profile over link-augmented pages: meta-refresh
+        redirect shell detection (delay + target), rss/atom feed
+        discovery (attribute-order-free tag-scoped matching), AMP
+        alternate. One tag scan + array HOFs, zero Python, zero
+        exchanges."""
+        from pdf_extraction_spark.operators.htmlmeta import with_link_profile
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_LINKPROF_AUG).alias("html")
+        )
+        return with_link_profile(docs).select(
+            "doc_id",
+            "refresh_delay",
+            "refresh_url",
+            "is_meta_redirect",
+            "feed_urls",
+            "n_feeds",
+            "amp_url",
+        )
+
+    def q_hreflang(spark, sf):
+        """Exploded hreflang alternates (the multilingual-site map):
+        link tags carrying rel=alternate + hreflang, both quote
+        styles; tags missing either attribute drop."""
+        from pdf_extraction_spark.operators.htmlmeta import hreflang_alternates
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_LINKPROF_AUG).alias("html")
+        )
+        return hreflang_alternates(docs)
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -2349,6 +2407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft404": q_soft404,
         "group_quartiles": q_group_quartiles,
         "html_pubdate": q_html_pubdate,
+        "link_profile": q_link_profile,
+        "hreflang_alts": q_hreflang,
     }
 
 
@@ -2450,7 +2510,11 @@ def oracle_sql() -> dict[str, str]:
     )
     from pdf_extraction_spark.operators.agg import sql_group_discrete_quantiles
     from pdf_extraction_spark.operators.curation import sql_scrub_credit_cards
-    from pdf_extraction_spark.operators.htmlmeta import sql_pub_date
+    from pdf_extraction_spark.operators.htmlmeta import (
+        sql_hreflang_alternates,
+        sql_link_profile,
+        sql_pub_date,
+    )
     from pdf_extraction_spark.operators.webshape import sql_soft404_flags
     from pdf_extraction_spark.operators.curation import _sql_lower_words
     _WORD_SRC = (
@@ -3303,6 +3367,12 @@ def oracle_sql() -> dict[str, str]:
         "html_pubdate": sql_pub_date(
             "(SELECT doc_id, " + _PUBDATE_AUG + " AS html, "
             + _PUBDATE_URL + " AS url FROM documents)"
+        ),
+        "link_profile": sql_link_profile(
+            "(SELECT doc_id, " + _LINKPROF_AUG + " AS html FROM documents)"
+        ),
+        "hreflang_alts": sql_hreflang_alternates(
+            "(SELECT doc_id, " + _LINKPROF_AUG + " AS html FROM documents)"
         ),
     }
     return sql

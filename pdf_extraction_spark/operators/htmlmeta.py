@@ -280,3 +280,159 @@ def sql_pub_date(rel: str, html_expr: str = "html", url_expr: str = "url") -> st
         f"try_cast(nullif(regexp_extract(coalesce(m, tm, jl, ud), '{iso}', 1), '') "
         "AS DATE) AS pub_date FROM p"
     )
+
+
+# --------------------------------------------------------------------------
+# Head-link profile: meta-refresh redirects, feed discovery, AMP alternate
+# --------------------------------------------------------------------------
+
+# Meta-refresh shells are the <head>-level cousin of soft-404s: a page
+# whose only content is "content=0;url=elsewhere" is a redirect, not a
+# document, and crawl pipelines either follow it or drop it. Feed and
+# AMP links are per-page crawl-seed signals. All scans keep the
+# RE2∩Java discipline (dual quote variants, no backreferences, the
+# literal Java \s body, no \b).
+_REFRESH_DQ, _REFRESH_SQ = _attr_patterns("meta", "http-equiv", "refresh", "content")
+# inside the content value: [delay][;[ ]url=TARGET] — quotes optional
+_REFRESH_DELAY = "^[ \\t]*([0-9]+)"
+_REFRESH_URL = "(?i);[ \\t]*url[ \\t]*=[ \\t]*['\"]?([^'\" >]+)"
+_LINK_TAG = f"(?i)<link[{JAVA_WS_BODY}][^>]*>"
+_REL_ALTERNATE = f"(?i)rel{_WS}*={_WS}*[\"']?alternate"
+_FEED_TYPE = r"(?i)application/(rss|atom)\+xml"
+_REL_AMP = f"(?i)rel{_WS}*={_WS}*[\"']?amphtml"
+_HREF_DQ = f'(?i)href{_WS}*={_WS}*"([^"]*)"'
+_HREF_SQ = f"(?i)href{_WS}*={_WS}*'([^']*)'"
+_HREFLANG = f"(?i)hreflang{_WS}*={_WS}*[\"']?([A-Za-z0-9_\\-]+)"
+
+
+def _tag_href(tag: Column) -> Column:
+    return F.coalesce(_x(tag, _HREF_DQ), _x(tag, _HREF_SQ))
+
+
+def with_link_profile(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Append ``refresh_delay`` (INT, NULL when no meta refresh or no
+    leading number), ``refresh_url``, ``is_meta_redirect`` (a refresh
+    with a target — the redirect-shell verdict), ``feed_urls``
+    (document-order hrefs of rel=alternate rss/atom links), ``n_feeds``
+    and ``amp_url``. One regexp_extract_all tag scan + array HOFs, zero
+    exchanges, zero Python."""
+    c = F.coalesce(F.col(html_col), F.lit(""))
+    content = F.coalesce(_x(c, _REFRESH_DQ), _x(c, _REFRESH_SQ))
+    delay = F.expr(
+        f"try_cast(nullif(regexp_extract({html_col}_rc, '{_REFRESH_DELAY}', 1), '') AS INT)"
+    )
+    tags = F.regexp_extract_all(c, F.lit(_LINK_TAG), F.lit(0))
+    feed_tags = F.filter(
+        tags,
+        lambda t: t.rlike(_REL_ALTERNATE) & t.rlike(_FEED_TYPE),
+    )
+    feeds = F.filter(
+        F.transform(feed_tags, _tag_href), lambda u: u.isNotNull()
+    )
+    amp = F.get(
+        F.filter(
+            F.transform(
+                F.filter(tags, lambda t: t.rlike(_REL_AMP)), _tag_href
+            ),
+            lambda u: u.isNotNull(),
+        ),
+        0,
+    )
+    df = df.withColumn(f"{html_col}_rc", content)
+    url = F.nullif(
+        F.regexp_extract(F.coalesce(F.col(f"{html_col}_rc"), F.lit("")), _REFRESH_URL, 1),
+        F.lit(""),
+    )
+    return (
+        df.withColumn("refresh_delay", delay)
+        .withColumn("refresh_url", url)
+        .withColumn("is_meta_redirect", url.isNotNull())
+        .withColumn("feed_urls", feeds)
+        .withColumn("n_feeds", F.size(feeds).cast("int"))
+        .withColumn("amp_url", amp)
+        .drop(f"{html_col}_rc")
+    )
+
+
+def sql_link_profile(rel: str, html_expr: str = "html") -> str:
+    """DuckDB twin of :func:`with_link_profile` (doc_id + appended
+    columns; identical pattern text; list indexing [1] mirrors
+    F.get(..., 0) — both NULL on empty)."""
+    c = f"coalesce({html_expr}, '')"
+    content = f"coalesce({_sql_x(c, _REFRESH_DQ)}, {_sql_x(c, _REFRESH_SQ)})"
+    dpat = _REFRESH_DELAY.replace("'", "''").replace("\\", "\\")
+    upat = _REFRESH_URL.replace("'", "''")
+    lt = _LINK_TAG.replace("'", "''")
+    ra = _REL_ALTERNATE.replace("'", "''")
+    ft = _FEED_TYPE.replace("'", "''")
+    ramp = _REL_AMP.replace("'", "''")
+    hd = _HREF_DQ.replace("'", "''")
+    hs = _HREF_SQ.replace("'", "''")
+    href = (
+        f"coalesce(nullif(regexp_extract(t, '{hd}', 1), ''), "
+        f"nullif(regexp_extract(t, '{hs}', 1), ''))"
+    )
+    return (
+        f"WITH p AS (SELECT doc_id, {content} AS rc, "
+        f"regexp_extract_all({c}, '{lt}') AS tags FROM {rel}), "
+        "q AS (SELECT doc_id, rc, "
+        f"list_filter(list_transform(list_filter(tags, "
+        f"t -> regexp_matches(t, '{ra}') AND regexp_matches(t, '{ft}')), "
+        f"t -> {href}), u -> u IS NOT NULL) AS feeds, "
+        f"list_filter(list_transform(list_filter(tags, "
+        f"t -> regexp_matches(t, '{ramp}')), t -> {href}), "
+        "u -> u IS NOT NULL) AS amps FROM p) "
+        "SELECT doc_id, "
+        f"try_cast(nullif(regexp_extract(rc, '{dpat}', 1), '') AS INT) "
+        "AS refresh_delay, "
+        f"nullif(regexp_extract(coalesce(rc, ''), '{upat}', 1), '') AS refresh_url, "
+        f"nullif(regexp_extract(coalesce(rc, ''), '{upat}', 1), '') IS NOT NULL "
+        "AS is_meta_redirect, "
+        "feeds AS feed_urls, CAST(len(feeds) AS INT) AS n_feeds, "
+        "amps[1] AS amp_url FROM q"
+    )
+
+
+def hreflang_alternates(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Exploded (doc_id, hreflang, href) rows from
+    ``<link rel="alternate" hreflang=.. href=..>`` tags — the
+    multilingual-site map cross-lingual dedup joins on. Tags missing
+    either attribute drop; document order is not part of the contract
+    (consumers key on (doc_id, hreflang))."""
+    c = F.coalesce(F.col(html_col), F.lit(""))
+    tags = F.filter(
+        F.regexp_extract_all(c, F.lit(_LINK_TAG), F.lit(0)),
+        lambda t: t.rlike(_REL_ALTERNATE) & t.rlike(_HREFLANG),
+    )
+    out = df.select(
+        "doc_id", F.explode(tags).alias("tag")
+    ).select(
+        "doc_id",
+        F.nullif(F.regexp_extract(F.col("tag"), _HREFLANG, 1), F.lit("")).alias(
+            "hreflang"
+        ),
+        _tag_href(F.col("tag")).alias("href"),
+    )
+    return out.filter(F.col("hreflang").isNotNull() & F.col("href").isNotNull())
+
+
+def sql_hreflang_alternates(rel: str, html_expr: str = "html") -> str:
+    """DuckDB twin of :func:`hreflang_alternates`."""
+    c = f"coalesce({html_expr}, '')"
+    lt = _LINK_TAG.replace("'", "''")
+    ra = _REL_ALTERNATE.replace("'", "''")
+    hl = _HREFLANG.replace("'", "''")
+    hd = _HREF_DQ.replace("'", "''")
+    hs = _HREF_SQ.replace("'", "''")
+    return (
+        f"WITH t AS (SELECT doc_id, unnest(list_filter(regexp_extract_all({c}, "
+        f"'{lt}'), t -> regexp_matches(t, '{ra}') AND "
+        f"regexp_matches(t, '{hl}'))) AS tag FROM {rel}) "
+        "SELECT doc_id, "
+        f"nullif(regexp_extract(tag, '{hl}', 1), '') AS hreflang, "
+        f"coalesce(nullif(regexp_extract(tag, '{hd}', 1), ''), "
+        f"nullif(regexp_extract(tag, '{hs}', 1), '')) AS href "
+        f"FROM t WHERE nullif(regexp_extract(tag, '{hl}', 1), '') IS NOT NULL "
+        f"AND coalesce(nullif(regexp_extract(tag, '{hd}', 1), ''), "
+        f"nullif(regexp_extract(tag, '{hs}', 1), '')) IS NOT NULL"
+    )

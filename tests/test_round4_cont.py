@@ -211,3 +211,64 @@ def test_pubdate_no_url_column(spark):
     df = spark.createDataFrame([(1, "<html>x</html>")], "doc_id long, html string")
     r = with_pub_date(df, url_col=None).first()
     assert r["pub_date_src"] is None and r["pub_date"] is None
+
+
+# ---------------------------------------------------------------------------
+# Head-link profile (meta refresh / feeds / AMP) + hreflang alternates
+# ---------------------------------------------------------------------------
+
+def _profile(spark, html):
+    from pdf_extraction_spark.operators.htmlmeta import with_link_profile
+
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    return with_link_profile(df).first()
+
+
+def test_meta_refresh_redirect(spark):
+    r = _profile(spark, '<meta http-equiv="refresh" content="0; url=https://m.example/x">')
+    assert (r["refresh_delay"], r["refresh_url"], r["is_meta_redirect"]) == (
+        0, "https://m.example/x", True,
+    )
+    # delay-only refresh reloads, it does not redirect
+    r = _profile(spark, "<meta http-equiv='refresh' content='5'>")
+    assert (r["refresh_delay"], r["refresh_url"], r["is_meta_redirect"]) == (5, None, False)
+    # quoted url form + uppercase URL key
+    r = _profile(spark, '<meta http-equiv="refresh" content="3;URL=\'/new\'">')
+    assert (r["refresh_delay"], r["refresh_url"]) == (3, "/new")
+
+
+def test_feed_discovery_attr_order_free(spark):
+    r = _profile(
+        spark,
+        '<link rel="alternate" type="application/rss+xml" href="/rss">'
+        '<link type="application/atom+xml" rel="alternate" href="/atom">'
+        '<link rel="alternate" type="application/rss+xml">'  # no href → dropped
+        '<link rel="stylesheet" href="/style.css">',
+    )
+    assert r["feed_urls"] == ["/rss", "/atom"]
+    assert r["n_feeds"] == 2
+
+
+def test_amp_url_and_clean_page(spark):
+    r = _profile(spark, '<link rel="amphtml" href="https://amp.example/p/1">')
+    assert r["amp_url"] == "https://amp.example/p/1"
+    r = _profile(spark, "<html><head><title>x</title></head></html>")
+    assert r["n_feeds"] == 0 and r["feed_urls"] == [] and r["amp_url"] is None
+    assert not r["is_meta_redirect"] and r["refresh_delay"] is None
+
+
+def test_hreflang_alternates(spark):
+    from pdf_extraction_spark.operators.htmlmeta import hreflang_alternates
+
+    html = (
+        '<link rel="alternate" hreflang="en" href="https://en.example/p">'
+        "<link rel='alternate' hreflang='de-AT' href='https://de.example/p'>"
+        '<link rel="alternate" hreflang="fr">'  # no href → dropped
+        '<link hreflang="es" href="/es">'  # no rel=alternate → dropped
+    )
+    df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+    got = {(r["hreflang"], r["href"]) for r in hreflang_alternates(df).collect()}
+    assert got == {
+        ("en", "https://en.example/p"),
+        ("de-AT", "https://de.example/p"),
+    }
