@@ -143,6 +143,30 @@ _PUBDATE_AUG = (
     "ELSE '<html><body>plain</body></html>' END"
 )
 
+# Sentence-segmentation fixture: corpus text carries no terminators,
+# so branches append terminator shapes — multi-sentence runs, closing
+# quotes/brackets after the terminator, repeated dots, and an
+# unterminated branch (trailing fragments are KEPT by design).
+_SENT_AUG = (
+    "coalesce(text, '') || CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN '. First extra. Second one! Is it? End' "
+    "WHEN 1 THEN '? \"Quote.\" (Paren.) tail' "
+    "WHEN 2 THEN '' "
+    "ELSE '. Multi.. dots... edge! ' END"
+)
+
+# Meta-keywords fixture: clean list, duplicate-stuffed list (case
+# folded), whitespace-only entries (all dropped), absent tag.
+_KW_AUG = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN '<meta name=\"keywords\" content=\"spark, data, web '"
+    " || source || '\">' "
+    "WHEN 1 THEN '<meta name=''keywords'' "
+    "content=''Cheap, cheap, CHEAP, deals, deals''>' "
+    "WHEN 2 THEN '<meta name=\"keywords\" content=\" , , \">' "
+    "ELSE '<html><head></head></html>' END"
+)
+
 # Head-link profile fixture: meta-refresh redirect (dq url / sq
 # delay-only), feeds in both attribute orders (the tag-scoped rlike
 # filter is order-free), an href-less feed tag (dropped from
@@ -2265,6 +2289,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return hreflang_alternates(docs)
 
+    def q_sentences(spark, sf):
+        """Native sentence segmentation over terminator-augmented doc
+        text: staged marker rewrite (strip \\x1E → boundary
+        backreference rewrite → split → trim/drop-empty), exploded to
+        (doc_id, sent_no, sentence, n_words). Narrow map + explode,
+        zero Python; the $1/\\1 replacement spelling is the one
+        per-engine difference (pattern text identical)."""
+        from pdf_extraction_spark.operators.textanalysis import explode_sentences
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_SENT_AUG).alias("text")
+        )
+        return explode_sentences(docs)
+
+    def q_meta_keywords(spark, sf):
+        """Meta-keywords extraction + keyword-stuffing verdict (comma
+        split, trim/drop-empty, case-folded duplicate count). Pure
+        projection."""
+        from pdf_extraction_spark.operators.htmlmeta import with_meta_keywords
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_KW_AUG).alias("html")
+        )
+        return with_meta_keywords(docs).select(
+            "doc_id",
+            "keywords",
+            "n_keywords",
+            "n_dup_keywords",
+            "is_keyword_stuffed",
+        )
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -2409,6 +2464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_pubdate": q_html_pubdate,
         "link_profile": q_link_profile,
         "hreflang_alts": q_hreflang,
+        "sentences": q_sentences,
+        "meta_keywords": q_meta_keywords,
     }
 
 
@@ -2496,6 +2553,7 @@ def oracle_sql() -> dict[str, str]:
         sql_pmi_collocations,
     )
     from pdf_extraction_spark.operators.textanalysis import (
+        sql_explode_sentences,
         sql_script_profile,
         sql_unigram_entropy,
     )
@@ -2513,6 +2571,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.htmlmeta import (
         sql_hreflang_alternates,
         sql_link_profile,
+        sql_meta_keywords,
         sql_pub_date,
     )
     from pdf_extraction_spark.operators.webshape import sql_soft404_flags
@@ -3373,6 +3432,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hreflang_alts": sql_hreflang_alternates(
             "(SELECT doc_id, " + _LINKPROF_AUG + " AS html FROM documents)"
+        ),
+        "sentences": sql_explode_sentences(
+            "(SELECT doc_id, " + _SENT_AUG + " AS text FROM documents)"
+        ),
+        "meta_keywords": sql_meta_keywords(
+            "(SELECT doc_id, " + _KW_AUG + " AS html FROM documents)"
         ),
     }
     return sql

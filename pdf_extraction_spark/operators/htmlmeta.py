@@ -436,3 +436,57 @@ def sql_hreflang_alternates(rel: str, html_expr: str = "html") -> str:
         f"AND coalesce(nullif(regexp_extract(tag, '{hd}', 1), ''), "
         f"nullif(regexp_extract(tag, '{hs}', 1), '')) IS NOT NULL"
     )
+
+
+# --------------------------------------------------------------------------
+# Meta keywords + keyword-stuffing verdict
+# --------------------------------------------------------------------------
+
+_KW_DQ, _KW_SQ = _attr_patterns("meta", "name", "keywords", "content")
+KEYWORD_STUFF_MAX = 25
+
+
+def with_meta_keywords(
+    df: DataFrame, html_col: str = "html", max_keywords: int = KEYWORD_STUFF_MAX
+) -> DataFrame:
+    """Append ``keywords`` (trimmed, non-empty, document order),
+    ``n_keywords``, ``n_dup_keywords`` (case-folded duplicates — the
+    classic SEO-stuffing signal) and ``is_keyword_stuffed`` (> max OR
+    any duplicate). Absent tag → empty array, 0, 0, false. One regexp
+    scan + array HOFs, zero exchanges."""
+    c = F.coalesce(F.col(html_col), F.lit(""))
+    raw = F.coalesce(_x(c, _KW_DQ), _x(c, _KW_SQ), F.lit(""))
+    kws = F.filter(
+        F.transform(F.split(raw, ","), lambda k: F.trim(k)),
+        lambda k: k != F.lit(""),
+    )
+    n = F.size(kws)
+    ndup = n - F.size(F.array_distinct(F.transform(kws, F.lower)))
+    return (
+        df.withColumn("keywords", kws)
+        .withColumn("n_keywords", n.cast("int"))
+        .withColumn("n_dup_keywords", ndup.cast("int"))
+        .withColumn(
+            "is_keyword_stuffed",
+            (n > F.lit(max_keywords)) | (ndup > F.lit(0)),
+        )
+    )
+
+
+def sql_meta_keywords(
+    rel: str, html_expr: str = "html", max_keywords: int = KEYWORD_STUFF_MAX
+) -> str:
+    """DuckDB twin of :func:`with_meta_keywords`."""
+    c = f"coalesce({html_expr}, '')"
+    raw = f"coalesce({_sql_x(c, _KW_DQ)}, {_sql_x(c, _KW_SQ)}, '')"
+    return (
+        f"WITH k AS (SELECT doc_id, list_filter(list_transform("
+        f"string_split({raw}, ','), x -> trim(x)), x -> x <> '') AS kws "
+        f"FROM {rel}) "
+        "SELECT doc_id, kws AS keywords, CAST(len(kws) AS INT) AS n_keywords, "
+        "CAST(len(kws) - len(list_distinct(list_transform(kws, x -> lower(x)))) "
+        "AS INT) AS n_dup_keywords, "
+        f"(len(kws) > {max_keywords} OR len(kws) > "
+        "len(list_distinct(list_transform(kws, x -> lower(x))))) "
+        "AS is_keyword_stuffed FROM k"
+    )

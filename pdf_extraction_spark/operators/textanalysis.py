@@ -528,3 +528,79 @@ def sql_readability(
         f"CAST(greatest(0, ({g6}) + ({g2_6}) - 15590000) AS DOUBLE) / 1e6 "
         "END AS fk_grade FROM b"
     )
+
+
+# --------------------------------------------------------------------------
+# Sentence segmentation (native, cross-engine)
+# --------------------------------------------------------------------------
+
+# Terminator = [.!?]+ plus trailing closing quotes/brackets; a sentence
+# boundary is terminator followed by whitespace. RE2 has no lookbehind,
+# so the split is staged: (1) strip any pre-existing \x1E record
+# separators (the marker must be unambiguous), (2) rewrite
+# boundary-whitespace to \x1E keeping the terminator via a replacement
+# backreference ($1 in Java, \1 in RE2 — the one sanctioned per-engine
+# spelling difference, pattern TEXT is identical), (3) split on \x1E,
+# (4) trim + drop empties. A trailing fragment without a terminator is
+# kept (truncated crawls end mid-sentence; droppping them would bias
+# short docs). Abbreviation dots ("Dr. Smith") split — the standard
+# cost of regex segmentation, identical in both engines.
+from ..kernels.wsre import JAVA_WS_BODY as _SENT_WS_BODY
+
+_SENT_MARK = "\x1e"
+_SENT_BOUNDARY = "([.!?][\"')\\]]*)[" + _SENT_WS_BODY + "]+"
+
+
+def sentences_col(text: Column) -> Column:
+    """Array of trimmed, non-empty sentences in document order."""
+    t = F.coalesce(text, F.lit(""))
+    t = F.regexp_replace(t, _SENT_MARK, "")
+    marked = F.regexp_replace(t, _SENT_BOUNDARY, "$1" + _SENT_MARK)
+    return F.filter(
+        F.transform(F.split(marked, _SENT_MARK), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+
+
+def explode_sentences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sent_no, sentence, n_words) — one row per sentence,
+    0-based document order, Java-WS word count (the curation-family
+    convention). Narrow map + explode: zero exchanges, zero Python."""
+    from ..kernels.wsre import JAVA_WS_SPLIT
+
+    pos = F.posexplode(sentences_col(F.col(text_col)))
+    out = df.select(F.col(id_col).alias("doc_id"), pos.alias("sent_no", "sentence"))
+    n_words = F.size(
+        F.filter(
+            F.split(F.col("sentence"), JAVA_WS_SPLIT), lambda w: w != F.lit("")
+        )
+    )
+    return out.withColumn("sent_no", F.col("sent_no").cast("int")).withColumn(
+        "n_words", n_words.cast("int")
+    )
+
+
+def sql_explode_sentences(rel: str, text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`explode_sentences` (\\1 replacement
+    backreference — RE2's spelling of Java's $1; same pattern text)."""
+    from ..kernels.wsre import JAVA_WS_SPLIT
+
+    pat = _SENT_BOUNDARY.replace("'", "''")
+    ws = JAVA_WS_SPLIT.replace("'", "''")
+    sent_list = (
+        "list_filter(list_transform(string_split("
+        f"regexp_replace(replace(coalesce({text_expr}, ''), chr(30), ''), "
+        f"'{pat}', '\\1' || chr(30), 'g'), chr(30)), s -> trim(s)), "
+        "s -> s <> '')"
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, {sent_list} AS sents FROM {rel}), "
+        "e AS (SELECT doc_id, unnest(sents) AS sentence, "
+        "CAST(unnest(generate_series(0, len(sents) - 1)) AS INT) AS sent_no "
+        "FROM s WHERE len(sents) > 0) "
+        "SELECT doc_id, sent_no, sentence, "
+        f"CAST(len(list_filter(string_split_regex(sentence, '{ws}'), "
+        "w -> w <> '')) AS INT) AS n_words FROM e"
+    )

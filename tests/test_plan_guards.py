@@ -47,7 +47,7 @@ NATIVE_QUERIES = [
     "url_traps", "spam_mass", "shard_manifest", "host_communities",
     "justext_blocks", "compaction_plan", "mixture_plan",
     "cc_scrub", "soft404", "group_quartiles", "html_pubdate",
-    "link_profile", "hreflang_alts",
+    "link_profile", "hreflang_alts", "sentences", "meta_keywords",
 ]
 
 

@@ -272,3 +272,69 @@ def test_hreflang_alternates(spark):
         ("en", "https://en.example/p"),
         ("de-AT", "https://de.example/p"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation
+# ---------------------------------------------------------------------------
+
+def test_sentences_basic(spark):
+    from pdf_extraction_spark.operators.textanalysis import explode_sentences
+
+    df = spark.createDataFrame(
+        [(1, 'Hello there. How are you? "Fine!" she said. End')],
+        "doc_id long, text string",
+    )
+    got = [(r["sent_no"], r["sentence"], r["n_words"]) for r in
+           explode_sentences(df).orderBy("sent_no").collect()]
+    assert got == [
+        (0, "Hello there.", 2),
+        (1, "How are you?", 3),
+        (2, '"Fine!"', 1),
+        (3, "she said.", 2),
+        (4, "End", 1),  # trailing fragment kept
+    ]
+
+
+def test_sentences_edges(spark):
+    from pdf_extraction_spark.operators.textanalysis import explode_sentences
+
+    rows = [
+        (1, None),                       # NULL → no rows
+        (2, ""),                         # empty → no rows
+        (3, "no terminator at all"),     # one fragment
+        (4, "Multi.. dots... edge!  Two  spaces."),
+        (5, "ends clean."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in explode_sentences(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["sent_no"], r["sentence"]))
+    assert 1 not in got and 2 not in got
+    assert got[3] == [(0, "no terminator at all")]
+    assert [s for _, s in sorted(got[4])] == ["Multi..", "dots...", "edge!", "Two  spaces."]
+    assert got[5] == [(0, "ends clean.")]
+
+
+# ---------------------------------------------------------------------------
+# Meta keywords / stuffing
+# ---------------------------------------------------------------------------
+
+def test_meta_keywords(spark):
+    from pdf_extraction_spark.operators.htmlmeta import with_meta_keywords
+
+    rows = [
+        (0, '<meta name="keywords" content="spark, data, web">'),
+        (1, "<meta name='keywords' content='Cheap, cheap, CHEAP, deals, deals'>"),
+        (2, '<meta name="keywords" content=" , , ">'),
+        (3, "<html><head></head></html>"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r["doc_id"]: r for r in with_meta_keywords(df).collect()}
+    assert got[0]["keywords"] == ["spark", "data", "web"]
+    assert got[0]["n_dup_keywords"] == 0 and not got[0]["is_keyword_stuffed"]
+    assert got[1]["n_keywords"] == 5 and got[1]["n_dup_keywords"] == 3
+    assert got[1]["is_keyword_stuffed"]
+    assert got[2]["n_keywords"] == 0 and not got[2]["is_keyword_stuffed"]
+    assert got[3]["keywords"] == [] and got[4]["keywords"] == []
