@@ -193,6 +193,39 @@ _LINKPROF_AUG = (
     "ELSE '<html><head><title>x</title></head></html>' END"
 )
 
+# Structural-extraction fixture (heading outline / JSON-LD types /
+# first-table cell grid). Variants exercise: inline markup + collapsed
+# whitespace in headings, nested JSON-LD entities, a second table
+# (ignored), uppercase tags + single-quoted type attr + a newline
+# inside a heading, a mismatched heading close (<h2>..</h3> — closes at
+# the first </hN>, documented), an empty-after-strip heading (dropped),
+# the JSON-array @type form (extracts nothing, documented), ragged rows
+# with a mid-row <th>, an empty cell (NULL at its grid position), and
+# an empty page.
+_HSTRUCT_AUG = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN '<html><h1>Big <em>' || source || '</em></h1><p>x</p>"
+    '<h2 class="s">Sec  one</h2>'
+    '<script type="application/ld+json">{"@context":"s",'
+    '"@type":"NewsArticle","author":{"@type":"Person"}}</script>'
+    '<table class="d"><tr><th>Name</th><th>Qty</th></tr>'
+    "<tr><td>alpha</td><td>' || CAST(doc_id AS STRING) || '</td></tr>"
+    '<tr><td><a href="/x">beta</a></td><td></td></tr></table>'
+    "<table><tr><td>ignored</td></tr></table><h3>End</h3></html>' "
+    "WHEN 1 THEN '<SCRIPT TYPE=''application/ld+json''>"
+    '{"@type": "Product"}</SCRIPT><H4>Level\' || chr(10) || \'four</H4>'
+    "<TABLE><TR><TD>' || source || '</TD><TD>b</TD></TR></TABLE>' "
+    "WHEN 2 THEN '<h6>deep</h6><h1><span></span></h1>"
+    "<h2>mismatch</h3><h2>' || source || '</h2>' "
+    "WHEN 3 THEN '<script type=\"application/ld+json\">"
+    '{"@type": ["A","B"]}</script>'
+    '<script type="application/ld+json">{"@type":"FAQPage",'
+    '"m":[{"@type":"Question"},{"@type" : "Answer"}]}</script>'
+    '<table><tr><td colspan="2">wide ' + "' || source || '"
+    "</td></tr><tr><td>x</td><th>y</th><td>z</td></tr></table>' "
+    "ELSE '' END"
+)
+
 # Shared fragments for the link-graph query: a synthetic page URL and
 # anchor-rich HTML derived from doc fields. Links exercise: absolute
 # same-host, absolute cross-host with uppercase tag + www + :port (all
@@ -2320,6 +2353,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "is_keyword_stuffed",
         )
 
+    def q_headings(spark, sf):
+        """Heading outline (h1-h6 in document order): tag scan →
+        empty-after-strip filter → posexplode; inner markup stripped,
+        whitespace collapsed. Narrow map + explode, zero Python."""
+        from pdf_extraction_spark.operators.htmlstruct import explode_headings
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_HSTRUCT_AUG).alias("html")
+        )
+        return explode_headings(docs)
+
+    def q_jsonld(spark, sf):
+        """schema.org @type inventory from application/ld+json blocks
+        (scalar string form; nested entities included, array form
+        skipped by contract) — block scan → per-block type scan →
+        flatten → posexplode. Zero Python, zero exchanges."""
+        from pdf_extraction_spark.operators.htmlstruct import jsonld_types
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_HSTRUCT_AUG).alias("html")
+        )
+        return jsonld_types(docs)
+
+    def q_html_tables(spark, sf):
+        """First-table cell grid: (row_no, col_no, is_header, cell)
+        with ragged rows preserved and empty cells NULL at their grid
+        position. Two chained narrow explodes (parallel group
+        extraction zipped), zero Python, zero exchanges."""
+        from pdf_extraction_spark.operators.htmlstruct import html_table_cells
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_HSTRUCT_AUG).alias("html")
+        )
+        return html_table_cells(docs)
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -2466,6 +2534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hreflang_alts": q_hreflang,
         "sentences": q_sentences,
         "meta_keywords": q_meta_keywords,
+        "heading_outline": q_headings,
+        "jsonld_types": q_jsonld,
+        "html_tables": q_html_tables,
     }
 
 
@@ -2575,6 +2646,11 @@ def oracle_sql() -> dict[str, str]:
         sql_pub_date,
     )
     from pdf_extraction_spark.operators.webshape import sql_soft404_flags
+    from pdf_extraction_spark.operators.htmlstruct import (
+        sql_explode_headings,
+        sql_html_table_cells,
+        sql_jsonld_types,
+    )
     from pdf_extraction_spark.operators.curation import _sql_lower_words
     _WORD_SRC = (
         "(SELECT unnest(" + _sql_lower_words("coalesce(text, '')")
@@ -3438,6 +3514,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "meta_keywords": sql_meta_keywords(
             "(SELECT doc_id, " + _KW_AUG + " AS html FROM documents)"
+        ),
+        "heading_outline": sql_explode_headings(
+            "(SELECT doc_id, " + _HSTRUCT_AUG + " AS html FROM documents)"
+        ),
+        "jsonld_types": sql_jsonld_types(
+            "(SELECT doc_id, " + _HSTRUCT_AUG + " AS html FROM documents)"
+        ),
+        "html_tables": sql_html_table_cells(
+            "(SELECT doc_id, " + _HSTRUCT_AUG + " AS html FROM documents)"
         ),
     }
     return sql
