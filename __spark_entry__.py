@@ -2388,6 +2388,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return html_table_cells(docs)
 
+    def q_lang_mix(spark, sf):
+        """Paragraph-level code-switching verdict: the document-level
+        stopword langid run per blank-line paragraph (nested array
+        HOFs, zero Python, zero exchanges), aggregated to modal
+        language + mix fraction + distinct-language count."""
+        from pdf_extraction_spark.operators.textanalysis import with_language_mix
+
+        return with_language_mix(_docs(spark, sf)).select(
+            "doc_id", "n_paras", "dominant_lang", "n_langs",
+            "mix_frac", "is_mixed",
+        )
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -2537,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_outline": q_headings,
         "jsonld_types": q_jsonld,
         "html_tables": q_html_tables,
+        "lang_mix": q_lang_mix,
     }
 
 
@@ -2625,6 +2638,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pdf_extraction_spark.operators.textanalysis import (
         sql_explode_sentences,
+        sql_language_mix,
         sql_script_profile,
         sql_unigram_entropy,
     )
@@ -3524,5 +3538,6 @@ def oracle_sql() -> dict[str, str]:
         "html_tables": sql_html_table_cells(
             "(SELECT doc_id, " + _HSTRUCT_AUG + " AS html FROM documents)"
         ),
+        "lang_mix": sql_language_mix("documents"),
     }
     return sql

@@ -87,7 +87,7 @@ QUERIES = [
     "containment", "sitemap_parse", "crawl_plan", "domain_parse",
     "template_pages", "url_traps", "shard_manifest", "host_communities",
     "justext_blocks", "compaction_plan", "mixture_plan",
-    "heading_outline", "jsonld_types", "html_tables",
+    "heading_outline", "jsonld_types", "html_tables", "lang_mix",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

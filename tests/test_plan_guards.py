@@ -48,7 +48,7 @@ NATIVE_QUERIES = [
     "justext_blocks", "compaction_plan", "mixture_plan",
     "cc_scrub", "soft404", "group_quartiles", "html_pubdate",
     "link_profile", "hreflang_alts", "sentences", "meta_keywords",
-    "heading_outline", "jsonld_types", "html_tables",
+    "heading_outline", "jsonld_types", "html_tables", "lang_mix",
 ]
 
 

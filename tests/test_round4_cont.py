@@ -338,3 +338,39 @@ def test_meta_keywords(spark):
     assert got[1]["is_keyword_stuffed"]
     assert got[2]["n_keywords"] == 0 and not got[2]["is_keyword_stuffed"]
     assert got[3]["keywords"] == [] and got[4]["keywords"] == []
+
+
+# ---------------------------------------------------------------------------
+# Paragraph language mixing
+# ---------------------------------------------------------------------------
+
+def test_lang_mix(spark):
+    from pdf_extraction_spark.operators.textanalysis import with_language_mix
+
+    rows = [
+        # two english paragraphs -> pure page
+        (0, "the and is of to in that it was for\n\nthe cat is on the mat and it sat"),
+        # es / en / es -> dominant es, mixed
+        (1, "el la de que y en un ser se no\n\nthe and is of to that was it in for\n\nel la de que y en los del"),
+        # de / fr / und three-way tie -> lexicographic min 'de'
+        (2, "der die und in den von zu das mit sich\n\nle la de et les des en un du une\n\nshort x"),
+        (3, ""),
+        (4, None),
+        # no stopword hits anywhere -> dominant 'und', zero real langs
+        (5, "word soup nothing matching anywhere\n\n\n\nxyz abc qrs"),
+        # per-paragraph tie (en==es hits) -> dict order: en wins
+        (6, "the la of de and y is que"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_language_mix(df).collect()}
+    assert got[0]["dominant_lang"] == "en" and got[0]["mix_frac"] == 0.0
+    assert not got[0]["is_mixed"] and got[0]["n_langs"] == 1
+    assert got[1]["dominant_lang"] == "es" and got[1]["n_langs"] == 2
+    assert got[1]["is_mixed"] and abs(got[1]["mix_frac"] - 1 / 3) < 1e-12
+    assert got[2]["dominant_lang"] == "de" and got[2]["n_paras"] == 3
+    for d in (3, 4):
+        assert got[d]["n_paras"] == 0 and got[d]["dominant_lang"] is None
+        assert got[d]["mix_frac"] is None and not got[d]["is_mixed"]
+    assert got[5]["dominant_lang"] == "und" and got[5]["n_langs"] == 0
+    assert not got[5]["is_mixed"]
+    assert got[6]["dominant_lang"] == "en" and got[6]["n_paras"] == 1
