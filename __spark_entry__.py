@@ -2400,6 +2400,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mix_frac", "is_mixed",
         )
 
+    def q_lexical_diversity(spark, sf):
+        """Type-token ratio + hapax-legomenon fraction (the 0-1-scale
+        dual of unigram entropy): shared curation tokenizer, two
+        map-side-combinable groupBys, exact int/int ratio divisions.
+        Zero-token docs emit no row in both engines."""
+        from pdf_extraction_spark.operators.textanalysis import (
+            with_lexical_diversity,
+        )
+
+        return with_lexical_diversity(_docs(spark, sf))
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -2550,6 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_types": q_jsonld,
         "html_tables": q_html_tables,
         "lang_mix": q_lang_mix,
+        "lexical_diversity": q_lexical_diversity,
     }
 
 
@@ -2639,6 +2651,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.textanalysis import (
         sql_explode_sentences,
         sql_language_mix,
+        sql_lexical_diversity,
         sql_script_profile,
         sql_unigram_entropy,
     )
@@ -3539,5 +3552,6 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, " + _HSTRUCT_AUG + " AS html FROM documents)"
         ),
         "lang_mix": sql_language_mix("documents"),
+        "lexical_diversity": sql_lexical_diversity("documents"),
     }
     return sql

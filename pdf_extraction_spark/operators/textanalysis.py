@@ -751,3 +751,71 @@ def sql_language_mix(rel: str, text_expr: str = "text") -> str:
         "len(list_filter(list_distinct(plangs), l -> l <> 'und')) >= 2 "
         "AS is_mixed FROM m"
     )
+
+
+# -- lexical diversity (type-token ratio + hapax mass) -------------------
+
+
+def with_lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr, n_hapax, hapax_frac) — the
+    classic lexical-diversity pair: type-token ratio (low = templated/
+    repetitive text, the dual of unigram entropy on a 0-1 scale) and
+    hapax-legomenon fraction of the vocabulary (high = productive
+    prose OR OCR/byte noise; gates read it jointly with TTR).
+
+    Same scale shape and tokenizer as :func:`with_unigram_entropy`:
+    shared curation word split → explode → two map-side-combinable
+    groupBys ((doc, word) then doc). Ratios are single exact int/int
+    IEEE divisions — bit-identical cross-engine without fixed-point
+    machinery. Zero-token docs emit no row (no distribution), in both
+    engines."""
+    from .curation import _lower_words
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            _lower_words(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("w"),
+    )
+    counts = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        (F.col("n_types").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "ttr"
+        ),
+        "n_hapax",
+        (F.col("n_hapax").cast("double") / F.col("n_types").cast("double")).alias(
+            "hapax_frac"
+        ),
+    )
+
+
+def sql_lexical_diversity(rel: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`with_lexical_diversity` (sums cast back to
+    BIGINT — DuckDB widens integer SUM to HUGEINT, Spark keeps long)."""
+    from .curation import _sql_lower_words
+
+    return (
+        "WITH w AS (SELECT doc_id, unnest("
+        + _sql_lower_words(f"coalesce({text_expr}, '')")
+        + f") AS w FROM {rel}), "
+        "c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w), "
+        "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "count(*) AS n_types, "
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax "
+        "FROM c GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, n_types, "
+        "CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr, "
+        "n_hapax, "
+        "CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac "
+        "FROM a"
+    )

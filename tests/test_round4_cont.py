@@ -374,3 +374,27 @@ def test_lang_mix(spark):
     assert got[5]["dominant_lang"] == "und" and got[5]["n_langs"] == 0
     assert not got[5]["is_mixed"]
     assert got[6]["dominant_lang"] == "en" and got[6]["n_paras"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity
+# ---------------------------------------------------------------------------
+
+def test_lexical_diversity(spark):
+    from pdf_extraction_spark.operators.textanalysis import with_lexical_diversity
+
+    rows = [
+        (0, "the cat the dog the bird"),   # 6 tokens, 4 types, 3 hapax
+        (1, "all unique words here now"),  # everything hapax
+        (2, "same same same"),             # one type, zero hapax
+        (3, ""), (4, None), (5, " \t\n "),
+        (6, "Mixed CASE mixed case Words words!"),  # case-folded types
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_lexical_diversity(df).collect()}
+    assert set(got) == {0, 1, 2, 6}  # zero-token docs emit no row
+    assert (got[0]["n_tokens"], got[0]["n_types"], got[0]["n_hapax"]) == (6, 4, 3)
+    assert got[0]["ttr"] == 4 / 6 and got[0]["hapax_frac"] == 0.75
+    assert got[1]["ttr"] == 1.0 and got[1]["hapax_frac"] == 1.0
+    assert got[2]["n_types"] == 1 and got[2]["hapax_frac"] == 0.0
+    assert got[6]["n_types"] == 4  # lower() folds case before counting
