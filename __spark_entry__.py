@@ -193,6 +193,23 @@ _LINKPROF_AUG = (
     "ELSE '<html><head><title>x</title></head></html>' END"
 )
 
+# OpenGraph / Twitter-card fixture: full double-quoted card, sparse
+# single-quoted card, twitter-only page (has_og_card stays FALSE), and
+# a bare page.
+_OGCARD_AUG = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN '<head><meta property=\"og:type\" content=\"article\">"
+    '<meta property="og:image" content="https://img.\' || source || \'.example/p.jpg">'
+    '<meta property="og:url" content="https://\' || source || \'.example/p/\' || CAST(doc_id AS STRING) || \'">'
+    '<meta property="og:description" content="A  multi\tspace   blurb">'
+    '<meta property="og:site_name" content="The \' || source || \' Site">'
+    '<meta name="twitter:card" content="summary_large_image"></head>\' '
+    "WHEN 1 THEN '<meta property=''og:type'' content=''product''>"
+    "<meta name=''twitter:card'' content=''summary''>' "
+    "WHEN 2 THEN '<meta name=\"twitter:card\" content=\"player\">' "
+    "ELSE '<html><head><title>bare</title></head></html>' END"
+)
+
 # Structural-extraction fixture (heading outline / JSON-LD types /
 # first-table cell grid). Variants exercise: inline markup + collapsed
 # whitespace in headings, nested JSON-LD entities, a second table
@@ -2411,6 +2428,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return with_lexical_diversity(_docs(spark, sf))
 
+    def q_og_card(spark, sf):
+        """OpenGraph / Twitter share-card extraction (og:type page
+        taxonomy, og:image/og:url joins, prose fields ws-collapsed,
+        has_og_card = any og:* present). Pure native projection."""
+        from pdf_extraction_spark.operators.htmlmeta import with_og_card
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_OGCARD_AUG).alias("html")
+        )
+        return with_og_card(docs).select(
+            "doc_id", "og_type", "og_image", "og_url", "og_description",
+            "og_site_name", "twitter_card", "has_og_card",
+        )
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -2562,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": q_html_tables,
         "lang_mix": q_lang_mix,
         "lexical_diversity": q_lexical_diversity,
+        "og_card": q_og_card,
     }
 
 
@@ -2670,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
         sql_hreflang_alternates,
         sql_link_profile,
         sql_meta_keywords,
+        sql_og_card,
         sql_pub_date,
     )
     from pdf_extraction_spark.operators.webshape import sql_soft404_flags
@@ -3553,5 +3586,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_mix": sql_language_mix("documents"),
         "lexical_diversity": sql_lexical_diversity("documents"),
+        "og_card": sql_og_card(
+            "(SELECT doc_id, " + _OGCARD_AUG + " AS html FROM documents)"
+        ),
     }
     return sql

@@ -490,3 +490,69 @@ def sql_meta_keywords(
         "len(list_distinct(list_transform(kws, x -> lower(x))))) "
         "AS is_keyword_stuffed FROM k"
     )
+
+
+# --------------------------------------------------------------------------
+# OpenGraph / Twitter card
+# --------------------------------------------------------------------------
+# The share-card protocol block: og:type drives page-type stratification
+# (article vs product vs video — the coarse page taxonomy available
+# without a content model), og:image/og:url feed multimodal and
+# canonicalization joins, twitter:card is the de-facto second namespace.
+# Same machinery as the head scanner: dual quote-variant attribute
+# patterns, first-non-empty-wins coalesce, fully native projection.
+
+_OGT_DQ, _OGT_SQ = _attr_patterns("meta", "property", "og:type", "content")
+_OGI_DQ, _OGI_SQ = _attr_patterns("meta", "property", "og:image", "content")
+_OGU_DQ, _OGU_SQ = _attr_patterns("meta", "property", "og:url", "content")
+_OGD_DQ, _OGD_SQ = _attr_patterns(
+    "meta", "property", "og:description", "content"
+)
+_OGS_DQ, _OGS_SQ = _attr_patterns(
+    "meta", "property", "og:site_name", "content"
+)
+_TWC_DQ, _TWC_SQ = _attr_patterns("meta", "name", "twitter:card", "content")
+
+_OG_CARD_FIELDS = [
+    ("og_type", _OGT_DQ, _OGT_SQ, False),
+    ("og_image", _OGI_DQ, _OGI_SQ, False),
+    ("og_url", _OGU_DQ, _OGU_SQ, False),
+    ("og_description", _OGD_DQ, _OGD_SQ, True),  # prose: ws-collapsed
+    ("og_site_name", _OGS_DQ, _OGS_SQ, True),
+    ("twitter_card", _TWC_DQ, _TWC_SQ, False),
+]
+
+
+def with_og_card(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Append ``og_type, og_image, og_url, og_description, og_site_name,
+    twitter_card`` (NULL when absent) plus ``has_og_card`` (any og:*
+    field present). URL-shaped fields keep their raw value; prose
+    fields are whitespace-collapsed like title/description."""
+    c = F.coalesce(F.col(html_col), F.lit(""))
+    out = df
+    for name, dq, sq, prose in _OG_CARD_FIELDS:
+        v = F.coalesce(_x(c, dq), _x(c, sq))
+        if prose:
+            v = _clean(F.coalesce(v, F.lit("")))
+        out = out.withColumn(name, v)
+    has = F.lit(False)
+    for name, _, _, _ in _OG_CARD_FIELDS[:-1]:  # og:* only, not twitter
+        has = has | F.col(name).isNotNull()
+    return out.withColumn("has_og_card", has)
+
+
+def sql_og_card(rel: str, html_expr: str = "html") -> str:
+    """DuckDB twin of :func:`with_og_card`."""
+    c = f"coalesce({html_expr}, '')"
+    cols = []
+    raw = {}
+    for name, dq, sq, prose in _OG_CARD_FIELDS:
+        v = f"coalesce({_sql_x(c, dq)}, {_sql_x(c, sq)})"
+        if prose:
+            v = _sql_clean(f"coalesce({v}, '')")
+        raw[name] = v
+        cols.append(f"{v} AS {name}")
+    og_names = [n for n, _, _, _ in _OG_CARD_FIELDS[:-1]]
+    has = " OR ".join(f"{raw[n]} IS NOT NULL" for n in og_names)
+    cols.append(f"coalesce({has}, FALSE) AS has_og_card")
+    return f"SELECT doc_id, {', '.join(cols)} FROM {rel}"

@@ -398,3 +398,33 @@ def test_lexical_diversity(spark):
     assert got[1]["ttr"] == 1.0 and got[1]["hapax_frac"] == 1.0
     assert got[2]["n_types"] == 1 and got[2]["hapax_frac"] == 0.0
     assert got[6]["n_types"] == 4  # lower() folds case before counting
+
+
+# ---------------------------------------------------------------------------
+# OpenGraph / Twitter card
+# ---------------------------------------------------------------------------
+
+def test_og_card(spark):
+    from pdf_extraction_spark.operators.htmlmeta import with_og_card
+
+    rows = [
+        (0, '<meta property="og:type" content="article">'
+            '<meta property="og:image" content="https://i.example/x.jpg">'
+            '<meta property="og:description" content="A  multi\tspace blurb">'
+            '<meta name="twitter:card" content="summary_large_image">'),
+        (1, "<meta property='og:type' content='product'>"),
+        (2, '<meta name="twitter:card" content="player">'),  # no og:*
+        (3, "<html><head><title>bare</title></head></html>"),
+        (4, None),
+        # reversed attribute order extracts empty (documented rule)
+        (5, '<meta content="article" property="og:type">'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r["doc_id"]: r for r in with_og_card(df).collect()}
+    assert got[0]["og_type"] == "article" and got[0]["has_og_card"]
+    assert got[0]["og_description"] == "A multi space blurb"  # ws collapsed
+    assert got[0]["twitter_card"] == "summary_large_image"
+    assert got[1]["og_type"] == "product" and got[1]["has_og_card"]
+    assert got[2]["twitter_card"] == "player" and not got[2]["has_og_card"]
+    for d in (3, 4, 5):
+        assert not got[d]["has_og_card"] and got[d]["og_type"] is None
