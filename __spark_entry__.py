@@ -210,6 +210,23 @@ _OGCARD_AUG = (
     "ELSE '<html><head><title>bare</title></head></html>' END"
 )
 
+# Image alt-text fixture: caption-worthy alt, icon alt (below the
+# 3-word bar), alt-less img, orphan alt (no src — dropped), empty src
+# (dropped), data-URI payload, attrs split across lines, bare page.
+_IMGALT_AUG = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN '<img src=\"https://img.' || source || "
+    "'.example/' || CAST(doc_id AS STRING) || '.jpg\" "
+    'alt="A photo of ' + "' || source || '"
+    " products on display\"><img alt=''icon'' src=''/i.png''>"
+    '<img src="/no-alt.gif">\' '
+    "WHEN 1 THEN '<IMG SRC=\"/up.JPG\" ALT=\"Two  words\">"
+    "<img alt=\"orphan no src\"><img src=\"\">' "
+    "WHEN 2 THEN '<img' || chr(10) || '  src=\"data:image/png;base64,AA\"'"
+    " || chr(10) || '  alt=\"inline data uri image\">' "
+    "ELSE '<p>no images here</p>' END"
+)
+
 # Structural-extraction fixture (heading outline / JSON-LD types /
 # first-table cell grid). Variants exercise: inline markup + collapsed
 # whitespace in headings, nested JSON-LD entities, a second table
@@ -2442,6 +2459,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "og_site_name", "twitter_card", "has_og_card",
         )
 
+    def q_img_alt(spark, sf):
+        """Image alt-text pair mining (the image-caption seed set):
+        every <img> with a non-empty src in document order, alt
+        ws-collapsed, caption_worthy = ≥3 alt words, data-URI flagged.
+        Narrow map + explode, zero Python."""
+        from pdf_extraction_spark.operators.htmlstruct import img_alt_pairs
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_IMGALT_AUG).alias("html")
+        )
+        return img_alt_pairs(docs)
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -2594,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix": q_lang_mix,
         "lexical_diversity": q_lexical_diversity,
         "og_card": q_og_card,
+        "img_alt_pairs": q_img_alt,
     }
 
 
@@ -2709,6 +2739,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.htmlstruct import (
         sql_explode_headings,
         sql_html_table_cells,
+        sql_img_alt_pairs,
         sql_jsonld_types,
     )
     from pdf_extraction_spark.operators.curation import _sql_lower_words
@@ -3588,6 +3619,9 @@ def oracle_sql() -> dict[str, str]:
         "lexical_diversity": sql_lexical_diversity("documents"),
         "og_card": sql_og_card(
             "(SELECT doc_id, " + _OGCARD_AUG + " AS html FROM documents)"
+        ),
+        "img_alt_pairs": sql_img_alt_pairs(
+            "(SELECT doc_id, " + _IMGALT_AUG + " AS html FROM documents)"
         ),
     }
     return sql

@@ -215,3 +215,100 @@ def sql_html_table_cells(rel: str, html_expr: str = "html") -> str:
         "lower(kinds[col_no + 1]) = 'h' AS is_header, "
         f"{cell_clean} AS cell FROM e"
     )
+
+
+# -- image alt-text pairs (multimodal caption mining) --------------------
+
+_IMG_TAG = f"(?is)<img(?:{_WS}[^>]*)?/?>"
+_SRC_DQ = f'(?i)src{_WS}*={_WS}*"([^"]*)"'
+_SRC_SQ = f"(?i)src{_WS}*={_WS}*'([^']*)'"
+_ALT_DQ = f'(?i)alt{_WS}*={_WS}*"([^"]*)"'
+_ALT_SQ = f"(?i)alt{_WS}*={_WS}*'([^']*)'"
+
+# caption-worthiness: ≥ this many words of alt text (an icon's
+# "logo" / "x" alt is navigation, not a caption)
+CAPTION_MIN_WORDS = 3
+
+
+def img_alt_pairs(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, src, alt, n_alt_words, is_data_uri, caption_worthy)
+    — every ``<img>`` carrying a non-empty ``src``, in document order:
+    the (image-ref, alt-text) pair miner that seeds image-caption
+    training sets from a crawl. ``alt`` is whitespace-collapsed (NULL
+    when absent/empty); ``caption_worthy`` = alt has ≥ 3 words;
+    ``is_data_uri`` marks inline base64 payloads (carried, not
+    decoded). Attribute order inside the tag is free (src and alt are
+    extracted independently per tag). Narrow map + explode, zero
+    Python, zero exchanges."""
+    from ..kernels.wsre import PY_WS_SPLIT
+
+    c = F.coalesce(F.col(html_col), F.lit(""))
+
+    def _src(tag: Column) -> Column:
+        return F.coalesce(
+            F.nullif(F.regexp_extract(tag, _SRC_DQ, 1), F.lit("")),
+            F.nullif(F.regexp_extract(tag, _SRC_SQ, 1), F.lit("")),
+        )
+
+    tags = F.filter(
+        F.regexp_extract_all(c, F.lit(_IMG_TAG), F.lit(0)),
+        lambda t: _src(t).isNotNull(),
+    )
+    pos = F.posexplode(tags)
+    out = df.select(F.col(id_col).alias("doc_id"), pos.alias("pos", "tag"))
+    alt = F.coalesce(
+        _clean(F.regexp_extract(F.col("tag"), _ALT_DQ, 1)),
+        _clean(F.regexp_extract(F.col("tag"), _ALT_SQ, 1)),
+    )
+    n_alt_words = F.when(
+        alt.isNotNull(),
+        F.size(F.filter(F.split(alt, PY_WS_SPLIT), lambda w: w != F.lit(""))),
+    ).otherwise(F.lit(0))
+    src = _src(F.col("tag"))
+    return out.select(
+        "doc_id",
+        F.col("pos").cast("int"),
+        src.alias("src"),
+        alt.alias("alt"),
+        n_alt_words.cast("int").alias("n_alt_words"),
+        F.lower(src).startswith("data:").alias("is_data_uri"),
+        (n_alt_words >= CAPTION_MIN_WORDS).alias("caption_worthy"),
+    )
+
+
+def sql_img_alt_pairs(rel: str, html_expr: str = "html") -> str:
+    """DuckDB twin of :func:`img_alt_pairs`."""
+    from ..kernels.wsre import PY_WS_SPLIT
+
+    c = f"coalesce({html_expr}, '')"
+    ws = PY_WS_SPLIT.replace("'", "''")
+
+    def src_of(e):
+        return (
+            f"coalesce(nullif(regexp_extract({e}, '{_q(_SRC_DQ)}', 1), ''), "
+            f"nullif(regexp_extract({e}, '{_q(_SRC_SQ)}', 1), ''))"
+        )
+
+    alt_dq = _sql_clean(f"regexp_extract(tag, '{_q(_ALT_DQ)}', 1)")
+    alt_sq = _sql_clean(f"regexp_extract(tag, '{_q(_ALT_SQ)}', 1)")
+    alt = f"coalesce({alt_dq}, {alt_sq})"
+    tags = (
+        f"list_filter(regexp_extract_all({c}, '{_q(_IMG_TAG)}'), "
+        f"t -> {src_of('t')} IS NOT NULL)"
+    )
+    n_words = (
+        f"CASE WHEN {alt} IS NOT NULL THEN len(list_filter("
+        f"string_split_regex({alt}, '{ws}'), w -> w <> '')) ELSE 0 END"
+    )
+    return (
+        f"WITH s AS (SELECT doc_id, {tags} AS tags FROM {rel}), "
+        "e AS (SELECT doc_id, unnest(tags) AS tag, "
+        "CAST(unnest(generate_series(0, len(tags) - 1)) AS INT) AS pos "
+        "FROM s WHERE len(tags) > 0) "
+        f"SELECT doc_id, pos, {src_of('tag')} AS src, {alt} AS alt, "
+        f"CAST({n_words} AS INT) AS n_alt_words, "
+        f"lower({src_of('tag')}) LIKE 'data:%' AS is_data_uri, "
+        f"{n_words} >= {CAPTION_MIN_WORDS} AS caption_worthy FROM e"
+    )

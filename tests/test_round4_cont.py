@@ -428,3 +428,29 @@ def test_og_card(spark):
     assert got[2]["twitter_card"] == "player" and not got[2]["has_og_card"]
     for d in (3, 4, 5):
         assert not got[d]["has_og_card"] and got[d]["og_type"] is None
+
+
+# ---------------------------------------------------------------------------
+# Image alt-text pairs
+# ---------------------------------------------------------------------------
+
+def test_img_alt_pairs(spark):
+    from pdf_extraction_spark.operators.htmlstruct import img_alt_pairs
+
+    rows = [
+        (0, '<img src="https://a.example/1.jpg" alt="A red fox jumping">'
+            "<img alt='icon' src='/i.png'><img src=\"/no-alt.gif\">"),
+        (1, '<IMG SRC="/up.JPG" ALT="Two  words">'
+            '<img alt="orphan no src"><img src="">'),
+        (2, '<img\n  src="data:image/png;base64,AA"\n  alt="inline data uri">'),
+        (3, ""), (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = sorted(tuple(r) for r in img_alt_pairs(df).collect())
+    assert got == [
+        (0, 0, "https://a.example/1.jpg", "A red fox jumping", 4, False, True),
+        (0, 1, "/i.png", "icon", 1, False, False),
+        (0, 2, "/no-alt.gif", None, 0, False, False),
+        (1, 0, "/up.JPG", "Two words", 2, False, False),
+        (2, 0, "data:image/png;base64,AA", "inline data uri", 3, True, True),
+    ]
