@@ -210,6 +210,21 @@ _OGCARD_AUG = (
     "ELSE '<html><head><title>bare</title></head></html>' END"
 )
 
+# Page-shape fixture: content page with script+style mass, a login
+# wall (password input), a markup shell (tags, no visible text), an
+# unquoted-attr uppercase password input, and plain unmarked text.
+_PAGESHAPE_AUG = (
+    "CASE CAST(doc_id % 5 AS INT) "
+    "WHEN 0 THEN '<html><head><script>var x=1;</script><style>.a{}'"
+    " || '</style></head><body><p>Real ' || source || ' text here.</p>"
+    "<div>More text</div></body></html>' "
+    "WHEN 1 THEN '<form action=\"/login\"><input type=\"text\" name=\"u\">"
+    '<input type="password" name="p"></form>\' '
+    "WHEN 2 THEN '<div><div><div><span></span></div></div></div>' "
+    "WHEN 3 THEN '<SCRIPT src=\"x.js\">ignored</SCRIPT><INPUT TYPE=password>' "
+    "ELSE 'plain ' || source || ' text, no markup at all' END"
+)
+
 # Image alt-text fixture: caption-worthy alt, icon alt (below the
 # 3-word bar), alt-less img, orphan alt (no src — dropped), empty src
 # (dropped), data-URI payload, attrs split across lines, bare page.
@@ -2471,6 +2486,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return img_alt_pairs(docs)
 
+    def q_page_shape(spark, sf):
+        """Byte-level page-shape gates: markup density, script mass,
+        visible-text ratio, login-wall (password input) and
+        markup-shell verdicts. Five vectorized regexp scans + exact
+        IEEE ratios; zero Python, zero exchanges."""
+        from pdf_extraction_spark.operators.webshape import page_shape
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_PAGESHAPE_AUG).alias("html")
+        )
+        return page_shape(docs)
+
     # Dict ORDER is driver-facing: the correctness snapshot samples the
     # FIRST 50 entries.  Ordering policy (round 4):
     #   1. the 17 queries never driver-sampled in rounds 1-3,
@@ -2624,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "og_card": q_og_card,
         "img_alt_pairs": q_img_alt,
+        "page_shape": q_page_shape,
     }
 
 
@@ -2735,7 +2763,10 @@ def oracle_sql() -> dict[str, str]:
         sql_og_card,
         sql_pub_date,
     )
-    from pdf_extraction_spark.operators.webshape import sql_soft404_flags
+    from pdf_extraction_spark.operators.webshape import (
+        sql_page_shape,
+        sql_soft404_flags,
+    )
     from pdf_extraction_spark.operators.htmlstruct import (
         sql_explode_headings,
         sql_html_table_cells,
@@ -3622,6 +3653,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "img_alt_pairs": sql_img_alt_pairs(
             "(SELECT doc_id, " + _IMGALT_AUG + " AS html FROM documents)"
+        ),
+        "page_shape": sql_page_shape(
+            "(SELECT doc_id, " + _PAGESHAPE_AUG + " AS html FROM documents)"
         ),
     }
     return sql

@@ -230,3 +230,116 @@ def sql_soft404_flags(
         "SELECT doc_id, n_words, has_error_phrase, "
         f"(has_error_phrase AND n_words < {max_words}) AS is_soft404 FROM f"
     )
+
+
+# -- page shape: markup density / script mass / login walls --------------
+#
+# The byte-level complement to the text-side quality gates: a page
+# whose markup dwarfs its visible text is a shell (nav skeleton, ad
+# frame, SPA bootstrap), and a page fronting a password input is a
+# login wall — neither yields training text, and both are cheaper to
+# drop from the BYTES than after extraction. Fully native: five
+# vectorized regexp scans + exact IEEE ratio divisions, zero Python,
+# zero exchanges. The script/style remover closes at the first
+# </script or </style (no backreferences in the RE2∩Java set —
+# documented, deterministic, identical cross-engine).
+
+from ..kernels.wsre import JAVA_WS_BODY as _JWS
+
+_PS_WS = "[" + _JWS + "]"
+_ANY_TAG = "<[A-Za-z!/][^>]*>"
+_SCRIPT_BLOCK = (
+    f"(?is)<(?:script|style)(?:{_PS_WS}[^>]*)?>.*?</(?:script|style){_PS_WS}*>"
+)
+_FORM_TAG = f"(?i)<form(?:{_PS_WS}[^>]*)?>"
+_INPUT_TAG = f"(?i)<input(?:{_PS_WS}[^>]*)?/?>"
+_PASSWORD_INPUT = (
+    f"(?is)<input{_PS_WS}[^>]*type{_PS_WS}*={_PS_WS}*[\"']?password"
+)
+
+
+def page_shape(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, html_len, n_tags, n_scripts, n_forms, n_inputs,
+    visible_len, visible_ratio, tag_density, has_password,
+    is_login_wall, is_markup_shell) — byte-level page-shape signals.
+
+    ``visible_len`` = length after removing script/style blocks,
+    stripping tags, collapsing whitespace; ``visible_ratio`` = that
+    over html_len (NULL on empty pages); ``tag_density`` = tags per
+    1000 html chars. ``is_login_wall`` = a password input exists;
+    ``is_markup_shell`` = a non-empty page whose visible_ratio < 0.05
+    (SPA bootstraps, nav skeletons). Ratios are single exact IEEE
+    divisions — bit-identical cross-engine unrounded."""
+    c = F.coalesce(F.col(html_col), F.lit(""))
+    html_len = F.length(c)
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+
+    descripted = F.regexp_replace(c, _SCRIPT_BLOCK, " ")
+    visible = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(descripted, "(?s)<[^>]*>", " "),
+            _PS_WS + "+",
+            " ",
+        )
+    )
+    visible_len = F.length(visible)
+    safe = html_len.cast("double")
+    return df.select(
+        "doc_id",
+        html_len.cast("int").alias("html_len"),
+        n(_ANY_TAG).cast("int").alias("n_tags"),
+        n(_SCRIPT_BLOCK).cast("int").alias("n_scripts"),
+        n(_FORM_TAG).cast("int").alias("n_forms"),
+        n(_INPUT_TAG).cast("int").alias("n_inputs"),
+        visible_len.cast("int").alias("visible_len"),
+        F.when(html_len > 0, visible_len.cast("double") / safe).alias(
+            "visible_ratio"
+        ),
+        F.when(html_len > 0, n(_ANY_TAG).cast("double") * 1000.0 / safe).alias(
+            "tag_density"
+        ),
+        (n(_PASSWORD_INPUT) > 0).alias("has_password"),
+        (n(_PASSWORD_INPUT) > 0).alias("is_login_wall"),
+        (
+            (html_len > 0)
+            & (visible_len.cast("double") / safe < F.lit(0.05))
+        ).alias("is_markup_shell"),
+    )
+
+
+def sql_page_shape(rel: str, html_expr: str = "html") -> str:
+    """DuckDB twin of :func:`page_shape` (same patterns, same exact
+    IEEE ratio arithmetic)."""
+    c = f"coalesce({html_expr}, '')"
+
+    def q(p):
+        return p.replace("'", "''")
+
+    def n(pat):
+        return f"len(regexp_extract_all({c}, '{q(pat)}'))"
+
+    visible = (
+        f"trim(regexp_replace(regexp_replace(regexp_replace({c}, "
+        f"'{q(_SCRIPT_BLOCK)}', ' ', 'g'), '(?s)<[^>]*>', ' ', 'g'), "
+        f"'{q(_PS_WS)}+', ' ', 'g'))"
+    )
+    return (
+        f"WITH b AS (SELECT doc_id, length({c}) AS html_len, "
+        f"CAST({n(_ANY_TAG)} AS INT) AS n_tags, "
+        f"CAST({n(_SCRIPT_BLOCK)} AS INT) AS n_scripts, "
+        f"CAST({n(_FORM_TAG)} AS INT) AS n_forms, "
+        f"CAST({n(_INPUT_TAG)} AS INT) AS n_inputs, "
+        f"length({visible}) AS visible_len, "
+        f"{n(_PASSWORD_INPUT)} > 0 AS has_password FROM {rel}) "
+        "SELECT doc_id, CAST(html_len AS INT) AS html_len, n_tags, "
+        "n_scripts, n_forms, n_inputs, CAST(visible_len AS INT) AS visible_len, "
+        "CASE WHEN html_len > 0 THEN CAST(visible_len AS DOUBLE) / "
+        "CAST(html_len AS DOUBLE) END AS visible_ratio, "
+        "CASE WHEN html_len > 0 THEN CAST(n_tags AS DOUBLE) * 1000.0 / "
+        "CAST(html_len AS DOUBLE) END AS tag_density, "
+        "has_password, has_password AS is_login_wall, "
+        "html_len > 0 AND CAST(visible_len AS DOUBLE) / "
+        "CAST(html_len AS DOUBLE) < 0.05 AS is_markup_shell FROM b"
+    )

@@ -88,7 +88,7 @@ QUERIES = [
     "template_pages", "url_traps", "shard_manifest", "host_communities",
     "justext_blocks", "compaction_plan", "mixture_plan",
     "heading_outline", "jsonld_types", "html_tables", "lang_mix",
-    "lexical_diversity", "og_card", "img_alt_pairs",
+    "lexical_diversity", "og_card", "img_alt_pairs", "page_shape",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

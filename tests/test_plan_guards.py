@@ -49,7 +49,7 @@ NATIVE_QUERIES = [
     "cc_scrub", "soft404", "group_quartiles", "html_pubdate",
     "link_profile", "hreflang_alts", "sentences", "meta_keywords",
     "heading_outline", "jsonld_types", "html_tables", "lang_mix",
-    "lexical_diversity", "og_card", "img_alt_pairs",
+    "lexical_diversity", "og_card", "img_alt_pairs", "page_shape",
 ]
 
 

@@ -454,3 +454,34 @@ def test_img_alt_pairs(spark):
         (1, 0, "/up.JPG", "Two words", 2, False, False),
         (2, 0, "data:image/png;base64,AA", "inline data uri", 3, True, True),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Page shape / login walls
+# ---------------------------------------------------------------------------
+
+def test_page_shape(spark):
+    from pdf_extraction_spark.operators.webshape import page_shape
+
+    rows = [
+        (0, "<html><head><script>var x=1;</script><style>.a{}</style></head>"
+            "<body><p>Real visible text.</p></body></html>"),
+        (1, '<form action="/x"><input type="text"><input type="password"></form>'),
+        (2, "<div><div><span></span></div></div>"),
+        (3, "plain text, no markup"),
+        (4, ""), (5, None),
+        (6, "<INPUT TYPE=password>"),  # unquoted attr, uppercase
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r["doc_id"]: r for r in page_shape(df).collect()}
+    assert got[0]["n_scripts"] == 2  # script AND style blocks
+    assert got[0]["visible_len"] == len("Real visible text.")
+    assert not got[0]["is_markup_shell"]
+    assert got[1]["is_login_wall"] and got[1]["n_inputs"] == 2
+    assert got[1]["is_markup_shell"]  # zero visible text
+    assert got[2]["is_markup_shell"] and not got[2]["is_login_wall"]
+    assert got[3]["visible_ratio"] == 1.0 and got[3]["n_tags"] == 0
+    for d in (4, 5):
+        assert got[d]["html_len"] == 0 and got[d]["visible_ratio"] is None
+        assert not got[d]["is_markup_shell"]
+    assert got[6]["has_password"]
