@@ -1132,6 +1132,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", "turn_pos", "speaker", "speaker_role", "content", "word_count"
         )
 
+    def q_content_spans(spark, sf):
+        """Char-offset span map of the boilerpipe block segmentation
+        (the north-rule "extracted spans per document" surface): one
+        mapInPandas crossing, shuffle-free; PDF payloads emit no rows.
+        Oracle: sequential pure-Python recompute fixture."""
+        from pdf_extraction_spark.operators.extract import content_spans
+        from pdf_extraction_spark.sources.pages import synth_pages_df
+
+        return content_spans(synth_pages_df(spark, 150))
+
     # -- full corpus-curation composition (kernel UDFs — rows-only) ---------
     def q_curate(spark, sf):
         from pdf_extraction_spark.plans.curate import curate_corpus
@@ -2652,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "og_card": q_og_card,
         "img_alt_pairs": q_img_alt,
         "page_shape": q_page_shape,
+        "content_spans": q_content_spans,
     }
 
 
@@ -3656,6 +3667,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "page_shape": sql_page_shape(
             "(SELECT doc_id, " + _PAGESHAPE_AUG + " AS html FROM documents)"
+        ),
+        "content_spans": (
+            "SELECT url, block_no, span_start, span_end, n_words, "
+            "link_density, is_content FROM "
+            + _fixture("content_spans.parquet")
         ),
     }
     return sql

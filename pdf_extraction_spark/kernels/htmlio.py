@@ -34,12 +34,19 @@ _VOID_TAGS = frozenset(["br", "hr", "img", "meta", "link", "input"])
 
 
 class _Block:
-    __slots__ = ("words", "linked_words", "forced_boiler")
+    __slots__ = ("words", "linked_words", "forced_boiler", "span_start", "span_end")
 
-    def __init__(self, words, linked_words, forced_boiler):
+    def __init__(self, words, linked_words, forced_boiler,
+                 span_start=None, span_end=None):
         self.words = words
         self.linked_words = linked_words
         self.forced_boiler = forced_boiler
+        # char offsets into the DECODED html string: [start of the first
+        # contributing text chunk (leading ws trimmed), end of the last
+        # (trailing ws trimmed)). Inline markup between chunks is inside
+        # the span. None on the html.parser path (offsets unavailable).
+        self.span_start = span_start
+        self.span_end = span_end
 
     @property
     def num_words(self):
@@ -143,13 +150,34 @@ def _scan_blocks(html: str):
     skip_depth = 0
     anchor_depth = 0
     boiler_depth = 0
+    span_start = None
+    span_end = None
 
     def flush():
-        nonlocal words, linked
+        nonlocal words, linked, span_start, span_end
         if words:
-            blocks.append(_Block(words, linked, boiler_depth > 0))
+            blocks.append(
+                _Block(words, linked, boiler_depth > 0, span_start, span_end)
+            )
         words = []
         linked = 0
+        span_start = None
+        span_end = None
+
+    def take(raw, base):
+        # one text chunk at html[base:base+len(raw)]; span bounds trim
+        # the RAW chunk's whitespace (entity text stays inside the span)
+        nonlocal linked, span_start, span_end
+        data = _html_mod.unescape(raw) if _AMP in raw else raw
+        ws = data.split()
+        if not ws:
+            return
+        if anchor_depth:
+            linked += len(ws)
+        words.extend(ws)
+        if span_start is None:
+            span_start = base + (len(raw) - len(raw.lstrip()))
+        span_end = base + len(raw.rstrip())
 
     pos = 0
     n = len(html)
@@ -159,23 +187,13 @@ def _scan_blocks(html: str):
         if m is None:
             data = html[pos:]
             if not skip_depth and not data.isspace():
-                if _AMP in data:
-                    data = _html_mod.unescape(data)
-                ws = data.split()
-                if anchor_depth:
-                    linked += len(ws)
-                words.extend(ws)
+                take(data, pos)
             break
         start = m.start()
         if start > pos:
             data = html[pos:start]
             if not skip_depth and not data.isspace():
-                if _AMP in data:
-                    data = _html_mod.unescape(data)
-                ws = data.split()
-                if anchor_depth:
-                    linked += len(ws)
-                words.extend(ws)
+                take(data, pos)
         pos = m.end()
 
         slash, tag, attrs = m.group(1, 2, 3)
@@ -249,17 +267,18 @@ def _parser_blocks(html: str):
     return parser.blocks
 
 
-def extract_blocks(html: str, use_scanner: bool = True):
-    """Parse HTML → list of (text, num_words, link_density, is_content)."""
-    blocks = _scan_blocks(html) if use_scanner else _parser_blocks(html)
+def _keep_flags(blocks):
+    """NumWordsRulesClassifier keep-flag per block (shared by the text
+    and span extractors; forced-boiler blocks are always False but
+    still serve as prev/next context)."""
     n = len(blocks)
     # precompute features once — the classifier reads each ~3×
     nw = [b.num_words for b in blocks]
     ld = [b.link_density for b in blocks]
-    out = []
+    flags = []
     for i, curr in enumerate(blocks):
         if curr.forced_boiler:
-            out.append((curr.text, nw[i], ld[i], False))
+            flags.append(False)
             continue
         prev_ld = ld[i - 1] if i > 0 else 0.0
         prev_nw = nw[i - 1] if i > 0 else 0
@@ -274,8 +293,34 @@ def extract_blocks(html: str, use_scanner: bool = True):
                 keep = True
         else:
             keep = next_nw > 17 if nw[i] <= 40 else True
-        out.append((curr.text, nw[i], ld[i], keep))
-    return out
+        flags.append(keep)
+    return flags
+
+
+def extract_blocks(html: str, use_scanner: bool = True):
+    """Parse HTML → list of (text, num_words, link_density, is_content)."""
+    blocks = _scan_blocks(html) if use_scanner else _parser_blocks(html)
+    return [
+        (b.text, b.num_words, b.link_density, keep)
+        for b, keep in zip(blocks, _keep_flags(blocks))
+    ]
+
+
+def extract_block_spans(html: str):
+    """Parse HTML → list of (start, end, num_words, link_density,
+    is_content) — the char-offset map of the block segmentation over
+    the DECODED html string (the north-rule "spans per document"
+    surface). A block's span runs from the first char of its first
+    contributing text chunk to the last char of its last (chunk-level
+    whitespace trimmed); inline markup between chunks — and any
+    skipped script/style islands — lies inside the span. Invariant
+    (pinned in tests): re-running the scanner on ``html[start:end]``
+    reproduces the block's words exactly."""
+    blocks = _scan_blocks(html)
+    return [
+        (b.span_start, b.span_end, b.num_words, b.link_density, keep)
+        for b, keep in zip(blocks, _keep_flags(blocks))
+    ]
 
 
 def extract_main_content(html: str) -> str:

@@ -144,4 +144,63 @@ def extract_text(
     )
 
 
-__all__ = ["extract_text", "extract_parse", "EXTRACTOR_VERSION", "EXTRACTED_SCHEMA"]
+SPANS_SCHEMA = (
+    "url string, block_no int, span_start int, span_end int, "
+    "n_words int, link_density double, is_content boolean"
+)
+
+
+def _span_batches(batches):
+    import pandas as pd
+
+    from ..kernels.htmlio import decode_html_payload, extract_block_spans
+
+    for pdf in batches:
+        urls, nos, starts, ends, nws, lds, keeps = [], [], [], [], [], [], []
+        for url, payload in zip(pdf["url"].tolist(), pdf["html"].tolist()):
+            payload = payload if payload is not None else b""
+            if is_pdf_payload(url, payload):
+                continue  # char spans are an HTML-branch concept
+            html = decode_html_payload(payload)
+            for no, (s, e, nw, ld, keep) in enumerate(extract_block_spans(html)):
+                urls.append(url)
+                nos.append(no)
+                starts.append(s)
+                ends.append(e)
+                nws.append(nw)
+                lds.append(ld)
+                keeps.append(keep)
+        yield pd.DataFrame(
+            {
+                "url": urls, "block_no": nos, "span_start": starts,
+                "span_end": ends, "n_words": nws, "link_density": lds,
+                "is_content": keeps,
+            }
+        )
+
+
+def content_spans(pages: DataFrame, repartition: int | None = None) -> DataFrame:
+    """pages → (url, block_no, span_start, span_end, n_words,
+    link_density, is_content): the char-offset map of the boilerpipe
+    block segmentation over the DECODED html string — the north-rule
+    "extracted spans per document" surface. Consumers slice
+    ``decoded_html[span_start:span_end]`` to recover each block's
+    original-markup region; content text = content blocks' words in
+    block order (pinned equal to extract_text's output in tests).
+    Same scale shape as extract_text: one mapInPandas crossing,
+    shuffle-free unless ``repartition`` is requested. PDF payloads
+    emit no rows (char spans are an HTML-branch concept)."""
+    df = pages
+    if repartition:
+        df = df.repartition(repartition, F.xxhash64("url"))
+    return df.mapInPandas(_span_batches, schema=SPANS_SCHEMA)
+
+
+__all__ = [
+    "extract_text",
+    "extract_parse",
+    "content_spans",
+    "EXTRACTOR_VERSION",
+    "EXTRACTED_SCHEMA",
+    "SPANS_SCHEMA",
+]

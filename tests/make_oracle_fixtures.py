@@ -452,6 +452,44 @@ def mojibake_table():
     )
 
 
+def content_spans_table(n_pages: int = 150) -> pa.Table:
+    """q_content_spans expected output: synth pages → decode → block
+    scanner span map (PDF payloads emit no rows), sequential pure-Python
+    recompute of the Spark mapInPandas stage."""
+    from pdf_extraction_spark.kernels.extract import is_pdf_payload
+    from pdf_extraction_spark.kernels.htmlio import (
+        decode_html_payload,
+        extract_block_spans,
+    )
+    from pdf_extraction_spark.sources.synth import synth_page_row
+
+    urls, nos, starts, ends, nws, lds, keeps = [], [], [], [], [], [], []
+    for i in range(n_pages):
+        row = synth_page_row(i)
+        if is_pdf_payload(row["url"], row["html"]):
+            continue
+        html = decode_html_payload(row["html"])
+        for no, (s, e, nw, ld, keep) in enumerate(extract_block_spans(html)):
+            urls.append(row["url"])
+            nos.append(no)
+            starts.append(s)
+            ends.append(e)
+            nws.append(nw)
+            lds.append(ld)
+            keeps.append(keep)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "block_no": pa.array(nos, pa.int32()),
+            "span_start": pa.array(starts, pa.int32()),
+            "span_end": pa.array(ends, pa.int32()),
+            "n_words": pa.array(nws, pa.int32()),
+            "link_density": pa.array(lds, pa.float64()),
+            "is_content": pa.array(keeps, pa.bool_()),
+        }
+    )
+
+
 FIXTURES = {
     "minhash_sigs_sf0_01.parquet": minhash_sigs_table,
     "simhash_sf0_01.parquet": simhash_table,
@@ -459,6 +497,7 @@ FIXTURES = {
     "ivf_centroids_sf0_01.parquet": ivf_centroids_table,
     "doc_embeddings_sf0_01.parquet": doc_embeddings_table,
     "extract_turns.parquet": extract_turns_table,
+    "content_spans.parquet": content_spans_table,
     "curate_docs.parquet": curate_docs_table,
     "media_features.parquet": media_features_table,
     "media_features_real.parquet": media_features_real_table,

@@ -120,3 +120,67 @@ class TestTableCells:
         assert _rows(html_table_cells(docs_df)) == sorted(
             tuple(r) for r in con.execute(sql_html_table_cells("docs")).fetchall()
         )
+
+
+class TestContentSpans:
+    """Span-offset map of the block classifier (kernels.htmlio
+    .extract_block_spans + operators.extract.content_spans)."""
+
+    HTML = ('<html><head><title>T</title><script>var x="<p>no</p>";</script>'
+            '</head><body><nav><a href="/">Home</a> <a href="/x">X</a></nav>'
+            '<p>First &amp; real   paragraph with several words here.</p>'
+            '<div>Short</div>'
+            '<p>Substantial block <b>with</b> inline <a href="y">link text'
+            '</a> and more words follows here.</p>'
+            '<footer>c 2020</footer></body></html>')
+
+    def test_span_invariant_rescans_to_same_words(self):
+        from pdf_extraction_spark.kernels.htmlio import (
+            _scan_blocks, extract_block_spans, extract_blocks)
+
+        spans = extract_block_spans(self.HTML)
+        blocks = extract_blocks(self.HTML)
+        assert len(spans) == len(blocks) > 3
+        for (s, e, nw, ld, keep), (text, nw2, ld2, keep2) in zip(spans, blocks):
+            # rescanning the sliced fragment reproduces the words
+            rewords = [w for b in _scan_blocks(self.HTML[s:e]) for w in b.words]
+            assert rewords == (text.split(" ") if text else [])
+            assert (nw, ld, keep) == (nw2, ld2, keep2)
+
+    def test_content_text_rebuilds_from_spans(self):
+        from pdf_extraction_spark.kernels.htmlio import (
+            _scan_blocks, extract_block_spans, extract_main_content)
+
+        joined = "\n".join(
+            " ".join(w for b in _scan_blocks(self.HTML[s:e]) for w in b.words)
+            for (s, e, _, _, keep) in extract_block_spans(self.HTML)
+            if keep
+        )
+        assert joined == extract_main_content(self.HTML)
+
+    def test_operator_matches_kernel_and_skips_pdf(self, spark):
+        from pdf_extraction_spark.kernels.htmlio import (
+            decode_html_payload, extract_block_spans)
+        from pdf_extraction_spark.operators.extract import content_spans
+        from pdf_extraction_spark.sources.synth import synth_page_row
+
+        rows = [synth_page_row(i) for i in range(12)]
+        pages = spark.createDataFrame(
+            [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        got = {}
+        for r in content_spans(pages).collect():
+            got.setdefault(r["url"], []).append(
+                (r["block_no"], r["span_start"], r["span_end"],
+                 r["n_words"], r["link_density"], r["is_content"]))
+        for r in rows:
+            if r["html"][:5] == b"%PDF-":
+                assert r["url"] not in got  # pdf branch emits no spans
+                continue
+            exp = [
+                (no, s, e, nw, ld, keep)
+                for no, (s, e, nw, ld, keep) in enumerate(
+                    extract_block_spans(decode_html_payload(r["html"])))
+            ]
+            assert sorted(got.get(r["url"], [])) == exp

@@ -30,6 +30,9 @@ class TestFixtureFreshness:
     def test_curate_docs(self):
         assert _committed("curate_docs.parquet").equals(mk.curate_docs_table())
 
+    def test_content_spans(self):
+        assert _committed("content_spans.parquet").equals(mk.content_spans_table())
+
     def test_media_features(self):
         assert _committed("media_features.parquet").equals(mk.media_features_table())
 

@@ -161,3 +161,13 @@ def test_scan_pruning_reaches_parquet(spark):
     p = _plan(docs.filter(F.col("lang") == "en").select("doc_id", "n_chars"))
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
     assert "text" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_content_spans_single_python_crossing(spark):
+    """content_spans plans exactly one crossing beyond the synthetic-
+    pages generator (same contract as the extraction pipeline)."""
+    import __spark_entry__ as e
+
+    p = _plan(e.queries()["content_spans"](spark, SF))
+    assert p.count("MapInPandas") == 2  # generator + span scanner
+    assert "BatchEvalPython" not in p and "Exchange" not in p
