@@ -210,6 +210,18 @@ _OGCARD_AUG = (
     "ELSE '<html><head><title>bare</title></head></html>' END"
 )
 
+# Typographic-punctuation fixture: curly quotes + dashes + ellipsis,
+# zero-widths/NBSP/BOM, untouched ASCII, and real doc text (mostly
+# untouched — pins was_changed=false on clean input).
+_PUNCT_AUG = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN '\u201cSmart\u201d quotes \u2018' || source || "
+    "'\u2019 \u2014 and\u2013dashes\u2026' "
+    "WHEN 1 THEN 'zero\u200bwidth\u200c joins and nbsp\u00a0here\ufeff' "
+    "WHEN 2 THEN 'plain ascii ' || source || ' text - no change.' "
+    "ELSE text END"
+)
+
 # Page-shape fixture: content page with script+style mass, a login
 # wall (password input), a markup shell (tags, no visible text), an
 # unquoted-attr uppercase password input, and plain unmarked text.
@@ -1141,6 +1153,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_extraction_spark.sources.pages import synth_pages_df
 
         return content_spans(synth_pages_df(spark, 150))
+
+    def q_norm_punct(spark, sf):
+        """Typographic-punctuation fold (curly quotes, dashes, NBSP,
+        zero-widths, ellipsis) + did-change flag: one translate() +
+        one regexp_replace, pure projection."""
+        from pdf_extraction_spark.operators.textanalysis import (
+            with_normalized_punct,
+        )
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_PUNCT_AUG).alias("text")
+        )
+        return with_normalized_punct(docs)
 
     # -- full corpus-curation composition (kernel UDFs — rows-only) ---------
     def q_curate(spark, sf):
@@ -2663,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_alt_pairs": q_img_alt,
         "page_shape": q_page_shape,
         "content_spans": q_content_spans,
+        "norm_punct": q_norm_punct,
     }
 
 
@@ -2753,6 +2779,7 @@ def oracle_sql() -> dict[str, str]:
         sql_explode_sentences,
         sql_language_mix,
         sql_lexical_diversity,
+        sql_normalize_punct,
         sql_script_profile,
         sql_unigram_entropy,
     )
@@ -3672,6 +3699,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, block_no, span_start, span_end, n_words, "
             "link_density, is_content FROM "
             + _fixture("content_spans.parquet")
+        ),
+        "norm_punct": sql_normalize_punct(
+            "(SELECT doc_id, " + _PUNCT_AUG + " AS text FROM documents)"
         ),
     }
     return sql

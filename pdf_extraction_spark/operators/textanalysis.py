@@ -819,3 +819,64 @@ def sql_lexical_diversity(rel: str = "documents", text_expr: str = "text") -> st
         "CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac "
         "FROM a"
     )
+
+
+# -- smart-punctuation normalization -------------------------------------
+#
+# Web text arrives with typographic punctuation (curly quotes, en/em
+# dashes, ellipsis, NBSP) and invisible joiners (zero-widths, BOM) that
+# fragment token statistics and dedup keys across otherwise-identical
+# documents. This is the standard pre-tokenization fold: 1:1 maps and
+# deletions ride ONE translate() call (codegen'd, both engines delete
+# unpaired from-chars), the 1:3 ellipsis expansion is a regexp_replace.
+# NFC/accent folding live separately (nfc_normalize_col /
+# fold_accents_col) — this fold is pure punctuation, lossless for
+# letters.
+
+_PUNCT_FROM = (
+    "‘’‚‛"  # single curly quotes -> '
+    "“”„‟"  # double curly quotes -> "
+    "–—―"        # en/em/horizontal-bar dash -> -
+    " "                    # NBSP -> space
+    "​‌‍﻿"  # zero-widths + BOM -> deleted
+)
+_PUNCT_TO = "''''" + '""""' + "---" + " "
+
+
+def normalize_punct_col(text: Column) -> Column:
+    """Typographic-punctuation fold: curly quotes → ASCII quotes,
+    en/em dashes → '-', NBSP → space, zero-widths/BOM deleted,
+    '…' → '...'. NULL passes through."""
+    folded = F.translate(text, _PUNCT_FROM, _PUNCT_TO)
+    return F.regexp_replace(folded, "…", "...")
+
+
+def with_normalized_punct(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, norm_text, was_changed) — the punctuation fold plus a
+    did-anything-change flag (cheap pre-filter: downstream rewrite
+    stages skip untouched docs). Pure projection."""
+    t = F.col(text_col)
+    norm = normalize_punct_col(t)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("norm_text"),
+        F.when(t.isNull(), F.lit(False)).otherwise(norm != t).alias("was_changed"),
+    )
+
+
+def sql_normalize_punct(rel: str, text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`with_normalized_punct` (same from/to
+    strings; both engines delete unpaired translate chars)."""
+    frm = _PUNCT_FROM
+    to = _PUNCT_TO.replace("'", "''")
+    norm = (
+        f"regexp_replace(translate({text_expr}, '{frm}', '{to}'), "
+        "'…', '...', 'g')"
+    )
+    return (
+        f"SELECT doc_id, {norm} AS norm_text, "
+        f"CASE WHEN {text_expr} IS NULL THEN FALSE "
+        f"ELSE {norm} <> {text_expr} END AS was_changed FROM {rel}"
+    )

@@ -485,3 +485,27 @@ def test_page_shape(spark):
         assert got[d]["html_len"] == 0 and got[d]["visible_ratio"] is None
         assert not got[d]["is_markup_shell"]
     assert got[6]["has_password"]
+
+
+# ---------------------------------------------------------------------------
+# Punctuation normalization
+# ---------------------------------------------------------------------------
+
+def test_normalize_punct(spark):
+    from pdf_extraction_spark.operators.textanalysis import with_normalized_punct
+
+    rows = [
+        (0, "“Smart” quotes ‘here’ — and–dashes…"),
+        (1, "plain ascii - no change."),
+        (2, "zero​width‌ and nbsp here﻿"),
+        (3, ""), (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_normalized_punct(df).collect()}
+    assert got[0]["norm_text"] == "\"Smart\" quotes 'here' - and-dashes..."
+    assert got[0]["was_changed"]
+    assert got[1]["norm_text"] == "plain ascii - no change."
+    assert not got[1]["was_changed"]
+    assert got[2]["norm_text"] == "zerowidth and nbsp here"
+    assert got[3]["norm_text"] == "" and not got[3]["was_changed"]
+    assert got[4]["norm_text"] is None and not got[4]["was_changed"]
