@@ -340,6 +340,22 @@ _FRONTIER_HOST = (
     "CASE WHEN doc_id % 31 = 0 THEN NULL ELSE 'h' || (doc_id % 23) END"
 )
 
+# Redirect fixture (edge set for the resolver): 'u' chains descend to
+# the nearest multiple of 5 (1-4 hops, ok), 'c' is a 6-cycle (too_many
+# by hop overshoot), 'x' is one 40-deep chain — its tail (<=16 hops
+# from the terminal x0) resolves ok, its head exceeds the cap. The 'c'
+# rows repeat across docs, exercising the min(dst) canonicalization.
+_REDIR_EDGES = (
+    "SELECT 'u' || CAST(doc_id AS VARCHAR) AS src, "
+    "'u' || CAST(doc_id - 1 AS VARCHAR) AS dst "
+    "FROM documents WHERE doc_id % 5 <> 0 "
+    "UNION ALL SELECT 'c' || CAST(doc_id % 6 AS VARCHAR) AS src, "
+    "'c' || CAST((doc_id % 6 + 1) % 6 AS VARCHAR) AS dst FROM documents "
+    "UNION ALL SELECT 'x' || CAST(doc_id AS VARCHAR) AS src, "
+    "'x' || CAST(doc_id - 1 AS VARCHAR) AS dst "
+    "FROM documents WHERE doc_id >= 1 AND doc_id <= 40"
+)
+
 # robots.txt fixture: one synthetic file per host (from DISTINCT
 # source), engine-identical SQL. Exercises: comments, mixed-case keys
 # (User-Agent / DISALLOW / allow), tab after colon, unknown directives
@@ -2097,6 +2113,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return frontier_schedule(urls.join(admitted, "url"))
 
+    # -- redirect-chain resolution (round-4 continuation) ---------------------
+    def q_redirects(spark, sf):
+        """Resolve every 3xx source to its landing url by pointer
+        doubling (5 self-joins for a 16-hop cap, not 16 — each round
+        squares the reach and the exact-hops invariant flags cycles by
+        overshoot, no cycle-detection join). Fixture edges exercise
+        short chains (1-4 hops, ok), a 6-cycle (too_many), and a
+        40-deep chain whose tail resolves and whose head exceeds the
+        cap. Twin is a recursive-CTE walk with the identical give-up
+        rule."""
+        from pdf_extraction_spark.operators.crawl import resolve_redirects
+
+        docs = _docs(spark, sf)
+        sid = F.col("doc_id").cast("string")
+        prev = (F.col("doc_id") - 1).cast("string")
+        chain = docs.filter(F.expr("doc_id % 5 <> 0")).select(
+            F.concat(F.lit("u"), sid).alias("src"),
+            F.concat(F.lit("u"), prev).alias("dst"),
+        )
+        cyc = docs.select(
+            F.concat(F.lit("c"), (F.col("doc_id") % 6).cast("string")).alias("src"),
+            F.concat(
+                F.lit("c"), ((F.col("doc_id") % 6 + 1) % 6).cast("string")
+            ).alias("dst"),
+        )
+        deep = docs.filter(F.expr("doc_id >= 1 AND doc_id <= 40")).select(
+            F.concat(F.lit("x"), sid).alias("src"),
+            F.concat(F.lit("x"), prev).alias("dst"),
+        )
+        return resolve_redirects(
+            chain.unionAll(cyc).unionAll(deep), max_hops=16
+        )
+
     # -- registrable-domain parse (round-4 continuation) ----------------------
     def q_domain_parse(spark, sf):
         """Public-suffix parse (eTLD+1) over five deterministic host
@@ -2662,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "sitemap_parse": q_sitemap,
         "crawl_plan": q_crawl_plan,
+        "redirects": q_redirects,
         "domain_parse": q_domain_parse,
         "template_pages": q_template_pages,
         "url_traps": q_url_traps,
@@ -2741,6 +2791,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.crawl import (
         sql_frontier_schedule,
         sql_parse_sitemap,
+        sql_resolve_redirects,
         sql_snapshot_changes,
     )
     from pdf_extraction_spark.operators.dedup import sql_containment_pairs
@@ -3578,6 +3629,7 @@ def oracle_sql() -> dict[str, str]:
             )
             + ") adm ON u.url = adm.url WHERE adm.allowed"
         ),
+        "redirects": sql_resolve_redirects(_REDIR_EDGES, max_hops=16),
         "spam_mass": (
             "WITH pr AS ("
             + sql_pagerank(_SPAM_EDGES, n_iter=5)

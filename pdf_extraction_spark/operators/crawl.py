@@ -52,6 +52,8 @@ __all__ = [
     "sql_frontier_schedule",
     "parse_sitemap",
     "sql_parse_sitemap",
+    "resolve_redirects",
+    "sql_resolve_redirects",
 ]
 
 
@@ -254,4 +256,112 @@ def sql_parse_sitemap(sitemaps_select: str) -> str:
         f"{fld('changefreq')} AS changefreq, "
         f"TRY_CAST({fld('priority')} AS DOUBLE) AS priority "
         f"FROM b WHERE {fld('loc')} IS NOT NULL"
+    )
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution — pointer doubling over the 3xx edge set
+# ---------------------------------------------------------------------------
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 16,
+) -> DataFrame:
+    """(url, final_url, hops, status): resolve every redirect SOURCE to
+    its final landing url by following the (src → dst) edge set, the
+    post-fetch step that canonicalizes a crawl's 3xx responses before
+    dedup / graph construction.
+
+    Semantics (both engines):
+
+    * a source whose chain reaches a TERMINAL url (one with no outgoing
+      redirect) within ``max_hops`` steps resolves ``ok`` with the
+      EXACT hop count;
+    * anything else — cycles, self-loops, chains needing more than
+      ``max_hops`` redirects — is ``too_many`` with NULL final/hops
+      (the crawler's "redirect loop" give-up rule; browsers cap around
+      20).
+
+    Sources with several recorded targets (re-fetch disagreement) are
+    canonicalized to ``min(dst)`` first, so the walk is a function.
+
+    Scale shape: POINTER DOUBLING, not linear walking — the hop map
+    ``m(u) = (node, hops)`` composes with itself ``⌈log2 max_hops⌉+1``
+    times, so 16-hop chains cost 5 self-joins instead of 16, every join
+    is key-partitioned on the jumped-to node, and nothing is ever
+    collected or broadcast (the map is the full edge set; at 10^12
+    edges each round is one shuffle). Invariant after round k: hops is
+    EXACT and either the node is terminal or hops = 2^k — so cycle
+    rows overshoot ``max_hops`` by round ⌈log2 max_hops⌉+1 and are
+    flagged without any cycle-detection join. ``localCheckpoint``
+    per round cuts the iterative lineage (same discipline as
+    components.connected_components).
+    """
+    import math
+
+    e = (
+        edges.groupBy(F.col(src_col).alias("r_src"))
+        .agg(F.min(dst_col).alias("r_dst"))
+    )
+    e.persist()
+    m = e.select(
+        F.col("r_src").alias("url"),
+        F.col("r_dst").alias("node"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    rounds = max(1, int(math.ceil(math.log2(max(2, max_hops)))) + 1)
+    for _ in range(rounds):
+        j = m.select(
+            F.col("url").alias("j_url"),
+            F.col("node").alias("j_node"),
+            F.col("hops").alias("j_hops"),
+        )
+        m = (
+            m.join(j, m["node"] == j["j_url"], "left")
+            .select(
+                "url",
+                F.coalesce("j_node", "node").alias("node"),
+                (F.col("hops") + F.coalesce("j_hops", F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    term = e.select(F.col("r_src").alias("t_src"))
+    ok = F.col("t_src").isNull() & (F.col("hops") <= F.lit(max_hops))
+    out = m.join(term, m["node"] == term["t_src"], "left").select(
+        "url",
+        F.when(ok, F.col("node")).alias("final_url"),
+        F.when(ok, F.col("hops")).alias("hops"),
+        F.when(ok, F.lit("ok")).otherwise(F.lit("too_many")).alias("status"),
+    )
+    e.unpersist()
+    return out
+
+
+def sql_resolve_redirects(edges_select: str, max_hops: int = 16) -> str:
+    """DuckDB twin of :func:`resolve_redirects` over a subquery yielding
+    (src, dst) — a recursive-CTE walk with the SAME min(dst)
+    canonicalization, terminal test and give-up rule. The recursion
+    guard ``hops <= max_hops`` lets a row reach max_hops+1 and stop, so
+    cycles terminate and any row whose deepest hop exceeds ``max_hops``
+    (or never lands on a terminal) reads too_many, exactly the Spark
+    flag; ok rows carry the identical exact hop count."""
+    return (
+        "WITH RECURSIVE e AS "
+        f"(SELECT src, min(dst) AS dst FROM ({edges_select}) GROUP BY src), "
+        "walk AS ("
+        "SELECT src AS url, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e "
+        "UNION ALL "
+        "SELECT w.url, e.dst, w.hops + 1 FROM walk w "
+        f"JOIN e ON w.cur = e.src WHERE w.hops <= {max_hops}), "
+        "last AS (SELECT url, max(hops) AS mh FROM walk GROUP BY url), "
+        "fin AS (SELECT w.url, w.cur, w.hops, "
+        f"(w.hops <= {max_hops} AND t.src IS NULL) AS ok "
+        "FROM walk w JOIN last l ON w.url = l.url AND w.hops = l.mh "
+        "LEFT JOIN e t ON w.cur = t.src) "
+        "SELECT url, CASE WHEN ok THEN cur END AS final_url, "
+        "CASE WHEN ok THEN hops END AS hops, "
+        "CASE WHEN ok THEN 'ok' ELSE 'too_many' END AS status FROM fin"
     )

@@ -294,3 +294,87 @@ def test_new_query_matches_oracle(spark, oracle_con, name):
     sn, on = normalize(srows, scols), normalize(orows, ocols)
     assert len(sn) == len(on)
     assert sn == on
+
+
+# ---------------------------------------------------------------------------
+# resolve_redirects
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_redirects_chain_cycle_and_cap(spark):
+    from pdf_extraction_spark.operators.crawl import resolve_redirects
+
+    rows = (
+        # a -> b -> c -> T (3 hops from a)
+        [("a", "b"), ("b", "c"), ("c", "T")]
+        # self-loop
+        + [("loop", "loop")]
+        # 3-cycle
+        + [("p", "q"), ("q", "r"), ("r", "p")]
+        # deep chain d1 <- d2 <- ... <- d6, cap at 4
+        + [(f"d{i}", f"d{i-1}") for i in range(1, 7)]
+    )
+    out = {
+        r["url"]: r
+        for r in resolve_redirects(_edges(spark, rows), max_hops=4).collect()
+    }
+    assert len(out) == 13
+    assert (out["a"]["final_url"], out["a"]["hops"], out["a"]["status"]) == (
+        "T", 3, "ok",
+    )
+    assert (out["c"]["final_url"], out["c"]["hops"]) == ("T", 1)
+    for u in ("loop", "p", "q", "r"):
+        assert out[u]["status"] == "too_many"
+        assert out[u]["final_url"] is None and out[u]["hops"] is None
+    # exactly at the cap resolves; one past it gives up
+    assert (out["d4"]["status"], out["d4"]["hops"]) == ("ok", 4)
+    assert out["d4"]["final_url"] == "d0"
+    assert out["d5"]["status"] == "too_many"
+    assert out["d6"]["status"] == "too_many"
+
+
+def test_redirects_min_dst_canonicalization(spark):
+    from pdf_extraction_spark.operators.crawl import resolve_redirects
+
+    # a recorded twice with disagreeing targets: min(dst) wins, and the
+    # walk follows the canonical edge only
+    rows = [("a", "z2"), ("a", "z1"), ("z1", "T")]
+    out = {
+        r["url"]: r for r in resolve_redirects(_edges(spark, rows)).collect()
+    }
+    assert (out["a"]["final_url"], out["a"]["hops"]) == ("T", 2)
+    assert out["z1"]["final_url"] == "T"
+
+
+def test_redirects_oracle_parity_sf0001(spark):
+    """Strict parity vs the recursive-CTE DuckDB twin on hand rows that
+    hit every status path (the sf0.01 registry parity also covers it)."""
+    from pdf_extraction_spark.operators.crawl import (
+        resolve_redirects,
+        sql_resolve_redirects,
+    )
+
+    rows = (
+        [("a", "b"), ("b", "c"), ("c", "T"), ("s", "s")]
+        + [(f"d{i}", f"d{i-1}") for i in range(1, 7)]
+        + [("a", "b0")]  # duplicate src — both engines canonicalize to min(dst)
+    )
+    got = sorted(
+        (r["url"], r["final_url"], r["hops"], r["status"])
+        for r in resolve_redirects(_edges(spark, rows), max_hops=4).collect()
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"('{s}', '{d}')" for s, d in rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_resolve_redirects(
+                f"SELECT * FROM (VALUES {vals}) t(src, dst)", max_hops=4
+            )
+        ).fetchall()
+    )
+    assert got == want
