@@ -2146,6 +2146,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             chain.unionAll(cyc).unionAll(deep), max_hops=16
         )
 
+
+    # -- edit-distance pair verification (round-4 continuation) ---------------
+    def q_edit_verify(spark, sf):
+        """Verification pass of the near-dup funnel: candidate pairs
+        (here a deterministic mix of cross pairs and exact self-pairs)
+        get a real levenshtein distance and the integer-domain gate
+        100*dist <= pct*max(len) — no float division, both engines see
+        identical ASCII-folded 500-codepoint prefixes. Two id-keyed
+        hash joins; the O(prefix^2) distance is bounded by the cap."""
+        from pdf_extraction_spark.operators.dedup import edit_verify_pairs
+
+        docs = _docs(spark, sf)
+        cross = docs.filter(F.expr("doc_id < 250")).select(
+            F.col("doc_id").alias("id_a"),
+            F.expr("(doc_id * 7 + 13) % 500").alias("id_b"),
+        )
+        selfp = docs.filter(F.expr("doc_id % 10 = 0")).select(
+            F.col("doc_id").alias("id_a"), F.col("doc_id").alias("id_b")
+        )
+        return edit_verify_pairs(cross.unionAll(selfp), docs, max_dist_pct=60)
+
     # -- registrable-domain parse (round-4 continuation) ----------------------
     def q_domain_parse(spark, sf):
         """Public-suffix parse (eTLD+1) over five deterministic host
@@ -2712,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap,
         "crawl_plan": q_crawl_plan,
         "redirects": q_redirects,
+        "edit_verify": q_edit_verify,
         "domain_parse": q_domain_parse,
         "template_pages": q_template_pages,
         "url_traps": q_url_traps,
@@ -2794,7 +2816,10 @@ def oracle_sql() -> dict[str, str]:
         sql_resolve_redirects,
         sql_snapshot_changes,
     )
-    from pdf_extraction_spark.operators.dedup import sql_containment_pairs
+    from pdf_extraction_spark.operators.dedup import (
+        sql_containment_pairs,
+        sql_edit_verify_pairs,
+    )
     from pdf_extraction_spark.operators.webshape import (
         sql_template_pages,
         sql_url_trap_flags,
@@ -3630,6 +3655,13 @@ def oracle_sql() -> dict[str, str]:
             + ") adm ON u.url = adm.url WHERE adm.allowed"
         ),
         "redirects": sql_resolve_redirects(_REDIR_EDGES, max_hops=16),
+        "edit_verify": sql_edit_verify_pairs(
+            "SELECT doc_id AS id_a, (doc_id * 7 + 13) % 500 AS id_b "
+            "FROM documents WHERE doc_id < 250 "
+            "UNION ALL SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 = 0",
+            "SELECT doc_id, text FROM documents",
+            max_dist_pct=60,
+        ),
         "spam_mass": (
             "WITH pr AS ("
             + sql_pagerank(_SPAM_EDGES, n_iter=5)

@@ -1195,3 +1195,93 @@ def sql_winnow_fingerprints(
         "list_min(list_slice(hs, j + 1, j + wp)) AS fp "
         "FROM t3, unnest(wins) AS u(j)"
     )
+
+
+# --- edit-distance verification of candidate pairs --------------------------
+
+# one codepoint -> one '?' on BOTH engines, so DuckDB's byte-level
+# levenshtein and Spark's codepoint-level one see identical strings
+# (exact for ASCII text; non-ASCII runs gate at codepoint granularity)
+_ASCII_FOLD_RE = "[^\\x00-\\x7F]"
+
+
+def edit_verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    doc_id: str = "doc_id",
+    text_col: str = "text",
+    max_dist_pct: int = 20,
+    prefix_chars: int = 500,
+) -> DataFrame:
+    """(id_a, id_b, edit_dist, len_a, len_b, is_dup): the VERIFICATION
+    pass that closes the near-dup funnel — LSH/simhash candidates are
+    probabilistic; this confirms each pair with a real edit distance so
+    the drop decision has a deterministic, explainable basis (the
+    "verify before you delete" rule every production dedup runs).
+
+    ``is_dup`` is the integer-domain gate ``100·dist ≤ max_dist_pct ·
+    max(len_a, len_b)`` — no float division, and empty-vs-empty pairs
+    gate as duplicates (0 ≤ 0). Distance is computed over the first
+    ``prefix_chars`` codepoints with non-ASCII folded to ``?`` (one
+    codepoint → one byte, so Spark's codepoint-level levenshtein and
+    DuckDB's byte-level one agree; exact for ASCII text, codepoint-
+    granular for the rest). Lengths reported are the gated prefix
+    lengths.
+
+    Scale shape: two hash joins to attach the texts (pairs are the
+    LSH survivor set — orders of magnitude smaller than the corpus)
+    and one per-row O(prefix²) JVM levenshtein, bounded by the prefix
+    cap; nothing shuffles on text, only on the id keys. For tighter
+    budgets Spark ≥3.5 offers banded ``levenshtein(l, r, threshold)``
+    — kept off here because the twin must gate identically.
+    """
+    folded = F.regexp_replace(
+        F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, prefix_chars),
+        _ASCII_FOLD_RE,
+        "?",
+    )
+    d = docs.select(F.col(doc_id).alias("d_id"), folded.alias("d_txt"))
+    p = pairs.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"))
+    joined = (
+        p.join(d.withColumnRenamed("d_id", "id_a").withColumnRenamed("d_txt", "txt_a"), "id_a")
+        .join(d.withColumnRenamed("d_id", "id_b").withColumnRenamed("d_txt", "txt_b"), "id_b")
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("txt_a", "txt_b").cast("long").alias("edit_dist"),
+        F.length("txt_a").cast("long").alias("len_a"),
+        F.length("txt_b").cast("long").alias("len_b"),
+        (
+            100 * F.levenshtein("txt_a", "txt_b")
+            <= F.lit(max_dist_pct) * F.greatest(F.length("txt_a"), F.length("txt_b"))
+        ).alias("is_dup"),
+    )
+
+
+def sql_edit_verify_pairs(
+    pairs_select: str,
+    docs_select: str,
+    max_dist_pct: int = 20,
+    prefix_chars: int = 500,
+) -> str:
+    """DuckDB twin of :func:`edit_verify_pairs` over subqueries yielding
+    (id_a, id_b) and (doc_id, text) — same prefix, ASCII fold, byte ==
+    codepoint levenshtein, and integer gate."""
+    fold = (
+        f"regexp_replace(substring(coalesce(text, ''), 1, {prefix_chars}), "
+        f"'{_ASCII_FOLD_RE}', '?', 'g')"
+    )
+    return (
+        f"WITH p AS ({pairs_select}), src AS ({docs_select}), "
+        f"d AS (SELECT doc_id AS d_id, {fold} AS d_txt FROM src) "
+        "SELECT p.id_a, p.id_b, "
+        "CAST(levenshtein(a.d_txt, b.d_txt) AS BIGINT) AS edit_dist, "
+        "CAST(length(a.d_txt) AS BIGINT) AS len_a, "
+        "CAST(length(b.d_txt) AS BIGINT) AS len_b, "
+        f"100 * levenshtein(a.d_txt, b.d_txt) <= {max_dist_pct} * "
+        "greatest(length(a.d_txt), length(b.d_txt)) AS is_dup "
+        "FROM p JOIN d a ON p.id_a = a.d_id JOIN d b ON p.id_b = b.d_id"
+    )

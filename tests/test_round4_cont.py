@@ -509,3 +509,106 @@ def test_normalize_punct(spark):
     assert got[2]["norm_text"] == "zerowidth and nbsp here"
     assert got[3]["norm_text"] == "" and not got[3]["was_changed"]
     assert got[4]["norm_text"] is None and not got[4]["was_changed"]
+
+
+# ---------------------------------------------------------------------------
+# edit-distance pair verification
+# ---------------------------------------------------------------------------
+
+
+def test_edit_verify_gate_and_lengths(spark):
+    from pdf_extraction_spark.operators.dedup import edit_verify_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumped over the lazy dog"),
+            (3, "completely different text about something else"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (1, 1)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in edit_verify_pairs(pairs, docs, max_dist_pct=20).collect()
+    }
+    # one-word inflection: tiny distance, gated dup
+    r = out[(1, 2)]
+    assert r["edit_dist"] == 2 and r["is_dup"]
+    # unrelated: large distance, not dup
+    assert not out[(1, 3)]["is_dup"]
+    # empty vs NULL-coalesced-empty: 0 <= 0 gates as dup
+    r = out[(4, 5)]
+    assert (r["edit_dist"], r["len_a"], r["len_b"], r["is_dup"]) == (0, 0, 0, True)
+    assert out[(1, 1)]["edit_dist"] == 0
+
+
+def test_edit_verify_unicode_fold_parity(spark):
+    """Non-ASCII codepoints fold to '?' on both engines, so Spark's
+    codepoint levenshtein and DuckDB's byte-level one agree exactly."""
+    from pdf_extraction_spark.operators.dedup import (
+        edit_verify_pairs,
+        sql_edit_verify_pairs,
+    )
+
+    docs_rows = [
+        (1, "naïve café culture"),
+        (2, "naive cafe culture"),
+        (3, "日本語のテスト文です"),
+        (4, "日本語のテスト文だよ"),
+    ]
+    pairs_rows = [(1, 2), (3, 4), (1, 3)]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(pairs_rows, "id_a long, id_b long")
+    got = sorted(
+        tuple(r)
+        for r in edit_verify_pairs(pairs, docs, max_dist_pct=30).collect()
+    )
+    con = duckdb.connect()
+    dvals = ", ".join(f"({i}, '{t}')" for i, t in docs_rows)
+    pvals = ", ".join(f"({a}, {b})" for a, b in pairs_rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_edit_verify_pairs(
+                f"SELECT * FROM (VALUES {pvals}) p(id_a, id_b)",
+                f"SELECT * FROM (VALUES {dvals}) d(doc_id, text)",
+                max_dist_pct=30,
+            )
+        ).fetchall()
+    )
+    assert got == want
+    # the folded 'naïve café'/'naive cafe' pair differs at exactly the
+    # two folded codepoints
+    by_pair = {(a, b): d for a, b, d, *_ in got}
+    assert by_pair[(1, 2)] == 2
+
+
+def test_edit_verify_closes_lsh_funnel(spark):
+    """Composition: minhash-LSH candidates -> edit verification keeps
+    the true near-dup and rejects the false-positive shape."""
+    from pdf_extraction_spark.operators.dedup import (
+        edit_verify_pairs,
+        minhash_lsh_pairs,
+    )
+
+    base = "word" + " word".join(str(i) for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail"),
+            (3, "entirely unrelated content " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    cands = minhash_lsh_pairs(docs).select("id_a", "id_b")
+    verified = edit_verify_pairs(cands, docs, max_dist_pct=20)
+    rows = verified.collect()
+    assert any(
+        {r["id_a"], r["id_b"]} == {1, 2} and r["is_dup"] for r in rows
+    )
+    assert all(3 not in {r["id_a"], r["id_b"]} or not r["is_dup"] for r in rows)
