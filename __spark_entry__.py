@@ -2167,6 +2167,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return edit_verify_pairs(cross.unionAll(selfp), docs, max_dist_pct=60)
 
+
+    # -- int8 embedding quantization (round-4 continuation) --------------------
+    def q_quantize(spark, sf):
+        """Symmetric per-vector int8 quantization of the embeddings
+        table: scale = max|x|/127, half-up codes spelled floor(v+0.5)
+        so no engine round() semantics leak, saturation count and max
+        dequantization error reported. Pure per-row projection — zero
+        exchanges, zero Python."""
+        from pdf_extraction_spark.operators.similarity import quantize_embeddings
+
+        return quantize_embeddings(_emb(spark, sf))
+
     # -- registrable-domain parse (round-4 continuation) ----------------------
     def q_domain_parse(spark, sf):
         """Public-suffix parse (eTLD+1) over five deterministic host
@@ -2734,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_plan": q_crawl_plan,
         "redirects": q_redirects,
         "edit_verify": q_edit_verify,
+        "quantize_emb": q_quantize,
         "domain_parse": q_domain_parse,
         "template_pages": q_template_pages,
         "url_traps": q_url_traps,
@@ -2815,6 +2828,9 @@ def oracle_sql() -> dict[str, str]:
         sql_parse_sitemap,
         sql_resolve_redirects,
         sql_snapshot_changes,
+    )
+    from pdf_extraction_spark.operators.similarity import (
+        sql_quantize_embeddings,
     )
     from pdf_extraction_spark.operators.dedup import (
         sql_containment_pairs,
@@ -3655,6 +3671,9 @@ def oracle_sql() -> dict[str, str]:
             + ") adm ON u.url = adm.url WHERE adm.allowed"
         ),
         "redirects": sql_resolve_redirects(_REDIR_EDGES, max_hops=16),
+        "quantize_emb": sql_quantize_embeddings(
+            "SELECT vec_id, embedding FROM embeddings"
+        ),
         "edit_verify": sql_edit_verify_pairs(
             "SELECT doc_id AS id_a, (doc_id * 7 + 13) % 500 AS id_b "
             "FROM documents WHERE doc_id < 250 "

@@ -603,3 +603,86 @@ def sql_semantic_dedup(
         "(drp.vid IS NULL) AS kept "
         "FROM ac LEFT JOIN drp ON ac.vid = drp.vid"
     )
+
+
+# --- int8 embedding quantization ---------------------------------------------
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(vec_id, dim, scale, codes, n_sat, max_err): symmetric per-vector
+    int8 quantization — the storage/bandwidth step a 100 TB embedding
+    store runs before ANN serving (4× smaller than float32, matmul-able
+    on int8 kernels). ``scale = max|x| / 127``; ``code_i`` is half-up
+    ``127·x_i / max|x|`` clamped to [-127, 127]; ``n_sat`` counts
+    saturated codes (≥1 by construction unless the vector is all-zero);
+    ``max_err`` is the max absolute dequantization error — the quality
+    metric a serving team alerts on.
+
+    Engine parity: inputs are float32 (exact as doubles), and every
+    derived number is either integer or a fixed IEEE expression tree
+    evaluated identically in Spark and DuckDB — half-up is spelled
+    ``floor(v + 0.5)`` (no engine round() semantics), zero vectors
+    short-circuit before any 0/0, and the two reported doubles are
+    deterministic functions of exact inputs. Pure per-row projection:
+    zero exchanges, zero Python, survives any scale trivially.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    m = F.array_max(F.transform(v, F.abs))
+
+    def code(x):
+        return F.when(m == 0.0, F.lit(0)).otherwise(
+            F.least(
+                F.lit(127).cast("long"),
+                F.greatest(
+                    F.lit(-127).cast("long"),
+                    F.floor((F.lit(127.0) * x) / m + F.lit(0.5)),
+                ),
+            ).cast("int")
+        )
+
+    scale = F.when(m == 0.0, F.lit(0.0)).otherwise(m / F.lit(127.0))
+    codes = F.transform(v, code)
+    err = F.array_max(
+        F.zip_with(
+            v, codes, lambda x, c: F.abs(x - c.cast("double") * scale)
+        )
+    )
+    return emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        F.size(vec_col).alias("dim"),
+        scale.alias("scale"),
+        codes.alias("codes"),
+        F.size(F.filter(codes, lambda c: F.abs(c) == 127)).alias("n_sat"),
+        F.coalesce(err, F.lit(0.0)).alias("max_err"),
+    )
+
+
+def sql_quantize_embeddings(
+    emb_select: str, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> str:
+    """DuckDB twin of :func:`quantize_embeddings` — same float32→double
+    exact widening, the identical ``floor(127·x / max|x| + 0.5)`` tree
+    (literals cast to DOUBLE so no decimal arithmetic sneaks in), the
+    same clamp, and the same zero-vector short-circuit."""
+    v = f"list_transform({vec_col}::DOUBLE[], x -> x)"
+    m = f"list_max(list_transform({v}, x -> abs(x)))"
+    code = (
+        f"CASE WHEN {m} = 0.0 THEN 0 ELSE CAST(least(127, greatest(-127, "
+        f"floor((CAST(127 AS DOUBLE) * x) / {m} + CAST(0.5 AS DOUBLE)))) AS INT) END"
+    )
+    scale = f"CASE WHEN {m} = 0.0 THEN 0.0 ELSE {m} / CAST(127 AS DOUBLE) END"
+    codes = f"list_transform({v}, x -> {code})"
+    err = (
+        f"list_max(list_transform(list_zip({v}, {codes}), "
+        f"p -> abs(p[1] - CAST(p[2] AS DOUBLE) * ({scale}))))"
+    )
+    return (
+        f"SELECT {id_col} AS vec_id, "
+        f"CAST(len({vec_col}) AS INT) AS dim, "
+        f"{scale} AS scale, {codes} AS codes, "
+        f"CAST(len(list_filter({codes}, c -> abs(c) = 127)) AS INT) AS n_sat, "
+        f"coalesce({err}, 0.0) AS max_err "
+        f"FROM ({emb_select}) WHERE {vec_col} IS NOT NULL"
+    )

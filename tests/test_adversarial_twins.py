@@ -201,7 +201,7 @@ def _adversarial_embeddings():
 
 EMB_QUERIES = [
     "cosine_topk", "embedding_neardup", "topk_batch",
-    "ivf_assign", "ivf_probe", "ivf_topk", "semdedup",
+    "ivf_assign", "ivf_probe", "ivf_topk", "semdedup", "quantize_emb",
 ]
 
 

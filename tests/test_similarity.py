@@ -221,3 +221,71 @@ class TestSemanticDedup:
             # the (cent_sim, id)-minimal member is always kept
             top = min(members, key=lambda m: (m["cent_sim"], m["vec_id"]))
             assert top["kept"]
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_known_vectors(spark):
+    from pdf_extraction_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -1.0, 0.5, 0.0]),
+            (2, [0.0, 0.0, 0.0]),
+            (3, [2.0]),
+            (4, None),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    assert 4 not in out
+    r = out[1]
+    # max|x| = 1 -> codes 127, -127, 64 (63.5 half-up), 0
+    assert r["codes"] == [127, -127, 64, 0]
+    assert r["n_sat"] == 2
+    assert r["scale"] == 1.0 / 127.0
+    # dequant error bounded by half a quantization step
+    assert r["max_err"] <= r["scale"] / 2 + 1e-12
+    # all-zero vector short-circuits: no 0/0, everything zero
+    z = out[2]
+    assert (z["codes"], z["scale"], z["n_sat"], z["max_err"]) == ([0, 0, 0], 0.0, 0, 0.0)
+    # single element saturates exactly, zero error
+    s = out[3]
+    assert s["codes"] == [127] and s["max_err"] == 0.0
+
+
+def test_quantize_duckdb_parity_hand_rows(spark):
+    import duckdb
+
+    from pdf_extraction_spark.operators.similarity import (
+        quantize_embeddings,
+        sql_quantize_embeddings,
+    )
+
+    rows = [
+        (1, [0.3, -0.7, 0.001, 0.699999]),
+        (2, [-0.25, 0.25, -0.125]),
+        (3, [1e-8, -1e-8]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        (r["vec_id"], r["dim"], r["scale"], r["codes"], r["n_sat"], r["max_err"])
+        for r in quantize_embeddings(emb).collect()
+    )
+    vals = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(f"CAST({x!r} AS FLOAT)" for x in v) + "])"
+        for i, v in rows
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_quantize_embeddings(
+                f"SELECT * FROM (VALUES {vals}) t(vec_id, embedding)"
+            )
+        ).fetchall()
+    )
+    assert got == want
