@@ -2179,6 +2179,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return quantize_embeddings(_emb(spark, sf))
 
+    # -- product quantization: encode + ADC top-k (round-4 continuation) ------
+    def q_pq_encode(spark, sf):
+        """PQ encoding over the committed codebook fixture (m=8
+        subspaces x 16 cells, trained by the shared pure-numpy
+        pq_train_lite on the full vec_id-sorted sf0.01 table) — each
+        64-dim vector compresses to 8 int codes (64x vs float32).
+        Per-subspace argmin is the min(struct) device over left-fold
+        squared-L2 distances; codes rebuilt in subspace order. Exact
+        given fixed codebook -> full strict twin."""
+        from pdf_extraction_spark.operators.similarity import pq_encode
+
+        cb = spark.read.parquet(
+            _os.path.join(_FIXTURE_DIR, "pq_codebook_sf0_01.parquet")
+        ).collect()
+        return pq_encode(_emb(spark, sf), cb)
+
+    def q_pq_topk(spark, sf):
+        """Asymmetric-distance top-k over the PQ codes (IVF-PQ serving
+        kernel, Jegou 2011): lut of query-subvector<->centroid squared
+        distances computed relationally over the broadcast codebook,
+        posexplode codes -> lut join -> subspace-ordered fold ->
+        TakeOrderedAndProject. The scan side touches only the 4-byte
+        codes — the 10^12-vector serving shape."""
+        from pdf_extraction_spark.operators.similarity import adc_topk
+
+        cb = spark.read.parquet(
+            _os.path.join(_FIXTURE_DIR, "pq_codebook_sf0_01.parquet")
+        ).collect()
+        return adc_topk(_emb(spark, sf), cb, _query_vec(), k=8)
+
     # -- registrable-domain parse (round-4 continuation) ----------------------
     def q_domain_parse(spark, sf):
         """Public-suffix parse (eTLD+1) over five deterministic host
@@ -2747,6 +2777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects": q_redirects,
         "edit_verify": q_edit_verify,
         "quantize_emb": q_quantize,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
         "domain_parse": q_domain_parse,
         "template_pages": q_template_pages,
         "url_traps": q_url_traps,
@@ -2830,6 +2862,8 @@ def oracle_sql() -> dict[str, str]:
         sql_snapshot_changes,
     )
     from pdf_extraction_spark.operators.similarity import (
+        sql_adc_topk,
+        sql_pq_encode,
         sql_quantize_embeddings,
     )
     from pdf_extraction_spark.operators.dedup import (
@@ -3673,6 +3707,10 @@ def oracle_sql() -> dict[str, str]:
         "redirects": sql_resolve_redirects(_REDIR_EDGES, max_hops=16),
         "quantize_emb": sql_quantize_embeddings(
             "SELECT vec_id, embedding FROM embeddings"
+        ),
+        "pq_encode": sql_pq_encode(_fixture("pq_codebook_sf0_01.parquet")),
+        "pq_topk": sql_adc_topk(
+            _fixture("pq_codebook_sf0_01.parquet"), _query_vec(), k=8
         ),
         "edit_verify": sql_edit_verify_pairs(
             "SELECT doc_id AS id_a, (doc_id * 7 + 13) % 500 AS id_b "

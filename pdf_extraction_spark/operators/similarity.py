@@ -686,3 +686,238 @@ def sql_quantize_embeddings(
         f"coalesce({err}, 0.0) AS max_err "
         f"FROM ({emb_select}) WHERE {vec_col} IS NOT NULL"
     )
+
+
+# --- product quantization (IVF-PQ serving shape) ------------------------------
+
+
+def pq_train_lite(
+    mat: np.ndarray, m: int, k: int, iters: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Deterministic per-subspace L2 Lloyd — the PQ codebook trainer
+    (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search" §II). Pure numpy, shared by the oracle fixture generator
+    (full sorted table) and tests, the same split as kmeans_lite /
+    ivf_centroids. Returns shape (m, k, dim//m) float64. Empty cells
+    keep their previous centroid (no re-seeding → deterministic)."""
+    mat = np.asarray(mat, dtype=np.float64)
+    n, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    ds = dim // m
+    rng = np.random.RandomState(seed)
+    out = np.empty((m, k, ds), dtype=np.float64)
+    for j in range(m):
+        sub = mat[:, j * ds : (j + 1) * ds]
+        cents = sub[rng.choice(n, size=min(k, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        out[j] = cents
+    return out
+
+
+def _codebook_df(spark, codebook):
+    """(m, frame): (sub, cell, centroid) rows from either a committed
+    fixture-style row iterable or the (m, k, ds) ndarray pq_train_lite
+    returns. m comes from the input (no Spark job at plan-build)."""
+    if isinstance(codebook, np.ndarray):
+        rows = [
+            (j, c, [float(x) for x in codebook[j][c]])
+            for j in range(codebook.shape[0])
+            for c in range(codebook.shape[1])
+        ]
+    else:
+        rows = [(int(r[0]), int(r[1]), [float(x) for x in r[2]]) for r in codebook]
+    m = max(r[0] for r in rows) + 1
+    df = spark.createDataFrame(rows, "sub int, cell int, centroid array<double>")
+    return m, df
+
+
+def _sub_dist(vec_col, sub_col, cent_col, ds: int):
+    """Squared L2 between subvector ``sub`` of ``vec_col`` and a
+    centroid — a left fold over doubles in dimension order (the dot_col
+    device), so both engines produce the bit-identical IEEE double."""
+    sub = F.slice(vec_col, sub_col * ds + 1, ds)
+    return F.aggregate(
+        F.zip_with(
+            sub, cent_col, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, codes): PQ encoding — each vector split into m
+    subvectors, each mapped to its nearest codebook centroid (squared
+    L2, ties to the lowest cell id), codes ordered by subspace. With
+    m=8 / k=16 a 64-dim float32 vector compresses 64× (256 B → 4 B) —
+    the storage step that makes a 10^12-vector ANN index fit a cluster
+    (Jégou 2011; the int8 path in :func:`quantize_embeddings` is the
+    4× sibling).
+
+    100-TB shape: the codebook is m·k rows (bounded by construction —
+    broadcast), the candidate space is one explode ×(m·k) per vector,
+    and both aggregations are map-side-combinable groupBys keyed by the
+    vector id: argmin via the min(struct) device, code assembly via the
+    sorted-collect ordered rebuild. No window, no Python stage, no
+    driver state beyond the codebook itself.
+
+    Cross-engine parity: subvector distances are left folds over
+    doubles (dot_col order); argmin ties break on cell id; the codes
+    array is rebuilt in subspace order — every step has an exact DuckDB
+    twin (:func:`sql_pq_encode`).
+    """
+    spark = emb.sparkSession
+    m, cb = _codebook_df(spark, codebook)
+    ds = dim // m
+    cand = (
+        emb.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(cb))
+        .select(
+            "vid",
+            "sub",
+            F.struct(
+                _sub_dist(F.col("v"), F.col("sub"), F.col("centroid"), ds).alias("d"),
+                F.col("cell").alias("cell"),
+            ).alias("dc"),
+        )
+    )
+    best = cand.groupBy("vid", "sub").agg(F.min("dc").alias("dc"))
+    return (
+        best.groupBy("vid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub"), F.col("dc")["cell"].alias("cell")))
+                ),
+                lambda s: s["cell"],
+            ).alias("codes")
+        )
+        .select(F.col("vid").alias(id_col), "codes")
+    )
+
+
+def adc_topk(
+    emb: DataFrame,
+    codebook,
+    query_vec,
+    k: int = 5,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, adist): asymmetric-distance top-k over PQ codes — the
+    IVF-PQ serving kernel (Jégou 2011 §III: the query stays exact, the
+    corpus is codes; distance ≈ Σ_j lut[j][code_j] where lut is the
+    m·k table of query-subvector↔centroid squared distances). The scan
+    side touches ONLY the 4-byte codes — at 10^12 vectors that is the
+    difference between reading 4 TB and reading 256 TB per query batch.
+
+    Shape: codes from :func:`pq_encode`; the lut is computed
+    relationally over the broadcast codebook (m·k rows — never
+    materialized on the driver, so the twin recomputes the identical
+    doubles); posexplode codes → broadcast lut join → per-vector
+    ordered fold (sorted-collect over the m sub rows, left fold in
+    subspace order — bit-stable) → orderBy(adist, id).limit(k) which
+    compiles to TakeOrderedAndProject (no global sort).
+    """
+    spark = emb.sparkSession
+    m, cb = _codebook_df(spark, codebook)
+    ds = dim // m
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    lut = cb.select(
+        "sub", "cell", _sub_dist(q, F.col("sub"), F.col("centroid"), ds).alias("qd")
+    )
+    codes = pq_encode(emb, codebook, dim=dim, vec_col=vec_col, id_col=id_col)
+    per_sub = codes.select(
+        id_col, F.posexplode("codes").alias("sub", "cell")
+    ).join(F.broadcast(lut), ["sub", "cell"])
+    adist = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("sub", "qd"))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["qd"],
+    )
+    return (
+        per_sub.groupBy(id_col)
+        .agg(adist.alias("adist"))
+        .orderBy(F.asc("adist"), id_col)
+        .limit(k)
+    )
+
+
+def sql_pq_ctes(
+    cb_rel: str,
+    dim: int,
+    m: int,
+    emb_rel: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Shared DuckDB CTE body for the PQ twins: candidate distances
+    (identical left fold), argmin with the cell tie-break, ordered code
+    rebuild. ONE home for the encode shape so both twins move
+    together."""
+    ds = dim // m
+    fold = (
+        f"list_aggregate(list_transform(list_zip("
+        f"e.{vec_col}[c.sub*{ds}+1 : c.sub*{ds}+{ds}]::DOUBLE[], c.centroid), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')"
+    )
+    return (
+        f"cand AS (SELECT e.{id_col} AS vid, c.sub, c.cell, {fold} AS d "
+        f"FROM {emb_rel} e, {cb_rel} c "
+        f"WHERE e.{vec_col} IS NOT NULL AND len(e.{vec_col}) = {dim}), "
+        "best AS (SELECT vid, sub, cell FROM (SELECT vid, sub, cell, "
+        "row_number() OVER (PARTITION BY vid, sub ORDER BY d, cell) AS rk "
+        "FROM cand) WHERE rk = 1), "
+        "codes AS (SELECT vid, array_agg(cell ORDER BY sub) AS codes "
+        "FROM best GROUP BY vid)"
+    )
+
+
+def sql_pq_encode(cb_rel: str, dim: int = 64, m: int = 8, **kw) -> str:
+    """DuckDB twin of :func:`pq_encode`."""
+    id_col = kw.get("id_col", "vec_id")
+    return (
+        f"WITH {sql_pq_ctes(cb_rel, dim, m, **kw)} "
+        f"SELECT vid AS {id_col}, codes FROM codes"
+    )
+
+
+def sql_adc_topk(cb_rel: str, query_vec, k: int, dim: int = 64, m: int = 8, **kw) -> str:
+    """DuckDB twin of :func:`adc_topk` — the lut recomputed with the
+    same fold over the same codebook relation, the per-vector sum as a
+    subspace-ordered left fold (list_aggregate over array_agg ORDER BY
+    sub — the sql_fold_cos accumulation device)."""
+    id_col = kw.get("id_col", "vec_id")
+    ds = dim // m
+    qlit = "[" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in query_vec) + "]"
+    qfold = (
+        f"list_aggregate(list_transform(list_zip("
+        f"({qlit})[c.sub*{ds}+1 : c.sub*{ds}+{ds}], c.centroid), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])), 'sum')"
+    )
+    return (
+        f"WITH {sql_pq_ctes(cb_rel, dim, m, **kw)}, "
+        f"lut AS (SELECT c.sub, c.cell, {qfold} AS qd FROM {cb_rel} c), "
+        "per_sub AS (SELECT b.vid, b.sub, l.qd FROM best b "
+        "JOIN lut l ON b.sub = l.sub AND b.cell = l.cell), "
+        "summed AS (SELECT vid, "
+        "list_aggregate(array_agg(qd ORDER BY sub), 'sum') AS adist "
+        "FROM per_sub GROUP BY vid) "
+        f"SELECT vid AS {id_col}, adist FROM summed "
+        f"ORDER BY adist, vid LIMIT {int(k)}"
+    )

@@ -173,6 +173,8 @@ def emb_sketches_table() -> pa.Table:
 
 
 IVF_CELLS = 8
+PQ_M = 8
+PQ_K = 16
 
 
 def ivf_centroids_table() -> pa.Table:
@@ -193,6 +195,36 @@ def ivf_centroids_table() -> pa.Table:
         {
             "cell": pa.array(range(len(cents)), pa.int32()),
             "centroid": pa.array([[float(v) for v in c] for c in cents], pa.list_(pa.float64())),
+        }
+    )
+
+
+def pq_codebook_table() -> pa.Table:
+    """PQ codebook trained by the shared pure-numpy kernel
+    (similarity.pq_train_lite) on the FULL vec_id-sorted sf0.01
+    embeddings — exact deterministic function of the table, same
+    convention as ivf_centroids_table. q_pq_encode / q_pq_topk load
+    THIS fixture on the Spark side, so the encode argmin and the ADC
+    fold both have exact DuckDB relational twins."""
+    import numpy as np
+
+    from pdf_extraction_spark.operators.similarity import pq_train_lite
+
+    rows = _read_embeddings()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    cb = pq_train_lite(mat, PQ_M, PQ_K, iters=5, seed=42)
+    return pa.table(
+        {
+            "sub": pa.array(
+                [j for j in range(PQ_M) for _ in range(cb.shape[1])], pa.int32()
+            ),
+            "cell": pa.array(
+                [c for _ in range(PQ_M) for c in range(cb.shape[1])], pa.int32()
+            ),
+            "centroid": pa.array(
+                [[float(v) for v in cb[j][c]] for j in range(PQ_M) for c in range(cb.shape[1])],
+                pa.list_(pa.float64()),
+            ),
         }
     )
 
@@ -495,6 +527,7 @@ FIXTURES = {
     "simhash_sf0_01.parquet": simhash_table,
     "emb_sketches_sf0_01.parquet": emb_sketches_table,
     "ivf_centroids_sf0_01.parquet": ivf_centroids_table,
+    "pq_codebook_sf0_01.parquet": pq_codebook_table,
     "doc_embeddings_sf0_01.parquet": doc_embeddings_table,
     "extract_turns.parquet": extract_turns_table,
     "content_spans.parquet": content_spans_table,

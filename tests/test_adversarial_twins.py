@@ -202,6 +202,7 @@ def _adversarial_embeddings():
 EMB_QUERIES = [
     "cosine_topk", "embedding_neardup", "topk_batch",
     "ivf_assign", "ivf_probe", "ivf_topk", "semdedup", "quantize_emb",
+    "pq_encode", "pq_topk",
 ]
 
 

@@ -289,3 +289,116 @@ def test_quantize_duckdb_parity_hand_rows(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_replay(vecs, cb):
+    """Pure-Python PQ replay: fold-left IEEE distances (the operator's
+    accumulation order), argmin ties to lowest cell."""
+    m, k, ds = cb.shape
+    out = {}
+    for vid, v in vecs:
+        codes = []
+        for j in range(m):
+            best = None
+            for c in range(k):
+                acc = 0.0
+                for t in range(ds):
+                    d = float(v[j * ds + t]) - float(cb[j][c][t])
+                    acc = acc + d * d
+                if best is None or (acc, c) < best:
+                    best = (acc, c)
+            codes.append(best[1])
+        out[vid] = codes
+    return out
+
+
+@pytest.fixture(scope="module")
+def pq_setup(spark):
+    import numpy as np
+
+    from pdf_extraction_spark.operators.similarity import pq_train_lite
+
+    rng = np.random.RandomState(7)
+    mat = rng.randn(40, 16)
+    cb = pq_train_lite(mat, m=4, k=4, iters=3, seed=11)
+    vecs = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    return mat, cb, vecs, emb
+
+
+class TestProductQuantization:
+    def test_encode_matches_pure_python_replay(self, spark, pq_setup):
+        from pdf_extraction_spark.operators.similarity import pq_encode
+
+        mat, cb, vecs, emb = pq_setup
+        got = {
+            r["vec_id"]: r["codes"]
+            for r in pq_encode(emb, cb, dim=16).collect()
+        }
+        assert got == _pq_replay(vecs, cb)
+        assert all(0 <= c < 4 for codes in got.values() for c in codes)
+        assert all(len(codes) == 4 for codes in got.values())
+
+    def test_encode_partition_invariance(self, spark, pq_setup):
+        from pdf_extraction_spark.operators.similarity import pq_encode
+
+        mat, cb, vecs, emb = pq_setup
+        a = sorted(map(tuple, pq_encode(emb, cb, dim=16).collect()))
+        b = sorted(map(tuple, pq_encode(emb.repartition(7), cb, dim=16).collect()))
+        assert [(i, list(c)) for i, c in a] == [(i, list(c)) for i, c in b]
+
+    def test_adc_matches_replay_and_reconstruction_ranks_first(self, spark, pq_setup):
+        from pdf_extraction_spark.operators.similarity import adc_topk, pq_encode
+
+        mat, cb, vecs, emb = pq_setup
+        codes = _pq_replay(vecs, cb)
+        # query = exact reconstruction of row 5 -> lut entries for its
+        # codes are all 0.0 -> adist 0.0, rank 1 (ties broken by id)
+        recon = [float(x) for j in range(4) for x in cb[j][codes[5][j]]]
+        top = adc_topk(emb, cb, recon, k=40, dim=16).collect()
+        assert top[0]["vec_id"] == min(
+            vid for vid, cs in codes.items() if cs == codes[5]
+        )
+        assert top[0]["adist"] == 0.0
+        # full ranking matches the pure-Python lut fold
+        lut = {
+            (j, c): sum(
+                (recon[j * 4 + t] - float(cb[j][c][t])) ** 2 for t in range(4)
+            )
+            for j in range(4)
+            for c in range(4)
+        }
+
+        def fold(cs):
+            acc = 0.0
+            for j in range(4):
+                acc = acc + lut[(j, cs[j])]
+            return acc
+
+        want = sorted((fold(cs), vid) for vid, cs in codes.items())[:40]
+        assert [(r["adist"], r["vec_id"]) for r in top] == want
+
+    def test_encode_filters_null_and_wrong_dim(self, spark, pq_setup):
+        from pdf_extraction_spark.operators.similarity import pq_encode
+
+        mat, cb, vecs, emb = pq_setup
+        bad = spark.createDataFrame(
+            [(900, None), (901, [1.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        got = pq_encode(emb.unionByName(bad), cb, dim=16).collect()
+        ids = {r["vec_id"] for r in got}
+        assert 900 not in ids and 901 not in ids and len(ids) == 40
+
+    def test_train_rejects_indivisible_dim(self):
+        import numpy as np
+
+        from pdf_extraction_spark.operators.similarity import pq_train_lite
+
+        with pytest.raises(ValueError):
+            pq_train_lite(np.zeros((4, 10)), m=3, k=2)
