@@ -411,6 +411,10 @@ _DOMAIN_HOST = (
     "ELSE 'com' END"
 )
 
+_HOLDOUT_HOST = (
+    "CASE WHEN doc_id % 31 = 0 THEN NULL WHEN doc_id % 31 = 1 THEN 'com' ELSE 'www.site' || CAST(doc_id % 97 AS STRING) || '.co.uk' END"
+)
+
 # layout-template fixture: 4 tag-sequence layouts (2 body variants ×
 # 2 table variants) with per-doc TEXT variation (text must not affect
 # the layout key); group sizes straddle min_count=50 so both template
@@ -2223,6 +2227,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hosts = docs.select(F.expr(_DOMAIN_HOST).alias("host")).distinct()
         return domain_parse(hosts)
 
+    # -- domain-disjoint holdout split (round-4 continuation) ------------------
+    def q_holdout_split(spark, sf):
+        """Leakage-safe train/valid/test assignment keyed by the
+        registrable domain (97 synthetic co.uk sites + a bare-suffix
+        host + NULL hosts, so every key rule fires): md5 bucket of the
+        eTLD+1 -> cumulative name-sorted thresholds. A domain never
+        straddles a holdout boundary; pure narrow projection."""
+        from pdf_extraction_spark.operators.curation import holdout_split
+
+        docs = _docs(spark, sf).select(
+            "doc_id", F.expr(_HOLDOUT_HOST).alias("host")
+        )
+        return holdout_split(
+            docs, splits={"train": 0.90, "valid": 0.05, "test": 0.05}
+        ).select("doc_id", "host", "split_key", "bucket", "split")
+
     # -- layout-template detection (round-4 continuation) ---------------------
     def q_template_pages(spark, sf):
         """Structural near-dup: md5 of each page's tag-name sequence
@@ -2780,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
         "domain_parse": q_domain_parse,
+        "holdout_split": q_holdout_split,
         "template_pages": q_template_pages,
         "url_traps": q_url_traps,
         "spam_mass": q_spam_mass,
@@ -2865,6 +2886,9 @@ def oracle_sql() -> dict[str, str]:
         sql_adc_topk,
         sql_pq_encode,
         sql_quantize_embeddings,
+    )
+    from pdf_extraction_spark.operators.curation import (
+        sql_holdout_split as _sql_holdout_split,
     )
     from pdf_extraction_spark.operators.dedup import (
         sql_containment_pairs,
@@ -3705,6 +3729,10 @@ def oracle_sql() -> dict[str, str]:
             + ") adm ON u.url = adm.url WHERE adm.allowed"
         ),
         "redirects": sql_resolve_redirects(_REDIR_EDGES, max_hops=16),
+        "holdout_split": _sql_holdout_split(
+            "SELECT doc_id, CASE WHEN doc_id % 31 = 0 THEN NULL WHEN doc_id % 31 = 1 THEN 'com' ELSE 'www.site' || CAST(doc_id % 97 AS VARCHAR) || '.co.uk' END AS host FROM documents",
+            splits={"train": 0.90, "valid": 0.05, "test": 0.05},
+        ),
         "quantize_emb": sql_quantize_embeddings(
             "SELECT vec_id, embedding FROM embeddings"
         ),

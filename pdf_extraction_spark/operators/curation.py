@@ -1783,3 +1783,98 @@ def sql_refinedweb_flags(text_expr: str = "text", id_expr: str = "doc_id") -> st
         "((length(tx) - length(rw_text)) * 20 <= length(tx)) AS rw_pass "
         "FROM s"
     )
+
+
+# --------------------------------------------------------------------------
+# domain-disjoint holdout splits
+# --------------------------------------------------------------------------
+
+
+def holdout_split(
+    df: DataFrame,
+    host_col: str = "host",
+    splits: dict | None = None,
+    salt: str = "split",
+    psl: list | None = None,
+) -> DataFrame:
+    """Adds ``split_key`` / ``bucket`` / ``split``: leakage-safe
+    train/valid/test assignment keyed by the REGISTRABLE domain
+    (eTLD+1), so no site ever straddles a holdout boundary — the
+    guarantee a per-doc random split cannot give (near-identical pages
+    from one host land on both sides and the eval leaks). The standard
+    web-corpus holdout discipline (e.g. C4's validation split is
+    URL-disjoint; domain-disjoint is the stricter form).
+
+    ``splits``: name → fraction (summing to 1.0; resolved at 1/10000
+    granularity). Assignment is the md5 ``sample_bucket_col`` device on
+    (registrable ‖ salt): a pure function of the domain, so it is
+    reproducible across runs, engines, partitionings and cluster sizes,
+    and an incremental crawl lands new pages of a known domain in the
+    SAME split forever. Thresholds are cumulative over the
+    name-sorted splits (deterministic bucket→split mapping).
+
+    Hosts that ARE a bare public suffix parse to registrable NULL and
+    fall back to the raw host; NULL hosts key as '' (one group — the
+    conservative choice: all unattributable docs stay on one side).
+    Pure narrow projection — zero exchanges, zero Python.
+    """
+    from .htmlgraph import domain_parse
+
+    if splits is None:
+        splits = {"train": 0.98, "valid": 0.01, "test": 0.01}
+    items = sorted(splits.items())
+    weights = [int(round(f * 10000)) for _, f in items]
+    if sum(weights) != 10000:
+        raise ValueError(f"holdout_split: fractions sum to {sum(weights)/10000}")
+    added = [c for c in ("suffix", "registrable", "subdomain") if c not in df.columns]
+    parsed = domain_parse(df, host_col=host_col, psl=psl)
+    key = F.coalesce(F.col("registrable"), F.col(host_col), F.lit(""))
+    bucket = sample_bucket_col(key, salt)
+    split = None
+    cum = 0
+    for (name, _), w in zip(items, weights):
+        cum += w
+        cond = bucket < F.lit(cum)
+        split = F.when(cond, name) if split is None else split.when(cond, name)
+    return (
+        parsed.withColumn("split_key", key)
+        .withColumn("bucket", bucket)
+        .withColumn("split", split)
+        .drop(*added)
+    )
+
+
+def sql_holdout_split(
+    docs_select: str,
+    splits: dict | None = None,
+    salt: str = "split",
+    psl: list | None = None,
+    select_cols: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`holdout_split` over a subquery yielding
+    ``host`` plus ``select_cols`` — the sql_domain_parse CTE feeds the
+    same md5 bucket and the same cumulative name-sorted CASE."""
+    from .htmlgraph import sql_domain_parse
+
+    if splits is None:
+        splits = {"train": 0.98, "valid": 0.01, "test": 0.01}
+    items = sorted(splits.items())
+    weights = [int(round(f * 10000)) for _, f in items]
+    if sum(weights) != 10000:
+        raise ValueError(f"sql_holdout_split: fractions sum to {sum(weights)/10000}")
+    key = "coalesce(dp.registrable, d.host, '')"
+    bucket = _sql_md5_bucket(key, salt, 10000)
+    cum = 0
+    whens = []
+    for (name, _), w in zip(items, weights):
+        cum += w
+        whens.append(f"WHEN {bucket} < {cum} THEN '{name}'")
+    dp = sql_domain_parse("SELECT DISTINCT host FROM hs_docs", psl=psl)
+    return (
+        f"WITH hs_docs AS ({docs_select}), "
+        f"hs_dp AS ({dp}) "
+        f"SELECT {select_cols}, d.host, "
+        f"{key} AS split_key, {bucket} AS bucket, "
+        f"CASE {' '.join(whens)} END AS split "
+        "FROM hs_docs d LEFT JOIN hs_dp dp ON d.host = dp.host"
+    )

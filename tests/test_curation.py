@@ -1010,3 +1010,72 @@ class TestRefinedWeb:
             assert r["chars_removed"] == len(src) - len(r["rw_text"]) >= 0
             assert r["rw_pass"] == (r["chars_removed"] * 20 <= len(src))
             assert 0 <= r["n_lines_removed"] <= len(src_lines)
+
+
+# ---------------------------------------------------------------------------
+# domain-disjoint holdout split
+# ---------------------------------------------------------------------------
+
+
+class TestHoldoutSplit:
+    def _docs(self, spark):
+        rows = []
+        for i in range(300):
+            if i % 29 == 0:
+                host = None
+            elif i % 29 == 1:
+                host = "com"  # bare suffix -> registrable NULL -> raw-host key
+            else:
+                host = f"{'www.' if (i // 40) % 2 else 'blog.'}site{i % 40}.co.uk"
+            rows.append((i, host))
+        return spark.createDataFrame(rows, "doc_id long, host string")
+
+    def test_domain_never_straddles_splits(self, spark):
+        from pdf_extraction_spark.operators.curation import holdout_split
+
+        out = holdout_split(
+            self._docs(spark), splits={"train": 0.8, "valid": 0.1, "test": 0.1}
+        ).collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r["split_key"], set()).add(r["split"])
+        assert all(len(v) == 1 for v in by_key.values())
+        # subdomain variants of one registrable share the key (the point)
+        keys = {r["host"]: r["split_key"] for r in out if r["host"] and "." in r["host"]}
+        assert keys["www.site3.co.uk"] == keys["blog.site3.co.uk"] == "site3.co.uk"
+        # NULL hosts key as '' together; bare suffix falls back to the host
+        assert {r["split_key"] for r in out if r["host"] is None} == {""}
+        assert {r["split_key"] for r in out if r["host"] == "com"} == {"com"}
+
+    def test_every_split_fires_and_is_deterministic(self, spark):
+        from pdf_extraction_spark.operators.curation import holdout_split
+
+        docs = self._docs(spark)
+        a = sorted(map(tuple, holdout_split(
+            docs, splits={"train": 0.8, "valid": 0.1, "test": 0.1}).collect()))
+        b = sorted(map(tuple, holdout_split(
+            docs.repartition(13), splits={"train": 0.8, "valid": 0.1, "test": 0.1}
+        ).collect()))
+        assert a == b
+        names = {t[-1] for t in a}
+        assert names == {"train", "valid", "test"}
+
+    def test_incremental_crawl_lands_in_same_split(self, spark):
+        # a NEW page of a KNOWN domain must join the domain's split —
+        # the property that keeps a daily-refreshed corpus leakage-free
+        from pdf_extraction_spark.operators.curation import holdout_split
+
+        old = holdout_split(self._docs(spark)).collect()
+        by_key = {r["split_key"]: r["split"] for r in old}
+        new = spark.createDataFrame(
+            [(9001, "m.site3.co.uk"), (9002, "deep.sub.site17.co.uk")],
+            "doc_id long, host string",
+        )
+        for r in holdout_split(new).collect():
+            assert r["split"] == by_key[r["split_key"]]
+
+    def test_bad_fractions_raise(self, spark):
+        from pdf_extraction_spark.operators.curation import holdout_split
+
+        with pytest.raises(ValueError):
+            holdout_split(self._docs(spark), splits={"train": 0.9, "test": 0.2})

@@ -50,7 +50,7 @@ NATIVE_QUERIES = [
     "link_profile", "hreflang_alts", "sentences", "meta_keywords",
     "heading_outline", "jsonld_types", "html_tables", "lang_mix",
     "lexical_diversity", "og_card", "img_alt_pairs", "page_shape",
-    "norm_punct", "quantize_emb", "pq_encode", "pq_topk",
+    "norm_punct", "quantize_emb", "pq_encode", "pq_topk", "holdout_split",
 ]
 
 
