@@ -1880,6 +1880,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return host_quality_gate(_docs(spark, sf))
 
+    def q_hll_by_source(spark, sf):
+        """Grouped HLL — the oracle-able relational form of
+        `approx_count_distinct(x) GROUP BY k`: per-source distinct
+        word-3-shingle estimates (vocabulary-richness per corpus
+        slice). Shingles via the shared shingle_df home; at sf0.01
+        every source holds 1.0–1.5k distinct shingles against m=256
+        registers, so the RAW harmonic branch fires per key (the
+        global hll_words query pins the linear branch)."""
+        from pdf_extraction_spark.operators.dedup import shingle_df
+        from pdf_extraction_spark.operators.sketches import hll_distinct_by
+
+        sh = shingle_df(
+            _docs(spark, sf), "text", "source"
+        ).withColumnRenamed("doc_id", "source")
+        return hll_distinct_by(sh, "source", F.col("shingle"))
+
+    def q_hist_quantiles(spark, sf):
+        """Corpus length-distribution percentiles via the HDR-histogram
+        sketch (Tene): exact bins below 64, (magnitude, top-6-bit)
+        bins above — integer bit math end-to-end, so the sketch AND
+        every per-mille estimate are bit-identical cross-engine. The
+        groupBy is bounded by the bin space (~hundreds of rows at any
+        corpus size), never corpus-sized."""
+        from pdf_extraction_spark.operators.sketches import (
+            histogram_quantiles,
+            histogram_sketch,
+        )
+
+        lens = _docs(spark, sf).select(
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("tlen")
+        )
+        return histogram_quantiles(
+            histogram_sketch(lens, "tlen"),
+            [10, 250, 500, 750, 900, 990, 999],
+        )
+
     # -- RefinedWeb line-wise correction (Penedo et al. 2023, round 4) ------
     def q_refinedweb(spark, sf):
         """The synthetic documents contain no boilerplate, so the input
@@ -2729,6 +2765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "unigram_entropy": q_unigram_entropy,
         "host_quality": q_host_quality,
+        "hll_by_source": q_hll_by_source,
+        "hist_quantiles": q_hist_quantiles,
         # -- multi-round-green rotation (scale-critical first; the six
         # r3-green unchanged entries demoted out of the 50-query driver
         # window to make room for every round-4 query above) -------------
@@ -2907,7 +2945,9 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.sketches import (
         sql_bloom_dedup_flags,
         sql_cms_heavy_hitters,
+        sql_histogram_quantiles,
         sql_hll_distinct,
+        sql_hll_distinct_by,
     )
     from pdf_extraction_spark.operators.hostcap import sql_host_quality_gate
     from pdf_extraction_spark.operators.htmlmeta import (
@@ -3434,6 +3474,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "unigram_entropy": sql_unigram_entropy(),
         "host_quality": sql_host_quality_gate(),
+        "hll_by_source": sql_hll_distinct_by(
+            "source",
+            "shingle",
+            # the ngram_jaccard twin's shingle construction, nested (no
+            # CTE — this lands inside the helper's own WITH), carrying
+            # source instead of doc_id
+            "(SELECT source, unnest(gs) AS shingle FROM ("
+            "SELECT source, CASE WHEN len(w) >= 3 THEN "
+            "list_distinct([array_to_string(w[i:i+2], ' ') "
+            "FOR i IN range(1, len(w) - 1)]) "
+            "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] "
+            "ELSE [] END AS gs FROM ("
+            f"SELECT source, list_filter(string_split_regex(lower(text), "
+            f"'{WORD_SPLIT_RE}'), x -> x <> '') AS w FROM documents)))",
+            key_alias="source",
+        ),
+        "hist_quantiles": sql_histogram_quantiles(
+            "length(coalesce(text, ''))",
+            "documents",
+            [10, 250, 500, 750, 900, 990, 999],
+        ),
         "fix_mojibake": (
             "SELECT doc_id, fixed_text FROM "
             + _fixture("mojibake_sf0_01.parquet")

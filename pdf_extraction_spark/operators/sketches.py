@@ -140,6 +140,143 @@ def hll_distinct(
     return hll_estimate(hll_sketch(df, value, p_hex), p_hex)
 
 
+# -- grouped HLL: one sketch PER KEY ----------------------------------------
+#
+# The relational form of "approx_count_distinct(x) GROUP BY k" that can
+# actually be oracled: per-host distinct URLs, per-source vocabulary
+# size, per-language shingle counts. Default p_hex=2 (m=256 registers,
+# ~6.5% std error) — the grouped sketch costs m rows PER KEY, so the
+# grouped default trades one hex digit of address space for 16× less
+# state than the global sketch's 4096. Scale shape: one scan + one
+# (key, register) groupBy bounded by n_keys·m rows, then a per-key fold
+# over ≤ m collected structs — never corpus-sized in either stage; max
+# is associative/commutative so shard sketches merge exactly.
+
+HLL_GROUP_P_HEX = 2
+
+
+def hll_sketch_by(
+    df: DataFrame, key_col: str, value: Column, p_hex: int = HLL_GROUP_P_HEX
+) -> DataFrame:
+    """(key, register, max_rank): one HLL sketch per key. NULL values
+    are skipped; a NULL key groups as its own single key (same rule in
+    the twin's GROUP BY). Merge shard sketches with
+    groupBy(key, register).max(max_rank)."""
+    base = df.select(
+        F.col(key_col).alias("__k"), value.cast("string").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    base = base.select("__k", F.md5("__v").alias("h"))
+    reg = F.substring(F.col("h"), 1, p_hex)
+    stripped = F.expr(
+        f"trim(LEADING '0' FROM substring(h, {p_hex + 1}, {HLL_RANK_HEX}))"
+    )
+    tail = F.substring(F.col("h"), p_hex + 1, HLL_RANK_HEX)
+    nz_hex = F.length(tail) - F.length(stripped)
+    rank = F.when(stripped == "", 4 * HLL_RANK_HEX + 1).otherwise(
+        4 * nz_hex + _rank_case(F.substring(stripped, 1, 1)) + 1
+    )
+    return (
+        base.select(
+            F.col("__k").alias(key_col),
+            reg.alias("register"),
+            rank.alias("rank"),
+        )
+        .groupBy(key_col, "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate_by(
+    sketch: DataFrame, key_col: str, p_hex: int = HLL_GROUP_P_HEX
+) -> DataFrame:
+    """(key, n_registers, est_distinct): the per-key estimate — the
+    identical fold, branch and rounding points as :func:`hll_estimate`,
+    with the single-group agg replaced by groupBy(key). The collected
+    term array is ≤ m structs per key by construction."""
+    m = 16**p_hex
+    terms = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("register"),
+                F.expr(
+                    "1.0 / cast(shiftleft(1L, max_rank) as double)"
+                ).alias("t"),
+            )
+        )
+    )
+    agg = sketch.groupBy(key_col).agg(
+        F.count("*").alias("present"),
+        F.aggregate(
+            F.transform(terms, lambda s: s["t"]), F.lit(0.0), lambda a, x: a + x
+        ).alias("hsum"),
+    )
+    est_raw = F.lit(_hll_alpha_m2(m)) / (
+        F.col("hsum") + (F.lit(m) - F.col("present")).cast("double")
+    )
+    zeros = F.lit(m) - F.col("present")
+    linear = F.lit(float(m)) * F.round(
+        F.log(F.lit(float(m)) / zeros.cast("double")), 6
+    )
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (zeros > 0), linear
+    ).otherwise(est_raw)
+    return agg.select(
+        key_col,
+        F.col("present").alias("n_registers"),
+        (F.round(est, 4) + F.lit(0.0)).alias("est_distinct"),
+    )
+
+
+def hll_distinct_by(
+    df: DataFrame,
+    key_col: str,
+    value: Column,
+    p_hex: int = HLL_GROUP_P_HEX,
+) -> DataFrame:
+    """Convenience: per-key sketch + estimate in one call."""
+    return hll_estimate_by(hll_sketch_by(df, key_col, value, p_hex), key_col, p_hex)
+
+
+def sql_hll_distinct_by(
+    key_expr: str,
+    value_expr: str,
+    from_clause: str,
+    p_hex: int = HLL_GROUP_P_HEX,
+    key_alias: str = "key",
+) -> str:
+    """DuckDB twin of :func:`hll_distinct_by` — same registers, rank
+    string math, per-key register-ordered fold, branch and rounding."""
+    m = 16**p_hex
+    rk = HLL_RANK_HEX
+    return (
+        f"WITH v AS (SELECT {key_expr} AS k, "
+        f"md5(CAST({value_expr} AS VARCHAR)) AS h "
+        f"FROM {from_clause} WHERE {value_expr} IS NOT NULL), "
+        f"r AS (SELECT k, substr(h, 1, {p_hex}) AS register, "
+        f"CASE WHEN trim(LEADING '0' FROM substr(h, {p_hex + 1}, {rk})) = '' "
+        f"THEN {4 * rk + 1} ELSE "
+        f"4 * ({rk} - length(trim(LEADING '0' FROM substr(h, {p_hex + 1}, {rk})))) + "
+        f"(CASE substr(trim(LEADING '0' FROM substr(h, {p_hex + 1}, {rk})), 1, 1) "
+        "WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2 "
+        "WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1 "
+        "ELSE 0 END) + 1 END AS rank FROM v), "
+        "s AS (SELECT k, register, max(rank) AS max_rank FROM r "
+        "GROUP BY k, register), "
+        "a AS (SELECT k, count(*) AS present, "
+        "list_reduce(list_prepend(0.0, list(1.0 / CAST((CAST(1 AS BIGINT) "
+        "<< max_rank) AS DOUBLE) ORDER BY register)), (x, y) -> x + y) AS hsum "
+        "FROM s GROUP BY k) "
+        f"SELECT k AS {key_alias}, CAST(present AS BIGINT) AS n_registers, "
+        "(round(CASE WHEN "
+        f"{_hll_alpha_m2(m)!r} / (hsum + CAST({m} - present AS DOUBLE)) "
+        f"<= {2.5 * m!r} AND {m} - present > 0 "
+        f"THEN {float(m)!r} * round(ln({float(m)!r} / "
+        f"CAST({m} - present AS DOUBLE)), 6) "
+        f"ELSE {_hll_alpha_m2(m)!r} / (hsum + CAST({m} - present AS DOUBLE)) "
+        "END, 4) + 0.0) AS est_distinct FROM a"
+    )
+
+
 def sql_hll_distinct(
     value_expr: str, from_clause: str, p_hex: int = HLL_P_HEX
 ) -> str:
@@ -498,4 +635,146 @@ def sql_bloom_dedup_flags(
         "coalesce(probed.maybe, FALSE) AND inc.key IN (SELECT key FROM hkeys) "
         "AS is_dup "
         "FROM inc LEFT JOIN probed USING (key)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HDR histogram quantile sketch
+# ---------------------------------------------------------------------------
+#
+# The fourth mergeable sketch: percentile estimation over non-negative
+# integers (doc lengths, token counts, latency-style metrics) with
+# HdrHistogram-style base-2 bucketing (Tene, HdrHistogram; the integer
+# sibling of DDSketch's log-γ buckets, which need float log and so can
+# flip a bucket cross-engine at boundaries). Values < 64 get EXACT
+# bins; larger values bin by (binary magnitude, top-6-bits) so relative
+# error is bounded by 2^-5 ≈ 3.1%. Everything is integer bit math —
+# the bin id, the bin lower bound, the cumulative ranks — so the sketch
+# AND every quantile estimate are bit-identical across engines,
+# partitionings and cluster sizes with no float convention at all.
+#
+# Scale shape: one scan + one groupBy bounded by the bin space (64 +
+# 64·octaves ≈ a few hundred rows for any realistic value range, never
+# corpus-sized). Merging shard sketches = bin-keyed integer sum (exact,
+# associative, commutative — pinned by test). The quantile lookup runs
+# a running-sum window over the SKETCH, which is metadata-sized by
+# construction — the compaction_plan precedent.
+
+
+# The bin id / lower bound are SQL expr fragments (not Column helpers)
+# because pyspark's shiftright/shiftleft function API only takes a
+# Python-int bit count — the SQL forms accept a column. Both engines
+# get the identical integer bit math.
+_HIST_BIN = (
+    "CASE WHEN {v} < 64 THEN {v} "
+    "ELSE length(bin({v})) * 64 + "
+    "shiftright({v}, cast(length(bin({v})) - 6 AS INT)) END"
+)
+_HIST_LB = (
+    "CASE WHEN {b} < 64 THEN {b} "
+    "ELSE shiftleft({b} % 64, cast({b} div 64 - 6 AS INT)) END"
+)
+
+
+def histogram_sketch(
+    df: DataFrame, value_col: str, bin_col: str = "bin"
+) -> DataFrame:
+    """(bin, n): the mergeable HDR sketch of a non-negative integer
+    column. The bin id is v itself below 64, else (binary_length · 64 +
+    top-6-bits) — length(bin(v)) is the exact integer floor(log2 v)+1,
+    string-based but branch-free and identical cross-engine (no float
+    log2 boundary rounding). NULL and negative values are excluded
+    (counted by the caller if needed); merge shard sketches with
+    :func:`merge_histograms`."""
+    v = F.col(value_col).cast("long")
+    return (
+        df.filter(v.isNotNull() & (v >= 0))
+        .select(v.alias("__hv"))
+        .select(F.expr(_HIST_BIN.format(v="__hv")).alias(bin_col))
+        .groupBy(bin_col)
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def merge_histograms(*sketches: DataFrame) -> DataFrame:
+    """Union of corpora == bin-keyed sum of sketches (exact integer —
+    any merge order, any shard split)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame, q_milles: list[int]
+) -> DataFrame:
+    """(q_mille, est, n_total): per-mille quantile estimates from the
+    sketch — est is the LOWER BOUND of the first bin whose cumulative
+    count reaches ceil(q·N/1000) (the conservative value form; true
+    quantile is within [est, est·(1+2^-5)) for est ≥ 64, exact below).
+    Integer end-to-end: rank thresholds by ceil-division
+    ((q·N + 999) div 1000), cumulative counts by a running-sum window
+    over the bin-ordered SKETCH (bounded rows — the honest window)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bin", "n", F.sum("n").over(w).alias("cum"), F.sum("n").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    qs = sketch.sparkSession.createDataFrame(
+        [(int(q),) for q in q_milles], "q_mille int"
+    )
+    # `div` (not `/`) keeps the rank threshold in exact int64 — float
+    # division would round q·N above 2^53 at real corpus counts.
+    rank = F.expr("(cast(q_mille AS BIGINT) * n_total + 999) div 1000")
+    hit = (
+        qs.crossJoin(F.broadcast(cum))
+        .filter(F.col("cum") >= rank)
+        .groupBy("q_mille")
+        .agg(
+            F.min(F.struct(F.col("bin"), F.col("n_total"))).alias("h")
+        )
+    )
+    return hit.select(
+        "q_mille",
+        F.col("h")["bin"].alias("__hb"),
+        F.col("h")["n_total"].alias("n_total"),
+    ).select(
+        "q_mille",
+        F.expr(_HIST_LB.format(b="__hb")).cast("long").alias("est"),
+        "n_total",
+    )
+
+
+def sql_histogram_quantiles(
+    value_expr: str, table: str, q_milles: list[int]
+) -> str:
+    """DuckDB twin of histogram_sketch → histogram_quantiles — the
+    identical bit math: length(bin(v)) magnitude, >> top-6 bin, << lower
+    bound, ceil-division rank, running-sum window over the bounded
+    sketch."""
+    qlist = ", ".join(f"({int(q)})" for q in q_milles)
+    return (
+        f"WITH vals AS (SELECT CAST({value_expr} AS BIGINT) AS v FROM {table} "
+        f"WHERE {value_expr} IS NOT NULL AND {value_expr} >= 0), "
+        "binned AS (SELECT CASE WHEN v < 64 THEN v "
+        "ELSE length(bin(v)) * 64 + (v >> (length(bin(v)) - 6)) END AS bin "
+        "FROM vals), "
+        "sk AS (SELECT bin, count(*) AS n FROM binned GROUP BY bin), "
+        "cum AS (SELECT bin, n, "
+        "sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+        "sum(n) OVER () AS n_total FROM sk), "
+        f"qs AS (SELECT * FROM (VALUES {qlist}) t(q_mille)), "
+        "hit AS (SELECT q_mille, min(bin) AS bin, min(n_total) AS n_total "
+        "FROM qs, cum "
+        "WHERE cum >= (CAST(q_mille AS BIGINT) * n_total + 999) // 1000 "
+        "GROUP BY q_mille) "
+        "SELECT CAST(q_mille AS INT) AS q_mille, "
+        "CAST(CASE WHEN bin < 64 THEN bin "
+        "ELSE (bin % 64) * (1::BIGINT << CAST(bin // 64 - 6 AS INT)) END AS BIGINT) AS est, "
+        "CAST(n_total AS BIGINT) AS n_total FROM hit"
     )

@@ -89,7 +89,7 @@ QUERIES = [
     "justext_blocks", "compaction_plan", "mixture_plan",
     "heading_outline", "jsonld_types", "html_tables", "lang_mix",
     "lexical_diversity", "og_card", "img_alt_pairs", "page_shape",
-    "norm_punct", "holdout_split",
+    "norm_punct", "holdout_split", "hll_by_source", "hist_quantiles",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

@@ -227,3 +227,211 @@ def test_bloom_partition_invariance(spark):
     assert sorted(r.pos for r in s1.collect()) == sorted(
         r.pos for r in s2.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+from pdf_extraction_spark.operators.sketches import (  # noqa: E402
+    histogram_quantiles,
+    histogram_sketch,
+    merge_histograms,
+    sql_histogram_quantiles,
+)
+
+
+def test_hist_exact_below_64(spark):
+    """Values < 64 land in exact bins, so every per-mille estimate of a
+    small-value column is the TRUE order statistic, not an approximation."""
+    vals = [(v % 50,) for v in range(1_000)]
+    df = spark.createDataFrame(vals, "v long")
+    sk = histogram_sketch(df, "v")
+    out = {
+        r.q_mille: r.est
+        for r in histogram_quantiles(sk, [100, 500, 900, 1000]).collect()
+    }
+    import math
+
+    flat = sorted(v for (v,) in vals)
+    for q, est in out.items():
+        exact = flat[math.ceil(q * len(flat) / 1000) - 1]
+        assert est == exact, (q, est, exact)
+
+
+def test_hist_relative_error_bounded(spark):
+    """Above 64 the bin width is ≤ lower_bound/32, so every estimate's
+    true quantile lies in [est, est·(1+1/32)) — pinned against the
+    exact order statistic on a log-spread sample."""
+    import math
+
+    vals = [(int(1.37**k) + j,) for k in range(10, 40) for j in range(7)]
+    df = spark.createDataFrame(vals, "v long")
+    flat = sorted(v for (v,) in vals)
+    sk = histogram_sketch(df, "v")
+    rows = histogram_quantiles(sk, [250, 500, 750, 990]).collect()
+    assert rows and all(r.n_total == len(flat) for r in rows)
+    for r in rows:
+        exact = flat[math.ceil(r.q_mille * len(flat) / 1000) - 1]
+        assert r.est <= exact < r.est + max(1, r.est // 32), (r, exact)
+
+
+def test_hist_merge_equals_union(spark):
+    """Sketch of the union == bin-keyed sum of shard sketches, exactly —
+    the property that lets every executor sketch its partition and a
+    metadata-sized reduce combine them."""
+    a = spark.range(0, 3_000).select((F.col("id") * 7 % 5_000).alias("v"))
+    b = spark.range(0, 2_000).select((F.col("id") * 13 + 40).alias("v"))
+    merged = merge_histograms(
+        histogram_sketch(a, "v"), histogram_sketch(b, "v")
+    )
+    direct = histogram_sketch(a.unionAll(b), "v")
+    assert sorted((r.bin, r.n) for r in merged.collect()) == sorted(
+        (r.bin, r.n) for r in direct.collect()
+    )
+
+
+def test_hist_partition_invariance(spark):
+    df = spark.range(10_000).select((F.col("id") * 31 % 99_991).alias("v"))
+    q = [500, 900, 999]
+    one = histogram_quantiles(histogram_sketch(df, "v"), q).collect()
+    two = histogram_quantiles(
+        histogram_sketch(df.repartition(17), "v"), q
+    ).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, two))
+
+
+def test_hist_null_and_negative_excluded(spark):
+    df = spark.createDataFrame(
+        [(None,), (-5,), (10,), (10,), (100,)], "v long"
+    )
+    sk = histogram_sketch(df, "v")
+    assert sk.agg(F.sum("n")).first()[0] == 3
+    rows = histogram_quantiles(sk, [1000]).collect()
+    assert rows[0].n_total == 3
+
+
+def test_hist_duckdb_twin_bit_parity(spark, tmp_path):
+    """The full pipeline (bin ids, lower bounds, ceil-division ranks)
+    is bit-identical between Spark and the DuckDB twin on a value set
+    engineered to sit ON bin boundaries (powers of two, ±1)."""
+    import duckdb
+
+    vals = []
+    for k in range(6, 20):
+        vals += [(2**k - 1,), (2**k,), (2**k + 1,)]
+    vals += [(0,), (1,), (63,), (64,)]
+    df = spark.createDataFrame(vals * 3, "v long")
+    df.write.parquet(str(tmp_path / "t.parquet"), mode="overwrite")
+    q = [1, 125, 375, 625, 875, 999, 1000]
+    got = sorted(
+        tuple(r)
+        for r in histogram_quantiles(histogram_sketch(df, "v"), q).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM '{tmp_path}/t.parquet/*.parquet'"
+    )
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in con.execute(
+            sql_histogram_quantiles("v", "t", q)
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL (per-key distinct estimation)
+# ---------------------------------------------------------------------------
+
+from pdf_extraction_spark.operators.sketches import (  # noqa: E402
+    hll_distinct_by,
+    hll_estimate_by,
+    hll_sketch_by,
+)
+
+
+def test_hll_by_accuracy_both_branches(spark):
+    """Per-key estimates within the m=256 error envelope, with one key
+    small enough for the linear branch and one large enough for the
+    raw branch — both must land within 10%."""
+    small = spark.range(150).select(
+        F.lit("s").alias("k"), F.concat(F.lit("a"), "id").alias("v")
+    )
+    big = spark.range(5_000).select(
+        F.lit("b").alias("k"), F.concat(F.lit("z"), "id").alias("v")
+    )
+    out = {
+        r.k: r.est_distinct
+        for r in hll_distinct_by(small.unionAll(big), "k", F.col("v")).collect()
+    }
+    assert abs(out["s"] - 150) / 150 < 0.10
+    assert abs(out["b"] - 5_000) / 5_000 < 0.10
+
+
+def test_hll_by_keys_are_independent(spark):
+    """A key's estimate is a pure function of ITS values: adding a huge
+    other key must not move it by a single bit."""
+    alone = spark.range(800).select(
+        F.lit("x").alias("k"), F.concat(F.lit("w"), "id").alias("v")
+    )
+    noisy = alone.unionAll(
+        spark.range(50_000).select(
+            F.lit("y").alias("k"), F.concat(F.lit("n"), "id").alias("v")
+        )
+    )
+    a = {r.k: r.est_distinct for r in hll_distinct_by(alone, "k", F.col("v")).collect()}
+    b = {r.k: r.est_distinct for r in hll_distinct_by(noisy, "k", F.col("v")).collect()}
+    assert a["x"] == b["x"]
+
+
+def test_hll_by_merge_equals_union(spark):
+    """Shard sketches max-merged per (key, register) == union sketch —
+    the property that lets every executor sketch its partition of every
+    key independently."""
+    a = spark.range(1_000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.concat(F.lit("u"), "id").alias("v"),
+    )
+    b = spark.range(500, 2_000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.concat(F.lit("u"), "id").alias("v"),
+    )
+    merged = (
+        hll_sketch_by(a, "k", F.col("v"))
+        .unionAll(hll_sketch_by(b, "k", F.col("v")))
+        .groupBy("k", "register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    direct = hll_sketch_by(a.unionAll(b), "k", F.col("v"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est_m = sorted(map(tuple, hll_estimate_by(merged, "k").collect()))
+    est_d = sorted(map(tuple, hll_estimate_by(direct, "k").collect()))
+    assert est_m == est_d
+
+
+def test_hll_by_null_key_and_null_values(spark):
+    """NULL values are skipped; a NULL key is one ordinary group (the
+    twin's GROUP BY rule)."""
+    df = spark.createDataFrame(
+        [("a", "1"), ("a", None), (None, "2"), (None, "3"), ("b", None)],
+        "k string, v string",
+    )
+    rows = hll_distinct_by(df, "k", F.col("v")).collect()
+    out = {r.k: round(r.est_distinct) for r in rows}
+    assert out == {"a": 1, None: 2}  # "b" had only NULL values -> no row
+
+
+def test_hll_by_partition_invariance(spark):
+    df = spark.range(20_000).select(
+        (F.col("id") % 7).cast("string").alias("k"),
+        F.concat(F.lit("p"), (F.col("id") % 4_000)).alias("v"),
+    )
+    one = sorted(map(tuple, hll_distinct_by(df, "k", F.col("v")).collect()))
+    two = sorted(
+        map(tuple, hll_distinct_by(df.repartition(23), "k", F.col("v")).collect())
+    )
+    assert one == two
