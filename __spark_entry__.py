@@ -1426,6 +1426,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return host_cap(_docs(spark, sf), F.col("n_chars").cast("double"), k=5)
 
+    def q_group_sample(spark, sf):
+        """Exactly-k deterministic uniform sample per source (md5-rank
+        reservoir through the host_cap bounded-reduction tree — no
+        per-group window funnel)."""
+        from pdf_extraction_spark.operators.hostcap import group_sample
+
+        return group_sample(_docs(spark, sf), k=4)
+
     # -- hashed-linear quality classifier (fasttext-style gate) -------------
     def q_qual_classify(spark, sf):
         """Scoring plumbing under a deterministic weight table (both
@@ -1809,6 +1817,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_extraction_spark.operators.bpe import bpe_encode
 
         return bpe_encode(_docs(spark, sf), n_merges=12)
+
+    def q_bpe_fertility(spark, sf):
+        """Per-source tokenizer fertility (tokens/word, chars/token in
+        fixed-point per-mille) under the corpus-trained BPE vocabulary
+        — the compression report mixture budgets are priced in. One
+        tokenization feeds vocabulary AND per-group sums; output is
+        bounded by the number of sources."""
+        from pdf_extraction_spark.operators.bpe import bpe_fertility
+
+        return bpe_fertility(_docs(spark, sf), n_merges=12)
+
+    def q_vocab_growth(spark, sf):
+        """Heaps'-law vocabulary growth curve over an md5-deterministic
+        document permutation: new-type counts per bucket via a
+        min-bucket-per-word groupBy (the only corpus-scale shuffle),
+        running sums over the 64-row curve frame."""
+        from pdf_extraction_spark.operators.bpe import vocab_growth
+
+        return vocab_growth(_docs(spark, sf), n_buckets=64)
 
     # -- md5-register sketches (HLL distinct / CMS heavy hitters, round 4) --
     def _word_stream(spark, sf):
@@ -2746,12 +2773,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": q_dedup_url,
         "dsir_select": q_dsir_select,
         "host_pagerank": q_host_pagerank,
-        "host_trustrank": q_host_trustrank,
+        # hll_by_source / hist_quantiles promoted into the 50-query
+        # driver window in place of host_trustrank / outlink_pagerank
+        # (same-family variants of the pinned pagerank recursion, both
+        # strict-green locally) so the driver certifies two new sketch
+        # FAMILIES rather than two variants of one already-certified one
+        "hll_by_source": q_hll_by_source,
+        "hist_quantiles": q_hist_quantiles,
         "winnow_fp": q_winnow_fp,
         "script_profile": q_script_profile,
         "html_meta": q_html_meta,
         "html_outlinks": q_html_outlinks,
-        "outlink_pagerank": q_outlink_pagerank,
         "anchor_terms": q_anchor_terms,
         "host_boilerplate": q_host_boilerplate,
         "robots_gate": q_robots_gate,
@@ -2765,8 +2797,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "unigram_entropy": q_unigram_entropy,
         "host_quality": q_host_quality,
-        "hll_by_source": q_hll_by_source,
-        "hist_quantiles": q_hist_quantiles,
+        "host_trustrank": q_host_trustrank,
+        "outlink_pagerank": q_outlink_pagerank,
+        "bpe_fertility": q_bpe_fertility,
+        "vocab_growth": q_vocab_growth,
+        "group_sample": q_group_sample,
         # -- multi-round-green rotation (scale-critical first; the six
         # r3-green unchanged entries demoted out of the 50-query driver
         # window to make room for every round-4 query above) -------------
@@ -2941,7 +2976,12 @@ def oracle_sql() -> dict[str, str]:
         sql_robots_allowed,
     )
     from pdf_extraction_spark.operators.textanalysis import sql_readability
-    from pdf_extraction_spark.operators.bpe import sql_bpe_encode, sql_bpe_merges
+    from pdf_extraction_spark.operators.bpe import (
+        sql_bpe_encode,
+        sql_bpe_fertility,
+        sql_bpe_merges,
+        sql_vocab_growth,
+    )
     from pdf_extraction_spark.operators.sketches import (
         sql_bloom_dedup_flags,
         sql_cms_heavy_hitters,
@@ -3025,7 +3065,10 @@ def oracle_sql() -> dict[str, str]:
         casing (Java (?i) folds ASCII only; RE2's folds Unicode) +
         explicit Java \s class, single-quote escaped."""
         return java_i_twin(pat).replace("'", "''")
-    from pdf_extraction_spark.operators.hostcap import sql_host_cap
+    from pdf_extraction_spark.operators.hostcap import (
+        sql_group_sample,
+        sql_host_cap,
+    )
     from pdf_extraction_spark.operators.mlfilter import (
         sql_ppl_buckets,
         sql_dsir_select,
@@ -3408,6 +3451,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "host_cap": sql_host_cap("CAST(n_chars AS DOUBLE)", k=5),
+        "group_sample": sql_group_sample(k=4),
         "qual_classify": sql_score_quality(
             "(SELECT printf('%03x', i) AS bucket, "
             "((i * 2654435761) % 2001 - 1000) / 1000.0 AS w "
@@ -3465,6 +3509,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_keyterms": sql_doc_key_terms(k=3),
         "bpe_merges": sql_bpe_merges(16),
         "bpe_encode": sql_bpe_encode(12),
+        "bpe_fertility": sql_bpe_fertility(12),
+        "vocab_growth": sql_vocab_growth(n_buckets=64),
         "hll_words": sql_hll_distinct("word", _WORD_SRC),
         "cms_topwords": sql_cms_heavy_hitters("word", _WORD_SRC, k=20),
         "bloom_dedup": sql_bloom_dedup_flags(

@@ -369,3 +369,265 @@ def sql_bpe_encode(
         "CAST(coalesce(sum(n_sym), 0) AS BIGINT) AS n_bpe_tokens "
         "FROM j GROUP BY doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility (per-group compression report)
+# ---------------------------------------------------------------------------
+# Fertility — learned-tokenizer tokens per word — is the standard
+# tokenizer-evaluation metric (and the per-source compression report
+# every mixture budget is priced in): a source whose fertility is 2×
+# the corpus mean costs 2× the training tokens per word of content.
+# Both ratios are reported in fixed-point per-mille via integer
+# division of exact integer sums, so the whole table is bit-identical
+# across engines, partitionings and cluster sizes — no float exists.
+#
+# Scale shape: ONE tokenization of the corpus (the persisted token
+# frame feeds the vocabulary AND the per-group sums — same contract as
+# bpe_encode), the merge chain runs over the VOCABULARY (orders smaller
+# than the corpus, Heaps' law), the final join is vocabulary-keyed, and
+# the output is bounded by the number of groups. count(DISTINCT doc_id)
+# is the only two-phase agg, and it is keyed by (group, doc) — skew
+# bounded by docs-per-group, never corpus-wide.
+
+
+def bpe_fertility(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """(group, n_docs, n_words, n_chars, n_bpe_tokens, fertility_milli,
+    chars_per_token_milli): per-group tokenizer fertility under the BPE
+    vocabulary learned from the WHOLE corpus (train once, price every
+    slice — the production shape; a per-group vocabulary would hide
+    exactly the cross-source variance the report exists to show).
+
+    fertility_milli = 1000·tokens ÷ words (integer division);
+    chars_per_token_milli = 1000·chars ÷ tokens. Groups whose docs hold
+    no tokens keep their row with zero counts and NULL ratios."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(
+            _tokens(
+                F.replace(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(SEP),
+                    F.lit(""),
+                )
+            )
+        ).alias("word"),
+    ).persist()
+    words = word_counts_from_tokens(toks)
+    w = words.select(
+        F.col("cnt").alias("cnt"),
+        _char_symbols(F.col("word")).alias("syms"),
+        "word",
+    )
+    if n_merges >= 1:
+        _, w = _merge_chain(w, n_merges, carry=["word"], final_rewrite=True)
+    vocab = w.select("word", F.size("syms").alias("n_sym"))
+    agg = (
+        toks.join(vocab, "word", "left")
+        .groupBy("grp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("word").alias("n_words"),
+            F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("n_chars"),
+            F.coalesce(F.sum("n_sym"), F.lit(0)).alias("n_bpe_tokens"),
+        )
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("(1000 * n_bpe_tokens) div n_words"),
+        ).alias("fertility_milli"),
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.expr("(1000 * n_chars) div n_bpe_tokens"),
+        ).alias("chars_per_token_milli"),
+    )
+
+
+def sql_bpe_fertility(
+    n_merges: int = 20,
+    text_expr: str = "text",
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    group_expr: str = "source",
+) -> str:
+    """DuckDB twin of :func:`bpe_fertility`: same single doc-token CTE
+    feeding vocabulary and per-group sums, same integer `div`
+    (DuckDB `//` truncates like Spark `div` on these non-negative
+    values), same NULL rules (count(word) skips the explode_outer NULL
+    row; ratios NULL on zero denominators)."""
+    tx = f"replace(coalesce({text_expr}, ''), chr(1), '')"
+    n = max(n_merges, 0)
+    parts = _sql_chain(n, text_expr, table, carry_word=True,
+                       final_rewrite=True)
+    parts[0] = (
+        f"dt AS (SELECT {group_expr} AS grp, {id_expr} AS doc_id, "
+        f"{_sql_tokens(tx)} AS ws FROM {table})"
+    )
+    parts[1] = (
+        "dtok AS (SELECT grp, doc_id, unnest(CASE WHEN len(ws) = 0 "
+        "THEN [NULL] ELSE ws END) AS word FROM dt), "
+        "wc AS (SELECT word, count(*) AS cnt FROM dtok "
+        "WHERE word IS NOT NULL GROUP BY word)"
+    )
+    parts += [
+        f"vocab AS (SELECT word, len(syms) AS n_sym FROM w{n})",
+        "j AS (SELECT dtok.grp, dtok.doc_id, dtok.word, "
+        "length(dtok.word) AS wlen, vocab.n_sym "
+        "FROM dtok LEFT JOIN vocab USING (word))",
+        "a AS (SELECT grp, count(DISTINCT doc_id) AS n_docs, "
+        "count(word) AS n_words, "
+        "CAST(coalesce(sum(wlen), 0) AS BIGINT) AS n_chars, "
+        "CAST(coalesce(sum(n_sym), 0) AS BIGINT) AS n_bpe_tokens "
+        "FROM j GROUP BY grp)",
+    ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        f"SELECT grp AS {group_expr}, n_docs, n_words, n_chars, "
+        "n_bpe_tokens, "
+        "CASE WHEN n_words > 0 THEN (1000 * n_bpe_tokens) // n_words "
+        "END AS fertility_milli, "
+        "CASE WHEN n_bpe_tokens > 0 THEN (1000 * n_chars) // n_bpe_tokens "
+        "END AS chars_per_token_milli "
+        "FROM a"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth curve
+# ---------------------------------------------------------------------------
+# How fast the open vocabulary grows with corpus size (Heaps 1978) is
+# THE sizing input for tokenizer planning: it says how big a word-level
+# vocabulary would have to be — i.e. why subword tokenization exists —
+# and whether a crawl slice is template spam (flat curve) or diverse
+# text (power-law growth). The standard estimator reads distinct-type
+# counts at increasing prefixes of a RANDOM document permutation; here
+# the permutation is the deterministic md5 order, bucketed so the curve
+# has n_buckets points:
+#
+# * bucket(doc) = md5(doc_id‖salt) first-8-hex % n_buckets — with
+#   n_buckets a power of two, 16^8 % n_buckets == 0, so the bucket is
+#   EXACTLY uniform (the bloom_sketch argument) and identical in both
+#   engines (the pack_sequences shard device).
+# * a type is "new at bucket b" iff min(bucket over its occurrences)
+#   == b — one word-keyed groupBy, the only corpus-scale shuffle.
+# * the curve = running sums over the n_buckets-row frame — the window
+#   runs over the SKETCH, never the corpus (hist_quantiles precedent).
+#
+# Everything is integer counts: bit-identical across engines,
+# partitionings and cluster sizes.
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    salt: str = "heaps",
+) -> DataFrame:
+    """(bucket, n_tokens, new_types, cum_tokens, cum_types): vocabulary
+    growth over an md5-deterministic document permutation. Buckets with
+    no tokens at all are absent (identically in both engines)."""
+    if n_buckets < 1 or (n_buckets & (n_buckets - 1)) != 0 or n_buckets > 2**32:
+        raise ValueError("n_buckets must be a power of two <= 2^32")
+    from pyspark.sql import Window
+
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    toks = df.select(
+        bucket.alias("bucket"),
+        F.explode(
+            _tokens(
+                F.replace(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(SEP),
+                    F.lit(""),
+                )
+            )
+        ).alias("word"),
+    )
+    tok_b = toks.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    first_b = (
+        toks.groupBy("word")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_types"))
+    )
+    j = (
+        tok_b.join(first_b, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+    )
+    # the running sum's frame is the n_buckets-row curve, not the corpus
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "bucket",
+        "n_tokens",
+        "new_types",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_types"),
+    )
+
+
+def sql_vocab_growth(
+    text_expr: str = "text",
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    n_buckets: int = 64,
+    salt: str = "heaps",
+) -> str:
+    """DuckDB twin of :func:`vocab_growth` — same md5 bucket expression
+    (the _sql_md5_bucket device), same tokenization, same running sums
+    (HUGEINT window sums cast back to BIGINT, the pack_sequences
+    precedent)."""
+    tx = f"replace(coalesce({text_expr}, ''), chr(1), '')"
+    bucket = (
+        f"(CAST('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || '{salt}'), "
+        f"1, 8) AS BIGINT) % {n_buckets})"
+    )
+    return (
+        f"WITH toks AS (SELECT {bucket} AS bucket, "
+        f"unnest({_sql_tokens(tx)}) AS word FROM {table}), "
+        "tb AS (SELECT bucket, count(*) AS n_tokens FROM toks "
+        "GROUP BY bucket), "
+        "fb AS (SELECT bucket, count(*) AS new_types FROM "
+        "(SELECT word, min(bucket) AS bucket FROM toks GROUP BY word) "
+        "GROUP BY bucket), "
+        "j AS (SELECT coalesce(tb.bucket, fb.bucket) AS bucket, "
+        "coalesce(tb.n_tokens, 0) AS n_tokens, "
+        "coalesce(fb.new_types, 0) AS new_types "
+        "FROM tb FULL JOIN fb ON tb.bucket = fb.bucket) "
+        "SELECT bucket, n_tokens, new_types, "
+        "CAST(sum(n_tokens) OVER (ORDER BY bucket "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens, "
+        "CAST(sum(new_types) OVER (ORDER BY bucket "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types "
+        "FROM j"
+    )

@@ -210,3 +210,74 @@ def sql_host_cap(
         f"ORDER BY {clean} DESC, {id_expr}) AS rn "
         f"FROM {table}) WHERE rn <= {k}"
     )
+
+
+def group_sample(
+    df: DataFrame,
+    k: int = 3,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    fan_in: int = 64,
+) -> DataFrame:
+    """Exactly-``k`` deterministic uniform sample PER GROUP — the
+    inspection-sample / eval-subset op (stratified_sample draws a
+    FRACTION per stratum; audits and eval sets need a fixed count from
+    every stratum regardless of its size).
+
+    Sampling = keep the ``k`` smallest md5(doc_id‖salt) ranks in each
+    group: uniform over the group (md5 is a fixed pseudo-random
+    permutation of ids), reproducible run-to-run and cluster-to-cluster,
+    and engine-portable (hex strings compare identically everywhere).
+    Groups smaller than ``k`` keep all members.
+
+    Scale shape: the same tree of bounded top-K reductions as
+    :func:`host_cap` — a mega-group never funnels through one task and
+    every aggregation buffer is bounded — so a fixed-k sample of a
+    power-law crawl costs one corpus shuffle of 50-byte structs.
+    Output: (group, sample_rank 1..k, doc_id)."""
+    rank = F.md5(
+        F.concat(
+            F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+            F.lit(salt),
+        )
+    )
+    key = F.struct(rank.alias("r"), F.col(id_col).alias("id"))
+    base = df.select(
+        F.col(group_col).alias("host"),
+        F.spark_partition_id().alias("__pid"),
+        key.alias("e"),
+    )
+    local = _topk_merge(base, ["host", "__pid"], k)  # map-side complete
+    salted = local.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("e.id")), F.lit(fan_in))
+    )
+    mid = _topk_merge(salted, ["host", "__salt"], k)
+    final = mid.groupBy("host").agg(
+        F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("top")
+    )
+    return final.select("host", F.posexplode("top").alias("pos", "e")).select(
+        F.col("host").alias(group_col),
+        (F.col("pos") + 1).cast("int").alias("sample_rank"),
+        F.col("e.id").alias(id_col),
+    )
+
+
+def sql_group_sample(
+    k: int = 3,
+    group_expr: str = "source",
+    id_expr: str = "doc_id",
+    salt: str = "sample",
+    table: str = "documents",
+) -> str:
+    """DuckDB window twin of :func:`group_sample` — same md5 rank, same
+    id tie-break, plain row_number formulation."""
+    rank = f"md5(coalesce(CAST({id_expr} AS VARCHAR), '') || '{salt}')"
+    return (
+        f"SELECT {group_expr} AS {group_expr}, CAST(rn AS INT) AS sample_rank, "
+        f"{id_expr} AS {id_expr} FROM ("
+        f"SELECT {group_expr}, {id_expr}, "
+        f"row_number() OVER (PARTITION BY {group_expr} "
+        f"ORDER BY {rank}, {id_expr}) AS rn "
+        f"FROM {table}) WHERE rn <= {k}"
+    )

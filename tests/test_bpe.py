@@ -231,3 +231,186 @@ def test_encode_survives_merge_exhaustion(spark):
     # and the merge TABLE still stops early (no phantom sentinel rows)
     got = _spark_bpe(spark, {"x": 3}, 5)
     assert len(got) == 1
+
+
+# -- bpe_fertility -----------------------------------------------------------
+
+
+def _fert_expected(texts_by_source: dict, n_merges: int):
+    """Pure-Python replay: global vocabulary, per-source integer sums."""
+    wc, per_src = {}, {}
+    for src, texts in texts_by_source.items():
+        for t in texts:
+            for w in t.split():
+                wc[w] = wc.get(w, 0) + 1
+    merges = _py_bpe(wc, n_merges)
+    vocab = {}
+    for w in wc:
+        syms = list(w) + [END_OF_WORD]
+        for _, a, b, _pc in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        vocab[w] = len(syms)
+    for src, texts in texts_by_source.items():
+        words = [w for t in texts for w in t.split()]
+        nw = len(words)
+        nc = sum(len(w) for w in words)
+        nt = sum(vocab[w] for w in words)
+        per_src[src] = (
+            len(texts), nw, nc, nt,
+            (1000 * nt) // nw if nw else None,
+            (1000 * nc) // nt if nt else None,
+        )
+    return per_src
+
+
+def test_fertility_matches_reference(spark):
+    texts = {
+        "news": ["new lower newer lowest", "wider new new newer"],
+        "web": ["lower lower", "new new new new"],
+    }
+    rows = [
+        (i, t, s)
+        for i, (s, t) in enumerate(
+            (s, t) for s, ts in texts.items() for t in ts
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from pdf_extraction_spark.operators.bpe import bpe_fertility
+
+    got = {
+        r.source: (r.n_docs, r.n_words, r.n_chars, r.n_bpe_tokens,
+                   r.fertility_milli, r.chars_per_token_milli)
+        for r in bpe_fertility(docs, n_merges=6).collect()
+    }
+    assert got == _fert_expected(texts, 6)
+
+
+def test_fertility_shares_one_global_vocabulary(spark):
+    """The vocabulary is corpus-trained: identical text costs identical
+    tokens in every source, even when one source dominates training."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha beta", "big")] * 1
+        + [(i, "alpha beta alpha beta", "big") for i in range(2, 10)]
+        + [(10, "alpha beta alpha beta", "tiny")],
+        "doc_id long, text string, source string",
+    )
+    from pdf_extraction_spark.operators.bpe import bpe_fertility
+
+    rows = {r.source: r for r in bpe_fertility(docs, n_merges=4).collect()}
+    assert rows["big"].fertility_milli == rows["tiny"].fertility_milli
+    assert rows["tiny"].n_docs == 1 and rows["big"].n_docs == 9
+
+
+def test_fertility_degenerate_groups_match_twin(spark):
+    import duckdb
+
+    from pdf_extraction_spark.operators.bpe import (
+        bpe_fertility,
+        sql_bpe_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None, "empty"), (2, "", "empty"), (3, SEP, "empty"),
+         (4, "ok ok.", None), (5, "real text here", "web")],
+        "doc_id long, text string, source string",
+    )
+    got = sorted(
+        (tuple(r) for r in bpe_fertility(docs, n_merges=3).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    by_src = {t[0]: t for t in got}
+    # token-less group keeps its row: 3 docs, zero counts, NULL ratios
+    assert by_src["empty"] == ("empty", 3, 0, 0, 0, None, None)
+    assert by_src[None][1] == 1  # NULL source is a real group
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, source VARCHAR)"
+    )
+    for r in docs.collect():
+        con.execute("INSERT INTO documents VALUES (?, ?, ?)",
+                    [r.doc_id, r.text, r.source])
+    orows = sorted(
+        map(tuple, con.execute(sql_bpe_fertility(3)).fetchall()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == orows
+
+
+# -- vocab_growth ------------------------------------------------------------
+
+
+def test_vocab_growth_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, f"common w{i % 7} unique{i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    from pdf_extraction_spark.operators.bpe import vocab_growth
+
+    rows = vocab_growth(docs, n_buckets=16).orderBy("bucket").collect()
+    assert [r.bucket for r in rows] == sorted({r.bucket for r in rows})
+    # final cumulative points equal the exact corpus totals
+    assert rows[-1].cum_tokens == 200 * 3
+    assert rows[-1].cum_types == 1 + 7 + 200  # common, w0..w6, unique*
+    # running sums are consistent and monotone
+    ct = cy = 0
+    for r in rows:
+        ct += r.n_tokens
+        cy += r.new_types
+        assert (r.cum_tokens, r.cum_types) == (ct, cy)
+    # growth curve is concave-ish: later buckets add fewer NEW types
+    # than tokens (the Heaps shape on this vocabulary)
+    assert rows[-1].new_types < rows[-1].n_tokens
+
+
+def test_vocab_growth_partition_invariance(spark):
+    docs = spark.createDataFrame(
+        [(i, f"a b c tok{i % 11}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    from pdf_extraction_spark.operators.bpe import vocab_growth
+
+    one = [tuple(r) for r in
+           vocab_growth(docs.repartition(1), n_buckets=8).orderBy("bucket").collect()]
+    many = [tuple(r) for r in
+            vocab_growth(docs.repartition(13), n_buckets=8).orderBy("bucket").collect()]
+    assert one == many
+
+
+def test_vocab_growth_rejects_non_power_of_two(spark):
+    import pytest as _pytest
+
+    from pdf_extraction_spark.operators.bpe import vocab_growth
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        vocab_growth(docs, n_buckets=48)
+
+
+def test_vocab_growth_degenerate_docs_match_twin(spark):
+    import duckdb
+
+    from pdf_extraction_spark.operators.bpe import (
+        sql_vocab_growth,
+        vocab_growth,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, SEP), (4, "solo words here"),
+         (5, "solo again")],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in
+           vocab_growth(docs, n_buckets=4).orderBy("bucket").collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for r in docs.collect():
+        con.execute("INSERT INTO documents VALUES (?, ?)", [r.doc_id, r.text])
+    orows = [tuple(r) for r in con.execute(
+        sql_vocab_growth(n_buckets=4) + " ORDER BY bucket").fetchall()]
+    assert got == orows

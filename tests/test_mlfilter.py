@@ -278,3 +278,86 @@ class TestPplBuckets:
             tails = buckets.count("tail")
             assert heads >= k1, (lang, heads, k1)
             assert tails <= n - k2, (lang, tails, n - k2)
+
+
+# ---------------------------------------------------------------------------
+# group_sample
+# ---------------------------------------------------------------------------
+
+
+def _py_group_sample(rows, k, salt="sample"):
+    """Pure-Python replay: k smallest md5(id‖salt) ranks per group."""
+    import hashlib
+
+    by_grp = {}
+    for gid, did in rows:
+        r = hashlib.md5((str(did) + salt).encode()).hexdigest()
+        by_grp.setdefault(gid, []).append((r, did))
+    out = []
+    for gid, members in by_grp.items():
+        for i, (_, did) in enumerate(sorted(members)[:k], 1):
+            out.append((gid, i, did))
+    return sorted(out, key=lambda t: (str(t[0]), t[1]))
+
+
+def test_group_sample_matches_reference_and_twin(spark):
+    import duckdb
+
+    from pdf_extraction_spark.operators.hostcap import (
+        group_sample,
+        sql_group_sample,
+    )
+
+    rows = [(f"s{i % 5}", i) for i in range(200)] + [("tiny", 999)]
+    df = spark.createDataFrame(
+        [(g, d) for g, d in rows], "source string, doc_id long"
+    )
+    got = sorted(
+        (tuple(r) for r in group_sample(df, k=3).collect()),
+        key=lambda t: (str(t[0]), t[1]),
+    )
+    assert got == _py_group_sample(rows, 3)
+    # groups smaller than k keep all members
+    assert sum(1 for g, _, _ in got if g == "tiny") == 1
+    # every big group yields exactly k
+    for s in range(5):
+        assert sum(1 for g, _, _ in got if g == f"s{s}") == 3
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(source VARCHAR, doc_id BIGINT)")
+    for g, d in rows:
+        con.execute("INSERT INTO documents VALUES (?, ?)", [g, d])
+    orows = sorted(
+        map(tuple, con.execute(sql_group_sample(k=3)).fetchall()),
+        key=lambda t: (str(t[0]), t[1]),
+    )
+    assert got == orows
+
+
+def test_group_sample_partition_invariant_and_uniform(spark):
+    from pdf_extraction_spark.operators.hostcap import group_sample
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(1000)], "source string, doc_id long"
+    )
+    a = sorted(tuple(r) for r in group_sample(df.repartition(1), k=50).collect())
+    b = sorted(tuple(r) for r in group_sample(df.repartition(17), k=50).collect())
+    assert a == b and len(a) == 50
+    # uniformity: the sampled ids are spread over the id range, not a
+    # contiguous head (md5 rank is independent of id order)
+    ids = sorted(t[2] for t in a)
+    assert ids[0] < 100 and ids[-1] > 900
+    spread = max(ids[i + 1] - ids[i] for i in range(len(ids) - 1))
+    assert spread < 250  # no quarter-range gap in a 50-of-1000 sample
+
+
+def test_group_sample_null_keys(spark):
+    """NULL group is a real group; NULL id ranks via the '' fallback."""
+    from pdf_extraction_spark.operators.hostcap import group_sample
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), ("a", None), ("a", 3)],
+        "source string, doc_id long",
+    )
+    got = group_sample(df, k=2).collect()
+    assert sum(1 for r in got if r.source is None) == 2
+    assert sum(1 for r in got if r.source == "a") == 2

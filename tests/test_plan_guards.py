@@ -51,6 +51,8 @@ NATIVE_QUERIES = [
     "heading_outline", "jsonld_types", "html_tables", "lang_mix",
     "lexical_diversity", "og_card", "img_alt_pairs", "page_shape",
     "norm_punct", "quantize_emb", "pq_encode", "pq_topk", "holdout_split",
+    "hll_by_source", "hist_quantiles", "bpe_fertility", "vocab_growth",
+    "group_sample",
 ]
 
 
@@ -172,3 +174,13 @@ def test_content_spans_single_python_crossing(spark):
     p = _plan(e.queries()["content_spans"](spark, SF))
     assert p.count("MapInPandas") == 2  # generator + span scanner
     assert "BatchEvalPython" not in p and "Exchange" not in p
+
+
+def test_group_sample_is_bounded_tree_not_window(spark):
+    """group_sample must sample via the bounded top-k reduction tree
+    (host_cap shape), NOT a per-group row_number window — a window
+    funnels a mega-group through one task."""
+    import __spark_entry__ as e
+
+    p = _plan(e.queries()["group_sample"](spark, SF))
+    assert "Window" not in p, "group_sample plans a per-group window"
