@@ -2519,6 +2519,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             budget_tokens=3000,
         )
 
+    def q_temp_mixture(spark, sf):
+        """Temperature-scaled mixture table (XLM α=0.5 via exact
+        integer sqrt — no float convention anywhere): with the budget
+        above total weighted inventory, low-resource sources read
+        rate_ppm > 10^6 (multi-epoch upsampling, the recipe's point)
+        while big sources stay fractional — both regimes fire."""
+        from pdf_extraction_spark.operators.maintenance import temperature_mix
+
+        d = _docs(spark, sf).select(
+            "source",
+            F.size(
+                F.split(F.coalesce("text", F.lit("")), " ")
+            ).alias("token_count"),
+        )
+        return temperature_mix(d, budget_tokens=30000, inv_temp_pow2=1)
+
+    def q_source_kl(spark, sf):
+        """Per-source KL(P_source ‖ P_corpus) over unigram
+        distributions — the corpus-drift report on the fixed-point
+        I(x)=round(ln x·10⁹) device (bit-identical across engines and
+        partitionings; the only float op is one rounded ln per distinct
+        count)."""
+        from pdf_extraction_spark.operators.textanalysis import source_divergence
+
+        return source_divergence(_docs(spark, sf))
+
     # -- round-4 continuation: PII/CC, soft-404, quantiles, pub dates --
     def q_cc_scrub(spark, sf):
         """Luhn-validated credit-card masking over card-augmented doc
@@ -2888,6 +2914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": q_spam_mass,
         "compaction_plan": q_compaction,
         "mixture_plan": q_mixture,
+        "temp_mixture": q_temp_mixture,
+        "source_kl": q_source_kl,
         "cc_scrub": q_cc_scrub,
         "soft404": q_soft404,
         "group_quartiles": q_group_quartiles,
@@ -3017,6 +3045,7 @@ def oracle_sql() -> dict[str, str]:
         sql_lexical_diversity,
         sql_normalize_punct,
         sql_script_profile,
+        sql_source_divergence,
         sql_unigram_entropy,
     )
     from pdf_extraction_spark.operators.release import sql_shard_manifest
@@ -3027,6 +3056,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.maintenance import (
         sql_compaction_plan,
         sql_mixture_plan,
+        sql_temperature_mix,
     )
     from pdf_extraction_spark.operators.agg import sql_group_discrete_quantiles
     from pdf_extraction_spark.operators.curation import sql_scrub_credit_cards
@@ -3525,6 +3555,7 @@ def oracle_sql() -> dict[str, str]:
             m_bits=1024,
         ),
         "unigram_entropy": sql_unigram_entropy(),
+        "source_kl": sql_source_divergence(),
         "host_quality": sql_host_quality_gate(),
         "hll_by_source": sql_hll_distinct_by(
             "source",
@@ -3894,6 +3925,12 @@ def oracle_sql() -> dict[str, str]:
             "AS token_count FROM documents",
             {"src0": 600, "src1": 300, "src2": 200, "src5": 100},
             budget_tokens=3000,
+        ),
+        "temp_mixture": sql_temperature_mix(
+            "SELECT source, len(string_split(coalesce(text, ''), ' ')) "
+            "AS token_count FROM documents",
+            budget_tokens=30000,
+            inv_temp_pow2=1,
         ),
         "justext_blocks": sql_justext_classify(
             sql_blocks_from_text(

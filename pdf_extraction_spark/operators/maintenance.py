@@ -30,6 +30,8 @@ __all__ = [
     "sql_compaction_plan",
     "mixture_plan",
     "sql_mixture_plan",
+    "temperature_mix",
+    "sql_temperature_mix",
 ]
 
 
@@ -246,4 +248,154 @@ def sql_mixture_plan(
         + " SELECT source, avail AS avail_tokens, alloc AS alloc_tokens, "
         "CASE WHEN avail > 0 THEN alloc * 1000000 // avail ELSE 0 END "
         f"AS rate_ppm FROM a{n_rounds} ORDER BY source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture (XLM-style multilingual sampling table)
+# ---------------------------------------------------------------------------
+#
+# The published low-resource upsampling recipe (Lample & Conneau 2019
+# §3.1; also mBERT, mT5 §3.2): sample source i with probability
+# q_i ∝ n_i^α, α < 1, so small sources are over-represented relative
+# to their token share. α is restricted to 1/2^k (k = 0, 1, 2 → α =
+# 1, 0.5, 0.25; the XLM paper's 0.5 is the k=1 case) because those
+# exponents have an EXACT integer evaluation — w = floor(n^(1/2)) via
+# integer sqrt, floor(n^(1/4)) = isqrt(isqrt(n)) — while any other α
+# needs float pow(), whose cross-engine rounding has no convention to
+# pin. Exactness is the contract: the whole table (weights, shares,
+# allocations, rates) is bit-identical across engines, partitionings
+# and cluster sizes.
+#
+# isqrt: the double-sqrt candidate c = floor(sqrt(n)) is within ±1 of
+# the true floor for every int64 (IEEE sqrt is correctly rounded; the
+# int64→double cast loses < 2^10 at the top of the range, which moves
+# sqrt by ≪ 1), so one flat CASE choosing among {c−1, c, c+1} with
+# DIVISION comparisons (n div s ≥ s ⟺ s² ≤ n — no s² term, so no
+# int64 overflow near the 3,037,000,499 boundary) lands exactly.
+
+
+def _isqrt_case(x: str, c: str, div: str) -> str:
+    """Engine-shared CASE fragment: exact integer sqrt of ``x`` given
+    the double-sqrt candidate column ``c`` (within ±1 of the truth).
+    ``div`` is the engine's integer-division operator ('div' / '//')."""
+    return (
+        f"CASE WHEN {x} {div} ({c} + 1) >= ({c} + 1) THEN {c} + 1 "
+        f"WHEN {c} > 0 AND {x} {div} greatest({c}, 1) >= {c} THEN {c} "
+        f"ELSE greatest({c} - 1, 0) END"
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    budget_tokens: int,
+    inv_temp_pow2: int = 1,
+    source_col: str = "source",
+    tokens_col: str = "token_count",
+) -> DataFrame:
+    """(source, avail_tokens, weight, share_pm, alloc_tokens, rate_ppm):
+    temperature-scaled sampling table with α = 1/2^``inv_temp_pow2``.
+    ``weight`` = floor(avail^α) exactly; ``share_pm`` = weight·1000 div
+    Σweight; ``alloc_tokens`` = budget·weight div Σweight computed by
+    the overflow-free split (budget div W)·w + ((budget mod W)·w) div W
+    (exact while (budget mod W)·w < 2^63 — corpora to ~10^13 tokens per
+    source across ~10^5 sources); ``rate_ppm`` = alloc·10^6 div avail
+    MAY EXCEED 10^6 — that is the recipe working (a low-resource source
+    sampled for multiple epochs); the ``weighted_mix`` sampler consumes
+    min(rate, 10^6) per epoch and the quotient is the epoch count.
+
+    NULL sources are dropped (unattributable rows can't join a mixture
+    stratum — the :func:`mixture_plan` rule); NULL/negative token
+    counts clamp to 0. Scale shape: ONE map-side-combinable groupBy
+    bounded by the source dimension, a 1-row broadcast for Σweight —
+    no window, no Python, no driver state."""
+    if inv_temp_pow2 not in (0, 1, 2):
+        raise ValueError("inv_temp_pow2 must be 0, 1 or 2 (alpha = 1/2^k)")
+    avail = (
+        docs.filter(F.col(source_col).isNotNull())
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.sum(
+                F.greatest(
+                    F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)),
+                    F.lit(0),
+                )
+            ).alias("avail")
+        )
+    )
+    w = avail.withColumn("weight", F.col("avail"))
+    for _ in range(inv_temp_pow2):
+        w = w.withColumn(
+            "c", F.floor(F.sqrt(F.col("weight").cast("double"))).cast("long")
+        ).withColumn(
+            "weight", F.expr(_isqrt_case("weight", "c", "div")).cast("long")
+        ).drop("c")
+    tot = w.agg(F.coalesce(F.sum("weight"), F.lit(0)).alias("w_tot"))
+    alloc = (
+        f"CASE WHEN w_tot = 0 THEN 0L ELSE "
+        f"({budget_tokens}L div w_tot) * weight "
+        f"+ (({budget_tokens}L % w_tot) * weight) div w_tot END"
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("avail").alias("avail_tokens"),
+            "weight",
+            F.expr(
+                "CASE WHEN w_tot = 0 THEN 0L "
+                "ELSE weight * 1000 div w_tot END"
+            ).alias("share_pm"),
+            F.expr(alloc).alias("alloc_tokens"),
+            F.expr(
+                f"CASE WHEN avail > 0 THEN ({alloc}) * 1000000 div avail "
+                "ELSE 0L END"
+            ).alias("rate_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_temperature_mix(
+    docs_select: str, budget_tokens: int, inv_temp_pow2: int = 1
+) -> str:
+    """DuckDB twin of :func:`temperature_mix` — identical integer
+    recursion, one CTE layer per isqrt application."""
+    parts = [
+        f"d AS ({docs_select})",
+        "w0 AS (SELECT source, sum(greatest(coalesce("
+        "CAST(token_count AS BIGINT), 0), 0)) AS avail, "
+        "CAST(sum(greatest(coalesce(CAST(token_count AS BIGINT), 0), 0)) "
+        "AS BIGINT) AS weight "
+        "FROM d WHERE source IS NOT NULL GROUP BY source)",
+    ]
+    for i in range(inv_temp_pow2):
+        parts.append(
+            f"c{i} AS (SELECT source, avail, weight, "
+            "CAST(floor(sqrt(CAST(weight AS DOUBLE))) AS BIGINT) AS c "
+            f"FROM w{i})"
+        )
+        parts.append(
+            f"w{i + 1} AS (SELECT source, avail, "
+            f"CAST({_isqrt_case('weight', 'c', '//')} AS BIGINT) AS weight "
+            f"FROM c{i})"
+        )
+    k = inv_temp_pow2
+    parts.append(
+        f"t AS (SELECT coalesce(sum(weight), 0) AS w_tot FROM w{k})"
+    )
+    alloc = (
+        "CASE WHEN (SELECT w_tot FROM t) = 0 THEN 0 ELSE "
+        f"({budget_tokens} // (SELECT w_tot FROM t)) * weight "
+        f"+ (({budget_tokens} % (SELECT w_tot FROM t)) * weight) "
+        "// (SELECT w_tot FROM t) END"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT source, avail AS avail_tokens, weight, "
+        "CASE WHEN (SELECT w_tot FROM t) = 0 THEN 0 "
+        "ELSE weight * 1000 // (SELECT w_tot FROM t) END AS share_pm, "
+        f"{alloc} AS alloc_tokens, "
+        f"CASE WHEN avail > 0 THEN ({alloc}) * 1000000 // avail "
+        f"ELSE 0 END AS rate_ppm FROM w{k} ORDER BY source"
     )

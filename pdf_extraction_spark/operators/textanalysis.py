@@ -880,3 +880,105 @@ def sql_normalize_punct(rel: str, text_expr: str = "text") -> str:
         f"CASE WHEN {text_expr} IS NULL THEN FALSE "
         f"ELSE {norm} <> {text_expr} END AS was_changed FROM {rel}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source distribution divergence (corpus-drift diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def source_divergence(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """(source, n_words, n_types, kl_to_corpus): KL(P_source ‖ P_corpus)
+    over the unigram distributions — the corpus-drift report that tells
+    a mixture designer which sources are lexical outliers (high KL =
+    off-distribution vocabulary: code, boilerplate floods, another
+    language) and which are redundant with the pool (KL → 0).
+
+    KL(P_s‖Q) needs no smoothing here because support(P_s) ⊆ support(Q)
+    by construction (every source word IS a corpus word). Computed on
+    the :func:`with_unigram_entropy` fixed-point device with
+    I(x) = round(ln(x)·10⁹) as int64:
+
+        KL_s = [Σ_w c_sw·(I(c_sw) − I(c_w)) + n_s·(I(N) − I(n_s))]
+               / (n_s·10⁹)
+
+    — the only float op per distinct word is ln() rounded to integer at
+    10⁹ scale, after which every sum is exact associative int64, so the
+    result is bit-identical across engines, partitionings and cluster
+    sizes. Exact-overflow bound: sources to ~3·10⁸ words against
+    corpora to ~10¹² (the entropy op's bound family).
+
+    Scale shape: tokenize → explode → (source, w) combinable count;
+    corpus word counts derive from THAT table (vocab-sized groupBy, the
+    corpus is never re-scanned); one vocab-sized join on w; final agg
+    bounded by the source dimension. No window, no Python stage. NULL
+    sources group as one stratum (the row is real data — both engines
+    keep NULL groups); zero-token docs contribute nothing; a source
+    with no tokens at all emits no row (no distribution to diverge)."""
+    from .curation import _lower_words
+    from .mlfilter import _round6z
+
+    words = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(_lower_words(F.coalesce(F.col(text_col), F.lit("")))).alias("w"),
+    )
+    sw = words.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    tot = cw.agg(F.sum("c_w").alias("n_corpus"))
+
+    def iln(c: Column) -> Column:
+        return F.round(F.log(c.cast("double")) * F.lit(1e9)).cast("long")
+
+    per_src = (
+        sw.join(cw, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c_sw").alias("n_words"),
+            F.count("*").alias("n_types"),
+            F.sum(F.col("c_sw") * (iln(F.col("c_sw")) - iln(F.col("c_w")))).alias("s"),
+        )
+    )
+    n = F.col("n_words")
+    kl = (
+        F.col("s") + n * (iln(F.col("n_corpus")) - iln(n))
+    ) / (n.cast("double") * F.lit(1e9))
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_words", "n_types", _round6z(kl).alias("kl_to_corpus")
+        )
+        .orderBy("source")
+    )
+
+
+def sql_source_divergence(rel: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB oracle twin of :func:`source_divergence` — identical
+    fixed-point recursion (sums cast back to BIGINT: DuckDB widens
+    integer SUM to HUGEINT, Spark keeps long)."""
+    from .curation import _sql_lower_words
+    from .mlfilter import _sql_round6z
+
+    iln = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9) AS BIGINT)"
+    kl = _sql_round6z(
+        "(s + n_words * (" + iln.format(x="(SELECT n_corpus FROM tot)")
+        + " - " + iln.format(x="n_words")
+        + ")) / (CAST(n_words AS DOUBLE) * 1e9)"
+    )
+    return (
+        "WITH wrd AS (SELECT source, unnest("
+        + _sql_lower_words(f"coalesce({text_expr}, '')")
+        + f") AS w FROM {rel}), "
+        "sw AS (SELECT source, w, count(*) AS c_sw FROM wrd "
+        "GROUP BY source, w), "
+        "cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w), "
+        "tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_corpus FROM cw), "
+        "a AS (SELECT sw.source, CAST(sum(c_sw) AS BIGINT) AS n_words, "
+        "count(*) AS n_types, "
+        "CAST(sum(c_sw * (" + iln.format(x="c_sw") + " - "
+        + iln.format(x="c_w") + ")) AS BIGINT) AS s "
+        "FROM sw JOIN cw USING (w) GROUP BY sw.source) "
+        f"SELECT source, n_words, n_types, {kl} AS kl_to_corpus "
+        "FROM a ORDER BY source"
+    )

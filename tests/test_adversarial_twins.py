@@ -90,7 +90,8 @@ QUERIES = [
     "heading_outline", "jsonld_types", "html_tables", "lang_mix",
     "lexical_diversity", "og_card", "img_alt_pairs", "page_shape",
     "norm_punct", "holdout_split", "hll_by_source", "hist_quantiles",
-    "bpe_fertility", "vocab_growth", "group_sample",
+    "bpe_fertility", "vocab_growth", "group_sample", "temp_mixture",
+    "source_kl",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

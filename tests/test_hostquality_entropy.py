@@ -147,3 +147,83 @@ class TestHostQualityGate:
             ).collect()
         }
         assert out[0].doc_bad and not out[1].doc_bad
+
+
+# ---------------------------------------------------------------------------
+# source_divergence
+# ---------------------------------------------------------------------------
+
+
+class TestSourceDivergence:
+    def _run(self, spark, rows):
+        from pdf_extraction_spark.operators.textanalysis import source_divergence
+
+        df = spark.createDataFrame(rows, "source string, text string")
+        return {r.source: r for r in source_divergence(df).collect()}
+
+    def test_known_value_vs_pure_python(self, spark):
+        rows = [
+            ("web", "the cat sat on the mat"),
+            ("web", "the dog ate the cat food"),
+            ("code", "def foo return foo x x"),
+        ]
+        got = self._run(spark, rows)
+        # pure-python KL over the same whitespace-ish tokenizer output
+        from collections import Counter
+
+        sw, n_s = {}, Counter()
+        for s, t in rows:
+            c = sw.setdefault(s, Counter())
+            for w in t.lower().split():
+                c[w] += 1
+                n_s[s] += 1
+        cw = Counter()
+        for c in sw.values():
+            cw.update(c)
+        N = sum(cw.values())
+        import math
+
+        for s, c in sw.items():
+            kl = sum(
+                (k / n_s[s]) * math.log((k * N) / (cw[w] * n_s[s]))
+                for w, k in c.items()
+            )
+            assert got[s].kl_to_corpus == pytest.approx(kl, abs=1e-5), s
+            assert got[s].n_words == n_s[s]
+            assert got[s].n_types == len(c)
+
+    def test_single_source_has_zero_divergence(self, spark):
+        got = self._run(spark, [("only", "a b c a b a")])
+        assert got["only"].kl_to_corpus == 0.0
+
+    def test_identical_sources_have_zero_divergence(self, spark):
+        rows = [("a", "x y z"), ("b", "x y z")]
+        got = self._run(spark, rows)
+        assert got["a"].kl_to_corpus == 0.0
+        assert got["b"].kl_to_corpus == 0.0
+
+    def test_outlier_source_scores_highest(self, spark):
+        rows = [
+            ("en1", "the quick brown fox jumps over the lazy dog"),
+            ("en2", "the slow brown dog walks under the quick fox"),
+            ("code", "lambda lambda def yield async await self self"),
+        ]
+        got = self._run(spark, rows)
+        assert got["code"].kl_to_corpus > got["en1"].kl_to_corpus
+        assert got["code"].kl_to_corpus > got["en2"].kl_to_corpus
+
+    def test_null_source_groups_and_empty_emits_no_row(self, spark):
+        rows = [(None, "words here"), ("empty", ""), ("nulls", None), ("x", "a")]
+        got = self._run(spark, rows)
+        assert None in got and got[None].n_words == 2
+        assert "empty" not in got and "nulls" not in got
+
+    def test_partition_invariance(self, spark):
+        rows = [(f"s{i % 3}", f"w{i % 7} w{i % 5} common") for i in range(60)]
+        df = spark.createDataFrame(rows, "source string, text string")
+        from pdf_extraction_spark.operators.textanalysis import source_divergence
+
+        a = sorted(map(tuple, source_divergence(df).collect()))
+        b = sorted(map(tuple, source_divergence(df.repartition(13)).collect()))
+        c = sorted(map(tuple, source_divergence(df.coalesce(1)).collect()))
+        assert a == b == c

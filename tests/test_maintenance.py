@@ -120,3 +120,107 @@ class TestMixture:
         # the buggy self-referencing update converged to budget/3 here
         got = self._run(spark, {"a": 10_000, "b": 10_000}, {"a": 500, "b": 500}, 100)
         assert got["a"][1] == 50 and got["b"][1] == 50
+
+
+# ---------------------------------------------------------------------------
+# temperature_mix
+# ---------------------------------------------------------------------------
+
+
+class TestTemperatureMix:
+    def _run(self, spark, rows, budget, k=1):
+        from pdf_extraction_spark.operators.maintenance import temperature_mix
+
+        df = spark.createDataFrame(rows, "source string, token_count long")
+        return {r.source: r for r in temperature_mix(df, budget, inv_temp_pow2=k).collect()}
+
+    def test_weights_are_exact_integer_roots(self, spark):
+        import math
+
+        rows = [("a", 10_000), ("b", 100), ("c", 2), ("d", 0)]
+        for k in (0, 1, 2):
+            got = self._run(spark, rows, 1000, k=k)
+            for s, n in rows:
+                want = n
+                for _ in range(k):
+                    want = math.isqrt(want)
+                assert got[s].weight == want, (k, s)
+
+    def test_alpha_half_upsamples_low_resource(self, spark):
+        # published behavior: under α=0.5 the small source's SHARE of the
+        # budget exceeds its share of the corpus, the big source's shrinks
+        rows = [("big", 1_000_000), ("small", 10_000)]
+        got = self._run(spark, rows, 100_000, k=1)
+        corpus_share_small = 10_000 / 1_010_000
+        alloc_share_small = got["small"].alloc_tokens / 100_000
+        assert alloc_share_small > corpus_share_small
+        assert got["small"].rate_ppm > got["big"].rate_ppm
+
+    def test_alloc_decomposition_is_exact(self, spark):
+        # (B div W)·w + ((B mod W)·w) div W  ==  B·w div W (checked in
+        # unbounded Python ints) for awkward W that don't divide B
+        rows = [("a", 7), ("b", 13), ("c", 29), ("d", 1)]
+        budget = 999_999_999_999
+        got = self._run(spark, rows, budget, k=1)
+        import math
+
+        W = sum(math.isqrt(n) for _, n in rows)
+        for s, n in rows:
+            w = math.isqrt(n)
+            assert got[s].alloc_tokens == budget * w // W, s
+
+    def test_null_and_negative_inputs(self, spark):
+        rows = [("a", None), ("a", -50), ("a", 100), (None, 10_000)]
+        got = self._run(spark, rows, 100, k=1)
+        assert set(got) == {"a"}          # NULL source dropped
+        assert got["a"].avail_tokens == 100  # NULL/negative clamp to 0
+        assert got["a"].weight == 10
+
+    def test_rate_over_one_million_means_epochs(self, spark):
+        got = self._run(spark, [("tiny", 4)], 100, k=1)
+        # all 100 budget tokens land on 4 available -> 25 epochs
+        assert got["tiny"].alloc_tokens == 100
+        assert got["tiny"].rate_ppm == 25_000_000
+
+    def test_invalid_alpha_rejected(self, spark):
+        from pdf_extraction_spark.operators.maintenance import temperature_mix
+
+        df = spark.createDataFrame([("a", 1)], "source string, token_count long")
+        with pytest.raises(ValueError):
+            temperature_mix(df, 10, inv_temp_pow2=3)
+
+    def test_isqrt_case_boundary_sweep_cross_engine(self, spark):
+        """The exact-isqrt CASE is the one device this operator adds:
+        pin it against math.isqrt on both engines over every perfect
+        square ±1 the tests can reach plus the int64/2^53 knees."""
+        import math
+
+        import duckdb
+
+        from pdf_extraction_spark.operators.maintenance import _isqrt_case
+
+        vals = sorted(
+            {
+                s
+                for k in list(range(200)) + [2**26, 2**31, 3037000499]
+                for s in (k * k - 1, k * k, k * k + 1)
+                if 0 <= s <= 2**63 - 1
+            }
+            | {2**53 - 1, 2**53, 2**53 + 1, 2**62, 2**63 - 1}
+        )
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        df = df.withColumn(
+            "c", F.floor(F.sqrt(F.col("x").cast("double"))).cast("long")
+        ).withColumn("s", F.expr(_isqrt_case("x", "c", "div")))
+        for r in df.collect():
+            assert r.s == math.isqrt(r.x), r.x
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(x BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+        q = (
+            "SELECT x, " + _isqrt_case("x", "c", "//") + " AS s FROM "
+            "(SELECT x, CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS c "
+            "FROM t)"
+        )
+        for x, s in con.execute(q).fetchall():
+            assert s == math.isqrt(x), x
