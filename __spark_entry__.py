@@ -2545,6 +2545,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return source_divergence(_docs(spark, sf))
 
+    def q_zipf_slope(spark, sf):
+        """Zipf rank-frequency slope per source over the top-50 word
+        frequencies — natural text reads near −1, templated slices
+        steeper, gibberish flatter. Top-K via the hostcap bounded-
+        reduction tree (no vocabulary-sized window funnel); regression
+        sums exact int64 on the 10⁵ fixed-point device, one double
+        division at the end — bit-identical cross-engine."""
+        from pdf_extraction_spark.operators.textanalysis import zipf_slope
+
+        return zipf_slope(_docs(spark, sf), k=50)
+
+    def q_source_overlap(spark, sf):
+        """Cross-source shared-shingle matrix with per-mille containment
+        both directions — the provenance diagnostic that shows which
+        corpus slices mirror each other. Shingle-keyed source-set
+        collect (bounded by the source dimension) + pair explode; the
+        twin is the self-join formulation of the same matrix."""
+        from pdf_extraction_spark.operators.dedup import source_overlap
+
+        return source_overlap(_docs(spark, sf))
+
     # -- round-4 continuation: PII/CC, soft-404, quantiles, pub dates --
     def q_cc_scrub(spark, sf):
         """Luhn-validated credit-card masking over card-augmented doc
@@ -2577,6 +2598,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_extraction_spark.operators.agg import group_discrete_quantiles
 
         return group_discrete_quantiles(_docs(spark, sf), "lang", "n_chars")
+
+    def q_robust_outliers(spark, sf):
+        """Median/MAD Hampel outlier gate per source over doc length —
+        the robust replacement for z-scores (an outlier drags the
+        mean/stddev that would judge it; it cannot drag the median).
+        Discrete lower medians + integer cross-multiplied k·MAD gate:
+        exact int64 end-to-end. A deterministic 50× length spike on
+        doc_id%97==0 guarantees both verdict branches fire."""
+        from pdf_extraction_spark.operators.agg import with_robust_outliers
+
+        d = _docs(spark, sf).select(
+            "doc_id",
+            "source",
+            (
+                F.col("n_chars")
+                * F.when(F.col("doc_id") % 97 == 0, F.lit(50)).otherwise(
+                    F.lit(1)
+                )
+            ).cast("long").alias("v"),
+        )
+        return with_robust_outliers(d, "source", "v", k_num=3, k_den=1)
 
     def q_html_pubdate(spark, sf):
         """Publication-date extraction over synthetic article pages:
@@ -2916,9 +2958,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_plan": q_mixture,
         "temp_mixture": q_temp_mixture,
         "source_kl": q_source_kl,
+        "zipf_slope": q_zipf_slope,
+        "source_overlap": q_source_overlap,
         "cc_scrub": q_cc_scrub,
         "soft404": q_soft404,
         "group_quartiles": q_group_quartiles,
+        "robust_outliers": q_robust_outliers,
         "html_pubdate": q_html_pubdate,
         "link_profile": q_link_profile,
         "hreflang_alts": q_hreflang,
@@ -3047,6 +3092,7 @@ def oracle_sql() -> dict[str, str]:
         sql_script_profile,
         sql_source_divergence,
         sql_unigram_entropy,
+        sql_zipf_slope,
     )
     from pdf_extraction_spark.operators.release import sql_shard_manifest
     from pdf_extraction_spark.operators.justext import (
@@ -3058,7 +3104,10 @@ def oracle_sql() -> dict[str, str]:
         sql_mixture_plan,
         sql_temperature_mix,
     )
-    from pdf_extraction_spark.operators.agg import sql_group_discrete_quantiles
+    from pdf_extraction_spark.operators.agg import (
+        sql_group_discrete_quantiles,
+        sql_robust_outliers,
+    )
     from pdf_extraction_spark.operators.curation import sql_scrub_credit_cards
     from pdf_extraction_spark.operators.htmlmeta import (
         sql_hreflang_alternates,
@@ -3133,6 +3182,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.similarity import sql_semantic_dedup
     from pdf_extraction_spark.operators.dedup import (
         sql_embedding_lsh_neardups,
+        sql_source_overlap,
         sql_minhash_incremental_drops,
         sql_minhash_lsh_pairs,
         sql_simhash_pairs,
@@ -3556,6 +3606,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "unigram_entropy": sql_unigram_entropy(),
         "source_kl": sql_source_divergence(),
+        "zipf_slope": sql_zipf_slope(k=50),
+        "source_overlap": sql_source_overlap(
+            # the ngram_jaccard twin's shingle construction carrying
+            # source (the hll_by_source fragment, one home)
+            "SELECT source, unnest(gs) AS shingle FROM ("
+            "SELECT source, CASE WHEN len(w) >= 3 THEN "
+            "list_distinct([array_to_string(w[i:i+2], ' ') "
+            "FOR i IN range(1, len(w) - 1)]) "
+            "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] "
+            "ELSE [] END AS gs FROM ("
+            f"SELECT source, list_filter(string_split_regex(lower(text), "
+            f"'{WORD_SPLIT_RE}'), x -> x <> '') AS w FROM documents))"
+        ),
         "host_quality": sql_host_quality_gate(),
         "hll_by_source": sql_hll_distinct_by(
             "source",
@@ -3977,6 +4040,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "group_quartiles": sql_group_discrete_quantiles(
             "documents", "lang", "n_chars"
+        ),
+        "robust_outliers": sql_robust_outliers(
+            "(SELECT doc_id, source, CAST(n_chars * (CASE WHEN "
+            "doc_id % 97 = 0 THEN 50 ELSE 1 END) AS BIGINT) AS v "
+            "FROM documents)",
+            "source",
+            "v",
+            "doc_id, source, v",
+            k_num=3,
+            k_den=1,
         ),
         "html_pubdate": sql_pub_date(
             "(SELECT doc_id, " + _PUBDATE_AUG + " AS html, "

@@ -146,3 +146,126 @@ def sql_group_discrete_quantiles(
     ]
     inner = " UNION ALL ".join(parts)
     return f"{base} SELECT grp AS {group_expr}, q, cutoff FROM ({inner})"
+
+
+# ---------------------------------------------------------------------------
+# Robust per-group outlier gate (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+def with_robust_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """Adds (grp_median, grp_mad, is_outlier): the median/MAD outlier
+    rule (Hampel identifier, the robust replacement for z-scores whose
+    mean/stddev an outlier itself drags) — a row is an outlier when
+    |v − median| > k·MAD with k = ``k_num``/``k_den``.
+
+    Both the median and the MAD (median of |v − median|) are DISCRETE
+    lower medians from the :func:`group_discrete_quantiles` histogram
+    device — rank (n + 1) div 2 over the per-(group, value) histogram —
+    and the gate compares by integer cross-multiplication
+    (k_den·|v − med| > k_num·MAD), so for integer value columns the
+    whole operator is exact int64: bit-identical across engines,
+    partitionings and cluster sizes with no float convention anywhere.
+
+    Degenerate MAD = 0 (more than half the group's values identical)
+    keeps the textbook semantics: every value off the median flags.
+    NULL values join the stats as nothing and read is_outlier NULL;
+    NULL groups gate among themselves (eqNullSafe join-back).
+
+    Scale shape: two histogram passes (each a map-side-combinable
+    groupBy + a histogram-bounded window — partitions sized by the
+    group's DISTINCT value count, never its row count) + two
+    group-keyed join-backs. No corpus-sized window, no Python stage."""
+
+    def _median(rel: DataFrame, gcol: str, vcol: str, gout: str, out: str) -> DataFrame:
+        # the median frame's key gets its OWN name (gout) so the
+        # join-backs are never self-join-ambiguous
+        hist = (
+            rel.filter(F.col(vcol).isNotNull())
+            .groupBy(F.col(gcol).alias(gout), F.col(vcol).alias("__val"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy(gout)
+        j = hist.withColumn(
+            "cum", F.sum("cnt").over(w.orderBy(F.asc("__val")))
+        ).withColumn("n", F.sum("cnt").over(w))
+        return (
+            j.groupBy(gout)
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n + 1) DIV 2"), F.col("__val")
+                    )
+                ).alias(out)
+            )
+        )
+
+    med = _median(df, group_col, value_col, "__gm", "grp_median")
+    devs = (
+        df.join(med, on=F.col(group_col).eqNullSafe(F.col("__gm")))
+        .filter(F.col(value_col).isNotNull())
+        .select(
+            F.col("__gm").alias("__g"),
+            F.abs(F.col(value_col) - F.col("grp_median")).alias("__dev"),
+        )
+    )
+    mad = _median(devs, "__g", "__dev", "__ga", "grp_mad")
+    out = df.join(
+        med, on=F.col(group_col).eqNullSafe(F.col("__gm")), how="left"
+    ).drop("__gm")
+    out = out.join(
+        mad, on=F.col(group_col).eqNullSafe(F.col("__ga")), how="left"
+    ).drop("__ga")
+    return out.withColumn(
+        "is_outlier",
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.lit(k_den) * F.abs(F.col(value_col) - F.col("grp_median"))
+            > F.lit(k_num) * F.col("grp_mad"),
+        ),
+    )
+
+
+def sql_robust_outliers(
+    rel: str,
+    group_expr: str,
+    value_expr: str,
+    select_cols: str,
+    k_num: int = 3,
+    k_den: int = 1,
+) -> str:
+    """DuckDB twin of :func:`with_robust_outliers` — identical two-pass
+    histogram recursion; ``select_cols`` lists the pass-through columns
+    (the Spark side returns the input row plus the three new columns)."""
+
+    def _med(src: str, gexpr: str, vexpr: str, out: str) -> str:
+        return (
+            f"SELECT grp, min(CASE WHEN cum >= (n + 1) // 2 THEN val END) "
+            f"AS {out} FROM (SELECT grp, val, "
+            "sum(cnt) OVER (PARTITION BY grp ORDER BY val) AS cum, "
+            "sum(cnt) OVER (PARTITION BY grp) AS n "
+            f"FROM (SELECT {gexpr} AS grp, {vexpr} AS val, count(*) "
+            f"AS cnt FROM {src} WHERE {vexpr} IS NOT NULL GROUP BY 1, 2)) "
+            "GROUP BY grp"
+        )
+
+    return (
+        f"WITH med AS ({_med(rel, group_expr, value_expr, 'grp_median')}), "
+        "dv AS (SELECT med.grp AS g, "
+        f"abs({value_expr} - grp_median) AS dev "
+        f"FROM {rel} r JOIN med ON {group_expr} IS NOT DISTINCT FROM med.grp "
+        f"WHERE {value_expr} IS NOT NULL), "
+        f"mad AS ({_med('dv', 'g', 'dev', 'grp_mad')}) "
+        f"SELECT {select_cols}, grp_median, grp_mad, "
+        f"CASE WHEN {value_expr} IS NOT NULL THEN "
+        f"{k_den} * abs({value_expr} - grp_median) > {k_num} * grp_mad "
+        f"END AS is_outlier FROM {rel} r "
+        f"LEFT JOIN med ON {group_expr} IS NOT DISTINCT FROM med.grp "
+        f"LEFT JOIN mad ON {group_expr} IS NOT DISTINCT FROM mad.grp"
+    )

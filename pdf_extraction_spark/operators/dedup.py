@@ -1285,3 +1285,93 @@ def sql_edit_verify_pairs(
         "greatest(length(a.d_txt), length(b.d_txt)) AS is_dup "
         "FROM p JOIN d a ON p.id_a = a.d_id JOIN d b ON p.id_b = b.d_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix (provenance / contamination diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 3,
+) -> DataFrame:
+    """(src_a, src_b, n_shared, a_pm, b_pm): for every unordered source
+    pair, the count of distinct word-``n``-shingles they SHARE, plus
+    per-mille containment in each direction (shared·1000 div that
+    source's distinct-shingle total) — the provenance matrix that shows
+    which corpus slices are mirrors/syndicators of each other BEFORE
+    mixture weights are assigned (two sources with a_pm ≈ 1000 are the
+    same corpus twice; dedup handles the documents, this shows the
+    sources).
+
+    Scale shape: shingles via the shared :func:`shingle_df` home →
+    distinct (source, shingle) → ONE shingle-keyed groupBy collecting
+    the sorted source set (bounded by the SOURCE DIMENSION, not corpus
+    size — a shingle's row is ≤ #sources entries) → pair explode
+    (≤ S²/2 per shingle) → pair-keyed combinable count bounded by S²
+    rows. No self-join on the corpus, no window, no Python. The DuckDB
+    twin IS the self-join formulation — same result, different physical
+    plan. NULL sources are dropped (Spark collect_set and the twin's
+    join would disagree on NULL semantics, and an unattributable slice
+    has no row in a provenance matrix)."""
+    sh = (
+        shingle_df(
+            df.filter(F.col(source_col).isNotNull()), text_col, source_col, n=n
+        )
+        .withColumnRenamed("doc_id", "source")
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count("*").alias("n_tot"))
+    grp = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    pairs = (
+        grp.filter(F.size("ss") >= 2)
+        .select(F.explode("ss").alias("src_a"), F.col("ss"))
+        .select(
+            "src_a",
+            F.explode(
+                F.filter(F.col("ss"), lambda x: x > F.col("src_a"))
+            ).alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("n_tot").alias("na"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("n_tot").alias("nb"))
+    return (
+        pairs.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.expr("n_shared * 1000 div na").alias("a_pm"),
+            F.expr("n_shared * 1000 div nb").alias("b_pm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def sql_source_overlap(shingle_select: str) -> str:
+    """DuckDB twin of :func:`source_overlap` over a ``(source,
+    shingle)`` SELECT (the ngram_jaccard twin's shingle construction
+    carrying source — the hll_by_source precedent): the self-join
+    formulation, identical result."""
+    return (
+        f"WITH sh AS (SELECT DISTINCT source, shingle FROM ({shingle_select}) "
+        "WHERE source IS NOT NULL), "
+        "tt AS (SELECT source, count(*) AS n_tot FROM sh GROUP BY source), "
+        "p AS (SELECT a.source AS src_a, b.source AS src_b, "
+        "count(*) AS n_shared FROM sh a JOIN sh b "
+        "ON a.shingle = b.shingle AND a.source < b.source "
+        "GROUP BY 1, 2) "
+        "SELECT src_a, src_b, n_shared, "
+        "n_shared * 1000 // ta.n_tot AS a_pm, "
+        "n_shared * 1000 // tb.n_tot AS b_pm "
+        "FROM p JOIN tt ta ON p.src_a = ta.source "
+        "JOIN tt tb ON p.src_b = tb.source ORDER BY src_a, src_b"
+    )

@@ -982,3 +982,127 @@ def sql_source_divergence(rel: str = "documents", text_expr: str = "text") -> st
         f"SELECT source, n_words, n_types, {kl} AS kl_to_corpus "
         "FROM a ORDER BY source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope (corpus-health diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 100,
+) -> DataFrame:
+    """(source, n_ranks, slope): least-squares slope of the log-log
+    rank-frequency line over each source's top-``k`` word frequencies —
+    Zipf's law (Zipf 1949; Piantadosi 2014 review) puts natural text
+    near slope −1; templated/boilerplate slices read much steeper
+    (repertoire collapses onto few types) and gibberish/spam reads
+    flatter. The corpus-health gauge next to :func:`source_divergence`:
+    divergence says WHICH slice is off-distribution, the slope says in
+    what direction.
+
+    Fixed-point: x = round(ln(rank)·10⁵), y = round(ln(count)·10⁵) as
+    int64 (the unigram-entropy device at 10⁵ scale so every regression
+    sum stays in int64 at k ≤ 1000 and counts ≤ 10¹²); slope =
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with EXACT integer numerator and
+    denominator — the single double division is correctly rounded in
+    both engines, so the slope is bit-identical across engines,
+    partitionings and cluster sizes. Rank ties (equal counts) break by
+    word ascending, pinned in both engines.
+
+    Scale shape: (source, word) combinable count → the
+    :mod:`hostcap` tree of bounded top-K reductions (a mega-source
+    never funnels its whole vocabulary through one task; buffers are
+    K-bounded) → regression sums over ≤ S·k rows. The DuckDB twin is
+    the plain window formulation — same result. Sources with fewer
+    than 2 distinct words have no line and emit slope NULL."""
+    from .curation import _lower_words
+    from .hostcap import _topk_merge
+
+    counts = (
+        df.filter(F.col(source_col).isNotNull())
+        .select(
+            F.col(source_col).alias("host"),
+            F.explode(
+                _lower_words(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("w"),
+        )
+        .groupBy("host", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    key = F.struct((-F.col("c")).alias("nc"), F.col("w").alias("w"))
+    base = counts.select(
+        "host", F.spark_partition_id().alias("__pid"), key.alias("e")
+    )
+    local = _topk_merge(base, ["host", "__pid"], k)
+    salted = local.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("e.w")), F.lit(64))
+    )
+    mid = _topk_merge(salted, ["host", "__salt"], k)
+    ranked = (
+        mid.groupBy("host")
+        .agg(F.slice(F.array_sort(F.collect_list("e")), 1, k).alias("top"))
+        .select("host", F.posexplode("top").alias("pos", "e"))
+        .select(
+            "host",
+            (F.col("pos") + 1).cast("long").alias("rank"),
+            (-F.col("e.nc")).alias("c"),
+        )
+    )
+
+    def i5(c: Column) -> Column:
+        return F.round(F.log(c.cast("double")) * F.lit(1e5)).cast("long")
+
+    sums = ranked.select(
+        "host",
+        i5(F.col("rank")).alias("x"),
+        i5(F.col("c")).alias("y"),
+    ).groupBy("host").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    from .mlfilter import _round6z
+
+    return sums.select(
+        F.col("host").alias("source"),
+        F.col("n").alias("n_ranks"),
+        F.when(
+            F.col("n") >= 2,
+            _round6z(num.cast("double") / den.cast("double")),
+        ).alias("slope"),
+    ).orderBy("source")
+
+
+def sql_zipf_slope(rel: str = "documents", text_expr: str = "text", k: int = 100) -> str:
+    """DuckDB twin of :func:`zipf_slope` — window top-K formulation,
+    identical fixed-point sums."""
+    from .curation import _sql_lower_words
+    from .mlfilter import _sql_round6z
+
+    i5 = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e5) AS BIGINT)"
+    slope = _sql_round6z(
+        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+    )
+    return (
+        "WITH wrd AS (SELECT source, unnest("
+        + _sql_lower_words(f"coalesce({text_expr}, '')")
+        + f") AS w FROM {rel} WHERE source IS NOT NULL), "
+        "cnt AS (SELECT source, w, count(*) AS c FROM wrd GROUP BY source, w), "
+        "rk AS (SELECT source, c, row_number() OVER ("
+        "PARTITION BY source ORDER BY c DESC, w ASC) AS rank FROM cnt), "
+        f"xy AS (SELECT source, {i5.format(x='rank')} AS x, "
+        f"{i5.format(x='c')} AS y FROM rk WHERE rank <= {k}), "
+        "s AS (SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, "
+        "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, "
+        "CAST(sum(x * x) AS BIGINT) AS sxx FROM xy GROUP BY source) "
+        f"SELECT source, n AS n_ranks, "
+        f"CASE WHEN n >= 2 THEN {slope} END AS slope FROM s ORDER BY source"
+    )

@@ -91,7 +91,7 @@ QUERIES = [
     "lexical_diversity", "og_card", "img_alt_pairs", "page_shape",
     "norm_punct", "holdout_split", "hll_by_source", "hist_quantiles",
     "bpe_fertility", "vocab_growth", "group_sample", "temp_mixture",
-    "source_kl",
+    "source_kl", "robust_outliers", "zipf_slope", "source_overlap",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

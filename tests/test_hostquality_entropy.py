@@ -227,3 +227,66 @@ class TestSourceDivergence:
         b = sorted(map(tuple, source_divergence(df.repartition(13)).collect()))
         c = sorted(map(tuple, source_divergence(df.coalesce(1)).collect()))
         assert a == b == c
+
+
+# ---------------------------------------------------------------------------
+# zipf_slope
+# ---------------------------------------------------------------------------
+
+
+class TestZipfSlope:
+    def _run(self, spark, rows, k=100):
+        from pdf_extraction_spark.operators.textanalysis import zipf_slope
+
+        df = spark.createDataFrame(rows, "source string, text string")
+        return {r.source: r for r in zipf_slope(df, k=k).collect()}
+
+    def test_matches_pure_python_regression(self, spark):
+        import math
+
+        # frequencies 8,4,2,1 on ranks 1..4
+        text = " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2 + ["dd"])
+        got = self._run(spark, [("s", text)])
+        xs = [round(math.log(r) * 1e5) for r in (1, 2, 3, 4)]
+        ys = [round(math.log(c) * 1e5) for c in (8, 4, 2, 1)]
+        n = 4
+        num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        den = n * sum(x * x for x in xs) - sum(xs) ** 2
+        assert got["s"].n_ranks == 4
+        assert got["s"].slope == pytest.approx(num / den, abs=2e-6)
+
+    def test_perfect_zipf_reads_minus_one(self, spark):
+        # c(r) = 1200//r for r=1..12 is near-exact Zipf: slope ≈ -1
+        words = []
+        for r in range(1, 13):
+            words += [f"w{r:02d}"] * (1200 // r)
+        got = self._run(spark, [("s", " ".join(words))])
+        assert got["s"].slope == pytest.approx(-1.0, abs=0.05)
+
+    def test_template_flood_is_steeper_than_text(self, spark):
+        natural = " ".join(
+            f"w{i % 40}" for i in range(400)
+        )  # flat-ish repertoire
+        template = " ".join(["header"] * 500 + ["footer"] * 3 + ["nav"])
+        got = self._run(spark, [("nat", natural), ("tpl", template)])
+        assert got["tpl"].slope < got["nat"].slope  # steeper = more negative
+
+    def test_rank_ties_break_by_word_and_k_caps(self, spark):
+        got = self._run(spark, [("s", "b b a a c")], k=2)
+        # counts: a=2, b=2, c=1 → top-2 = a then b (tie by word asc)
+        assert got["s"].n_ranks == 2
+
+    def test_single_type_source_has_null_slope(self, spark):
+        got = self._run(spark, [("s", "same same same")])
+        assert got["s"].n_ranks == 1 and got["s"].slope is None
+
+    def test_partition_invariance_and_null_source(self, spark):
+        from pdf_extraction_spark.operators.textanalysis import zipf_slope
+
+        rows = [(f"s{i % 2}", f"w{i % 9} w{i % 5} w0") for i in range(40)]
+        rows.append((None, "dropped words"))
+        df = spark.createDataFrame(rows, "source string, text string")
+        a = sorted(map(tuple, zipf_slope(df, k=10).collect()))
+        b = sorted(map(tuple, zipf_slope(df.repartition(11), k=10).collect()))
+        assert a == b
+        assert all(r[0] is not None for r in a)

@@ -228,3 +228,83 @@ class TestIncrementalDedup:
             ).collect()
         }
         assert inc == batch
+
+
+class TestSourceOverlap:
+    def _run(self, spark, rows):
+        from pdf_extraction_spark.operators.dedup import source_overlap
+
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        return {
+            (r.src_a, r.src_b): r for r in source_overlap(df).collect()
+        }
+
+    def test_shared_shingles_counted_once_per_pair(self, spark):
+        rows = [
+            (1, "a", "the quick brown fox jumps high"),
+            (2, "b", "the quick brown fox runs away"),   # shares 2 shingles with a
+            (3, "b", "the quick brown fox runs away"),   # dup doc: no double count
+            (4, "c", "entirely different words here now"),
+        ]
+        got = self._run(spark, rows)
+        # shared distinct 3-shingles between a and b:
+        # 'the quick brown', 'quick brown fox'
+        assert set(got) == {("a", "b")}
+        assert got[("a", "b")].n_shared == 2
+
+    def test_containment_per_mille_directions(self, spark):
+        # a is a subset slice of b: a's shingles all appear in b
+        rows = [
+            (1, "a", "alpha beta gamma delta"),          # 2 shingles
+            (2, "b", "alpha beta gamma delta epsilon zeta eta"),  # 5 shingles
+        ]
+        got = self._run(spark, rows)
+        r = got[("a", "b")]
+        assert r.n_shared == 2
+        assert r.a_pm == 1000          # a fully contained in b
+        assert r.b_pm == 2 * 1000 // 5
+
+    def test_mirror_sources_read_full_containment_both_ways(self, spark):
+        text = "one two three four five six seven"
+        got = self._run(spark, [(1, "x", text), (2, "y", text)])
+        r = got[("x", "y")]
+        assert r.a_pm == 1000 and r.b_pm == 1000
+
+    def test_null_sources_dropped_and_no_self_pairs(self, spark):
+        rows = [
+            (1, None, "shared phrase of words here"),
+            (2, "a", "shared phrase of words here"),
+            (3, "a", "shared phrase of words here"),
+        ]
+        got = self._run(spark, rows)
+        assert got == {}  # NULL dropped; a never pairs with itself
+
+    def test_matches_duckdb_self_join_twin(self, spark):
+        import duckdb
+
+        from pdf_extraction_spark.operators.dedup import sql_source_overlap
+        from pdf_extraction_spark.operators.curation import WORD_SPLIT_RE
+
+        rows = [
+            (i, f"s{i % 3}", f"w{i % 4} w{(i + 1) % 4} w{(i + 2) % 4} w{(i + 3) % 4}")
+            for i in range(24)
+        ] + [(100, None, "w0 w1 w2 w3")]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        from pdf_extraction_spark.operators.dedup import source_overlap
+
+        got = sorted(map(tuple, source_overlap(df).collect()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, source VARCHAR, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?,?,?)", rows)
+        frag = (
+            "SELECT source, unnest(gs) AS shingle FROM ("
+            "SELECT source, CASE WHEN len(w) >= 3 THEN "
+            "list_distinct([array_to_string(w[i:i+2], ' ') "
+            "FOR i IN range(1, len(w) - 1)]) "
+            "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] "
+            "ELSE [] END AS gs FROM ("
+            f"SELECT source, list_filter(string_split_regex(lower(text), "
+            f"'{WORD_SPLIT_RE}'), x -> x <> '') AS w FROM documents))"
+        )
+        want = sorted(map(tuple, con.execute(sql_source_overlap(frag)).fetchall()))
+        assert got == want

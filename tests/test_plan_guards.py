@@ -52,7 +52,8 @@ NATIVE_QUERIES = [
     "lexical_diversity", "og_card", "img_alt_pairs", "page_shape",
     "norm_punct", "quantize_emb", "pq_encode", "pq_topk", "holdout_split",
     "hll_by_source", "hist_quantiles", "bpe_fertility", "vocab_growth",
-    "group_sample", "temp_mixture", "source_kl",
+    "group_sample", "temp_mixture", "source_kl", "robust_outliers",
+    "zipf_slope", "source_overlap",
 ]
 
 

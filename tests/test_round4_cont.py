@@ -612,3 +612,86 @@ def test_edit_verify_closes_lsh_funnel(spark):
         {r["id_a"], r["id_b"]} == {1, 2} and r["is_dup"] for r in rows
     )
     assert all(3 not in {r["id_a"], r["id_b"]} or not r["is_dup"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# with_robust_outliers (median/MAD Hampel gate)
+# ---------------------------------------------------------------------------
+
+
+def _hampel(spark, rows, k_num=3, k_den=1):
+    from pdf_extraction_spark.operators.agg import with_robust_outliers
+
+    df = spark.createDataFrame(rows, "doc_id long, g string, v long")
+    return {
+        r.doc_id: r
+        for r in with_robust_outliers(df, "g", "v", k_num, k_den).collect()
+    }
+
+
+def test_hampel_matches_pure_python_replay(spark):
+    rows = [
+        (1, "a", 10), (2, "a", 12), (3, "a", 11), (4, "a", 13), (5, "a", 500),
+        (6, "b", 7), (7, "b", 7), (8, "b", 7), (9, "b", 9),
+        (10, None, 4), (11, None, 100), (12, "c", None), (13, "c", 5),
+    ]
+    got = _hampel(spark, rows)
+
+    def lomed(vals):
+        vals = sorted(vals)
+        return vals[(len(vals) + 1) // 2 - 1]
+
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for _, g, v in rows:
+        if v is not None:
+            by_g[g].append(v)
+    stats = {
+        g: (lomed(vs), lomed([abs(x - lomed(vs)) for x in vs]))
+        for g, vs in by_g.items()
+    }
+    for d, g, v in rows:
+        m, mad = stats[g]
+        assert got[d].grp_median == m, d
+        assert got[d].grp_mad == mad, d
+        want = None if v is None else abs(v - m) > 3 * mad
+        assert got[d].is_outlier == want, d
+
+
+def test_hampel_outlier_cannot_drag_the_gate(spark):
+    # the z-score failure mode: ONE huge value inflates stddev enough to
+    # hide itself; median/MAD is immune — the spike flags regardless of
+    # its magnitude
+    for spike in (100, 10_000, 10**12):
+        rows = [(i, "a", 50 + (i % 5)) for i in range(20)] + [(99, "a", spike)]
+        got = _hampel(spark, rows)
+        assert got[99].is_outlier is True, spike
+        assert all(not got[i].is_outlier for i in range(20))
+
+
+def test_hampel_zero_mad_flags_everything_off_median(spark):
+    rows = [(1, "a", 5), (2, "a", 5), (3, "a", 5), (4, "a", 6)]
+    got = _hampel(spark, rows)
+    assert got[4].grp_mad == 0 and got[4].is_outlier is True
+    assert got[1].is_outlier is False
+
+
+def test_hampel_k_is_a_rational_threshold(spark):
+    # med=10, MAD=2; v=15 → dev 5: k=5/2 exact boundary is NOT an
+    # outlier (strict >), k=2/1 is
+    rows = [(1, "a", 8), (2, "a", 10), (3, "a", 12), (4, "a", 15), (5, "a", 10)]
+    assert _hampel(spark, rows, 5, 2)[4].is_outlier is False
+    assert _hampel(spark, rows, 2, 1)[4].is_outlier is True
+
+
+def test_hampel_partition_invariance(spark):
+    from pdf_extraction_spark.operators.agg import with_robust_outliers
+
+    rows = [(i, f"g{i % 3}", (i * 7) % 23) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, v long")
+    a = sorted(map(tuple, with_robust_outliers(df, "g", "v").collect()))
+    b = sorted(
+        map(tuple, with_robust_outliers(df.repartition(17), "g", "v").collect())
+    )
+    assert a == b

@@ -435,3 +435,69 @@ def test_hll_by_partition_invariance(spark):
         map(tuple, hll_distinct_by(df.repartition(23), "k", F.col("v")).collect())
     )
     assert one == two
+
+
+# ---------------------------------------------------------------------------
+# streaming sketches (state-store parity with the batch bodies)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_hll_sketch_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.sketches import hll_estimate, hll_sketch
+    from pdf_extraction_spark.streaming.events import run_stream_to_memory
+    from pdf_extraction_spark.streaming.sketches import streaming_hll_sketch
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("url-"), (F.col("id") % 997).cast("string")).alias("url"),
+    )
+    stream_dir = str(tmp_path / "urls_stream")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(stream_dir)
+    docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(stream_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(stream_dir)
+    q = run_stream_to_memory(
+        streaming_hll_sketch(stream, F.col("url")), "stream_hll", mode="complete"
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM stream_hll").collect()
+    )
+    want = sorted(tuple(r) for r in hll_sketch(docs, F.col("url")).collect())
+    assert got == want
+    # the estimate over the streamed sketch == the batch estimate
+    est_stream = hll_estimate(spark.sql("SELECT * FROM stream_hll")).collect()[0]
+    est_batch = hll_estimate(hll_sketch(docs, F.col("url"))).collect()[0]
+    assert tuple(est_stream) == tuple(est_batch)
+
+
+def test_streaming_cms_sketch_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pdf_extraction_spark.operators.sketches import cms_sketch
+    from pdf_extraction_spark.streaming.events import run_stream_to_memory
+    from pdf_extraction_spark.streaming.sketches import streaming_cms_sketch
+
+    docs = spark.range(0, 2000).select(
+        (F.col("id") % 37).cast("string").alias("word"),
+        F.col("id").alias("doc_id"),
+    )
+    stream_dir = str(tmp_path / "words_stream")
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(stream_dir)
+    docs.filter(F.col("doc_id") % 3 != 0).write.mode("append").parquet(stream_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(stream_dir)
+    q = run_stream_to_memory(
+        streaming_cms_sketch(stream, F.col("word"), depth=3, width=64),
+        "stream_cms",
+        mode="complete",
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM stream_cms").collect())
+    want = sorted(
+        tuple(r)
+        for r in cms_sketch(docs, F.col("word"), depth=3, width=64).collect()
+    )
+    assert got == want
+    # state is sketch-bounded: never more than depth*width rows
+    assert len(got) <= 3 * 64
