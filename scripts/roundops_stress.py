@@ -130,6 +130,40 @@ def main(argv=None):
         ).count(),
     )
 
+    # -- session-7 continuation ops (all corpus-scaled) ------------------
+    from pdf_extraction_spark.operators.agg import with_robust_outliers
+    from pdf_extraction_spark.operators.dedup import source_overlap
+    from pdf_extraction_spark.operators.textanalysis import (
+        source_divergence,
+        zipf_slope,
+    )
+
+    def _sourced(n):
+        # a source dimension that stays bounded (16) while docs scale —
+        # the shape source_overlap/zipf/source_kl promise S²/S·k outputs on
+        return synth_docs(spark, n).withColumn(
+            "source", (F.col("doc_id") % 16).cast("string")
+        )
+
+    ladder(
+        "source_overlap_docs",
+        lambda n: source_overlap(_sourced(n)).count(),
+    )
+    ladder(
+        "zipf_slope_docs",
+        lambda n: zipf_slope(_sourced(n), k=100).count(),
+    )
+    ladder(
+        "source_kl_docs",
+        lambda n: source_divergence(_sourced(n)).count(),
+    )
+    ladder(
+        "robust_outliers_docs",
+        lambda n: with_robust_outliers(
+            _sourced(n).withColumn("v", F.length("text")), "source", "v"
+        ).count(),
+    )
+
     # linear iff no doubling more than ~2.8x (allowing shuffle jitter)
     report["linear"] = all(
         r <= 2.8 for op in report["ops"].values() for r in op["ratios"]
