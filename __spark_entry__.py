@@ -1907,6 +1907,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return host_quality_gate(_docs(spark, sf))
 
+    def q_host_wilson(spark, sf):
+        """Support-aware host ranking: Wilson score lower bound (z = 2)
+        of each host's doc-quality pass rate, evaluated entirely in
+        exact int64 fixed-point (10¹² radicand scale, exact integer
+        sqrt via the shared ±1-candidate CASE) so the ppm result is
+        bit-identical across engines and cluster sizes. One map-side-
+        combinable host aggregation, no second shuffle."""
+        from pdf_extraction_spark.operators.hostcap import host_wilson_rank
+
+        return host_wilson_rank(_docs(spark, sf))
+
     def q_hll_by_source(spark, sf):
         """Grouped HLL — the oracle-able relational form of
         `approx_count_distinct(x) GROUP BY k`: per-source distinct
@@ -2871,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_dedup": q_bloom_dedup,
         "unigram_entropy": q_unigram_entropy,
         "host_quality": q_host_quality,
+        "host_wilson": q_host_wilson,
         "host_trustrank": q_host_trustrank,
         "outlink_pagerank": q_outlink_pagerank,
         "bpe_fertility": q_bpe_fertility,
@@ -3153,6 +3165,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.hostcap import (
         sql_group_sample,
         sql_host_cap,
+        sql_host_wilson_rank,
     )
     from pdf_extraction_spark.operators.mlfilter import (
         sql_ppl_buckets,
@@ -3620,6 +3633,7 @@ def oracle_sql() -> dict[str, str]:
             f"'{WORD_SPLIT_RE}'), x -> x <> '') AS w FROM documents))"
         ),
         "host_quality": sql_host_quality_gate(),
+        "host_wilson": sql_host_wilson_rank(),
         "hll_by_source": sql_hll_distinct_by(
             "source",
             "shingle",

@@ -36,6 +36,8 @@ physical plan.
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .maintenance import _isqrt_case
+
 NEG_INF = float("-inf")
 
 
@@ -280,4 +282,125 @@ def sql_group_sample(
         f"row_number() OVER (PARTITION BY {group_expr} "
         f"ORDER BY {rank}, {id_expr}) AS rn "
         f"FROM {table}) WHERE rn <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson lower-bound host ranking
+# ---------------------------------------------------------------------------
+#
+# Ranking hosts by raw pass rate over-trusts tiny hosts (1/1 = 100%
+# beats 980/1000); the standard fix is the lower bound of the Wilson
+# score interval (Wilson 1927; popularized for ranking by E. Miller's
+# "How Not To Sort By Average Rating"), which shrinks low-support
+# estimates toward zero. At z = 2 (z² = 4, ~97.7% one-sided) the bound
+# over n docs with s passes reduces to
+#
+#   LB = (s + 2 − 2·sqrt(s·(n−s)/n + 1)) / (n + 4)
+#
+# and everything except the sqrt is integer. We evaluate the sqrt in
+# fixed point: R = floor(s·(n−s)·10¹² / n) + 10¹² (computed
+# overflow-free as (A div n)·10¹² + ((A mod n)·10¹²) div n with
+# A = s·(n−s)), then isqrt(R) ≈ 10⁶·sqrt(·) via the exact-integer-sqrt
+# CASE device shared with maintenance.temperature_mix. The result in
+# parts-per-million is bit-identical across engines, partitionings and
+# cluster sizes. Exact while (A div n)·10¹² < 2⁶³, i.e. hosts up to
+# ~3.6·10⁷ docs — beyond that, cap the host first (host_cap) or drop
+# the fixed-point scale one decade.
+
+
+_WILSON_SCALE = 10**12
+
+
+def _wilson_r_expr(div: str) -> str:
+    """Engine-shared fixed-point radicand: floor(A·10¹²/n) + 10¹²."""
+    s = _WILSON_SCALE
+    return (
+        f"((n_pass * (n_docs - n_pass)) {div} n_docs) * {s} "
+        f"+ (((n_pass * (n_docs - n_pass)) % n_docs) * {s}) {div} n_docs "
+        f"+ {s}"
+    )
+
+
+def host_wilson_rank(
+    df: DataFrame,
+    text_col: str = "text",
+    host_col: str = "source",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    low_avg: int = 4,
+) -> DataFrame:
+    """(host, n_docs, n_pass, wilson_lb_ppm): hosts scored by the
+    Wilson lower bound of their doc-quality pass rate — the
+    support-aware companion to :func:`host_quality_gate`'s hard
+    threshold. The per-doc pass verdict is the same integer-only rule
+    (≥ ``min_words`` tokens AND mean word length ≥ ``low_avg``, spelled
+    cross-multiplied). A 1/1 host lands at 166,666 ppm while a
+    980/1000 host keeps ~960,000 ppm — exactly the shrinkage the bound
+    exists for.
+
+    Scale shape: one host-keyed integer aggregation (map-side combined,
+    #hosts ≪ #docs) followed by per-row integer arithmetic — no second
+    shuffle, no window, no Python. NULL hosts are dropped (no
+    attributable support)."""
+    from .curation import _lower_words
+
+    words = _lower_words(F.coalesce(F.col(text_col), F.lit("")))
+    n_words = F.size(words)
+    sum_chars = F.length(F.concat_ws("", words))
+    doc_pass = (n_words >= F.lit(min_words)) & (
+        sum_chars >= F.lit(low_avg) * n_words
+    )
+    stats = (
+        df.filter(F.col(host_col).isNotNull())
+        .select(F.col(host_col).alias("host"), doc_pass.cast("long").alias("p"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"), F.sum("p").alias("n_pass"))
+    )
+    return (
+        stats.withColumn("R", F.expr(_wilson_r_expr("div")).cast("long"))
+        .withColumn("c", F.floor(F.sqrt(F.col("R").cast("double"))).cast("long"))
+        .withColumn("sq", F.expr(_isqrt_case("R", "c", "div")).cast("long"))
+        .select(
+            "host",
+            "n_docs",
+            "n_pass",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.expr("(1000000 * (n_pass + 2) - 2 * sq) div (n_docs + 4)"),
+            ).alias("wilson_lb_ppm"),
+        )
+    )
+
+
+def sql_host_wilson_rank(
+    table: str = "documents",
+    text_expr: str = "text",
+    host_expr: str = "source",
+    min_words: int = 30,
+    low_avg: int = 4,
+) -> str:
+    """DuckDB twin of :func:`host_wilson_rank` — identical integer
+    recursion (`//` == Spark `div` on the all-non-negative values;
+    HUGEINT sums cast back to BIGINT before the products)."""
+    from .curation import _sql_lower_words
+
+    ws = _sql_lower_words(f"coalesce({text_expr}, '')")
+    return (
+        f"WITH b AS (SELECT {host_expr} AS host, "
+        f"(len(ws) >= {min_words} AND "
+        f"coalesce(len(array_to_string(ws, '')), 0) >= {low_avg} * len(ws)) "
+        f"AS p FROM (SELECT {host_expr}, {ws} AS ws FROM {table} "
+        f"WHERE {host_expr} IS NOT NULL)), "
+        "s AS (SELECT host, count(*) AS n_docs, "
+        "CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pass "
+        "FROM b GROUP BY host), "
+        f"r AS (SELECT *, CAST({_wilson_r_expr('//')} AS BIGINT) AS R FROM s), "
+        "cc AS (SELECT *, CAST(floor(sqrt(CAST(R AS DOUBLE))) AS BIGINT) AS c "
+        "FROM r), "
+        f"q AS (SELECT *, CAST({_isqrt_case('R', 'c', '//')} AS BIGINT) AS sq "
+        "FROM cc) "
+        "SELECT host, n_docs, n_pass, CAST(greatest(0, "
+        "(1000000 * (n_pass + 2) - 2 * sq) // (n_docs + 4)) AS BIGINT) "
+        "AS wilson_lb_ppm FROM q"
     )

@@ -290,3 +290,75 @@ class TestZipfSlope:
         b = sorted(map(tuple, zipf_slope(df.repartition(11), k=10).collect()))
         assert a == b
         assert all(r[0] is not None for r in a)
+
+
+class TestHostWilsonRank:
+    def _run(self, spark, docs):
+        from pdf_extraction_spark.operators.hostcap import host_wilson_rank
+
+        return {
+            r.host: r
+            for r in host_wilson_rank(
+                spark.createDataFrame(docs, HQ_SCHEMA)
+            ).collect()
+        }
+
+    def test_matches_float_closed_form(self, spark):
+        import math
+
+        docs = [(i, GOOD if i % 5 else BAD, f"h{i % 3}") for i in range(60)]
+        out = self._run(spark, docs)
+        for r in out.values():
+            n, s = r.n_docs, r.n_pass
+            lb = (s + 2 - 2 * math.sqrt(s * (n - s) / n + 1)) / (n + 4)
+            # exact fixed-point vs float closed form: within 2 ppm
+            assert abs(r.wilson_lb_ppm - lb * 1e6) < 2, r
+
+    def test_shrinks_low_support(self, spark):
+        # 1/1 host vs 49/50 host: raw rate says the tiny host wins,
+        # Wilson says the supported host wins decisively
+        docs = [(0, GOOD, "tiny")]
+        docs += [(10 + i, BAD if i == 0 else GOOD, "big") for i in range(50)]
+        out = self._run(spark, docs)
+        assert out["tiny"].n_pass * out["big"].n_docs > out[
+            "big"
+        ].n_pass * out["tiny"].n_docs  # raw rate: tiny ahead
+        assert out["big"].wilson_lb_ppm > out["tiny"].wilson_lb_ppm
+
+    def test_zero_pass_is_zero_not_negative(self, spark):
+        docs = [(i, BAD, "h") for i in range(5)]
+        out = self._run(spark, docs)
+        assert out["h"].wilson_lb_ppm == 0
+
+    def test_null_host_dropped(self, spark):
+        docs = [(0, GOOD, None), (1, GOOD, "h")]
+        out = self._run(spark, docs)
+        assert set(out) == {"h"}
+
+    def test_strict_twin_parity(self, spark, tmp_path):
+        import duckdb
+
+        from pdf_extraction_spark.operators.hostcap import (
+            host_wilson_rank,
+            sql_host_wilson_rank,
+        )
+
+        docs = [
+            (i, GOOD if (i * 7) % 11 > 3 else BAD, f"s{i % 7}")
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(docs, HQ_SCHEMA)
+        pq = str(tmp_path / "docs.parquet")
+        df.write.mode("overwrite").parquet(pq)
+        got = sorted(
+            tuple(r)
+            for r in host_wilson_rank(spark.read.parquet(pq)).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'"
+        )
+        want = sorted(tuple(r) for r in con.execute(
+            sql_host_wilson_rank()
+        ).fetchall())
+        assert got == want
