@@ -638,6 +638,21 @@ URL_CANON_ROWS = [
     (11, "https://host.example/only?utm_a=1&utm_b=2"),
 ]
 
+SURT_ROWS = [
+    (0, "http://www.Example.COM/Path/Page?b=2&a=1#frag"),
+    (1, "https://sub.domain.example.com:443/x"),
+    (2, "http://example.com:8080/y?z"),
+    (3, "https://user:pw@www2.test.org:8443/A?c=3&b"),
+    (4, "not a url"),
+    (5, None),
+    (6, "http://example.com"),
+    (7, "ftp://files.example.net/pub/README.txt"),
+    (8, "https://www.example.com/?"),
+    (9, "http://WWW123.mixed.Case.NET:80/q?b=2&B=1&a"),
+    (10, "https://single/x"),
+    (11, "http://www./broken"),
+]
+
 # decontamination eval fixture: two rows excerpt real sf0.01 document
 # prefixes (so overlap genuinely fires), one is novel (no overlap)
 EVAL_ROWS = [
@@ -1115,6 +1130,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         urls = spark.createDataFrame(URL_CANON_ROWS, "uid int, url string")
         return urls.select("uid", canonical_url_col(F.col("url")).alias("canonical"))
+
+    def q_surt_keys(spark, sf):
+        """SURT keys (the Internet Archive / Common Crawl CDX shard
+        ordering): reversed comma-joined host labels + ')' + lowered
+        path + sorted query — the sort key that makes a range-sharded
+        10¹²-URL index cluster every host (and every domain) into one
+        contiguous scan. Pure native string/array expressions, zero
+        exchanges; NULL for non-URL rows (quarantine routing)."""
+        from pdf_extraction_spark.operators.curation import surt_key_col
+
+        urls = spark.createDataFrame(SURT_ROWS, "uid int, url string")
+        return urls.select("uid", surt_key_col(F.col("url")).alias("surt"))
 
     # -- benchmark decontamination (eval n-gram overlap, oracle-able) -------
     def q_decontaminate(spark, sf):
@@ -2832,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "url_filter": q_url_filter,
         "url_canonical": q_url_canonical,
+        "surt_keys": q_surt_keys,
         "nfc_normalize": q_nfc_normalize,
         "fold_accents": q_fold_accents,
         # nation_revenue (r1-green) / gopher_quality / dedup_lines /
@@ -3188,6 +3216,7 @@ def oracle_sql() -> dict[str, str]:
         sql_stratified_sample,
         sql_weighted_mix,
         sql_canonical_url,
+        sql_surt_key,
         sql_url_filter,
         sql_c4_flags as _sql_c4_flags,
         sql_refinedweb_flags as _sql_rw_flags,
@@ -3762,6 +3791,12 @@ def oracle_sql() -> dict[str, str]:
             + sql_canonical_url("url")
             + " AS canonical FROM "
             + _sql_values(URL_CANON_ROWS, ["uid", "url"])
+        ),
+        "surt_keys": (
+            "SELECT uid, "
+            + sql_surt_key("url")
+            + " AS surt FROM "
+            + _sql_values(SURT_ROWS, ["uid", "url"])
         ),
         "decontaminate": (
             "SELECT * FROM ("

@@ -994,6 +994,117 @@ def sql_canonical_url(url_expr: str) -> str:
     )
 
 
+
+# --------------------------------------------------------------------------
+# SURT keys (Sort-friendly URI Reordering Transform)
+# --------------------------------------------------------------------------
+#
+# The canonical ordering the Internet Archive / Common Crawl CDX
+# indexes shard by (public convention: webarchive-commons SURT.java,
+# the pywb `surt` package): host labels reversed and comma-joined so a
+# range-sharded index clusters every page of a host -- and every host
+# of a domain -- contiguously ("com,example)/" prefix-scans all of
+# example.com; "com,example" all of *.example.com). That locality is
+# the entire point at 10^12-URL scale: a per-domain read becomes one
+# contiguous range instead of a full-index scatter, and it is what
+# shard_manifest's range partitioner expects as its sort key.
+#
+# Key shape: rev_host[:port])lower_path[?sorted_query] with the scheme
+# dropped, default ports (http:80 / https:443) and a leading www\d*.
+# removed, the fragment discarded and query params sorted -- each rule
+# straight from the public canonicalizer. Pure native string/array
+# expressions in both engines (RE2∩Java-safe patterns), zero UDFs,
+# zero exchanges: a narrow map over the url column.
+
+_SURT_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_SURT_PORT_RE = r":([0-9]+)\z"
+
+
+def surt_key_col(url: Column) -> Column:
+    """SURT key for ``url`` -- NULL for NULL or non-URL-shaped input
+    (a row with no authority cannot land in a host-clustered shard;
+    callers route those to a quarantine partition)."""
+    scheme = F.lower(F.regexp_extract(F.coalesce(url, F.lit("")), _SURT_SCHEME_RE, 1))
+    head = F.regexp_extract(F.coalesce(url, F.lit("")), _URL_CANON_HEAD_RE, 1)
+    # authority = head minus "scheme://"; userinfo (up to last @) dropped
+    hostport = F.lower(
+        F.substring_index(
+            head.substr(F.length(scheme) + F.lit(4), F.length(head)), "@", -1
+        )
+    )
+    port = F.regexp_extract(hostport, _SURT_PORT_RE, 1)
+    host = F.regexp_replace(hostport, _SURT_PORT_RE, "")
+    host_n = F.regexp_replace(host, r"^www[0-9]*\.", "")
+    rev = F.array_join(F.reverse(F.split(host_n, r"\.")), ",")
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    rest = F.substring_index(
+        F.coalesce(url, F.lit("")).substr(
+            F.length(head) + F.lit(1), F.length(F.coalesce(url, F.lit("")))
+        ),
+        "#",
+        1,
+    )
+    qpos = F.instr(rest, "?")
+    path = F.lower(F.when(qpos > 0, rest.substr(F.lit(1), qpos - F.lit(1))).otherwise(rest))
+    query = F.when(qpos > 0, F.lower(rest.substr(qpos + F.lit(1), F.length(rest)))).otherwise(F.lit(""))
+    kept = F.filter(F.split(query, "&"), lambda x: x != "")
+    q_str = F.when(
+        F.size(kept) > 0,
+        F.concat(F.lit("?"), F.array_join(F.array_sort(kept), "&")),
+    ).otherwise(F.lit(""))
+    key = F.concat(
+        rev,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        path,
+        q_str,
+    )
+    return F.when(url.isNull() | (head == "") | (host_n == ""), F.lit(None).cast("string")).otherwise(key)
+
+
+def sql_surt_key(url_expr: str) -> str:
+    """DuckDB twin of :func:`surt_key_col` -- same patterns, same
+    label reversal (list_reverse) and param sort (list_sort)."""
+    u = f"coalesce({url_expr}, '')"
+    scheme = f"lower(coalesce(regexp_extract({u}, '{_SURT_SCHEME_RE}', 1), ''))"
+    head = f"coalesce(regexp_extract({u}, '{_URL_CANON_HEAD_RE}', 1), '')"
+    hostport = (
+        f"lower(CASE WHEN position('@' IN substr({head}, length({scheme}) + 4)) > 0 "
+        f"THEN regexp_replace(substr({head}, length({scheme}) + 4), '^.*@', '') "
+        f"ELSE substr({head}, length({scheme}) + 4) END)"
+    )
+    port = f"coalesce(regexp_extract({hostport}, ':([0-9]+)$', 1), '')"
+    host = f"regexp_replace({hostport}, ':[0-9]+$', '')"
+    host_n = rf"regexp_replace({host}, '^www[0-9]*\.', '')"
+    rev = f"array_to_string(list_reverse(string_split({host_n}, '.')), ',')"
+    keep_port = (
+        f"({port} <> '' AND NOT (({scheme} = 'http' AND {port} = '80') "
+        f"OR ({scheme} = 'https' AND {port} = '443')))"
+    )
+    rest = f"split_part(substr({u}, length({head}) + 1), '#', 1)"
+    path = (
+        f"lower(CASE WHEN position('?' IN {rest}) > 0 "
+        f"THEN substr({rest}, 1, position('?' IN {rest}) - 1) ELSE {rest} END)"
+    )
+    query = (
+        f"CASE WHEN position('?' IN {rest}) > 0 "
+        f"THEN lower(substr({rest}, position('?' IN {rest}) + 1)) ELSE '' END"
+    )
+    kept = f"list_filter(string_split({query}, '&'), x -> x <> '')"
+    q_str = (
+        f"CASE WHEN len({kept}) > 0 "
+        f"THEN '?' || array_to_string(list_sort({kept}), '&') ELSE '' END"
+    )
+    return (
+        f"CASE WHEN {url_expr} IS NULL OR {head} = '' OR {host_n} = '' THEN NULL "
+        f"ELSE {rev} || CASE WHEN {keep_port} THEN ':' || {port} ELSE '' END "
+        f"|| ')' || {path} || {q_str} END"
+    )
+
+
 # --------------------------------------------------------------------------
 # benchmark decontamination (eval-set n-gram overlap)
 # --------------------------------------------------------------------------

@@ -322,6 +322,102 @@ class TestPiiScrub:
         assert "555" not in row["scrubbed"]
 
 
+class TestSurtKeys:
+    def test_fixture_values(self, spark):
+        import __spark_entry__ as e
+
+        got = {
+            r["uid"]: r["surt"]
+            for r in e.queries()["surt_keys"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        # host reversed, www stripped, query sorted, path lowered
+        assert got[0] == "com,example)/path/page?a=1&b=2"
+        assert got[1] == "com,example,domain,sub)/x"  # default :443 gone
+        assert got[2] == "com,example:8080)/y?z"  # non-default port kept
+        assert got[3] == "org,test:8443)/a?b&c=3"  # userinfo + www2 gone
+        assert got[4] is None and got[5] is None  # non-URL / NULL
+        assert got[6] == "com,example)"  # bare host, empty path
+        assert got[7] == "net,example,files)/pub/readme.txt"
+        assert got[8] == "com,example)/"  # trailing bare '?' dropped
+        assert got[9] == "net,case,mixed)/q?a&b=1&b=2"  # lower THEN sort
+        assert got[10] == "single)/x"  # single-label host
+        assert got[11] is None  # 'www.' strips to empty host
+
+    def test_domain_locality_under_sort(self, spark):
+        """The point of SURT: sorting by the key clusters a domain's
+        hosts contiguously (range shards = per-domain range scans)."""
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.operators.curation import surt_key_col
+
+        urls = [
+            (i, u)
+            for i, u in enumerate(
+                [
+                    "http://a.example.com/1",
+                    "http://zz-unrelated.org/x",
+                    "http://b.example.com/2",
+                    "http://example.com/root",
+                    "http://aardvark.net/y",
+                    "http://www.example.com/www",
+                ]
+            )
+        ]
+        df = spark.createDataFrame(urls, "uid int, url string")
+        keys = sorted(
+            r["surt"]
+            for r in df.select(
+                surt_key_col(F.col("url")).alias("surt")
+            ).collect()
+        )
+        dom = [k for k in keys if k.startswith("com,example")]
+        lo, hi = keys.index(dom[0]), keys.index(dom[-1])
+        assert hi - lo + 1 == len(dom) == 4  # contiguous run
+
+    def test_strict_twin_on_fuzz(self, spark):
+        import random
+
+        import duckdb
+
+        from pdf_extraction_spark.operators.curation import (
+            sql_surt_key,
+            surt_key_col,
+        )
+        from pyspark.sql import functions as F
+
+        rng = random.Random(42)
+        frags = [
+            "http://", "https://", "", "www.", "WWW3.", "a.b", "X.Y.z",
+            ":80", ":443", ":8080", "/p/Q", "?b=2&a=1", "?A&&b", "#f",
+            "user@", ":pw@", ".", "..", "@",
+        ]
+        rows = [
+            (i, "".join(rng.choice(frags) for _ in range(rng.randint(1, 6))))
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "uid int, url string")
+        got = sorted(
+            (r["uid"], r["surt"])
+            for r in df.select(
+                "uid", surt_key_col(F.col("url")).alias("surt")
+            ).collect()
+        )
+        con = duckdb.connect()
+        vals = ", ".join(
+            "(%d, '%s')" % (u, s.replace("'", "''")) for u, s in rows
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                f"SELECT uid, {sql_surt_key('url')} AS surt "
+                f"FROM (VALUES {vals}) t(uid, url)"
+            ).fetchall()
+        )
+        assert got == want
+
+
 class TestUrlFilter:
     def test_semantics_and_cross_engine(self, spark):
         import duckdb as _duck
