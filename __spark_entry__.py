@@ -1485,6 +1485,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf)
         return score_bigram_lm(docs, train_bigram_lm(docs))
 
+    def q_sb_trigram(spark, sf):
+        """Stupid Backoff trigram LM (Brants et al. 2007 §3) — the
+        published web-scale recipe: estimation is pure distributed
+        counting (uni/bi/trigram tables, no smoothing normalization),
+        scoring backs off trigram → bigram → unigram with α = 0.4.
+        Count tables stay distributed and join by n-gram key; the
+        per-doc mean log10 uses the position-ordered fold, so the
+        score is bit-stable cross-engine."""
+        from pdf_extraction_spark.operators.mlfilter import (
+            score_stupid_backoff,
+            train_trigram_lm,
+        )
+
+        docs = _docs(spark, sf)
+        return score_stupid_backoff(docs, train_trigram_lm(docs))
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -2849,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": q_host_cap,
         "qual_classify": q_qual_classify,
         "lm_score": q_lm_score,
+        "sb_trigram": q_sb_trigram,
         "fix_mojibake": q_fix_mojibake,
         "incremental_dedup": q_incremental_dedup,
         "weighted_mix": q_weighted_mix,
@@ -3199,6 +3216,7 @@ def oracle_sql() -> dict[str, str]:
         sql_ppl_buckets,
         sql_dsir_select,
         sql_score_bigram_lm,
+        sql_score_stupid_backoff,
         sql_score_quality,
     )
     from pdf_extraction_spark.operators.curation import (
@@ -3587,6 +3605,7 @@ def oracle_sql() -> dict[str, str]:
             bias=0.1,
         ),
         "lm_score": sql_score_bigram_lm(),
+        "sb_trigram": sql_score_stupid_backoff(),
         "ppl_buckets": sql_ppl_buckets(),
         "dsir_select": sql_dsir_select(100, "lang = 'en'"),
         "host_pagerank": sql_pagerank(

@@ -391,6 +391,181 @@ def sql_score_bigram_lm(
     )
 
 
+def _with_prev12(pt: DataFrame) -> DataFrame:
+    """Attach the previous TWO tokens per (doc, pos) in ONE doc-keyed
+    window shuffle (lag(1) and lag(2) share the frame) — the trigram
+    sibling of :func:`_with_prev`."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return pt.withColumn("prev", F.lag("tok", 1).over(w)).withColumn(
+        "prev2", F.lag("tok", 2).over(w)
+    )
+
+
+def train_trigram_lm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> dict:
+    """Unigram + bigram + trigram count tables — the Stupid Backoff
+    estimation step of Brants et al. 2007 ("Large Language Models in
+    Machine Translation" §3), THE published web-scale LM recipe: raw
+    relative frequencies, no smoothing normalization, so estimation is
+    nothing but distributed counting. Three map-side-combinable
+    groupBys on the token stream; tables are vocabulary-/n-gram-keyed
+    (≪ corpus at any scale that matters) and stay distributed — never
+    collected, joined by key downstream."""
+    pt = _positioned_tokens(df, text_col, id_col)
+    wp = _with_prev12(pt)
+    uni = pt.groupBy("tok").agg(F.count("*").alias("u_cnt"))
+    bi = (
+        wp.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "tok")
+        .agg(F.count("*").alias("b_cnt"))
+    )
+    tri = (
+        wp.filter(F.col("prev2").isNotNull())
+        .groupBy("prev2", "prev", "tok")
+        .agg(F.count("*").alias("t_cnt"))
+    )
+    total = pt.count()
+    return {"uni": uni, "bi": bi, "tri": tri, "total": total}
+
+
+def score_stupid_backoff(
+    df: DataFrame,
+    lm: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = LM_ALPHA,
+) -> DataFrame:
+    """(doc_id, n_scored, avg_logprob): mean log10 Stupid Backoff score
+    (Brants et al. 2007 §3) per position —
+
+      S(w|u,v) = f(uvw)/f(uv)      when the trigram was seen,
+               = α·S(w|v)          otherwise,
+      S(w|v)   = f(vw)/f(v)        when the bigram was seen,
+               = α·S(w)            otherwise,
+      S(w)     = f(w)/N            (floor for OOV)
+
+    with α = 0.4 (the paper's value). Positions 0/1 score their
+    unigram/bigram chains directly (no backoff penalty — there is no
+    longer context to back off FROM). Probabilities are ratios of
+    int64 counts (correctly-rounded doubles, bit-identical
+    cross-engine); the per-doc sum is the position-ordered fold shared
+    with the bigram scorer. Scale shape: the scored stream joins the
+    count tables on token-tuple keys — vocabulary-keyed shuffles with
+    AQE handling stop-word skew; no broadcast hints (the tables are
+    corpus-derived and unbounded)."""
+    total = float(lm["total"])
+    alpha2 = alpha * alpha  # one Python double, shared with the twin
+    pairs = _with_prev12(_positioned_tokens(df, text_col, id_col))
+    ctx = (
+        lm["bi"]
+        .withColumnRenamed("prev", "prev2")
+        .withColumnRenamed("tok", "prev")
+        .withColumnRenamed("b_cnt", "ctx_cnt")
+    )
+    joined = (
+        pairs.join(
+            lm["uni"]
+            .withColumnRenamed("tok", "prev")
+            .withColumnRenamed("u_cnt", "prev_cnt"),
+            "prev",
+            "left",
+        )
+        .join(lm["uni"], "tok", "left")
+        .join(lm["bi"], ["prev", "tok"], "left")
+        .join(ctx, ["prev2", "prev"], "left")
+        .join(lm["tri"], ["prev2", "prev", "tok"], "left")
+    )
+    uni_p = F.coalesce(F.col("u_cnt").cast("double") / F.lit(total), F.lit(LM_FLOOR))
+    bi_p = F.col("b_cnt").cast("double") / F.col("prev_cnt").cast("double")
+    has_bi = F.col("b_cnt").isNotNull() & F.col("prev_cnt").isNotNull()
+    prob = (
+        F.when(
+            F.col("t_cnt").isNotNull() & F.col("ctx_cnt").isNotNull(),
+            F.col("t_cnt").cast("double") / F.col("ctx_cnt").cast("double"),
+        )
+        .when(F.col("prev2").isNotNull() & has_bi, F.lit(alpha) * bi_p)
+        .when(F.col("prev2").isNotNull(), F.lit(alpha2) * uni_p)
+        .when(has_bi, bi_p)
+        .when(F.col("prev").isNotNull(), F.lit(alpha) * uni_p)
+        .otherwise(uni_p)
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.log10(prob).alias("lp")))
+            ).alias("terms"),
+        )
+        .select(
+            "doc_id",
+            "n_scored",
+            F.round(
+                _ordered_fold_sum(F.transform("terms", lambda s: s["lp"]))
+                / F.col("n_scored"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def sql_score_stupid_backoff(
+    text_expr: str = "text", alpha: float = LM_ALPHA
+) -> str:
+    """DuckDB twin of :func:`score_stupid_backoff` — same count tables
+    (self-joins at pos+1/pos+2), same backoff CASE ladder with the
+    identical Python-formatted α/α² literals, same ordered fold."""
+    tx = f"coalesce({text_expr}, '')"
+    alpha2 = alpha * alpha
+    return (
+        f"WITH t AS (SELECT doc_id, {_sql_tokens(tx)} AS toks FROM documents), "
+        "pt AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM ("
+        "SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)), "
+        "uni AS (SELECT tok, count(*) AS u_cnt FROM pt GROUP BY tok), "
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pt), "
+        "bi AS (SELECT a.tok AS prev, b.tok AS nxt, count(*) AS b_cnt "
+        "FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "GROUP BY a.tok, b.tok), "
+        "tri AS (SELECT a.tok AS p2, b.tok AS prev, c.tok AS nxt, "
+        "count(*) AS t_cnt "
+        "FROM pt a JOIN pt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "JOIN pt c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2 "
+        "GROUP BY a.tok, b.tok, c.tok), "
+        "pairs AS (SELECT c.doc_id, c.pos, c.tok, p.tok AS prev, p2.tok AS prev2 "
+        "FROM pt c "
+        "LEFT JOIN pt p ON c.doc_id = p.doc_id AND p.pos = c.pos - 1 "
+        "LEFT JOIN pt p2 ON c.doc_id = p2.doc_id AND p2.pos = c.pos - 2), "
+        "j AS (SELECT pr.doc_id, pr.pos, "
+        "CASE "
+        "WHEN tri.t_cnt IS NOT NULL AND cx.b_cnt IS NOT NULL "
+        "THEN CAST(tri.t_cnt AS DOUBLE) / cx.b_cnt "
+        "WHEN pr.prev2 IS NOT NULL AND bi.b_cnt IS NOT NULL "
+        "AND up.u_cnt IS NOT NULL "
+        f"THEN {alpha} * (CAST(bi.b_cnt AS DOUBLE) / up.u_cnt) "
+        "WHEN pr.prev2 IS NOT NULL "
+        f"THEN {alpha2} * coalesce(uc.u_cnt / tot.n, {LM_FLOOR}) "
+        "WHEN bi.b_cnt IS NOT NULL AND up.u_cnt IS NOT NULL "
+        "THEN CAST(bi.b_cnt AS DOUBLE) / up.u_cnt "
+        f"WHEN pr.prev IS NOT NULL "
+        f"THEN {alpha} * coalesce(uc.u_cnt / tot.n, {LM_FLOOR}) "
+        f"ELSE coalesce(uc.u_cnt / tot.n, {LM_FLOOR}) END AS prob "
+        "FROM pairs pr "
+        "LEFT JOIN uni up ON pr.prev = up.tok "
+        "LEFT JOIN uni uc ON pr.tok = uc.tok "
+        "LEFT JOIN bi ON pr.prev = bi.prev AND pr.tok = bi.nxt "
+        "LEFT JOIN bi cx ON pr.prev2 = cx.prev AND pr.prev = cx.nxt "
+        "LEFT JOIN tri ON pr.prev2 = tri.p2 AND pr.prev = tri.prev "
+        "AND pr.tok = tri.nxt "
+        "CROSS JOIN tot) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored, "
+        "round(list_reduce(list_prepend(0.0, list(log10(prob) ORDER BY pos)), "
+        "(a, b) -> a + b) / count(*), 6) AS avg_logprob FROM j GROUP BY doc_id"
+    )
+
+
 def ppl_bucket_cutoffs(
     scored: DataFrame,
     score_col: str = "avg_logprob",

@@ -187,6 +187,137 @@ def test_bigram_lm_scores_unseen_corpus(spark):
     assert got[0] > got[1]  # in-domain beats fully-unseen
 
 
+# ---------------------------------------------------------------------------
+# Stupid Backoff trigram LM (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+def _py_stupid_backoff(corpus, alpha=0.4, floor=1e-9):
+    """Pure-Python replay of the Brants recipe over tokenized docs."""
+    import math
+    import re
+    from collections import Counter
+
+    tok = lambda t: [w for w in re.split(r"[^0-9a-z]+", (t or "").lower()) if w]
+    docs = {i: tok(t) for i, t in corpus}
+    uni, bi, tri = Counter(), Counter(), Counter()
+    for ws in docs.values():
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+        tri.update(zip(ws, ws[1:], ws[2:]))
+    n = float(sum(uni.values()))
+    out = {}
+    for i, ws in docs.items():
+        if not ws:
+            continue
+        lps = []
+        for p, w in enumerate(ws):
+            u = uni.get(w, 0) / n if uni.get(w) else floor
+            if p == 0:
+                pr = u
+            elif p == 1:
+                pr = (
+                    bi[(ws[0], w)] / uni[ws[0]]
+                    if bi.get((ws[0], w))
+                    else alpha * u
+                )
+            else:
+                v2, v1 = ws[p - 2], ws[p - 1]
+                if tri.get((v2, v1, w)) and bi.get((v2, v1)):
+                    pr = tri[(v2, v1, w)] / bi[(v2, v1)]
+                elif bi.get((v1, w)):
+                    pr = alpha * bi[(v1, w)] / uni[v1]
+                else:
+                    pr = alpha * alpha * u
+            lps.append(math.log10(pr))
+        acc = 0.0
+        for lp in lps:
+            acc += lp
+        out[i] = (len(lps), round(acc / len(lps), 6))
+    return out
+
+
+def test_stupid_backoff_matches_python_replay_and_twin(spark):
+    from pdf_extraction_spark.operators.mlfilter import (
+        score_stupid_backoff,
+        sql_score_stupid_backoff,
+        train_trigram_lm,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat", 22, "s"),
+        (1, "the cat sat on the hat", 22, "s"),
+        (2, "mat the on sat cat the", 22, "s"),
+        (3, "completely unseen words", 23, "s"),
+        (4, "the cat", 7, "s"),
+        (5, "the", 3, "s"),
+        (6, "", 0, "s"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long, source string"
+    )
+    lm = train_trigram_lm(df)
+    got = score_stupid_backoff(df, lm).orderBy("doc_id").collect()
+    # 1) exact vs the pure-Python replay (same fold order, same round)
+    ref = _py_stupid_backoff([(i, t) for i, t, _, _ in rows])
+    assert {r.doc_id: (r.n_scored, r.avg_logprob) for r in got} == ref
+    # 2) exact vs the DuckDB twin
+    con = _ddb_docs(rows)
+    exp = con.execute(
+        sql_score_stupid_backoff() + " ORDER BY doc_id"
+    ).fetchall()
+    assert [(r.doc_id, r.n_scored, r.avg_logprob) for r in got] == exp
+    by_id = {r.doc_id: r.avg_logprob for r in got}
+    assert 6 not in by_id
+    # fluency property needs HELD-OUT scoring (self-training hands the
+    # scrambled doc its own count-1 trigrams): train on docs 0-1 only,
+    # then fluent word order beats the same tokens scrambled
+    train = spark.createDataFrame(
+        [r[:2] for r in rows[:2]], "doc_id long, text string"
+    )
+    held = spark.createDataFrame(
+        [(20, "the cat sat on the mat"), (21, "mat the on sat cat the")],
+        "doc_id long, text string",
+    )
+    ho = {
+        r.doc_id: r.avg_logprob
+        for r in score_stupid_backoff(held, train_trigram_lm(train)).collect()
+    }
+    assert ho[20] > ho[21]
+
+
+def test_stupid_backoff_backoff_ladder(spark):
+    """Every CASE branch fires: trigram hit, bigram backoff (with and
+    without prev2), double backoff to unigram, OOV floor."""
+    import math
+
+    from pdf_extraction_spark.operators.mlfilter import (
+        score_stupid_backoff,
+        train_trigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(0, "a b c d"), (1, "b c x")], "doc_id long, text string"
+    )
+    lm = train_trigram_lm(train)
+    test = spark.createDataFrame(
+        [
+            (10, "a b c d"),  # trigram path end-to-end
+            (11, "d a"),      # bigram miss at pos 1 -> alpha * uni
+            (12, "a b z"),    # trigram+bigram miss -> alpha^2 * floorless uni? z OOV -> floor
+            (13, "q"),        # pure OOV unigram floor
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.avg_logprob
+        for r in score_stupid_backoff(test, lm).collect()
+    }
+    # doc 13: single OOV token = log10(floor) exactly
+    assert got[13] == round(math.log10(1e-9), 6)
+    # seen-everything doc scores strictly above every backoff doc
+    assert got[10] > max(got[11], got[12], got[13])
+
+
 class TestPplBuckets:
     """CCNet tercile bucketing semantics (cross-engine parity of the
     registered query is pinned by the strict ppl_buckets twin)."""
