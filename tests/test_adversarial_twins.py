@@ -92,6 +92,9 @@ QUERIES = [
     "norm_punct", "holdout_split", "hll_by_source", "hist_quantiles",
     "bpe_fertility", "vocab_growth", "group_sample", "temp_mixture",
     "source_kl", "robust_outliers", "zipf_slope", "source_overlap",
+    "sentences", "meta_keywords", "cc_scrub", "soft404", "html_pubdate",
+    "link_profile", "hreflang_alts", "content_spans", "group_quartiles",
+    "spam_mass", "host_wilson", "sb_trigram",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"
