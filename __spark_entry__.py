@@ -1501,6 +1501,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf)
         return score_stupid_backoff(docs, train_trigram_lm(docs))
 
+    def q_dimsum(spark, sf):
+        """DIMSUM sampled all-pairs term cosine (Zadeh & Goel 2013 —
+        Spark RowMatrix.columnSimilarities): elements survive with
+        q = min(1, √γ/‖col‖) via the md5-uniform coin, pairs form only
+        among survivors, the estimate divides by q_a·q_b·‖a‖·‖b‖.
+        High-norm stop-word columns — the pair-explosion culprits —
+        are sampled hardest; expected emissions scale with γ·#terms,
+        independent of corpus row count. Integer tf/dot products and
+        one pinned-order float expression keep it bit-identical
+        cross-engine."""
+        from pdf_extraction_spark.operators.similarity import dimsum_cosine
+
+        return dimsum_cosine(_docs(spark, sf), sqrt_gamma=8.0, min_sim=0.25)
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -2866,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qual_classify": q_qual_classify,
         "lm_score": q_lm_score,
         "sb_trigram": q_sb_trigram,
+        "dimsum": q_dimsum,
         "fix_mojibake": q_fix_mojibake,
         "incremental_dedup": q_incremental_dedup,
         "weighted_mix": q_weighted_mix,
@@ -3239,7 +3254,10 @@ def oracle_sql() -> dict[str, str]:
         sql_c4_flags as _sql_c4_flags,
         sql_refinedweb_flags as _sql_rw_flags,
     )
-    from pdf_extraction_spark.operators.similarity import sql_semantic_dedup
+    from pdf_extraction_spark.operators.similarity import (
+        sql_dimsum_cosine,
+        sql_semantic_dedup,
+    )
     from pdf_extraction_spark.operators.dedup import (
         sql_embedding_lsh_neardups,
         sql_source_overlap,
@@ -3606,6 +3624,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lm_score": sql_score_bigram_lm(),
         "sb_trigram": sql_score_stupid_backoff(),
+        "dimsum": sql_dimsum_cosine(sqrt_gamma=8.0, min_sim=0.25),
         "ppl_buckets": sql_ppl_buckets(),
         "dsir_select": sql_dsir_select(100, "lang = 'en'"),
         "host_pagerank": sql_pagerank(

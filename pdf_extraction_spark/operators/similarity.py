@@ -921,3 +921,173 @@ def sql_adc_topk(cb_rel: str, query_vec, k: int, dim: int = 64, m: int = 8, **kw
         f"SELECT vid AS {id_col}, adist FROM summed "
         f"ORDER BY adist, vid LIMIT {int(k)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# DIMSUM sampled all-pairs cosine (Zadeh & Goel 2013; Spark RowMatrix's
+# columnSimilarities)
+# ---------------------------------------------------------------------------
+#
+# All-pairs column cosine over the doc-term matrix (term-term
+# co-occurrence similarity — "related terms") without the O(nnz²)
+# pair explosion: each matrix ELEMENT survives with probability
+# q_t = min(1, √γ / ‖c_t‖), pairs are formed only among survivors, and
+# the estimator divides the sampled dot product by q_i·q_j·‖c_i‖·‖c_j‖.
+# High-norm (stop-word-ish) columns — exactly the ones whose pair
+# fan-out explodes — are sampled hardest, and the estimate is unbiased
+# with relative-error guarantees for pairs above γ's design threshold
+# (the paper's "dimension independent" point: expected emissions scale
+# with γ·#columns, not with #rows). Columns below the √γ norm knee
+# have q = 1 and their similarities are EXACT.
+#
+# Determinism: tf counts are integers, so column sum-of-squares is an
+# exact int64 and ‖c‖ = sqrt(int) is one correctly-rounded double;
+# q = min(1, √γ/‖c‖) one correctly-rounded division; the survival coin
+# is the DSIR md5-uniform device (13 hex chars → 52 bits, u exactly
+# representable), so BOTH engines keep exactly the same elements; the
+# sampled dot product Σ tf_i·tf_j is an exact int64; the final
+# estimate is a single pinned-order float expression rounded to 6
+# digits. Bit-identical across engines, partitionings, cluster sizes.
+
+DIMSUM_SALT = "dimsum"
+_DIMSUM_TWO_52 = float(1 << 52)
+
+
+def _dimsum_u(doc_id: "F.Column", term: "F.Column", salt: str):
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(doc_id.cast("string"), F.lit("|"), term, F.lit(salt))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (v.cast("double") + F.lit(0.5)) / F.lit(_DIMSUM_TWO_52)
+
+
+def dimsum_cosine(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sqrt_gamma: float = 8.0,
+    min_sim: float = 0.0,
+    salt: str = DIMSUM_SALT,
+) -> DataFrame:
+    """(term_a, term_b, pair_weight, est_cos): DIMSUM-sampled cosine
+    similarity between term columns of the doc-term tf matrix.
+    ``pair_weight`` is the exact-integer sampled dot product (audit
+    column); ``est_cos`` the unbiased estimate, exact where both
+    q = 1 (estimates on heavily-sampled pairs can exceed 1 — that is
+    estimator variance, not a bug; γ controls it). Scale shape: tf and norms are (doc,term)-/term-keyed
+    combinable groupBys; survivor pairing is a doc-keyed self-join
+    whose fan-out the sampling bounds (expected survivors per column
+    ≤ √γ + 1); one (term,term)-keyed integer aggregation closes it.
+    No window, no Python, no driver state."""
+    from .curation import _lower_words
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                _lower_words(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    norms = (
+        tf.groupBy("term")
+        .agg(F.sum(F.col("tf") * F.col("tf")).alias("ssq"))
+        .select(
+            "term",
+            F.sqrt(F.col("ssq").cast("double")).alias("nrm"),
+        )
+        .withColumn(
+            "q", F.least(F.lit(1.0), F.lit(float(sqrt_gamma)) / F.col("nrm"))
+        )
+    )
+    surv = (
+        tf.join(norms, "term")
+        .filter(_dimsum_u(F.col("doc_id"), F.col("term"), salt) < F.col("q"))
+        .select("doc_id", "term", "tf")
+    )
+    a = surv.select(
+        "doc_id",
+        F.col("term").alias("term_a"),
+        F.col("tf").alias("tf_a"),
+    )
+    b = surv.select(
+        "doc_id",
+        F.col("term").alias("term_b"),
+        F.col("tf").alias("tf_b"),
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("pair_weight"))
+    )
+    na = norms.select(
+        F.col("term").alias("term_a"),
+        F.col("nrm").alias("n_a"),
+        F.col("q").alias("q_a"),
+    )
+    nb = norms.select(
+        F.col("term").alias("term_b"),
+        F.col("nrm").alias("n_b"),
+        F.col("q").alias("q_b"),
+    )
+    est = F.round(
+        F.col("pair_weight").cast("double")
+        / ((F.col("q_a") * F.col("q_b")) * (F.col("n_a") * F.col("n_b"))),
+        6,
+    )
+    return (
+        pairs.join(na, "term_a")
+        .join(nb, "term_b")
+        .select("term_a", "term_b", "pair_weight", est.alias("est_cos"))
+        .filter(F.col("est_cos") >= F.lit(float(min_sim)))
+    )
+
+
+def sql_dimsum_cosine(
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    sqrt_gamma: float = 8.0,
+    min_sim: float = 0.0,
+    salt: str = DIMSUM_SALT,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dimsum_cosine` — same tf/norm/q tables,
+    same md5 survival coin, same pinned-order estimate expression."""
+    from .curation import _sql_lower_words
+
+    ws = _sql_lower_words(f"coalesce({text_expr}, '')")
+    return (
+        f"WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        f"FROM (SELECT {id_expr} AS doc_id, unnest({ws}) AS term "
+        f"FROM {table}) GROUP BY doc_id, term), "
+        "norms AS (SELECT term, "
+        "sqrt(CAST(CAST(sum(tf * tf) AS BIGINT) AS DOUBLE)) AS nrm "
+        "FROM tf GROUP BY term), "
+        f"nq AS (SELECT term, nrm, least(1.0, {float(sqrt_gamma)!r} / nrm) "
+        "AS q FROM norms), "
+        f"surv AS (SELECT t.doc_id, t.term, t.tf FROM tf t "
+        f"JOIN nq ON t.term = nq.term "
+        f"WHERE (CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR) || '|' "
+        f"|| t.term || '{salt}'), 1, 13) AS BIGINT) + 0.5) "
+        f"/ {_DIMSUM_TWO_52!r} < nq.q), "
+        "pairs AS (SELECT a.term AS term_a, b.term AS term_b, "
+        "CAST(sum(a.tf * b.tf) AS BIGINT) AS pair_weight "
+        "FROM surv a JOIN surv b ON a.doc_id = b.doc_id "
+        "AND a.term < b.term GROUP BY a.term, b.term) "
+        "SELECT p.term_a, p.term_b, p.pair_weight, "
+        "round(CAST(p.pair_weight AS DOUBLE) / "
+        "((na.q * nb.q) * (na.nrm * nb.nrm)), 6) AS est_cos "
+        "FROM pairs p "
+        "JOIN nq na ON p.term_a = na.term "
+        "JOIN nq nb ON p.term_b = nb.term "
+        f"WHERE round(CAST(p.pair_weight AS DOUBLE) / "
+        f"((na.q * nb.q) * (na.nrm * nb.nrm)), 6) >= {float(min_sim)!r}"
+    )

@@ -402,3 +402,98 @@ class TestProductQuantization:
 
         with pytest.raises(ValueError):
             pq_train_lite(np.zeros((4, 10)), m=3, k=2)
+
+
+class TestDimsum:
+    CORPUS = [
+        (i, " ".join(
+            (["spark"] * 3 + ["shuffle", "join"]) if i % 3 == 0
+            else (["spark", "vector", "batch", "batch"]) if i % 3 == 1
+            else (["unrelated", "tokens", "entirely"])
+        ), "en", "s", 0)
+        for i in range(60)
+    ]
+    SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def _exact_cosines(self):
+        """Pure-Python exact term-term cosine over the corpus tf matrix."""
+        import math
+        import re
+        from collections import Counter, defaultdict
+
+        cols = defaultdict(Counter)  # term -> {doc: tf}
+        for i, t, *_ in self.CORPUS:
+            for w in re.split(r"[^0-9a-z]+", t.lower()):
+                if w:
+                    cols[w][i] += 1
+        out = {}
+        terms = sorted(cols)
+        for a in terms:
+            for b in terms:
+                if a < b:
+                    dot = sum(cols[a][d] * cols[b][d] for d in cols[a])
+                    na = math.sqrt(sum(v * v for v in cols[a].values()))
+                    nb = math.sqrt(sum(v * v for v in cols[b].values()))
+                    if dot:
+                        out[(a, b)] = dot / (na * nb)
+        return out
+
+    def test_exact_mode_equals_exact_cosine(self, spark):
+        """q = 1 everywhere (huge gamma) => DIMSUM IS exact cosine."""
+        from pdf_extraction_spark.operators.similarity import dimsum_cosine
+
+        df = spark.createDataFrame(self.CORPUS, self.SCHEMA)
+        got = {
+            (r.term_a, r.term_b): r.est_cos
+            for r in dimsum_cosine(df, sqrt_gamma=1e9).collect()
+        }
+        exact = self._exact_cosines()
+        assert set(got) == set(exact)
+        for k, v in exact.items():
+            assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+
+    def test_sampled_estimate_tracks_exact(self, spark):
+        """Sampled estimates stay near exact for the well-supported
+        pairs (the paper's guarantee zone: both norms >= sqrt(gamma))."""
+        from pdf_extraction_spark.operators.similarity import dimsum_cosine
+
+        df = spark.createDataFrame(self.CORPUS, self.SCHEMA)
+        sg = 6.0
+        got = {
+            (r.term_a, r.term_b): r.est_cos
+            for r in dimsum_cosine(df, sqrt_gamma=sg).collect()
+        }
+        exact = self._exact_cosines()
+        zone = [k for k, v in exact.items() if v >= 0.5]
+        assert zone, "test corpus must have strong pairs"
+        errs = [abs(got.get(k, 0.0) - exact[k]) for k in zone]
+        assert sum(errs) / len(errs) < 0.25, sorted(
+            zip(errs, zone), reverse=True
+        )[:5]
+
+    def test_strict_twin_parity(self, spark, tmp_path):
+        import duckdb
+
+        from pdf_extraction_spark.operators.similarity import (
+            dimsum_cosine,
+            sql_dimsum_cosine,
+        )
+
+        df = spark.createDataFrame(self.CORPUS, self.SCHEMA)
+        pq = str(tmp_path / "docs.parquet")
+        df.write.mode("overwrite").parquet(pq)
+        got = sorted(
+            tuple(r)
+            for r in dimsum_cosine(
+                spark.read.parquet(pq), sqrt_gamma=6.0, min_sim=0.1
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}/*.parquet'")
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                sql_dimsum_cosine(sqrt_gamma=6.0, min_sim=0.1)
+            ).fetchall()
+        )
+        assert got == want
