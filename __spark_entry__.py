@@ -638,6 +638,14 @@ URL_CANON_ROWS = [
     (11, "https://host.example/only?utm_a=1&utm_b=2"),
 ]
 
+# engine-shared derivation for the sentence_chunks query: four
+# sentences per synthetic doc (terminator variety: . ! ?), identical
+# ANSI expression in Spark SQL and DuckDB
+SENT_CHUNK_TEXT_EXPR = (
+    "coalesce(text, '') || '. ' || coalesce(text, '') || '! ' || "
+    "substr(coalesce(text, ''), 1, 40) || '? closing words here.'"
+)
+
 SURT_ROWS = [
     (0, "http://www.Example.COM/Path/Page?b=2&a=1#frag"),
     (1, "https://sub.domain.example.com:443/x"),
@@ -1514,6 +1522,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_extraction_spark.operators.similarity import dimsum_cosine
 
         return dimsum_cosine(_docs(spark, sf), sqrt_gamma=8.0, min_sim=0.25)
+
+    def q_sentence_chunks(spark, sf):
+        """Sentence-boundary RAG chunking by budget quantization:
+        sentence s joins chunk floor(prefix_words/budget) — greedy
+        packing's overshoot bound with a partition-invariant, pure-
+        function-of-prefix-sums assignment (resume-stable chunk ids).
+        The synthetic docs are single-sentence, so the query derives a
+        4-sentence text per doc with the identical expression in both
+        engines (the refinedweb device) — every doc genuinely splits
+        across ≥2 chunks at budget 32."""
+        from pdf_extraction_spark.operators.textanalysis import (
+            sentence_chunks,
+        )
+
+        docs = _docs(spark, sf).selectExpr(
+            "doc_id", SENT_CHUNK_TEXT_EXPR + " AS text"
+        )
+        return sentence_chunks(docs, budget=32)
 
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
@@ -2881,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "sb_trigram": q_sb_trigram,
         "dimsum": q_dimsum,
+        "sentence_chunks": q_sentence_chunks,
         "fix_mojibake": q_fix_mojibake,
         "incremental_dedup": q_incremental_dedup,
         "weighted_mix": q_weighted_mix,
@@ -3158,6 +3185,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from pdf_extraction_spark.operators.textanalysis import (
         sql_explode_sentences,
+        sql_sentence_chunks,
         sql_language_mix,
         sql_lexical_diversity,
         sql_normalize_punct,
@@ -3625,6 +3653,11 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": sql_score_bigram_lm(),
         "sb_trigram": sql_score_stupid_backoff(),
         "dimsum": sql_dimsum_cosine(sqrt_gamma=8.0, min_sim=0.25),
+        "sentence_chunks": sql_sentence_chunks(
+            "(SELECT doc_id, " + SENT_CHUNK_TEXT_EXPR + " AS text "
+            "FROM documents)",
+            budget=32,
+        ),
         "ppl_buckets": sql_ppl_buckets(),
         "dsir_select": sql_dsir_select(100, "lang = 'en'"),
         "host_pagerank": sql_pagerank(

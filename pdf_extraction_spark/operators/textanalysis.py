@@ -606,6 +606,80 @@ def sql_explode_sentences(rel: str, text_expr: str = "text") -> str:
     )
 
 
+# -- sentence-boundary RAG chunking -------------------------------------
+#
+# chunk_sliding_window cuts fixed token strides regardless of syntax;
+# retrieval quality wants chunks that END at sentence boundaries. The
+# deterministic form used here is BUDGET QUANTIZATION: sentence s goes
+# to chunk floor(prefix_words_before_s / budget). Like greedy packing,
+# a chunk can overshoot the budget by at most its closing sentence;
+# unlike greedy-with-reset the assignment is a pure function of the
+# prefix sums, so engines, partitionings and cluster sizes agree
+# bit-for-bit and the chunk ids are stable under re-runs (resume-safe
+# lineage keys). Integer math only.
+
+
+def sentence_chunks(
+    df: DataFrame,
+    budget: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_id, n_sents, n_words, chunk_text): sentence-
+    boundary chunks of ~``budget`` words. Scale shape: sentence
+    explode + ONE doc-keyed window prefix sum (docs are length-bounded
+    — the pack_sequences precedent; no corpus-global window), then a
+    (doc, chunk) groupBy whose reassembly is order-pinned via
+    array_sort over (sent_no, sentence) structs — collect_list order
+    is undefined, the sort makes it deterministic."""
+    from pyspark.sql import Window
+
+    es = explode_sentences(df, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy("sent_no")
+    cb = (
+        F.sum(F.col("n_words").cast("long")).over(w) - F.col("n_words")
+    ).alias("cb")
+    chunked = es.select(
+        "doc_id", "sent_no", "sentence", "n_words", cb
+    ).withColumn("chunk_id", F.expr(f"cb div {int(budget)}").cast("int"))
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_sents"),
+            F.sum(F.col("n_words").cast("long")).alias("n_words"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sent_no", "sentence"))
+                    ),
+                    lambda s: s["sentence"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def sql_sentence_chunks(
+    rel: str, budget: int = 64, text_expr: str = "text"
+) -> str:
+    """DuckDB twin of :func:`sentence_chunks` — same explode, same
+    prefix sum, same integer quantization, string_agg ORDER BY
+    sent_no."""
+    return (
+        f"WITH e AS ({sql_explode_sentences(rel, text_expr)}), "
+        "c AS (SELECT doc_id, sent_no, sentence, n_words, "
+        "CAST(sum(n_words) OVER (PARTITION BY doc_id ORDER BY sent_no "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_words "
+        "AS BIGINT) AS cb FROM e) "
+        f"SELECT doc_id, CAST(cb // {int(budget)} AS INT) AS chunk_id, "
+        "CAST(count(*) AS BIGINT) AS n_sents, "
+        "CAST(sum(n_words) AS BIGINT) AS n_words, "
+        "string_agg(sentence, ' ' ORDER BY sent_no) AS chunk_text "
+        f"FROM c GROUP BY doc_id, cb // {int(budget)}"
+    )
+
+
 # -- paragraph-level language mixing -----------------------------------
 #
 # Document-level langid (langid_udf / sql_detect_language) answers "what

@@ -164,6 +164,25 @@ def main(argv=None):
         ).count(),
     )
 
+    # -- session-8 continuation ops (corpus-scaled) -----------------------
+    from pdf_extraction_spark.operators.mlfilter import (
+        score_stupid_backoff,
+        train_trigram_lm,
+    )
+    from pdf_extraction_spark.operators.similarity import dimsum_cosine
+
+    def _sb(n):
+        docs = synth_docs(spark, n)
+        return score_stupid_backoff(docs, train_trigram_lm(docs)).count()
+
+    ladder("sb_trigram_docs", _sb)
+    ladder(
+        "dimsum_docs",
+        lambda n: dimsum_cosine(
+            synth_docs(spark, n), sqrt_gamma=8.0, min_sim=0.1
+        ).count(),
+    )
+
     # linear iff no doubling more than ~2.8x (allowing shuffle jitter)
     report["linear"] = all(
         r <= 2.8 for op in report["ops"].values() for r in op["ratios"]

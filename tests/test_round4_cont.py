@@ -695,3 +695,76 @@ def test_hampel_partition_invariance(spark):
         map(tuple, with_robust_outliers(df.repartition(17), "g", "v").collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# sentence_chunks — budget-quantized sentence-boundary RAG chunking
+# ---------------------------------------------------------------------------
+
+
+class TestSentenceChunks:
+    def _chunks(self, spark, rows, budget):
+        from pdf_extraction_spark.operators.textanalysis import (
+            sentence_chunks,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return sentence_chunks(df, budget=budget).collect()
+
+    def test_quantization_semantics_and_roundtrip(self, spark):
+        # 6 sentences x 10 words, budget 25 -> chunks at prefix 0-20,
+        # 30-40, 50: sentence k (prefix 10k) -> chunk (10k div 25)
+        text = " ".join(
+            "w%d%d" % (s, i) for s in range(6) for i in range(9)
+        )  # build 6 sentences manually below instead
+        sents = [
+            " ".join(f"s{k}w{i}" for i in range(10)) + "." for k in range(6)
+        ]
+        rows = [(0, " ".join(sents))]
+        out = sorted(self._chunks(spark, rows, 25), key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in out] == [0, 1, 2]
+        assert [r.n_sents for r in out] == [3, 2, 1]  # 0,10,20 | 30,40 | 50
+        assert [r.n_words for r in out] == [30, 20, 10]
+        # round-trip: concatenating chunks in id order restores the doc
+        joined = " ".join(r.chunk_text for r in out)
+        assert joined == " ".join(sents)
+
+    def test_overshoot_bounded_by_one_sentence(self, spark):
+        # a 40-word sentence at prefix 20 joins chunk 0 (20 div 25 = 0):
+        # chunk 0 holds 60 words — overshoot ≤ its closing sentence,
+        # the same bound greedy packing has
+        sents = [
+            " ".join(f"a{i}" for i in range(20)) + ".",
+            " ".join(f"b{i}" for i in range(40)) + ".",
+            " ".join(f"c{i}" for i in range(10)) + ".",
+        ]
+        out = {r.chunk_id: r for r in self._chunks(spark, [(0, " ".join(sents))], 25)}
+        assert out[0].n_words == 60 and out[0].n_sents == 2
+        assert out[2].n_words == 10  # prefix 60 div 25 = 2
+
+    def test_empty_and_null_docs_emit_nothing(self, spark):
+        assert self._chunks(spark, [(0, ""), (1, None)], 25) == []
+
+    def test_chunk_ids_stable_under_repartition(self, spark):
+        from pdf_extraction_spark.operators.textanalysis import (
+            sentence_chunks,
+        )
+
+        rows = [
+            (i, " ".join(f"d{i}s{k}w{j}" for j in range(7)) + ". " * 1)
+            for i in range(50)
+            for k in range(1)
+        ]
+        docs = [
+            (i, ". ".join(" ".join(f"w{i}{k}{j}" for j in range(8)) for k in range(5)) + ".")
+            for i in range(50)
+        ]
+        df1 = spark.createDataFrame(docs, "doc_id long, text string")
+        a = sorted(tuple(r) for r in sentence_chunks(df1, budget=13).collect())
+        b = sorted(
+            tuple(r)
+            for r in sentence_chunks(
+                df1.repartition(7, "text"), budget=13
+            ).collect()
+        )
+        assert a == b and len(a) > 50
