@@ -53,7 +53,8 @@ NATIVE_QUERIES = [
     "norm_punct", "quantize_emb", "pq_encode", "pq_topk", "holdout_split",
     "hll_by_source", "hist_quantiles", "bpe_fertility", "vocab_growth",
     "group_sample", "temp_mixture", "source_kl", "robust_outliers",
-    "zipf_slope", "source_overlap",
+    "zipf_slope", "source_overlap", "host_wilson", "surt_keys",
+    "sb_trigram", "dimsum", "sentence_chunks",
 ]
 
 
