@@ -1541,6 +1541,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return sentence_chunks(docs, budget=32)
 
+    def q_gate_auc(spark, sf):
+        """Exact tie-aware ROC-AUC (Mann-Whitney with midranks) in
+        pure int64 — gate-evaluation infrastructure: here, does the
+        stored n_chars column predict the ≥30-token verdict, per
+        language. The window runs over DISTINCT scores (the
+        ppl-histogram device), never corpus rows; auc_ppm is one
+        integer division, bit-identical cross-engine."""
+        from pdf_extraction_spark.operators.curation import _lower_words
+        from pdf_extraction_spark.operators.mlfilter import gate_auc
+
+        docs = _docs(spark, sf).select(
+            "lang",
+            F.col("n_chars").alias("score"),
+            (
+                F.size(_lower_words(F.coalesce(F.col("text"), F.lit(""))))
+                >= 30
+            ).alias("label"),
+        )
+        return gate_auc(docs, "score", "label", "lang")
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -2908,6 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sb_trigram": q_sb_trigram,
         "dimsum": q_dimsum,
         "sentence_chunks": q_sentence_chunks,
+        "gate_auc": q_gate_auc,
         "fix_mojibake": q_fix_mojibake,
         "incremental_dedup": q_incremental_dedup,
         "weighted_mix": q_weighted_mix,
@@ -3260,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         sql_dsir_select,
         sql_score_bigram_lm,
         sql_score_stupid_backoff,
+        sql_gate_auc,
         sql_score_quality,
     )
     from pdf_extraction_spark.operators.curation import (
@@ -3653,6 +3675,18 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": sql_score_bigram_lm(),
         "sb_trigram": sql_score_stupid_backoff(),
         "dimsum": sql_dimsum_cosine(sqrt_gamma=8.0, min_sim=0.25),
+        "gate_auc": (
+            "SELECT grp AS lang, n_pos, n_neg, auc_ppm FROM ("
+            + sql_gate_auc(
+                "(SELECT lang, n_chars AS score, "
+                + "len(" + _sql_lower_words("coalesce(text, '')") + ") >= 30 AS label "
+                + "FROM documents)",
+                "score",
+                "label",
+                "lang",
+            )
+            + ")"
+        ),
         "sentence_chunks": sql_sentence_chunks(
             "(SELECT doc_id, " + SENT_CHUNK_TEXT_EXPR + " AS text "
             "FROM documents)",

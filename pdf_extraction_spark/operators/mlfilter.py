@@ -946,3 +946,112 @@ def sql_dsir_select(
         f"SELECT doc_id, log_w, g, {_sql_round6z('log_w + g')} AS key FROM scored "
         f"ORDER BY key DESC NULLS LAST, doc_id ASC NULLS LAST LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC (Mann-Whitney) — gate-evaluation infrastructure
+# ---------------------------------------------------------------------------
+#
+# Every gate in this module ships a score; deciding its threshold (or
+# comparing two gates) needs ROC-AUC over labeled rows. AUC is the
+# Mann-Whitney U statistic, and with tie-midranks it has an EXACT
+# integer evaluation: over the per-distinct-score histogram
+# (pos_v, cnt_v, cumulative count cb_v below v),
+#
+#   2·R⁺  = Σ_v pos_v · (2·cb_v + cnt_v + 1)     (doubled midrank sum)
+#   2·U   = 2·R⁺ − n⁺·(n⁺ + 1)
+#   AUC   = U / (n⁺·n⁻)
+#
+# so auc_ppm = (10⁶·2U) div (2·n⁺·n⁻) is one integer division — no
+# float rank interpolation convention to diverge cross-engine. The
+# window runs over DISTINCT score values (the ppl_bucket_cutoffs
+# device), never over corpus rows: a million-doc corpus with 10³
+# distinct gate scores pays a 10³-row window. int64-exact while
+# 10⁶·2U < 2⁶³, i.e. ~3·10⁶ labeled rows per call — evaluation sets,
+# not corpora; shard larger ones.
+
+
+def gate_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_col: str = None,
+) -> DataFrame:
+    """(group?, n_pos, n_neg, auc_ppm): exact tie-aware ROC-AUC of
+    ``score_col`` against boolean/int ``label_col``, optionally per
+    ``group_col`` (per-language gate calibration). NULL scores/labels
+    are dropped (unscorable rows are outside the ROC universe);
+    degenerate groups (no positives or no negatives) emit NULL
+    auc_ppm. Scale shape: one (group, score) histogram groupBy, a
+    distinct-score-sized window, one group reduce."""
+    from pyspark.sql import Window
+
+    g = [group_col] if group_col else []
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        *g,
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    hist = base.groupBy(*g, "s").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = (
+        Window.partitionBy(*g).orderBy("s")
+        if g
+        else Window.partitionBy(F.lit(1)).orderBy("s")
+    )
+    cum = hist.withColumn(
+        "cb", F.coalesce(F.sum("cnt").over(w) - F.col("cnt"), F.lit(0))
+    )
+    agg = cum.groupBy(*g).agg(
+        F.sum("pos").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).alias("n_neg"),
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("cb") + F.col("cnt") + F.lit(1))
+        ).alias("r2"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        # exact integer division — the twin's // ; never float-rounded
+        F.expr(
+            "(1000000 * (r2 - n_pos * (n_pos + 1))) "
+            "div (2 * n_pos * n_neg)"
+        ),
+    )
+    cols = g + ["n_pos", "n_neg"]
+    return agg.select(*cols, auc.cast("long").alias("auc_ppm"))
+
+
+def sql_gate_auc(
+    rel: str,
+    score_expr: str,
+    label_expr: str,
+    group_expr: str = None,
+) -> str:
+    """DuckDB twin of :func:`gate_auc` — identical histogram window
+    and integer midrank algebra (`//` == `div`: 2U ≥ 0 always)."""
+    gsel = f"{group_expr} AS grp, " if group_expr else ""
+    gcol = "grp, " if group_expr else ""
+    gpart = "PARTITION BY grp " if group_expr else ""
+    gby = "GROUP BY grp" if group_expr else ""
+    gout = "grp, " if group_expr else ""
+    return (
+        f"WITH b AS (SELECT {gsel}{score_expr} AS s, "
+        f"CAST({label_expr} AS BIGINT) AS y FROM {rel} "
+        f"WHERE {score_expr} IS NOT NULL AND {label_expr} IS NOT NULL), "
+        f"h AS (SELECT {gcol}s, count(*) AS cnt, "
+        f"CAST(sum(y) AS BIGINT) AS pos FROM b GROUP BY {gcol}s), "
+        f"c AS (SELECT *, CAST(coalesce(sum(cnt) OVER ({gpart}ORDER BY s "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt, 0) "
+        "AS BIGINT) AS cb FROM h), "
+        f"a AS (SELECT {gout}CAST(sum(pos) AS BIGINT) AS n_pos, "
+        "CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg, "
+        "CAST(sum(pos * (2 * cb + cnt + 1)) AS BIGINT) AS r2 "
+        f"FROM c {gby}) "
+        f"SELECT {gout}n_pos, n_neg, "
+        "CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+        "(1000000 * (r2 - n_pos * (n_pos + 1))) // (2 * n_pos * n_neg) "
+        "END AS auc_ppm FROM a"
+    )

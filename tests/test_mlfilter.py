@@ -492,3 +492,55 @@ def test_group_sample_null_keys(spark):
     got = group_sample(df, k=2).collect()
     assert sum(1 for r in got if r.source is None) == 2
     assert sum(1 for r in got if r.source == "a") == 2
+
+
+# ---------------------------------------------------------------------------
+# gate_auc — exact Mann-Whitney ROC-AUC
+# ---------------------------------------------------------------------------
+
+
+class TestGateAuc:
+    def _auc(self, spark, rows, group=None):
+        from pdf_extraction_spark.operators.mlfilter import gate_auc
+
+        df = spark.createDataFrame(
+            rows, "id long, score double, label int, grp string"
+        )
+        return gate_auc(df, "score", "label", group).collect()
+
+    def test_matches_pairwise_definition(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, rng.choice([0.1, 0.3, 0.3, 0.7, 0.9]), int(rng.random() < 0.5), "g")
+            for i in range(300)
+        ]
+        [r] = self._auc(spark, rows)
+        pos = [s for _, s, y, _ in rows if y]
+        neg = [s for _, s, y, _ in rows if not y]
+        u = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+        assert r.auc_ppm == int(u * 1e6 // (len(pos) * len(neg)))
+
+    def test_perfect_and_inverted_and_random(self, spark):
+        rows = [(i, float(i), int(i >= 5), "g") for i in range(10)]
+        [r] = self._auc(spark, rows)
+        assert r.auc_ppm == 1_000_000  # perfect separation
+        rows = [(i, float(-i), int(i >= 5), "g") for i in range(10)]
+        [r] = self._auc(spark, rows)
+        assert r.auc_ppm == 0  # perfectly inverted
+        rows = [(i, 1.0, i % 2, "g") for i in range(10)]
+        [r] = self._auc(spark, rows)
+        assert r.auc_ppm == 500_000  # all tied = coin flip
+
+    def test_degenerate_groups_null(self, spark):
+        rows = [(0, 1.0, 1, "allpos"), (1, 2.0, 1, "allpos"),
+                (2, 1.0, 0, "allneg")]
+        out = {r.grp: r.auc_ppm for r in self._auc(spark, rows, "grp")}
+        assert out == {"allpos": None, "allneg": None}
+
+    def test_null_rows_dropped(self, spark):
+        rows = [(0, None, 1, "g"), (1, 1.0, None, "g"),
+                (2, 2.0, 1, "g"), (3, 1.0, 0, "g")]
+        [r] = self._auc(spark, rows)
+        assert (r.n_pos, r.n_neg, r.auc_ppm) == (1, 1, 1_000_000)
