@@ -1561,6 +1561,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return gate_auc(docs, "score", "label", "lang")
 
+    def q_gate_pr(spark, sf):
+        """Full PR operating-point sweep (one row per distinct score,
+        predict positive at score ≥ thr) via the descending cumulative
+        histogram — exact int64 cells, ppm by integer division."""
+        from pdf_extraction_spark.operators.curation import _lower_words
+        from pdf_extraction_spark.operators.mlfilter import gate_pr_curve
+
+        docs = _docs(spark, sf).select(
+            F.col("n_chars").alias("score"),
+            (
+                F.size(_lower_words(F.coalesce(F.col("text"), F.lit(""))))
+                >= 30
+            ).alias("label"),
+        )
+        return gate_pr_curve(docs, "score", "label")
+
+    def q_rank_corr(spark, sf):
+        """Spearman rank correlation with tie midranks between two
+        quality signals (stored n_chars vs live token count), per
+        language — the doubled-midrank integer device keeps every
+        regression sum exact; one correctly-rounded sqrt/div tail."""
+        from pdf_extraction_spark.operators.curation import _lower_words
+        from pdf_extraction_spark.operators.mlfilter import rank_corr
+
+        docs = _docs(spark, sf).select(
+            "lang",
+            F.col("n_chars").alias("x"),
+            F.size(
+                _lower_words(F.coalesce(F.col("text"), F.lit("")))
+            ).cast("long").alias("y"),
+        )
+        return rank_corr(docs, "x", "y", "lang")
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -2929,6 +2962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dimsum": q_dimsum,
         "sentence_chunks": q_sentence_chunks,
         "gate_auc": q_gate_auc,
+        "gate_pr": q_gate_pr,
+        "rank_corr": q_rank_corr,
         "fix_mojibake": q_fix_mojibake,
         "incremental_dedup": q_incremental_dedup,
         "weighted_mix": q_weighted_mix,
@@ -3282,6 +3317,8 @@ def oracle_sql() -> dict[str, str]:
         sql_score_bigram_lm,
         sql_score_stupid_backoff,
         sql_gate_auc,
+        sql_gate_pr_curve,
+        sql_rank_corr,
         sql_score_quality,
     )
     from pdf_extraction_spark.operators.curation import (
@@ -3683,6 +3720,25 @@ def oracle_sql() -> dict[str, str]:
                 + "FROM documents)",
                 "score",
                 "label",
+                "lang",
+            )
+            + ")"
+        ),
+        "gate_pr": sql_gate_pr_curve(
+            "(SELECT n_chars AS score, "
+            + "len(" + _sql_lower_words("coalesce(text, '')")
+            + ") >= 30 AS label FROM documents)",
+            "score",
+            "label",
+        ),
+        "rank_corr": (
+            "SELECT grp AS lang, n, rho FROM ("
+            + sql_rank_corr(
+                "(SELECT lang, n_chars AS x, CAST(len("
+                + _sql_lower_words("coalesce(text, '')")
+                + ") AS BIGINT) AS y FROM documents)",
+                "x",
+                "y",
                 "lang",
             )
             + ")"

@@ -1055,3 +1055,191 @@ def sql_gate_auc(
         "(1000000 * (r2 - n_pos * (n_pos + 1))) // (2 * n_pos * n_neg) "
         "END AS auc_ppm FROM a"
     )
+
+
+def gate_pr_curve(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """(thr, tp, fp, fn, tn, precision_ppm, recall_ppm): the full
+    operating-point sweep for a gate — one row per DISTINCT score,
+    predicting positive at score ≥ thr. Same histogram-window device
+    as :func:`gate_auc` (descending cumulative this time), so the
+    curve costs one distinct-score-sized window regardless of corpus
+    rows, and every cell is exact int64 (ppm via integer division —
+    no float convention). Thresholds with tp+fp = 0 cannot occur
+    (the threshold IS an observed score)."""
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("s"), F.col(label_col).cast("long").alias("y")
+    )
+    hist = base.groupBy("s").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("s").desc())
+    cum = hist.select(
+        F.col("s").alias("thr"),
+        F.sum("pos").over(w).alias("tp"),
+        (F.sum("cnt").over(w) - F.sum("pos").over(w)).alias("fp"),
+    )
+    tot = base.agg(
+        F.sum("y").alias("n_pos"), (F.count("*") - F.sum("y")).alias("n_neg")
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "thr",
+        "tp",
+        "fp",
+        (F.col("n_pos") - F.col("tp")).alias("fn"),
+        (F.col("n_neg") - F.col("fp")).alias("tn"),
+        F.expr("(1000000 * tp) div (tp + fp)").alias("precision_ppm"),
+        F.when(
+            F.col("n_pos") > 0, F.expr("(1000000 * tp) div n_pos")
+        ).alias("recall_ppm"),
+    )
+
+
+def sql_gate_pr_curve(rel: str, score_expr: str, label_expr: str) -> str:
+    """DuckDB twin of :func:`gate_pr_curve`."""
+    return (
+        f"WITH b AS (SELECT {score_expr} AS s, "
+        f"CAST({label_expr} AS BIGINT) AS y FROM {rel} "
+        f"WHERE {score_expr} IS NOT NULL AND {label_expr} IS NOT NULL), "
+        "h AS (SELECT s, count(*) AS cnt, CAST(sum(y) AS BIGINT) AS pos "
+        "FROM b GROUP BY s), "
+        "c AS (SELECT s AS thr, "
+        "CAST(sum(pos) OVER (ORDER BY s DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp, "
+        "CAST(sum(cnt - pos) OVER (ORDER BY s DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp "
+        "FROM h), "
+        "t AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos, "
+        "CAST(count(*) - sum(y) AS BIGINT) AS n_neg FROM b) "
+        "SELECT thr, tp, fp, n_pos - tp AS fn, n_neg - fp AS tn, "
+        "(1000000 * tp) // (tp + fp) AS precision_ppm, "
+        "CASE WHEN n_pos > 0 THEN (1000000 * tp) // n_pos END AS recall_ppm "
+        "FROM c CROSS JOIN t"
+    )
+
+
+def rank_corr(
+    df: DataFrame, x_col: str, y_col: str, group_col: str = None
+) -> DataFrame:
+    """(group?, n, rho): Spearman rank correlation with tie midranks —
+    do two quality signals agree? Doubled midranks (2·cb + cnt + 1,
+    the :func:`gate_auc` integer device, one histogram window per
+    variable) make every regression sum exact int64; the single
+    sqrt/division chain at the end is correctly rounded in both
+    engines, rounded to 6 digits. int64-exact while 4n³ < 2⁶³
+    (n ≤ ~1.3·10⁶ rows per group — evaluation sets; shard beyond).
+    Groups with zero rank variance (all x or all y tied) emit NULL."""
+    from pyspark.sql import Window
+
+    g = [group_col] if group_col else []
+    base = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*g, F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+
+    def midranks(col):
+        h = base.groupBy(*g, col).agg(F.count("*").alias("cnt"))
+        w = (
+            Window.partitionBy(*g).orderBy(col)
+            if g
+            else Window.partitionBy(F.lit(1)).orderBy(col)
+        )
+        return h.select(
+            *g,
+            col,
+            (
+                F.lit(2)
+                * F.coalesce(F.sum("cnt").over(w) - F.col("cnt"), F.lit(0))
+                + F.col("cnt")
+                + F.lit(1)
+            ).alias(f"r{col}"),
+        )
+
+    # NULL groups must rank among themselves — a column-name-list join
+    # is null-UNSAFE on the group key and would drop them (the twin's
+    # IS NOT DISTINCT FROM keeps them), so join on explicit eqNullSafe
+    # conditions with renamed right-side keys
+    hx = midranks("x").withColumnRenamed("x", "__x")
+    hy = midranks("y").withColumnRenamed("y", "__y")
+    if g:
+        hx = hx.withColumnRenamed(group_col, "__gx")
+        hy = hy.withColumnRenamed(group_col, "__gy")
+        cond_x = (F.col("x") == F.col("__x")) & F.col(group_col).eqNullSafe(
+            F.col("__gx")
+        )
+        cond_y = (F.col("y") == F.col("__y")) & F.col(group_col).eqNullSafe(
+            F.col("__gy")
+        )
+    else:
+        cond_x = F.col("x") == F.col("__x")
+        cond_y = F.col("y") == F.col("__y")
+    ranked = (
+        base.join(hx, cond_x)
+        .join(hy, cond_y)
+        .drop("__x", "__y", "__gx", "__gy")
+    )
+    agg = ranked.groupBy(*g).agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = F.round(
+        num.cast("double")
+        / F.sqrt(vx.cast("double") * vy.cast("double")),
+        6,
+    )
+    cols = g + ["n"]
+    return agg.select(
+        *cols, F.when((vx > 0) & (vy > 0), rho).alias("rho")
+    )
+
+
+def sql_rank_corr(
+    rel: str, x_expr: str, y_expr: str, group_expr: str = None
+) -> str:
+    """DuckDB twin of :func:`rank_corr` — same doubled-midrank tables,
+    same pinned-order float tail."""
+    gsel = f"{group_expr} AS grp, " if group_expr else ""
+    gcol = "grp, " if group_expr else ""
+    gpart = "PARTITION BY grp " if group_expr else ""
+    gby = "GROUP BY grp" if group_expr else ""
+    gout = "grp, " if group_expr else ""
+    gjoin_x = "b.grp IS NOT DISTINCT FROM hx.grp AND " if group_expr else ""
+    gjoin_y = "b.grp IS NOT DISTINCT FROM hy.grp AND " if group_expr else ""
+    win = (
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    return (
+        f"WITH b AS (SELECT {gsel}{x_expr} AS x, {y_expr} AS y FROM {rel} "
+        f"WHERE {x_expr} IS NOT NULL AND {y_expr} IS NOT NULL), "
+        f"hx AS (SELECT {gcol}x, CAST(2 * coalesce(sum(cnt) OVER "
+        f"({gpart}ORDER BY x {win}) - cnt, 0) + cnt + 1 AS BIGINT) AS rx "
+        f"FROM (SELECT {gcol}x, count(*) AS cnt FROM b GROUP BY {gcol}x)), "
+        f"hy AS (SELECT {gcol}y, CAST(2 * coalesce(sum(cnt) OVER "
+        f"({gpart}ORDER BY y {win}) - cnt, 0) + cnt + 1 AS BIGINT) AS ry "
+        f"FROM (SELECT {gcol}y, count(*) AS cnt FROM b GROUP BY {gcol}y)), "
+        f"r AS (SELECT b.*, hx.rx, hy.ry FROM b "
+        f"JOIN hx ON {gjoin_x}b.x = hx.x "
+        f"JOIN hy ON {gjoin_y}b.y = hy.y), "
+        f"a AS (SELECT {gout}CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy, "
+        "CAST(sum(rx * rx) AS BIGINT) AS sxx, "
+        "CAST(sum(ry * ry) AS BIGINT) AS syy, "
+        "CAST(sum(rx * ry) AS BIGINT) AS sxy "
+        f"FROM r {gby}) "
+        f"SELECT {gout}n, "
+        "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 "
+        "THEN round(CAST(n * sxy - sx * sy AS DOUBLE) / "
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
+        "* CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS rho FROM a"
+    )

@@ -544,3 +544,90 @@ class TestGateAuc:
                 (2, 2.0, 1, "g"), (3, 1.0, 0, "g")]
         [r] = self._auc(spark, rows)
         assert (r.n_pos, r.n_neg, r.auc_ppm) == (1, 1, 1_000_000)
+
+
+class TestGatePrCurve:
+    def test_matches_bruteforce_sweep(self, spark):
+        import random
+
+        from pdf_extraction_spark.operators.mlfilter import gate_pr_curve
+
+        rng = random.Random(5)
+        rows = [
+            (i, rng.choice([1.0, 2.0, 3.0, 4.0]), int(rng.random() < 0.3))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "id long, score double, label int")
+        out = {r.thr: r for r in gate_pr_curve(df, "score", "label").collect()}
+        n_pos = sum(y for _, _, y in rows)
+        for thr in (1.0, 2.0, 3.0, 4.0):
+            tp = sum(1 for _, s, y in rows if s >= thr and y)
+            fp = sum(1 for _, s, y in rows if s >= thr and not y)
+            r = out[thr]
+            assert (r.tp, r.fp) == (tp, fp)
+            assert r.fn == n_pos - tp
+            assert r.precision_ppm == 10**6 * tp // (tp + fp)
+            assert r.recall_ppm == 10**6 * tp // n_pos
+        # lowest threshold = predict-everything: recall 100%
+        assert out[1.0].recall_ppm == 1_000_000
+
+    def test_monotone_tp_and_no_empty_thresholds(self, spark):
+        from pdf_extraction_spark.operators.mlfilter import gate_pr_curve
+
+        rows = [(i, float(i % 7), int(i % 3 == 0)) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, score double, label int")
+        out = sorted(
+            gate_pr_curve(df, "score", "label").collect(),
+            key=lambda r: -r.thr,
+        )
+        tps = [r.tp for r in out]
+        assert tps == sorted(tps)  # tp non-decreasing as thr drops
+        assert all(r.tp + r.fp > 0 for r in out)
+
+
+class TestRankCorr:
+    def _rho(self, spark, pts, group=None):
+        from pdf_extraction_spark.operators.mlfilter import rank_corr
+
+        df = spark.createDataFrame(
+            [(i, x, y, "g") for i, (x, y) in enumerate(pts)],
+            "id long, x double, y double, grp string",
+        )
+        return rank_corr(df, "x", "y", group).collect()
+
+    def test_perfect_monotone_is_one(self, spark):
+        [r] = self._rho(spark, [(float(i), float(i * i)) for i in range(20)])
+        assert r.rho == 1.0
+        [r] = self._rho(spark, [(float(i), float(-i)) for i in range(20)])
+        assert r.rho == -1.0
+
+    def test_ties_use_midranks(self, spark):
+        # x has heavy ties; compare against the textbook midrank Pearson
+        import math
+
+        pts = [(float(i % 3), float(i % 5)) for i in range(30)]
+        [r] = self._rho(spark, pts)
+
+        def mid(vals):
+            from collections import Counter
+
+            c, out, cb = Counter(vals), {}, 0
+            for v in sorted(c):
+                out[v] = 2 * cb + c[v] + 1
+                cb += c[v]
+            return out
+
+        mx, my = mid([p[0] for p in pts]), mid([p[1] for p in pts])
+        rx = [mx[p[0]] for p in pts]
+        ry = [my[p[1]] for p in pts]
+        n = len(pts)
+        num = n * sum(a * b for a, b in zip(rx, ry)) - sum(rx) * sum(ry)
+        den = math.sqrt(
+            (n * sum(a * a for a in rx) - sum(rx) ** 2)
+            * (n * sum(b * b for b in ry) - sum(ry) ** 2)
+        )
+        assert r.rho == round(num / den, 6)
+
+    def test_zero_variance_is_null(self, spark):
+        [r] = self._rho(spark, [(1.0, float(i)) for i in range(10)])
+        assert r.rho is None
