@@ -1594,6 +1594,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rank_corr(docs, "x", "y", "lang")
 
+    def q_gate_calibration(spark, sf):
+        """Reliability diagram: a crude size-based 'probability'
+        (n_chars/1000 clamped) audited against the ≥30-token verdict —
+        rows quantize ONCE to ppm then everything is exact int64, so
+        the diagram is bit-identical cross-engine."""
+        from pdf_extraction_spark.operators.curation import _lower_words
+        from pdf_extraction_spark.operators.mlfilter import gate_calibration
+
+        docs = _docs(spark, sf).select(
+            (F.col("n_chars") / F.lit(1000.0)).alias("prob"),
+            (
+                F.size(_lower_words(F.coalesce(F.col("text"), F.lit(""))))
+                >= 30
+            ).alias("label"),
+        )
+        return gate_calibration(docs, "prob", "label")
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -2964,6 +2981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_auc": q_gate_auc,
         "gate_pr": q_gate_pr,
         "rank_corr": q_rank_corr,
+        "gate_calibration": q_gate_calibration,
         "fix_mojibake": q_fix_mojibake,
         "incremental_dedup": q_incremental_dedup,
         "weighted_mix": q_weighted_mix,
@@ -3319,6 +3337,7 @@ def oracle_sql() -> dict[str, str]:
         sql_gate_auc,
         sql_gate_pr_curve,
         sql_rank_corr,
+        sql_gate_calibration,
         sql_score_quality,
     )
     from pdf_extraction_spark.operators.curation import (
@@ -3742,6 +3761,13 @@ def oracle_sql() -> dict[str, str]:
                 "lang",
             )
             + ")"
+        ),
+        "gate_calibration": sql_gate_calibration(
+            "(SELECT n_chars / CAST(1000.0 AS DOUBLE) AS prob, "
+            + "len(" + _sql_lower_words("coalesce(text, '')")
+            + ") >= 30 AS label FROM documents)",
+            "prob",
+            "label",
         ),
         "sentence_chunks": sql_sentence_chunks(
             "(SELECT doc_id, " + SENT_CHUNK_TEXT_EXPR + " AS text "

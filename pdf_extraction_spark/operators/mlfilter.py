@@ -1243,3 +1243,76 @@ def sql_rank_corr(
         "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) "
         "* CAST(n * syy - sy * sy AS DOUBLE)), 6) END AS rho FROM a"
     )
+
+
+def gate_calibration(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """(bin, n, mean_pred_ppm, observed_ppm, gap_ppm): reliability
+    diagram for a probabilistic gate — does score 0.8 mean 80%? Rows
+    are quantized ONCE to ppm (floor(prob·10⁶), a deterministic
+    float→int) and binned by floor(prob·n_bins) clamped to the top
+    bin; after that everything is exact int64 sums and integer
+    divisions, so the diagram is bit-identical cross-engine.
+    ``gap_ppm`` = observed − mean_pred (signed: positive means the
+    gate UNDER-claims). Probabilities outside [0, 1] are clamped into
+    the edge bins (defensive: a miscalibrated upstream logit). One
+    bin-keyed combinable groupBy; bins ≪ rows always."""
+    base = df.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(F.col(prob_col) * F.lit(n_bins)).cast("int"),
+            ),
+        ).alias("bin"),
+        F.least(
+            F.lit(10**6),
+            F.greatest(
+                F.lit(0),
+                F.floor(F.col(prob_col) * F.lit(10**6)).cast("long"),
+            ),
+        ).alias("pred_ppm"),
+        F.col(label_col).cast("long").alias("y"),
+    )
+    return (
+        base.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pred_ppm").alias("sp"),
+            F.sum("y").alias("sy"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.expr("sp div n").alias("mean_pred_ppm"),
+            F.expr("(1000000 * sy) div n").alias("observed_ppm"),
+            F.expr("(1000000 * sy) div n - sp div n").alias("gap_ppm"),
+        )
+    )
+
+
+def sql_gate_calibration(
+    rel: str, prob_expr: str, label_expr: str, n_bins: int = 10
+) -> str:
+    """DuckDB twin of :func:`gate_calibration`."""
+    return (
+        f"WITH b AS (SELECT "
+        f"CAST(least({n_bins - 1}, greatest(0, "
+        f"floor({prob_expr} * {n_bins}))) AS INT) AS bin, "
+        f"CAST(least(1000000, greatest(0, "
+        f"floor({prob_expr} * 1000000))) AS BIGINT) AS pred_ppm, "
+        f"CAST({label_expr} AS BIGINT) AS y FROM {rel} "
+        f"WHERE {prob_expr} IS NOT NULL AND {label_expr} IS NOT NULL), "
+        "a AS (SELECT bin, count(*) AS n, "
+        "CAST(sum(pred_ppm) AS BIGINT) AS sp, "
+        "CAST(sum(y) AS BIGINT) AS sy FROM b GROUP BY bin) "
+        "SELECT bin, n, sp // n AS mean_pred_ppm, "
+        "(1000000 * sy) // n AS observed_ppm, "
+        "(1000000 * sy) // n - sp // n AS gap_ppm FROM a"
+    )

@@ -94,7 +94,7 @@ QUERIES = [
     "source_kl", "robust_outliers", "zipf_slope", "source_overlap",
     "sentences", "meta_keywords", "cc_scrub", "soft404", "html_pubdate",
     "link_profile", "hreflang_alts", "content_spans", "group_quartiles",
-    "spam_mass", "host_wilson", "sb_trigram", "dimsum", "sentence_chunks", "gate_auc", "gate_pr", "rank_corr",
+    "spam_mass", "host_wilson", "sb_trigram", "dimsum", "sentence_chunks", "gate_auc", "gate_pr", "rank_corr", "gate_calibration",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

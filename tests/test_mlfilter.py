@@ -631,3 +631,41 @@ class TestRankCorr:
     def test_zero_variance_is_null(self, spark):
         [r] = self._rho(spark, [(1.0, float(i)) for i in range(10)])
         assert r.rho is None
+
+
+class TestGateCalibration:
+    def test_perfectly_calibrated_gate_has_zero_gap(self, spark):
+        from pdf_extraction_spark.operators.mlfilter import gate_calibration
+
+        # prob p in {0.25, 0.75}, labels matching exactly p of rows
+        rows = []
+        i = 0
+        for p, n, pos in ((0.25, 40, 10), (0.75, 40, 30)):
+            for j in range(n):
+                rows.append((i, p, int(j < pos)))
+                i += 1
+        df = spark.createDataFrame(rows, "id long, prob double, label int")
+        out = {r.bin: r for r in gate_calibration(df, "prob", "label").collect()}
+        assert out[2].mean_pred_ppm == 250_000 and out[2].observed_ppm == 250_000
+        assert out[2].gap_ppm == 0
+        assert out[7].gap_ppm == 0 and out[7].n == 40
+
+    def test_clamping_and_top_bin(self, spark):
+        from pdf_extraction_spark.operators.mlfilter import gate_calibration
+
+        rows = [(0, -0.5, 0), (1, 1.7, 1), (2, 1.0, 1), (3, 0.999, 0)]
+        df = spark.createDataFrame(rows, "id long, prob double, label int")
+        out = {r.bin: r for r in gate_calibration(df, "prob", "label").collect()}
+        assert set(out) == {0, 9}
+        assert out[0].n == 1 and out[0].mean_pred_ppm == 0
+        assert out[9].n == 3  # 1.7 and 1.0 clamp into the top bin
+        assert out[9].mean_pred_ppm <= 1_000_000
+
+    def test_miscalibrated_gate_shows_signed_gap(self, spark):
+        from pdf_extraction_spark.operators.mlfilter import gate_calibration
+
+        # gate claims 0.9 but only 50% are positive: gap negative
+        rows = [(i, 0.9, int(i % 2 == 0)) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, prob double, label int")
+        [r] = gate_calibration(df, "prob", "label").collect()
+        assert r.gap_ppm == 500_000 - 900_000
