@@ -646,6 +646,20 @@ SENT_CHUNK_TEXT_EXPR = (
     "substr(coalesce(text, ''), 1, 40) || '? closing words here.'"
 )
 
+# phrase-blocklist fixture: tiered (phrase, tier) rows over the
+# synthetic vocabulary — two hard (tier-2) bigrams that genuinely occur
+# (~9% of docs each at sf0.01), two soft (tier-1) unigrams frequent
+# enough that the 60000-ppm density rule fires on SOME docs only, and
+# two entries that never occur (the zero-hit path must still verdict)
+BLOCKLIST_ROWS = [
+    ("window join", 2),
+    ("data slow", 2),
+    ("free money", 2),
+    ("slow", 1),
+    ("spark", 1),
+    ("obscenity", 1),
+]
+
 SURT_ROWS = [
     (0, "http://www.Example.COM/Path/Page?b=2&a=1#frag"),
     (1, "https://sub.domain.example.com:443/x"),
@@ -1610,6 +1624,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("label"),
         )
         return gate_calibration(docs, "prob", "label")
+
+    def q_blocklist_gate(spark, sf):
+        """Tiered phrase-blocklist gate (UT1/LDNOOBW/Dolma shape): the
+        blocklist is a broadcast (phrase, tier) dim table, matching is
+        word-n-gram equality, hard tiers drop on any hit, soft tiers
+        drop on hit-token density — exact integer ppm, every input doc
+        gets a verdict row."""
+        from pdf_extraction_spark.operators.curation import blocklist_gate
+
+        phrases = spark.createDataFrame(
+            BLOCKLIST_ROWS, "phrase string, tier int"
+        )
+        return blocklist_gate(_docs(spark, sf), phrases)
 
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
@@ -2982,6 +3009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_pr": q_gate_pr,
         "rank_corr": q_rank_corr,
         "gate_calibration": q_gate_calibration,
+        "blocklist_gate": q_blocklist_gate,
         "fix_mojibake": q_fix_mojibake,
         "incremental_dedup": q_incremental_dedup,
         "weighted_mix": q_weighted_mix,
@@ -3252,7 +3280,10 @@ def oracle_sql() -> dict[str, str]:
         sql_host_link_graph,
         sql_links_ctes,
     )
-    from pdf_extraction_spark.operators.curation import sql_host_boilerplate
+    from pdf_extraction_spark.operators.curation import (
+        sql_blocklist_gate,
+        sql_host_boilerplate,
+    )
     from pdf_extraction_spark.operators.terms import (
         sql_doc_key_terms,
         sql_pmi_collocations,
@@ -3768,6 +3799,11 @@ def oracle_sql() -> dict[str, str]:
             + ") >= 30 AS label FROM documents)",
             "prob",
             "label",
+        ),
+        "blocklist_gate": sql_blocklist_gate(
+            "(VALUES "
+            + ", ".join(f"('{p}', {t})" for p, t in BLOCKLIST_ROWS)
+            + ") p(phrase, tier)"
         ),
         "sentence_chunks": sql_sentence_chunks(
             "(SELECT doc_id, " + SENT_CHUNK_TEXT_EXPR + " AS text "

@@ -1989,3 +1989,159 @@ def sql_holdout_split(
         f"CASE {' '.join(whens)} END AS split "
         "FROM hs_docs d LEFT JOIN hs_dp dp ON d.host = dp.host"
     )
+
+
+# --------------------------------------------------------------------------
+# phrase-blocklist gate (UT1 / LDNOOBW / Dolma-style toxicity filtering)
+# --------------------------------------------------------------------------
+#
+# C4's bad-word rule above is a LITERAL-ARRAY membership test — right for
+# a few hundred single words, wrong for production blocklists: UT1 ships
+# millions of entries and Dolma's taggers match multi-word PHRASES with
+# per-entry severity. This operator is the dim-table form: the blocklist
+# is a (phrase, tier) DataFrame, matching is word-n-gram equality (n = 1
+# .. max words in any phrase), and the join is an explicit broadcast hash
+# join — the blocklist is a dimension table, the corpus is the fact.
+#
+# Scale shape at 10^12 docs: one narrow gram explode (O(max_n · L) rows
+# per doc, bounded by document length), one BROADCAST join (no shuffle of
+# the corpus), one doc-keyed aggregation (map-side combinable counts),
+# one doc-keyed left join back so every input doc gets a verdict row —
+# zero-hit docs MUST surface as blocked=false rows, silent drops are how
+# gates corrupt mixture accounting downstream.
+#
+# Verdict rule (deterministic, integer-only):
+#   * worst_tier = max tier over matches (0 when no match);
+#   * hit_tokens = total words covered by matches (a 2-word phrase
+#     counts 2 — span accounting, not match counting);
+#   * hit_ppm    = hit_tokens * 10^6 div n_tokens (exact int division);
+#   * blocked    = worst_tier >= hard_tier OR hit_ppm >= hit_ppm_max.
+# Tiered severity is the published shape: hard entries drop on ANY hit,
+# soft entries drop only on density (Dolma's fraction-based taggers).
+
+
+def blocklist_gate(
+    df: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_n: int = 2,
+    hard_tier: int = 2,
+    hit_ppm_max: int = 60000,
+) -> DataFrame:
+    """Per-doc blocklist verdicts: (doc_id, n_tokens, n_hits, n_phrases,
+    hit_tokens, hit_ppm, worst_tier, blocked).
+
+    ``phrases`` is a (phrase string, tier int) dimension table; phrases
+    are lowercase, single-space-joined words, at most ``max_n`` words
+    (matching tokenization = the corpus-wide _lower_words split, so the
+    blocklist and the corpus cannot disagree on word boundaries).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        _lower_words(F.coalesce(F.col(text_col), F.lit(""))).alias("w"),
+    ).select("doc_id", "w", F.size("w").cast("long").alias("n_tokens"))
+
+    # gram stream: for each n, every n-word window joined by one space.
+    # flatten(transform(...)) keeps it ONE explode, not max_n explodes.
+    # NB: the lambda must be built by a factory with exactly ONE
+    # parameter — a `lambda i, n=n:` default arg makes F.transform pass
+    # the element INDEX into n (transform supports 2-arg lambdas).
+    def _gram_at(n: int):
+        return lambda i: F.struct(
+            F.array_join(F.slice("w", i + 1, n), " ").alias("gram"),
+            F.lit(n).alias("gn"),
+        )
+
+    # sequence(0, size-n) DESCENDS when size < n (Spark sequences are
+    # bidirectional) — short docs must yield an empty gram list, not a
+    # slice(start=0) error, so each n is gated on size >= n
+    empty = F.array().cast(
+        "array<struct<gram:string,gn:int>>"
+    )
+    per_n = [
+        F.when(
+            F.size("w") >= n,
+            F.transform(F.sequence(F.lit(0), F.size("w") - n), _gram_at(n)),
+        ).otherwise(empty)
+        for n in range(1, max_n + 1)
+    ]
+    grams = (
+        toks.filter(F.size("w") >= 1)
+        .select("doc_id", F.explode(F.flatten(F.array(*per_n))).alias("g"))
+        .select("doc_id", F.col("g.gram").alias("gram"), F.col("g.gn").alias("gn"))
+    )
+    hits = (
+        grams.join(F.broadcast(phrases), grams["gram"] == phrases["phrase"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.countDistinct("gram").alias("n_phrases"),
+            F.sum(F.col("gn").cast("long")).alias("hit_tokens"),
+            F.max("tier").alias("worst_tier"),
+        )
+    )
+    out = toks.select("doc_id", "n_tokens").join(hits, "doc_id", "left")
+    hit_tokens = F.coalesce(F.col("hit_tokens"), F.lit(0).cast("long"))
+    worst = F.coalesce(F.col("worst_tier"), F.lit(0))
+    hit_ppm = F.coalesce(
+        F.expr("coalesce(hit_tokens, 0L) * 1000000L div nullif(n_tokens, 0L)"),
+        F.lit(0).cast("long"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        F.coalesce(F.col("n_phrases"), F.lit(0).cast("long")).alias("n_phrases"),
+        hit_tokens.alias("hit_tokens"),
+        hit_ppm.alias("hit_ppm"),
+        worst.alias("worst_tier"),
+        (
+            (worst >= F.lit(hard_tier)) | (hit_ppm >= F.lit(hit_ppm_max))
+        ).alias("blocked"),
+    )
+
+
+def sql_blocklist_gate(
+    phrases_values: str,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    max_n: int = 2,
+    hard_tier: int = 2,
+    hit_ppm_max: int = 60000,
+    rel: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`blocklist_gate`. ``phrases_values`` is an
+    inline relation literal ``(VALUES ...) p(phrase, tier)``."""
+    tx = f"coalesce({text_expr}, '')"
+    gram_selects = []
+    for n in range(1, max_n + 1):
+        gram_selects.append(
+            f"SELECT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS gram, "
+            f"{n} AS gn FROM (SELECT doc_id, w, "
+            f"unnest(generate_series(1, len(w) - {n - 1})) AS i "
+            f"FROM t WHERE len(w) >= {n})"
+        )
+    grams = " UNION ALL ".join(gram_selects)
+    return (
+        f"WITH t AS (SELECT {id_expr} AS doc_id, "
+        f"{_sql_lower_words(tx)} AS w FROM {rel}), "
+        f"g AS ({grams}), "
+        f"h AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits, "
+        "CAST(count(DISTINCT g.gram) AS BIGINT) AS n_phrases, "
+        "CAST(sum(g.gn) AS BIGINT) AS hit_tokens, "
+        "max(p.tier) AS worst_tier "
+        f"FROM g JOIN {phrases_values} ON g.gram = p.phrase "
+        "GROUP BY g.doc_id), "
+        "v AS (SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens, "
+        "coalesce(h.n_hits, 0) AS n_hits, "
+        "coalesce(h.n_phrases, 0) AS n_phrases, "
+        "coalesce(h.hit_tokens, 0) AS hit_tokens, "
+        "coalesce(CAST(coalesce(h.hit_tokens, 0) * 1000000 "
+        "// nullif(CAST(len(t.w) AS BIGINT), 0) AS BIGINT), 0) AS hit_ppm, "
+        "coalesce(h.worst_tier, 0) AS worst_tier "
+        "FROM t LEFT JOIN h ON t.doc_id = h.doc_id) "
+        "SELECT doc_id, n_tokens, n_hits, n_phrases, hit_tokens, hit_ppm, "
+        f"worst_tier, (worst_tier >= {hard_tier} OR hit_ppm >= {hit_ppm_max}) "
+        "AS blocked FROM v"
+    )

@@ -1175,3 +1175,59 @@ class TestHoldoutSplit:
 
         with pytest.raises(ValueError):
             holdout_split(self._docs(spark), splits={"train": 0.9, "test": 0.2})
+
+
+class TestBlocklistGate:
+    """Tiered phrase-blocklist gate: verdict semantics + plan shape."""
+
+    PHRASES = [("bad apple", 2), ("mild", 1), ("never", 1)]
+
+    def _run(self, spark, rows, **kw):
+        from pdf_extraction_spark.operators.curation import blocklist_gate
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        ph = spark.createDataFrame(self.PHRASES, "phrase string, tier int")
+        out = blocklist_gate(df, ph, **kw)
+        return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    def test_hard_tier_blocks_on_single_hit(self, spark):
+        got = self._run(spark, [(1, "one Bad APPLE among ten clean words here x y z")])
+        r = got[1]
+        assert r["n_hits"] == 1 and r["worst_tier"] == 2 and r["blocked"]
+        assert r["hit_tokens"] == 2  # span accounting: bigram covers 2 words
+
+    def test_soft_tier_density_rule(self, spark):
+        # 1 soft hit in 20 words = 50k ppm < 60k → kept
+        kept = self._run(spark, [(1, "mild " + "ok " * 19)])
+        assert kept[1]["blocked"] is False and kept[1]["worst_tier"] == 1
+        # 2 soft hits in 20 words = 100k ppm ≥ 60k → blocked
+        dropped = self._run(spark, [(2, "mild mild " + "ok " * 18)])
+        assert dropped[2]["blocked"] is True and dropped[2]["worst_tier"] == 1
+
+    def test_zero_hit_null_and_empty_docs_still_verdict(self, spark):
+        got = self._run(spark, [(1, "all clean words"), (2, None), (3, "")])
+        assert set(got) == {1, 2, 3}
+        for r in got.values():
+            assert r["n_hits"] == 0 and r["worst_tier"] == 0 and not r["blocked"]
+        assert got[2]["n_tokens"] == 0 and got[2]["hit_ppm"] == 0
+
+    def test_occurrences_vs_distinct_phrases(self, spark):
+        got = self._run(spark, [(1, "mild mild bad apple mild " + "pad " * 40)])
+        r = got[1]
+        assert r["n_hits"] == 4          # 3×mild + 1×bad-apple occurrences
+        assert r["n_phrases"] == 2       # two distinct phrases matched
+        assert r["hit_tokens"] == 5      # 3·1 + 1·2 words covered
+
+    def test_case_folding_and_boundaries(self, spark):
+        # tokenization lowers; phrase at the very start and very end
+        got = self._run(spark, [(1, "BAD apple middle words never")])
+        r = got[1]
+        assert r["n_hits"] == 2 and r["worst_tier"] == 2 and r["blocked"]
+
+    def test_blocklist_join_is_broadcast(self, spark):
+        from pdf_extraction_spark.operators.curation import blocklist_gate
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        ph = spark.createDataFrame(self.PHRASES, "phrase string, tier int")
+        plan = blocklist_gate(df, ph)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
