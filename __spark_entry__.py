@@ -1638,6 +1638,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return blocklist_gate(_docs(spark, sf), phrases)
 
+    def q_simhash_native(spark, sf):
+        """All-JVM SimHash: md5-prefix 52-bit word hashes, majority
+        vote per bit over word occurrences — bit-identical cross-engine
+        (unlike the salted Python-kernel simhash), zero Arrow
+        crossings, narrow shuffle-free map."""
+        from pdf_extraction_spark.operators.dedup import native_simhash
+
+        return native_simhash(_docs(spark, sf))
+
+    def q_layout_order(spark, sf):
+        """Similarity-ordered release layout: per md5 shard, total
+        adjacent-Hamming bits when rows are written in SimHash order vs
+        doc-id order (the row-reordering compression trick) — bounded
+        per-shard window sorts, exact-integer deltas, n_shards output
+        rows."""
+        from pdf_extraction_spark.operators.dedup import native_simhash
+        from pdf_extraction_spark.operators.release import layout_gain
+
+        return layout_gain(native_simhash(_docs(spark, sf)), n_shards=16)
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3010,6 +3030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_corr": q_rank_corr,
         "gate_calibration": q_gate_calibration,
         "blocklist_gate": q_blocklist_gate,
+        "simhash_native": q_simhash_native,
+        "layout_order": q_layout_order,
         "fix_mojibake": q_fix_mojibake,
         "incremental_dedup": q_incremental_dedup,
         "weighted_mix": q_weighted_mix,
@@ -3246,6 +3268,7 @@ def oracle_sql() -> dict[str, str]:
     from pdf_extraction_spark.operators.dedup import (
         sql_containment_pairs,
         sql_edit_verify_pairs,
+        sql_native_simhash,
     )
     from pdf_extraction_spark.operators.webshape import (
         sql_template_pages,
@@ -3299,7 +3322,10 @@ def oracle_sql() -> dict[str, str]:
         sql_unigram_entropy,
         sql_zipf_slope,
     )
-    from pdf_extraction_spark.operators.release import sql_shard_manifest
+    from pdf_extraction_spark.operators.release import (
+        sql_layout_gain,
+        sql_shard_manifest,
+    )
     from pdf_extraction_spark.operators.justext import (
         sql_blocks_from_text,
         sql_justext_classify,
@@ -3804,6 +3830,11 @@ def oracle_sql() -> dict[str, str]:
             "(VALUES "
             + ", ".join(f"('{p}', {t})" for p, t in BLOCKLIST_ROWS)
             + ") p(phrase, tier)"
+        ),
+        "simhash_native": sql_native_simhash(),
+        "layout_order": sql_layout_gain(
+            "SELECT doc_id, sig FROM (" + sql_native_simhash() + ")",
+            n_shards=16,
         ),
         "sentence_chunks": sql_sentence_chunks(
             "(SELECT doc_id, " + SENT_CHUNK_TEXT_EXPR + " AS text "

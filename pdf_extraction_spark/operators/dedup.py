@@ -1375,3 +1375,83 @@ def sql_source_overlap(shingle_select: str) -> str:
         "FROM p JOIN tt ta ON p.src_a = ta.source "
         "JOIN tt tb ON p.src_b = tb.source ORDER BY src_a, src_b"
     )
+
+
+# --- native SimHash (no Python crossing) -------------------------------------
+#
+# simhash_udf above replays the reference kernel bit-for-bit through a
+# pandas UDF; this variant is the ALL-JVM form for pipelines that want a
+# near-dup signature without any Python stage: word hash = the repo's
+# cross-engine md5-prefix 52-bit integer (the ngram_jaccard convention),
+# sig bit b = majority vote of bit b over word OCCURRENCES (unit
+# weights, ties → 0). One staged projection computes the hash array
+# once; the per-bit counts are 52 higher-order filters over that array —
+# O(52·L) per row, a narrow shuffle-free map whose constant factor is
+# the price of codegen'd JVM execution with zero Arrow crossings. The
+# DuckDB twin (sql_native_simhash) builds the identical 52 CASE terms,
+# so the signature is bit-identical cross-engine — which the Python
+# kernel simhash, with its salted-hash dependence, deliberately is not.
+
+NATIVE_SIMHASH_BITS = 52
+
+
+def native_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = NATIVE_SIMHASH_BITS,
+) -> DataFrame:
+    """(doc_id, n_tokens, sig): all-native 52-bit SimHash."""
+    if not (1 <= bits <= 52):
+        raise ValueError(f"native_simhash: bits must be in [1, 52], got {bits}")
+    from .curation import _lower_words
+
+    toks = _lower_words(F.coalesce(F.col(text_col), F.lit("")))
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            toks,
+            lambda w: F.conv(F.substring(F.md5(w), 1, 13), 16, 10).cast("long"),
+        ).alias("h"),
+    ).select("doc_id", "h", F.size("h").cast("long").alias("n_tokens"))
+    # one-parameter lambdas built by a factory: a `lambda x, b=b:`
+    # default arg would make F.filter pass the element INDEX into b
+    def _bit_set(b: int):
+        return lambda x: F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1
+
+    cnt = [
+        F.size(F.filter(F.col("h"), _bit_set(b))).cast("long")
+        for b in range(bits)
+    ]
+    sig = None
+    for b in range(bits):
+        term = F.when(
+            cnt[b] * 2 > F.col("n_tokens"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return staged.select("doc_id", "n_tokens", sig.alias("sig"))
+
+
+def sql_native_simhash(
+    rel: str = "documents",
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    bits: int = NATIVE_SIMHASH_BITS,
+) -> str:
+    """DuckDB twin of :func:`native_simhash` — same md5-prefix word
+    hash, same majority vote, same tie rule."""
+    from .curation import _sql_lower_words
+
+    toks = _sql_lower_words(f"coalesce({text_expr}, '')")
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(h, x -> (x >> {b}) & 1 = 1)) "
+        f"> len(h) THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return (
+        f"WITH t AS (SELECT {id_expr} AS doc_id, "
+        f"list_transform({toks}, w -> CAST('0x' || substr(md5(w), 1, 13) "
+        f"AS BIGINT)) AS h FROM {rel}) "
+        "SELECT doc_id, CAST(len(h) AS BIGINT) AS n_tokens, "
+        f"CAST({terms} AS BIGINT) AS sig FROM t"
+    )

@@ -45,6 +45,8 @@ __all__ = [
     "shard_manifest",
     "merge_manifests",
     "sql_shard_manifest",
+    "layout_gain",
+    "sql_layout_gain",
 ]
 
 # field separator for the canonical row encoding: a control char that
@@ -203,3 +205,98 @@ FROM rows
 GROUP BY shard
 ORDER BY shard
 """
+
+
+# --- similarity-ordered shard layout ------------------------------------------
+#
+# Parquet/zstd compression of a text corpus depends heavily on ROW ORDER:
+# writing near-duplicate documents adjacently lets the encoder's match
+# window find the redundancy (the row-reordering trick from the
+# column-store literature — Lemire & Kaser 2011's reordering results,
+# BtrBlocks' locality observation). At release time the writer controls
+# order for free, so the question is only "which order": this operator
+# QUANTIFIES the gain of ordering a shard by SimHash signature instead of
+# by document id, in exact integers both engines agree on — mean adjacent
+# Hamming distance is a standard proxy for match-window locality (lower =
+# neighboring rows share more content).
+#
+# Scale shape at 10^12 docs: shard = the manifest's md5 bucket (shard
+# count grows with the corpus, shard SIZE is the bounded release-file
+# target), so both window sorts partition by shard — bounded sort runs,
+# no corpus-global window, no pair join. Output is n_shards rows.
+# Everything is native: lag + bit_count(xor) per ordering, one groupBy.
+#
+# Columns per shard: n_docs, n_pairs (= n_docs - 1), sum_ham_sim /
+# sum_ham_id (total adjacent Hamming bits under simhash order vs doc-id
+# order), delta_bits = sum_ham_id - sum_ham_sim (signed; positive means
+# the simhash layout wins). No division anywhere — Spark's `div`
+# truncates toward zero while DuckDB's `//` floors, so a signed ratio
+# would diverge on negative deltas; consumers divide.
+
+
+def layout_gain(
+    sigs: DataFrame,
+    n_shards: int = 64,
+    salt: str = "release",
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Per-shard adjacent-Hamming totals for simhash order vs id order
+    over a (doc_id, sig) frame (e.g. dedup.native_simhash output)."""
+    from pyspark.sql import Window
+
+    from .curation import sample_bucket_col
+
+    base = sigs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(sig_col).cast("long").alias("sig"),
+        (sample_bucket_col(F.col(id_col), salt) % n_shards).alias("shard"),
+    )
+    w_sim = Window.partitionBy("shard").orderBy("sig", "doc_id")
+    w_id = Window.partitionBy("shard").orderBy("doc_id")
+    ham = lambda prev: F.bit_count(  # noqa: E731 — local spelling
+        F.col("sig").bitwiseXOR(prev)
+    ).cast("long")
+    scored = base.select(
+        "shard",
+        ham(F.lag("sig").over(w_sim)).alias("ham_sim"),
+        ham(F.lag("sig").over(w_id)).alias("ham_id"),
+    )
+    return scored.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.count("ham_sim").alias("n_pairs"),
+        F.coalesce(F.sum("ham_sim"), F.lit(0).cast("long")).alias("sum_ham_sim"),
+        F.coalesce(F.sum("ham_id"), F.lit(0).cast("long")).alias("sum_ham_id"),
+        (
+            F.coalesce(F.sum("ham_id"), F.lit(0).cast("long"))
+            - F.coalesce(F.sum("ham_sim"), F.lit(0).cast("long"))
+        ).alias("delta_bits"),
+    )
+
+
+def sql_layout_gain(
+    sigs_select: str,
+    n_shards: int = 64,
+    salt: str = "release",
+) -> str:
+    """DuckDB twin of :func:`layout_gain` over a subquery yielding
+    (doc_id, sig) — same md5 shard bucket, same two window orders."""
+    from .curation import _sql_md5_bucket
+
+    shard = f"({_sql_md5_bucket('doc_id', salt, 10000)} % {n_shards})"
+    return (
+        f"WITH s AS (SELECT doc_id, sig, {shard} AS shard "
+        f"FROM ({sigs_select})), "
+        "p AS (SELECT shard, "
+        "bit_count(xor(sig, lag(sig) OVER (PARTITION BY shard "
+        "ORDER BY sig, doc_id))) AS ham_sim, "
+        "bit_count(xor(sig, lag(sig) OVER (PARTITION BY shard "
+        "ORDER BY doc_id))) AS ham_id FROM s) "
+        "SELECT shard, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(ham_sim) AS BIGINT) AS n_pairs, "
+        "CAST(coalesce(sum(ham_sim), 0) AS BIGINT) AS sum_ham_sim, "
+        "CAST(coalesce(sum(ham_id), 0) AS BIGINT) AS sum_ham_id, "
+        "CAST(coalesce(sum(ham_id), 0) - coalesce(sum(ham_sim), 0) "
+        "AS BIGINT) AS delta_bits "
+        "FROM p GROUP BY shard"
+    )

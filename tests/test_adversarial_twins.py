@@ -95,7 +95,7 @@ QUERIES = [
     "sentences", "meta_keywords", "cc_scrub", "soft404", "html_pubdate",
     "link_profile", "hreflang_alts", "content_spans", "group_quartiles",
     "spam_mass", "host_wilson", "sb_trigram", "dimsum", "sentence_chunks", "gate_auc", "gate_pr", "rank_corr", "gate_calibration",
-    "blocklist_gate",
+    "blocklist_gate", "simhash_native", "layout_order",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

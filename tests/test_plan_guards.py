@@ -55,7 +55,7 @@ NATIVE_QUERIES = [
     "group_sample", "temp_mixture", "source_kl", "robust_outliers",
     "zipf_slope", "source_overlap", "host_wilson", "surt_keys",
     "sb_trigram", "dimsum", "sentence_chunks", "gate_auc", "gate_pr", "rank_corr", "gate_calibration",
-    "blocklist_gate",
+    "blocklist_gate", "simhash_native", "layout_order",
 ]
 
 

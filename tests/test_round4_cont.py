@@ -768,3 +768,90 @@ class TestSentenceChunks:
             ).collect()
         )
         assert a == b and len(a) > 50
+
+
+class TestNativeSimhash:
+    """All-JVM SimHash: majority-vote semantics and cross-doc behavior."""
+
+    def _sigs(self, spark, rows):
+        from pdf_extraction_spark.operators.dedup import native_simhash
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in native_simhash(df).collect()}
+
+    def test_single_word_sig_is_the_word_hash(self, spark):
+        # one occurrence: every set bit wins its majority vote, so the
+        # signature IS the 52-bit md5-prefix hash of the word
+        import hashlib
+
+        got = self._sigs(spark, [(1, "Hello")])
+        expect = int(hashlib.md5(b"hello").hexdigest()[:13], 16)
+        assert got[1].sig == expect and got[1].n_tokens == 1
+
+    def test_identical_docs_identical_sigs(self, spark):
+        got = self._sigs(spark, [(1, "a b c d e"), (2, "a b c d e")])
+        assert got[1].sig == got[2].sig
+
+    def test_near_identical_closer_than_unrelated(self, spark):
+        base = " ".join(f"word{i}" for i in range(40))
+        got = self._sigs(
+            spark,
+            [
+                (1, base),
+                (2, base + " extra token"),
+                (3, " ".join(f"other{i}" for i in range(40))),
+            ],
+        )
+        ham = lambda a, b: bin(a ^ b).count("1")
+        assert ham(got[1].sig, got[2].sig) < ham(got[1].sig, got[3].sig)
+
+    def test_empty_and_null_docs_get_zero_sig(self, spark):
+        got = self._sigs(spark, [(1, ""), (2, None)])
+        for r in got.values():
+            assert r.sig == 0 and r.n_tokens == 0
+
+    def test_tie_bits_resolve_to_zero(self, spark):
+        # two words: any bit where the hashes disagree is a 1-1 tie →
+        # majority fails → bit 0; sig must be the AND of the two hashes
+        import hashlib
+
+        h = lambda w: int(hashlib.md5(w.encode()).hexdigest()[:13], 16)
+        got = self._sigs(spark, [(1, "alpha beta")])
+        assert got[1].sig == (h("alpha") & h("beta"))
+
+
+class TestLayoutGain:
+    """Similarity-ordered shard layout: exact adjacent-Hamming deltas."""
+
+    def _gain(self, spark, rows, **kw):
+        from pdf_extraction_spark.operators.release import layout_gain
+
+        df = spark.createDataFrame(rows, "doc_id long, sig long")
+        return layout_gain(df, **kw).collect()
+
+    def test_clustered_sigs_reward_simhash_order(self, spark):
+        # ids interleave two far-apart sig clusters: id order pays the
+        # cluster gap on every step, sig order pays it once
+        rows = [(i, (0 if i % 2 == 0 else (1 << 40)) + i) for i in range(20)]
+        out = self._gain(spark, rows, n_shards=1)
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_docs == 20 and r.n_pairs == 19
+        assert r.sum_ham_sim < r.sum_ham_id
+        assert r.delta_bits == r.sum_ham_id - r.sum_ham_sim > 0
+
+    def test_single_doc_shard_has_no_pairs(self, spark):
+        out = self._gain(spark, [(1, 12345)], n_shards=1)
+        r = out[0]
+        assert r.n_docs == 1 and r.n_pairs == 0
+        assert r.sum_ham_sim == 0 and r.sum_ham_id == 0 and r.delta_bits == 0
+
+    def test_shard_assignment_is_md5_stable(self, spark):
+        # same frame, different physical partitioning → identical rows
+        rows = [(i, i * 7919 % (1 << 30)) for i in range(200)]
+        a = sorted(map(tuple, self._gain(spark, rows, n_shards=8)))
+        from pdf_extraction_spark.operators.release import layout_gain
+
+        df = spark.createDataFrame(rows, "doc_id long, sig long").repartition(13)
+        b = sorted(map(tuple, layout_gain(df, n_shards=8).collect()))
+        assert a == b and len(a) == 8
