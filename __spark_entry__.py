@@ -1658,6 +1658,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return layout_gain(native_simhash(_docs(spark, sf)), n_shards=16)
 
+    # -- ranking fusion + ranking eval (round 4 cont.) -----------------------
+    def q_rrf_fuse(spark, sf):
+        """Reciprocal Rank Fusion (Cormack 2009) of the two retrieval
+        legs the engine owns — BM25 lexical top-20 and embedding-cosine
+        top-20 (vec_id ≡ doc_id in the synthetic tables). Contributions
+        are exact int64 ppb (10^9 DIV (60+rank)) so the fused ordering
+        is bit-identical under any partitioning; all fusion work runs
+        over ≤ 40 rows regardless of corpus size."""
+        from pdf_extraction_spark.operators.fusion import rank_from_topk, rrf_fuse
+        from pdf_extraction_spark.operators.retrieval import bm25_topk
+        from pdf_extraction_spark.operators.topk import cosine_topk
+
+        lex = bm25_topk(_docs(spark, sf), ["table", "join", "window"], k=20)
+        sem = cosine_topk(_emb(spark, sf), _query_vec(), k=20).withColumnRenamed(
+            "vec_id", "doc_id"
+        )
+        return rrf_fuse(
+            [
+                rank_from_topk(lex, "bm25", "doc_id"),
+                rank_from_topk(sem, "similarity", "doc_id"),
+            ],
+            k0=60,
+            k=10,
+        )
+
+    def q_gate_ndcg(spark, sf):
+        """nDCG@20 of the stored n_chars signal against a graded
+        query-term relevance (least(#'table' occurrences, 5) — real
+        inversions vs length, ndcg ≈ 0.66 at sf0.01) — the ranking-eval
+        companion to gate_auc. Both prefixes come from
+        TakeOrderedAndProject; discounts are driver-inlined literals;
+        the one dcg/idcg division floors to ppm."""
+        from pdf_extraction_spark.operators.fusion import ndcg_at_k
+        from pdf_extraction_spark.operators.retrieval import _tokens_col
+
+        toks = _tokens_col(F.coalesce(F.col("text"), F.lit("")), True)
+        base = _docs(spark, sf).select(
+            "doc_id",
+            F.col("n_chars").alias("score"),
+            F.least(
+                F.size(F.filter(toks, lambda x: x == F.lit("table"))), F.lit(5)
+            ).alias("gain"),
+        )
+        return ndcg_at_k(base, "score", "gain", k=20, id_col="doc_id")
+
+    def q_rank_rbo(spark, sf):
+        """Rank-Biased Overlap (Webber 2010, truncated prefix, p=0.9,
+        depth=50) between the stored-length and live-token-count
+        rankings — how much two quality signals agree at the top.
+        Per-doc contributions are driver-precomputed ppb suffix-weight
+        literals indexed by overlap-entry position, so the sum is exact
+        int64."""
+        from pdf_extraction_spark.operators.fusion import rank_from_topk, rbo_overlap
+        from pdf_extraction_spark.operators.retrieval import _tokens_col
+
+        docs = _docs(spark, sf)
+        a_top = (
+            docs.select("doc_id", F.col("n_chars").alias("s"))
+            .orderBy(F.desc("s"), "doc_id")
+            .limit(50)
+        )
+        toks = _tokens_col(F.coalesce(F.col("text"), F.lit("")), True)
+        b_top = (
+            docs.select("doc_id", F.size(toks).alias("s"))
+            .orderBy(F.desc("s"), "doc_id")
+            .limit(50)
+        )
+        return rbo_overlap(
+            rank_from_topk(a_top, "s", "doc_id"),
+            rank_from_topk(b_top, "s", "doc_id"),
+            p=0.9,
+            depth=50,
+        )
+
+    def q_mmr_topk(spark, sf):
+        """Maximal Marginal Relevance (Carbonell 1998) diversity top-5
+        over a cosine top-16 pool: each unrolled round anti-joins the
+        picked set, attaches the ≤k selected vectors via a broadcast of
+        ONE aggregated row, maxes the 6-dp-rounded pairwise cosines and
+        picks argmax(λ·rel − (1−λ)·maxsim). Twin = the identical greedy
+        recursion as unrolled CTEs."""
+        from pdf_extraction_spark.operators.fusion import mmr_topk
+
+        return mmr_topk(_emb(spark, sf), _query_vec(), lam=0.7, k=5, pool=16)
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3202,6 +3287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_shape": q_page_shape,
         "content_spans": q_content_spans,
         "norm_punct": q_norm_punct,
+        "rrf_fuse": q_rrf_fuse,
+        "gate_ndcg": q_gate_ndcg,
+        "rank_rbo": q_rank_rbo,
+        "mmr_topk": q_mmr_topk,
     }
 
 
@@ -4398,5 +4487,72 @@ def oracle_sql() -> dict[str, str]:
         "norm_punct": sql_normalize_punct(
             "(SELECT doc_id, " + _PUNCT_AUG + " AS text FROM documents)"
         ),
+        "rrf_fuse": _rrf_fuse_sql(),
+        "gate_ndcg": _gate_ndcg_sql(),
+        "rank_rbo": _rank_rbo_sql(),
+        "mmr_topk": __import__(
+            "pdf_extraction_spark.operators.fusion", fromlist=["sql_mmr_topk"]
+        ).sql_mmr_topk(_query_vec(), lam=0.7, k=5, pool=16),
     }
     return sql
+
+
+def _rrf_fuse_sql() -> str:
+    from pdf_extraction_spark.operators.fusion import (
+        sql_rank_from_topk,
+        sql_rrf_fuse,
+    )
+    from pdf_extraction_spark.operators.retrieval import sql_bm25_topk
+    from pdf_extraction_spark.operators.topk import sql_cosine
+
+    sem = (
+        f"SELECT vec_id AS doc_id, {sql_cosine('embedding', _query_vec())} AS similarity "
+        "FROM embeddings WHERE embedding IS NOT NULL "
+        "ORDER BY similarity DESC, vec_id LIMIT 20"
+    )
+    return sql_rrf_fuse(
+        [
+            sql_rank_from_topk(
+                sql_bm25_topk("documents", ["table", "join", "window"], k=20),
+                "bm25",
+                "doc_id",
+            ),
+            sql_rank_from_topk(sem, "similarity", "doc_id"),
+        ],
+        k0=60,
+        k=10,
+    )
+
+
+def _gate_ndcg_sql() -> str:
+    from pdf_extraction_spark.operators.fusion import sql_ndcg_at_k
+    from pdf_extraction_spark.operators.retrieval import _sql_tokens
+
+    toks = _sql_tokens("coalesce(text, '')", True)
+    base = (
+        "SELECT doc_id, n_chars AS score, "
+        f"CAST(least(len(list_filter({toks}, x -> x = 'table')), 5) AS BIGINT) AS gain "
+        "FROM documents"
+    )
+    return sql_ndcg_at_k(base, k=20)
+
+
+def _rank_rbo_sql() -> str:
+    from pdf_extraction_spark.operators.fusion import (
+        sql_rank_from_topk,
+        sql_rbo_overlap,
+    )
+    from pdf_extraction_spark.operators.retrieval import _sql_tokens
+
+    toks = _sql_tokens("coalesce(text, '')", True)
+    a = sql_rank_from_topk(
+        "SELECT doc_id, n_chars AS s FROM documents ORDER BY s DESC, doc_id LIMIT 50",
+        "s",
+        "doc_id",
+    )
+    b = sql_rank_from_topk(
+        f"SELECT doc_id, len({toks}) AS s FROM documents ORDER BY s DESC, doc_id LIMIT 50",
+        "s",
+        "doc_id",
+    )
+    return sql_rbo_overlap(a, b, p=0.9, depth=50)

@@ -96,6 +96,7 @@ QUERIES = [
     "link_profile", "hreflang_alts", "content_spans", "group_quartiles",
     "spam_mass", "host_wilson", "sb_trigram", "dimsum", "sentence_chunks", "gate_auc", "gate_pr", "rank_corr", "gate_calibration",
     "blocklist_gate", "simhash_native", "layout_order",
+    "rrf_fuse", "gate_ndcg", "rank_rbo",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"
@@ -208,7 +209,7 @@ def _adversarial_embeddings():
 EMB_QUERIES = [
     "cosine_topk", "embedding_neardup", "topk_batch",
     "ivf_assign", "ivf_probe", "ivf_topk", "semdedup", "quantize_emb",
-    "pq_encode", "pq_topk",
+    "pq_encode", "pq_topk", "mmr_topk",
 ]
 
 

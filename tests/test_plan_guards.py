@@ -56,6 +56,7 @@ NATIVE_QUERIES = [
     "zipf_slope", "source_overlap", "host_wilson", "surt_keys",
     "sb_trigram", "dimsum", "sentence_chunks", "gate_auc", "gate_pr", "rank_corr", "gate_calibration",
     "blocklist_gate", "simhash_native", "layout_order",
+    "rrf_fuse", "gate_ndcg", "rank_rbo", "mmr_topk",
 ]
 
 
