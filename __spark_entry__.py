@@ -320,6 +320,11 @@ _LINKS_AUG = (
     " || '</body></html>'"
 )
 
+# Funnel fixture: the ordered conversion steps and window shared by
+# q_funnel_steps and its twin (events carries exactly these types).
+_FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
+_FUNNEL_WINDOW_S = 7 * 86400.0
+
 # Snapshot fixture (url-history expansion for snapshot_delta): each doc
 # becomes 1 + doc_id%5 snapshots of the SAME url at hourly spacing.
 # Text mutation is engine-identical SQL: even doc_ids change EVERY
@@ -1742,6 +1747,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_extraction_spark.operators.fusion import mmr_topk
 
         return mmr_topk(_emb(spark, sf), _query_vec(), lam=0.7, k=5, pool=16)
+
+    # -- host-level set-overlap similarity (round 4 cont.) --------------------
+    def q_cocite_hosts(spark, sf):
+        """Co-citation related hosts (Dean & Henzinger 1999) over the
+        REAL extracted outlink graph (the _LINKS_AUG anchor fixture):
+        hosts are related when common hosts link to both. The only
+        pair-forming join is keyed by citing host with a max_degree
+        portal prune; every reported number is integer-domain."""
+        from pdf_extraction_spark.operators.hostsim import cocitation_hosts
+        from pdf_extraction_spark.operators.htmlgraph import extract_outlinks
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_LINKS_AUG).alias("html"),
+        )
+        return cocitation_hosts(
+            extract_outlinks(docs), max_degree=64, min_shared=2, k=20
+        )
+
+    def q_couple_hosts(spark, sf):
+        """Bibliographic coupling (Kessler 1963) over the same outlink
+        graph — hosts related when they link OUT to the same targets
+        (the transpose of co-citation); celebrity targets are pruned by
+        max_degree before the pair join."""
+        from pdf_extraction_spark.operators.hostsim import coupling_hosts
+        from pdf_extraction_spark.operators.htmlgraph import extract_outlinks
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_LINKS_AUG).alias("html"),
+        )
+        return coupling_hosts(
+            extract_outlinks(docs), max_degree=64, min_shared=2, k=20
+        )
+
+    def q_mirror_hosts(spark, sf):
+        """Bharat-Broder mirror detection: host pairs ranked by shared
+        md5 content fingerprints with resemblance = |shared|/|union| in
+        ppm. The corpus is augmented with a deterministic mirror host
+        per source carrying every doc_id%3==0 page (identical
+        expression in both engines), so real mirror pairs exist;
+        boilerplate fingerprints on > max_dup_hosts hosts are pruned
+        before the pair join."""
+        from pdf_extraction_spark.operators.hostsim import mirror_hosts
+
+        docs = _docs(spark, sf)
+        fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+        base = docs.select(
+            F.col("source").alias("host"), fp.alias("fingerprint")
+        )
+        mirrored = docs.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.col("source"), F.lit("-m")).alias("host"),
+            fp.alias("fingerprint"),
+        )
+        return mirror_hosts(
+            base.unionByName(mirrored),
+            max_dup_hosts=64,
+            min_shared=2,
+            k=20,
+        )
+
+    # -- all-pairs similarity search with prefix filtering (round 4 cont.) ----
+    def q_apss_pairs(spark, sf):
+        """Bayardo 2007 all-pairs cosine ≥ τ over binary word-bigram
+        features: an integer suffix-size prefix filter bounds the
+        candidate join to indexed postings; an exact verification join
+        recomputes every candidate's full intersection, so the output
+        equals brute force bit-for-bit. The DuckDB twin IS the brute
+        force — every oracle run re-proves the filter lossless."""
+        from pdf_extraction_spark.operators.apss import apss_pairs
+
+        return apss_pairs(_docs(spark, sf), tau=0.4, max_df=250)
+
+    # -- ordered funnel conversion over events (round 4 cont.) ----------------
+    def q_funnel_steps(spark, sf):
+        """windowFunnel-style ordered funnel (view → click → signup →
+        purchase, 7-day window): per-user greedy earliest-first chain
+        via ONE user-keyed shuffle + the encoded-int64 position-ordered
+        fold (ts_micros·16 + step in the low bits — every comparison
+        integer-exact), then the per-step conversion table."""
+        from pdf_extraction_spark.operators.funnel import funnel_conversion
+
+        return funnel_conversion(
+            _events(spark, sf), _FUNNEL_STEPS, window_s=_FUNNEL_WINDOW_S
+        )
 
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
@@ -3291,6 +3383,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_ndcg": q_gate_ndcg,
         "rank_rbo": q_rank_rbo,
         "mmr_topk": q_mmr_topk,
+        "cocite_hosts": q_cocite_hosts,
+        "couple_hosts": q_couple_hosts,
+        "mirror_hosts": q_mirror_hosts,
+        "apss_pairs": q_apss_pairs,
+        "funnel_steps": q_funnel_steps,
     }
 
 
@@ -4493,6 +4590,16 @@ def oracle_sql() -> dict[str, str]:
         "mmr_topk": __import__(
             "pdf_extraction_spark.operators.fusion", fromlist=["sql_mmr_topk"]
         ).sql_mmr_topk(_query_vec(), lam=0.7, k=5, pool=16),
+        "cocite_hosts": _cocite_sql(transpose=False),
+        "couple_hosts": _cocite_sql(transpose=True),
+        "mirror_hosts": _mirror_sql(),
+        "apss_pairs": __import__(
+            "pdf_extraction_spark.operators.apss", fromlist=["sql_apss_pairs"]
+        ).sql_apss_pairs(tau=0.4, max_df=250),
+        "funnel_steps": __import__(
+            "pdf_extraction_spark.operators.funnel",
+            fromlist=["sql_funnel_conversion"],
+        ).sql_funnel_conversion(_FUNNEL_STEPS, window_s=_FUNNEL_WINDOW_S),
     }
     return sql
 
@@ -4556,3 +4663,32 @@ def _rank_rbo_sql() -> str:
         "doc_id",
     )
     return sql_rbo_overlap(a, b, p=0.9, depth=50)
+
+
+def _cocite_sql(transpose: bool) -> str:
+    from pdf_extraction_spark.operators.hostsim import sql_host_overlap
+    from pdf_extraction_spark.operators.htmlgraph import sql_links_ctes
+
+    key, item = ("dst_host", "src_host") if transpose else ("src_host", "dst_host")
+    pairs = (
+        "WITH "
+        + sql_links_ctes(
+            "(SELECT doc_id, " + _LINKS_URL + " AS url, "
+            + _LINKS_AUG + " AS html FROM documents)"
+        )
+        + f" SELECT {key} AS key, {item} AS item FROM links "
+        "WHERE dst_host IS NOT NULL"
+    )
+    return sql_host_overlap(pairs, max_degree=64, min_shared=2, k=20)
+
+
+def _mirror_sql() -> str:
+    from pdf_extraction_spark.operators.hostsim import sql_host_overlap
+
+    pairs = (
+        "SELECT md5(coalesce(text, '')) AS key, source AS item FROM documents "
+        "UNION ALL "
+        "SELECT md5(coalesce(text, '')) AS key, source || '-m' AS item "
+        "FROM documents WHERE doc_id % 3 = 0"
+    )
+    return sql_host_overlap(pairs, max_degree=64, min_shared=2, k=20)

@@ -97,6 +97,7 @@ QUERIES = [
     "spam_mass", "host_wilson", "sb_trigram", "dimsum", "sentence_chunks", "gate_auc", "gate_pr", "rank_corr", "gate_calibration",
     "blocklist_gate", "simhash_native", "layout_order",
     "rrf_fuse", "gate_ndcg", "rank_rbo",
+    "cocite_hosts", "couple_hosts", "mirror_hosts", "apss_pairs",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"
@@ -302,7 +303,7 @@ def _adversarial_orders():
 EVT_QUERIES = [
     "events_rollup", "recency_weights", "weighted_rerank",
     "zscore_by_group", "session_stats", "windowed_counts",
-    "top3_per_segment", "keep_last",
+    "top3_per_segment", "keep_last", "funnel_steps",
 ]
 
 

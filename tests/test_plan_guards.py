@@ -57,6 +57,8 @@ NATIVE_QUERIES = [
     "sb_trigram", "dimsum", "sentence_chunks", "gate_auc", "gate_pr", "rank_corr", "gate_calibration",
     "blocklist_gate", "simhash_native", "layout_order",
     "rrf_fuse", "gate_ndcg", "rank_rbo", "mmr_topk",
+    "cocite_hosts", "couple_hosts", "mirror_hosts", "apss_pairs",
+    "funnel_steps",
 ]
 
 
