@@ -1835,6 +1835,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(spark, sf), _FUNNEL_STEPS, window_s=_FUNNEL_WINDOW_S
         )
 
+    def q_host_triangles(spark, sf):
+        """Exact triangle counts + Watts-Strogatz clustering
+        coefficients over the extracted host graph (Cohen 2009 /
+        Schank-Wagner degree-ordered orientation: per-node oriented
+        out-degree is arboricity-bounded, so the wedge join survives
+        power-law hubs). All integer; clustering in ppm by floor."""
+        from pdf_extraction_spark.operators.graphstats import triangle_stats
+        from pdf_extraction_spark.operators.htmlgraph import extract_outlinks
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_LINKS_AUG).alias("html"),
+        )
+        return triangle_stats(extract_outlinks(docs))
+
+    def q_moore_lewis(spark, sf):
+        """Moore-Lewis 2010 cross-entropy-difference selection: pool =
+        non-src0 docs, in-domain target = src0 docs; every pool doc
+        scored under both bigram stupid-backoff LMs, top-50 by
+        round(lp_target − lp_raw, 6). The per-doc scores are the
+        engine's lm_score rounded doubles, so the contrastive
+        difference is bit-identical cross-engine."""
+        from pdf_extraction_spark.operators.mlfilter import moore_lewis_select
+
+        docs = _docs(spark, sf)
+        return moore_lewis_select(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"),
+            k=50,
+        )
+
+    def q_mass_gini(spark, sf):
+        """Gini concentration of corpus byte mass across sources
+        (Lorenz rank form, exact int64 sums, one ppm floor division) —
+        the crawl-diversity one-number report. The rank window is
+        source-count-sized, never corpus-sized."""
+        from pdf_extraction_spark.operators.hostcap import mass_gini
+
+        return mass_gini(_docs(spark, sf), group_col="source", mass_col="n_chars")
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3388,6 +3429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": q_mirror_hosts,
         "apss_pairs": q_apss_pairs,
         "funnel_steps": q_funnel_steps,
+        "host_triangles": q_host_triangles,
+        "moore_lewis": q_moore_lewis,
+        "mass_gini": q_mass_gini,
     }
 
 
@@ -4600,6 +4644,18 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.funnel",
             fromlist=["sql_funnel_conversion"],
         ).sql_funnel_conversion(_FUNNEL_STEPS, window_s=_FUNNEL_WINDOW_S),
+        "host_triangles": _host_triangles_sql(),
+        "moore_lewis": __import__(
+            "pdf_extraction_spark.operators.mlfilter",
+            fromlist=["sql_moore_lewis"],
+        ).sql_moore_lewis(
+            "(SELECT * FROM documents WHERE source <> 'src0')",
+            "(SELECT * FROM documents WHERE source = 'src0')",
+            k=50,
+        ),
+        "mass_gini": __import__(
+            "pdf_extraction_spark.operators.hostcap", fromlist=["sql_mass_gini"]
+        ).sql_mass_gini("documents", "source", "n_chars"),
     }
     return sql
 
@@ -4692,3 +4748,18 @@ def _mirror_sql() -> str:
         "FROM documents WHERE doc_id % 3 = 0"
     )
     return sql_host_overlap(pairs, max_degree=64, min_shared=2, k=20)
+
+
+def _host_triangles_sql() -> str:
+    from pdf_extraction_spark.operators.graphstats import sql_triangle_stats
+    from pdf_extraction_spark.operators.htmlgraph import sql_links_ctes
+
+    edges = (
+        "WITH "
+        + sql_links_ctes(
+            "(SELECT doc_id, " + _LINKS_URL + " AS url, "
+            + _LINKS_AUG + " AS html FROM documents)"
+        )
+        + " SELECT src_host, dst_host FROM links WHERE dst_host IS NOT NULL"
+    )
+    return sql_triangle_stats(edges)

@@ -1,0 +1,145 @@
+"""Exact triangle counting + local clustering coefficients over the
+host link graph (Cohen, "Graph twiddling in a MapReduce world",
+CiSE 2009; the degree-ordered orientation of Schank & Wagner 2005).
+
+Triangles are THE density primitive of web-graph analysis: spam farms
+and link exchanges are triangle-dense, organic link neighborhoods are
+sparse; the local clustering coefficient c(v) = 2·tri(v) /
+(deg(v)·(deg(v)−1)) (Watts & Strogatz 1998) normalizes that signal per
+host.
+
+Algorithm (exact, the published shape):
+1. canonicalize the edge list: undirected, self-loops dropped, each
+   edge kept once as (lo, hi);
+2. orient every edge from the LOWER endpoint to the HIGHER under the
+   total order (degree, node) — the degree-ordered orientation. Every
+   node's out-degree in the oriented graph is bounded by O(sqrt(m))
+   on any graph (arboricity bound), so the wedge join below cannot
+   blow up on power-law hubs: a celebrity host with 10^7 in-links
+   generates wedges only toward HIGHER-degree nodes, of which there
+   are few;
+3. wedges = oriented ⋈ oriented on the middle node; a wedge (u→v,
+   v→w) closes iff (u→w) is also oriented — one more join. Each
+   triangle is found exactly once (its vertices appear in increasing
+   degree-order).
+
+Scale shape (100 TB): three edge-keyed shuffles (canonicalize, wedge
+join, closing join) + one vertex-keyed count — no corpus-scale
+all-pairs anywhere; the orientation bound is the flood control.
+Everything is exact int64 (counts, degrees, clustering in ppm by
+floor division) — bit-identical cross-engine under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CLUST_SCALE = 1_000_000
+
+
+def _canon_edges(
+    edges: DataFrame, src_col: str = "src_host", dst_col: str = "dst_host"
+) -> DataFrame:
+    """Undirected simple edge set: (lo, hi) with lo < hi, distinct,
+    self-loops and NULL endpoints dropped."""
+    s, d = F.col(src_col), F.col(dst_col)
+    return (
+        edges.filter(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(F.least(s, d).alias("lo"), F.greatest(s, d).alias("hi"))
+        .distinct()
+    )
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """(host, deg, triangles, clustering_ppm) for every host in the
+    canonical undirected graph — exact triangle counts via the
+    degree-ordered orientation, clustering_ppm =
+    2·tri·10^6 DIV (deg·(deg−1)) (0 for deg < 2)."""
+    e = _canon_edges(edges, src_col, dst_col)
+    deg = (
+        e.select(F.col("lo").alias("host"))
+        .unionByName(e.select(F.col("hi").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient (lo, hi) by the (deg, host) total order
+    dl = deg.select(F.col("host").alias("lo"), F.col("deg").alias("deg_lo"))
+    dh = deg.select(F.col("host").alias("hi"), F.col("deg").alias("deg_hi"))
+    ed = e.join(dl, "lo").join(dh, "hi")
+    fwd = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    ori = ed.select(
+        F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("a"),
+        F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("b"),
+    )
+    # wedges a→b, b→c close iff a→c is oriented too
+    w1 = ori.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    w2 = ori.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    wedges = w1.join(w2, "v")
+    closing = ori.select(F.col("a").alias("u"), F.col("b").alias("w"))
+    tris = wedges.join(closing, ["u", "w"])
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("triangles"))
+    )
+    tri0 = F.coalesce(F.col("triangles"), F.lit(0))
+    # integer DIV (not `/`, which is double division on longs)
+    clust = F.when(
+        F.col("deg") >= 2,
+        F.expr(
+            f"coalesce(triangles, 0) * 2 * {CLUST_SCALE}"
+            " DIV (deg * (deg - 1))"
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        deg.join(per_node, "host", "left")
+        .select(
+            "host",
+            "deg",
+            tri0.alias("triangles"),
+            clust.cast("long").alias("clustering_ppm"),
+        )
+    )
+
+
+def sql_triangle_stats(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_stats`; ``edges_sql`` yields
+    (src_host, dst_host)."""
+    return f"""
+WITH raw AS (SELECT src_host, dst_host FROM ({edges_sql})
+             WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+               AND src_host <> dst_host),
+     e AS (SELECT DISTINCT least(src_host, dst_host) AS lo,
+                  greatest(src_host, dst_host) AS hi FROM raw),
+     deg AS (SELECT host, CAST(count(*) AS BIGINT) AS deg FROM (
+               SELECT lo AS host FROM e UNION ALL SELECT hi FROM e)
+             GROUP BY host),
+     ori AS (SELECT CASE WHEN (dl.deg, e.lo) < (dh.deg, e.hi)
+                         THEN e.lo ELSE e.hi END AS a,
+                    CASE WHEN (dl.deg, e.lo) < (dh.deg, e.hi)
+                         THEN e.hi ELSE e.lo END AS b
+             FROM e JOIN deg dl ON e.lo = dl.host
+                    JOIN deg dh ON e.hi = dh.host),
+     tris AS (SELECT w1.a AS u, w1.b AS v, w2.b AS w
+              FROM ori w1 JOIN ori w2 ON w1.b = w2.a
+              JOIN ori c ON c.a = w1.a AND c.b = w2.b),
+     per_node AS (SELECT host, CAST(count(*) AS BIGINT) AS triangles
+                  FROM (SELECT u AS host FROM tris
+                        UNION ALL SELECT v FROM tris
+                        UNION ALL SELECT w FROM tris)
+                  GROUP BY host)
+SELECT deg.host, deg.deg,
+       CAST(coalesce(per_node.triangles, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN deg.deg >= 2
+            THEN coalesce(per_node.triangles, 0) * 2 * {CLUST_SCALE}
+                 // (deg.deg * (deg.deg - 1))
+            ELSE 0 END AS BIGINT) AS clustering_ppm
+FROM deg LEFT JOIN per_node ON deg.host = per_node.host
+"""

@@ -404,3 +404,91 @@ def sql_host_wilson_rank(
         "(1000000 * (n_pass + 2) - 2 * sq) // (n_docs + 4)) AS BIGINT) "
         "AS wilson_lb_ppm FROM q"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of corpus mass across hosts / sources
+# ---------------------------------------------------------------------------
+#
+# The Gini coefficient (Gini 1912, via the Lorenz-curve rank form) is
+# the standard one-number answer to "how concentrated is the crawl?" —
+# 0 when every host contributes equal mass, → 1 when one host owns the
+# corpus. Crawl reports (and the per-host cap above) care because a
+# high-Gini corpus is a deduplication and diversity liability.
+#
+# Rank form over masses x_1 ≤ … ≤ x_n (ties broken by group name):
+#     G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i)
+# All sums are exact int64; the single division floors to ppm. The
+# rank window is GROUP-sized (hosts/sources), not corpus-sized — the
+# ppl-cutoffs device; the mass aggregation itself is one map-side
+# combinable groupBy. Domain bound (documented, same class as the
+# 10^12 fixed-point ops): n·total_mass must fit int64 — holds for any
+# realistic (groups ≤ 10^6) × (mass ≤ 10^12) report; pre-scale the
+# mass column if you exceed it.
+
+
+def mass_gini(
+    df: DataFrame,
+    group_col: str = "source",
+    mass_col: str = "n_chars",
+) -> DataFrame:
+    """One row (n_groups, total_mass, gini_ppm): Gini concentration of
+    integer ``mass_col`` summed per ``group_col`` (NULL groups and
+    NULL masses excluded)."""
+    from pyspark.sql.window import Window
+
+    g = (
+        df.filter(F.col(group_col).isNotNull() & F.col(mass_col).isNotNull())
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.sum(F.col(mass_col).cast("long")).alias("mass"))
+    )
+    w = Window.orderBy("mass", "grp")
+    ranked = g.select(
+        "mass", F.row_number().over(w).cast("long").alias("i")
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("mass").alias("total_mass"),
+        F.sum(F.col("i") * F.col("mass")).alias("s1"),
+    )
+    # integer DIV, not `/`: float division would round above 2^53 and
+    # the floor could then disagree with the twin's exact `//`
+    gini = F.expr(
+        "(2 * s1 - (n_groups + 1) * total_mass) * 1000000"
+        " DIV (n_groups * total_mass)"
+    )
+    return agg.select(
+        "n_groups",
+        "total_mass",
+        F.when(
+            (F.col("n_groups") > 0) & (F.col("total_mass") > 0), gini
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
+def sql_mass_gini(
+    rel: str = "documents",
+    group_expr: str = "source",
+    mass_expr: str = "n_chars",
+) -> str:
+    """DuckDB twin of :func:`mass_gini`."""
+    return f"""
+WITH g AS (SELECT {group_expr} AS grp, CAST(sum({mass_expr}) AS BIGINT) AS mass
+           FROM {rel}
+           WHERE {group_expr} IS NOT NULL AND {mass_expr} IS NOT NULL
+           GROUP BY {group_expr}),
+     r AS (SELECT mass, CAST(row_number() OVER (ORDER BY mass, grp) AS BIGINT) AS i
+           FROM g),
+     a AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                  CAST(sum(mass) AS BIGINT) AS total_mass,
+                  CAST(sum(i * mass) AS BIGINT) AS s1 FROM r)
+SELECT n_groups, total_mass,
+       CAST(CASE WHEN n_groups > 0 AND total_mass > 0
+            THEN (2 * s1 - (n_groups + 1) * total_mass) * 1000000
+                 // (n_groups * total_mass)
+            ELSE 0 END AS BIGINT) AS gini_ppm
+FROM a
+"""

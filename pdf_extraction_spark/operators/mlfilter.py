@@ -1316,3 +1316,119 @@ def sql_gate_calibration(
         "(1000000 * sy) // n AS observed_ppm, "
         "(1000000 * sy) // n - sp // n AS gap_ppm FROM a"
     )
+
+
+# ---------------------------------------------------------------------------
+# Moore-Lewis cross-entropy-difference data selection
+# ---------------------------------------------------------------------------
+#
+# Moore & Lewis, ACL 2010 "Intelligent selection of language model
+# training data" — THE classic contrastive selection recipe: score
+# every pool document by the difference of its log-likelihood under an
+# IN-DOMAIN LM and under a POOL LM, and keep the top-k. A document the
+# target LM likes MORE than the generic pool LM does is
+# target-domain-like; the subtraction cancels the document's intrinsic
+# easiness (stop-word mass, length effects) that inflates a raw LM
+# score. Both LMs here are the engine's bigram stupid-backoff model,
+# so estimation stays pure distributed counting and both score legs
+# reuse score_bigram_lm's position-ordered fold — the per-doc scores
+# are the identical rounded doubles in both engines, hence their
+# difference is too.
+#
+# Scale shape: two vocabulary-keyed count tables + two score joins
+# over the pool (the lm_score shape, twice) + one doc-keyed join;
+# selection is orderBy().limit(k) → TakeOrderedAndProject.
+
+
+def moore_lewis_select(
+    pool: DataFrame,
+    target: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = LM_ALPHA,
+) -> DataFrame:
+    """Top-``k`` pool docs by cross-entropy difference: returns
+    (doc_id, lp_target, lp_raw, ml_diff) ordered by
+    (ml_diff desc, doc_id) — ml_diff = round(lp_target − lp_raw, 6),
+    where lp_* are the mean log10 stupid-backoff scores of the pool
+    doc under the target-trained and pool-trained bigram LMs."""
+    lm_t = train_bigram_lm(target, text_col, id_col)
+    lm_r = train_bigram_lm(pool, text_col, id_col)
+    st = score_bigram_lm(pool, lm_t, text_col, id_col, alpha).select(
+        "doc_id", F.col("avg_logprob").alias("lp_target")
+    )
+    sr = score_bigram_lm(pool, lm_r, text_col, id_col, alpha).select(
+        "doc_id", F.col("avg_logprob").alias("lp_raw")
+    )
+    return (
+        st.join(sr, "doc_id")
+        .select(
+            "doc_id",
+            "lp_target",
+            "lp_raw",
+            F.round(F.col("lp_target") - F.col("lp_raw"), 6).alias("ml_diff"),
+        )
+        .orderBy(F.desc("ml_diff"), "doc_id")
+        .limit(k)
+    )
+
+
+def _sql_lm_leg(
+    train_rel: str,
+    score_rel: str,
+    text_expr: str = "text",
+    alpha: float = LM_ALPHA,
+) -> str:
+    """The scoring chain of sql_score_bigram_lm with SEPARATE train and
+    score relations (count tables from ``train_rel``, per-position
+    scoring over ``score_rel``) — same CASE ladder, same
+    position-ordered fold, same round."""
+    tx = f"coalesce({text_expr}, '')"
+    return (
+        f"WITH tt AS (SELECT doc_id, {_sql_tokens(tx)} AS toks FROM {train_rel}), "
+        "ptt AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM ("
+        "SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM tt)), "
+        f"ts AS (SELECT doc_id, {_sql_tokens(tx)} AS toks FROM {score_rel}), "
+        "pts AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM ("
+        "SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM ts)), "
+        "uni AS (SELECT tok, count(*) AS u_cnt FROM ptt GROUP BY tok), "
+        "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ptt), "
+        "bi AS (SELECT a.tok AS prev, b.tok AS nxt, count(*) AS b_cnt "
+        "FROM ptt a JOIN ptt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+        "GROUP BY a.tok, b.tok), "
+        "pairs AS (SELECT c.doc_id, c.pos, c.tok, p.tok AS prev "
+        "FROM pts c LEFT JOIN pts p ON c.doc_id = p.doc_id AND p.pos = c.pos - 1), "
+        "j AS (SELECT pr.doc_id, pr.pos, "
+        "CASE WHEN bi.b_cnt IS NOT NULL AND up.u_cnt IS NOT NULL "
+        "THEN CAST(bi.b_cnt AS DOUBLE) / up.u_cnt "
+        f"WHEN pr.prev IS NOT NULL THEN {alpha} * coalesce(uc.u_cnt / tot.n, {LM_FLOOR}) "
+        f"ELSE coalesce(uc.u_cnt / tot.n, {LM_FLOOR}) END AS prob "
+        "FROM pairs pr "
+        "LEFT JOIN uni up ON pr.prev = up.tok "
+        "LEFT JOIN uni uc ON pr.tok = uc.tok "
+        "LEFT JOIN bi ON pr.prev = bi.prev AND pr.tok = bi.nxt "
+        "CROSS JOIN tot) "
+        "SELECT doc_id, "
+        "round(list_reduce(list_prepend(0.0, list(log10(prob) ORDER BY pos)), "
+        "(a, b) -> a + b) / count(*), 6) AS avg_logprob FROM j GROUP BY doc_id"
+    )
+
+
+def sql_moore_lewis(
+    pool_rel: str,
+    target_rel: str,
+    k: int = 50,
+    text_expr: str = "text",
+    alpha: float = LM_ALPHA,
+) -> str:
+    """DuckDB twin of :func:`moore_lewis_select`."""
+    t_leg = _sql_lm_leg(target_rel, pool_rel, text_expr, alpha)
+    r_leg = _sql_lm_leg(pool_rel, pool_rel, text_expr, alpha)
+    return f"""
+SELECT st.doc_id, st.avg_logprob AS lp_target, sr.avg_logprob AS lp_raw,
+       round(st.avg_logprob - sr.avg_logprob, 6) AS ml_diff
+FROM ({t_leg}) st JOIN ({r_leg}) sr ON st.doc_id = sr.doc_id
+ORDER BY ml_diff DESC, st.doc_id
+LIMIT {k}
+"""

@@ -98,6 +98,7 @@ QUERIES = [
     "blocklist_gate", "simhash_native", "layout_order",
     "rrf_fuse", "gate_ndcg", "rank_rbo",
     "cocite_hosts", "couple_hosts", "mirror_hosts", "apss_pairs",
+    "host_triangles", "moore_lewis", "mass_gini",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

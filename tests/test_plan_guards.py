@@ -58,7 +58,7 @@ NATIVE_QUERIES = [
     "blocklist_gate", "simhash_native", "layout_order",
     "rrf_fuse", "gate_ndcg", "rank_rbo", "mmr_topk",
     "cocite_hosts", "couple_hosts", "mirror_hosts", "apss_pairs",
-    "funnel_steps",
+    "funnel_steps", "host_triangles", "moore_lewis", "mass_gini",
 ]
 
 
