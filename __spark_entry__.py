@@ -320,6 +320,9 @@ _LINKS_AUG = (
     " || '</body></html>'"
 )
 
+# Rendezvous-hash shard list shared by q_hrw_shards and its twin.
+_HRW_SHARDS = ["store-%02d" % i for i in range(8)]
+
 # Funnel fixture: the ordered conversion steps and window shared by
 # q_funnel_steps and its twin (events carries exactly these types).
 _FUNNEL_STEPS = ["view", "click", "signup", "purchase"]
@@ -1875,6 +1878,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from pdf_extraction_spark.operators.hostcap import mass_gini
 
         return mass_gini(_docs(spark, sf), group_col="source", mass_col="n_chars")
+
+    def q_textrank(spark, sf):
+        """TextRank keyterms (Mihalcea & Tarau 2004): per-doc weighted
+        PageRank over the token adjacency graph, unrolled 4 rounds in
+        exact 10^12 fixed point (each edge contributes
+        floor(r·w/wdeg) independently, so the dst-keyed sum is
+        partitioning-proof); top-3 terms per doc via the doc-bounded
+        buffer. The graph never crosses documents — every frame is
+        (doc, token)-keyed."""
+        from pdf_extraction_spark.operators.terms import textrank_terms
+
+        return textrank_terms(_docs(spark, sf), k=3, n_iter=4)
+
+    def q_hrw_shards(spark, sf):
+        """Rendezvous (highest-random-weight) shard assignment (Thaler
+        & Ravishankar 1996): doc → argmax over shards of a 60-bit md5
+        weight — the consistent-assignment counterpart to the mod-N
+        shard_manifest. Removing a shard moves only its own docs (the
+        minimal-disruption property, pinned in tests). Pure narrow
+        projection + one shard-bounded groupBy."""
+        from pdf_extraction_spark.operators.release import hrw_shard_counts
+
+        return hrw_shard_counts(_docs(spark, sf), _HRW_SHARDS)
+
+    def q_facility_location(spark, sf):
+        """Facility-location greedy coreset selection (Lin & Bilmes
+        2011; Wei 2015): k=4 representatives from the norm-top-16
+        candidate pool maximizing corpus coverage Σ_v max_s cos(v,s).
+        Sims quantize once to int64 micro units, so every gain /
+        coverage sum is exact and partitioning-proof; candidates
+        broadcast as ONE aggregated row per round (no cartesian)."""
+        from pdf_extraction_spark.operators.coreset import (
+            facility_location_select,
+        )
+
+        return facility_location_select(_emb(spark, sf), k=4, pool=16)
 
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
@@ -3432,6 +3471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_triangles": q_host_triangles,
         "moore_lewis": q_moore_lewis,
         "mass_gini": q_mass_gini,
+        "textrank_terms": q_textrank,
+        "hrw_shards": q_hrw_shards,
+        "facility_location": q_facility_location,
     }
 
 
@@ -4656,6 +4698,18 @@ def oracle_sql() -> dict[str, str]:
         "mass_gini": __import__(
             "pdf_extraction_spark.operators.hostcap", fromlist=["sql_mass_gini"]
         ).sql_mass_gini("documents", "source", "n_chars"),
+        "textrank_terms": __import__(
+            "pdf_extraction_spark.operators.terms",
+            fromlist=["sql_textrank_terms"],
+        ).sql_textrank_terms("documents", k=3, n_iter=4),
+        "hrw_shards": __import__(
+            "pdf_extraction_spark.operators.release",
+            fromlist=["sql_hrw_shard_counts"],
+        ).sql_hrw_shard_counts(_HRW_SHARDS),
+        "facility_location": __import__(
+            "pdf_extraction_spark.operators.coreset",
+            fromlist=["sql_facility_location"],
+        ).sql_facility_location(k=4, pool=16),
     }
     return sql
 

@@ -300,3 +300,113 @@ def sql_layout_gain(
         "AS BIGINT) AS delta_bits "
         "FROM p GROUP BY shard"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard assignment
+# ---------------------------------------------------------------------------
+#
+# Thaler & Ravishankar 1996 ("Using name-based mappings to increase hit
+# rates") — the consistent-assignment alternative to `shard_of`'s
+# mod-N bucket: each doc goes to argmax_shard h(doc, shard). The
+# property mod-N cannot give (and the reason every distributed cache /
+# object store uses HRW or ring hashing): REMOVING a shard moves ONLY
+# the docs that lived on it — every other assignment is unchanged —
+# while mod-N reshuffles ~(N−1)/N of the corpus. For a 10^12-doc
+# release that gets re-balanced when a storage node retires, that is
+# the difference between re-writing one shard and re-writing all of
+# them.
+#
+# Weight = first 15 md5 hex chars (60 bits, int64-exact) of
+# "<doc_id>:<shard_name>:<salt>" — the repo's md5-uniform device, so
+# assignment is bit-identical in Spark and DuckDB, independent of
+# partitioning and input order. The argmax runs over an inlined
+# literal shard array (transform + array_max — shard lists are
+# configuration, bounded, never data); a weight tie (two 60-bit md5
+# collisions on one doc — effectively never) resolves to the
+# lexicographically largest shard name in BOTH engines, because both
+# compare the (weight, name) struct field-by-field.
+
+HRW_SALT = "hrw-v1"
+
+
+def hrw_weight(id_col: Column, shard: str, salt: str = HRW_SALT) -> Column:
+    """60-bit int64 rendezvous weight of (doc, shard)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    id_col.cast("string"), F.lit(":"), F.lit(shard),
+                    F.lit(":"), F.lit(salt),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def hrw_assign(
+    df: DataFrame,
+    shards: list,
+    id_col: str = "doc_id",
+    salt: str = HRW_SALT,
+) -> DataFrame:
+    """Input plus ``shard`` = argmax over ``shards`` of the rendezvous
+    weight — a pure narrow projection (no shuffle, no UDF)."""
+    if not shards or len(set(shards)) != len(shards):
+        raise ValueError("shards must be a non-empty list of distinct names")
+    idc = F.col(id_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                hrw_weight(idc, s, salt).alias("w"), F.lit(s).alias("name")
+            )
+            for s in sorted(shards)
+        ]
+    )
+    best = F.array_max(pairs)
+    return df.withColumn("shard", best["name"])
+
+
+def hrw_shard_counts(
+    df: DataFrame,
+    shards: list,
+    id_col: str = "doc_id",
+    salt: str = HRW_SALT,
+) -> DataFrame:
+    """(shard, n_docs, min_id, max_id): the HRW load report — one
+    map-side-combinable groupBy bounded by the shard list."""
+    a = hrw_assign(df, shards, id_col=id_col, salt=salt)
+    return a.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.col(id_col)).alias("min_id"),
+        F.max(F.col(id_col)).alias("max_id"),
+    )
+
+
+def sql_hrw_shard_counts(
+    shards: list,
+    rel: str = "documents",
+    id_expr: str = "doc_id",
+    salt: str = HRW_SALT,
+) -> str:
+    """DuckDB twin of :func:`hrw_shard_counts` — same md5 weights,
+    same struct-max tie order."""
+    if not shards or len(set(shards)) != len(shards):
+        raise ValueError("shards must be a non-empty list of distinct names")
+    elems = ", ".join(
+        "{'w': CAST('0x' || substr(md5(CAST(" + id_expr + " AS VARCHAR) || "
+        f"':{s}:{salt}'), 1, 15) AS BIGINT), 'name': '{s}'}}"
+        for s in sorted(shards)
+    )
+    return f"""
+WITH a AS (SELECT {id_expr} AS doc_id,
+                  list_max([{elems}]).name AS shard
+           FROM {rel})
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM a GROUP BY shard
+"""

@@ -220,3 +220,186 @@ def sql_doc_key_terms(
         "SELECT doc_id, term, tf, CAST(score_nano AS DOUBLE) / 1e9 AS score "
         f"FROM ranked WHERE rk <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyphrase terms (Mihalcea & Tarau, EMNLP 2004)
+# ---------------------------------------------------------------------------
+#
+# The graph-based complement to doc_key_terms' TF-IDF: per document,
+# build the token co-occurrence graph (window 2 — adjacent tokens,
+# undirected, edge weight = co-occurrence count) and rank tokens with
+# the weighted PageRank recursion
+#     r(v) ← (1−d) + d · Σ_{u∈N(v)} w(u,v)/wdeg(u) · r(u)
+# (TextRank keeps the (1−d) constant un-normalized — the paper's
+# convention, not PageRank's 1/N split). Top-k tokens per doc are the
+# document's keyphrase seeds.
+#
+# Fixed-point int64 device (the components.pagerank discipline): ranks
+# live at 10^12 scale, each edge contributes floor(r(u)·w/wdeg(u)) —
+# computed independently per edge, so the dst-keyed sum is exact,
+# associative and partitioning-proof — and the damping is integer
+# percent: r' = (100−d)·SCALE DIV 100 + d·S DIV 100. The recursion is
+# unrolled n_iter times in both engines with identical integer ops, so
+# ranks are bit-identical. Final display rank half-up-rounds to the
+# micro quantum IN THE INTEGER DOMAIN (the pagerank rule — no float
+# half-tie can diverge).
+#
+# Scale shape: every frame is (doc, token)- or (doc, edge)-keyed —
+# the graph NEVER crosses documents, so each round is one narrow join
+# + one map-side-combinable sum keyed by (doc, token); the only window
+# is the doc-bounded adjacency lead. Isolated tokens (single-token
+# docs, or docs whose only pairs are self-pairs) have no edges and are
+# excluded — TextRank is undefined on them (documented).
+
+
+TEXTRANK_SCALE = 10**12
+
+
+def textrank_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_iter: int = 4,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(doc_id, term, wdeg, rank_micro): each document's top-``k``
+    tokens by TextRank over the adjacency co-occurrence graph —
+    ``rank_micro`` is the 10^12-scaled fixed-point rank half-up-rounded
+    to micro units (10^6 = rank 1.0); ties break by term asc."""
+    words = _words(df, text_col, id_col)
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        words.withColumn("w2", F.lead("tok").over(wnd))
+        .filter(F.col("w2").isNotNull() & (F.col("tok") != F.col("w2")))
+        .select(
+            "doc_id",
+            F.least(F.col("tok"), F.col("w2")).alias("lo"),
+            F.greatest(F.col("tok"), F.col("w2")).alias("hi"),
+        )
+    )
+    edges = pairs.groupBy("doc_id", "lo", "hi").agg(F.count("*").alias("w"))
+    dedges = edges.select(
+        "doc_id", F.col("lo").alias("u"), F.col("hi").alias("v"), "w"
+    ).unionByName(
+        edges.select(
+            "doc_id", F.col("hi").alias("u"), F.col("lo").alias("v"), "w"
+        )
+    )
+    deg = dedges.groupBy("doc_id", "u").agg(F.sum("w").alias("wdeg"))
+    g = dedges.join(deg, ["doc_id", "u"]).persist()
+
+    base = (100 - damping_pct) * TEXTRANK_SCALE // 100
+    ranks = g.select("doc_id", F.col("u").alias("tok")).distinct().select(
+        "doc_id", "tok", F.lit(TEXTRANK_SCALE).alias("r")
+    )
+    for _ in range(n_iter):
+        contrib = g.join(
+            ranks.select(
+                "doc_id", F.col("tok").alias("u"), F.col("r").alias("r_u")
+            ),
+            ["doc_id", "u"],
+        ).select(
+            "doc_id",
+            F.col("v").alias("tok"),
+            F.expr("r_u * w DIV wdeg").alias("c"),
+        )
+        ranks = contrib.groupBy("doc_id", "tok").agg(
+            (
+                F.lit(base)
+                + F.expr(f"{damping_pct} * sum(c) DIV 100")
+            ).alias("r")
+        )
+    final = ranks.join(
+        deg.select("doc_id", F.col("u").alias("tok"), "wdeg"),
+        ["doc_id", "tok"],
+    ).select(
+        "doc_id",
+        "tok",
+        "wdeg",
+        F.expr("(r + 500000) DIV 1000000").alias("rank_micro"),
+    )
+    top = final.groupBy("doc_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("rank_micro")).alias("neg"),
+                        F.col("tok").alias("term"),
+                        F.col("wdeg"),
+                        F.col("rank_micro"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    out = top.select("doc_id", F.explode("top").alias("e")).select(
+        "doc_id",
+        F.col("e.term").alias("term"),
+        F.col("e.wdeg").alias("wdeg"),
+        F.col("e.rank_micro").alias("rank_micro"),
+    )
+    g.unpersist()
+    return out
+
+
+def sql_textrank_terms(
+    rel: str = "documents",
+    text_expr: str = "text",
+    k: int = 3,
+    n_iter: int = 4,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB twin of :func:`textrank_terms` — identical tokenizer,
+    adjacency canonicalization, unrolled integer recursion, and
+    (rank desc, term asc) window top-k at oracle scale."""
+    from .curation import _sql_lower_words
+
+    toks = _sql_lower_words(f"coalesce({text_expr}, '')")
+    base = (100 - damping_pct) * TEXTRANK_SCALE // 100
+    parts = [
+        f"t AS (SELECT doc_id, {toks} AS toks FROM {rel})",
+        "pt AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM ("
+        "SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t))",
+        "pairs AS (SELECT a.doc_id, least(a.tok, b.tok) AS lo, "
+        "greatest(a.tok, b.tok) AS hi FROM pt a JOIN pt b "
+        "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND a.tok <> b.tok)",
+        "edges AS (SELECT doc_id, lo, hi, CAST(count(*) AS BIGINT) AS w "
+        "FROM pairs GROUP BY doc_id, lo, hi)",
+        "dedges AS (SELECT doc_id, lo AS u, hi AS v, w FROM edges "
+        "UNION ALL SELECT doc_id, hi AS u, lo AS v, w FROM edges)",
+        "deg AS (SELECT doc_id, u, CAST(sum(w) AS BIGINT) AS wdeg "
+        "FROM dedges GROUP BY doc_id, u)",
+        "g AS (SELECT dedges.doc_id, dedges.u, dedges.v, dedges.w, deg.wdeg "
+        "FROM dedges JOIN deg ON dedges.doc_id = deg.doc_id AND dedges.u = deg.u)",
+        f"r0 AS (SELECT DISTINCT doc_id, u AS tok, CAST({TEXTRANK_SCALE} AS BIGINT) "
+        "AS r FROM g)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"r{i} AS (SELECT g.doc_id, g.v AS tok, "
+            f"CAST({base} + {damping_pct} * sum(p.r * g.w // g.wdeg) // 100 "
+            "AS BIGINT) AS r "
+            f"FROM g JOIN r{i - 1} p ON g.doc_id = p.doc_id AND g.u = p.tok "
+            "GROUP BY g.doc_id, g.v)"
+        )
+    parts.append(
+        f"fin AS (SELECT r{n_iter}.doc_id, r{n_iter}.tok AS term, deg.wdeg, "
+        f"CAST((r + 500000) // 1000000 AS BIGINT) AS rank_micro "
+        f"FROM r{n_iter} JOIN deg ON r{n_iter}.doc_id = deg.doc_id "
+        f"AND r{n_iter}.tok = deg.u)"
+    )
+    parts.append(
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY rank_micro DESC, term) AS rn FROM fin)"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT doc_id, term, wdeg, rank_micro FROM rk WHERE rn <= {k}"
+    )

@@ -98,7 +98,8 @@ QUERIES = [
     "blocklist_gate", "simhash_native", "layout_order",
     "rrf_fuse", "gate_ndcg", "rank_rbo",
     "cocite_hosts", "couple_hosts", "mirror_hosts", "apss_pairs",
-    "host_triangles", "moore_lewis", "mass_gini",
+    "host_triangles", "moore_lewis", "mass_gini", "textrank_terms",
+    "hrw_shards",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"
@@ -211,7 +212,7 @@ def _adversarial_embeddings():
 EMB_QUERIES = [
     "cosine_topk", "embedding_neardup", "topk_batch",
     "ivf_assign", "ivf_probe", "ivf_topk", "semdedup", "quantize_emb",
-    "pq_encode", "pq_topk", "mmr_topk",
+    "pq_encode", "pq_topk", "mmr_topk", "facility_location",
 ]
 
 

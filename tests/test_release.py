@@ -119,3 +119,85 @@ def test_streaming_manifest_matches_batch(spark, docs, tmp_path):
 def test_manifest_plan_is_one_native_agg(spark, docs):
     plan = shard_manifest(docs, n_shards=16)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Cartesian" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (HRW) shard assignment
+# ---------------------------------------------------------------------------
+
+class TestHRW:
+    def _docs(self, spark, n=400):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(F.col("id").alias("doc_id"))
+
+    def test_minimal_disruption_on_shard_removal(self, spark):
+        """THE property HRW buys: dropping one shard moves ONLY the
+        docs that lived on it."""
+        from pdf_extraction_spark.operators.release import hrw_assign
+
+        shards = ["s%d" % i for i in range(6)]
+        d = self._docs(spark)
+        full = {
+            r["doc_id"]: r["shard"]
+            for r in hrw_assign(d, shards).collect()
+        }
+        smaller = {
+            r["doc_id"]: r["shard"]
+            for r in hrw_assign(d, shards[:-1]).collect()
+        }
+        moved = {k for k in full if full[k] != smaller[k]}
+        assert moved == {k for k, v in full.items() if v == "s5"}
+        assert moved  # s5 actually held documents
+
+    def test_mod_n_reshuffles_most(self, spark):
+        """Contrast: the mod-N assignment moves ~(N-1)/N of the corpus
+        when N changes — the failure HRW exists to avoid."""
+        from pyspark.sql import functions as F
+
+        from pdf_extraction_spark.operators.release import shard_of
+
+        d = self._docs(spark)
+        a = {r["doc_id"]: r["s"] for r in d.select(
+            "doc_id", shard_of(F.col("doc_id"), 6).alias("s")).collect()}
+        b = {r["doc_id"]: r["s"] for r in d.select(
+            "doc_id", shard_of(F.col("doc_id"), 5).alias("s")).collect()}
+        moved = sum(1 for k in a if a[k] != b[k])
+        assert moved > len(a) // 2
+
+    def test_roughly_balanced(self, spark):
+        from pdf_extraction_spark.operators.release import hrw_shard_counts
+
+        shards = ["s%d" % i for i in range(8)]
+        rows = hrw_shard_counts(self._docs(spark, 800), shards).collect()
+        assert len(rows) == 8
+        counts = [r["n_docs"] for r in rows]
+        assert min(counts) > 0 and max(counts) < 3 * (800 // 8)
+
+    def test_order_and_partition_invariance(self, spark):
+        from pdf_extraction_spark.operators.release import hrw_shard_counts
+
+        shards = ["alpha", "beta", "gamma"]
+        d = self._docs(spark, 300)
+        one = sorted(
+            tuple(r)
+            for r in hrw_shard_counts(d.coalesce(1), shards).collect()
+        )
+        many = sorted(
+            tuple(r)
+            for r in hrw_shard_counts(
+                d.repartition(11), list(reversed(shards))
+            ).collect()
+        )
+        assert one == many
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from pdf_extraction_spark.operators.release import hrw_assign
+
+        d = self._docs(spark, 5)
+        with _pytest.raises(ValueError):
+            hrw_assign(d, [])
+        with _pytest.raises(ValueError):
+            hrw_assign(d, ["a", "a"])
