@@ -1915,6 +1915,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return facility_location_select(_emb(spark, sf), k=4, pool=16)
 
+    def q_bm25f(spark, sf):
+        """BM25F field-weighted retrieval (Robertson/Zaragoza/Taylor
+        2004): body + URL fields, per-field length normalization, term
+        frequencies combined BEFORE the single saturation (the paper's
+        fix for the broken sum-of-BM25s). The url field is the
+        _LINKS_URL fixture so a source token ('src3') genuinely
+        out-pulls body matches on that host's pages."""
+        from pdf_extraction_spark.operators.retrieval import bm25f_topk
+
+        docs = _docs(spark, sf).select(
+            "doc_id", "text", F.expr(_LINKS_URL).alias("url")
+        )
+        return bm25f_topk(
+            docs,
+            ["table", "join", "src3"],
+            fields=[("text", 1.0, 0.75), ("url", 4.0, 0.5)],
+            k=15,
+        )
+
+    def q_qlm(spark, sf):
+        """Dirichlet query-likelihood retrieval (Zhai & Lafferty 2001)
+        — the language-modeling leg beside BM25 and embedding cosine,
+        in the rank-equivalent decomposition that touches only matching
+        pairs plus one per-doc length term (smoothing mass ranks even
+        no-hit docs, the LM contract)."""
+        from pdf_extraction_spark.operators.retrieval import qlm_topk
+
+        return qlm_topk(_docs(spark, sf), ["table", "join", "window"], k=15)
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3474,6 +3503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_terms": q_textrank,
         "hrw_shards": q_hrw_shards,
         "facility_location": q_facility_location,
+        "bm25f_topk": q_bm25f,
+        "qlm_topk": q_qlm,
     }
 
 
@@ -4710,6 +4741,19 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.coreset",
             fromlist=["sql_facility_location"],
         ).sql_facility_location(k=4, pool=16),
+        "bm25f_topk": __import__(
+            "pdf_extraction_spark.operators.retrieval",
+            fromlist=["sql_bm25f_topk"],
+        ).sql_bm25f_topk(
+            "(SELECT doc_id, text, " + _LINKS_URL + " AS url FROM documents)",
+            ["table", "join", "src3"],
+            fields=[("text", 1.0, 0.75), ("url", 4.0, 0.5)],
+            k=15,
+        ),
+        "qlm_topk": __import__(
+            "pdf_extraction_spark.operators.retrieval",
+            fromlist=["sql_qlm_topk"],
+        ).sql_qlm_topk("documents", ["table", "join", "window"], k=15),
     }
     return sql
 

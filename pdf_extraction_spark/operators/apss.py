@@ -109,10 +109,16 @@ def apss_pairs(
 
     feats = doc_features(docs, text_col=text_col, id_col=id_col)
     dfreq = feats.groupBy("term").agg(F.count("*").alias("df"))
-    kept = feats.join(
-        dfreq.filter(F.col("df") <= max_df), "term"
-    ).select("doc_id", "term", "df")
-    ss = kept.groupBy("doc_id").agg(F.count("*").alias("ss"))
+    # kept feeds the position window, both verification join legs and
+    # the norms; ss feeds the window and both norm attachments — each
+    # persisted once so the tokenize+distinct+df-join pipeline runs
+    # once, not five times (caches returned for release)
+    kept = (
+        feats.join(dfreq.filter(F.col("df") <= max_df), "term")
+        .select("doc_id", "term", "df")
+        .persist()
+    )
+    ss = kept.groupBy("doc_id").agg(F.count("*").alias("ss")).persist()
 
     # per-doc position in the global (df asc, term asc) order; the
     # window partition is ONE document's feature list, never the corpus

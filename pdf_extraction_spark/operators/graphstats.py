@@ -60,12 +60,16 @@ def triangle_stats(
     canonical undirected graph — exact triangle counts via the
     degree-ordered orientation, clustering_ppm =
     2·tri·10^6 DIV (deg·(deg−1)) (0 for deg < 2)."""
-    e = _canon_edges(edges, src_col, dst_col)
+    # e feeds degree counting + the orientation join; deg feeds the
+    # orientation twice and the final report; ori feeds three join legs
+    # — each persisted once (caches returned for release)
+    e = _canon_edges(edges, src_col, dst_col).persist()
     deg = (
         e.select(F.col("lo").alias("host"))
         .unionByName(e.select(F.col("hi").alias("host")))
         .groupBy("host")
         .agg(F.count("*").alias("deg"))
+        .persist()
     )
     # orient (lo, hi) by the (deg, host) total order
     dl = deg.select(F.col("host").alias("lo"), F.col("deg").alias("deg_lo"))
@@ -77,7 +81,7 @@ def triangle_stats(
     ori = ed.select(
         F.when(fwd, F.col("lo")).otherwise(F.col("hi")).alias("a"),
         F.when(fwd, F.col("hi")).otherwise(F.col("lo")).alias("b"),
-    )
+    ).persist()
     # wedges a→b, b→c close iff a→c is oriented too
     w1 = ori.select(F.col("a").alias("u"), F.col("b").alias("v"))
     w2 = ori.select(F.col("a").alias("v"), F.col("b").alias("w"))

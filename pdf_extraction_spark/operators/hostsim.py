@@ -69,8 +69,13 @@ def pair_overlap(
         F.col(key_col).alias("key"), F.col(item_col).alias("item")
     ).filter(F.col("key").isNotNull() & F.col("item").isNotNull()).distinct()
     keydeg = p.groupBy("key").agg(F.count("*").alias("kd"))
-    kept = p.join(keydeg.filter(F.col("kd") <= max_degree), "key").select(
-        "key", "item"
+    # kept feeds THREE branches (degrees + both join sides) — persisted
+    # once so the distinct + prune shuffle runs once, not three times
+    # (cache returned for release, the pagerank static-frame rule)
+    kept = (
+        p.join(keydeg.filter(F.col("kd") <= max_degree), "key")
+        .select("key", "item")
+        .persist()
     )
     deg = kept.groupBy("item").agg(F.count("*").alias("deg"))
     a = kept.select("key", F.col("item").alias("item_a"))

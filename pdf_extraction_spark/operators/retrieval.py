@@ -339,3 +339,342 @@ def sql_phrase_match(
         "SELECT doc_id, CAST(u.p AS BIGINT) AS match_pos "
         "FROM s, unnest(starts) AS u(p)"
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25F — field-weighted BM25 (Robertson, Zaragoza & Taylor, CIKM 2004)
+# ---------------------------------------------------------------------------
+#
+# Web search never ranks on body text alone: title, URL and anchor
+# fields carry disproportionate signal. BM25F is the published way to
+# combine them WITHOUT the broken "sum of per-field BM25 scores"
+# (which saturates each field separately and over-rewards a term that
+# is mediocre everywhere). Instead term frequencies are combined
+# FIRST — each field's tf is length-normalized by its own B_f =
+# (1 − b_f) + b_f·dl_f/avgdl_f and weighted —
+#     tfn(t, d) = Σ_f w_f · tf_f(t, d) / B_f(d)
+# and saturation applies once to the combined frequency:
+#     score(d)  = Σ_t idf(t) · tfn / (k1 + tfn)
+# (the Zaragoza 2004 simplified form; idf is the engine's standard
+# +1-floored Robertson/Sparck-Jones idf, df counted over "term appears
+# in ANY field of the doc").
+#
+# Scale shape: per field one bounded explode (tokens filtered to the
+# query's terms BEFORE exploding, the bm25_topk rule) + one
+# (doc, term)-keyed combinable aggregate; field stats are 1-row
+# broadcasts; top-k is TakeOrderedAndProject. Fields are a STATIC
+# config list, so the per-(doc, term) combination is one fixed-order
+# float expression — no fold needed — and the per-doc sum reuses the
+# term-ordered fold device; scores are bit-identical cross-engine.
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    fields: list[tuple[str, float, float]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25F top-k over ``fields`` = [(text_col, weight, b), ...].
+    Returns (doc_id, bm25f) with the score rounded to 4 decimals,
+    ordered by (score desc, doc_id)."""
+    if not fields:
+        raise ValueError("need at least one field")
+    terms = sorted({t.lower() for t in query_terms})
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[
+            _tokens_col(F.coalesce(F.col(c), F.lit("")), lowercase=True).alias(
+                f"ts_{i}"
+            )
+            for i, (c, _, _) in enumerate(fields)
+        ],
+    )
+    for i in range(len(fields)):
+        d = d.withColumn(f"dl_{i}", F.size(f"ts_{i}"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"),
+        *[F.avg(f"dl_{i}").alias(f"avgdl_{i}") for i in range(len(fields))],
+    )
+
+    # one bounded explode per field, tagged; combinable count
+    tfs = None
+    for i in range(len(fields)):
+        t = (
+            d.select(
+                "doc_id",
+                *[F.col(f"dl_{j}") for j in range(len(fields))],
+                F.explode(
+                    F.filter(f"ts_{i}", lambda x: F.array_contains(terms_arr, x))
+                ).alias("term"),
+            )
+            .groupBy("doc_id", "term", *[f"dl_{j}" for j in range(len(fields))])
+            .agg(F.count("*").alias("tf"))
+            .select(
+                "doc_id",
+                "term",
+                *[f"dl_{j}" for j in range(len(fields))],
+                F.lit(i).alias("fld"),
+                "tf",
+            )
+        )
+        tfs = t if tfs is None else tfs.unionByName(t)
+    wide = tfs.groupBy(
+        "doc_id", "term", *[f"dl_{j}" for j in range(len(fields))]
+    ).agg(
+        *[
+            F.sum(F.when(F.col("fld") == i, F.col("tf")).otherwise(0)).alias(
+                f"tf_{i}"
+            )
+            for i in range(len(fields))
+        ]
+    )
+    dfreq = wide.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = wide.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    tfn = None
+    for i, (_, w, b) in enumerate(fields):
+        bf = F.lit(1.0 - b) + F.lit(b) * F.col(f"dl_{i}") / F.col(f"avgdl_{i}")
+        contrib = F.lit(w) * F.col(f"tf_{i}") / bf
+        tfn = contrib if tfn is None else tfn + contrib
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    s = idf * tfn / (F.lit(k1) + tfn)
+    per_doc = (
+        scored.select(
+            "doc_id", F.struct(F.col("term"), s.alias("s")).alias("ts_s")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("ts_s")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            ).alias("raw")
+        )
+    )
+    return (
+        per_doc.select("doc_id", F.round("raw", 4).alias("bm25f"))
+        .orderBy(F.desc("bm25f"), "doc_id")
+        .limit(k)
+    )
+
+
+def sql_bm25f_topk(
+    table: str,
+    query_terms: list[str],
+    fields: list[tuple[str, float, float]],
+    k: int = 10,
+    k1: float = BM25_K1,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bm25f_topk` — same tokenizer, same
+    fixed-order field combination, same term-ordered fold."""
+    if not fields:
+        raise ValueError("need at least one field")
+    terms = sorted({t.lower() for t in query_terms})
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    n = len(fields)
+    ts = [
+        _sql_tokens(f"coalesce({c}, '')", lowercase=True)
+        for (c, _, _) in fields
+    ]
+    d_cols = ", ".join(
+        f"{ts[i]} AS ts_{i}, len({ts[i]}) AS dl_{i}" for i in range(n)
+    )
+    stat_cols = ", ".join(f"avg(dl_{i}) AS avgdl_{i}" for i in range(n))
+    tf_legs = " UNION ALL ".join(
+        f"SELECT doc_id, u.term, "
+        + ", ".join(f"dl_{j}" for j in range(n))
+        + f", {i} AS fld, count(*) AS tf "
+        f"FROM d, unnest(list_filter(ts_{i}, x -> list_contains([{tlist}], x))) AS u(term) "
+        "GROUP BY ALL"
+        for i in range(n)
+    )
+    wide_cols = ", ".join(
+        f"sum(CASE WHEN fld = {i} THEN tf ELSE 0 END) AS tf_{i}"
+        for i in range(n)
+    )
+    tfn = " + ".join(
+        f"({w!r} * tf_{i} / ((1.0 - {b!r}) + {b!r} * dl_{i} / avgdl_{i}))"
+        for i, (_, w, b) in enumerate(fields)
+    )
+    return f"""
+WITH d AS (SELECT {id_col} AS doc_id, {d_cols} FROM {table}),
+stats AS (SELECT count(*) AS n_docs, {stat_cols} FROM d),
+tfs AS ({tf_legs}),
+wide AS (SELECT doc_id, term, {", ".join(f"dl_{j}" for j in range(n))},
+                {wide_cols}
+         FROM tfs GROUP BY ALL),
+dfreq AS (SELECT term, count(*) AS df FROM wide GROUP BY term),
+scored AS (
+  SELECT wide.doc_id, wide.term,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * ({tfn}) / ({k1!r} + ({tfn})) AS s
+  FROM wide JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT doc_id,
+       round(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                         (acc, x) -> acc + x), 4) AS bm25f
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25f DESC, doc_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty,
+# SIGIR 2001 "A study of smoothing methods for language models applied
+# to ad hoc information retrieval")
+# ---------------------------------------------------------------------------
+#
+# The language-modeling leg of the retrieval stack (BM25 = probabilistic,
+# embedding cosine = dense, this = LM): rank by p(q | θ_d) with the
+# document LM Dirichlet-smoothed against the corpus LM,
+#     p(t | θ_d) = (tf(t,d) + μ·p(t|C)) / (dl + μ).
+# Scored in the standard rank-equivalent decomposition (Zhai eq. 6),
+# which only touches matching (doc, term) pairs plus one per-doc length
+# term:
+#     score(d) = Σ_{t ∈ q∩d} ln(1 + tf / (μ·p(t|C)))
+#              + n_q · ln(μ / (dl + μ))
+# (n_q = query terms that exist in the corpus; an OOV query term adds
+# the same -∞ mass to every document, so it is dropped — documented).
+#
+# Scale shape: identical to bm25_topk — bounded explode on query-term
+# hits, (doc, term)-keyed combinable tf, corpus stats via 1-row
+# broadcast joins, term-ordered float fold, TakeOrderedAndProject.
+# Every document gets the length term (a narrow projection over the
+# corpus — smoothing mass ranks even no-hit docs, the LM-retrieval
+# contract).
+
+QLM_MU = 2000.0
+
+
+def qlm_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = QLM_MU,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dirichlet query-likelihood top-k: (doc_id, n_hit, qlm) with the
+    score rounded to 4 decimals, ordered by (qlm desc, doc_id)."""
+    terms = sorted({t.lower() for t in query_terms})
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tokens_col(F.coalesce(F.col(text_col), F.lit("")), lowercase=True).alias(
+            "ts"
+        ),
+    ).withColumn("dl", F.size("ts"))
+
+    all_toks = d.select("doc_id", F.explode("ts").alias("term"))
+    corpus = all_toks.agg(F.count("*").alias("c_len"))
+    cf = (
+        all_toks.filter(F.array_contains(terms_arr, F.col("term")))
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+    )
+
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter("ts", lambda x: F.array_contains(terms_arr, x))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # ln(1 + tf / (mu * cf / c_len)) per matching pair; cf > 0 by
+    # construction (the term occurred somewhere to be a hit)
+    hit = tf.join(F.broadcast(cf), "term").crossJoin(F.broadcast(corpus))
+    s = F.log(
+        F.lit(1.0)
+        + F.col("tf")
+        / (F.lit(mu) * F.col("cf") / F.col("c_len"))
+    )
+    per_doc = (
+        hit.select(
+            "doc_id",
+            F.struct(F.col("term"), s.alias("s")).alias("ts_s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hit"),
+            F.aggregate(
+                F.array_sort(F.collect_list("ts_s")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            ).alias("hit_sum"),
+        )
+    )
+    n_q = cf.agg(F.count("*").alias("n_q"))
+    scored = (
+        d.select("doc_id", "dl")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("hit_sum"), F.lit(0.0))
+                + F.col("n_q")
+                * F.log(F.lit(mu) / (F.col("dl") + F.lit(mu)))
+            ).alias("raw"),
+        )
+    )
+    return (
+        scored.select("doc_id", "n_hit", F.round("raw", 4).alias("qlm"))
+        .orderBy(F.desc("qlm"), "doc_id")
+        .limit(k)
+    )
+
+
+def sql_qlm_topk(
+    table: str,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = QLM_MU,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`qlm_topk`."""
+    terms = sorted({t.lower() for t in query_terms})
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    toks = _sql_tokens(f"coalesce({text_col}, '')", lowercase=True)
+    return f"""
+WITH d AS (SELECT {id_col} AS doc_id, {toks} AS ts,
+                  len({toks}) AS dl FROM {table}),
+at AS (SELECT doc_id, unnest(ts) AS term FROM d),
+corpus AS (SELECT count(*) AS c_len FROM at),
+cf AS (SELECT term, count(*) AS cf FROM at
+       WHERE list_contains([{tlist}], term) GROUP BY term),
+tf AS (SELECT doc_id, u.term, count(*) AS tf
+       FROM d, unnest(list_filter(ts, x -> list_contains([{tlist}], x))) AS u(term)
+       GROUP BY doc_id, u.term),
+hit AS (SELECT tf.doc_id, tf.term,
+               ln(1.0 + tf / ({mu!r} * cf / c_len)) AS s
+        FROM tf JOIN cf USING (term) CROSS JOIN corpus),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+                   list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                               (acc, x) -> acc + x) AS hit_sum
+            FROM hit GROUP BY doc_id),
+nq AS (SELECT count(*) AS n_q FROM cf)
+SELECT d.doc_id,
+       CAST(coalesce(per_doc.n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(per_doc.hit_sum, 0.0)
+             + n_q * ln({mu!r} / (d.dl + {mu!r})), 4) AS qlm
+FROM d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+CROSS JOIN nq
+ORDER BY qlm DESC, d.doc_id
+LIMIT {k}
+"""

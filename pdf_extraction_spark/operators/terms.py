@@ -290,6 +290,10 @@ def textrank_terms(
         )
     )
     deg = dedges.groupBy("doc_id", "u").agg(F.sum("w").alias("wdeg"))
+    # persisted ONCE and handed to all n_iter rounds + the final join —
+    # an unpersist here would fire before the returned (lazy) frame ever
+    # executes and silently re-run the adjacency window per round; the
+    # cache is returned for release (the pagerank static-frame rule)
     g = dedges.join(deg, ["doc_id", "u"]).persist()
 
     base = (100 - damping_pct) * TEXTRANK_SCALE // 100
@@ -338,14 +342,12 @@ def textrank_terms(
             k,
         ).alias("top")
     )
-    out = top.select("doc_id", F.explode("top").alias("e")).select(
+    return top.select("doc_id", F.explode("top").alias("e")).select(
         "doc_id",
         F.col("e.term").alias("term"),
         F.col("e.wdeg").alias("wdeg"),
         F.col("e.rank_micro").alias("rank_micro"),
     )
-    g.unpersist()
-    return out
 
 
 def sql_textrank_terms(

@@ -59,7 +59,8 @@ NATIVE_QUERIES = [
     "rrf_fuse", "gate_ndcg", "rank_rbo", "mmr_topk",
     "cocite_hosts", "couple_hosts", "mirror_hosts", "apss_pairs",
     "funnel_steps", "host_triangles", "moore_lewis", "mass_gini",
-    "textrank_terms", "hrw_shards", "facility_location",
+    "textrank_terms", "hrw_shards", "facility_location", "bm25f_topk",
+    "qlm_topk",
 ]
 
 
