@@ -1944,6 +1944,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return qlm_topk(_docs(spark, sf), ["table", "join", "window"], k=15)
 
+    def q_prf(spark, sf):
+        """Rocchio/RM3 pseudo-relevance feedback (Rocchio 1971): BM25
+        pass 1 → top-5 feedback docs → their top-5 TF-IDF expansion
+        terms (exact-integer selection) at weight β=0.5 → weighted BM25
+        pass 2 with the expanded query as a broadcast FRAME — no driver
+        round-trip between passes."""
+        from pdf_extraction_spark.operators.retrieval import rocchio_bm25_topk
+
+        return rocchio_bm25_topk(
+            _docs(spark, sf), ["table", "join"], k=15, k_fb=5, m_exp=5
+        )
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3505,6 +3517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facility_location": q_facility_location,
         "bm25f_topk": q_bm25f,
         "qlm_topk": q_qlm,
+        "prf_bm25": q_prf,
     }
 
 
@@ -4754,6 +4767,12 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.retrieval",
             fromlist=["sql_qlm_topk"],
         ).sql_qlm_topk("documents", ["table", "join", "window"], k=15),
+        "prf_bm25": __import__(
+            "pdf_extraction_spark.operators.retrieval",
+            fromlist=["sql_rocchio_bm25_topk"],
+        ).sql_rocchio_bm25_topk(
+            "documents", ["table", "join"], k=15, k_fb=5, m_exp=5
+        ),
     }
     return sql
 

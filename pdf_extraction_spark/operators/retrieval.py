@@ -678,3 +678,210 @@ CROSS JOIN nq
 ORDER BY qlm DESC, d.doc_id
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (Rocchio 1971; RM3-style weighted expansion)
+# ---------------------------------------------------------------------------
+#
+# The classic two-pass retrieval improvement: run the query, assume the
+# top-k_fb documents are relevant, mine their most distinctive terms,
+# and re-score with the expanded weighted query. Expansion terms are
+# ranked by the feedback set's TF-IDF (tf within the feedback docs ×
+# the CORPUS idf — the engine's integer doc_keyterms device, so
+# selection is exact int64 with (score desc, term asc) ties); original
+# terms keep weight 1.0, expansion terms get ``beta`` (Rocchio's β,
+# RM3's interpolation). The second pass is BM25 with per-term weights —
+# the one structural delta from bm25_topk is that the query is a
+# bounded FRAME (original ∪ expansion), joined broadcast instead of
+# inlined as literals, so the expanded query never routes through the
+# driver.
+#
+# Scale shape: pass 1 = bm25_topk (its pinned shape); term mining =
+# one semi-join of the token stream against the k_fb-row top frame +
+# vocabulary-keyed idf join + ONE feedback-vocabulary-sized window for
+# the top-m cut; pass 2 = bm25's bounded-explode shape with a
+# broadcast ≤(|q|+m)-row term frame. No driver round-trip between the
+# passes — the whole thing is one lazy plan.
+
+PRF_BETA = 0.5
+
+
+def rocchio_bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k_fb: int = 5,
+    m_exp: int = 5,
+    beta: float = PRF_BETA,
+    min_df: int = 2,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PRF-expanded BM25 top-k. Returns (doc_id, n_terms, bm25) —
+    ``n_terms`` = expanded-query terms the doc matched; score = Σ over
+    matched terms of weight·BM25(term), rounded to 4 decimals."""
+    orig = sorted({t.lower() for t in query_terms})
+    orig_arr = F.array(*[F.lit(t) for t in orig])
+
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _tokens_col(F.coalesce(F.col(text_col), F.lit("")), lowercase=True).alias(
+            "ts"
+        ),
+    ).withColumn("dl", F.size("ts"))
+    d = d.persist()  # both passes + stats read it (released with the cache)
+    stats = d.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+
+    fb = bm25_topk(docs, orig, k=k_fb, k1=k1, b=b, id_col=id_col,
+                   text_col=text_col).select("doc_id")
+
+    # distinctive terms of the feedback set: tf within fb × corpus idf
+    all_tf = (
+        d.select("doc_id", F.explode("ts").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    ).persist()
+    dfreq = all_tf.groupBy("term").agg(F.count("*").alias("df"))
+    iln = lambda c: F.round(F.log(c.cast("double")) * F.lit(1e9)).cast("long")
+    fb_terms = (
+        all_tf.join(F.broadcast(fb), "doc_id")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("fb_tf"))
+        .join(dfreq.filter(F.col("df") >= min_df), "term")
+        .filter(~F.array_contains(orig_arr, F.col("term")))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            (F.col("fb_tf") * (iln(F.col("n_docs")) - iln(F.col("df")))).alias(
+                "score_nano"
+            ),
+        )
+        .orderBy(F.desc("score_nano"), "term")
+        .limit(m_exp)
+    )
+    terms2 = fb_terms.select(
+        "term", F.lit(float(beta)).alias("wt")
+    ).unionByName(
+        docs.sparkSession.createDataFrame(
+            [(t,) for t in orig], "term string"
+        ).select("term", F.lit(1.0).alias("wt"))
+    )
+
+    # pass 2: BM25 over the expanded weighted term frame
+    tf2 = (
+        d.select("doc_id", "dl", F.explode("ts").alias("term"))
+        .join(F.broadcast(terms2), "term")
+        .groupBy("doc_id", "dl", "term", "wt")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq2 = tf2.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf2.join(F.broadcast(dfreq2), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    s = (
+        F.col("wt")
+        * idf
+        * (
+            F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+    )
+    per_doc = (
+        scored.select(
+            "doc_id", F.struct(F.col("term"), s.alias("s")).alias("ts_s")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.aggregate(
+                F.array_sort(F.collect_list("ts_s")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            ).alias("raw"),
+        )
+    )
+    return (
+        per_doc.select("doc_id", "n_terms", F.round("raw", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )
+
+
+def sql_rocchio_bm25_topk(
+    table: str,
+    query_terms: list[str],
+    k: int = 10,
+    k_fb: int = 5,
+    m_exp: int = 5,
+    beta: float = PRF_BETA,
+    min_df: int = 2,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`rocchio_bm25_topk`."""
+    orig = sorted({t.lower() for t in query_terms})
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in orig)
+    olist = " UNION ALL ".join(
+        f"SELECT '" + t.replace("'", "''") + "' AS term, 1.0 AS wt"
+        for t in orig
+    )
+    pass1 = sql_bm25_topk(
+        table, orig, k=k_fb, k1=k1, b=b, id_col=id_col, text_col=text_col
+    )
+    toks = _sql_tokens(f"coalesce({text_col}, '')", lowercase=True)
+    iln = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9) AS BIGINT)"
+    return f"""
+WITH d AS (SELECT {id_col} AS doc_id, {toks} AS ts,
+                  len({toks}) AS dl FROM {table}),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+fb AS (SELECT doc_id FROM ({pass1})),
+all_tf AS (SELECT doc_id, u.term, count(*) AS tf
+           FROM d, unnest(ts) AS u(term) GROUP BY doc_id, u.term),
+dfreq AS (SELECT term, count(*) AS df FROM all_tf GROUP BY term),
+fb_terms AS (
+  SELECT term,
+         CAST(sum(tf) AS BIGINT)
+           * ({iln.format(x="any_value(n_docs)")} - {iln.format(x="any_value(df)")})
+           AS score_nano
+  FROM all_tf
+  JOIN fb USING (doc_id)
+  JOIN dfreq USING (term)
+  CROSS JOIN stats
+  WHERE df >= {min_df} AND NOT list_contains([{tlist}], term)
+  GROUP BY term
+  ORDER BY score_nano DESC, term
+  LIMIT {m_exp}),
+terms2 AS (SELECT term, {float(beta)!r} AS wt FROM fb_terms
+           UNION ALL {olist}),
+tf2 AS (SELECT doc_id, dl, u.term, any_value(wt) AS wt, count(*) AS tf
+        FROM d, unnest(ts) AS u(term)
+        JOIN terms2 ON u.term = terms2.term
+        GROUP BY doc_id, dl, u.term),
+dfreq2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY term),
+scored AS (
+  SELECT tf2.doc_id, tf2.term,
+         wt * ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+            * (tf * ({k1!r} + 1.0)
+               / (tf + {k1!r} * ((1.0 - {b!r}) + {b!r} * dl / avgdl))) AS s
+  FROM tf2 JOIN dfreq2 USING (term) CROSS JOIN stats
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       round(list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                         (acc, x) -> acc + x), 4) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+"""
