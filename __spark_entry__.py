@@ -1956,6 +1956,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), ["table", "join"], k=15, k_fb=5, m_exp=5
         )
 
+    def q_nepotism(spark, sf):
+        """Nepotistic-link classification (Davison 2000): per-host
+        ratio of outlinks that confer no merit — same host, same
+        registrable domain (public-suffix parse on the DISTINCT host
+        set), or reciprocal link-exchange pairs — plus the
+        generic-anchor signal column. The rank pipeline's voter-trust
+        input, beside spam_mass."""
+        from pdf_extraction_spark.operators.htmlgraph import (
+            extract_outlinks,
+            nepotistic_links,
+        )
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_LINKS_AUG).alias("html"),
+        )
+        return nepotistic_links(extract_outlinks(docs))
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3518,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q_bm25f,
         "qlm_topk": q_qlm,
         "prf_bm25": q_prf,
+        "nepotism": q_nepotism,
     }
 
 
@@ -4772,6 +4792,13 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["sql_rocchio_bm25_topk"],
         ).sql_rocchio_bm25_topk(
             "documents", ["table", "join"], k=15, k_fb=5, m_exp=5
+        ),
+        "nepotism": __import__(
+            "pdf_extraction_spark.operators.htmlgraph",
+            fromlist=["sql_nepotistic_links"],
+        ).sql_nepotistic_links(
+            "(SELECT doc_id, " + _LINKS_URL + " AS url, "
+            + _LINKS_AUG + " AS html FROM documents)"
         ),
     }
     return sql

@@ -397,3 +397,163 @@ def sql_domain_parse(
         "array_to_string(l[1:n - sl - 1], '.') END AS subdomain "
         "FROM dp3"
     )
+
+
+# ---------------------------------------------------------------------------
+# Nepotistic-link classification (Davison, SIGIR 2000 "Recognizing
+# nepotistic links on the Web")
+# ---------------------------------------------------------------------------
+#
+# Link-based ranking (PageRank/HITS/anchor text) assumes links confer
+# merit; nepotistic links — between pages of the same site/owner, or
+# reciprocal link-exchange pairs — confer none and are the raw
+# material of link spam. Davison's strongest features are structural:
+# same host, same (registrable) domain, reciprocity; generic anchor
+# text ("click here", "home") is the classic low-information signal.
+# The per-host nepotism ratio feeds the rank pipeline the same way
+# spam_mass does: a host whose outlinks are mostly nepotistic should
+# not be trusted as a voter.
+#
+# Scale shape: link flags are narrow projections + two bounded joins —
+# the registrable-domain attach is keyed on the DISTINCT host set
+# (host-cardinality, not link-cardinality) and the reciprocity test is
+# a semi-join of the distinct directed host-pair set against its own
+# transpose (edge-set sized, map-side combinable). One src-keyed
+# aggregate closes it; every reported number is integer (counts + one
+# ppm DIV).
+
+GENERIC_ANCHORS = [
+    "click", "click here", "here", "home", "homepage", "link", "links",
+    "more", "next", "previous", "read more", "this", "website", "www",
+]
+
+
+def nepotistic_links(
+    links: DataFrame,
+    psl: list[str] | None = None,
+) -> DataFrame:
+    """Per-source-host nepotism report over an extract_outlinks frame:
+    (src_host, n_links, n_same_host, n_same_domain, n_reciprocal,
+    n_generic_anchor, nepotism_ppm) — nepotism_ppm counts links with
+    ANY structural flag (same host / same registrable domain /
+    reciprocal) per million outlinks."""
+    hosts = (
+        links.select(F.col("src_host").alias("host"))
+        .unionByName(links.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    reg = domain_parse(hosts, psl=psl).select("host", "registrable")
+    pairs = links.select("src_host", "dst_host").distinct()
+    recip = (
+        pairs.alias("p")
+        .join(
+            pairs.select(
+                F.col("dst_host").alias("src_host"),
+                F.col("src_host").alias("dst_host"),
+            ).alias("t"),
+            ["src_host", "dst_host"],
+            "left_semi",
+        )
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .withColumn("is_recip", F.lit(True))
+    )
+    l = (
+        links.join(
+            reg.select(
+                F.col("host").alias("src_host"),
+                F.col("registrable").alias("src_reg"),
+            ),
+            "src_host",
+        )
+        .join(
+            reg.select(
+                F.col("host").alias("dst_host"),
+                F.col("registrable").alias("dst_reg"),
+            ),
+            "dst_host",
+        )
+        .join(recip, ["src_host", "dst_host"], "left")
+    )
+    same_host = F.col("src_host") == F.col("dst_host")
+    same_dom = (
+        ~same_host
+        & F.col("src_reg").isNotNull()
+        & (F.col("src_reg") == F.col("dst_reg"))
+    )
+    reciprocal = F.coalesce(F.col("is_recip"), F.lit(False)) & ~same_host
+    generic = F.coalesce(
+        F.lower(F.trim(F.col("anchor_text"))), F.lit("")
+    ).isin(GENERIC_ANCHORS + [""])
+    nepotistic = same_host | same_dom | reciprocal
+    out = l.groupBy("src_host").agg(
+        F.count("*").alias("n_links"),
+        F.sum(same_host.cast("long")).alias("n_same_host"),
+        F.sum(same_dom.cast("long")).alias("n_same_domain"),
+        F.sum(reciprocal.cast("long")).alias("n_reciprocal"),
+        F.sum(generic.cast("long")).alias("n_generic_anchor"),
+        F.sum(nepotistic.cast("long")).alias("n_nepotistic"),
+    )
+    return out.select(
+        "src_host",
+        "n_links",
+        "n_same_host",
+        "n_same_domain",
+        "n_reciprocal",
+        "n_generic_anchor",
+        F.expr("n_nepotistic * 1000000 DIV n_links").alias("nepotism_ppm"),
+    )
+
+
+def sql_nepotistic_links(
+    rel: str,
+    html_expr: str = "html",
+    url_expr: str = "url",
+    psl: list[str] | None = None,
+) -> str:
+    """DuckDB twin of extract_outlinks → :func:`nepotistic_links`."""
+    anchors = ", ".join(
+        "'" + a.replace("'", "''") + "'" for a in GENERIC_ANCHORS + [""]
+    )
+    dp = sql_domain_parse(
+        "SELECT DISTINCT host FROM ("
+        "SELECT src_host AS host FROM lk UNION ALL SELECT dst_host FROM lk)",
+        psl=psl,
+    )
+    return f"""
+WITH {sql_links_ctes(rel, html_expr, url_expr)},
+lk AS (SELECT doc_id, src_host, dst_host, anchor_text FROM links
+       WHERE dst_host IS NOT NULL),
+reg AS (SELECT host, registrable FROM ({dp})),
+pairs AS (SELECT DISTINCT src_host, dst_host FROM lk),
+recip AS (SELECT p.src_host, p.dst_host, TRUE AS is_recip
+          FROM pairs p
+          WHERE p.src_host <> p.dst_host
+            AND EXISTS (SELECT 1 FROM pairs t
+                        WHERE t.src_host = p.dst_host
+                          AND t.dst_host = p.src_host)),
+fl AS (
+  SELECT lk.src_host,
+         (lk.src_host = lk.dst_host) AS same_host,
+         (lk.src_host <> lk.dst_host AND rs.registrable IS NOT NULL
+          AND rs.registrable = rd.registrable) AS same_dom,
+         (coalesce(is_recip, FALSE) AND lk.src_host <> lk.dst_host)
+           AS reciprocal,
+         list_contains([{anchors}],
+                       coalesce(lower(trim(lk.anchor_text)), ''))
+           AS generic
+  FROM lk
+  JOIN reg rs ON lk.src_host = rs.host
+  JOIN reg rd ON lk.dst_host = rd.host
+  LEFT JOIN recip ON lk.src_host = recip.src_host
+                 AND lk.dst_host = recip.dst_host)
+SELECT src_host,
+       CAST(count(*) AS BIGINT) AS n_links,
+       CAST(sum(CASE WHEN same_host THEN 1 ELSE 0 END) AS BIGINT) AS n_same_host,
+       CAST(sum(CASE WHEN same_dom THEN 1 ELSE 0 END) AS BIGINT) AS n_same_domain,
+       CAST(sum(CASE WHEN reciprocal THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+       CAST(sum(CASE WHEN generic THEN 1 ELSE 0 END) AS BIGINT) AS n_generic_anchor,
+       CAST(sum(CASE WHEN same_host OR same_dom OR reciprocal THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS nepotism_ppm
+FROM fl
+GROUP BY src_host
+"""

@@ -99,7 +99,7 @@ QUERIES = [
     "rrf_fuse", "gate_ndcg", "rank_rbo",
     "cocite_hosts", "couple_hosts", "mirror_hosts", "apss_pairs",
     "host_triangles", "moore_lewis", "mass_gini", "textrank_terms",
-    "hrw_shards", "bm25f_topk", "qlm_topk", "prf_bm25",
+    "hrw_shards", "bm25f_topk", "qlm_topk", "prf_bm25", "nepotism",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"
