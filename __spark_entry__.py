@@ -1975,6 +1975,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return nepotistic_links(extract_outlinks(docs))
 
+    def q_bot_regularity(spark, sf):
+        """Timing-regularity bot detection (Gianvecchio 2008 class):
+        per-user inter-event-gap coefficient of variation via the exact
+        integer identity σ/μ = sqrt(n·Σg²−(Σg)²)/Σg (one sqrt/div
+        chain) — cron-like clients read cv → 0. One user-keyed window
+        + one combinable aggregate."""
+        from pdf_extraction_spark.operators.forensics import bot_regularity
+
+        return bot_regularity(_events(spark, sf), min_events=5)
+
+    def q_benford(spark, sf):
+        """Benford first-digit audit (Benford 1938 / Nigrini) over the
+        stored n_chars column: digits from the decimal STRING (exact —
+        no float log10 boundary), chi-square terms against the
+        driver-literal Benford probabilities."""
+        from pdf_extraction_spark.operators.forensics import benford_digits
+
+        return benford_digits(_docs(spark, sf), "n_chars")
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3538,6 +3557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qlm_topk": q_qlm,
         "prf_bm25": q_prf,
         "nepotism": q_nepotism,
+        "bot_regularity": q_bot_regularity,
+        "benford": q_benford,
     }
 
 
@@ -4800,6 +4821,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, " + _LINKS_URL + " AS url, "
             + _LINKS_AUG + " AS html FROM documents)"
         ),
+        "bot_regularity": __import__(
+            "pdf_extraction_spark.operators.forensics",
+            fromlist=["sql_bot_regularity"],
+        ).sql_bot_regularity("events", min_events=5),
+        "benford": __import__(
+            "pdf_extraction_spark.operators.forensics",
+            fromlist=["sql_benford_digits"],
+        ).sql_benford_digits("documents", "n_chars"),
     }
     return sql
 

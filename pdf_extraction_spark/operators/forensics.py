@@ -1,0 +1,172 @@
+"""Data-forensics operators: timing-regularity bot detection and
+Benford first-digit analysis.
+
+- :func:`bot_regularity` — automated clients fire on timers; humans
+  don't. The standard signal is the coefficient of variation of a
+  user's inter-event gaps (CV = σ/μ): CV → 0 for cron-like bots,
+  ≈ 1 for memoryless (Poisson/human-ish) arrivals. (Timing-regularity
+  features are the core of classic bot-detection work, e.g. Gianvecchio
+  et al., CCS 2008 "Measurement and classification of humans and bots
+  in internet chat".)
+- :func:`benford_digits` — Benford's law (Benford 1938; Nigrini's
+  fraud-audit methodology): first significant digits of naturally
+  occurring numbers follow p(d) = log10(1 + 1/d); strong deviation
+  (the chi-square statistic) flags synthetic or manipulated values.
+
+Cross-engine determinism:
+- bot CV uses the identity σ/μ = sqrt(n·Σx² − (Σx)²) / Σx — every sum
+  is exact int64 over gap SECONDS (gap² in seconds is overflow-safe
+  where microseconds would not be), the radicand is one exact integer,
+  and the single sqrt/div chain rounds to 6 dp (the dimsum device).
+- Benford digits come from the INTEGER column's decimal string (first
+  character) — no log10/pow boundary case can disagree; expected
+  probabilities are driver-side literals; each digit's chi² term is a
+  fixed expression over exact counts.
+
+Scale shape: bot gaps = one user-keyed window (partition bounded by a
+user's events — the lm_score contract) + one combinable aggregate;
+Benford = one narrow projection + a 9-row groupBy.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+BENFORD_P = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def bot_regularity(
+    events: DataFrame,
+    min_events: int = 5,
+    cv_bot: float = 0.1,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user_id, n_gaps, sum_gap_s, cv, is_bot): per-user inter-event
+    gap statistics for users with ≥ ``min_events`` timestamped events —
+    ``cv`` = round(sqrt(n·Σg² − (Σg)²) / Σg, 6), ``is_bot`` = cv <
+    ``cv_bot`` (sub-second-uniform timers read cv 0). Users whose gaps
+    are all zero (same-instant bursts) emit cv NULL (undefined μ=0)."""
+    ev = events.filter(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    gaps = (
+        ev.withColumn("prev", F.lag("ts_us").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id",
+            # integer DIV: Spark's float `/`+cast truncates while
+            # DuckDB's CAST(double) rounds half-away (the ppl_buckets
+            # trap) — floor division sidesteps the convention entirely
+            F.expr("(ts_us - prev) DIV 1000000").alias("g"),
+        )
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("g").alias("s1"),
+        F.sum(F.col("g") * F.col("g")).alias("s2"),
+    ).filter(F.col("n_gaps") >= min_events - 1)
+    cv = F.round(
+        F.sqrt(
+            (F.col("n_gaps") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+        )
+        / F.col("s1"),
+        6,
+    )
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        F.col("s1").alias("sum_gap_s"),
+        F.when(F.col("s1") > 0, cv).alias("cv"),
+        F.when(F.col("s1") > 0, cv < F.lit(cv_bot)).alias("is_bot"),
+    )
+
+
+def sql_bot_regularity(
+    table: str = "events",
+    min_events: int = 5,
+    cv_bot: float = 0.1,
+    user_expr: str = "user_id",
+    ts_expr: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`bot_regularity`."""
+    return f"""
+WITH ev AS (SELECT {user_expr} AS user_id,
+                   CAST(epoch_us({ts_expr}) AS BIGINT) AS ts_us
+            FROM {table} WHERE {ts_expr} IS NOT NULL),
+gaps AS (SELECT user_id,
+                (ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                     ORDER BY ts_us)) // 1000000 AS g
+         FROM ev),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(g) AS BIGINT) AS s1, CAST(sum(g * g) AS BIGINT) AS s2
+      FROM gaps WHERE g IS NOT NULL GROUP BY user_id)
+SELECT user_id, n_gaps, s1 AS sum_gap_s,
+       CASE WHEN s1 > 0 THEN
+         round(sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) / s1, 6) END AS cv,
+       CASE WHEN s1 > 0 THEN
+         round(sqrt(CAST(n_gaps * s2 - s1 * s1 AS DOUBLE)) / s1, 6)
+           < {cv_bot!r} END AS is_bot
+FROM a WHERE n_gaps >= {min_events - 1}
+"""
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """(digit, n_obs, obs_ppm, benford_ppm, chi2_term): first-digit
+    distribution of a POSITIVE INTEGER column vs Benford's law — the
+    digit comes from the decimal string (exact; no float log10
+    boundary), ``chi2_term`` = (obs − n·p)²/(n·p) rounded to 6 dp.
+    Σ chi2_term against χ²(8) critical values is the audit statistic.
+    Non-positive and NULL values are excluded."""
+    v = F.col(value_col)
+    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    base = df.filter(v.isNotNull() & (v > 0)).select(digit.alias("digit"))
+    counts = base.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    total = base.agg(F.count("*").alias("n_total"))
+    p_arr = F.array(*[F.lit(p) for p in BENFORD_P])
+    j = counts.crossJoin(F.broadcast(total))
+    exp = F.col("n_total") * F.element_at(p_arr, F.col("digit"))
+    chi = F.round(
+        (F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp, 6
+    )
+    return j.select(
+        F.col("digit").cast("long").alias("digit"),
+        "n_obs",
+        F.expr("n_obs * 1000000 DIV n_total").alias("obs_ppm"),
+        F.floor(F.element_at(p_arr, F.col("digit")) * 1_000_000)
+        .cast("long")
+        .alias("benford_ppm"),
+        chi.alias("chi2_term"),
+    )
+
+
+def sql_benford_digits(rel: str, value_expr: str) -> str:
+    """DuckDB twin of :func:`benford_digits`."""
+    probs = "[" + ", ".join(f"CAST({p!r} AS DOUBLE)" for p in BENFORD_P) + "]"
+    return f"""
+WITH base AS (SELECT CAST(substring(CAST({value_expr} AS VARCHAR), 1, 1)
+                     AS INT) AS digit
+              FROM {rel}
+              WHERE {value_expr} IS NOT NULL AND {value_expr} > 0),
+counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+           FROM base GROUP BY digit),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base)
+SELECT CAST(digit AS BIGINT) AS digit, n_obs,
+       CAST(n_obs * 1000000 // n_total AS BIGINT) AS obs_ppm,
+       CAST(floor({probs}[digit] * 1000000) AS BIGINT) AS benford_ppm,
+       round((n_obs - n_total * {probs}[digit])
+             * (n_obs - n_total * {probs}[digit])
+             / (n_total * {probs}[digit]), 6) AS chi2_term
+FROM counts CROSS JOIN total
+"""

@@ -100,6 +100,7 @@ QUERIES = [
     "cocite_hosts", "couple_hosts", "mirror_hosts", "apss_pairs",
     "host_triangles", "moore_lewis", "mass_gini", "textrank_terms",
     "hrw_shards", "bm25f_topk", "qlm_topk", "prf_bm25", "nepotism",
+    "benford",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"
@@ -305,7 +306,7 @@ def _adversarial_orders():
 EVT_QUERIES = [
     "events_rollup", "recency_weights", "weighted_rerank",
     "zscore_by_group", "session_stats", "windowed_counts",
-    "top3_per_segment", "keep_last", "funnel_steps",
+    "top3_per_segment", "keep_last", "funnel_steps", "bot_regularity",
 ]
 
 
