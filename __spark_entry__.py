@@ -1994,6 +1994,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return benford_digits(_docs(spark, sf), "n_chars")
 
+    def q_hyperball(spark, sf):
+        """HyperBall radius-2 neighbourhood sizes (Boldi & Vigna 2013)
+        over the extracted host graph: |B_2(v)| estimated by merging
+        radius-1 md5-register HLL sketches along edges — one edge join
+        + register-max aggregates, frames bounded by nodes × m. The
+        twin builds identical registers from the EXACT 2-hop member
+        set, re-proving the sketch-merge associativity every run."""
+        from pdf_extraction_spark.operators.graphstats import hyperball_r2
+        from pdf_extraction_spark.operators.htmlgraph import extract_outlinks
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_LINKS_AUG).alias("html"),
+        )
+        return hyperball_r2(extract_outlinks(docs))
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3559,6 +3576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nepotism": q_nepotism,
         "bot_regularity": q_bot_regularity,
         "benford": q_benford,
+        "hyperball": q_hyperball,
     }
 
 
@@ -4829,6 +4847,7 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.forensics",
             fromlist=["sql_benford_digits"],
         ).sql_benford_digits("documents", "n_chars"),
+        "hyperball": _hyperball_sql(),
     }
     return sql
 
@@ -4921,6 +4940,21 @@ def _mirror_sql() -> str:
         "FROM documents WHERE doc_id % 3 = 0"
     )
     return sql_host_overlap(pairs, max_degree=64, min_shared=2, k=20)
+
+
+def _hyperball_sql() -> str:
+    from pdf_extraction_spark.operators.graphstats import sql_hyperball_r2
+    from pdf_extraction_spark.operators.htmlgraph import sql_links_ctes
+
+    edges = (
+        "WITH "
+        + sql_links_ctes(
+            "(SELECT doc_id, " + _LINKS_URL + " AS url, "
+            + _LINKS_AUG + " AS html FROM documents)"
+        )
+        + " SELECT src_host, dst_host FROM links WHERE dst_host IS NOT NULL"
+    )
+    return sql_hyperball_r2(edges)
 
 
 def _host_triangles_sql() -> str:

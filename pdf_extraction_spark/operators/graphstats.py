@@ -147,3 +147,96 @@ SELECT deg.host, deg.deg,
             ELSE 0 END AS BIGINT) AS clustering_ppm
 FROM deg LEFT JOIN per_node ON deg.host = per_node.host
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: neighbourhood-function estimation via mergeable HLL balls
+# (Boldi & Vigna, WWW 2013 "In-core computation of geometric
+# centralities with HyperBall"; the HyperANF lineage of Palmer 2002 ANF)
+# ---------------------------------------------------------------------------
+#
+# |B_r(v)| — how many hosts are within r hops of v — is the basis of
+# the web-graph distance/centrality toolbox (effective diameter,
+# harmonic centrality, spid). Exact balls explode combinatorially;
+# HyperBall's insight is that an HLL sketch of a ball is MERGEABLE:
+#     sketch(B_{r+1}(v)) = merge(sketch(B_r(v)), sketch(B_r(u)) ∀ v→u)
+# so each round is one edge join + one register-max aggregate — the
+# register frame is (nodes × ≤ m) rows regardless of ball sizes.
+#
+# This engine's md5-register HLL makes the sketch itself bit-identical
+# cross-engine, so the ORACLE can build the same registers from the
+# exact 2-hop member set (two joins at oracle scale) while Spark builds
+# them by merging radius-1 sketches along edges — different
+# construction, identical registers, because a register set depends
+# only on the member set and max is associative (the sketches module's
+# merge contract, re-proven by this oracle every run).
+
+
+def hyperball_r2(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    p_hex: int | None = None,
+) -> DataFrame:
+    """(host, n_registers, est_ball2): estimated |B_2(v)| over the
+    DIRECTED edge set (v's ball follows outlinks; v itself counts).
+    One edge join + two register-max aggregates; every frame is
+    (node, register)-bounded."""
+    from .sketches import HLL_GROUP_P_HEX, hll_estimate_by, hll_sketch_by
+
+    p = HLL_GROUP_P_HEX if p_hex is None else p_hex
+    e = (
+        edges.select(
+            F.col(src_col).alias("node"), F.col(dst_col).alias("member")
+        )
+        .filter(F.col("node").isNotNull() & F.col("member").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select("node")
+        .unionByName(e.select(F.col("member").alias("node")))
+        .distinct()
+    )
+    b1 = nodes.select("node", F.col("node").alias("member")).unionByName(e)
+    s1 = hll_sketch_by(b1, "node", F.col("member"), p_hex=p).persist()
+    # merge successor balls into the origin: (v→u) pulls s1(u) onto v
+    pulled = e.join(
+        s1.select(
+            F.col("node").alias("member"), "register", "max_rank"
+        ),
+        "member",
+    ).select("node", "register", "max_rank")
+    s2 = (
+        s1.unionByName(pulled)
+        .groupBy("node", "register")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    return hll_estimate_by(s2, "node", p_hex=p).withColumnRenamed(
+        "node", "host"
+    ).withColumnRenamed("est_distinct", "est_ball2")
+
+
+def sql_hyperball_r2(edges_sql: str, p_hex: int | None = None) -> str:
+    """DuckDB twin of :func:`hyperball_r2` — the EXACT 2-hop member set
+    (two joins, fine at oracle scale) pushed through the shared
+    md5-register HLL, proving the Spark side's sketch-merge path lands
+    on identical registers."""
+    from .sketches import HLL_GROUP_P_HEX, sql_hll_distinct_by
+
+    p = HLL_GROUP_P_HEX if p_hex is None else p_hex
+    members = f"""(
+WITH raw AS (SELECT src_host AS node, dst_host AS member FROM ({edges_sql})
+             WHERE src_host IS NOT NULL AND dst_host IS NOT NULL),
+     e AS (SELECT DISTINCT node, member FROM raw),
+     nodes AS (SELECT node FROM e UNION SELECT member FROM e),
+     b1 AS (SELECT node, node AS member FROM nodes
+            UNION ALL SELECT node, member FROM e)
+SELECT h1.node AS node, h2.member AS member
+FROM b1 h1 JOIN b1 h2 ON h1.member = h2.node
+)"""
+    inner = sql_hll_distinct_by(
+        "node", "member", members, p_hex=p, key_alias="host"
+    )
+    return (
+        f"SELECT host, n_registers, est_distinct AS est_ball2 FROM ({inner})"
+    )
