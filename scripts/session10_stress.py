@@ -176,6 +176,33 @@ def main(argv=None):
         ).count(),
     )
 
+    ladder(
+        "hyperball_edges",
+        lambda n: __import__(
+            "pdf_extraction_spark.operators.graphstats",
+            fromlist=["hyperball_r2"],
+        ).hyperball_r2(
+            spark.range(n).select(
+                F.concat(
+                    F.lit("h"), (F.col("id") % (n // 25)).cast("string")
+                ).alias("src_host"),
+                F.concat(
+                    F.lit("h"), ((F.col("id") * 7 + 3) % (n // 25)).cast("string")
+                ).alias("dst_host"),
+            )
+        ).count(),
+    )
+
+    ladder(
+        "prf_bm25_docs",
+        lambda n: __import__(
+            "pdf_extraction_spark.operators.retrieval",
+            fromlist=["rocchio_bm25_topk"],
+        ).rocchio_bm25_topk(
+            synth_docs(n), ["shared", "body"], k=20, k_fb=5, m_exp=5
+        ).count(),
+    )
+
     with open(ns.out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
     print(json.dumps(report))
