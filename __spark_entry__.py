@@ -2011,6 +2011,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return hyperball_r2(extract_outlinks(docs))
 
+    def q_rake(spark, sf):
+        """RAKE keyphrases (Rose et al. 2010): stopword/punctuation-
+        delimited candidate phrases scored by Σ deg(w)/freq(w) in exact
+        10⁶ fixed point (deg·10⁶ DIV freq then int sums — no float).
+        Both windows are doc-bounded; word stats and the score join are
+        (doc, token)-keyed. Top-3 distinct phrases per doc."""
+        from pdf_extraction_spark.operators.terms import rake_phrases
+
+        return rake_phrases(_docs(spark, sf), k=3)
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3577,6 +3587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bot_regularity": q_bot_regularity,
         "benford": q_benford,
         "hyperball": q_hyperball,
+        "rake_phrases": q_rake,
     }
 
 
@@ -4848,6 +4859,10 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["sql_benford_digits"],
         ).sql_benford_digits("documents", "n_chars"),
         "hyperball": _hyperball_sql(),
+        "rake_phrases": __import__(
+            "pdf_extraction_spark.operators.terms",
+            fromlist=["sql_rake_phrases"],
+        ).sql_rake_phrases("documents", k=3),
     }
     return sql
 

@@ -405,3 +405,204 @@ def sql_textrank_terms(
         + ", ".join(parts)
         + f" SELECT doc_id, term, wdeg, rank_micro FROM rk WHERE rn <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010)
+# ---------------------------------------------------------------------------
+#
+# Rapid Automatic Keyword Extraction — the stopword-delimited
+# MULTI-WORD complement to the single-token rankers above
+# (doc_key_terms is TF-IDF unigrams, textrank_terms is graph-ranked
+# unigrams; RAKE is where "machine learning pipeline" survives as one
+# candidate):
+#
+# 1. candidate phrases = maximal runs of content tokens between
+#    phrase delimiters (punctuation / fragment boundaries) and
+#    stopwords;
+# 2. per doc, word frequency freq(w) = occurrences inside candidates,
+#    word degree deg(w) = Σ over those occurrences of the containing
+#    phrase's length (the paper's co-occurrence degree, self included);
+# 3. word score = deg(w)/freq(w); phrase score = Σ member word scores
+#    (each occurrence counts); top-k DISTINCT phrases per doc.
+#
+# Exactness device: deg and freq are exact int64 counts, so the only
+# division is word_score_micro = deg·10⁶ DIV freq — floor division of
+# non-negative ints, identical in Spark (DIV) and DuckDB (//) — and the
+# phrase score is an exact int64 SUM of those. Bit-identical across
+# engines, partitionings and cluster sizes; no float ever runs.
+#
+# Tokenization (shared contract, spelled so the pattern TEXT parses
+# identically in Java and RE2 — the wsre discipline): lowercase, split
+# into fragments on any char outside [a-z0-9]+ASCII-whitespace (all
+# punctuation, digits-adjacent symbols and non-ASCII are phrase
+# delimiters — documented ASCII convention), then whitespace-tokenize
+# each fragment with the JAVA_WS class.
+#
+# Scale shape: both windows (phrase grouping, phrase length) are
+# DOC-bounded partitions (the lm_score contract — documents are
+# length-bounded, so no partition exceeds one document's token count);
+# word stats and the score join are (doc_id, tok)-keyed shuffles; the
+# per-doc top-k buffer is bounded by the doc's distinct candidate
+# count. Nothing corpus-wide ever sits in one task.
+
+RAKE_SCALE = 10**6
+
+# compact public English function-word stoplist (RAKE's delimiter set;
+# the Fox-stoplist role). Sorted so the SQL IN-list is deterministic.
+RAKE_STOPWORDS = sorted(
+    {
+        "a", "about", "above", "after", "against", "all", "also", "an",
+        "and", "any", "are", "as", "at", "be", "because", "been", "before",
+        "below", "between", "both", "but", "by", "can", "could", "did",
+        "do", "does", "during", "each", "for", "from", "had", "has",
+        "have", "he", "her", "his", "how", "i", "if", "in", "into", "is",
+        "it", "its", "just", "may", "more", "most", "no", "not", "of",
+        "on", "only", "or", "other", "our", "over", "she", "should", "so",
+        "some", "such", "than", "that", "the", "their", "them", "then",
+        "there", "these", "they", "this", "through", "to", "under", "up",
+        "was", "we", "were", "what", "when", "where", "which", "while",
+        "who", "will", "with", "would", "you", "your",
+    }
+)
+
+# fragment delimiter: any char not lowercase-ASCII-alnum or Java \s
+# (explicit class text parses identically in Java and RE2)
+RAKE_FRAG_RE = r"[^a-z0-9 \t\n\x0B\f\r]+"
+
+
+def rake_phrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(doc_id, phrase, n_words, score_micro): each document's top-``k``
+    DISTINCT candidate phrases by RAKE score (10⁶ fixed point), ties by
+    phrase asc. Stopword-only / empty / NULL docs return no rows."""
+    from pyspark.sql import Window
+
+    from ..kernels.wsre import JAVA_WS_SPLIT
+
+    frags = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), RAKE_FRAG_RE)
+        ).alias("fi", "frag"),
+    )
+    toks = frags.select(
+        "doc_id",
+        "fi",
+        F.posexplode(
+            F.filter(F.split(F.col("frag"), JAVA_WS_SPLIT), lambda w: w != F.lit(""))
+        ).alias("pos", "tok"),
+    ).withColumn(
+        "stop",
+        F.col("tok").isin(*RAKE_STOPWORDS).cast("int"),
+    )
+    # phrase id = running count of stopwords seen in the fragment; both
+    # windows below partition by (doc, fragment) — doc-bounded
+    wnd = Window.partitionBy("doc_id", "fi").orderBy("pos")
+    members = (
+        toks.withColumn("grp", F.sum("stop").over(wnd))
+        .filter(F.col("stop") == 0)
+        .drop("stop")
+    )
+    plen_wnd = Window.partitionBy("doc_id", "fi", "grp")
+    members = members.withColumn("plen", F.count("*").over(plen_wnd))
+    # per-doc word stats over candidate members only (the paper's rule)
+    wstat = members.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    ws = wstat.select(
+        "doc_id",
+        "tok",
+        F.expr(f"deg * {RAKE_SCALE} DIV freq").alias("ws_micro"),
+    )
+    phrases = (
+        members.join(ws, ["doc_id", "tok"])
+        .groupBy("doc_id", "fi", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").alias("n_words"),
+            F.sum("ws_micro").alias("score_micro"),
+        )
+        .select("doc_id", "phrase", "n_words", "score_micro")
+        .distinct()
+    )
+    top = phrases.groupBy("doc_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score_micro")).alias("neg"),
+                        F.col("phrase"),
+                        F.col("n_words"),
+                        F.col("score_micro"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return top.select("doc_id", F.explode("top").alias("e")).select(
+        "doc_id",
+        F.col("e.phrase").alias("phrase"),
+        F.col("e.n_words").alias("n_words"),
+        F.col("e.score_micro").alias("score_micro"),
+    )
+
+
+def sql_rake_phrases(
+    rel: str = "documents",
+    text_expr: str = "text",
+    k: int = 3,
+) -> str:
+    """DuckDB twin of :func:`rake_phrases` — identical fragment/token
+    split (same pattern text under RE2), stoplist, integer score and
+    (score desc, phrase asc) window top-k at oracle scale."""
+    from ..kernels.wsre import JAVA_WS_SPLIT
+
+    stops = ", ".join("'" + w + "'" for w in RAKE_STOPWORDS)
+    return (
+        "WITH t AS (SELECT doc_id, "
+        f"lower(coalesce({text_expr}, '')) AS tx FROM {rel}), "
+        "fr AS (SELECT doc_id, i - 1 AS fi, frags[i] AS frag FROM ("
+        f"SELECT doc_id, string_split_regex(tx, '{RAKE_FRAG_RE}') AS frags, "
+        "unnest(generate_series(1, len(frags))) AS i FROM t)), "
+        "tk AS (SELECT doc_id, fi, j - 1 AS pos, toks[j] AS tok FROM ("
+        f"SELECT doc_id, fi, list_filter(string_split_regex(frag, "
+        f"'{JAVA_WS_SPLIT}'), x -> x <> '') AS toks, "
+        "unnest(generate_series(1, len(toks))) AS j FROM fr)), "
+        f"st AS (SELECT *, CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END "
+        "AS stop FROM tk), "
+        "mem0 AS (SELECT doc_id, fi, pos, tok, "
+        "sum(stop) OVER (PARTITION BY doc_id, fi ORDER BY pos) AS grp, stop "
+        "FROM st), "
+        "mem AS (SELECT doc_id, fi, pos, tok, grp, "
+        "CAST(count(*) OVER (PARTITION BY doc_id, fi, grp) AS BIGINT) AS plen "
+        "FROM mem0 WHERE stop = 0), "
+        "wstat AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq, "
+        "CAST(sum(plen) AS BIGINT) AS deg FROM mem GROUP BY doc_id, tok), "
+        f"ws AS (SELECT doc_id, tok, deg * {RAKE_SCALE} // freq AS ws_micro "
+        "FROM wstat), "
+        "phr AS (SELECT DISTINCT mem.doc_id, "
+        "string_agg(mem.tok, ' ' ORDER BY mem.pos) AS phrase, "
+        "CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(ws.ws_micro) AS BIGINT) AS score_micro "
+        "FROM mem JOIN ws ON mem.doc_id = ws.doc_id AND mem.tok = ws.tok "
+        "GROUP BY mem.doc_id, mem.fi, mem.grp), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score_micro DESC, phrase) AS rn FROM phr) "
+        f"SELECT doc_id, phrase, n_words, score_micro FROM rk WHERE rn <= {k}"
+    )

@@ -169,3 +169,132 @@ class TestKeyTerms:
         )
         want = sorted(map(tuple, con.execute(sql_doc_key_terms(k=3)).fetchall()))
         assert got == want
+
+
+RAKE_DOCS = [
+    (
+        0,
+        "Compatibility of systems of linear constraints over the set of "
+        "natural numbers. Criteria of compatibility of a system of linear "
+        "Diophantine equations, strict inequations, and nonstrict "
+        "inequations are considered.",
+    ),
+    (1, "machine learning pipeline; machine learning models. pipeline!"),
+    (2, "the and of to in is"),
+    (3, ""),
+    (4, None),
+    (5, "one-token"),
+]
+
+
+def _replay_rake(docs, k):
+    """Independent pure-Python RAKE replay: same fragment split,
+    stoplist, integer deg·10⁶//freq word score and (score desc, phrase
+    asc) top-k."""
+    import re
+    from collections import Counter
+
+    from pdf_extraction_spark.operators.terms import RAKE_STOPWORDS
+
+    stops = set(RAKE_STOPWORDS)
+    out = []
+    for doc_id, text in docs:
+        frags = re.split(r"[^a-z0-9 \t\n\x0B\f\r]+", (text or "").lower())
+        cands = []
+        for frag in frags:
+            toks = [w for w in re.split(r"[ \t\n\x0B\f\r]+", frag) if w]
+            cur = []
+            for t in toks + ["the"]:  # sentinel stop flushes the tail
+                if t in stops:
+                    if cur:
+                        cands.append(cur)
+                    cur = []
+                else:
+                    cur.append(t)
+        freq, deg = Counter(), Counter()
+        for c in cands:
+            for w in c:
+                freq[w] += 1
+                deg[w] += len(c)
+        ws = {w: deg[w] * 10**6 // freq[w] for w in freq}
+        seen = {}
+        for c in cands:
+            seen[" ".join(c)] = (len(c), sum(ws[w] for w in c))
+        ranked = sorted(
+            ((v[1], p, v[0]) for p, v in seen.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        out.extend((doc_id, p, n, s) for s, p, n in ranked)
+    return sorted(out)
+
+
+class TestRake:
+    def test_matches_pure_python_replay(self, spark):
+        from pdf_extraction_spark.operators.terms import rake_phrases
+
+        df = spark.createDataFrame(RAKE_DOCS, "doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.phrase, r.n_words, r.score_micro)
+            for r in rake_phrases(df, k=3).collect()
+        )
+        assert got == _replay_rake(RAKE_DOCS, 3)
+
+    def test_paper_abstract_scores(self, spark):
+        """The RAKE paper's canonical abstract: 'linear diophantine
+        equations' scores 9.0 (deg/freq: linear 4/2 + diophantine 3/1 +
+        equations 3/1... at 10⁶ scale), top phrases match."""
+        from pdf_extraction_spark.operators.terms import rake_phrases
+
+        df = spark.createDataFrame([RAKE_DOCS[0]], "doc_id long, text string")
+        rows = {
+            r.phrase: (r.n_words, r.score_micro)
+            for r in rake_phrases(df, k=3).collect()
+        }
+        assert rows["linear diophantine equations"] == (3, 8_500_000)
+        assert "linear constraints" in rows
+
+    def test_stopword_only_empty_null_emit_nothing(self, spark):
+        from pdf_extraction_spark.operators.terms import rake_phrases
+
+        df = spark.createDataFrame(
+            [RAKE_DOCS[2], RAKE_DOCS[3], RAKE_DOCS[4]], "doc_id long, text string"
+        )
+        assert rake_phrases(df, k=3).count() == 0
+
+    def test_phrase_never_crosses_punctuation(self, spark):
+        from pdf_extraction_spark.operators.terms import rake_phrases
+
+        df = spark.createDataFrame(
+            [(0, "alpha beta. gamma delta")], "doc_id long, text string"
+        )
+        phrases = {r.phrase for r in rake_phrases(df, k=10).collect()}
+        assert phrases == {"alpha beta", "gamma delta"}
+
+    def test_duplicate_phrases_collapse(self, spark):
+        from pdf_extraction_spark.operators.terms import rake_phrases
+
+        df = spark.createDataFrame(
+            [(0, "red fox. red fox. red fox")], "doc_id long, text string"
+        )
+        rows = rake_phrases(df, k=10).collect()
+        assert len(rows) == 1
+        assert rows[0].phrase == "red fox"
+
+    def test_twin_parity(self, spark):
+        import duckdb as _dd
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.terms import (
+            rake_phrases,
+            sql_rake_phrases,
+        )
+
+        df = spark.createDataFrame(RAKE_DOCS, "doc_id long, text string")
+        got = sorted(
+            (r.doc_id, r.phrase, r.n_words, r.score_micro)
+            for r in rake_phrases(df, k=3).collect()
+        )
+        con = _dd.connect()
+        con.register("documents", pd.DataFrame(RAKE_DOCS, columns=["doc_id", "text"]))
+        want = sorted(tuple(r) for r in con.execute(sql_rake_phrases("documents", k=3)).fetchall())
+        assert got == want
