@@ -2021,6 +2021,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return rake_phrases(_docs(spark, sf), k=3)
 
+    def q_host_kcore(spark, sf):
+        """k-core peeling (Seidman 1983) over the extracted host graph:
+        synchronous Batagelj-Zaveršnik rounds — one combinable degree
+        count + two endpoint semi-joins per round, edge frames
+        localCheckpoint'ed (the pagerank rule). All-integer; the
+        converged flag reports fixpoint so a capped unroll can't
+        silently under-peel."""
+        from pdf_extraction_spark.operators.graphstats import kcore
+        from pdf_extraction_spark.operators.htmlgraph import extract_outlinks
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_LINKS_AUG).alias("html"),
+        )
+        return kcore(extract_outlinks(docs), k=3, n_rounds=4)
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3588,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "hyperball": q_hyperball,
         "rake_phrases": q_rake,
+        "host_kcore": q_host_kcore,
     }
 
 
@@ -4863,6 +4881,7 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.terms",
             fromlist=["sql_rake_phrases"],
         ).sql_rake_phrases("documents", k=3),
+        "host_kcore": _host_kcore_sql(),
     }
     return sql
 
@@ -4985,3 +5004,18 @@ def _host_triangles_sql() -> str:
         + " SELECT src_host, dst_host FROM links WHERE dst_host IS NOT NULL"
     )
     return sql_triangle_stats(edges)
+
+
+def _host_kcore_sql() -> str:
+    from pdf_extraction_spark.operators.graphstats import sql_kcore
+    from pdf_extraction_spark.operators.htmlgraph import sql_links_ctes
+
+    edges = (
+        "WITH "
+        + sql_links_ctes(
+            "(SELECT doc_id, " + _LINKS_URL + " AS url, "
+            + _LINKS_AUG + " AS html FROM documents)"
+        )
+        + " SELECT src_host, dst_host FROM links WHERE dst_host IS NOT NULL"
+    )
+    return sql_kcore(edges, k=3, n_rounds=4)

@@ -240,3 +240,125 @@ FROM b1 h1 JOIN b1 h2 ON h1.member = h2.node
     return (
         f"SELECT host, n_registers, est_distinct AS est_ball2 FROM ({inner})"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (Seidman 1983; the Batagelj-Zaveršnik peeling)
+# ---------------------------------------------------------------------------
+#
+# The k-core is the maximal subgraph in which every node has degree
+# ≥ k — the density primitive complementary to triangles: link farms
+# and tightly-knit spam neighbourhoods survive deep cores, organic
+# host neighbourhoods peel away early (Fetterly/Gyöngyi-era web-spam
+# features key on it).
+#
+# Algorithm: synchronous peeling — each round computes degrees over
+# the CURRENT subgraph and drops every node with deg < k together with
+# its incident edges; the fixpoint is exactly the k-core (the peeling
+# order is irrelevant to the fixpoint, so the synchronous variant
+# returns the same set as the sequential textbook algorithm). The
+# round count to converge is the graph's "peeling depth", empirically
+# O(log n) on web graphs; ``n_rounds`` bounds the unrolled recursion
+# and the ``converged`` output column reports whether one more round
+# would have been a no-op (round r+1 removed nothing), so a caller at
+# 10^12 docs can re-dispatch the rare unconverged residual instead of
+# trusting a silent cap.
+#
+# Exactness: degrees are int64 COUNTs and membership is semi-join
+# logic — no floats anywhere, bit-identical across engines and
+# partitionings by construction.
+#
+# Scale shape per round: one node-keyed count (map-side combinable)
+# + two semi-joins keyed on the edge endpoints — no corpus-wide state
+# in one task, no window. Each round's edge frame is
+# localCheckpoint()ed: it feeds the degree count, both semi-joins and
+# the next round, so the logical plan would otherwise double per round
+# (the pagerank/hits rule).
+
+
+def _deg(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("lo").alias("host"))
+        .unionByName(e.select(F.col("hi").alias("host")))
+        .groupBy("host")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    n_rounds: int = 4,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """(host, deg, converged): hosts surviving ``n_rounds`` of k-core
+    peeling over the canonical undirected graph, with their degree in
+    the surviving subgraph. ``converged`` is true iff round
+    ``n_rounds`` removed nothing (the survivors ARE the k-core; all
+    degrees then ≥ k). Empty graphs and k larger than any core return
+    zero rows."""
+    if k < 1 or n_rounds < 1:
+        raise ValueError("k and n_rounds must be >= 1")
+    e = _canon_edges(edges, src_col, dst_col).localCheckpoint()
+    e_prev = e
+    for _ in range(n_rounds):
+        alive = _deg(e).filter(F.col("deg") >= k).select("host")
+        e_prev = e
+        e = (
+            e.join(alive.withColumnRenamed("host", "lo"), "lo", "left_semi")
+            .join(alive.withColumnRenamed("host", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+        ).localCheckpoint()
+    # peeling removes edges monotonically, so equal edge counts on the
+    # last round ⇔ the round was a no-op ⇔ fixpoint reached (2 scalar
+    # actions total, not 2 per round)
+    conv = e_prev.count() == e.count()
+    return _deg(e).select(
+        "host", "deg", F.lit(conv).alias("converged")
+    )
+
+
+def sql_kcore(edges_sql: str, k: int = 3, n_rounds: int = 4) -> str:
+    """DuckDB twin of :func:`kcore`: the identical synchronous peeling
+    unrolled one (degree, alive, edges) CTE triple per round — every
+    per-round CTE MATERIALIZED (each is read 2-3 times; DuckDB's
+    default inlining would otherwise replicate the chain exponentially
+    past a few rounds — the hits rule). The converged flag compares the
+    last two rounds' edge counts as scalar subqueries (peeling is
+    monotone, so equality ⇔ the final round was a no-op)."""
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT least(src_host, dst_host) AS lo, "
+        f"greatest(src_host, dst_host) AS hi FROM ({edges_sql}) "
+        "WHERE src_host IS NOT NULL AND dst_host IS NOT NULL "
+        "AND src_host <> dst_host GROUP BY 1, 2)"
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT host, CAST(count(*) AS BIGINT) AS deg "
+            f"FROM (SELECT lo AS host FROM e{i} "
+            f"UNION ALL SELECT hi FROM e{i}) GROUP BY host)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT host FROM d{i} WHERE deg >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT lo, hi FROM e{i} "
+            f"WHERE lo IN (SELECT host FROM a{i}) "
+            f"AND hi IN (SELECT host FROM a{i}))"
+        )
+    n = n_rounds
+    parts.append(
+        f"dfin AS MATERIALIZED (SELECT host, CAST(count(*) AS BIGINT) AS deg "
+        f"FROM (SELECT lo AS host FROM e{n} UNION ALL SELECT hi FROM e{n}) "
+        "GROUP BY host)"
+    )
+    parts.append(
+        f"conv AS (SELECT (SELECT count(*) FROM e{n - 1}) = "
+        f"(SELECT count(*) FROM e{n}) AS converged)"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT host, deg, (SELECT converged FROM conv) AS converged FROM dfin"
+    )

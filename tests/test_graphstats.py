@@ -81,3 +81,69 @@ class TestTriangles:
             tuple(r) for r in triangle_stats(e.repartition(7)).collect()
         )
         assert one == many and one
+
+
+class TestKcore:
+    def _clique_tail(self, spark):
+        # 4-clique + 2-node tail off 'a' + isolated pair + junk rows
+        cl = ["a", "b", "c", "d"]
+        rows = [(cl[i], cl[j]) for i in range(4) for j in range(i + 1, 4)]
+        rows += [("a", "e"), ("e", "f"), ("g", "h"), ("x", "x"), (None, "y")]
+        return _edges(spark, rows)
+
+    def test_three_core_is_the_clique(self, spark):
+        from pdf_extraction_spark.operators.graphstats import kcore
+
+        out = sorted(
+            tuple(r) for r in kcore(self._clique_tail(spark), k=3, n_rounds=3).collect()
+        )
+        assert out == [(h, 3, True) for h in "abcd"]
+
+    def test_core_nesting(self, spark):
+        """(k+1)-core ⊆ k-core (Seidman's nesting property)."""
+        from pdf_extraction_spark.operators.graphstats import kcore
+
+        e = self._clique_tail(spark)
+        k2 = {r.host for r in kcore(e, k=2, n_rounds=4).collect()}
+        k3 = {r.host for r in kcore(e, k=3, n_rounds=4).collect()}
+        k4 = {r.host for r in kcore(e, k=4, n_rounds=4).collect()}
+        assert k4 <= k3 <= k2
+        assert k4 == set()  # 4-clique has max degree 3
+
+    def test_capped_unroll_reports_unconverged(self, spark):
+        """A 10-node path peels one layer per synchronous round; after
+        1 round the 2-core isn't reached and the flag must say so."""
+        from pdf_extraction_spark.operators.graphstats import kcore
+
+        path = _edges(spark, [(f"n{i}", f"n{i + 1}") for i in range(10)])
+        rows = kcore(path, k=2, n_rounds=1).collect()
+        assert rows and all(r.converged is False for r in rows)
+        # fully peeled: a path has an empty 2-core
+        assert kcore(path, k=2, n_rounds=6).count() == 0
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.graphstats import kcore, sql_kcore
+
+        rows = [(c[0], c[1]) for c in ["ab", "bc", "ca", "cd", "de", "ec", "fg"]]
+        got = sorted(
+            tuple(r)
+            for r in kcore(_edges(spark, rows), k=2, n_rounds=4).collect()
+        )
+        con = duckdb.connect()
+        con.register("edges", pd.DataFrame(rows, columns=["src_host", "dst_host"]))
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                sql_kcore("SELECT * FROM edges", k=2, n_rounds=4)
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_empty_graph(self, spark):
+        from pdf_extraction_spark.operators.graphstats import kcore
+
+        e = _edges(spark, [("x", "x")])  # only a self-loop → no edges
+        assert kcore(e, k=1, n_rounds=2).count() == 0
