@@ -2038,6 +2038,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kcore(extract_outlinks(docs), k=3, n_rounds=4)
 
+    def q_host_assort(spark, sf):
+        """Degree assortativity (Newman 2002) of the extracted host
+        graph: exact int64 moment sums per canonical edge (each edge
+        contributes both ordered directions analytically), one final
+        double ratio from identical int inputs — the mixing-pattern
+        tripwire beside spam_mass and the k-core depth."""
+        from pdf_extraction_spark.operators.graphstats import assortativity
+        from pdf_extraction_spark.operators.htmlgraph import extract_outlinks
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_LINKS_AUG).alias("html"),
+        )
+        return assortativity(extract_outlinks(docs))
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3606,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball": q_hyperball,
         "rake_phrases": q_rake,
         "host_kcore": q_host_kcore,
+        "host_assort": q_host_assort,
     }
 
 
@@ -4882,6 +4899,7 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["sql_rake_phrases"],
         ).sql_rake_phrases("documents", k=3),
         "host_kcore": _host_kcore_sql(),
+        "host_assort": _host_assort_sql(),
     }
     return sql
 
@@ -5019,3 +5037,18 @@ def _host_kcore_sql() -> str:
         + " SELECT src_host, dst_host FROM links WHERE dst_host IS NOT NULL"
     )
     return sql_kcore(edges, k=3, n_rounds=4)
+
+
+def _host_assort_sql() -> str:
+    from pdf_extraction_spark.operators.graphstats import sql_assortativity
+    from pdf_extraction_spark.operators.htmlgraph import sql_links_ctes
+
+    edges = (
+        "WITH "
+        + sql_links_ctes(
+            "(SELECT doc_id, " + _LINKS_URL + " AS url, "
+            + _LINKS_AUG + " AS html FROM documents)"
+        )
+        + " SELECT src_host, dst_host FROM links WHERE dst_host IS NOT NULL"
+    )
+    return sql_assortativity(edges)

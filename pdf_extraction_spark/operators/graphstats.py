@@ -362,3 +362,100 @@ def sql_kcore(edges_sql: str, k: int = 3, n_rounds: int = 4) -> str:
         + ", ".join(parts)
         + " SELECT host, deg, (SELECT converged FROM conv) AS converged FROM dfin"
     )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (Newman, PRL 2002)
+# ---------------------------------------------------------------------------
+#
+# The Pearson correlation of degrees across edges — THE scalar mixing
+# signal of web-graph structure: organic web graphs are disassortative
+# (hubs link to leaves, r < 0) while link farms wire peers to peers
+# (r → 1), so a per-partition / per-snapshot assortativity shift is a
+# cheap spam-injection tripwire next to spam_mass and the k-core depth.
+#
+# For an undirected graph the correlation runs over ORDERED edge
+# endpoint pairs; by symmetry Σx = Σy and Σx² = Σy², so with
+#   M = 2m, S1 = Σx, S2 = Σx², P = Σxy
+# Newman's r collapses to  r = (M·P − S1²) / (M·S2 − S1²).
+#
+# Exactness device (the bot_regularity discipline): every aggregate is
+# an exact associative int64 SUM — each canonical edge contributes
+# deg(lo)+deg(hi), 2·deg(lo)·deg(hi), deg(lo)²+deg(hi)² computed
+# per-row — and the ONLY float arithmetic is the final ratio, evaluated
+# from identical int64 inputs with the identical double expression in
+# both engines (the numerator/denominator products are formed IN THE
+# DOUBLE DOMAIN so a 10^12-edge graph cannot overflow int64; doubles
+# lose the same low bits in both engines). Regular graphs (zero degree
+# variance) return NULL r — the statistic is undefined there.
+#
+# Scale shape: one distinct-edge shuffle, one node-keyed degree count,
+# two endpoint-keyed joins, one global 4-sum reduce — no window, no
+# Python, nothing corpus-sized in one task.
+
+
+def assortativity(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """One row: (n_pairs, sum_deg, sum_prod, sum_sq, assort) — ordered
+    endpoint-pair count M = 2m and the exact int64 moment sums, plus
+    Newman's degree assortativity as the one float ratio (NULL for
+    degree-regular or empty graphs)."""
+    e = _canon_edges(edges, src_col, dst_col)
+    deg = _deg(e)
+    ed = e.join(
+        deg.select(F.col("host").alias("lo"), F.col("deg").alias("dl")), "lo"
+    ).join(deg.select(F.col("host").alias("hi"), F.col("deg").alias("dh")), "hi")
+    agg = ed.agg(
+        (F.count("*") * 2).alias("n_pairs"),
+        F.sum(F.col("dl") + F.col("dh")).alias("sum_deg"),
+        F.sum(F.col("dl") * F.col("dh") * 2).alias("sum_prod"),
+        F.sum(F.col("dl") * F.col("dl") + F.col("dh") * F.col("dh")).alias(
+            "sum_sq"
+        ),
+    )
+    num = (
+        F.col("n_pairs").cast("double") * F.col("sum_prod").cast("double")
+        - F.col("sum_deg").cast("double") * F.col("sum_deg").cast("double")
+    )
+    den = (
+        F.col("n_pairs").cast("double") * F.col("sum_sq").cast("double")
+        - F.col("sum_deg").cast("double") * F.col("sum_deg").cast("double")
+    )
+    return agg.select(
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("sum_deg", F.lit(0)).alias("sum_deg"),
+        F.coalesce("sum_prod", F.lit(0)).alias("sum_prod"),
+        F.coalesce("sum_sq", F.lit(0)).alias("sum_sq"),
+        F.when(den > F.lit(0.0), num / den).alias("assort"),
+    )
+
+
+def sql_assortativity(edges_sql: str) -> str:
+    """DuckDB twin of :func:`assortativity` — identical canonical edge
+    set, per-row int64 moment terms, and the identical double ratio
+    (NULLIF-guarded like the Spark when())."""
+    return (
+        "WITH e AS (SELECT least(src_host, dst_host) AS lo, "
+        f"greatest(src_host, dst_host) AS hi FROM ({edges_sql}) "
+        "WHERE src_host IS NOT NULL AND dst_host IS NOT NULL "
+        "AND src_host <> dst_host GROUP BY 1, 2), "
+        "deg AS (SELECT host, CAST(count(*) AS BIGINT) AS deg FROM ("
+        "SELECT lo AS host FROM e UNION ALL SELECT hi FROM e) GROUP BY host), "
+        "ed AS (SELECT dl.deg AS dl, dh.deg AS dh FROM e "
+        "JOIN deg dl ON e.lo = dl.host JOIN deg dh ON e.hi = dh.host), "
+        "agg AS (SELECT CAST(count(*) * 2 AS BIGINT) AS n_pairs, "
+        "CAST(coalesce(sum(dl + dh), 0) AS BIGINT) AS sum_deg, "
+        "CAST(coalesce(sum(dl * dh * 2), 0) AS BIGINT) AS sum_prod, "
+        "CAST(coalesce(sum(dl * dl + dh * dh), 0) AS BIGINT) AS sum_sq FROM ed) "
+        "SELECT n_pairs, sum_deg, sum_prod, sum_sq, "
+        "CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sum_sq AS DOUBLE) - "
+        "CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE) > 0 THEN "
+        "(CAST(n_pairs AS DOUBLE) * CAST(sum_prod AS DOUBLE) - "
+        "CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE)) / "
+        "(CAST(n_pairs AS DOUBLE) * CAST(sum_sq AS DOUBLE) - "
+        "CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE)) END AS assort "
+        "FROM agg"
+    )

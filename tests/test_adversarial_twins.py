@@ -100,7 +100,7 @@ QUERIES = [
     "cocite_hosts", "couple_hosts", "mirror_hosts", "apss_pairs",
     "host_triangles", "moore_lewis", "mass_gini", "textrank_terms",
     "hrw_shards", "bm25f_topk", "qlm_topk", "prf_bm25", "nepotism",
-    "benford", "hyperball", "rake_phrases", "host_kcore",
+    "benford", "hyperball", "rake_phrases", "host_kcore", "host_assort",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

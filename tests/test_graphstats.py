@@ -147,3 +147,53 @@ class TestKcore:
 
         e = _edges(spark, [("x", "x")])  # only a self-loop → no edges
         assert kcore(e, k=1, n_rounds=2).count() == 0
+
+
+class TestAssortativity:
+    def test_star_is_maximally_disassortative(self, spark):
+        from pdf_extraction_spark.operators.graphstats import assortativity
+
+        e = _edges(spark, [("c", f"l{i}") for i in range(5)])
+        r = assortativity(e).collect()[0]
+        assert r.assort == -1.0
+        assert (r.n_pairs, r.sum_deg) == (10, 30)
+
+    def test_disjoint_cliques_are_assortative(self, spark):
+        from pdf_extraction_spark.operators.graphstats import assortativity
+
+        rows = []
+        for grp, size in (("p", 3), ("q", 5)):
+            ns = [f"{grp}{i}" for i in range(size)]
+            rows += [(ns[i], ns[j]) for i in range(size) for j in range(i + 1, size)]
+        assert assortativity(_edges(spark, rows)).collect()[0].assort == 1.0
+
+    def test_regular_graph_is_null(self, spark):
+        from pdf_extraction_spark.operators.graphstats import assortativity
+
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+        assert assortativity(e).collect()[0].assort is None
+
+    def test_empty_graph_row(self, spark):
+        from pdf_extraction_spark.operators.graphstats import assortativity
+
+        r = assortativity(_edges(spark, [("x", "x")])).collect()[0]
+        assert tuple(r) == (0, 0, 0, 0, None)
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.graphstats import (
+            assortativity,
+            sql_assortativity,
+        )
+
+        rows = [("a", "b"), ("b", "c"), ("c", "d"), ("b", "d"), ("e", "a"), ("f", "b")]
+        got = [tuple(r) for r in assortativity(_edges(spark, rows)).collect()]
+        con = duckdb.connect()
+        con.register("edges", pd.DataFrame(rows, columns=["src_host", "dst_host"]))
+        want = [
+            tuple(r)
+            for r in con.execute(sql_assortativity("SELECT * FROM edges")).fetchall()
+        ]
+        assert got == want

@@ -61,7 +61,7 @@ NATIVE_QUERIES = [
     "funnel_steps", "host_triangles", "moore_lewis", "mass_gini",
     "textrank_terms", "hrw_shards", "facility_location", "bm25f_topk",
     "qlm_topk", "prf_bm25", "nepotism", "bot_regularity", "benford",
-    "hyperball", "rake_phrases", "host_kcore",
+    "hyperball", "rake_phrases", "host_kcore", "host_assort",
 ]
 
 
