@@ -2054,6 +2054,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return assortativity(extract_outlinks(docs))
 
+    def q_host_salsa(spark, sf):
+        """SALSA (Lempel & Moran 2000) over the host_hits graph: the
+        degree-normalized stochastic hub/authority scores via the
+        CLOSED FORM — stationary weight = in/out-degree share within
+        each bipartite connected component, components weighted by
+        their authority/hub-universe share. Components via the pointer-
+        jumping labeller; scores in exact nano fixed point (fixed op
+        order, no float)."""
+        from pdf_extraction_spark.operators.components import salsa
+
+        docs = _docs(spark, sf)
+        edges = docs.select(
+            F.col("source").alias("src"),
+            F.concat(
+                F.lit("src"),
+                ((F.col("doc_id") * F.col("doc_id") * 5 + F.col("doc_id")) % 29).cast(
+                    "string"
+                ),
+            ).alias("dst"),
+        )
+        return salsa(edges)
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3623,6 +3645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_phrases": q_rake,
         "host_kcore": q_host_kcore,
         "host_assort": q_host_assort,
+        "host_salsa": q_host_salsa,
     }
 
 
@@ -4900,6 +4923,13 @@ def oracle_sql() -> dict[str, str]:
         ).sql_rake_phrases("documents", k=3),
         "host_kcore": _host_kcore_sql(),
         "host_assort": _host_assort_sql(),
+        "host_salsa": __import__(
+            "pdf_extraction_spark.operators.components",
+            fromlist=["sql_salsa"],
+        ).sql_salsa(
+            "SELECT source AS src, 'src' || CAST((doc_id * doc_id * 5 + doc_id) "
+            "% 29 AS VARCHAR) AS dst FROM documents"
+        ),
     }
     return sql
 

@@ -702,3 +702,165 @@ def sql_label_propagation(edges_select: str, n_iter: int = 5) -> str:
         + ", ".join(parts)
         + f" SELECT node, lbl AS community FROM l{n_iter}"
     )
+
+
+# ---------------------------------------------------------------------------
+# SALSA (Lempel & Moran, WWW 2000 / TOIS 2001)
+# ---------------------------------------------------------------------------
+#
+# The stochastic sibling of HITS: hub/authority scores are the
+# stationary distributions of random walks on the bipartite support
+# graph (one step back along an in-link, one step forward along an
+# out-link). Where HITS's mutual reinforcement is topic-drift- and
+# TKC-(tightly-knit-community)-sensitive, SALSA's walk normalizes by
+# degree — the reason it became the production link-feature at web
+# scale (cf. Twitter's WTF recommender, Gupta et al. WWW 2013).
+#
+# Closed form instead of iteration (Lempel-Moran §3.2): within an
+# irreducible component c of the authority-side chain the stationary
+# weight of authority j is d_in(j)/e_c (e_c = links in c), and the
+# paper weights components by their share of the authority universe:
+#     a(j) = (|c ∩ A| / |A|) · (d_in(j) / e_c)
+# (hub side symmetric with out-degrees and |c ∩ H| / |H|). The
+# irreducible components are exactly the connected components of the
+# bipartite hub/authority graph — which this engine already computes
+# distributively (pointer jumping, no driver graph), so SALSA needs
+# ZERO new iteration machinery: components + degree counts + two joins.
+#
+# Exactness device: scores are nano-scaled int64 computed in the FIXED
+# op order  ((d · 10⁹) DIV e_c) · |c∩S| DIV |S|  — floor division of
+# non-negative ints at every step, identical in Spark (DIV) and DuckDB
+# (//); the op order keeps every intermediate ≤ 10⁹·|c| (no overflow
+# at any corpus size whose component node count fits int32, documented
+# bound). No float ever runs.
+#
+# Scale shape: the component labelling is the pointer-jumping loop
+# (O(log diameter) rounds of edge-keyed joins); everything after is
+# one degree count + component-keyed joins + two 1-row broadcast
+# scalars. No window, no Python.
+
+SALSA_SCALE = 10**9
+
+
+def salsa(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = SALSA_SCALE,
+) -> DataFrame:
+    """(node, hub_nano, authority_nano): SALSA stationary scores over
+    the DISTINCT (src, dst) link set (self-loops and NULL endpoints
+    dropped — the hits hygiene). A node missing from one side scores 0
+    there; each side's scores sum to ~``scale`` (floor-division
+    shortfall only). Empty graphs return zero rows."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    pairs = e.select(
+        F.concat(F.lit("H:"), F.col("src")).alias("id_a"),
+        F.concat(F.lit("A:"), F.col("dst")).alias("id_b"),
+    )
+    cc = connected_components(pairs).persist()
+    comp_a = cc.filter(F.col("node").startswith("A:")).select(
+        F.expr("substring(node, 3)").alias("node"), "component"
+    )
+    comp_h = cc.filter(F.col("node").startswith("H:")).select(
+        F.expr("substring(node, 3)").alias("node"), "component"
+    )
+    # every link lies in exactly one bipartite component — count once
+    ec = (
+        e.join(comp_a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("component")
+        .agg(F.count("*").alias("e_c"))
+    )
+    ca = comp_a.groupBy("component").agg(F.count("*").alias("c_n"))
+    ch = comp_h.groupBy("component").agg(F.count("*").alias("c_n"))
+    va = comp_a.agg(F.count("*").alias("v"))
+    vh = comp_h.agg(F.count("*").alias("v"))
+    din = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("d"))
+    dout = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    a_s = (
+        din.join(comp_a, "node")
+        .join(ec, "component")
+        .join(ca, "component")
+        .crossJoin(F.broadcast(va))
+        .select(
+            "node",
+            F.expr(f"((d * {scale}L) DIV e_c) * c_n DIV v").alias(
+                "authority_nano"
+            ),
+        )
+    )
+    h_s = (
+        dout.join(comp_h, "node")
+        .join(ec, "component")
+        .join(ch, "component")
+        .crossJoin(F.broadcast(vh))
+        .select(
+            "node",
+            F.expr(f"((d * {scale}L) DIV e_c) * c_n DIV v").alias("hub_nano"),
+        )
+    )
+    out = h_s.join(a_s, "node", "full_outer").select(
+        "node",
+        F.coalesce("hub_nano", F.lit(0)).alias("hub_nano"),
+        F.coalesce("authority_nano", F.lit(0)).alias("authority_nano"),
+    )
+    return out
+
+
+def sql_salsa(edges_select: str, scale: int = SALSA_SCALE) -> str:
+    """DuckDB twin of :func:`salsa`: components via the recursive
+    reachability CTE over the same prefixed bipartite node ids (the
+    sql_dedup_clusters device), then the identical fixed-op-order
+    integer score arithmetic."""
+    return (
+        "WITH RECURSIVE "
+        f"raw AS (SELECT DISTINCT src, dst FROM ({edges_select}) "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst), "
+        "bip AS (SELECT 'H:' || src AS ia, 'A:' || dst AS ib FROM raw), "
+        "bedges AS (SELECT ia AS s, ib AS d FROM bip "
+        "UNION SELECT ib, ia FROM bip), "
+        "reach(n, m) AS (SELECT s, s FROM bedges "
+        "UNION SELECT e.s, r.m FROM bedges e JOIN reach r ON e.d = r.n), "
+        "lab AS (SELECT n AS node, min(m) AS component FROM reach GROUP BY n), "
+        "comp_a AS (SELECT substring(node, 3) AS node, component FROM lab "
+        "WHERE node LIKE 'A:%'), "
+        "comp_h AS (SELECT substring(node, 3) AS node, component FROM lab "
+        "WHERE node LIKE 'H:%'), "
+        "ec AS (SELECT component, CAST(count(*) AS BIGINT) AS e_c FROM raw "
+        "JOIN comp_a ON raw.dst = comp_a.node GROUP BY component), "
+        "ca AS (SELECT component, CAST(count(*) AS BIGINT) AS c_n "
+        "FROM comp_a GROUP BY component), "
+        "ch AS (SELECT component, CAST(count(*) AS BIGINT) AS c_n "
+        "FROM comp_h GROUP BY component), "
+        "va AS (SELECT CAST(count(*) AS BIGINT) AS v FROM comp_a), "
+        "vh AS (SELECT CAST(count(*) AS BIGINT) AS v FROM comp_h), "
+        "din AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS d "
+        "FROM raw GROUP BY dst), "
+        "dout AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d "
+        "FROM raw GROUP BY src), "
+        "a_s AS (SELECT din.node, "
+        f"((din.d * {scale}) // ec.e_c) * ca.c_n // (SELECT v FROM va) "
+        "AS authority_nano FROM din "
+        "JOIN comp_a ON din.node = comp_a.node "
+        "JOIN ec ON comp_a.component = ec.component "
+        "JOIN ca ON comp_a.component = ca.component), "
+        "h_s AS (SELECT dout.node, "
+        f"((dout.d * {scale}) // ec.e_c) * ch.c_n // (SELECT v FROM vh) "
+        "AS hub_nano FROM dout "
+        "JOIN comp_h ON dout.node = comp_h.node "
+        "JOIN ec ON comp_h.component = ec.component "
+        "JOIN ch ON comp_h.component = ch.component) "
+        "SELECT coalesce(h_s.node, a_s.node) AS node, "
+        "CAST(coalesce(h_s.hub_nano, 0) AS BIGINT) AS hub_nano, "
+        "CAST(coalesce(a_s.authority_nano, 0) AS BIGINT) AS authority_nano "
+        "FROM h_s FULL OUTER JOIN a_s ON h_s.node = a_s.node"
+    )

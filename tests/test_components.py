@@ -417,3 +417,106 @@ class TestLabelPropagation:
 
         df = spark.createDataFrame([], "src string, dst string")
         assert label_propagation(df, n_iter=2).count() == 0
+
+
+class TestSalsa:
+    LINKS = [
+        ("h1", "a1"), ("h1", "a2"), ("h2", "a2"),
+        ("h2", "a3"), ("h1", "a3"), ("h3", "a4"),
+    ]
+
+    def _df(self, spark, rows=None):
+        return spark.createDataFrame(rows or self.LINKS, "src string, dst string")
+
+    def test_matches_power_iteration_of_the_chain(self, spark):
+        """Ground truth = 200 power-iteration steps of the paper's
+        authority Markov chain (back along an in-link, forward along an
+        out-link), components weighted |c∩A|/|A| — entirely independent
+        of the closed-form implementation."""
+        import numpy as np
+
+        from pdf_extraction_spark.operators.components import salsa
+
+        links = self.LINKS
+        hubs = sorted({s for s, _ in links})
+        auths = sorted({d for _, d in links})
+        din = {a: sum(1 for _, d in links if d == a) for a in auths}
+        dout = {h: sum(1 for s, _ in links if s == h) for h in hubs}
+        T = np.zeros((len(auths), len(auths)))
+        for i, a in enumerate(auths):
+            for s, d in links:
+                if d != a:
+                    continue
+                for s2, d2 in links:
+                    if s2 == s:
+                        T[i, auths.index(d2)] += 1.0 / din[a] / dout[s]
+        expect = {}
+        for comp, w in ((["a1", "a2", "a3"], 0.75), (["a4"], 0.25)):
+            idx = [auths.index(a) for a in comp]
+            v = np.ones(len(idx)) / len(idx)
+            for _ in range(200):
+                v = v @ T[np.ix_(idx, idx)]
+            v = v / v.sum()
+            for a, p in zip(comp, v):
+                expect[a] = w * p
+        got = {
+            r.node: r.authority_nano / 1e9
+            for r in salsa(self._df(spark)).collect()
+            if r.authority_nano > 0
+        }
+        assert got.keys() == expect.keys()
+        for a in expect:
+            assert abs(got[a] - expect[a]) < 2e-9
+
+    def test_scores_sum_to_scale(self, spark):
+        """Each side is a probability distribution at nano scale
+        (floor-division shortfall < one quantum per node)."""
+        from pdf_extraction_spark.operators.components import SALSA_SCALE, salsa
+
+        rows = salsa(self._df(spark)).collect()
+        ha = sum(r.hub_nano for r in rows)
+        aa = sum(r.authority_nano for r in rows)
+        assert SALSA_SCALE - 10 <= ha <= SALSA_SCALE
+        assert SALSA_SCALE - 10 <= aa <= SALSA_SCALE
+
+    def test_connected_support_reduces_to_degree_share(self, spark):
+        """One component ⇒ a(j) = d_in(j)/|E| exactly (the known
+        degenerate case)."""
+        from pdf_extraction_spark.operators.components import salsa
+
+        links = [("h1", "a1"), ("h2", "a1"), ("h2", "a2")]
+        got = {
+            r.node: r.authority_nano
+            for r in salsa(self._df(spark, links)).collect()
+            if r.authority_nano
+        }
+        assert got == {"a1": 666666666, "a2": 333333333}
+
+    def test_hygiene_and_dual_role_nodes(self, spark):
+        from pdf_extraction_spark.operators.components import salsa
+
+        links = [("x", "y"), ("y", "x"), ("x", "x"), (None, "y"), ("x", None)]
+        rows = {r.node: r for r in salsa(self._df(spark, links)).collect()}
+        # x and y each hub once and authority once in one component
+        assert rows["x"].hub_nano > 0 and rows["x"].authority_nano > 0
+        assert rows["y"].hub_nano > 0 and rows["y"].authority_nano > 0
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.components import salsa, sql_salsa
+
+        got = sorted(tuple(r) for r in salsa(self._df(spark)).collect())
+        con = duckdb.connect()
+        con.register("links", pd.DataFrame(self.LINKS, columns=["src", "dst"]))
+        want = sorted(
+            tuple(r) for r in con.execute(sql_salsa("SELECT * FROM links")).fetchall()
+        )
+        assert got == want
+
+    def test_empty_graph(self, spark):
+        from pdf_extraction_spark.operators.components import salsa
+
+        df = spark.createDataFrame([], "src string, dst string")
+        assert salsa(df).count() == 0
