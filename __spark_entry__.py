@@ -2076,6 +2076,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return salsa(edges)
 
+    def q_bursts(spark, sf):
+        """Kleinberg 2-state burst detection (KDD 2002) per user over
+        the events stream: exact-integer Viterbi as a position-ordered
+        HOF fold over the gap array (micro-ln costs, spelled-out tie
+        rules) — localized flash-crowd/retry-storm detection beside
+        bot_regularity's global CV."""
+        from pdf_extraction_spark.operators.forensics import kleinberg_bursts
+
+        return kleinberg_bursts(_events(spark, sf), min_events=5)
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3646,6 +3656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_kcore": q_host_kcore,
         "host_assort": q_host_assort,
         "host_salsa": q_host_salsa,
+        "bursts": q_bursts,
     }
 
 
@@ -4930,6 +4941,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source AS src, 'src' || CAST((doc_id * doc_id * 5 + doc_id) "
             "% 29 AS VARCHAR) AS dst FROM documents"
         ),
+        "bursts": __import__(
+            "pdf_extraction_spark.operators.forensics",
+            fromlist=["sql_kleinberg_bursts"],
+        ).sql_kleinberg_bursts("events", min_events=5),
     }
     return sql
 

@@ -170,3 +170,175 @@ SELECT CAST(digit AS BIGINT) AS digit, n_obs,
              / (n_total * {probs}[digit]), 6) AS chi2_term
 FROM counts CROSS JOIN total
 """
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg burst detection (KDD 2002, "Bursty and hierarchical
+# structure in streams") — the 2-state automaton
+# ---------------------------------------------------------------------------
+#
+# The classic activity-burst detector: a user's inter-event gaps are
+# emissions of a 2-state automaton (q0 = base rate n/T, q1 = burst rate
+# s·n/T); entering the burst state costs γ·ln n; the optimal state
+# sequence is the Viterbi path. Where bot_regularity scores GLOBAL
+# timing regularity, this finds LOCALIZED bursts (flash crowds, retry
+# storms, coordinated posting).
+#
+# Exact-integer Viterbi: every cost is micro-scaled int64 —
+#   cost_i(g)·10⁶ = (s_i·n·g·10⁶) DIV T − ilnμ(s_i) − ilnμ(n) + ilnμ(T)
+# (the exponential-density negative log-likelihood −ln α + α·g with the
+# engine's fixed-point ln device: the ONLY float per distinct count is
+# one ln() rounded at 10⁶, after which the DP is exact int64 adds and
+# comparisons with SPELLED-OUT tie rules: state 0 prefers coming from
+# state 0 on equal cost; state 1 prefers staying). The fold is
+# position-ordered (the lm_score contract), so the result is
+# bit-identical across engines and partitionings. The start state is
+# q0; an immediate burst pays the transition via the init accumulator
+# (c1₀ = γ·ilnμ(n)), so no infinity sentinel exists to overflow.
+#
+# The per-gap DP runs as an ordered HOF fold over the user's gap array
+# (Spark `aggregate`, DuckDB `list_reduce` with a prepended init
+# element) — one user-keyed shuffle, buffers bounded by a user's event
+# count, no Python, no window beyond the doc-bounded sort. Backtracking
+# is avoided by folding the burst-gap COUNT along both live paths —
+# the standard Viterbi-statistic trick.
+#
+# Overflow bound (documented): s·n·g·10⁶ must fit int64 → n·g <
+# 4.6·10¹² per user (e.g. 10⁵ gaps × a year-long gap is safe); beyond
+# that, pre-bucket gaps to coarser units.
+
+BURST_SCALE = 10**6
+
+
+def kleinberg_bursts(
+    events: DataFrame,
+    min_events: int = 5,
+    s: int = 2,
+    gamma: int = 1,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user_id, n_gaps, span_s, burst_gaps, min_cost_micro,
+    final_state): per-user optimal 2-state Kleinberg path over the
+    inter-event gap sequence (seconds, floor-divided from micros — the
+    bot_regularity device). ``burst_gaps`` counts gaps emitted in the
+    burst state on the optimal path; users with < ``min_events`` events
+    or zero total span are dropped (rate undefined)."""
+    iln_s = round(math.log(s) * BURST_SCALE)
+    ev = events.filter(F.col(ts_col).isNotNull()).select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
+    )
+    arr = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("ts_us")).alias("ts_arr")
+    )
+    gaps = arr.select(
+        "user_id",
+        # zip_with over shifted slices, NOT sequence(2, n): Spark's
+        # sequence(2, 1) DESCENDS for single-event users and the
+        # element_at then reads out of bounds; slice length 0 is safe
+        F.expr(
+            "zip_with(slice(ts_arr, 2, size(ts_arr) - 1), "
+            "slice(ts_arr, 1, size(ts_arr) - 1), "
+            "(a, b) -> (a - b) DIV 1000000L)"
+        ).alias("gaps"),
+    ).filter(F.size("gaps") >= min_events - 1)
+    stats = gaps.select(
+        "user_id",
+        "gaps",
+        F.size("gaps").cast("long").alias("n"),
+        F.expr("aggregate(gaps, 0L, (a, g) -> a + g)").alias("t"),
+    ).filter(F.col("t") >= 1)
+    consts = stats.select(
+        "user_id",
+        "gaps",
+        "n",
+        "t",
+        F.round(F.log(F.col("n").cast("double")) * BURST_SCALE)
+        .cast("long")
+        .alias("iln_n"),
+        F.round(F.log(F.col("t").cast("double")) * BURST_SCALE)
+        .cast("long")
+        .alias("iln_t"),
+    ).withColumn("trans", F.lit(gamma) * F.col("iln_n"))
+    folded = consts.select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.col("t").alias("span_s"),
+        F.expr(
+            "aggregate(gaps, "
+            "struct(0L AS c0, 0L AS b0, trans AS c1, 0L AS b1), "
+            "(a, g) -> struct("
+            "least(a.c0, a.c1) + ((n * g * 1000000L) DIV t - iln_n + iln_t) AS c0, "
+            "IF(a.c0 <= a.c1, a.b0, a.b1) AS b0, "
+            f"least(a.c0 + trans, a.c1) + (({s}L * n * g * 1000000L) DIV t "
+            f"- {iln_s}L - iln_n + iln_t) AS c1, "
+            "IF(a.c1 <= a.c0 + trans, a.b1, a.b0) + 1L AS b1))"
+        ).alias("acc"),
+    )
+    return folded.select(
+        "user_id",
+        "n_gaps",
+        "span_s",
+        F.expr("IF(acc.c0 <= acc.c1, acc.b0, acc.b1)").alias("burst_gaps"),
+        F.expr("least(acc.c0, acc.c1)").alias("min_cost_micro"),
+        F.expr("IF(acc.c0 <= acc.c1, 0, 1)").cast("int").alias("final_state"),
+    )
+
+
+def sql_kleinberg_bursts(
+    table: str = "events",
+    min_events: int = 5,
+    s: int = 2,
+    gamma: int = 1,
+    user_expr: str = "user_id",
+    ts_expr: str = "ts",
+) -> str:
+    """DuckDB twin of :func:`kleinberg_bursts`: identical gap
+    extraction, micro-ln constants and DP tie rules; the fold is
+    ``list_reduce`` over [g,0,0,0] 4-lists with the init accumulator
+    prepended (list_reduce has no init parameter)."""
+    iln_s = round(math.log(s) * BURST_SCALE)
+    return f"""
+WITH ev AS (SELECT {user_expr} AS user_id,
+                   CAST(epoch_us({ts_expr}) AS BIGINT) AS ts_us
+            FROM {table} WHERE {ts_expr} IS NOT NULL),
+arr AS (SELECT user_id, list(ts_us ORDER BY ts_us) AS l
+        FROM ev GROUP BY user_id),
+gp AS (SELECT user_id, list_transform(generate_series(2, len(l)),
+              i -> (l[i] - l[i - 1]) // 1000000) AS gaps
+       FROM arr WHERE len(l) >= {min_events}),
+st AS (SELECT user_id, gaps, CAST(len(gaps) AS BIGINT) AS n,
+              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), gaps),
+                   (a, g) -> a + g) AS BIGINT) AS t
+       FROM gp),
+co AS (SELECT user_id, gaps, n, t,
+              CAST(round(ln(CAST(n AS DOUBLE)) * {BURST_SCALE}) AS BIGINT)
+                AS iln_n,
+              CAST(round(ln(CAST(t AS DOUBLE)) * {BURST_SCALE}) AS BIGINT)
+                AS iln_t
+       FROM st WHERE t >= 1),
+fd AS (SELECT user_id, n AS n_gaps, t AS span_s,
+              list_reduce(
+                list_prepend([CAST(0 AS BIGINT), 0,
+                              {gamma} * iln_n, 0],
+                             list_transform(gaps, g -> [g, CAST(0 AS BIGINT),
+                                                        0, 0])),
+                (a, x) -> [
+                  least(a[1], a[3]) + ((n * x[1] * 1000000) // t
+                    - iln_n + iln_t),
+                  CASE WHEN a[1] <= a[3] THEN a[2] ELSE a[4] END,
+                  least(a[1] + {gamma} * iln_n, a[3])
+                    + (({s} * n * x[1] * 1000000) // t
+                       - {iln_s} - iln_n + iln_t),
+                  (CASE WHEN a[3] <= a[1] + {gamma} * iln_n
+                        THEN a[4] ELSE a[2] END) + 1]) AS acc
+       FROM co)
+SELECT user_id, n_gaps, span_s,
+       CAST(CASE WHEN acc[1] <= acc[3] THEN acc[2] ELSE acc[4] END AS BIGINT)
+         AS burst_gaps,
+       CAST(least(acc[1], acc[3]) AS BIGINT) AS min_cost_micro,
+       CAST(CASE WHEN acc[1] <= acc[3] THEN 0 ELSE 1 END AS INTEGER)
+         AS final_state
+FROM fd
+"""

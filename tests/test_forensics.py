@@ -95,3 +95,110 @@ class TestBenford:
             tuple(r) for r in benford_digits(d.repartition(8), "n").collect()
         )
         assert one == many and one
+
+
+class TestKleinbergBursts:
+    @staticmethod
+    def _replay(ts_us_sorted, s=2, gamma=1):
+        import math
+
+        from pdf_extraction_spark.operators.forensics import BURST_SCALE
+
+        gaps = [
+            (ts_us_sorted[i] - ts_us_sorted[i - 1]) // 10**6
+            for i in range(1, len(ts_us_sorted))
+        ]
+        n, t = len(gaps), sum(gaps)
+        if n < 4 or t < 1:
+            return None
+        iln = lambda x: round(math.log(x) * BURST_SCALE)  # noqa: E731
+        trans = gamma * iln(n)
+        c0, b0, c1, b1 = 0, 0, trans, 0
+        for g in gaps:
+            cost0 = (n * g * 10**6) // t - iln(n) + iln(t)
+            cost1 = (s * n * g * 10**6) // t - iln(s) - iln(n) + iln(t)
+            n0 = min(c0, c1) + cost0
+            nb0 = b0 if c0 <= c1 else b1
+            n1 = min(c0 + trans, c1) + cost1
+            nb1 = (b1 if c1 <= c0 + trans else b0) + 1
+            c0, b0, c1, b1 = n0, nb0, n1, nb1
+        return (n, t, b0 if c0 <= c1 else b1, min(c0, c1), 0 if c0 <= c1 else 1)
+
+    @staticmethod
+    def _rows():
+        import random
+        from datetime import datetime, timedelta
+
+        base = datetime(2024, 1, 1)
+        rows = []
+        rows += [("A", base + timedelta(seconds=60 * i)) for i in range(20)]
+        t, bs = 0, []
+        for _ in range(8):
+            bs.append(t)
+            t += 60
+        for _ in range(10):
+            bs.append(t)
+            t += 1
+        for _ in range(8):
+            bs.append(t)
+            t += 60
+        rows += [("B", base + timedelta(seconds=x)) for x in bs]
+        random.seed(7)
+        t = 0
+        for _ in range(30):
+            rows.append(("C", base + timedelta(seconds=t)))
+            t += random.choice([1, 2, 5, 30, 120, 600])
+        rows += [("D", base), ("D", base + timedelta(seconds=9))]  # too few
+        rows += [("E", base)] * 6  # zero span
+        rows += [("F", None)] * 9  # NULL ts only
+        return rows
+
+    def test_matches_pure_python_viterbi(self, spark):
+        from datetime import timezone
+
+        from pdf_extraction_spark.operators.forensics import kleinberg_bursts
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        got = sorted(tuple(r) for r in kleinberg_bursts(df, min_events=5).collect())
+        byu = {}
+        for u, t in rows:
+            if t is not None:
+                byu.setdefault(u, []).append(
+                    int(t.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+                )
+        exp = []
+        for u, ts in byu.items():
+            r = self._replay(sorted(ts))
+            if r:
+                exp.append((u,) + r)
+        assert got == sorted(exp)
+
+    def test_uniform_user_has_no_bursts_and_burst_user_detected(self, spark):
+        from pdf_extraction_spark.operators.forensics import kleinberg_bursts
+
+        df = spark.createDataFrame(self._rows(), "user_id string, ts timestamp")
+        by = {r.user_id: r for r in kleinberg_bursts(df, min_events=5).collect()}
+        assert by["A"].burst_gaps == 0
+        assert by["B"].burst_gaps >= 9  # the 1s-gap storm
+        assert set(by) == {"A", "B", "C"}  # D/E/F filtered
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.forensics import (
+            kleinberg_bursts,
+            sql_kleinberg_bursts,
+        )
+
+        rows = self._rows()
+        df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+        got = sorted(tuple(r) for r in kleinberg_bursts(df, min_events=5).collect())
+        con = duckdb.connect()
+        con.register("events", pd.DataFrame(rows, columns=["user_id", "ts"]))
+        want = sorted(
+            tuple(r)
+            for r in con.execute(sql_kleinberg_bursts("events", min_events=5)).fetchall()
+        )
+        assert got == want
