@@ -2086,6 +2086,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return kleinberg_bursts(_events(spark, sf), min_events=5)
 
+    def q_harmonic(spark, sf):
+        """Harmonic centrality (Boldi-Vigna axioms) via 3 iterated
+        HyperBall rounds over the extracted host graph: per-radius HLL
+        ball estimates differenced as H = Σ (|B_r|−|B_{r−1}|)/r — the
+        twin rebuilds each radius' EXACT member set through the same
+        md5 registers, re-proving merge associativity per radius."""
+        from pdf_extraction_spark.operators.graphstats import harmonic_centrality
+        from pdf_extraction_spark.operators.htmlgraph import extract_outlinks
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_LINKS_AUG).alias("html"),
+        )
+        return harmonic_centrality(extract_outlinks(docs), r_max=3)
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3657,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_assort": q_host_assort,
         "host_salsa": q_host_salsa,
         "bursts": q_bursts,
+        "harmonic": q_harmonic,
     }
 
 
@@ -4945,6 +4962,7 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.forensics",
             fromlist=["sql_kleinberg_bursts"],
         ).sql_kleinberg_bursts("events", min_events=5),
+        "harmonic": _harmonic_sql(),
     }
     return sql
 
@@ -5097,3 +5115,18 @@ def _host_assort_sql() -> str:
         + " SELECT src_host, dst_host FROM links WHERE dst_host IS NOT NULL"
     )
     return sql_assortativity(edges)
+
+
+def _harmonic_sql() -> str:
+    from pdf_extraction_spark.operators.graphstats import sql_harmonic_centrality
+    from pdf_extraction_spark.operators.htmlgraph import sql_links_ctes
+
+    edges = (
+        "WITH "
+        + sql_links_ctes(
+            "(SELECT doc_id, " + _LINKS_URL + " AS url, "
+            + _LINKS_AUG + " AS html FROM documents)"
+        )
+        + " SELECT src_host, dst_host FROM links WHERE dst_host IS NOT NULL"
+    )
+    return sql_harmonic_centrality(edges, r_max=3)

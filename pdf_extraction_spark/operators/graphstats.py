@@ -459,3 +459,145 @@ def sql_assortativity(edges_sql: str) -> str:
         "CAST(sum_deg AS DOUBLE) * CAST(sum_deg AS DOUBLE)) END AS assort "
         "FROM agg"
     )
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality via iterated HyperBall (Boldi & Vigna, WWW 2013;
+# "Axioms for centrality" IM 2014 — their argument that harmonic is THE
+# centrality for web graphs: defined on disconnected graphs, no
+# closeness pathology)
+# ---------------------------------------------------------------------------
+#
+#   H(v) = Σ_{u≠v} 1/d(v,u) = Σ_{r≥1} (|B_r(v)| − |B_{r−1}(v)|) / r
+#
+# — estimated by running the hyperball_r2 sketch-merge round r_max
+# times and differencing the per-radius HLL estimates (|B_0| = 1
+# exactly). Truncation at r_max is HyperBall's own early-stop shape;
+# contributions beyond r_max are bounded by |V|/(r_max+1) per the tail
+# and the registered query documents the radius. Balls follow
+# OUT-links (pass reversed edges for the in-harmonic used as a
+# quality/centrality signal).
+#
+# Determinism: registers are exact int64 md5 ranks (bit-identical
+# cross-engine), every estimate is the shared hll_estimate_by fold, and
+# the harmonic sum is ONE fixed left-to-right double expression over
+# those estimates, spelled identically in both engines. The oracle
+# builds each radius' EXACT member set (r−1 self-joins at oracle scale)
+# and pushes it through the same register pipeline — re-proving the
+# merge associativity at every radius.
+#
+# Scale shape: per round one edge join + one register-max aggregate,
+# frames bounded by nodes × m registers; each round's sketch is
+# localCheckpoint()ed (read by its estimate AND the next round — the
+# pagerank static-frame rule).
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    r_max: int = 3,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    p_hex: int | None = None,
+) -> DataFrame:
+    """(host, est_b1..est_b{r_max}, harmonic): HyperBall-estimated
+    out-harmonic centrality truncated at radius ``r_max`` — per-radius
+    ball estimates and H = Σ (est_r − est_{r−1})/r with |B_0| = 1,
+    rounded to 4 dp."""
+    from .sketches import HLL_GROUP_P_HEX, hll_estimate_by, hll_sketch_by
+
+    if r_max < 1:
+        raise ValueError("r_max must be >= 1")
+    p = HLL_GROUP_P_HEX if p_hex is None else p_hex
+    e = (
+        edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("member"))
+        .filter(F.col("node").isNotNull() & F.col("member").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select("node")
+        .unionByName(e.select(F.col("member").alias("node")))
+        .distinct()
+    )
+    b1 = nodes.select("node", F.col("node").alias("member")).unionByName(e)
+    s = hll_sketch_by(b1, "node", F.col("member"), p_hex=p).localCheckpoint()
+    ests = [
+        hll_estimate_by(s, "node", p_hex=p).select(
+            "node", F.col("est_distinct").alias("est_b1")
+        )
+    ]
+    for r in range(2, r_max + 1):
+        pulled = e.join(
+            s.select(F.col("node").alias("member"), "register", "max_rank"),
+            "member",
+        ).select("node", "register", "max_rank")
+        s = (
+            s.unionByName(pulled)
+            .groupBy("node", "register")
+            .agg(F.max("max_rank").alias("max_rank"))
+        ).localCheckpoint()
+        ests.append(
+            hll_estimate_by(s, "node", p_hex=p).select(
+                "node", F.col("est_distinct").alias(f"est_b{r}")
+            )
+        )
+    out = ests[0]
+    for nxt in ests[1:]:
+        out = out.join(nxt, "node")
+    terms = ["(est_b1 - 1.0D) / 1.0D"] + [
+        f"(est_b{r} - est_b{r - 1}) / {r}.0D" for r in range(2, r_max + 1)
+    ]
+    return out.select(
+        F.col("node").alias("host"),
+        *[F.col(f"est_b{r}") for r in range(1, r_max + 1)],
+        F.expr("round(" + " + ".join(terms) + ", 4)").alias("harmonic"),
+    )
+
+
+def sql_harmonic_centrality(
+    edges_sql: str, r_max: int = 3, p_hex: int | None = None
+) -> str:
+    """DuckDB twin of :func:`harmonic_centrality` — EXACT member sets
+    per radius (self-joins at oracle scale) through the shared
+    md5-register HLL, then the identical left-to-right double sum."""
+    from .sketches import HLL_GROUP_P_HEX, sql_hll_distinct_by
+
+    p = HLL_GROUP_P_HEX if p_hex is None else p_hex
+    base = (
+        f"WITH raw AS (SELECT src_host AS node, dst_host AS member "
+        f"FROM ({edges_sql}) WHERE src_host IS NOT NULL "
+        "AND dst_host IS NOT NULL), "
+        "e AS (SELECT DISTINCT node, member FROM raw), "
+        "nodes AS (SELECT node FROM e UNION SELECT member FROM e), "
+        "b1 AS (SELECT node, node AS member FROM nodes "
+        "UNION ALL SELECT node, member FROM e)"
+    )
+    for r in range(2, r_max + 1):
+        base += (
+            f", b{r} AS (SELECT h.node AS node, t.member AS member "
+            f"FROM b{r - 1} h JOIN b1 t ON h.member = t.node)"
+        )
+    parts = [base]
+    joins = []
+    for r in range(1, r_max + 1):
+        inner = sql_hll_distinct_by(
+            "node",
+            "member",
+            f"(SELECT node, member FROM b{r})",
+            p_hex=p,
+            key_alias="host",
+        )
+        parts.append(
+            f"est{r} AS (SELECT host, est_distinct AS est_b{r} FROM ({inner}))"
+        )
+        if r > 1:
+            joins.append(f"JOIN est{r} ON est1.host = est{r}.host")
+    terms = ["(est_b1 - 1.0) / 1.0"] + [
+        f"(est_b{r} - est_b{r - 1}) / {r}.0" for r in range(2, r_max + 1)
+    ]
+    cols = ", ".join(f"est_b{r}" for r in range(1, r_max + 1))
+    return (
+        ", ".join(parts)
+        + f" SELECT est1.host AS host, {cols}, "
+        + "round(" + " + ".join(terms) + ", 4) AS harmonic "
+        + "FROM est1 " + " ".join(joins)
+    )

@@ -197,3 +197,83 @@ class TestAssortativity:
             for r in con.execute(sql_assortativity("SELECT * FROM edges")).fetchall()
         ]
         assert got == want
+
+
+class TestHarmonicCentrality:
+    ROWS = [("a", "b"), ("b", "c"), ("c", "d"), ("h", "a"), ("h", "b"), ("h", "c")]
+
+    def test_estimates_track_exact_truncated_harmonic(self, spark):
+        """Ground truth = BFS to depth 3; the p_hex=2 sketch (256
+        registers) must land within its ~7% error band."""
+        import collections
+
+        from pdf_extraction_spark.operators.graphstats import harmonic_centrality
+
+        adj = collections.defaultdict(set)
+        for s, d in self.ROWS:
+            adj[s].add(d)
+        nodes = set(adj) | {d for _, d in self.ROWS}
+        got = {
+            r.host: r.harmonic
+            for r in harmonic_centrality(_edges(spark, self.ROWS), r_max=3).collect()
+        }
+        assert set(got) == nodes
+        for v in nodes:
+            dist, frontier = {v: 0}, [v]
+            for r in range(1, 4):
+                nf = []
+                for u in frontier:
+                    for w in adj[u]:
+                        if w not in dist:
+                            dist[w] = r
+                            nf.append(w)
+                frontier = nf
+            exact = sum(1.0 / d for d in dist.values() if d > 0)
+            assert abs(got[v] - exact) < 0.25 * max(exact, 1.0)
+
+    def test_sink_scores_zero_ball_growth(self, spark):
+        from pdf_extraction_spark.operators.graphstats import harmonic_centrality
+
+        rows = {
+            r.host: r
+            for r in harmonic_centrality(_edges(spark, self.ROWS), r_max=3).collect()
+        }
+        # d has no outlinks: every ball is {d}, harmonic ≈ 0
+        assert rows["d"].est_b1 == rows["d"].est_b2 == rows["d"].est_b3
+        assert rows["d"].harmonic < 0.01
+        # the hub reaches everything: largest harmonic
+        assert rows["h"].harmonic == max(r.harmonic for r in rows.values())
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.graphstats import (
+            harmonic_centrality,
+            sql_harmonic_centrality,
+        )
+
+        got = sorted(
+            tuple(r)
+            for r in harmonic_centrality(_edges(spark, self.ROWS), r_max=3).collect()
+        )
+        con = duckdb.connect()
+        con.register("edges", pd.DataFrame(self.ROWS, columns=["src_host", "dst_host"]))
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                sql_harmonic_centrality("SELECT * FROM edges", r_max=3)
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_r1_equals_hyperball_b1_leg(self, spark):
+        """r_max=1 degenerates to |B_1| − 1: the radius-1 sketch the
+        hyperball_r2 operator starts from."""
+        from pdf_extraction_spark.operators.graphstats import harmonic_centrality
+
+        rows = {
+            r.host: r
+            for r in harmonic_centrality(_edges(spark, self.ROWS), r_max=1).collect()
+        }
+        assert rows["h"].harmonic == round(rows["h"].est_b1 - 1.0, 4)
