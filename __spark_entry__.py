@@ -2102,6 +2102,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return harmonic_centrality(extract_outlinks(docs), r_max=3)
 
+    def q_snippets(spark, sf):
+        """Query-biased snippets (Tombros & Sanderson 1998): best
+        12-token window per doc by query-term hits — int RANGE-window
+        sum over doc-bounded partitions, (hits desc, start asc) struct
+        pick, position-ordered text rebuild. The result-page /
+        RAG-context display leg beside bm25_topk."""
+        from pdf_extraction_spark.operators.retrieval import snippet_best_window
+
+        return snippet_best_window(
+            _docs(spark, sf), ["table", "join", "window"], window=12
+        )
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3674,6 +3686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_salsa": q_host_salsa,
         "bursts": q_bursts,
         "harmonic": q_harmonic,
+        "snippets": q_snippets,
     }
 
 
@@ -4963,6 +4976,12 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["sql_kleinberg_bursts"],
         ).sql_kleinberg_bursts("events", min_events=5),
         "harmonic": _harmonic_sql(),
+        "snippets": __import__(
+            "pdf_extraction_spark.operators.retrieval",
+            fromlist=["sql_snippet_best_window"],
+        ).sql_snippet_best_window(
+            "documents", ["table", "join", "window"], window=12
+        ),
     }
     return sql
 

@@ -885,3 +885,121 @@ GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# query-biased snippets (Tombros & Sanderson, SIGIR 1998; the Luhn-1958
+# significant-window lineage)
+# ---------------------------------------------------------------------------
+#
+# The display leg of the retrieval family: given query terms, pick the
+# fixed-width token window with the most query-term hits in each
+# document — the result-page snippet / RAG context-passage selector.
+#
+# All-integer: hits are 0/1, the window score is an int sum over a
+# RANGE window keyed by token position (partition = document — the
+# lm_score doc-bounded contract), the best window is picked by the
+# exact struct order (hits DESC, start ASC), and the snippet text is
+# rebuilt from the stored token array by position — no float anywhere,
+# bit-identical cross-engine.
+#
+# Scale shape: one doc-keyed explode + two doc-bounded windows + one
+# doc-keyed self-join to rebuild the winning window's text. Nothing
+# corpus-wide; fan-out is token count, same as every tokenizing op.
+
+
+def snippet_best_window(
+    docs: DataFrame,
+    query_terms: list[str],
+    window: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, start_pos, n_hits, snippet): each matching document's
+    best ``window``-token snippet by query-term hit count (ties to the
+    earliest window); 0-hit documents emit nothing. Token positions are
+    0-based over the shared BM25 tokenizer."""
+    from pyspark.sql import Window as W
+
+    terms = sorted({t.lower() for t in query_terms})
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            _tokens_col(F.coalesce(F.col(text_col), F.lit("")), True)
+        ).alias("pos", "tok"),
+    )
+    scored = toks.withColumn(
+        "hit", F.col("tok").isin(*terms).cast("long")
+    ).withColumn(
+        "sc",
+        F.sum("hit").over(
+            W.partitionBy("doc_id")
+            .orderBy("pos")
+            .rangeBetween(W.currentRow, window - 1)
+        ),
+    )
+    best = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(F.col("sc"), (-F.col("pos")).alias("negpos"))
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            (-F.col("b.negpos")).alias("start_pos"),
+            F.col("b.sc").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") >= 1)
+    )
+    return (
+        toks.join(best, "doc_id")
+        .filter(
+            (F.col("pos") >= F.col("start_pos"))
+            & (F.col("pos") < F.col("start_pos") + window)
+        )
+        .groupBy("doc_id", "start_pos", "n_hits")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("snippet")
+        )
+    )
+
+
+def sql_snippet_best_window(
+    rel: str = "documents",
+    query_terms: list[str] | None = None,
+    window: int = 12,
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`snippet_best_window` — identical
+    tokenizer, RANGE window sum, (hits DESC, start ASC) pick and
+    position-ordered rebuild."""
+    terms = sorted({t.lower() for t in (query_terms or [])})
+    inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    toks = _sql_tokens(f"coalesce({text_expr}, '')", True)
+    return (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM {rel}), "
+        "tk AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM ("
+        "SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i "
+        "FROM t)), "
+        f"sc AS (SELECT doc_id, pos, tok, "
+        f"CAST(sum(CASE WHEN tok IN ({inlist}) THEN 1 ELSE 0 END) OVER ("
+        "PARTITION BY doc_id ORDER BY pos RANGE BETWEEN CURRENT ROW AND "
+        f"{window - 1} FOLLOWING) AS BIGINT) AS sc FROM tk), "
+        "best AS (SELECT doc_id, pos AS start_pos, sc AS n_hits FROM ("
+        "SELECT doc_id, pos, sc, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY sc DESC, pos ASC) AS rn FROM sc) WHERE rn = 1 AND sc >= 1) "
+        "SELECT best.doc_id, best.start_pos, best.n_hits, "
+        "string_agg(tk.tok, ' ' ORDER BY tk.pos) AS snippet "
+        "FROM best JOIN tk ON best.doc_id = tk.doc_id "
+        f"AND tk.pos >= best.start_pos AND tk.pos < best.start_pos + {window} "
+        "GROUP BY best.doc_id, best.start_pos, best.n_hits"
+    )

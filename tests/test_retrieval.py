@@ -258,3 +258,85 @@ class TestPhraseMatch:
             phrase_match(df, [])
         with pytest.raises(ValueError):
             phrase_match(df, ["a", ""])
+
+
+class TestSnippets:
+    ROWS = [
+        (1, "alpha beta gamma. the spark engine joins tables fast; "
+            "spark joins scale. omega end"),
+        (2, "no relevant words here at all"),
+        (3, None),
+        (4, "spark spark spark spark"),
+        (5, "x spark y . . . z spark w spark q"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "doc_id long, text string")
+
+    def test_picks_densest_window(self, spark):
+        from pdf_extraction_spark.operators.retrieval import snippet_best_window
+
+        by = {
+            r.doc_id: r
+            for r in snippet_best_window(
+                self._df(spark), ["spark", "joins"], window=5
+            ).collect()
+        }
+        assert by[1].snippet == "joins tables fast spark joins"
+        assert by[1].n_hits == 3
+
+    def test_no_hit_and_null_docs_emit_nothing(self, spark):
+        from pdf_extraction_spark.operators.retrieval import snippet_best_window
+
+        ids = {
+            r.doc_id
+            for r in snippet_best_window(
+                self._df(spark), ["spark", "joins"], window=5
+            ).collect()
+        }
+        assert ids == {1, 4, 5}
+
+    def test_tie_breaks_to_earliest_window(self, spark):
+        from pdf_extraction_spark.operators.retrieval import snippet_best_window
+
+        by = {
+            r.doc_id: r
+            for r in snippet_best_window(
+                self._df(spark), ["spark", "joins"], window=5
+            ).collect()
+        }
+        # doc5 has several 2-hit windows; earliest starts at token 0
+        assert by[5].start_pos == 0 and by[5].n_hits == 2
+
+    def test_window_never_exceeds_width(self, spark):
+        from pdf_extraction_spark.operators.retrieval import snippet_best_window
+
+        rows = snippet_best_window(
+            self._df(spark), ["spark", "joins"], window=5
+        ).collect()
+        assert all(len(r.snippet.split(" ")) <= 5 for r in rows)
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.retrieval import (
+            snippet_best_window,
+            sql_snippet_best_window,
+        )
+
+        got = sorted(
+            tuple(r)
+            for r in snippet_best_window(
+                self._df(spark), ["spark", "joins"], window=5
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(self.ROWS, columns=["doc_id", "text"]))
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                sql_snippet_best_window("documents", ["spark", "joins"], window=5)
+            ).fetchall()
+        )
+        assert got == want
