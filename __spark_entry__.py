@@ -2114,6 +2114,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), ["table", "join", "window"], window=12
         )
 
+    def q_texttiles(spark, sf):
+        """TextTiling (Hearst 1997): subtopic boundaries by lexical-
+        cohesion valleys — exact-isqrt integer block cosines, window
+        hill-climb depths (no sequential fold needed: the peak is a
+        running flag-max), all-integer mean−sd/2 cutoff. The
+        vocabulary-shift chunker beside the fixed-stride and sentence
+        chunkers."""
+        from pdf_extraction_spark.operators.texttiling import texttile
+
+        return texttile(_docs(spark, sf), w=10, k=3)
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3687,6 +3698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bursts": q_bursts,
         "harmonic": q_harmonic,
         "snippets": q_snippets,
+        "texttiles": q_texttiles,
     }
 
 
@@ -4982,6 +4994,10 @@ def oracle_sql() -> dict[str, str]:
         ).sql_snippet_best_window(
             "documents", ["table", "join", "window"], window=12
         ),
+        "texttiles": __import__(
+            "pdf_extraction_spark.operators.texttiling",
+            fromlist=["sql_texttile"],
+        ).sql_texttile("documents", w=10, k=3),
     }
     return sql
 

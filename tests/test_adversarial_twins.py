@@ -101,7 +101,7 @@ QUERIES = [
     "host_triangles", "moore_lewis", "mass_gini", "textrank_terms",
     "hrw_shards", "bm25f_topk", "qlm_topk", "prf_bm25", "nepotism",
     "benford", "hyperball", "rake_phrases", "host_kcore", "host_assort",
-    "host_salsa", "harmonic", "snippets",
+    "host_salsa", "harmonic", "snippets", "texttiles",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

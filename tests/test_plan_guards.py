@@ -62,7 +62,7 @@ NATIVE_QUERIES = [
     "textrank_terms", "hrw_shards", "facility_location", "bm25f_topk",
     "qlm_topk", "prf_bm25", "nepotism", "bot_regularity", "benford",
     "hyperball", "rake_phrases", "host_kcore", "host_assort",
-    "host_salsa", "bursts", "harmonic", "snippets",
+    "host_salsa", "bursts", "harmonic", "snippets", "texttiles",
 ]
 
 
