@@ -403,8 +403,10 @@ def assortativity(
     endpoint-pair count M = 2m and the exact int64 moment sums, plus
     Newman's degree assortativity as the one float ratio (NULL for
     degree-regular or empty graphs)."""
-    e = _canon_edges(edges, src_col, dst_col)
-    deg = _deg(e)
+    # e feeds the degree count + the moment join; deg joins twice —
+    # persisted once each (caches returned for release)
+    e = _canon_edges(edges, src_col, dst_col).persist()
+    deg = _deg(e).persist()
     ed = e.join(
         deg.select(F.col("host").alias("lo"), F.col("deg").alias("dl")), "lo"
     ).join(deg.select(F.col("host").alias("hi"), F.col("deg").alias("dh")), "hi")

@@ -509,7 +509,10 @@ def rake_phrases(
         .drop("stop")
     )
     plen_wnd = Window.partitionBy("doc_id", "fi", "grp")
-    members = members.withColumn("plen", F.count("*").over(plen_wnd))
+    # members feeds the word-stat aggregate AND the phrase join — the
+    # persist stops the tokenize/window subtree running twice (the
+    # textrank static-frame rule; cache returned for release)
+    members = members.withColumn("plen", F.count("*").over(plen_wnd)).persist()
     # per-doc word stats over candidate members only (the paper's rule)
     wstat = members.groupBy("doc_id", "tok").agg(
         F.count("*").alias("freq"),

@@ -72,10 +72,16 @@ def texttile(
         ).alias("pos", "tok"),
     ).select("doc_id", F.expr(f"pos DIV {w}").alias("s"), "tok")
     nseq = toks.groupBy("doc_id").agg((F.max("s") + 1).alias("n_seq"))
+    # counts feeds BOTH block legs, each leg feeds a norm AND the dot —
+    # without persists the token-explode subtree replicates ~6× in the
+    # physical plan (observed: 139 Exchanges unpersisted vs a handful
+    # persisted — the textrank static-frame rule; caches returned for
+    # release with the lazy result)
     counts = (
         toks.groupBy("doc_id", "s", "tok")
         .agg(F.count("*").alias("c"))
         .join(nseq, "doc_id")
+        .persist()
     )
     # each (doc, s, tok) row contributes to the LEFT block of gaps
     # s+1..s+k and the RIGHT block of gaps s-k+1..s (clipped to 1..S-1);
@@ -93,6 +99,7 @@ def texttile(
         .filter((F.col("i") <= F.col("n_seq") - 1))
         .groupBy("doc_id", "i", "tok")
         .agg(F.sum("c").alias("l"))
+        .persist()
     )
     right = (
         counts.filter(F.col("s") >= 1)
@@ -106,6 +113,7 @@ def texttile(
         )
         .groupBy("doc_id", "i", "tok")
         .agg(F.sum("c").alias("r"))
+        .persist()
     )
     nl = left.groupBy("doc_id", "i").agg(
         F.sum(F.col("l") * F.col("l")).alias("nl")
@@ -138,6 +146,7 @@ def texttile(
                 "sim_micro"
             ),
         )
+        .persist()  # read by the flag windows AND both peak join legs
     )
     wnd = Window.partitionBy("doc_id").orderBy("i")
     flagged = (
@@ -182,6 +191,7 @@ def texttile(
                 + (F.col("pr") - F.col("sim_micro"))
             ).alias("depth_micro"),
         )
+        .persist()  # read by the per-doc stats AND the cutoff join
     )
     stats = depths.groupBy("doc_id").agg(
         F.count("*").alias("n"),
