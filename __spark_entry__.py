@@ -2125,6 +2125,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return texttile(_docs(spark, sf), w=10, k=3)
 
+    def q_porter_stems(spark, sf):
+        """Porter stemmer (Porter 1980, the paper's rule set): the
+        committed fixture's vocabulary through the Arrow-batched stem
+        UDF — oracle = the fixture's pure-Python kernel output, so the
+        strict compare proves the distributed path reproduces the
+        kernel byte-for-byte (the fix_mojibake device). Python work is
+        O(vocabulary), never the token stream."""
+        from pdf_extraction_spark.operators.stemming import stem_words
+
+        fx = spark.read.parquet(
+            _os.path.join(_FIXTURE_DIR, "porter_sf0_01.parquet")
+        )
+        return stem_words(fx.select("word")).select("word", "stem")
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3699,6 +3713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic": q_harmonic,
         "snippets": q_snippets,
         "texttiles": q_texttiles,
+        "porter_stems": q_porter_stems,
     }
 
 
@@ -4998,6 +5013,10 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.texttiling",
             fromlist=["sql_texttile"],
         ).sql_texttile("documents", w=10, k=3),
+        "porter_stems": (
+            "SELECT word, expected AS stem FROM "
+            + _fixture("porter_sf0_01.parquet")
+        ),
     }
     return sql
 

@@ -522,6 +522,47 @@ def content_spans_table(n_pages: int = 150) -> pa.Table:
     )
 
 
+def porter_table() -> "pa.Table":
+    """(word, expected): the sf0.01 corpus' distinct retrieval-tokenizer
+    vocabulary with the pure-Python Porter kernel output — the strict
+    driver compare proves the Arrow path reproduces the kernel
+    byte-for-byte (the mojibake fixture device)."""
+    import re
+
+    from pdf_extraction_spark.kernels.stemmer import porter_stem
+
+    vocab = set()
+    for _, text in _read_documents():
+        for w in re.split(r"[^A-Za-z0-9]+", text or ""):
+            if w:
+                vocab.add(w.lower())
+    # the synthetic corpus vocabulary is tiny; add morphology-heavy
+    # words so every Porter step (1a-5b) is exercised in the fixture
+    vocab.update(
+        """caresses ponies ties cats feed agreed plastered bled motoring
+        sing conflated troubled sized hopping tanned falling hissing
+        fizzed failing filing happy sky relational conditional rational
+        valenci hesitanci digitizer conformabli radicalli differentli
+        vileli analogousli vietnamization predication operator feudalism
+        decisiveness hopefulness callousness formaliti sensitiviti
+        sensibiliti triplicate formative formalize electriciti electrical
+        hopeful goodness revival allowance inference airliner gyroscopic
+        adjustable defensible irritant replacement adjustment dependent
+        adoption communism activate angulariti homologous effective
+        bowdlerize probate rate cease controll roll generalization
+        oscillators partitions optimization aggregations distributed
+        streaming windowed shuffling broadcasting serialization
+        connections relativity national""".split()
+    )
+    words = sorted(vocab)
+    return pa.table(
+        {
+            "word": pa.array(words, pa.string()),
+            "expected": pa.array([porter_stem(w) for w in words], pa.string()),
+        }
+    )
+
+
 FIXTURES = {
     "minhash_sigs_sf0_01.parquet": minhash_sigs_table,
     "simhash_sf0_01.parquet": simhash_table,
@@ -536,6 +577,7 @@ FIXTURES = {
     "media_features_real.parquet": media_features_real_table,
     "mojibake_sf0_01.parquet": mojibake_table,
     "minhash_sigs_new_sf0_01.parquet": minhash_sigs_new_table,
+    "porter_sf0_01.parquet": porter_table,
 }
 
 

@@ -194,3 +194,12 @@ def test_group_sample_is_bounded_tree_not_window(spark):
 
     p = _plan(e.queries()["group_sample"](spark, SF))
     assert "Window" not in p, "group_sample plans a per-group window"
+
+
+def test_porter_stems_single_python_stage(spark):
+    """The stem UDF is the only Python stage and runs exactly once."""
+    import __spark_entry__ as e
+
+    p = _plan(e.queries()["porter_stems"](spark, SF))
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p
