@@ -2139,6 +2139,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return stem_words(fx.select("word")).select("word", "stem")
 
+    def q_readability_panel(spark, sf):
+        """ARI / Coleman-Liau / Gunning-Fog (the character- and
+        complex-word-based complements to Flesch): same whitespace
+        tokenizer and integer fixed-point discipline, one unanchored
+        3-vowel-run rlike for Fog's complex words. Pure narrow
+        projection — zero exchanges, zero Python."""
+        from pdf_extraction_spark.operators.textanalysis import (
+            with_readability_panel,
+        )
+
+        return with_readability_panel(_docs(spark, sf)).select(
+            "doc_id",
+            "rd_words",
+            "rd_sents",
+            "rd_chars",
+            "rd_complex",
+            "ari",
+            "coleman_liau",
+            "gunning_fog",
+        )
+
     # -- incremental ingestion dedup vs historical signature store ----------
     def q_incremental_dedup(spark, sf):
         """New batch = deterministic transform of the corpus (exact
@@ -3714,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": q_snippets,
         "texttiles": q_texttiles,
         "porter_stems": q_porter_stems,
+        "readability_panel": q_readability_panel,
     }
 
 
@@ -5017,6 +5039,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, expected AS stem FROM "
             + _fixture("porter_sf0_01.parquet")
         ),
+        "readability_panel": __import__(
+            "pdf_extraction_spark.operators.textanalysis",
+            fromlist=["sql_readability_panel"],
+        ).sql_readability_panel("documents"),
     }
     return sql
 

@@ -1180,3 +1180,120 @@ def sql_zipf_slope(rel: str = "documents", text_expr: str = "text", k: int = 100
         f"SELECT source, n AS n_ranks, "
         f"CASE WHEN n >= 2 THEN {slope} END AS slope FROM s ORDER BY source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability panel: ARI (Senter & Smith 1967), Coleman-Liau (1975),
+# Gunning-Fog (1952) — the character/complex-word complements to Flesch
+# ---------------------------------------------------------------------------
+#
+# Three more published indices over the SAME counters as
+# with_readability, plus two new ones: token character mass (ARI and
+# Coleman-Liau are character-based, which makes them robust to the
+# vowel-run syllable approximation) and the complex-word count
+# (Gunning-Fog's 3+-syllable words — one unanchored 3-vowel-run rlike
+# per token, identical in Java and RE2).
+#
+#   ARI = 4.71·chars/words + 0.5·words/sents − 21.43
+#   CLI = 0.0588·L − 0.296·S − 15.8   (L, S per 100 words)
+#   Fog = 0.4·(words/sents + 100·complex/words)
+#
+# Convention (documented deviation): "characters" = total length of
+# whitespace tokens — punctuation attached to a word counts toward its
+# character mass, consistent with the flesch device sharing the same
+# whitespace tokenizer rather than a letters-only scan.
+#
+# Same exactness discipline as with_readability: every rational term is
+# half-up-rounded to 6 decimals by integer cross-multiplication before
+# any float exists; scores clamp at 0 in the integer domain; zero-word
+# docs score NULL. Pure narrow projection — zero exchanges, zero
+# Python.
+
+_THREE_RUNS = "[aeiouy]+[^aeiouy]+[aeiouy]+[^aeiouy]+[aeiouy]"
+
+
+def with_readability_panel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``rd_words``, ``rd_sents``, ``rd_chars``, ``rd_complex``,
+    ``ari``, ``coleman_liau``, ``gunning_fog`` (all clamped ≥ 0; NULL
+    on zero-word docs)."""
+    from .curation import _lower_words
+
+    tx = F.coalesce(F.col(text_col), F.lit(""))
+    words = _lower_words(tx)
+    n_words = F.size(words).cast("long")
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(tx, F.lit(r"[.!?]+"), F.lit(0))), F.lit(1)
+    ).cast("long")
+    n_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_complex = F.size(F.filter(words, lambda w: w.rlike(_THREE_RUNS))).cast(
+        "long"
+    )
+    out = (
+        df.withColumn("rd_words", n_words)
+        .withColumn("rd_sents", n_sents)
+        .withColumn("rd_chars", n_chars)
+        .withColumn("rd_complex", n_complex)
+    )
+    a1 = "(4710000L * rd_chars + rd_words div 2L) div rd_words"
+    a2 = "(500000L * rd_words + rd_sents div 2L) div rd_sents"
+    c1 = "(5880000L * rd_chars + rd_words div 2L) div rd_words"
+    c2 = "(29600000L * rd_sents + rd_words div 2L) div rd_words"
+    f1 = "(400000L * rd_words + rd_sents div 2L) div rd_sents"
+    f2 = "(40000000L * rd_complex + rd_words div 2L) div rd_words"
+    def _score(expr):
+        return F.expr(
+            "CASE WHEN rd_words > 0 THEN "
+            f"CAST(greatest(0L, {expr}) AS DOUBLE) / 1e6 END"
+        )
+
+    return (
+        out.withColumn("ari", _score(f"({a1}) + ({a2}) - 21430000L"))
+        .withColumn("coleman_liau", _score(f"({c1}) - ({c2}) - 15800000L"))
+        .withColumn("gunning_fog", _score(f"({f1}) + ({f2})"))
+    )
+
+
+def sql_readability_panel(
+    rel: str = "documents", id_expr: str = "doc_id", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of :func:`with_readability_panel` — same tokenizer,
+    counters and fixed-point terms (all operands non-negative, DuckDB
+    ``//`` ≡ Spark ``div``)."""
+    from .curation import _sql_lower_words
+
+    w = _sql_lower_words(f"coalesce({text_expr}, '')")
+    tx = f"coalesce({text_expr}, '')"
+    a1 = "(4710000 * rd_chars + rd_words // 2) // rd_words"
+    a2 = "(500000 * rd_words + rd_sents // 2) // rd_sents"
+    c1 = "(5880000 * rd_chars + rd_words // 2) // rd_words"
+    c2 = "(29600000 * rd_sents + rd_words // 2) // rd_words"
+    f1 = "(400000 * rd_words + rd_sents // 2) // rd_sents"
+    f2 = "(40000000 * rd_complex + rd_words // 2) // rd_words"
+
+    def _score(expr):
+        return (
+            "CASE WHEN rd_words > 0 THEN "
+            f"CAST(greatest(0, {expr}) AS DOUBLE) / 1e6 END"
+        )
+
+    return (
+        f"WITH b AS (SELECT {id_expr} AS doc_id, "
+        f"CAST(len({w}) AS BIGINT) AS rd_words, "
+        f"CAST(greatest(len(regexp_extract_all({tx}, '[.!?]+')), 1) AS BIGINT) "
+        "AS rd_sents, "
+        f"CAST(coalesce(list_sum(list_transform({w}, x -> len(x))), 0) "
+        "AS BIGINT) AS rd_chars, "
+        f"CAST(len(list_filter({w}, x -> regexp_matches(x, "
+        f"'{_THREE_RUNS}'))) AS BIGINT) AS rd_complex FROM {rel}) "
+        "SELECT doc_id, rd_words, rd_sents, rd_chars, rd_complex, "
+        + _score(f"({a1}) + ({a2}) - 21430000")
+        + " AS ari, "
+        + _score(f"({c1}) - ({c2}) - 15800000")
+        + " AS coleman_liau, "
+        + _score(f"({f1}) + ({f2})")
+        + " AS gunning_fog FROM b"
+    )

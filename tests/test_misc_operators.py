@@ -308,3 +308,76 @@ class TestSourceOverlap:
         )
         want = sorted(map(tuple, con.execute(sql_source_overlap(frag)).fetchall()))
         assert got == want
+
+
+class TestReadabilityPanel:
+    ROWS = [
+        (
+            1,
+            "The cat sat on the mat. It was a sunny day. Everything "
+            "considered, the administration reconsidered.",
+        ),
+        (2, "Go. Run! Now?"),
+        (3, ""),
+        (4, None),
+    ]
+
+    def _out(self, spark):
+        from pdf_extraction_spark.operators.textanalysis import (
+            with_readability_panel,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        return {r.doc_id: r for r in with_readability_panel(df).collect()}
+
+    def test_ari_matches_float_replay(self, spark):
+        import re
+
+        by = self._out(spark)
+        text = self.ROWS[0][1]
+        ws = [w for w in re.split(r"[ \t\n\x0B\f\r]+", text.lower()) if w]
+        chars = sum(len(w) for w in ws)
+        sents = len(re.findall(r"[.!?]+", text))
+        ari = 4.71 * chars / len(ws) + 0.5 * len(ws) / sents - 21.43
+        assert abs(by[1].ari - ari) < 1e-2
+        fog = 0.4 * (len(ws) / sents + 100 * by[1].rd_complex / len(ws))
+        assert abs(by[1].gunning_fog - fog) < 1e-2
+
+    def test_complex_words_are_three_plus_runs(self, spark):
+        by = self._out(spark)
+        # considered, administration, reconsidered, everything → 4
+        assert by[1].rd_complex == 4
+        assert by[2].rd_complex == 0
+
+    def test_degenerate_docs_score_null_and_clamp(self, spark):
+        by = self._out(spark)
+        assert by[3].ari is None and by[4].gunning_fog is None
+        # short doc clamps at 0 rather than going negative
+        assert by[2].ari == 0.0 and by[2].coleman_liau == 0.0
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.textanalysis import (
+            sql_readability_panel,
+            with_readability_panel,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = sorted(
+            tuple(r)
+            for r in with_readability_panel(df)
+            .select(
+                "doc_id", "rd_words", "rd_sents", "rd_chars", "rd_complex",
+                "ari", "coleman_liau", "gunning_fog",
+            )
+            .collect()
+        )
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(self.ROWS, columns=["doc_id", "text"]))
+        want = sorted(
+            tuple(r)
+            for r in con.execute(sql_readability_panel("documents")).fetchall()
+        )
+        assert got == want
