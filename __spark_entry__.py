@@ -2139,6 +2139,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return stem_words(fx.select("word")).select("word", "stem")
 
+    def q_compress_gate(spark, sf):
+        """zlib compression-ratio repetition gate (the Lee-2022 /
+        Gopher compressibility proxy): one Arrow crossing computing
+        deflate length per doc; ratio in exact ppm. Oracle = committed
+        fixture's pure-Python zlib contract (the mojibake device)."""
+        from pdf_extraction_spark.operators.compressgate import (
+            compression_ratio,
+        )
+
+        fx = spark.read.parquet(
+            _os.path.join(_FIXTURE_DIR, "compress_sf0_01.parquet")
+        )
+        return compression_ratio(fx.select("doc_id", "text"))
+
     def q_readability_panel(spark, sf):
         """ARI / Coleman-Liau / Gunning-Fog (the character- and
         complex-word-based complements to Flesch): same whitespace
@@ -3736,6 +3750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "texttiles": q_texttiles,
         "porter_stems": q_porter_stems,
         "readability_panel": q_readability_panel,
+        "compress_gate": q_compress_gate,
     }
 
 
@@ -5043,6 +5058,10 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.textanalysis",
             fromlist=["sql_readability_panel"],
         ).sql_readability_panel("documents"),
+        "compress_gate": (
+            "SELECT doc_id, n_bytes, n_compressed, ratio_ppm FROM "
+            + _fixture("compress_sf0_01.parquet")
+        ),
     }
     return sql
 

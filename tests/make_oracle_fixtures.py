@@ -563,6 +563,38 @@ def porter_table() -> "pa.Table":
     )
 
 
+def compress_table() -> "pa.Table":
+    """(doc_id, text, n_bytes, n_compressed, ratio_ppm): the sf0.01
+    documents (with a repetition-flooded and an empty/NULL row mixed
+    in) and the pure-Python zlib-level-6 contract recompute — the
+    compressgate strict oracle (mojibake device)."""
+    import zlib
+
+    rows = list(_read_documents())
+    rows.append((900001, "spam spam spam " * 200))     # repetition flood
+    rows.append((900002, ""))
+    rows.append((900003, None))
+    ids, texts, nb, nc, rp = [], [], [], [], []
+    for doc_id, text in rows:
+        data = (text or "").encode("utf-8")
+        comp = len(zlib.compress(data, 6)) if text is not None else 0
+        ids.append(doc_id)
+        texts.append(text)
+        nb.append(len(data) if text is not None else 0)
+        comp = comp if text is not None else 0
+        nc.append(comp)
+        rp.append((comp * 10**6) // len(data) if len(data) > 0 and text is not None else None)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "n_compressed": pa.array(nc, pa.int64()),
+            "ratio_ppm": pa.array(rp, pa.int64()),
+        }
+    )
+
+
 FIXTURES = {
     "minhash_sigs_sf0_01.parquet": minhash_sigs_table,
     "simhash_sf0_01.parquet": simhash_table,
@@ -578,6 +610,7 @@ FIXTURES = {
     "mojibake_sf0_01.parquet": mojibake_table,
     "minhash_sigs_new_sf0_01.parquet": minhash_sigs_new_table,
     "porter_sf0_01.parquet": porter_table,
+    "compress_sf0_01.parquet": compress_table,
 }
 
 

@@ -204,3 +204,11 @@ def test_porter_stems_single_python_stage(spark):
     p = _plan(e.queries()["porter_stems"](spark, SF))
     assert p.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in p
+
+
+def test_compress_gate_single_python_stage(spark):
+    import __spark_entry__ as e
+
+    p = _plan(e.queries()["compress_gate"](spark, SF))
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p

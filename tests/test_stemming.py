@@ -95,3 +95,39 @@ class TestOperators:
             .toString()
         )
         assert p.count("ArrowEvalPython") == 1
+
+
+class TestCompressionGate:
+    def test_matches_pure_zlib_and_gates_repetition(self, spark):
+        import zlib
+
+        from pdf_extraction_spark.operators.compressgate import compression_ratio
+
+        rows = [
+            (1, "organic prose with varied vocabulary and no repeats at all"),
+            (2, "spam spam spam " * 200),
+            (3, ""),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        by = {
+            r.doc_id: r
+            for r in compression_ratio(df, max_ratio_ppm=200_000).collect()
+        }
+        for i, t in rows:
+            if t is not None:
+                assert by[i].n_compressed == (
+                    len(zlib.compress(t.encode("utf-8"), 6))
+                )
+        # flood compresses far below organic prose
+        assert by[2].ratio_ppm < 100_000 < by[1].ratio_ppm
+        assert by[2].keep is False and by[1].keep is True
+        # degenerate docs pass the gate (NULL ratio)
+        assert by[3].keep is True and by[4].keep is True
+
+    def test_single_python_stage(self, spark):
+        from pdf_extraction_spark.operators.compressgate import compression_ratio
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        p = compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
+        assert p.count("ArrowEvalPython") == 1
