@@ -2139,6 +2139,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return stem_words(fx.select("word")).select("word", "stem")
 
+    def q_yule_k(spark, sf):
+        """Yule's characteristic K (Yule 1944): the length-invariant
+        repeat-rate vocabulary-richness constant — Σ tf² and N exact
+        int64, one double expression. Templated text reads K in the
+        thousands; the stylometric complement to TTR/hapax."""
+        from pdf_extraction_spark.operators.textanalysis import with_yule_k
+
+        return with_yule_k(_docs(spark, sf))
+
+    def q_modularity(spark, sf):
+        """Newman-Girvan modularity of the host_communities LPA
+        partition over the same planted-cluster host graph: per-
+        community intra-edge and degree-mass counts (exact int64) and
+        the double contribution; Σ contribution = Q. LPA recovers the
+        4 planted clusters, so Q is high; a judge of partition quality
+        the clustering family was missing."""
+        from pdf_extraction_spark.operators.components import (
+            label_propagation,
+            modularity,
+        )
+
+        docs = _docs(spark, sf)
+        intra = docs.select(
+            F.expr("'h' || CAST(doc_id % 40 AS STRING)").alias("src"),
+            F.expr(
+                "'h' || CAST((doc_id % 40) div 10 * 10 + "
+                "((doc_id % 40) % 10 + 1 + doc_id % 7) % 10 AS STRING)"
+            ).alias("dst"),
+        )
+        bridge = docs.filter(F.expr("doc_id % 97 = 0")).select(
+            F.expr("'h' || CAST((doc_id % 4) * 10 AS STRING)").alias("src"),
+            F.expr("'h' || CAST(((doc_id % 4 + 1) % 4) * 10 AS STRING)").alias(
+                "dst"
+            ),
+        )
+        edges = intra.unionAll(bridge)
+        labels = label_propagation(edges, n_iter=5).select(
+            "node", "community"
+        )
+        return modularity(edges, labels)
+
     def q_compress_gate(spark, sf):
         """zlib compression-ratio repetition gate (the Lee-2022 /
         Gopher compressibility proxy): one Arrow crossing computing
@@ -3751,6 +3792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "porter_stems": q_porter_stems,
         "readability_panel": q_readability_panel,
         "compress_gate": q_compress_gate,
+        "yule_k": q_yule_k,
+        "modularity": q_modularity,
     }
 
 
@@ -5062,6 +5105,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_bytes, n_compressed, ratio_ppm FROM "
             + _fixture("compress_sf0_01.parquet")
         ),
+        "yule_k": __import__(
+            "pdf_extraction_spark.operators.textanalysis",
+            fromlist=["sql_yule_k"],
+        ).sql_yule_k("documents"),
+        "modularity": _modularity_sql(),
     }
     return sql
 
@@ -5229,3 +5277,22 @@ def _harmonic_sql() -> str:
         + " SELECT src_host, dst_host FROM links WHERE dst_host IS NOT NULL"
     )
     return sql_harmonic_centrality(edges, r_max=3)
+
+
+def _modularity_sql() -> str:
+    from pdf_extraction_spark.operators.components import (
+        sql_label_propagation,
+        sql_modularity,
+    )
+
+    edges = (
+        "SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src, "
+        "'h' || CAST((doc_id % 40) // 10 * 10 + "
+        "((doc_id % 40) % 10 + 1 + doc_id % 7) % 10 AS VARCHAR) AS dst "
+        "FROM documents "
+        "UNION ALL SELECT 'h' || CAST((doc_id % 4) * 10 AS VARCHAR), "
+        "'h' || CAST(((doc_id % 4 + 1) % 4) * 10 AS VARCHAR) "
+        "FROM documents WHERE doc_id % 97 = 0"
+    )
+    labels = sql_label_propagation(edges, n_iter=5)
+    return sql_modularity(edges, labels)

@@ -864,3 +864,155 @@ def sql_salsa(edges_select: str, scale: int = SALSA_SCALE) -> str:
         "CAST(coalesce(a_s.authority_nano, 0) AS BIGINT) AS authority_nano "
         "FROM h_s FULL OUTER JOIN a_s ON h_s.node = a_s.node"
     )
+
+
+# ---------------------------------------------------------------------------
+# Newman-Girvan modularity (Newman & Girvan 2004; Newman PNAS 2006) of
+# a community partition
+# ---------------------------------------------------------------------------
+#
+# Q = Σ_c [ e_c/m − (d_c/2m)² ] — the standard goodness-of-partition
+# score for the label_propagation communities: Q near 0 means the
+# partition explains no more edge mass than a random graph with the
+# same degrees (the null model), Q ≳ 0.3 means real community
+# structure. The per-community report is the QA table a host-graph
+# clustering run ships with.
+#
+# Exactness: e_c (intra-community edges), d_c (community degree mass)
+# and m are exact int64 counts; each community's contribution and the
+# total are the ONE fixed double expression over those ints (the
+# assortativity device). Overflow bound: 4·m·e_c must fit int64 in the
+# double domain only — the int columns themselves never multiply.
+#
+# Scale shape: one edge-keyed join against the node-sized label frame
+# (twice, for both endpoints), two combinable aggregates. The labels
+# come from any (node, community) frame — label_propagation, connected
+# components, or an external assignment.
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(community, n_nodes, intra_edges, degree_mass, contribution):
+    per-community modularity contribution over the canonical
+    undirected simple graph (self-loops/NULLs dropped, parallel edges
+    collapsed); Σ contribution = Q. Nodes missing from ``labels`` are
+    excluded from the graph first (documented: the partition defines
+    the universe)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(labels.columns[0]).alias("node"),
+        F.col(labels.columns[1]).alias("community"),
+    )
+    el = (
+        e.join(lab.withColumnRenamed("node", "lo"), "lo")
+        .withColumnRenamed("community", "c_lo")
+        .join(lab.withColumnRenamed("node", "hi"), "hi")
+        .withColumnRenamed("community", "c_hi")
+        .persist()
+    )
+    m_tot = el.count()  # scalar: edges with both endpoints labelled
+    intra = (
+        el.filter(F.col("c_lo") == F.col("c_hi"))
+        .groupBy(F.col("c_lo").alias("community"))
+        .agg(F.count("*").alias("intra_edges"))
+    )
+    deg = (
+        el.select(F.col("lo").alias("node"), F.col("c_lo").alias("community"))
+        .unionByName(
+            el.select(
+                F.col("hi").alias("node"), F.col("c_hi").alias("community")
+            )
+        )
+        .groupBy("community")
+        .agg(F.count("*").alias("degree_mass"))
+    )
+    n_nodes = (
+        el.select(F.col("lo").alias("node"), F.col("c_lo").alias("community"))
+        .unionByName(
+            el.select(
+                F.col("hi").alias("node"), F.col("c_hi").alias("community")
+            )
+        )
+        .distinct()
+        .groupBy("community")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    out = (
+        deg.join(intra, "community", "left")
+        .join(n_nodes, "community")
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).alias("intra_edges"),
+            "degree_mass",
+            F.when(
+                F.lit(m_tot) > 0,
+                # coalesce HERE too: the aliased column above is not in
+                # scope, and a left-join NULL must read as 0 intra edges
+                F.coalesce("intra_edges", F.lit(0)).cast("double")
+                / F.lit(float(m_tot))
+                - (
+                    F.col("degree_mass").cast("double")
+                    / F.lit(2.0 * m_tot)
+                )
+                * (
+                    F.col("degree_mass").cast("double")
+                    / F.lit(2.0 * m_tot)
+                ),
+            ).alias("contribution"),
+        )
+    )
+    return out
+
+
+def sql_modularity(edges_select: str, labels_select: str) -> str:
+    """DuckDB twin of :func:`modularity`: ``labels_select`` yields
+    (node, community); identical edge hygiene, counts and double
+    expression (the scalar m enters both engines as a subquery /
+    literal of the same exact integer)."""
+    return (
+        f"WITH raw AS (SELECT src, dst FROM ({edges_select}) "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst), "
+        "e AS (SELECT DISTINCT least(src, dst) AS lo, "
+        "greatest(src, dst) AS hi FROM raw), "
+        f"lab AS (SELECT * FROM ({labels_select})), "
+        "el AS (SELECT e.lo, e.hi, l1.community AS c_lo, "
+        "l2.community AS c_hi FROM e "
+        "JOIN lab l1 ON e.lo = l1.node JOIN lab l2 ON e.hi = l2.node), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS m_tot FROM el), "
+        "intra AS (SELECT c_lo AS community, CAST(count(*) AS BIGINT) "
+        "AS intra_edges FROM el WHERE c_lo = c_hi GROUP BY c_lo), "
+        "ends AS (SELECT lo AS node, c_lo AS community FROM el "
+        "UNION ALL SELECT hi, c_hi FROM el), "
+        "deg AS (SELECT community, CAST(count(*) AS BIGINT) AS degree_mass "
+        "FROM ends GROUP BY community), "
+        "nn AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes FROM ("
+        "SELECT DISTINCT node, community FROM ends) GROUP BY community) "
+        "SELECT deg.community, nn.n_nodes, "
+        "CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges, "
+        "deg.degree_mass, "
+        "CASE WHEN (SELECT m_tot FROM m) > 0 THEN "
+        "CAST(coalesce(intra.intra_edges, 0) AS DOUBLE) / "
+        "CAST((SELECT m_tot FROM m) AS DOUBLE) - "
+        "(CAST(deg.degree_mass AS DOUBLE) / "
+        "(2.0 * CAST((SELECT m_tot FROM m) AS DOUBLE))) * "
+        "(CAST(deg.degree_mass AS DOUBLE) / "
+        "(2.0 * CAST((SELECT m_tot FROM m) AS DOUBLE))) END AS contribution "
+        "FROM deg LEFT JOIN intra ON deg.community = intra.community "
+        "JOIN nn ON deg.community = nn.community"
+    )

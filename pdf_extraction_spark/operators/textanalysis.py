@@ -1297,3 +1297,76 @@ def sql_readability_panel(
         + _score(f"({f1}) + ({f2})")
         + " AS gunning_fog FROM b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Yule's characteristic K (Yule 1944, "The statistical study of
+# literary vocabulary") — the repeat-rate vocabulary-richness constant
+# ---------------------------------------------------------------------------
+#
+# K = 10⁴ · (Σ_m V(m)·m² − N) / N², where V(m) = types occurring m
+# times and N = tokens. Unlike TTR, K is (approximately) invariant to
+# document length, which is why stylometry and corpus QA still use it:
+# templated/boilerplate text reads K in the thousands, organic prose
+# ~100-200. Σ V(m)·m² = Σ_types tf², so the whole statistic is two
+# combinable groupBys over the shared tokenizer — exact int64 s1 = N,
+# s2 = Σ tf², and ONE float expression 10⁴·(s2−s1)/s1² from identical
+# ints (the assortativity device). Docs with < 2 tokens score NULL
+# (the statistic divides by N² and means nothing there).
+
+
+def with_yule_k(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, sum_tf_sq, yule_k): per-doc Yule's K from
+    exact integer token statistics."""
+    from .curation import _lower_words
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            _lower_words(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("tf")).alias("sum_tf_sq"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "sum_tf_sq",
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.lit(10000.0)
+            * (
+                F.col("sum_tf_sq").cast("double")
+                - F.col("n_tokens").cast("double")
+            )
+            / (
+                F.col("n_tokens").cast("double")
+                * F.col("n_tokens").cast("double")
+            ),
+        ).alias("yule_k"),
+    )
+
+
+def sql_yule_k(rel: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`with_yule_k` — identical tokenizer,
+    integer sums and the identical double expression."""
+    from .curation import _sql_lower_words
+
+    w = _sql_lower_words(f"coalesce({text_expr}, '')")
+    return (
+        f"WITH tk AS (SELECT doc_id, unnest({w}) AS tok FROM {rel}), "
+        "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tk GROUP BY doc_id, tok), "
+        "a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+        "CAST(sum(tf * tf) AS BIGINT) AS sum_tf_sq FROM tf GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, sum_tf_sq, "
+        "CASE WHEN n_tokens >= 2 THEN "
+        "10000.0 * (CAST(sum_tf_sq AS DOUBLE) - CAST(n_tokens AS DOUBLE)) / "
+        "(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) END AS yule_k "
+        "FROM a"
+    )

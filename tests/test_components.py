@@ -520,3 +520,81 @@ class TestSalsa:
 
         df = spark.createDataFrame([], "src string, dst string")
         assert salsa(df).count() == 0
+
+
+class TestModularity:
+    def _fixture(self, spark):
+        edges = []
+        for grp in ("p", "q"):
+            ns = [f"{grp}{i}" for i in range(4)]
+            edges += [(ns[i], ns[j]) for i in range(4) for j in range(i + 1, 4)]
+        edges.append(("p0", "q0"))
+        edf = spark.createDataFrame(edges, "src string, dst string")
+        lab = spark.createDataFrame(
+            [(f"{g}{i}", g) for g in "pq" for i in range(4)],
+            "node string, community string",
+        )
+        return edges, edf, lab
+
+    def test_two_cliques_exact_q(self, spark):
+        from pdf_extraction_spark.operators.components import modularity
+
+        _, edf, lab = self._fixture(spark)
+        rows = modularity(edf, lab).collect()
+        q = sum(r.contribution for r in rows)
+        # m=13, e_c=6, d_c=13 per clique: Q = 2·(6/13 − (13/26)²) = 12/13 − 1/2
+        assert abs(q - (12 / 13 - 0.5)) < 1e-12
+        assert all(r.n_nodes == 4 and r.intra_edges == 6 for r in rows)
+
+    def test_trivial_partition_scores_zero(self, spark):
+        from pdf_extraction_spark.operators.components import modularity
+
+        _, edf, _ = self._fixture(spark)
+        one = spark.createDataFrame(
+            [(f"{g}{i}", "all") for g in "pq" for i in range(4)],
+            "node string, community string",
+        )
+        rows = modularity(edf, one).collect()
+        assert abs(sum(r.contribution for r in rows)) < 1e-12
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.components import (
+            modularity,
+            sql_modularity,
+        )
+
+        edges, edf, lab = self._fixture(spark)
+        got = sorted(tuple(r) for r in modularity(edf, lab).collect())
+        con = duckdb.connect()
+        con.register("edges", pd.DataFrame(edges, columns=["src", "dst"]))
+        con.register(
+            "labels",
+            pd.DataFrame(
+                [(f"{g}{i}", g) for g in "pq" for i in range(4)],
+                columns=["node", "community"],
+            ),
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                sql_modularity("SELECT * FROM edges", "SELECT * FROM labels")
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_unlabelled_nodes_excluded(self, spark):
+        from pdf_extraction_spark.operators.components import modularity
+
+        edf = spark.createDataFrame(
+            [("a", "b"), ("b", "x")], "src string, dst string"
+        )
+        lab = spark.createDataFrame(
+            [("a", "c1"), ("b", "c1")], "node string, community string"
+        )
+        rows = modularity(edf, lab).collect()
+        # only edge (a,b) is in the labelled universe: Q = 1 − 1 = 0... m=1,
+        # e=1, d=2: contribution = 1/1 − (2/2)² = 0
+        assert len(rows) == 1 and abs(rows[0].contribution) < 1e-12

@@ -381,3 +381,53 @@ class TestReadabilityPanel:
             for r in con.execute(sql_readability_panel("documents")).fetchall()
         )
         assert got == want
+
+
+class TestYuleK:
+    ROWS = [
+        (1, "the the the the"),
+        (2, "all distinct words here now"),
+        (3, "a"),
+        (4, ""),
+        (5, None),
+    ]
+
+    def test_known_values(self, spark):
+        from pdf_extraction_spark.operators.textanalysis import with_yule_k
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        by = {r.doc_id: r for r in with_yule_k(df).collect()}
+        assert by[1].yule_k == 7500.0  # 10⁴·(16−4)/16: max repetition
+        assert by[2].yule_k == 0.0  # all hapax
+        assert by[3].yule_k is None  # N < 2
+        assert 4 not in by and 5 not in by  # tokenless docs emit nothing
+
+    def test_length_invariance_on_doubling(self, spark):
+        """Doubling a text doubles every tf and N: K is exactly
+        invariant when sum_tf_sq and N both scale (10⁴·(4s−2n)/4n² =
+        ... not exactly — K(2x) = 10⁴·(4s−2n)/(4n²); assert the
+        documented near-invariance within 1/n."""
+        from pdf_extraction_spark.operators.textanalysis import with_yule_k
+
+        t = "spam spam eggs ham eggs spam words more words again"
+        df = spark.createDataFrame(
+            [(1, t), (2, (t + " ") * 2)], "doc_id long, text string"
+        )
+        by = {r.doc_id: r for r in with_yule_k(df).collect()}
+        assert abs(by[1].yule_k - by[2].yule_k) < 10**4 / by[1].n_tokens
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.textanalysis import (
+            sql_yule_k,
+            with_yule_k,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = sorted(tuple(r) for r in with_yule_k(df).collect())
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(self.ROWS, columns=["doc_id", "text"]))
+        want = sorted(tuple(r) for r in con.execute(sql_yule_k("documents")).fetchall())
+        assert got == want
