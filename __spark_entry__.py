@@ -2139,6 +2139,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return stem_words(fx.select("word")).select("word", "stem")
 
+    def q_link_predict(spark, sf):
+        """Adamic-Adar link prediction (Adamic & Adar 2003 /
+        Liben-Nowell & Kleinberg 2003) over the extracted host graph:
+        top unlinked pairs by Σ 1/ln(deg) over common neighbors —
+        wedge fan-out capped at max_degree per middle (the
+        pair_overlap device), weights in exact nano fixed point,
+        anti-join removes existing edges."""
+        from pdf_extraction_spark.operators.graphstats import adamic_adar
+        from pdf_extraction_spark.operators.htmlgraph import extract_outlinks
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(_LINKS_URL).alias("url"),
+            F.expr(_LINKS_AUG).alias("html"),
+        )
+        return adamic_adar(extract_outlinks(docs), max_degree=64, k=20)
+
     def q_yule_k(spark, sf):
         """Yule's characteristic K (Yule 1944): the length-invariant
         repeat-rate vocabulary-richness constant — Σ tf² and N exact
@@ -3794,6 +3811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compress_gate": q_compress_gate,
         "yule_k": q_yule_k,
         "modularity": q_modularity,
+        "link_predict": q_link_predict,
     }
 
 
@@ -5110,6 +5128,7 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["sql_yule_k"],
         ).sql_yule_k("documents"),
         "modularity": _modularity_sql(),
+        "link_predict": _link_predict_sql(),
     }
     return sql
 
@@ -5296,3 +5315,18 @@ def _modularity_sql() -> str:
     )
     labels = sql_label_propagation(edges, n_iter=5)
     return sql_modularity(edges, labels)
+
+
+def _link_predict_sql() -> str:
+    from pdf_extraction_spark.operators.graphstats import sql_adamic_adar
+    from pdf_extraction_spark.operators.htmlgraph import sql_links_ctes
+
+    edges = (
+        "WITH "
+        + sql_links_ctes(
+            "(SELECT doc_id, " + _LINKS_URL + " AS url, "
+            + _LINKS_AUG + " AS html FROM documents)"
+        )
+        + " SELECT src_host, dst_host FROM links WHERE dst_host IS NOT NULL"
+    )
+    return sql_adamic_adar(edges, max_degree=64, k=20)

@@ -603,3 +603,113 @@ def sql_harmonic_centrality(
         + "round(" + " + ".join(terms) + ", 4) AS harmonic "
         + "FROM est1 " + " ".join(joins)
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (Adamic & Adar, Social Networks 25, 2003;
+# the standard common-neighbor predictor of Liben-Nowell & Kleinberg
+# CIKM 2003)
+# ---------------------------------------------------------------------------
+#
+#   AA(a, b) = Σ_{z ∈ N(a) ∩ N(b)} 1 / ln(deg(z))
+#
+# — the classic "which hosts will link next" / "which hosts belong
+# together" scorer: common neighbors weighted inversely by how
+# promiscuous each shared neighbor is. The missing-link counterpart of
+# the co-citation similarity family.
+#
+# Scale contract (the pair_overlap max_degree device): middles with
+# deg > max_degree are EXCLUDED from wedge generation — a hub of
+# degree d generates d² pairs while contributing only 1/ln(d) ≈ 0.2
+# per pair, so the cap bounds the wedge fan-out at max_degree per
+# middle while changing scores by at most n_hubs/ln(max_degree)
+# (documented approximation; the cap is part of the operator contract
+# and the twin applies the identical cap, so parity is exact).
+#
+# Exactness: weight_nano(z) = 10¹⁸ DIV iln9(deg z) with iln9 =
+# round(ln·10⁹) (the shared fixed-point ln device; deg ≥ 2 so the
+# divisor ≥ round(ln 2·10⁹) > 0); scores are exact int64 sums of those
+# — bit-identical cross-engine. Predicted pairs already linked are
+# removed by an anti-join; top-k orders by (score desc, node_a,
+# node_b) — a total order, deterministic limit.
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    max_degree: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """(node_a, node_b, n_common, aa_nano): top-``k`` unlinked pairs by
+    Adamic-Adar score over the canonical undirected graph (middles
+    capped at ``max_degree``)."""
+    e = _canon_edges(edges, src_col, dst_col).persist()
+    deg = _deg(e)
+    nbrs = e.select(F.col("lo").alias("z"), F.col("hi").alias("n")).unionByName(
+        e.select(F.col("hi").alias("z"), F.col("lo").alias("n"))
+    )
+    mid = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= max_degree)
+    ).select(
+        F.col("host").alias("z"),
+        F.expr(
+            "CAST(1000000000000000000L DIV "
+            "CAST(round(ln(CAST(deg AS DOUBLE)) * 1e9) AS BIGINT) AS BIGINT)"
+        ).alias("w_nano"),
+    )
+    wn = nbrs.join(mid, "z")
+    pairs = (
+        wn.alias("x")
+        .join(wn.alias("y"), ["z", "w_nano"])
+        .filter(F.expr("x.n < y.n"))
+        .select(
+            F.expr("x.n").alias("node_a"),
+            F.expr("y.n").alias("node_b"),
+            "w_nano",
+        )
+    )
+    scored = pairs.groupBy("node_a", "node_b").agg(
+        F.count("*").alias("n_common"),
+        F.sum("w_nano").alias("aa_nano"),
+    )
+    unlinked = scored.join(
+        e.select(F.col("lo").alias("node_a"), F.col("hi").alias("node_b")),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    return unlinked.orderBy(
+        F.col("aa_nano").desc(), "node_a", "node_b"
+    ).limit(k)
+
+
+def sql_adamic_adar(
+    edges_sql: str, max_degree: int = 64, k: int = 20
+) -> str:
+    """DuckDB twin of :func:`adamic_adar` — identical canonical graph,
+    degree cap, fixed-point weight, anti-join and total-order top-k."""
+    return (
+        f"WITH raw AS (SELECT src_host, dst_host FROM ({edges_sql}) "
+        "WHERE src_host IS NOT NULL AND dst_host IS NOT NULL "
+        "AND src_host <> dst_host), "
+        "e AS (SELECT DISTINCT least(src_host, dst_host) AS lo, "
+        "greatest(src_host, dst_host) AS hi FROM raw), "
+        "deg AS (SELECT host, CAST(count(*) AS BIGINT) AS deg FROM ("
+        "SELECT lo AS host FROM e UNION ALL SELECT hi FROM e) GROUP BY host), "
+        "nbrs AS (SELECT lo AS z, hi AS n FROM e "
+        "UNION ALL SELECT hi, lo FROM e), "
+        "mid AS (SELECT host AS z, CAST(1000000000000000000 // "
+        "CAST(round(ln(CAST(deg AS DOUBLE)) * 1e9) AS BIGINT) AS BIGINT) "
+        f"AS w_nano FROM deg WHERE deg >= 2 AND deg <= {max_degree}), "
+        "wn AS (SELECT nbrs.z, nbrs.n, mid.w_nano FROM nbrs "
+        "JOIN mid ON nbrs.z = mid.z), "
+        "pairs AS (SELECT x.n AS node_a, y.n AS node_b, x.w_nano FROM wn x "
+        "JOIN wn y ON x.z = y.z AND x.w_nano = y.w_nano AND x.n < y.n), "
+        "scored AS (SELECT node_a, node_b, CAST(count(*) AS BIGINT) "
+        "AS n_common, CAST(sum(w_nano) AS BIGINT) AS aa_nano "
+        "FROM pairs GROUP BY node_a, node_b), "
+        "unlinked AS (SELECT s.* FROM scored s LEFT JOIN e "
+        "ON s.node_a = e.lo AND s.node_b = e.hi WHERE e.lo IS NULL) "
+        "SELECT node_a, node_b, n_common, aa_nano FROM unlinked "
+        f"ORDER BY aa_nano DESC, node_a, node_b LIMIT {k}"
+    )

@@ -102,7 +102,7 @@ QUERIES = [
     "hrw_shards", "bm25f_topk", "qlm_topk", "prf_bm25", "nepotism",
     "benford", "hyperball", "rake_phrases", "host_kcore", "host_assort",
     "host_salsa", "harmonic", "snippets", "texttiles",
-    "readability_panel", "yule_k", "modularity",
+    "readability_panel", "yule_k", "modularity", "link_predict",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

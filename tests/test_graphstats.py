@@ -277,3 +277,64 @@ class TestHarmonicCentrality:
             for r in harmonic_centrality(_edges(spark, self.ROWS), r_max=1).collect()
         }
         assert rows["h"].harmonic == round(rows["h"].est_b1 - 1.0, 4)
+
+
+class TestAdamicAdar:
+    def _rows(self):
+        rows = [("a", "z1"), ("b", "z1"), ("a", "z2"), ("b", "z2"),
+                ("a", "c"), ("c", "z1"), ("hub", "a")]
+        rows += [("hub", f"m{i}") for i in range(70)]
+        return rows
+
+    def test_formula_and_exclusions(self, spark):
+        import math
+
+        from pdf_extraction_spark.operators.graphstats import adamic_adar
+
+        got = {
+            (r.node_a, r.node_b): r
+            for r in adamic_adar(
+                _edges(spark, self._rows()), max_degree=64, k=10
+            ).collect()
+        }
+        exp = 10**18 // round(math.log(3) * 1e9) + 10**18 // round(
+            math.log(2) * 1e9
+        )
+        assert got[("a", "b")].aa_nano == exp
+        assert got[("a", "b")].n_common == 2
+        # linked pairs are never predicted
+        assert ("a", "c") not in got
+        # the deg-71 hub is capped out of the middle role: no m_i-m_j pairs
+        assert not any(
+            a.startswith("m") and b.startswith("m") for a, b in got
+        )
+
+    def test_top1_is_strongest_pair(self, spark):
+        from pdf_extraction_spark.operators.graphstats import adamic_adar
+
+        top = adamic_adar(_edges(spark, self._rows()), max_degree=64, k=1).collect()
+        assert (top[0].node_a, top[0].node_b) == ("a", "b")
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.graphstats import (
+            adamic_adar,
+            sql_adamic_adar,
+        )
+
+        rows = self._rows()
+        got = [
+            tuple(r)
+            for r in adamic_adar(_edges(spark, rows), max_degree=64, k=10).collect()
+        ]
+        con = duckdb.connect()
+        con.register("edges", pd.DataFrame(rows, columns=["src_host", "dst_host"]))
+        want = [
+            tuple(r)
+            for r in con.execute(
+                sql_adamic_adar("SELECT * FROM edges", 64, 10)
+            ).fetchall()
+        ]
+        assert got == want

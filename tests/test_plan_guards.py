@@ -63,7 +63,7 @@ NATIVE_QUERIES = [
     "qlm_topk", "prf_bm25", "nepotism", "bot_regularity", "benford",
     "hyperball", "rake_phrases", "host_kcore", "host_assort",
     "host_salsa", "bursts", "harmonic", "snippets", "texttiles",
-    "readability_panel", "yule_k", "modularity",
+    "readability_panel", "yule_k", "modularity", "link_predict",
 ]
 
 
