@@ -2139,6 +2139,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return stem_words(fx.select("word")).select("word", "stem")
 
+    def q_bowtie(spark, sf):
+        """Broder bow-tie decomposition (WWW 2000) of the host_pagerank
+        graph: CORE/IN/OUT/TENDRILS/DISCONNECTED via forward, backward
+        and weak reachability from the deterministic max-degree pivot
+        — semi-join rounds to the TRUE fixpoint (count-stable, the
+        connected_components loop shape), so the recursive-CTE twin
+        recomputes the identical classes. Pure set logic, no floats."""
+        from pdf_extraction_spark.operators.graphstats import bowtie
+
+        docs = _docs(spark, sf)
+        edges = docs.select(
+            F.col("source").alias("src_host"),
+            F.concat(
+                F.lit("src"),
+                ((F.col("doc_id") * F.col("doc_id") * 5 + F.col("doc_id")) % 29).cast(
+                    "string"
+                ),
+            ).alias("dst_host"),
+        )
+        return bowtie(edges)
+
     def q_link_predict(spark, sf):
         """Adamic-Adar link prediction (Adamic & Adar 2003 /
         Liben-Nowell & Kleinberg 2003) over the extracted host graph:
@@ -3812,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yule_k": q_yule_k,
         "modularity": q_modularity,
         "link_predict": q_link_predict,
+        "bowtie": q_bowtie,
     }
 
 
@@ -5129,6 +5151,13 @@ def oracle_sql() -> dict[str, str]:
         ).sql_yule_k("documents"),
         "modularity": _modularity_sql(),
         "link_predict": _link_predict_sql(),
+        "bowtie": __import__(
+            "pdf_extraction_spark.operators.graphstats",
+            fromlist=["sql_bowtie"],
+        ).sql_bowtie(
+            "SELECT source AS src_host, 'src' || CAST((doc_id * doc_id * 5 "
+            "+ doc_id) % 29 AS VARCHAR) AS dst_host FROM documents"
+        ),
     }
     return sql
 

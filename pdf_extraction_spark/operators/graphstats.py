@@ -713,3 +713,160 @@ def sql_adamic_adar(
         "SELECT node_a, node_b, n_common, aa_nano FROM unlinked "
         f"ORDER BY aa_nano DESC, node_a, node_b LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Broder bow-tie decomposition (Broder et al., WWW 2000 "Graph
+# structure in the web")
+# ---------------------------------------------------------------------------
+#
+# THE iconic macro-analysis of a crawl's directed host graph: a giant
+# strongly-connected CORE, the IN set that reaches it, the OUT set it
+# reaches, TENDRILS hanging off the weak component, and DISCONNECTED
+# islands. The paper computes it exactly this way — forward and
+# backward reachability from a node of the giant SCC — and the pivot
+# here is the deterministic analogue of their random starts: the
+# max-degree host (ties to the smallest name), which lies in the giant
+# SCC for any crawl-shaped graph (documented assumption; pass
+# ``pivot`` explicitly to override).
+#
+#   CORE = F ∩ B;  IN = B − CORE;  OUT = F − CORE;
+#   TENDRIL = weakly-reachable − (F ∪ B);  DISCONNECTED = the rest
+#
+# Reachability runs as frontier-free semi-join rounds to the TRUE
+# fixpoint (each round: members ∪ successors-of-members, count-stable
+# check, localCheckpoint — the connected_components loop shape), so
+# the result is exactly what the oracle's recursive CTE computes; a
+# ``max_rounds`` cap (default 40 ≫ any web-graph effective diameter)
+# raises rather than silently under-reaching.
+#
+# Scale shape per round: one edge semi-join + distinct union, frames
+# node-bounded. Three loops (fwd, bwd, weak). All-set logic — no
+# floats anywhere.
+
+
+def bowtie(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+    pivot: str | None = None,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(host, cls): every host of the directed graph labelled core /
+    in_ / out / tendril / disconnected relative to the pivot's SCC.
+    Raises RuntimeError if a reachability loop fails to converge in
+    ``max_rounds`` (raise the cap for pathological diameters)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("host"))
+        .unionByName(e.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    if pivot is None:
+        deg = (
+            e.select(F.col("src").alias("host"))
+            .unionByName(e.select(F.col("dst").alias("host")))
+            .groupBy("host")
+            .agg(F.count("*").alias("deg"))
+        )
+        row = deg.orderBy(F.col("deg").desc(), F.col("host")).limit(1).collect()
+        if not row:
+            return nodes.select("host", F.lit("disconnected").alias("cls"))
+        pivot = row[0]["host"]
+
+    spark = e.sparkSession
+
+    def _reach(step_edges):
+        cur = spark.createDataFrame([(pivot,)], "host string").localCheckpoint()
+        n = cur.count()
+        for _ in range(max_rounds):
+            nxt = (
+                cur.unionByName(
+                    step_edges.join(
+                        cur.withColumnRenamed("host", "src"), "src"
+                    ).select(F.col("dst").alias("host"))
+                )
+                .distinct()
+                .localCheckpoint()
+            )
+            m = nxt.count()
+            if m == n:
+                return nxt
+            cur, n = nxt, m
+        raise RuntimeError(f"reachability did not converge in {max_rounds} rounds")
+
+    fwd = _reach(e)
+    bwd = _reach(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    weak = _reach(
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    lab = (
+        nodes.join(fwd.withColumn("f", F.lit(1)), "host", "left")
+        .join(bwd.withColumn("b", F.lit(1)), "host", "left")
+        .join(weak.withColumn("w", F.lit(1)), "host", "left")
+    )
+    return lab.select(
+        "host",
+        F.expr(
+            "CASE WHEN f = 1 AND b = 1 THEN 'core' "
+            "WHEN b = 1 THEN 'in_' "
+            "WHEN f = 1 THEN 'out' "
+            "WHEN w = 1 THEN 'tendril' "
+            "ELSE 'disconnected' END"
+        ).alias("cls"),
+    )
+
+
+def sql_bowtie(edges_sql: str, pivot_sql: str | None = None) -> str:
+    """DuckDB twin of :func:`bowtie`: recursive-CTE reachability to the
+    exact fixpoint from the identical deterministic pivot."""
+    pivot = pivot_sql or (
+        "SELECT host FROM deg ORDER BY deg DESC, host LIMIT 1"
+    )
+    return (
+        "WITH RECURSIVE "
+        f"raw AS (SELECT src_host AS src, dst_host AS dst FROM ({edges_sql}) "
+        "WHERE src_host IS NOT NULL AND dst_host IS NOT NULL "
+        "AND src_host <> dst_host), "
+        "e AS (SELECT DISTINCT src, dst FROM raw), "
+        # under WITH RECURSIVE DuckDB skips the UNION dedup for CTEs that
+        # merely LOOK recursive-shaped — spell DISTINCT explicitly
+        "nodes AS (SELECT DISTINCT host FROM (SELECT src AS host FROM e "
+        "UNION ALL SELECT dst FROM e)), "
+        "deg AS (SELECT host, CAST(count(*) AS BIGINT) AS deg FROM ("
+        "SELECT src AS host FROM e UNION ALL SELECT dst FROM e) "
+        "GROUP BY host), "
+        f"pv AS ({pivot}), "
+        "fwd(n) AS (SELECT host FROM pv "
+        "UNION SELECT e.dst FROM e JOIN fwd ON e.src = fwd.n), "
+        "bwd(n) AS (SELECT host FROM pv "
+        "UNION SELECT e.src FROM e JOIN bwd ON e.dst = bwd.n), "
+        "ue AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e "
+        "UNION ALL SELECT dst, src FROM e)), "
+        "wk(n) AS (SELECT host FROM pv "
+        "UNION SELECT ue.dst FROM ue JOIN wk ON ue.src = wk.n), "
+        "df AS (SELECT DISTINCT n FROM fwd), "
+        "db AS (SELECT DISTINCT n FROM bwd), "
+        "dw AS (SELECT DISTINCT n FROM wk) "
+        "SELECT nodes.host, CASE "
+        "WHEN df.n IS NOT NULL AND db.n IS NOT NULL THEN 'core' "
+        "WHEN db.n IS NOT NULL THEN 'in_' "
+        "WHEN df.n IS NOT NULL THEN 'out' "
+        "WHEN dw.n IS NOT NULL THEN 'tendril' "
+        "ELSE 'disconnected' END AS cls "
+        "FROM nodes LEFT JOIN df ON nodes.host = df.n "
+        "LEFT JOIN db ON nodes.host = db.n "
+        "LEFT JOIN dw ON nodes.host = dw.n"
+    )

@@ -103,6 +103,7 @@ QUERIES = [
     "benford", "hyperball", "rake_phrases", "host_kcore", "host_assort",
     "host_salsa", "harmonic", "snippets", "texttiles",
     "readability_panel", "yule_k", "modularity", "link_predict",
+    "bowtie",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

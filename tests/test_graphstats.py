@@ -338,3 +338,72 @@ class TestAdamicAdar:
             ).fetchall()
         ]
         assert got == want
+
+
+class TestBowtie:
+    ROWS = [
+        ("a", "b"), ("b", "c"), ("c", "a"),       # core cycle
+        ("a", "b2"), ("b2", "a"),                 # widen the core; 'a' top degree
+        ("i1", "a"), ("i2", "i1"),                # IN chain
+        ("c", "o1"), ("o1", "o2"),                # OUT chain
+        ("i1", "t1"),                             # tendril off IN
+        ("x", "y"),                               # disconnected island
+    ]
+
+    def test_classes(self, spark):
+        from pdf_extraction_spark.operators.graphstats import bowtie
+
+        d = dict(
+            (r.host, r.cls) for r in bowtie(_edges(spark, self.ROWS)).collect()
+        )
+        assert {h for h, c in d.items() if c == "core"} == {"a", "b", "b2", "c"}
+        assert {h for h, c in d.items() if c == "in_"} == {"i1", "i2"}
+        assert {h for h, c in d.items() if c == "out"} == {"o1", "o2"}
+        assert {h for h, c in d.items() if c == "tendril"} == {"t1"}
+        assert {h for h, c in d.items() if c == "disconnected"} == {"x", "y"}
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.graphstats import bowtie, sql_bowtie
+
+        got = sorted(tuple(r) for r in bowtie(_edges(spark, self.ROWS)).collect())
+        con = duckdb.connect()
+        con.register(
+            "edges", pd.DataFrame(self.ROWS, columns=["src_host", "dst_host"])
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(sql_bowtie("SELECT * FROM edges")).fetchall()
+        )
+        assert got == want
+
+    def test_acyclic_graph_core_is_pivot_only(self, spark):
+        from pdf_extraction_spark.operators.graphstats import bowtie
+
+        # star out of the pivot: no cycle, so CORE = {pivot}
+        d = dict(
+            (r.host, r.cls)
+            for r in bowtie(
+                _edges(spark, [("p", f"l{i}") for i in range(4)])
+            ).collect()
+        )
+        assert d["p"] == "core"
+        assert all(d[f"l{i}"] == "out" for i in range(4))
+
+    def test_explicit_pivot_override(self, spark):
+        from pdf_extraction_spark.operators.graphstats import bowtie
+
+        d = dict(
+            (r.host, r.cls)
+            for r in bowtie(_edges(spark, self.ROWS), pivot="x").collect()
+        )
+        assert d["x"] == "core" and d["y"] == "out"
+        # everything else is merely disconnected from x's weak component
+        assert d["a"] == "disconnected"
+
+    def test_empty_graph(self, spark):
+        from pdf_extraction_spark.operators.graphstats import bowtie
+
+        assert bowtie(_edges(spark, [("x", "x")])).count() == 0
