@@ -2139,6 +2139,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return stem_words(fx.select("word")).select("word", "stem")
 
+    def q_gate_map(spark, sf):
+        """Average precision @ 20 (the TREC MAP primitive) of the
+        n_chars signal against binary 'table'-occurrence relevance —
+        completes the gate-eval family beside AUC/nDCG/RBO/PR. Exact
+        integer op order: hits@i·10⁶ DIV i summed over relevant
+        positions, DIV min(R, k)."""
+        from pdf_extraction_spark.operators.fusion import avg_precision_at_k
+        from pdf_extraction_spark.operators.retrieval import _tokens_col
+
+        toks = _tokens_col(F.coalesce(F.col("text"), F.lit("")), True)
+        base = _docs(spark, sf).select(
+            "doc_id",
+            F.col("n_chars").alias("score"),
+            F.size(F.filter(toks, lambda t: t == F.lit("table"))).alias("gain"),
+        )
+        return avg_precision_at_k(base, "score", "gain", k=20)
+
+    def q_gate_kappa(spark, sf):
+        """Cohen's kappa (1960) between two quality judges — the
+        ≥30-token verdict vs the n_chars ≥ 120 gate: exact int64
+        agreement counts, κ as one double expression (NULL for
+        constant judges)."""
+        from pdf_extraction_spark.operators.curation import _lower_words
+        from pdf_extraction_spark.operators.fusion import cohen_kappa
+
+        docs = _docs(spark, sf).select(
+            (
+                F.size(_lower_words(F.coalesce(F.col("text"), F.lit(""))))
+                >= 30
+            ).alias("a"),
+            (F.coalesce(F.col("n_chars"), F.lit(0)) >= 120).alias("b"),
+        )
+        return cohen_kappa(docs, "a", "b")
+
     def q_bowtie(spark, sf):
         """Broder bow-tie decomposition (WWW 2000) of the host_pagerank
         graph: CORE/IN/OUT/TENDRILS/DISCONNECTED via forward, backward
@@ -3834,6 +3868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity": q_modularity,
         "link_predict": q_link_predict,
         "bowtie": q_bowtie,
+        "gate_map": q_gate_map,
+        "gate_kappa": q_gate_kappa,
     }
 
 
@@ -5158,6 +5194,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source AS src_host, 'src' || CAST((doc_id * doc_id * 5 "
             "+ doc_id) % 29 AS VARCHAR) AS dst_host FROM documents"
         ),
+        "gate_map": _gate_map_sql(),
+        "gate_kappa": _gate_kappa_sql(),
     }
     return sql
 
@@ -5200,6 +5238,31 @@ def _gate_ndcg_sql() -> str:
         "FROM documents"
     )
     return sql_ndcg_at_k(base, k=20)
+
+
+def _gate_map_sql() -> str:
+    from pdf_extraction_spark.operators.fusion import sql_avg_precision_at_k
+    from pdf_extraction_spark.operators.retrieval import _sql_tokens
+
+    toks = _sql_tokens("coalesce(text, '')", True)
+    base = (
+        "SELECT doc_id, n_chars AS score, "
+        f"CAST(len(list_filter({toks}, x -> x = 'table')) AS BIGINT) AS gain "
+        "FROM documents"
+    )
+    return sql_avg_precision_at_k(base, k=20)
+
+
+def _gate_kappa_sql() -> str:
+    from pdf_extraction_spark.operators.curation import _sql_lower_words
+    from pdf_extraction_spark.operators.fusion import sql_cohen_kappa
+
+    w = _sql_lower_words("coalesce(text, '')")
+    base = (
+        f"SELECT len({w}) >= 30 AS a, "
+        "coalesce(n_chars, 0) >= 120 AS b FROM documents"
+    )
+    return sql_cohen_kappa(base)
 
 
 def _rank_rbo_sql() -> str:

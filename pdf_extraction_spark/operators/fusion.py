@@ -449,3 +449,158 @@ def sql_mmr_topk(
         for r in range(1, k + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+# --------------------------------------------------------------------------
+# Average Precision @ k (the MAP primitive; TREC's classic ranking
+# metric — Buckley & Voorhees 2000 lineage)
+# --------------------------------------------------------------------------
+#
+# AP@k = (1/min(R, k)) · Σ_{i ≤ k, rel_i} P@i, with P@i = hits@i / i.
+# The missing member of the gate-eval family beside AUC (threshold-
+# free), nDCG (graded), RBO (rank agreement): AP is what TREC-style
+# binary-relevance retrieval is scored with.
+#
+# Exact-integer convention (documented op order): term_i = hits@i·10⁶
+# DIV i summed over relevant positions, ap_ppm = Σ DIV min(R, k) —
+# floor at each step, all int64, bit-identical cross-engine. R counts
+# relevant docs in the WHOLE set (gain > 0), not the prefix.
+#
+# Shape: one TakeOrderedAndProject prefix + a ≤k-row window + one
+# scalar 1-row R frame. Nothing corpus-sized beyond the heap scan.
+
+
+def avg_precision_at_k(
+    df: DataFrame,
+    score_col: str,
+    gain_col: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row (k, n_rel, n_rel_at_k, ap_ppm): average precision of
+    ranking by ``score_col`` (desc, id tiebreak) against binary
+    relevance ``gain_col`` > 0. ap_ppm = 0 when no relevant docs."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(score_col).alias("score"),
+        (F.col(gain_col) > 0).cast("long").alias("rel"),
+    )
+    r_tot = base.agg(F.sum("rel").alias("n_rel"))
+    top = base.orderBy(F.desc("score"), "doc_id").limit(k)
+    w = Window.orderBy(F.desc("score"), F.col("doc_id"))
+    pre = top.select(
+        F.row_number().over(w).cast("long").alias("pos"),
+        "rel",
+    ).withColumn(
+        "hits",
+        F.sum("rel").over(
+            Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    terms = pre.filter(F.col("rel") == 1).select(
+        F.expr("hits * 1000000L DIV pos").alias("t")
+    )
+    agg = terms.agg(
+        F.coalesce(F.sum("t"), F.lit(0)).alias("t_sum"),
+        F.count("*").alias("n_rel_at_k"),
+    )
+    return agg.crossJoin(F.broadcast(r_tot)).select(
+        F.lit(k).cast("long").alias("k"),
+        F.coalesce("n_rel", F.lit(0)).alias("n_rel"),
+        "n_rel_at_k",
+        F.expr(
+            f"CASE WHEN coalesce(n_rel, 0) > 0 THEN "
+            f"t_sum DIV least(n_rel, CAST({k} AS BIGINT)) ELSE 0 END"
+        ).alias("ap_ppm"),
+    )
+
+
+def sql_avg_precision_at_k(base_sql: str, k: int = 20) -> str:
+    """DuckDB twin of :func:`avg_precision_at_k`; ``base_sql`` yields
+    (doc_id, score, gain)."""
+    return f"""
+WITH base AS (SELECT doc_id, score,
+                     CASE WHEN gain > 0 THEN 1 ELSE 0 END AS rel
+              FROM ({base_sql})),
+rt AS (SELECT CAST(coalesce(sum(rel), 0) AS BIGINT) AS n_rel FROM base),
+pre AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS pos, rel
+        FROM (SELECT * FROM base ORDER BY score DESC, doc_id LIMIT {k})),
+h AS (SELECT pos, rel, CAST(sum(rel) OVER (ORDER BY pos
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hits FROM pre),
+t AS (SELECT CAST(coalesce(sum(hits * 1000000 // pos), 0) AS BIGINT) AS t_sum,
+             CAST(count(*) AS BIGINT) AS n_rel_at_k
+      FROM h WHERE rel = 1)
+SELECT CAST({k} AS BIGINT) AS k, rt.n_rel, t.n_rel_at_k,
+       CAST(CASE WHEN rt.n_rel > 0
+            THEN t.t_sum // least(rt.n_rel, CAST({k} AS BIGINT))
+            ELSE 0 END AS BIGINT) AS ap_ppm
+FROM t, rt
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa (Cohen 1960) — chance-corrected gate agreement
+# --------------------------------------------------------------------------
+#
+# κ = (p_o − p_e) / (1 − p_e) over two binary judges: the standard QA
+# check that two quality gates agree beyond what their base rates
+# force. All counts exact int64; κ is ONE double expression over them
+# (the assortativity device):
+#   κ = (n·(n11+n00) − E) / (n² − E),  E = na·nb + (n−na)·(n−nb)
+# NULL when the denominator is 0 (a constant judge).
+
+
+def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """One row (n, n_agree, a_pos, b_pos, kappa) for two boolean/int
+    judge columns (NULL judgments dropped)."""
+    base = df.select(
+        F.col(a_col).cast("boolean").alias("a"),
+        F.col(b_col).cast("boolean").alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    agg = base.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).alias("n_agree"),
+        F.sum(F.col("a").cast("long")).alias("a_pos"),
+        F.sum(F.col("b").cast("long")).alias("b_pos"),
+    )
+    e = (
+        F.col("a_pos").cast("double") * F.col("b_pos").cast("double")
+        + (F.col("n") - F.col("a_pos")).cast("double")
+        * (F.col("n") - F.col("b_pos")).cast("double")
+    )
+    num = F.col("n").cast("double") * F.col("n_agree").cast("double") - e
+    den = F.col("n").cast("double") * F.col("n").cast("double") - e
+    return agg.select(
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("n_agree", F.lit(0)).alias("n_agree"),
+        F.coalesce("a_pos", F.lit(0)).alias("a_pos"),
+        F.coalesce("b_pos", F.lit(0)).alias("b_pos"),
+        F.when(den != F.lit(0.0), num / den).alias("kappa"),
+    )
+
+
+def sql_cohen_kappa(base_sql: str) -> str:
+    """DuckDB twin of :func:`cohen_kappa`; ``base_sql`` yields boolean
+    columns (a, b)."""
+    return f"""
+WITH base AS (SELECT CAST(a AS BOOLEAN) AS a, CAST(b AS BOOLEAN) AS b
+              FROM ({base_sql}) WHERE a IS NOT NULL AND b IS NOT NULL),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN a = b THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_agree,
+             CAST(coalesce(sum(CASE WHEN a THEN 1 ELSE 0 END), 0) AS BIGINT) AS a_pos,
+             CAST(coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END), 0) AS BIGINT) AS b_pos
+      FROM base)
+SELECT n, n_agree, a_pos, b_pos,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+                 (CAST(a_pos AS DOUBLE) * CAST(b_pos AS DOUBLE) +
+                  CAST(n - a_pos AS DOUBLE) * CAST(n - b_pos AS DOUBLE)) <> 0.0
+            THEN (CAST(n AS DOUBLE) * CAST(n_agree AS DOUBLE) -
+                  (CAST(a_pos AS DOUBLE) * CAST(b_pos AS DOUBLE) +
+                   CAST(n - a_pos AS DOUBLE) * CAST(n - b_pos AS DOUBLE))) /
+                 (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) -
+                  (CAST(a_pos AS DOUBLE) * CAST(b_pos AS DOUBLE) +
+                   CAST(n - a_pos AS DOUBLE) * CAST(n - b_pos AS DOUBLE)))
+       END AS kappa
+FROM g
+"""

@@ -221,3 +221,87 @@ class TestMMR:
         )
         got = {r["doc_id"]: r["rank"] for r in rank_from_topk(df, "s", "doc_id").collect()}
         assert got == {1: 1, 2: 2, 3: 3}  # tie broken by id
+
+
+class TestAvgPrecision:
+    ROWS = [(i, 10 - i, 1 if i in (0, 2, 3, 8) else 0) for i in range(10)]
+
+    def test_matches_hand_replay(self, spark):
+        from pdf_extraction_spark.operators.fusion import avg_precision_at_k
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, score long, gain long")
+        row = avg_precision_at_k(df, "score", "gain", k=5).collect()[0]
+        # relevant at prefix ranks 1, 3, 4; R = 4 (one rel outside k)
+        exp = (10**6 // 1 + 2 * 10**6 // 3 + 3 * 10**6 // 4) // 4
+        assert tuple(row) == (5, 4, 3, exp)
+
+    def test_perfect_ranking_scores_one(self, spark):
+        from pdf_extraction_spark.operators.fusion import avg_precision_at_k
+
+        rows = [(i, 10 - i, 1 if i < 3 else 0) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, score long, gain long")
+        assert avg_precision_at_k(df, "score", "gain", k=5).collect()[0].ap_ppm == 10**6
+
+    def test_no_relevant_scores_zero(self, spark):
+        from pdf_extraction_spark.operators.fusion import avg_precision_at_k
+
+        rows = [(i, i, 0) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, score long, gain long")
+        assert avg_precision_at_k(df, "score", "gain", k=5).collect()[0].ap_ppm == 0
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.fusion import (
+            avg_precision_at_k,
+            sql_avg_precision_at_k,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, score long, gain long")
+        got = [tuple(r) for r in avg_precision_at_k(df, "score", "gain", k=5).collect()]
+        con = duckdb.connect()
+        con.register("b", pd.DataFrame(self.ROWS, columns=["doc_id", "score", "gain"]))
+        want = [
+            tuple(r)
+            for r in con.execute(sql_avg_precision_at_k("SELECT * FROM b", 5)).fetchall()
+        ]
+        assert got == want
+
+
+class TestCohenKappa:
+    def test_known_value(self, spark):
+        from pdf_extraction_spark.operators.fusion import cohen_kappa
+
+        rows = (
+            [(True, True)] * 40 + [(False, False)] * 40
+            + [(True, False)] * 10 + [(False, True)] * 10
+        )
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        r = cohen_kappa(df, "a", "b").collect()[0]
+        assert abs(r.kappa - 0.6) < 1e-12  # p_o=0.8, p_e=0.5
+
+    def test_both_constant_is_null_single_constant_is_zero(self, spark):
+        from pdf_extraction_spark.operators.fusion import cohen_kappa
+
+        both = spark.createDataFrame([(True, True)] * 4, "a boolean, b boolean")
+        assert cohen_kappa(both, "a", "b").collect()[0].kappa is None
+        one = spark.createDataFrame(
+            [(True, True), (True, False)], "a boolean, b boolean"
+        )
+        assert cohen_kappa(one, "a", "b").collect()[0].kappa == 0.0
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.fusion import cohen_kappa, sql_cohen_kappa
+
+        rows = [(True, True), (True, False), (False, True), (False, False),
+                (None, True), (True, None)]
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        got = [tuple(r) for r in cohen_kappa(df, "a", "b").collect()]
+        con = duckdb.connect()
+        con.register("k", pd.DataFrame(rows, columns=["a", "b"]))
+        want = [tuple(r) for r in con.execute(sql_cohen_kappa("SELECT * FROM k")).fetchall()]
+        assert got == want
