@@ -658,7 +658,9 @@ def adamic_adar(
             "CAST(round(ln(CAST(deg AS DOUBLE)) * 1e9) AS BIGINT) AS BIGINT)"
         ).alias("w_nano"),
     )
-    wn = nbrs.join(mid, "z")
+    # both legs of the wedge self-join read this frame — persist once
+    # (the triangle_stats ori rule; cache returned for release)
+    wn = nbrs.join(mid, "z").persist()
     pairs = (
         wn.alias("x")
         .join(wn.alias("y"), ["z", "w_nano"])

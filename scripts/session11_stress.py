@@ -170,6 +170,16 @@ def main(argv=None):
         lambda n: texttile(synth_docs(n), w=10, k=3).count(),
     )
 
+    from pdf_extraction_spark.operators.graphstats import adamic_adar, bowtie
+    from pdf_extraction_spark.operators.textanalysis import with_yule_k
+
+    ladder(
+        "linkpred_edges",
+        lambda n: adamic_adar(synth_edges(n), max_degree=64, k=20).count(),
+    )
+    ladder("bowtie_edges", lambda n: bowtie(synth_edges(n)).count())
+    ladder("yule_docs", lambda n: with_yule_k(synth_docs(n)).count())
+
     with open(ns.out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
     print(json.dumps(report))
