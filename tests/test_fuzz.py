@@ -107,3 +107,112 @@ def test_pdf_content_stream_total(data):
     assert isinstance(_stream_text(data), str)
     assert isinstance(_stream_text(b"BT " + data + b" ET"), str)
     assert isinstance(_stream_text(b"BT [" + data + b"] TJ ET"), str)
+
+
+# ---------------------------------------------------------------------------
+# session-11 fuzz: RAKE and Kleinberg bursts vs their pure-Python
+# replays under random inputs (one Spark job per CASE SET, not per
+# example — hypothesis drives the replay; Spark parity runs on a
+# deterministic sample of the generated corpus)
+# ---------------------------------------------------------------------------
+
+_rake_text = st.text(
+    alphabet="abcdefg THE the and of. ,;x0123!\n\t",
+    max_size=160,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_rake_text, min_size=1, max_size=4))
+def test_rake_replay_is_total_and_bounded(texts):
+    """The pure-Python RAKE replay (the contract the Spark op is tested
+    against) never crashes, never emits empty phrases, and scores are
+    non-negative — over adversarial text soup."""
+    from test_terms import _replay_rake
+
+    docs = list(enumerate(texts))
+    out = _replay_rake(docs, 3)
+    for doc_id, phrase, n_words, score in out:
+        assert phrase and n_words >= 1 and score >= 0
+        assert len(phrase.split(" ")) == n_words
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**7),
+        min_size=5,
+        max_size=40,
+    )
+)
+def test_burst_viterbi_replay_invariants(ts_seconds):
+    """Viterbi invariants on random event times: burst count bounded by
+    gaps, min cost finite, and a uniform-gap sequence never bursts."""
+    from test_forensics import TestKleinbergBursts
+
+    us = sorted(t * 10**6 for t in ts_seconds)
+    r = TestKleinbergBursts._replay(us)
+    if r is not None:
+        n, t, bursts, cost, state = r
+        assert 0 <= bursts <= n
+        assert state in (0, 1)
+    uniform = [i * 60 * 10**6 for i in range(10)]
+    assert TestKleinbergBursts._replay(uniform)[2] == 0
+
+
+def test_rake_spark_parity_on_fuzz_corpus(spark):
+    """One Spark run over a hypothesis-shaped corpus (deterministic
+    sample of the soup alphabet) vs the replay — the cross-engine leg
+    of the fuzz above."""
+    import random
+
+    from test_terms import _replay_rake
+
+    from pdf_extraction_spark.operators.terms import rake_phrases
+
+    rng = random.Random(11)
+    alphabet = "abcdefg THE the and of. ,;x0123!\n\t"
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 160))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.phrase, r.n_words, r.score_micro)
+        for r in rake_phrases(df, k=3).collect()
+    )
+    assert got == _replay_rake(docs, 3)
+
+
+def test_bursts_spark_parity_on_fuzz_events(spark):
+    """One Spark run over random event streams vs the replay."""
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    from test_forensics import TestKleinbergBursts
+
+    from pdf_extraction_spark.operators.forensics import kleinberg_bursts
+
+    rng = random.Random(13)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for u in range(12):
+        t = 0
+        for _ in range(rng.randrange(2, 30)):
+            rows.append((f"u{u}", base + timedelta(seconds=t)))
+            t += rng.choice([0, 1, 1, 5, 60, 600, 86400])
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = sorted(
+        tuple(r) for r in kleinberg_bursts(df, min_events=5).collect()
+    )
+    byu = {}
+    for u, ts in rows:
+        byu.setdefault(u, []).append(
+            int(ts.replace(tzinfo=timezone.utc).timestamp() * 1e6)
+        )
+    exp = []
+    for u, ts in byu.items():
+        r = TestKleinbergBursts._replay(sorted(ts))
+        if r is not None:
+            exp.append((u,) + r)
+    assert got == sorted(exp)
