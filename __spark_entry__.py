@@ -2139,6 +2139,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return stem_words(fx.select("word")).select("word", "stem")
 
+    def q_host_quota(spark, sf):
+        """Batch twin of the streaming per-host admission quota
+        (streaming/hostquota.py): first-3 pages per host by the
+        deterministic (ts, url) arrival key via the bounded slice
+        buffer (no corpus window). The stream-vs-batch parity test
+        pins that the stateful stream admits the identical set."""
+        from pdf_extraction_spark.streaming.hostquota import batch_first_k
+
+        pages = _events(spark, sf).select(
+            F.concat(F.lit("h"), (F.col("user_id") % 7).cast("string")).alias(
+                "host"
+            ),
+            F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+            F.col("ts"),
+        )
+        return batch_first_k(pages, 3)
+
     def q_gate_map(spark, sf):
         """Average precision @ 20 (the TREC MAP primitive) of the
         n_chars signal against binary 'table'-occurrence relevance —
@@ -3870,6 +3887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "gate_map": q_gate_map,
         "gate_kappa": q_gate_kappa,
+        "host_quota": q_host_quota,
     }
 
 
@@ -5196,6 +5214,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gate_map": _gate_map_sql(),
         "gate_kappa": _gate_kappa_sql(),
+        "host_quota": (
+            "SELECT host, url, rn AS admitted_no FROM ("
+            "SELECT host, url, CAST(row_number() OVER (PARTITION BY host "
+            "ORDER BY ts_us, url) AS BIGINT) AS rn FROM ("
+            "SELECT 'h' || CAST(user_id % 7 AS VARCHAR) AS host, "
+            "'u' || CAST(event_id AS VARCHAR) AS url, "
+            "CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL "
+            "AND event_id IS NOT NULL)) WHERE rn <= 3"
+        ),
     }
     return sql
 
