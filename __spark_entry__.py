@@ -2139,6 +2139,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return stem_words(fx.select("word")).select("word", "stem")
 
+    def q_good_turing(spark, sf):
+        """Turing re-estimates over the corpus frequency-of-frequencies
+        table (Good 1953 / Gale-Sampson 1995): r* = (r+1)·N_{r+1}/N_r
+        and per-rank probability mass, exact int64 throughout — the
+        smoothing foundation beside the stupid-backoff LM. Two
+        combinable groupBys + a rank-keyed self-join on the tiny N_r
+        table."""
+        from pdf_extraction_spark.operators.terms import good_turing
+
+        return good_turing(_docs(spark, sf))
+
     def q_host_quota(spark, sf):
         """Batch twin of the streaming per-host admission quota
         (streaming/hostquota.py): first-3 pages per host by the
@@ -3888,6 +3899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_map": q_gate_map,
         "gate_kappa": q_gate_kappa,
         "host_quota": q_host_quota,
+        "good_turing": q_good_turing,
     }
 
 
@@ -5224,6 +5236,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE ts IS NOT NULL AND user_id IS NOT NULL "
             "AND event_id IS NOT NULL)) WHERE rn <= 3"
         ),
+        "good_turing": __import__(
+            "pdf_extraction_spark.operators.terms",
+            fromlist=["sql_good_turing"],
+        ).sql_good_turing("documents"),
     }
     return sql
 

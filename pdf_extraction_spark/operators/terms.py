@@ -609,3 +609,81 @@ def sql_rake_phrases(
         "ORDER BY score_micro DESC, phrase) AS rn FROM phr) "
         f"SELECT doc_id, phrase, n_words, score_micro FROM rk WHERE rn <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Turing / Good-Turing frequency re-estimation (Good 1953; the
+# Gale & Sampson 1995 presentation) — unsmoothed Turing estimates
+# ---------------------------------------------------------------------------
+#
+# The frequency-of-frequencies table N_r (how many vocabulary types
+# occur exactly r times) and the Turing re-estimate
+#     r* = (r+1) · N_{r+1} / N_r,     P0 = N_1 / N
+# — the foundation of every smoothed LM (Katz backoff discounts with
+# exactly these r*; the engine's stupid-backoff LM is the
+# non-discounted sibling). This operator ships the EXACT unsmoothed
+# table: r*_micro = (r+1)·N_{r+1}·10⁶ DIV N_r is pure int64 (N_r ≥ 1
+# on emitted rows), bit-identical cross-engine; ranks with N_{r+1} = 0
+# emit r* 0 (the estimate is undefined there — the caller's smoothing
+# regression, e.g. the zipf_slope device, takes over; documented).
+#
+# Scale shape: two map-side-combinable groupBys (term counts →
+# frequency-of-frequencies) + one self-join on r+1 keyed by the RANK
+# (the table is ≤ max term frequency rows — tiny) + one 1-row total.
+
+
+def good_turing(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(r, n_r, n_r1, r_star_micro, p_mass_ppm): the frequency-of-
+    frequencies table with Turing re-estimates — ``r_star_micro`` =
+    (r+1)·N_{r+1}·10⁶ DIV N_r (0 where N_{r+1} = 0) and
+    ``p_mass_ppm`` = r·N_r·10⁶ DIV N, the observed probability mass at
+    rank r (r = 1's mass is the Good-Turing unseen-mass estimate P0·10⁶
+    when read from N_1)."""
+    tf = (
+        _words(df, text_col, id_col)
+        .groupBy("tok")
+        .agg(F.count("*").alias("r"))
+    )
+    nr = tf.groupBy("r").agg(F.count("*").alias("n_r")).persist()
+    total = tf.agg(F.sum("r").alias("n_total"))
+    nr1 = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        nr.join(nr1, "r", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r",
+            "n_r",
+            F.coalesce("n_r1", F.lit(0)).alias("n_r1"),
+            F.expr(
+                "(r + 1) * coalesce(n_r1, 0L) * 1000000L DIV n_r"
+            ).alias("r_star_micro"),
+            F.expr("r * n_r * 1000000L DIV n_total").alias("p_mass_ppm"),
+        )
+    )
+
+
+def sql_good_turing(rel: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`good_turing` — identical tokenizer, count
+    tables and integer estimates."""
+    from .curation import _sql_lower_words
+
+    toks = _sql_lower_words(f"coalesce({text_expr}, '')")
+    return (
+        f"WITH tk AS (SELECT doc_id, unnest({toks}) AS tok FROM {rel}), "
+        "tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS r FROM tk "
+        "GROUP BY tok), "
+        "nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf "
+        "GROUP BY r), "
+        "tot AS (SELECT CAST(sum(r) AS BIGINT) AS n_total FROM tf) "
+        "SELECT nr.r, nr.n_r, "
+        "CAST(coalesce(n1.n_r, 0) AS BIGINT) AS n_r1, "
+        "CAST((nr.r + 1) * coalesce(n1.n_r, 0) * 1000000 // nr.n_r "
+        "AS BIGINT) AS r_star_micro, "
+        "CAST(nr.r * nr.n_r * 1000000 // tot.n_total AS BIGINT) "
+        "AS p_mass_ppm "
+        "FROM nr LEFT JOIN nr n1 ON n1.r = nr.r + 1 CROSS JOIN tot"
+    )

@@ -103,7 +103,7 @@ QUERIES = [
     "benford", "hyperball", "rake_phrases", "host_kcore", "host_assort",
     "host_salsa", "harmonic", "snippets", "texttiles",
     "readability_panel", "yule_k", "modularity", "link_predict",
-    "bowtie", "gate_map", "gate_kappa",
+    "bowtie", "gate_map", "gate_kappa", "good_turing",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

@@ -64,7 +64,7 @@ NATIVE_QUERIES = [
     "hyperball", "rake_phrases", "host_kcore", "host_assort",
     "host_salsa", "bursts", "harmonic", "snippets", "texttiles",
     "readability_panel", "yule_k", "modularity", "link_predict",
-    "bowtie", "gate_map", "gate_kappa", "host_quota",
+    "bowtie", "gate_map", "gate_kappa", "host_quota", "good_turing",
 ]
 
 

@@ -298,3 +298,44 @@ class TestRake:
         con.register("documents", pd.DataFrame(RAKE_DOCS, columns=["doc_id", "text"]))
         want = sorted(tuple(r) for r in con.execute(sql_rake_phrases("documents", k=3)).fetchall())
         assert got == want
+
+
+class TestGoodTuring:
+    ROWS = [(1, "a a a b b c d e"), (2, "b c f"), (3, None), (4, "")]
+
+    def test_known_table(self, spark):
+        from pdf_extraction_spark.operators.terms import good_turing
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        d = {r.r: r for r in good_turing(df).collect()}
+        # counts: a,b:3  c:2  d,e,f:1 → N1=3, N2=1, N3=2, N=11
+        assert (d[1].n_r, d[2].n_r, d[3].n_r) == (3, 1, 2)
+        assert d[1].r_star_micro == 2 * 10**6 // 3  # (1+1)·N2/N1
+        assert d[2].r_star_micro == 3 * 2 * 10**6 // 1
+        assert d[3].r_star_micro == 0  # N4 = 0: undefined → 0
+        assert d[1].p_mass_ppm == 3 * 10**6 // 11  # P0 = N1/N
+
+    def test_mass_sums_to_one(self, spark):
+        from pdf_extraction_spark.operators.terms import good_turing
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        total = sum(r.p_mass_ppm for r in good_turing(df).collect())
+        assert 10**6 - 5 <= total <= 10**6  # floor shortfall only
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.terms import (
+            good_turing,
+            sql_good_turing,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = sorted(tuple(r) for r in good_turing(df).collect())
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(self.ROWS, columns=["doc_id", "text"]))
+        want = sorted(
+            tuple(r) for r in con.execute(sql_good_turing("documents")).fetchall()
+        )
+        assert got == want
