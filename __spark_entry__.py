@@ -2150,6 +2150,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return good_turing(_docs(spark, sf))
 
+    def q_keyness(spark, sf):
+        """Dunning log-likelihood keyness (Dunning 1993) + Pearson
+        chi-square per (source, term) against the rest of the corpus —
+        the corpus-card "what words characterize this slice" report.
+        G2 in its entropy form touches only ln() of INTEGER counts, so
+        the fixed-point I(x) device makes g2_nano exact int64 and
+        bit-identical cross-engine; the over/under direction is the
+        log-relative-risk on the same device (no a*N product, so no
+        overflow at any corpus size). All post-groupBy frames are
+        vocabulary-sized."""
+        from pdf_extraction_spark.operators.terms import keyness
+
+        return keyness(_docs(spark, sf), min_count=5, k=8)
+
     def q_host_quota(spark, sf):
         """Batch twin of the streaming per-host admission quota
         (streaming/hostquota.py): first-3 pages per host by the
@@ -3900,6 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_kappa": q_gate_kappa,
         "host_quota": q_host_quota,
         "good_turing": q_good_turing,
+        "keyness": q_keyness,
     }
 
 
@@ -5240,6 +5255,10 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.terms",
             fromlist=["sql_good_turing"],
         ).sql_good_turing("documents"),
+        "keyness": __import__(
+            "pdf_extraction_spark.operators.terms",
+            fromlist=["sql_keyness"],
+        ).sql_keyness("documents", min_count=5, k=8),
     }
     return sql
 

@@ -687,3 +687,192 @@ def sql_good_turing(rel: str = "documents", text_expr: str = "text") -> str:
         "AS p_mass_ppm "
         "FROM nr LEFT JOIN nr n1 ON n1.r = nr.r + 1 CROSS JOIN tot"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dunning log-likelihood keyness (Dunning 1993, "Accurate Methods for
+# the Statistics of Surprise and Coincidence") + Pearson chi-square
+# ---------------------------------------------------------------------------
+#
+# Per-(group, term) 2x2 contingency keyness against the rest of the
+# corpus — THE standard "what words characterize this slice" report
+# (corpus linguistics calls it keyword analysis; data-curation cards
+# use it to describe source strata before mixture weights are chosen).
+# For term t in group g with
+#     a = count(t in g)        b = count(t elsewhere) = tf - a
+#     c = other tokens in g    d = other tokens elsewhere
+# the log-likelihood ratio statistic in its entropy form is
+#     G2 = 2*( S(a)+S(b)+S(c)+S(d)
+#              - S(tf) - S(N-tf) - S(n_g) - S(N-n_g) + S(N) )
+# with S(x) = x*ln(x), S(0) = 0 — every ln argument is an INTEGER
+# count, so the engine's fixed-point device applies exactly: with
+# I(x) = round(ln(x)*1e9) as int64, every S-term is exact int64 and
+# the full statistic `g2_nano` is bit-identical across engines,
+# partitionings and cluster sizes (sums of exact integers). Dunning's
+# point — G2 stays valid for the rare events chi-square mangles — is
+# why it leads the report; chi2 rides along as the textbook
+# cross-check, computed as ONE fixed-order double expression (both
+# engines evaluate the identical IEEE op sequence) and rounded to 6.
+#
+# The over/under-represented direction comes from the same device:
+# lr_nano = I(a)+I(N)-I(tf)-I(n_g) is the log relative risk
+# ln((a/n_g)/(tf/N))*1e9 as exact int64 — no a*N product, so no int64
+# overflow at any corpus size (the naive cross-multiplication a*N >
+# tf*n_g overflows past ~3e9 tokens).
+#
+# Scale shape: one (group, term) groupBy on the exploded token stream
+# (corpus-sized shuffle — the count-table contract), then ALL frames
+# are vocabulary-sized: tf via a term-partitioned window (#groups rows
+# per partition), n_g via a group-partitioned window (vocab rows per
+# partition — the gate_auc distinct-score-window acceptance), N as a
+# broadcast 1-row aggregate, top-k per group over the min_count-pruned
+# table. No Python stage, no corpus-sized window, no driver state.
+# NULL group is a real stratum: window PARTITION BY groups NULLs
+# together in both engines (no join, so no eqNullSafe trap to dodge).
+
+
+def keyness(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """(group, tok, tf_group, tf_corpus, g2_nano, lr_nano, chi2): the
+    top-``k`` terms per group by Dunning G2 keyness among terms with
+    corpus frequency >= ``min_count``. ``g2_nano`` = G2 * 1e9 exact
+    int64; ``lr_nano`` = signed log-relative-risk * 1e9 (positive =
+    over-represented in the group); ``chi2`` = Pearson chi-square
+    rounded to 6 (NULL when a marginal is degenerate)."""
+    from pyspark.sql import Window
+
+    from .curation import _lower_words
+    from .mlfilter import _round6z
+
+    words = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            _lower_words(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("tok"),
+    )
+    ct = words.groupBy("grp", "tok").agg(F.count("*").alias("a"))
+    ct = ct.withColumn("tf", F.sum("a").over(Window.partitionBy("tok"))).withColumn(
+        "n_g", F.sum("a").over(Window.partitionBy("grp"))
+    )
+    total = ct.groupBy().agg(F.sum("a").alias("n_tot"))
+    ct = ct.crossJoin(F.broadcast(total)).filter(F.col("tf") >= min_count)
+
+    def s(c: Column) -> Column:
+        return F.when(c > 0, c * _iln(c)).otherwise(F.lit(0)).cast("long")
+
+    a, tf, n_g, n = F.col("a"), F.col("tf"), F.col("n_g"), F.col("n_tot")
+    b, c_, d = tf - a, n_g - a, n - n_g - (tf - a)
+    scored = ct.select(
+        F.col("grp").alias(group_col),
+        "tok",
+        a.alias("tf_group"),
+        tf.alias("tf_corpus"),
+        (
+            F.lit(2)
+            * (
+                s(a) + s(b) + s(c_) + s(d)
+                - s(tf) - s(n - tf) - s(n_g) - s(n - n_g) + s(n)
+            )
+        ).alias("g2_nano"),
+        (_iln(a) + _iln(n) - _iln(tf) - _iln(n_g)).alias("lr_nano"),
+        F.when(
+            (tf > 0) & (n - tf > 0) & (n_g > 0) & (n - n_g > 0),
+            _round6z(
+                n.cast("double")
+                * (
+                    a.cast("double") * d.cast("double")
+                    - b.cast("double") * c_.cast("double")
+                )
+                * (
+                    a.cast("double") * d.cast("double")
+                    - b.cast("double") * c_.cast("double")
+                )
+                / (
+                    tf.cast("double")
+                    * (n - tf).cast("double")
+                    * n_g.cast("double")
+                    * (n - n_g).cast("double")
+                )
+            ),
+        ).alias("chi2"),
+    )
+    rk = Window.partitionBy(group_col).orderBy(
+        F.col("g2_nano").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def sql_keyness(
+    rel: str = "documents",
+    group_expr: str = "source",
+    text_expr: str = "text",
+    min_count: int = 5,
+    k: int = 10,
+) -> str:
+    """DuckDB twin of :func:`keyness` — identical tokenizer, window
+    sums, fixed-point S/I terms, chi2 op order and per-group ranking."""
+    from .curation import _sql_lower_words
+    from .mlfilter import _sql_round6z
+
+    toks = _sql_lower_words(f"coalesce({text_expr}, '')")
+    iln = _ILN_SQL
+    s = (
+        "CAST(CASE WHEN {x} > 0 THEN ({x}) * "
+        + iln.format(x="{x}")
+        + " ELSE 0 END AS BIGINT)"
+    )
+    nd = (
+        "(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) "
+        "- CAST(b AS DOUBLE) * CAST(c AS DOUBLE))"
+    )
+    chi2 = _sql_round6z(
+        f"CAST(n_tot AS DOUBLE) * {nd} * {nd} / (CAST(tf AS DOUBLE) "
+        "* CAST(n_tot - tf AS DOUBLE) * CAST(n_g AS DOUBLE) "
+        "* CAST(n_tot - n_g AS DOUBLE))"
+    )
+    terms = " + ".join(
+        [s.format(x=x) for x in ["a", "b", "c", "d"]]
+    )
+    margins = " - ".join(
+        [
+            s.format(x="tf"),
+            s.format(x="n_tot - tf"),
+            s.format(x="n_g"),
+            s.format(x="n_tot - n_g"),
+        ]
+    )
+    return (
+        f"WITH w AS (SELECT {group_expr} AS grp, unnest({toks}) AS tok "
+        f"FROM {rel}), "
+        "ct0 AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS a FROM w "
+        "GROUP BY grp, tok), "
+        "ct AS (SELECT *, CAST(sum(a) OVER (PARTITION BY tok) AS BIGINT) "
+        "AS tf, CAST(sum(a) OVER (PARTITION BY grp) AS BIGINT) AS n_g, "
+        "CAST(sum(a) OVER () AS BIGINT) AS n_tot FROM ct0), "
+        f"cells AS (SELECT *, tf - a AS b, n_g - a AS c, "
+        f"n_tot - n_g - (tf - a) AS d FROM ct WHERE tf >= {min_count}), "
+        f"scored AS (SELECT grp AS {group_expr}, tok, a AS tf_group, "
+        "tf AS tf_corpus, "
+        f"CAST(2 * (({terms}) - {margins} + {s.format(x='n_tot')}) "
+        "AS BIGINT) AS g2_nano, "
+        f"CAST({iln.format(x='a')} + {iln.format(x='n_tot')} "
+        f"- {iln.format(x='tf')} - {iln.format(x='n_g')} AS BIGINT) "
+        "AS lr_nano, "
+        "CASE WHEN tf > 0 AND n_tot - tf > 0 AND n_g > 0 "
+        f"AND n_tot - n_g > 0 THEN {chi2} END AS chi2 FROM cells), "
+        "rk AS (SELECT *, row_number() OVER "
+        f"(PARTITION BY {group_expr} ORDER BY g2_nano DESC, tok) AS rn "
+        "FROM scored) "
+        f"SELECT {group_expr}, tok, tf_group, tf_corpus, g2_nano, "
+        f"lr_nano, chi2 FROM rk WHERE rn <= {k}"
+    )

@@ -339,3 +339,150 @@ class TestGoodTuring:
             tuple(r) for r in con.execute(sql_good_turing("documents")).fetchall()
         )
         assert got == want
+
+
+class TestKeyness:
+    # spam flood concentrated in one source; shared filler everywhere
+    ROWS = [
+        (0, "buy pills buy pills buy pills cheap now", "spam"),
+        (1, "buy pills now cheap cheap deal deal deal", "spam"),
+        (2, "the quiet garden held the morning light", "news"),
+        (3, "the garden light fell on the morning path", "news"),
+        (4, "morning light and garden path and quiet", None),
+        (5, "", "spam"),
+        (6, None, None),
+    ]
+
+    def _replay(self, rows, min_count, k):
+        import re
+        from collections import Counter
+
+        def toks(t):
+            return [
+                w
+                for w in re.split(r"[ \t\n\x0B\f\r]+", (t or "").lower())
+                if w
+            ]
+
+        ct, tfc, ngc = Counter(), Counter(), Counter()
+        for _, t, g in rows:
+            for w in toks(t):
+                ct[(g, w)] += 1
+                tfc[w] += 1
+                ngc[g] += 1
+        n = sum(tfc.values())
+
+        def iln(x):
+            return int(round(math.log(x) * 1e9))
+
+        def s(x):
+            return x * iln(x) if x > 0 else 0
+
+        out = {}
+        for (g, w), a in ct.items():
+            tf = tfc[w]
+            if tf < min_count:
+                continue
+            ng = ngc[g]
+            b, c, d = tf - a, ng - a, n - ng - (tf - a)
+            g2 = 2 * (
+                s(a) + s(b) + s(c) + s(d)
+                - s(tf) - s(n - tf) - s(ng) - s(n - ng) + s(n)
+            )
+            lr = iln(a) + iln(n) - iln(tf) - iln(ng)
+            nd = float(a) * float(d) - float(b) * float(c)
+            chi2 = (
+                round(
+                    float(n) * nd * nd
+                    / (float(tf) * float(n - tf) * float(ng) * float(n - ng)),
+                    6,
+                )
+                + 0.0
+                if 0 < tf < n and 0 < ng < n
+                else None
+            )
+            out[(g, w)] = (a, tf, g2, lr, chi2)
+        top = {}
+        for g in set(g for g, _ in out):
+            ranked = sorted(
+                ((v[2], w) for (gg, w), v in out.items() if gg == g),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            top[g] = set(w for _, w in ranked)
+        return out, top
+
+    def test_replay_parity(self, spark):
+        from pdf_extraction_spark.operators.terms import keyness
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, source string"
+        )
+        got = keyness(df, min_count=2, k=4).collect()
+        want, top = self._replay(self.ROWS, 2, 4)
+        assert len(got) > 0
+        for r in got:
+            key = (r.source, r.tok)
+            assert r.tok in top[r.source], key
+            a, tf, g2, lr, chi2 = want[key]
+            assert (r.tf_group, r.tf_corpus) == (a, tf), key
+            assert r.g2_nano == g2, key
+            assert r.lr_nano == lr, key
+            assert r.chi2 == chi2, key
+
+    def test_direction_and_null_stratum(self, spark):
+        from pdf_extraction_spark.operators.terms import keyness
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, source string"
+        )
+        rows = keyness(df, min_count=2, k=10).collect()
+        by = {(r.source, r.tok): r for r in rows}
+        # "pills" lives only in spam → over-represented there
+        assert by[("spam", "pills")].lr_nano > 0
+        # "the" never occurs in spam rows → no (spam, the) row at all,
+        # and in news (where it concentrates) it reads positive
+        assert ("spam", "the") not in by
+        assert by[("news", "the")].lr_nano > 0
+        # the NULL source is a real stratum with its own ranked terms
+        assert any(r.source is None for r in rows)
+
+    def test_partition_invariance(self, spark):
+        from pdf_extraction_spark.operators.terms import keyness
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, source string"
+        )
+        a = sorted(map(tuple, keyness(df, min_count=2, k=4).collect()), key=repr)
+        b = sorted(
+            map(tuple, keyness(df.repartition(7), min_count=2, k=4).collect()),
+            key=repr,
+        )
+        assert a == b
+
+    def test_twin_parity(self, spark):
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.terms import keyness, sql_keyness
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, source string"
+        )
+        got = sorted(
+            (tuple(r) for r in keyness(df, min_count=2, k=4).collect()),
+            key=repr,
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(self.ROWS, columns=["doc_id", "text", "source"]),
+        )
+        want = sorted(
+            (
+                tuple(r)
+                for r in con.execute(
+                    sql_keyness("documents", min_count=2, k=4)
+                ).fetchall()
+            ),
+            key=repr,
+        )
+        assert got == want
