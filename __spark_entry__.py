@@ -2164,6 +2164,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def q_nb_classify(spark, sf):
+        """Multinomial Naive Bayes self-classification (McCallum &
+        Nigam 1998): which source stratum does each page read like
+        under a model fit on the corpus itself — the generative
+        provenance gate beside the hashed-linear and LM gates. Laplace
+        smoothing decomposed so only training-seen (word, class) pairs
+        join; every score term exact int64 on the fixed-point ln
+        device, argmax window partitions hold exactly #classes rows."""
+        from pdf_extraction_spark.operators.mlfilter import (
+            naive_bayes_classify,
+        )
+
+        return naive_bayes_classify(_docs(spark, sf))
+
     def q_host_quota(spark, sf):
         """Batch twin of the streaming per-host admission quota
         (streaming/hostquota.py): first-3 pages per host by the
@@ -3915,6 +3929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quota": q_host_quota,
         "good_turing": q_good_turing,
         "keyness": q_keyness,
+        "nb_classify": q_nb_classify,
     }
 
 
@@ -5259,6 +5274,10 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.terms",
             fromlist=["sql_keyness"],
         ).sql_keyness("documents", min_count=5, k=8),
+        "nb_classify": __import__(
+            "pdf_extraction_spark.operators.mlfilter",
+            fromlist=["sql_naive_bayes"],
+        ).sql_naive_bayes("documents"),
     }
     return sql
 

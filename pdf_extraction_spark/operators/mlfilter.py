@@ -1432,3 +1432,177 @@ FROM ({t_leg}) st JOIN ({r_leg}) sr ON st.doc_id = sr.doc_id
 ORDER BY ml_diff DESC, st.doc_id
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes source classifier (McCallum & Nigam 1998,
+# "A Comparison of Event Models for Naive Bayes Text Classification")
+# ---------------------------------------------------------------------------
+#
+# The classic generative text classifier as a pure relational plan —
+# the provenance-attribution gate ("which stratum does this page read
+# like?") beside the discriminative hashed-linear gate and the LM
+# fluency gates. With Laplace(+1) smoothing the per-class score
+#     log P(c) + sum_w tf_dw * log((c_wc + 1) / (c_c + V))
+# decomposes as
+#     [I(n_docs_c) - I(n_docs)]                (prior)
+#   - n_d * I(c_c + V)                         (denominator, per class)
+#   + sum_{w in d, seen in c} tf_dw * I(c_wc + 1)   (numerator hits)
+# with I(x) = round(ln(x)*1e9) int64 — the engine's fixed-point ln
+# device. Every term is exact int64, so scores, the argmax and the
+# margin are bit-identical across engines, partitionings and cluster
+# sizes. The decomposition matters at scale: only (word, class) pairs
+# SEEN IN TRAINING produce join rows — unseen words ride entirely on
+# the n_d * I(c_c + V) term, so the hits join is bounded by matching
+# pairs, never |docs| x |vocab|.
+#
+# Scale shape: two vocabulary-keyed count tables (the LM-training
+# contract), one tok-keyed hits join + (doc, class) groupBy, a
+# #classes-row broadcast grid join, and a per-doc argmax window whose
+# partitions hold exactly #classes rows. No Python, no corpus window.
+# NULL training labels are dropped (unlabeled rows are not a class);
+# scored docs always emit one row (empty/NULL text scores on priors
+# alone). Overflow bound: n_d * I(c_c+V) <= n_d * 28e9 — exact for
+# docs up to ~3e8 tokens (the unigram-entropy bound).
+
+
+def naive_bayes_classify(
+    df: DataFrame,
+    train_df: DataFrame = None,
+    label_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pred, score_nano, margin_nano): the argmax-class NB
+    verdict for every row of ``df`` under a model fit on ``train_df``
+    (default: ``df`` itself — the self-classification provenance
+    report). ``margin_nano`` = best minus runner-up score (NULL with a
+    single class); ties break to the lexicographically smallest label."""
+    from pyspark.sql import Window
+
+    train = df if train_df is None else train_df
+    tr = train.filter(F.col(label_col).isNotNull())
+
+    def iln(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e9)).cast("long")
+
+    tr_toks = tr.select(
+        F.col(label_col).alias("lbl"),
+        F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
+    )
+    cw = tr_toks.groupBy("lbl", "tok").agg(F.count("*").alias("c_wc"))
+    ctok = tr_toks.groupBy("lbl").agg(F.count("*").alias("c_c"))
+    cdoc = tr.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count("*").alias("n_docs_c")
+    )
+    vocab = cw.select("tok").distinct().groupBy().agg(F.count("*").alias("v"))
+    ndocs = tr.groupBy().agg(F.count("*").alias("n_docs"))
+    classes = (
+        cdoc.join(ctok, "lbl", "left")
+        .withColumn("c_c", F.coalesce("c_c", F.lit(0)))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "lbl",
+            (iln(F.col("n_docs_c")) - iln(F.col("n_docs"))).alias("prior_nano"),
+            iln(F.greatest(F.col("c_c") + F.col("v"), F.lit(1))).alias(
+                "denom_nano"
+            ),
+        )
+    )
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("n_d"),
+    )
+    dw = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
+    ).groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    hits = (
+        dw.join(cw, "tok")
+        .groupBy("doc_id", "lbl")
+        .agg(F.sum(F.col("tf") * iln(F.col("c_wc") + F.lit(1))).alias("hit_nano"))
+    )
+    grid = base.crossJoin(F.broadcast(classes))
+    scored = grid.join(hits, ["doc_id", "lbl"], "left").select(
+        "doc_id",
+        "lbl",
+        (
+            F.col("prior_nano")
+            - F.col("n_d").cast("long") * F.col("denom_nano")
+            + F.coalesce(F.col("hit_nano"), F.lit(0))
+        ).alias("score_nano"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_nano").desc(), F.col("lbl")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("nxt", F.lead("score_nano").over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lbl").alias("pred"),
+            "score_nano",
+            (F.col("score_nano") - F.col("nxt")).alias("margin_nano"),
+        )
+    )
+
+
+def sql_naive_bayes(
+    rel: str = "documents",
+    train_rel: str = None,
+    label_expr: str = "source",
+    text_expr: str = "text",
+) -> str:
+    """DuckDB twin of :func:`naive_bayes_classify` — identical count
+    tables, fixed-point terms, grid/hits decomposition and argmax
+    window."""
+    train_rel = train_rel or rel
+    toks = _sql_tokens(f"coalesce({text_expr}, '')")
+    iln = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9) AS BIGINT)"
+    return (
+        f"WITH tr AS (SELECT {label_expr} AS lbl, {text_expr} AS text "
+        f"FROM {train_rel} WHERE {label_expr} IS NOT NULL), "
+        "trt AS (SELECT lbl, unnest("
+        + _sql_tokens("coalesce(text, '')")
+        + ") AS tok FROM tr), "
+        "cw AS (SELECT lbl, tok, CAST(count(*) AS BIGINT) AS c_wc "
+        "FROM trt GROUP BY lbl, tok), "
+        "ctok AS (SELECT lbl, CAST(count(*) AS BIGINT) AS c_c FROM trt "
+        "GROUP BY lbl), "
+        "cdoc AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_docs_c "
+        "FROM tr GROUP BY lbl), "
+        "vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cw), "
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM tr), "
+        "classes AS (SELECT cdoc.lbl, "
+        + iln.format(x="n_docs_c")
+        + " - "
+        + iln.format(x="n_docs")
+        + " AS prior_nano, "
+        + iln.format(x="greatest(coalesce(c_c, 0) + v, 1)")
+        + " AS denom_nano FROM cdoc LEFT JOIN ctok ON cdoc.lbl = ctok.lbl "
+        "CROSS JOIN vocab CROSS JOIN nd), "
+        f"base AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_d "
+        f"FROM {rel}), "
+        f"dw AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM "
+        f"(SELECT doc_id, unnest({toks}) AS tok FROM {rel}) "
+        "GROUP BY doc_id, tok), "
+        "hits AS (SELECT dw.doc_id, cw.lbl, CAST(sum(dw.tf * ("
+        + iln.format(x="cw.c_wc + 1")
+        + ")) AS BIGINT) AS hit_nano FROM dw JOIN cw ON dw.tok = cw.tok "
+        "GROUP BY dw.doc_id, cw.lbl), "
+        "scored AS (SELECT base.doc_id, classes.lbl, "
+        "classes.prior_nano - base.n_d * classes.denom_nano "
+        "+ coalesce(hits.hit_nano, 0) AS score_nano "
+        "FROM base CROSS JOIN classes LEFT JOIN hits "
+        "ON hits.doc_id = base.doc_id AND hits.lbl = classes.lbl), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score_nano DESC, lbl) AS rn, "
+        "lead(score_nano) OVER (PARTITION BY doc_id "
+        "ORDER BY score_nano DESC, lbl) AS nxt FROM scored) "
+        "SELECT doc_id, lbl AS pred, score_nano, "
+        "CAST(score_nano - nxt AS BIGINT) AS margin_nano "
+        "FROM rk WHERE rn = 1"
+    )

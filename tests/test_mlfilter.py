@@ -669,3 +669,150 @@ class TestGateCalibration:
         df = spark.createDataFrame(rows, "id long, prob double, label int")
         [r] = gate_calibration(df, "prob", "label").collect()
         assert r.gap_ppm == 500_000 - 900_000
+
+
+class TestNaiveBayes:
+    ROWS = [
+        (0, "buy pills cheap pills buy now", "spam"),
+        (1, "cheap pills deal buy deal", "spam"),
+        (2, "the garden held morning light", "news"),
+        (3, "morning light on the garden path", "news"),
+        (4, "buy the garden pills light", None),  # unlabeled: scored, not trained
+        (5, "", "news"),
+        (6, None, "spam"),
+    ]
+
+    def _replay(self, rows):
+        import math
+        import re
+        from collections import Counter
+
+        def toks(t):
+            return [
+                w
+                for w in re.split(r"[ \t\n\x0B\f\r]+", (t or "").lower())
+                if w
+            ]
+
+        def iln(x):
+            return int(round(math.log(x) * 1e9))
+
+        labeled = [(d, t, g) for d, t, g in rows if g is not None]
+        cw, ctok, cdoc = Counter(), Counter(), Counter()
+        for _, t, g in labeled:
+            cdoc[g] += 1
+            for w in toks(t):
+                cw[(g, w)] += 1
+                ctok[g] += 1
+        vocab = len(set(w for _, w in cw))
+        n_docs = len(labeled)
+        preds = {}
+        for d, t, _ in rows:
+            scores = []
+            tf = Counter(toks(t))
+            n_d = sum(tf.values())
+            for g in cdoc:
+                s = iln(cdoc[g]) - iln(n_docs)
+                s -= n_d * iln(max(ctok[g] + vocab, 1))
+                s += sum(
+                    c * iln(cw[(g, w)] + 1) for w, c in tf.items() if (g, w) in cw
+                )
+                scores.append((s, g))
+            scores.sort(key=lambda x: (-x[0], x[1]))
+            margin = scores[0][0] - scores[1][0] if len(scores) > 1 else None
+            preds[d] = (scores[0][1], scores[0][0], margin)
+        return preds
+
+    def test_replay_parity(self, spark):
+        from pdf_extraction_spark.operators.mlfilter import naive_bayes_classify
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, source string"
+        )
+        got = {r.doc_id: r for r in naive_bayes_classify(df).collect()}
+        want = self._replay(self.ROWS)
+        assert set(got) == set(want)
+        for d, (pred, score, margin) in want.items():
+            assert got[d].pred == pred, d
+            assert got[d].score_nano == score, d
+            assert got[d].margin_nano == margin, d
+
+    def test_semantics(self, spark):
+        from pdf_extraction_spark.operators.mlfilter import naive_bayes_classify
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, source string"
+        )
+        got = {r.doc_id: r for r in naive_bayes_classify(df).collect()}
+        # spam/news vocab separates cleanly
+        assert got[0].pred == "spam" and got[1].pred == "spam"
+        assert got[2].pred == "news" and got[3].pred == "news"
+        # the unlabeled doc is scored (never trained on) with positive margin
+        assert got[4].pred in ("spam", "news") and got[4].margin_nano is not None
+        # empty/NULL text scores on priors alone: spam has 3 labeled docs
+        # vs news 3 → tie on prior, tie-break to lexicographically first
+        assert got[5].pred == got[6].pred
+
+    def test_separate_train_frame(self, spark):
+        from pdf_extraction_spark.operators.mlfilter import naive_bayes_classify
+
+        train = spark.createDataFrame(
+            [(10, "alpha beta beta", "a"), (11, "gamma delta delta", "b")],
+            "doc_id long, text string, source string",
+        )
+        score = spark.createDataFrame(
+            [(0, "beta beta unseen"), (1, "delta gamma")],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.pred
+            for r in naive_bayes_classify(
+                score.withColumn("source", F_lit_none()), train_df=train
+            ).collect()
+        }
+        assert got == {0: "a", 1: "b"}
+
+    def test_partition_invariance(self, spark):
+        from pdf_extraction_spark.operators.mlfilter import naive_bayes_classify
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, source string"
+        )
+        a = sorted(map(tuple, naive_bayes_classify(df).collect()), key=repr)
+        b = sorted(
+            map(tuple, naive_bayes_classify(df.repartition(5)).collect()),
+            key=repr,
+        )
+        assert a == b
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.mlfilter import (
+            naive_bayes_classify,
+            sql_naive_bayes,
+        )
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, source string"
+        )
+        got = sorted(
+            (tuple(r) for r in naive_bayes_classify(df).collect()), key=repr
+        )
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(self.ROWS, columns=["doc_id", "text", "source"]),
+        )
+        want = sorted(
+            (tuple(r) for r in con.execute(sql_naive_bayes("documents")).fetchall()),
+            key=repr,
+        )
+        assert got == want
+
+
+def F_lit_none():
+    from pyspark.sql import functions as F
+
+    return F.lit(None).cast("string")
