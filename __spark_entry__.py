@@ -2164,6 +2164,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def q_ams_f2(spark, sf):
+        """AMS second-frequency-moment sketch (Alon-Matias-Szegedy
+        1996; Thorup-Zhang bucketed estimator) over the shared token
+        stream — the fourth md5-register sketch: signed md5-bucket
+        counters, per-row sum of squares, lower median over rows, all
+        exact int64. The exact F2 (one vocabulary-sized groupBy) rides
+        along so the row is self-evaluating (rel_err_ppm)."""
+        from pdf_extraction_spark.operators.sketches import ams_f2
+
+        return ams_f2(_word_stream(spark, sf), F.col("word"))
+
     def q_nb_classify(spark, sf):
         """Multinomial Naive Bayes self-classification (McCallum &
         Nigam 1998): which source stratum does each page read like
@@ -3930,6 +3941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": q_good_turing,
         "keyness": q_keyness,
         "nb_classify": q_nb_classify,
+        "ams_f2": q_ams_f2,
     }
 
 
@@ -5278,6 +5290,12 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.mlfilter",
             fromlist=["sql_naive_bayes"],
         ).sql_naive_bayes("documents"),
+        "ams_f2": __import__(
+            "pdf_extraction_spark.operators.sketches",
+            fromlist=["sql_ams_f2"],
+        ).sql_ams_f2(
+            "SELECT word AS key FROM " + _WORD_SRC + " w"
+        ),
     }
     return sql
 

@@ -778,3 +778,161 @@ def sql_histogram_quantiles(
         "ELSE (bin % 64) * (1::BIGINT << CAST(bin // 64 - 6 AS INT)) END AS BIGINT) AS est, "
         "CAST(n_total AS BIGINT) AS n_total FROM hit"
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 sketch (Alon, Matias & Szegedy 1996; the bucketed "fast AMS" /
+# Count-Sketch estimator of Thorup & Zhang 2004)
+# ---------------------------------------------------------------------------
+#
+# The second frequency moment F2 = sum_x f(x)^2 — the repetitiveness /
+# self-join-size moment (Gini-of-frequencies' quadratic cousin, the
+# quantity that prices every frequency-keyed join and detects
+# template floods) — estimated from a (depth x width) table of SIGNED
+# counter sums: in row r, item x lands in bucket md5('ams{r}:'||x)
+# 32-bit prefix mod width with sign +-1 from the NEXT md5 hex digit's
+# parity (same hash string, disjoint bits — one md5 per (row, item)).
+# Per row Y_r = sum_b S[r][b]^2 is an unbiased F2 estimate with
+# Var <= 2*F2^2/width; the output is the lower median over the depth
+# rows (exact integer — no float convention anywhere in the operator).
+#
+# The fourth md5-register sketch, same contracts as HLL/CMS/histogram:
+# registers from md5 so the SKETCH is bit-identical cross-engine;
+# integer end-to-end; one scan + one groupBy bounded by depth*width
+# rows at ANY corpus size; shard sketches merge by plain (row, bucket)
+# integer SUM (signed counters are associative/commutative — pinned),
+# so 1000 executors sketch independently. The exact F2 rides along
+# (one vocabulary-sized groupBy — the Yule-K identity) so the query is
+# self-evaluating: est vs exact vs rel_err_ppm in one row.
+#
+# Overflow: |S[r][b]| <= N (all mass one bucket, worst case) and
+# Y_r <= N^2 — exact for corpora to ~3e9 tokens; beyond that the
+# expected |S| ~ sqrt(F2/width) keeps real sums far inside int64
+# (documented, same class as the entropy-device bound).
+
+AMS_DEPTH = 5  # odd, so the median is a real row estimate
+AMS_WIDTH = 64
+
+
+def _ams_cells(key: Column, depth: int, width: int) -> Column:
+    """[(row, bucket, sign)] literal-array of a key's d signed cells."""
+    cells = []
+    for r in range(depth):
+        h = F.md5(F.concat(F.lit(f"ams{r}:"), key))
+        bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+        sign = (
+            F.lit(1)
+            - F.lit(2) * (F.conv(F.substring(h, 9, 1), 16, 10).cast("long") % 2)
+        ).cast("long")
+        cells.append(
+            F.struct(
+                F.lit(r).alias("row"),
+                bucket.alias("bucket"),
+                sign.alias("sign"),
+            )
+        )
+    return F.array(*cells)
+
+
+def ams_sketch(
+    df: DataFrame,
+    value: Column,
+    depth: int = AMS_DEPTH,
+    width: int = AMS_WIDTH,
+) -> DataFrame:
+    """(row, bucket, s): the signed-counter table — one groupBy over
+    d stacked salted projections of one scan (the cms_sketch explode
+    device), at most depth*width rows."""
+    base = df.select(value.cast("string").alias("key")).filter(
+        F.col("key").isNotNull()
+    )
+    return (
+        base.select(F.explode(_ams_cells(F.col("key"), depth, width)).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("c.sign").alias("s"))
+    )
+
+
+def ams_f2_estimate(sketch: DataFrame, depth: int = AMS_DEPTH) -> DataFrame:
+    """(f2_est): lower median over rows of Y_r = sum_b S[r][b]^2 —
+    exact integer; NULL when the sketch is empty (no input values)."""
+    rows = sketch.groupBy("row").agg(
+        F.sum(F.col("s") * F.col("s")).alias("y")
+    )
+    idx = (depth + 1) // 2
+    return rows.groupBy().agg(
+        F.try_element_at(
+            F.array_sort(F.collect_list("y")), F.lit(idx)
+        ).alias("f2_est")
+    )
+
+
+def ams_f2(
+    df: DataFrame,
+    value: Column,
+    depth: int = AMS_DEPTH,
+    width: int = AMS_WIDTH,
+) -> DataFrame:
+    """(depth, width, f2_est, f2_exact, rel_err_ppm): the sketch
+    estimate beside the exact moment (one vocabulary-sized groupBy) —
+    the self-evaluating form the registered query ships."""
+    est = ams_f2_estimate(ams_sketch(df, value, depth, width), depth)
+    base = df.select(value.cast("string").alias("key")).filter(
+        F.col("key").isNotNull()
+    )
+    exact = (
+        base.groupBy("key")
+        .agg(F.count("*").alias("f"))
+        .groupBy()
+        .agg(F.sum(F.col("f") * F.col("f")).alias("f2_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit(depth).cast("int").alias("depth"),
+        F.lit(width).cast("int").alias("width"),
+        "f2_est",
+        "f2_exact",
+        F.when(
+            F.col("f2_exact") > 0,
+            # exact integer floor division — the twin's // ; a double
+            # division here would round differently above 2^53
+            F.expr("abs(f2_est - f2_exact) * 1000000L div f2_exact"),
+        )
+        .cast("long")
+        .alias("rel_err_ppm"),
+    )
+
+
+def sql_ams_f2(
+    values_select: str,
+    depth: int = AMS_DEPTH,
+    width: int = AMS_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`ams_f2` over ``values_select``, a SELECT
+    producing one column ``key`` — identical md5 cells, signed sums,
+    row squares, lower-median pick and ppm division."""
+    cells = " UNION ALL ".join(
+        f"SELECT {r} AS row, "
+        f"(CAST('0x' || substr(md5('ams{r}:' || key), 1, 8) AS BIGINT) "
+        f"% {width}) AS bucket, "
+        f"(1 - 2 * (CAST('0x' || substr(md5('ams{r}:' || key), 9, 1) "
+        "AS BIGINT) % 2)) AS sign FROM base"
+        for r in range(depth)
+    )
+    idx = (depth + 1) // 2
+    return (
+        f"WITH base AS (SELECT CAST(key AS VARCHAR) AS key FROM "
+        f"({values_select}) WHERE key IS NOT NULL), "
+        f"cells AS ({cells}), "
+        "sk AS (SELECT row, bucket, CAST(sum(sign) AS BIGINT) AS s "
+        "FROM cells GROUP BY row, bucket), "
+        "ys AS (SELECT row, CAST(sum(s * s) AS BIGINT) AS y FROM sk "
+        "GROUP BY row), "
+        f"est AS (SELECT list_sort(list(y))[{idx}] AS f2_est FROM ys), "
+        "ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM "
+        "(SELECT key, CAST(count(*) AS BIGINT) AS f FROM base GROUP BY key)) "
+        f"SELECT CAST({depth} AS INT) AS depth, CAST({width} AS INT) AS width, "
+        "CAST(f2_est AS BIGINT) AS f2_est, f2_exact, "
+        "CASE WHEN f2_exact > 0 THEN CAST(abs(f2_est - f2_exact) "
+        "* 1000000 // f2_exact AS BIGINT) END AS rel_err_ppm "
+        "FROM est CROSS JOIN ex"
+    )

@@ -501,3 +501,76 @@ def test_streaming_cms_sketch_matches_batch(spark, tmp_path):
     assert got == want
     # state is sketch-bounded: never more than depth*width rows
     assert len(got) <= 3 * 64
+
+
+# --- AMS F2 sketch ---------------------------------------------------------
+
+
+def _ams_words(spark, rows):
+    return spark.createDataFrame([(w,) for w in rows], "word string")
+
+
+def test_ams_exact_replay_and_twin_parity(spark):
+    import duckdb
+
+    from pdf_extraction_spark.operators.sketches import ams_f2, sql_ams_f2
+
+    words = ["alpha"] * 10 + ["beta"] * 5 + ["gamma"] * 3 + ["d", "e", "f"]
+    df = _ams_words(spark, words)
+    [r] = ams_f2(df, F.col("word"), depth=5, width=32).collect()
+    assert r.f2_exact == 10 * 10 + 5 * 5 + 3 * 3 + 3
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    [o] = con.execute(
+        sql_ams_f2(f"SELECT key FROM (VALUES {vals}) t(key)", depth=5, width=32)
+    ).fetchall()
+    assert tuple(r) == o
+
+
+def test_ams_accuracy_bounded(spark):
+    from pdf_extraction_spark.operators.sketches import ams_f2
+
+    # 200 distinct words, zipf-ish counts: F2 concentrated enough to
+    # matter, spread enough that the variance bound bites
+    words = [f"w{i}" for i in range(200) for _ in range(1 + (200 - i) // 20)]
+    [r] = ams_f2(_ams_words(spark, words), F.col("word")).collect()
+    assert r.f2_est is not None and r.f2_est >= 0
+    # median-of-5 at width 64: std ~ sqrt(2/64)*F2 ~ 18% — assert 60%
+    assert abs(r.f2_est - r.f2_exact) <= 0.6 * r.f2_exact
+
+
+def test_ams_merge_equals_union(spark):
+    from pdf_extraction_spark.operators.sketches import ams_sketch
+
+    a = _ams_words(spark, ["x"] * 5 + ["y"] * 2 + ["z"])
+    b = _ams_words(spark, ["x"] * 3 + ["q"] * 4)
+    union = ams_sketch(a.union(b), F.col("word"), depth=3, width=16)
+    sa = ams_sketch(a, F.col("word"), depth=3, width=16)
+    sb = ams_sketch(b, F.col("word"), depth=3, width=16)
+    merged = (
+        sa.union(sb)
+        .groupBy("row", "bucket")
+        .agg(F.sum("s").alias("s"))
+        .filter(F.col("s") != 0)
+    )
+    got = sorted(tuple(r) for r in merged.collect())
+    want = sorted(tuple(r) for r in union.collect() if r.s != 0)
+    assert got == want
+
+
+def test_ams_empty_and_null_input(spark):
+    from pdf_extraction_spark.operators.sketches import ams_f2
+
+    df = spark.createDataFrame([(None,), (None,)], "word string")
+    [r] = ams_f2(df, F.col("word")).collect()
+    assert r.f2_est is None and r.f2_exact is None and r.rel_err_ppm is None
+
+
+def test_ams_partition_invariance(spark):
+    from pdf_extraction_spark.operators.sketches import ams_f2
+
+    words = [f"w{i % 37}" for i in range(500)]
+    df = _ams_words(spark, words)
+    [a] = ams_f2(df, F.col("word")).collect()
+    [b] = ams_f2(df.repartition(11), F.col("word")).collect()
+    assert tuple(a) == tuple(b)
