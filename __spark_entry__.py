@@ -2164,6 +2164,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def q_host_katz(spark, sf):
+        """Katz centrality (Katz 1953) over the deterministic host
+        graph — attenuated path counting WITHOUT out-degree
+        normalization, the rank-family contrast to host_pagerank on
+        the same edges. alpha = 1/32 as an integer shift, so every
+        round is exact int64 and bit-identical cross-engine with no
+        fold machinery."""
+        from pdf_extraction_spark.operators.components import katz_centrality
+
+        docs = _docs(spark, sf)
+        edges = docs.select(
+            F.col("source").alias("src"),
+            F.concat(
+                F.lit("src"),
+                ((F.col("doc_id") * F.col("doc_id") * 5 + F.col("doc_id")) % 29).cast(
+                    "string"
+                ),
+            ).alias("dst"),
+        )
+        return katz_centrality(edges, n_iter=4, alpha_shift=5)
+
     def q_ams_f2(spark, sf):
         """AMS second-frequency-moment sketch (Alon-Matias-Szegedy
         1996; Thorup-Zhang bucketed estimator) over the shared token
@@ -3942,6 +3963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyness": q_keyness,
         "nb_classify": q_nb_classify,
         "ams_f2": q_ams_f2,
+        "host_katz": q_host_katz,
     }
 
 
@@ -5295,6 +5317,15 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["sql_ams_f2"],
         ).sql_ams_f2(
             "SELECT word AS key FROM " + _WORD_SRC + " w"
+        ),
+        "host_katz": __import__(
+            "pdf_extraction_spark.operators.components",
+            fromlist=["sql_katz_centrality"],
+        ).sql_katz_centrality(
+            "SELECT source AS src, 'src' || CAST((doc_id * doc_id * 5 "
+            "+ doc_id) % 29 AS VARCHAR) AS dst FROM documents",
+            n_iter=4,
+            alpha_shift=5,
         ),
     }
     return sql

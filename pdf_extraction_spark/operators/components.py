@@ -1016,3 +1016,126 @@ def sql_modularity(edges_select: str, labels_select: str) -> str:
         "FROM deg LEFT JOIN intra ON deg.community = intra.community "
         "JOIN nn ON deg.community = nn.community"
     )
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (Katz 1953, "A new status index derived from
+# sociometric analysis")
+# ---------------------------------------------------------------------------
+#
+# The attenuated-path-count status index: x = sum_{t>=1..n_iter}
+# alpha^t * (A^T)^t * 1 + 1, i.e. every walk INTO a node contributes,
+# damped by alpha per hop — the rank-family member that, unlike
+# PageRank, does NOT normalize by out-degree (a hub with 10^6 outlinks
+# endorses each target with full weight, attenuated only by path
+# length). The truncated recursion x_{t+1} = 1 + alpha * A^T x_t runs
+# in exact fixed point: with alpha = 1 / 2^alpha_shift, each round is
+#     x[v] <- scale + (sum_{u -> v} x[u]) >> alpha_shift
+# — an integer shift of a non-negative sum is a floor division by
+# 2^alpha_shift on both engines, so every round and the final
+# katz_micro are bit-identical across engines, partitionings and
+# cluster sizes (plain map-side-combinable integer sums; the pagerank
+# contract without even the per-edge division).
+#
+# Convergence / overflow contract: the infinite series needs
+# alpha < 1/lambda_max; the truncated integer recursion additionally
+# needs (max_in_degree * alpha)^n_iter * scale inside int64. The
+# caller picks alpha_shift accordingly (default 1/32 with n_iter=4
+# holds to in-degrees ~10^4 at scale 10^12); this is documented, not
+# silently clamped — a divergent alpha is a modeling error, not an
+# engine one. Per round: one src-keyed join + one dst-keyed sum;
+# static edge/nodes frames persisted once; localCheckpoint per round
+# keeps the plan linear in n_iter (the pagerank device).
+
+
+def katz_centrality(
+    edges: DataFrame,
+    n_iter: int = 4,
+    alpha_shift: int = 5,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+    cache: bool = True,
+) -> DataFrame:
+    """(node, katz_micro): truncated Katz index with beta = 1 and
+    alpha = 1/2**alpha_shift, reported in exact millionths
+    (katz_micro = x div 10^6; the baseline no-inlink node reads
+    exactly 10^6). Same edge hygiene as :func:`pagerank`: distinct
+    (src, dst), self-loops and NULL endpoints dropped."""
+    if scale % 10**6 != 0:
+        raise ValueError("scale must be a multiple of 10^6")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if cache:
+        e = e.persist()
+        nodes = nodes.persist()
+    x = nodes.select("node", F.lit(scale).cast("long").alias("x"))
+    for _ in range(n_iter):
+        inc = (
+            e.join(x, e["src"] == x["node"])
+            .groupBy("dst")
+            .agg(F.sum("x").alias("inc"))
+        )
+        x = (
+            nodes.join(inc, nodes["node"] == inc["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(scale)
+                    + F.shiftright(
+                        F.coalesce(F.col("inc"), F.lit(0)), alpha_shift
+                    )
+                ).cast("long").alias("x"),
+            )
+        )
+        x = x.localCheckpoint()
+    out = x.select("node", F.expr("x div 1000000").alias("katz_micro"))
+    if cache:
+        e.unpersist()
+        nodes.unpersist()
+    return out
+
+
+def sql_katz_centrality(
+    edges_select: str,
+    n_iter: int = 4,
+    alpha_shift: int = 5,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`katz_centrality` — the identical integer
+    recursion unrolled one MATERIALIZED CTE per round (`>> shift` ==
+    `// 2^shift` on the all-non-negative sums)."""
+    div = 1 << alpha_shift
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        f"({edges_select}) WHERE src IS NOT NULL AND dst IS NOT NULL "
+        "AND src <> dst), "
+        "n AS MATERIALIZED (SELECT src AS node FROM e "
+        "UNION SELECT dst FROM e), "
+        f"x0 AS (SELECT node, CAST({scale} AS BIGINT) AS x FROM n)"
+    ]
+    for t in range(n_iter):
+        parts.append(
+            f", x{t + 1} AS MATERIALIZED (SELECT n.node, "
+            f"CAST({scale} + coalesce(c.inc, 0) // {div} AS BIGINT) AS x "
+            "FROM n LEFT JOIN (SELECT e.dst, CAST(sum(p.x) AS BIGINT) AS inc "
+            f"FROM e JOIN x{t} p ON p.node = e.src GROUP BY e.dst) c "
+            "ON c.dst = n.node)"
+        )
+    parts.append(
+        f" SELECT node, CAST(x // 1000000 AS BIGINT) AS katz_micro "
+        f"FROM x{n_iter}"
+    )
+    return "".join(parts)

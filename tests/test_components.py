@@ -598,3 +598,85 @@ class TestModularity:
         # only edge (a,b) is in the labelled universe: Q = 1 − 1 = 0... m=1,
         # e=1, d=2: contribution = 1/1 − (2/2)² = 0
         assert len(rows) == 1 and abs(rows[0].contribution) < 1e-12
+
+
+class TestKatzCentrality:
+    def _replay(self, edges, n_iter, shift, scale=10**12):
+        from collections import defaultdict
+
+        e = set(
+            (s, d)
+            for s, d in edges
+            if s is not None and d is not None and s != d
+        )
+        nodes = set(s for s, _ in e) | set(d for _, d in e)
+        x = {v: scale for v in nodes}
+        for _ in range(n_iter):
+            inc = defaultdict(int)
+            for s, d in e:
+                inc[d] += x[s]
+            x = {v: scale + (inc[v] >> shift) for v in nodes}
+        return {v: xv // 10**6 for v, xv in x.items()}
+
+    def test_replay_parity_and_hygiene(self, spark):
+        from pdf_extraction_spark.operators.components import katz_centrality
+
+        edges = [
+            ("a", "b"), ("a", "b"),  # parallel edge collapses
+            ("b", "c"), ("c", "b"),  # 2-cycle accumulates over rounds
+            ("d", "c"), ("e", "c"),
+            ("f", "f"),              # self-loop dropped (f isolated out)
+            (None, "b"), ("a", None),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.katz_micro for r in katz_centrality(df, 3, 4).collect()}
+        want = self._replay(edges, 3, 4)
+        assert got == want
+        assert "f" not in got  # only the self-loop touched f
+        # no-inlink nodes read exactly the beta baseline
+        assert got["a"] == 10**6 and got["d"] == 10**6
+        # c has 3 in-edges (b, d, e) → strictly above baseline and
+        # above b's 2 in-edge status... b gets a+c, c gets b+d+e
+        assert got["c"] > got["b"] > 10**6
+
+    def test_no_outdegree_normalization(self, spark):
+        from pdf_extraction_spark.operators.components import katz_centrality
+
+        # hub h endorses 3 targets; pagerank would split h's mass,
+        # Katz gives each target the FULL attenuated hub status
+        edges = [("h", "t1"), ("h", "t2"), ("h", "t3"), ("s", "h")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.katz_micro for r in katz_centrality(df, 2, 2).collect()}
+        assert got["t1"] == got["t2"] == got["t3"]
+        # each target got the full alpha*x_h, not a third of it:
+        # round1 x_h = scale + scale/4; round2 t = scale + x_h/4
+        assert got["t1"] == (10**12 + (10**12 + (10**12 >> 2)) // 4) // 10**6
+
+    def test_twin_parity_and_partition_invariance(self, spark):
+        import duckdb
+
+        from pdf_extraction_spark.operators.components import (
+            katz_centrality,
+            sql_katz_centrality,
+        )
+
+        edges = [(f"n{i % 7}", f"n{(i * 3 + 1) % 7}") for i in range(30)]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = sorted(
+            (r.node, r.katz_micro) for r in katz_centrality(df, 4, 5).collect()
+        )
+        got2 = sorted(
+            (r.node, r.katz_micro)
+            for r in katz_centrality(df.repartition(5), 4, 5).collect()
+        )
+        assert got == got2
+        con = duckdb.connect()
+        vals = ", ".join(f"('{s}', '{d}')" for s, d in edges)
+        want = sorted(
+            con.execute(
+                sql_katz_centrality(
+                    f"SELECT * FROM (VALUES {vals}) t(src, dst)", 4, 5
+                )
+            ).fetchall()
+        )
+        assert got == want
