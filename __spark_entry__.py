@@ -2164,6 +2164,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def q_clean_bleu(spark, sf):
+        """BLEU-2 cleaner-damage score (Papineni et al. 2002): the
+        RefinedWeb-corrected text as candidate against the raw page as
+        reference — ln(BLEU) = 0 for untouched pages, degrading with
+        every removed span; the report that accompanies a line cleaner
+        before it is enabled on a production crawl. Input uses the
+        q_refinedweb boilerplate augmentation so the cleaner actually
+        removes lines and the score is non-degenerate. Clipped counts
+        exact integer; brevity penalty and geometric mean quantized
+        over non-negative numerators so Spark div == DuckDB //
+        everywhere."""
+        from pdf_extraction_spark.operators.curation import (
+            with_refinedweb_flags,
+        )
+        from pdf_extraction_spark.operators.textanalysis import bleu_pair
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.coalesce(F.col("text"), F.lit("")),
+                F.upper(F.col("source")),
+                F.col("n_chars").cast("string"),
+                F.lit("12 likes"),
+                F.lit("Read More"),
+                F.lit("This closing line survives."),
+            ).alias("text"),
+        )
+        flags = with_refinedweb_flags(docs, "text", "doc_id").select(
+            "doc_id", "rw_text"
+        )
+        pair = docs.select("doc_id", "text").join(flags, "doc_id")
+        return bleu_pair(pair, "rw_text", "text")
+
     def q_host_katz(spark, sf):
         """Katz centrality (Katz 1953) over the deterministic host
         graph — attenuated path counting WITHOUT out-degree
@@ -3964,6 +3998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "ams_f2": q_ams_f2,
         "host_katz": q_host_katz,
+        "clean_bleu": q_clean_bleu,
     }
 
 
@@ -5327,8 +5362,27 @@ def oracle_sql() -> dict[str, str]:
             n_iter=4,
             alpha_shift=5,
         ),
+        "clean_bleu": _clean_bleu_sql(),
     }
     return sql
+
+
+def _clean_bleu_sql() -> str:
+    from pdf_extraction_spark.operators.curation import sql_refinedweb_flags
+    from pdf_extraction_spark.operators.textanalysis import sql_bleu_pair
+
+    aug = (
+        "concat_ws(chr(10), coalesce(text, ''), upper(source), "
+        "CAST(n_chars AS VARCHAR), '12 likes', 'Read More', "
+        "'This closing line survives.')"
+    )
+    pair = (
+        "SELECT rw.doc_id, rw.rw_text AS cand, a.ref "
+        "FROM (" + sql_refinedweb_flags(aug, "doc_id") + ") rw "
+        "JOIN (SELECT doc_id, " + aug + " AS ref FROM documents) a "
+        "ON a.doc_id = rw.doc_id"
+    )
+    return sql_bleu_pair(pair, "cand", "ref")
 
 
 def _rrf_fuse_sql() -> str:

@@ -1370,3 +1370,198 @@ def sql_yule_k(rel: str = "documents", text_expr: str = "text") -> str:
         "(CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)) END AS yule_k "
         "FROM a"
     )
+
+
+# ---------------------------------------------------------------------------
+# BLEU cleaner-damage score (Papineni et al. 2002) — modified n-gram
+# precision of a CLEANED text against its own RAW text
+# ---------------------------------------------------------------------------
+#
+# The curation-eval use of the machine-translation metric: treat the
+# cleaner's output as the candidate and the raw page as the reference,
+# and BLEU-2 says how much of the page's phrasing survived — 1.0 for
+# an untouched page, degrading with every removed/reordered span. The
+# corpus-level distribution of this score is the "how destructive was
+# this cleaner" report that accompanies a C4/RefinedWeb/jusText stage
+# before it is turned on for a production crawl.
+#
+# Exact-integer discipline: clipped n-gram matches and totals are
+# integer counts; the brevity penalty ln(BP) = min(0, 1 - r/c) is
+# quantized as -((r - c) * 1e9 DIV c) with a NON-NEGATIVE numerator
+# (Spark's div truncates toward zero while DuckDB's // floors — they
+# agree only on non-negative operands, the ppl_buckets trap); the
+# geometric-mean term reuses I(x) = round(ln(x)*1e9), with the
+# division by N again arranged over a non-negative numerator
+# (I(c_n) >= I(m_n) always, m_n <= c_n). bleu_nano = ln(BLEU)*1e9
+# exactly reproducible across engines; bleu_nano = 0 <=> BLEU = 1.
+# NULL when undefined (no candidate n-grams) or when any clipped
+# precision is 0 (Papineni's BLEU = 0 — ln diverges; the p*_ppm
+# columns still carry the partial signal).
+#
+# Scale shape: two (doc, n, gram) count tables + one co-keyed left
+# join + per-doc combinable sums. Grams are doc-local; nothing is
+# corpus-keyed except the final per-doc aggregation. No window, no
+# Python stage.
+
+
+def bleu_pair(
+    df: DataFrame,
+    cand_col: str,
+    ref_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, c1, m1, c2, m2, r_len, p1_ppm, p2_ppm, bp_nano,
+    bleu_nano): BLEU-2 of ``cand_col`` against ``ref_col`` per row."""
+    from .curation import _lower_words
+    from .terms import _iln
+
+    def grams(col):
+        toks = _lower_words(F.coalesce(F.col(col), F.lit("")))
+        bi = F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - F.lit(1), F.lit(0))),
+            lambda t, i: F.concat(
+                t, F.lit(" "), F.element_at(toks, i + F.lit(2))
+            ),
+        )
+        uni_s = F.transform(
+            toks, lambda t: F.struct(F.lit(1).alias("n"), t.alias("g"))
+        )
+        bi_s = F.transform(
+            bi, lambda t: F.struct(F.lit(2).alias("n"), t.alias("g"))
+        )
+        return F.concat(uni_s, bi_s)
+
+    cand = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams(cand_col)).alias("x"))
+        .groupBy("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+        .agg(F.count("*").alias("cc"))
+    )
+    ref = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams(ref_col)).alias("x"))
+        .groupBy("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+        .agg(F.count("*").alias("cr"))
+    )
+    per_n = (
+        cand.join(ref, ["doc_id", "n", "g"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("n") == 1, F.col("cc")).otherwise(0)).alias("c1"),
+            F.sum(
+                F.when(
+                    F.col("n") == 1,
+                    F.least(F.col("cc"), F.coalesce(F.col("cr"), F.lit(0))),
+                ).otherwise(0)
+            ).alias("m1"),
+            F.sum(F.when(F.col("n") == 2, F.col("cc")).otherwise(0)).alias("c2"),
+            F.sum(
+                F.when(
+                    F.col("n") == 2,
+                    F.least(F.col("cc"), F.coalesce(F.col("cr"), F.lit(0))),
+                ).otherwise(0)
+            ).alias("m2"),
+        )
+    )
+    rlen = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_lower_words(F.coalesce(F.col(ref_col), F.lit("")))).cast(
+            "long"
+        ).alias("r_len"),
+    )
+    out = rlen.join(per_n, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("m1", F.lit(0)).alias("m1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+        F.coalesce("m2", F.lit(0)).alias("m2"),
+        "r_len",
+    )
+    staged = (
+        out.withColumn("ic1", _iln(F.col("c1")))
+        .withColumn("im1", _iln(F.col("m1")))
+        .withColumn("ic2", _iln(F.col("c2")))
+        .withColumn("im2", _iln(F.col("m2")))
+    )
+    c1, c2 = F.col("c1"), F.col("c2")
+    bp = F.when(c1 >= F.col("r_len"), F.lit(0)).otherwise(
+        -F.expr("(r_len - c1) * 1000000000L div c1")
+    )
+    defined = (c1 > 0) & (c2 > 0) & (F.col("m1") > 0) & (F.col("m2") > 0)
+    return staged.select(
+        "doc_id", "c1", "m1", "c2", "m2", "r_len",
+        F.when(c1 > 0, F.expr("m1 * 1000000L div c1"))
+        .cast("long")
+        .alias("p1_ppm"),
+        F.when(c2 > 0, F.expr("m2 * 1000000L div c2"))
+        .cast("long")
+        .alias("p2_ppm"),
+        F.when(c1 > 0, bp).cast("long").alias("bp_nano"),
+        F.when(defined, bp - F.expr("((ic1 - im1) + (ic2 - im2)) div 2"))
+        .cast("long")
+        .alias("bleu_nano"),
+    )
+
+
+def sql_bleu_pair(
+    pair_select: str,
+    cand_expr: str = "cand",
+    ref_expr: str = "ref",
+    id_expr: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bleu_pair` over ``pair_select`` (a SELECT
+    with the id, candidate and reference columns) — identical grams,
+    clipped counts, non-negative-numerator integer divisions and
+    fixed-point log terms."""
+    from .curation import _sql_lower_words
+    from .mlfilter import _sql_dsir_grams  # noqa: F401  (bigram shape ref)
+
+    iln = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9) AS BIGINT)"
+
+    def gram_src(col):
+        toks = _sql_lower_words(f"coalesce({col}, '')")
+        return (
+            f"SELECT doc_id, n, g FROM (SELECT {id_expr} AS doc_id, "
+            f"{toks} AS tk FROM pair_t), "
+            "LATERAL (SELECT 1 AS n, unnest(tk) AS g "
+            "UNION ALL "
+            "SELECT 2 AS n, unnest(list_transform("
+            "generate_series(1, len(tk) - 1), "
+            "i -> tk[i] || ' ' || tk[i + 1])) AS g)"
+        )
+
+    toks_ref = _sql_lower_words(f"coalesce({ref_expr}, '')")
+    return (
+        f"WITH pair_t AS ({pair_select}), "
+        f"cg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cc FROM "
+        f"({gram_src(cand_expr)}) GROUP BY doc_id, n, g), "
+        f"rg AS (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cr FROM "
+        f"({gram_src(ref_expr)}) GROUP BY doc_id, n, g), "
+        "pn AS (SELECT cg.doc_id, "
+        "CAST(sum(CASE WHEN cg.n = 1 THEN cg.cc ELSE 0 END) AS BIGINT) AS c1, "
+        "CAST(sum(CASE WHEN cg.n = 1 THEN least(cg.cc, coalesce(rg.cr, 0)) "
+        "ELSE 0 END) AS BIGINT) AS m1, "
+        "CAST(sum(CASE WHEN cg.n = 2 THEN cg.cc ELSE 0 END) AS BIGINT) AS c2, "
+        "CAST(sum(CASE WHEN cg.n = 2 THEN least(cg.cc, coalesce(rg.cr, 0)) "
+        "ELSE 0 END) AS BIGINT) AS m2 "
+        "FROM cg LEFT JOIN rg ON cg.doc_id = rg.doc_id AND cg.n = rg.n "
+        "AND cg.g = rg.g GROUP BY cg.doc_id), "
+        f"rl AS (SELECT {id_expr} AS doc_id, "
+        f"CAST(len({toks_ref}) AS BIGINT) AS r_len FROM pair_t), "
+        "base AS (SELECT rl.doc_id, coalesce(pn.c1, 0) AS c1, "
+        "coalesce(pn.m1, 0) AS m1, coalesce(pn.c2, 0) AS c2, "
+        "coalesce(pn.m2, 0) AS m2, rl.r_len "
+        "FROM rl LEFT JOIN pn ON pn.doc_id = rl.doc_id), "
+        "fin AS (SELECT *, CASE WHEN c1 >= r_len THEN 0 "
+        "ELSE -((r_len - c1) * 1000000000 // c1) END AS bp "
+        "FROM base) "
+        "SELECT doc_id, c1, m1, c2, m2, r_len, "
+        "CASE WHEN c1 > 0 THEN CAST(m1 * 1000000 // c1 AS BIGINT) END "
+        "AS p1_ppm, "
+        "CASE WHEN c2 > 0 THEN CAST(m2 * 1000000 // c2 AS BIGINT) END "
+        "AS p2_ppm, "
+        "CASE WHEN c1 > 0 THEN CAST(bp AS BIGINT) END AS bp_nano, "
+        "CASE WHEN c1 > 0 AND c2 > 0 AND m1 > 0 AND m2 > 0 THEN "
+        "CAST(bp - ((" + iln.format(x="c1") + " - " + iln.format(x="m1")
+        + ") + (" + iln.format(x="c2") + " - " + iln.format(x="m2")
+        + ")) // 2 AS BIGINT) END AS bleu_nano "
+        "FROM fin"
+    )
