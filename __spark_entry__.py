@@ -2164,6 +2164,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def q_ks_drift(spark, sf):
+        """Two-sample Kolmogorov-Smirnov drift test per source (stored
+        doc length vs the pooled rest): the sup CDF gap evaluated by
+        exact integer cross-multiplication over the distinct-value
+        histogram — no binning or float convention; lambda_6 is the
+        asymptotic scaling from a correctly-rounded-only IEEE chain."""
+        from pdf_extraction_spark.operators.mlfilter import ks_test
+
+        return ks_test(_docs(spark, sf), "n_chars", "source")
+
     def q_clean_bleu(spark, sf):
         """BLEU-2 cleaner-damage score (Papineni et al. 2002): the
         RefinedWeb-corrected text as candidate against the raw page as
@@ -3999,6 +4009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2": q_ams_f2,
         "host_katz": q_host_katz,
         "clean_bleu": q_clean_bleu,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -5363,6 +5374,10 @@ def oracle_sql() -> dict[str, str]:
             alpha_shift=5,
         ),
         "clean_bleu": _clean_bleu_sql(),
+        "ks_drift": __import__(
+            "pdf_extraction_spark.operators.mlfilter",
+            fromlist=["sql_ks_test"],
+        ).sql_ks_test("documents", "n_chars", "source"),
     }
     return sql
 

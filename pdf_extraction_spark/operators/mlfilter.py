@@ -1606,3 +1606,164 @@ def sql_naive_bayes(
         "CAST(score_nano - nxt AS BIGINT) AS margin_nano "
         "FROM rk WHERE rn = 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift test (Kolmogorov 1933; Smirnov
+# 1948) — each group's score distribution against the rest of the corpus
+# ---------------------------------------------------------------------------
+#
+# The distribution-drift companion to source_kl: for every group g,
+# D_g = sup_x |F_g(x) - F_rest(x)| over the empirical CDFs — the
+# nonparametric "does this stratum's score distribution differ"
+# statistic that needs no binning convention. Exact integer form: the
+# sup over all x is attained at a distinct observed value (both CDFs
+# are right-continuous step functions, constant between points), and
+# at each value the CDF difference is compared by cross-multiplication
+#     |cum_g * n_rest - cum_rest * n_g|        (exact int64)
+# so d_ppm = max_diff * 1e6 DIV (n_g * n_rest) carries no float
+# convention at all. lambda_6 = D * sqrt(n_g*n_rest/(n_g+n_rest))
+# (the asymptotic scaling callers compare against 1.358 for alpha =
+# 0.05 / 1.628 for 0.01) is a fixed chain of correctly-rounded IEEE
+# ops (mult/div/sqrt of exact-integer-valued doubles) — bit-identical
+# cross-engine, then rounded to 6. No exp()-series p-value on purpose:
+# exp is not correctly rounded and could flip a round6 boundary
+# between engines; the lambda form is the strict-oracle-safe surface.
+#
+# Scale shape: one (group, value) histogram groupBy; the evaluation
+# grid is distinct-values x groups (group-dimension-bounded expansion
+# — the #groups factor is the report's own output dimension); per-group
+# cumulative windows are distinct-value-sized and the global cum_all
+# window is the gate_auc distinct-score acceptance. NULL group is a
+# real stratum (eqNullSafe grid join — the host_quality rule); NULL
+# values are outside the CDF universe. Overflow: cum * n products need
+# n_g * n_rest < 2^63 — exact to ~3e9 rows per side (documented, the
+# gate_auc midrank bound class).
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """(group, n_g, n_rest, d_num, d_ppm, lambda_6): per-group
+    two-sample KS statistic of ``value_col`` against the pooled rest.
+    Degenerate groups (empty rest or empty group) emit NULL d_ppm."""
+    from pyspark.sql import Window
+
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    hist = vals.groupBy("g", "v").agg(F.count("*").alias("c"))
+    groups = hist.groupBy("g").agg(F.sum("c").alias("n_g"))
+    total = groups.groupBy().agg(F.sum("n_g").alias("n_all"))
+    vall = hist.groupBy("v").agg(F.sum("c").alias("cv"))
+    cum_all = vall.withColumn(
+        "cum_all",
+        F.sum("cv").over(
+            Window.partitionBy(F.lit(1))
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select("v", "cum_all")
+    # derived frames get their OWN key names before the join back —
+    # the ambiguous-self-join analyzer rule (the Hampel fix precedent)
+    hist2 = hist.select(
+        F.col("g").alias("hg"), F.col("v").alias("hv"), "c"
+    )
+    grid = (
+        cum_all.crossJoin(F.broadcast(groups))
+        .join(
+            hist2,
+            F.col("g").eqNullSafe(F.col("hg")) & (F.col("v") == F.col("hv")),
+            "left",
+        )
+        .select(
+            "v",
+            "g",
+            "n_g",
+            "cum_all",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    cum = grid.withColumn(
+        "cum_g",
+        F.sum("c").over(
+            Window.partitionBy("g")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).crossJoin(F.broadcast(total))
+    diff = cum.select(
+        "g",
+        "n_g",
+        (F.col("n_all") - F.col("n_g")).alias("n_rest"),
+        F.abs(
+            F.col("cum_g") * (F.col("n_all") - F.col("n_g"))
+            - (F.col("cum_all") - F.col("cum_g")) * F.col("n_g")
+        ).alias("dnum"),
+    )
+    agg = diff.groupBy("g", "n_g", "n_rest").agg(F.max("dnum").alias("d_num"))
+    ok = (F.col("n_g") > 0) & (F.col("n_rest") > 0)
+    lam = (
+        F.col("d_num").cast("double")
+        / (F.col("n_g").cast("double") * F.col("n_rest").cast("double"))
+    ) * F.sqrt(
+        (F.col("n_g").cast("double") * F.col("n_rest").cast("double"))
+        / (F.col("n_g") + F.col("n_rest")).cast("double")
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_g",
+        "n_rest",
+        "d_num",
+        F.when(ok, F.expr("d_num * 1000000L div (n_g * n_rest)")).alias(
+            "d_ppm"
+        ),
+        F.when(ok, _round6z(lam)).alias("lambda_6"),
+    )
+
+
+def sql_ks_test(
+    rel: str,
+    value_expr: str,
+    group_expr: str,
+) -> str:
+    """DuckDB twin of :func:`ks_test` — identical histogram, grid,
+    cumulative windows, cross-multiplied sup and lambda op order."""
+    return (
+        f"WITH vals AS (SELECT {group_expr} AS g, {value_expr} AS v "
+        f"FROM {rel} WHERE {value_expr} IS NOT NULL), "
+        "hist AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM vals "
+        "GROUP BY g, v), "
+        "grps AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM hist "
+        "GROUP BY g), "
+        "tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_all FROM grps), "
+        "vall AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv FROM hist "
+        "GROUP BY v), "
+        "ca AS (SELECT v, CAST(sum(cv) OVER (ORDER BY v ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all "
+        "FROM vall), "
+        "grid AS (SELECT ca.v, grps.g, grps.n_g, ca.cum_all, "
+        "coalesce(hist.c, 0) AS c FROM ca CROSS JOIN grps "
+        "LEFT JOIN hist ON hist.g IS NOT DISTINCT FROM grps.g "
+        "AND hist.v = ca.v), "
+        "cum AS (SELECT *, CAST(sum(c) OVER (PARTITION BY g ORDER BY v "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cum_g FROM grid), "
+        "diff AS (SELECT g, n_g, n_all - n_g AS n_rest, "
+        "abs(cum_g * (n_all - n_g) - (cum_all - cum_g) * n_g) AS dnum "
+        "FROM cum CROSS JOIN tot), "
+        "agg AS (SELECT g, n_g, n_rest, CAST(max(dnum) AS BIGINT) AS d_num "
+        "FROM diff GROUP BY g, n_g, n_rest) "
+        f"SELECT g AS {group_expr}, n_g, n_rest, d_num, "
+        "CASE WHEN n_g > 0 AND n_rest > 0 THEN "
+        "CAST(d_num * 1000000 // (n_g * n_rest) AS BIGINT) END AS d_ppm, "
+        "CASE WHEN n_g > 0 AND n_rest > 0 THEN "
+        + _sql_round6z(
+            "(CAST(d_num AS DOUBLE) / (CAST(n_g AS DOUBLE) "
+            "* CAST(n_rest AS DOUBLE))) * sqrt((CAST(n_g AS DOUBLE) "
+            "* CAST(n_rest AS DOUBLE)) / CAST(n_g + n_rest AS DOUBLE))"
+        )
+        + " END AS lambda_6 FROM agg"
+    )

@@ -816,3 +816,86 @@ def F_lit_none():
     from pyspark.sql import functions as F
 
     return F.lit(None).cast("string")
+
+
+class TestKsTest:
+    ROWS = (
+        [(i, 10 + i % 5, "a") for i in range(20)]          # values 10..14
+        + [(100 + i, 30 + i % 5, "b") for i in range(20)]  # disjoint: D = 1
+        + [(200 + i, 10 + i % 5, "c") for i in range(10)]  # same dist as a
+        + [(300, 12, None), (301, None, "a")]              # NULL stratum / value
+    )
+
+    def _replay(self, rows):
+        import math
+        from collections import Counter, defaultdict
+
+        pts = [(g, v) for _, v, g in rows if v is not None]
+        per = defaultdict(Counter)
+        for g, v in pts:
+            per[g][v] += 1
+        allv = sorted({v for _, v in pts})
+        n_all = len(pts)
+        out = {}
+        for g, cnt in per.items():
+            n_g = sum(cnt.values())
+            n_rest = n_all - n_g
+            cg = ca = 0
+            best = 0
+            cnt_all = Counter(v for _, v in pts)
+            for v in allv:
+                cg += cnt[v]
+                ca += cnt_all[v]
+                best = max(best, abs(cg * n_rest - (ca - cg) * n_g))
+            d_ppm = best * 10**6 // (n_g * n_rest) if n_g and n_rest else None
+            lam = (
+                round(
+                    (best / (float(n_g) * float(n_rest)))
+                    * math.sqrt(float(n_g) * float(n_rest) / float(n_g + n_rest)),
+                    6,
+                )
+                + 0.0
+                if n_g and n_rest
+                else None
+            )
+            out[g] = (n_g, n_rest, best, d_ppm, lam)
+        return out
+
+    def test_replay_and_semantics(self, spark):
+        from pdf_extraction_spark.operators.mlfilter import ks_test
+
+        df = spark.createDataFrame(self.ROWS, "id long, v long, grp string")
+        got = {r.grp: r for r in ks_test(df, "v", "grp").collect()}
+        want = self._replay(self.ROWS)
+        assert set(got) == set(want)
+        for g, (n_g, n_rest, d_num, d_ppm, lam) in want.items():
+            r = got[g]
+            assert (r.n_g, r.n_rest, r.d_num, r.d_ppm) == (n_g, n_rest, d_num, d_ppm), g
+            assert r.lambda_6 == lam, g
+        # disjoint supports → D = 1 exactly
+        assert got["b"].d_ppm == 10**6
+        # c is distributed like the (a-dominated) rest → far smaller D
+        assert got["c"].d_ppm < got["b"].d_ppm
+        # NULL group is a real stratum
+        assert None in got
+
+    def test_twin_parity_and_partition_invariance(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.mlfilter import ks_test, sql_ks_test
+
+        df = spark.createDataFrame(self.ROWS, "id long, v long, grp string")
+        got = sorted((tuple(r) for r in ks_test(df, "v", "grp").collect()), key=repr)
+        got2 = sorted(
+            (tuple(r) for r in ks_test(df.repartition(7), "v", "grp").collect()),
+            key=repr,
+        )
+        assert got == got2
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(self.ROWS, columns=["id", "v", "grp"]))
+        want = sorted(
+            (tuple(r) for r in con.execute(sql_ks_test("t", "v", "grp")).fetchall()),
+            key=repr,
+        )
+        assert got == want
