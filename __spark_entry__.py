@@ -2164,6 +2164,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def q_gate_mcnemar(spark, sf):
+        """McNemar's paired test (1947) between the same two judges
+        gate_kappa compares — pass-RATE difference from the discordant
+        counts only, exact integer milli-chi-square with the Edwards
+        continuity correction beside it. Kappa asks "do they agree";
+        McNemar asks "is one stricter" — the gate-eval pair."""
+        from pdf_extraction_spark.operators.curation import _lower_words
+        from pdf_extraction_spark.operators.fusion import gate_mcnemar
+
+        docs = _docs(spark, sf).select(
+            (
+                F.size(_lower_words(F.coalesce(F.col("text"), F.lit(""))))
+                >= 30
+            ).alias("a"),
+            (F.coalesce(F.col("n_chars"), F.lit(0)) >= 120).alias("b"),
+        )
+        return gate_mcnemar(docs, "a", "b")
+
     def q_ks_drift(spark, sf):
         """Two-sample Kolmogorov-Smirnov drift test per source (stored
         doc length vs the pooled rest): the sup CDF gap evaluated by
@@ -4010,6 +4028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_katz": q_host_katz,
         "clean_bleu": q_clean_bleu,
         "ks_drift": q_ks_drift,
+        "gate_mcnemar": q_gate_mcnemar,
     }
 
 
@@ -5378,6 +5397,7 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.mlfilter",
             fromlist=["sql_ks_test"],
         ).sql_ks_test("documents", "n_chars", "source"),
+        "gate_mcnemar": _gate_mcnemar_sql(),
     }
     return sql
 
@@ -5451,6 +5471,18 @@ def _gate_map_sql() -> str:
         "FROM documents"
     )
     return sql_avg_precision_at_k(base, k=20)
+
+
+def _gate_mcnemar_sql() -> str:
+    from pdf_extraction_spark.operators.curation import _sql_lower_words
+    from pdf_extraction_spark.operators.fusion import sql_gate_mcnemar
+
+    w = _sql_lower_words("coalesce(text, '')")
+    base = (
+        f"SELECT len({w}) >= 30 AS a, "
+        "coalesce(n_chars, 0) >= 120 AS b FROM documents"
+    )
+    return sql_gate_mcnemar(base)
 
 
 def _gate_kappa_sql() -> str:

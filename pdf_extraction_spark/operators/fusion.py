@@ -604,3 +604,81 @@ SELECT n, n_agree, a_pos, b_pos,
        END AS kappa
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired-gate test (McNemar 1947; Edwards 1948 continuity
+# correction)
+# ---------------------------------------------------------------------------
+#
+# The right significance test when two gates judge the SAME documents:
+# only the discordant pairs carry information — b = docs gate A passes
+# and B fails, c = the reverse — and chi2 = (b - c)^2 / (b + c) asks
+# whether the two gates' pass RATES differ beyond noise (1 df;
+# 3.841 at alpha = 0.05). Cohen's kappa beside it measures AGREEMENT;
+# the two answer different questions and ship together in the
+# gate-eval family. Everything is exact integer: counts, the squared
+# difference, and the milli-scaled statistic by floor division — no
+# float convention anywhere. The Edwards-corrected form
+# (|b - c| - 1)^2 / (b + c) rides along (the textbook small-sample
+# variant). NULL when b + c = 0 (no discordant pairs — the statistic
+# is undefined and the gates are operationally identical).
+#
+# One map-side-combinable global aggregation; overflow needs
+# (b - c)^2 * 1000 inside int64 — exact to ~10^7 discordant docs, far
+# past any gate-eval sample (documented, the gate_auc bound class).
+
+
+def gate_mcnemar(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """One row (n, n_b, n_c, chi2_milli, chi2_corr_milli) for two
+    boolean/int gate columns over the same rows (NULL verdicts
+    dropped): the discordant counts and McNemar's statistic in exact
+    integer milli-units."""
+    base = df.select(
+        F.col(a_col).cast("boolean").alias("a"),
+        F.col(b_col).cast("boolean").alias("b"),
+    ).filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    agg = base.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("a") & ~F.col("b")).cast("long")).alias("n_b"),
+        F.sum((~F.col("a") & F.col("b")).cast("long")).alias("n_c"),
+    )
+    return agg.select(
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.coalesce("n_c", F.lit(0)).alias("n_c"),
+        F.when(
+            F.col("n_b") + F.col("n_c") > 0,
+            F.expr(
+                "(n_b - n_c) * (n_b - n_c) * 1000L div (n_b + n_c)"
+            ),
+        ).alias("chi2_milli"),
+        F.when(
+            F.col("n_b") + F.col("n_c") > 0,
+            F.expr(
+                "greatest(abs(n_b - n_c) - 1L, 0L) "
+                "* greatest(abs(n_b - n_c) - 1L, 0L) "
+                "* 1000L div (n_b + n_c)"
+            ),
+        ).alias("chi2_corr_milli"),
+    )
+
+
+def sql_gate_mcnemar(base_sql: str) -> str:
+    """DuckDB twin of :func:`gate_mcnemar`; ``base_sql`` yields boolean
+    columns (a, b)."""
+    return f"""
+WITH base AS (SELECT CAST(a AS BOOLEAN) AS a, CAST(b AS BOOLEAN) AS b
+              FROM ({base_sql}) WHERE a IS NOT NULL AND b IS NOT NULL),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_b,
+             CAST(coalesce(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_c
+      FROM base)
+SELECT n, n_b, n_c,
+       CASE WHEN n_b + n_c > 0
+            THEN CAST((n_b - n_c) * (n_b - n_c) * 1000 // (n_b + n_c) AS BIGINT) END AS chi2_milli,
+       CASE WHEN n_b + n_c > 0
+            THEN CAST(greatest(abs(n_b - n_c) - 1, 0)
+                      * greatest(abs(n_b - n_c) - 1, 0) * 1000 // (n_b + n_c) AS BIGINT) END AS chi2_corr_milli
+FROM g
+"""

@@ -305,3 +305,56 @@ class TestCohenKappa:
         con.register("k", pd.DataFrame(rows, columns=["a", "b"]))
         want = [tuple(r) for r in con.execute(sql_cohen_kappa("SELECT * FROM k")).fetchall()]
         assert got == want
+
+
+class TestGateMcnemar:
+    def _run(self, spark, rows):
+        from pdf_extraction_spark.operators.fusion import gate_mcnemar
+
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        [r] = gate_mcnemar(df, "a", "b").collect()
+        return r
+
+    def test_hand_values(self, spark):
+        # classic 2x2: b=10 discordant one way, c=4 the other
+        rows = (
+            [(True, True)] * 20
+            + [(False, False)] * 16
+            + [(True, False)] * 10
+            + [(False, True)] * 4
+        )
+        r = self._run(spark, rows)
+        assert (r.n, r.n_b, r.n_c) == (50, 10, 4)
+        assert r.chi2_milli == (10 - 4) ** 2 * 1000 // 14  # 2571
+        assert r.chi2_corr_milli == (6 - 1) ** 2 * 1000 // 14  # 1785
+
+    def test_identical_gates_undefined(self, spark):
+        rows = [(True, True)] * 5 + [(False, False)] * 5
+        r = self._run(spark, rows)
+        assert r.chi2_milli is None and r.chi2_corr_milli is None
+
+    def test_null_verdicts_dropped_and_symmetry(self, spark):
+        rows = [(True, False)] * 3 + [(False, True)] * 3 + [(None, True), (True, None)]
+        r = self._run(spark, rows)
+        assert r.n == 6 and r.chi2_milli == 0  # b == c → statistic 0
+        # correction of |b-c|=0 clamps at 0, not (−1)²
+        assert r.chi2_corr_milli == 0
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.fusion import (
+            gate_mcnemar,
+            sql_gate_mcnemar,
+        )
+
+        rows = [(i % 3 == 0, i % 4 == 0) for i in range(37)] + [(None, True)]
+        df = spark.createDataFrame(rows, "a boolean, b boolean")
+        [got] = gate_mcnemar(df, "a", "b").collect()
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows, columns=["a", "b"]))
+        [want] = con.execute(
+            sql_gate_mcnemar("SELECT a, b FROM t")
+        ).fetchall()
+        assert tuple(got) == want
