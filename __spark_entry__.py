@@ -2164,6 +2164,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def q_js_sources(spark, sf):
+        """Jensen-Shannon divergence (Lin 1991) of each source's
+        unigram distribution vs the corpus — the bounded symmetric
+        companion to source_kl. Every log ratio is a difference of
+        I() of integer products; the whole-vocabulary corpus-side sum
+        aggregates over the frequency-of-frequencies table (the
+        good_turing N_r device), never vocab x sources."""
+        from pdf_extraction_spark.operators.textanalysis import (
+            js_divergence,
+        )
+
+        return js_divergence(_docs(spark, sf))
+
     def q_gate_mcnemar(spark, sf):
         """McNemar's paired test (1947) between the same two judges
         gate_kappa compares — pass-RATE difference from the discordant
@@ -4029,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_bleu": q_clean_bleu,
         "ks_drift": q_ks_drift,
         "gate_mcnemar": q_gate_mcnemar,
+        "js_sources": q_js_sources,
     }
 
 
@@ -5398,6 +5412,10 @@ def oracle_sql() -> dict[str, str]:
             fromlist=["sql_ks_test"],
         ).sql_ks_test("documents", "n_chars", "source"),
         "gate_mcnemar": _gate_mcnemar_sql(),
+        "js_sources": __import__(
+            "pdf_extraction_spark.operators.textanalysis",
+            fromlist=["sql_js_divergence"],
+        ).sql_js_divergence("documents"),
     }
     return sql
 

@@ -1565,3 +1565,154 @@ def sql_bleu_pair(
         + ")) // 2 AS BIGINT) END AS bleu_nano "
         "FROM fin"
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence per source (Lin 1991, "Divergence measures
+# based on the Shannon entropy")
+# ---------------------------------------------------------------------------
+#
+# The bounded, symmetric companion to source_divergence's KL: JS(P, Q)
+# = KL(P||M)/2 + KL(Q||M)/2 with M the even mixture — finite even when
+# supports differ, capped at ln 2, the number mixture designers
+# actually compare across sources. Same fixed-point discipline: with
+# I(x) = round(ln(x)*1e9), every log ratio is a difference of I() of
+# INTEGER products (P_w/M_w = 2*a*n_c / (a*n_c + b*n_g)), so both
+# partial sums are exact int64 and the one final double expression is
+# a fixed chain of correctly-rounded IEEE ops — bit-identical
+# cross-engine, then rounded to 6.
+#
+# The corpus-side sum runs over the WHOLE vocabulary per source, but
+# never materializes vocab x sources: for words ABSENT from the source
+# the term collapses to b*(I(2*b*n_g) - I(b*n_g)) — a function of the
+# corpus frequency b alone — so it aggregates over the
+# frequency-of-frequencies table (the good_turing N_r device:
+# distinct-frequency-sized) times the source dimension, with the
+# source-supported part subtracted exactly. Frames: one (source, w)
+# corpus-shuffle groupBy, vocab-keyed join, then everything is vocab-,
+# frequency-class- or source-sized. eqNullSafe on the (source, b)
+# correction join — NULL source is a real stratum (host_quality rule).
+
+
+def js_divergence(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """(source, n_words, n_types, js_to_corpus): Jensen-Shannon
+    divergence (nats, in [0, ln 2]) between each source's unigram
+    distribution and the whole corpus distribution."""
+    from .curation import _lower_words
+    from .mlfilter import _round6z
+    from .terms import _iln
+
+    words = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(_lower_words(F.coalesce(F.col(text_col), F.lit("")))).alias("w"),
+    )
+    sw = words.groupBy("source", "w").agg(F.count("*").alias("a"))
+    cw = sw.groupBy("w").agg(F.sum("a").alias("b"))
+    tot = cw.agg(F.sum("b").alias("n_c"))
+    joint = sw.join(cw, "w").crossJoin(F.broadcast(tot))
+
+    a, b, n_g, n_c = F.col("a"), F.col("b"), F.col("n_g"), F.col("n_c")
+    # per-source totals + the two source-supported partial sums; the
+    # I() args need n_g, so aggregate counts first, then join back the
+    # per-source n_g and redo the sums in a second pass? No — n_g is a
+    # per-source aggregate; compute it FIRST (cheap re-aggregation of
+    # sw), broadcast-join it onto the joint rows so each row knows its
+    # source total, then one combinable aggregation does S1/S2a.
+    totals = sw.groupBy("source").agg(
+        F.sum("a").alias("n_g"), F.count("*").alias("n_types")
+    )
+    t2 = totals.select(
+        F.col("source").alias("tsrc"), "n_g", "n_types"
+    )
+    joint = joint.join(
+        F.broadcast(t2), F.col("source").eqNullSafe(F.col("tsrc"))
+    )
+    s_part = joint.groupBy("source", "n_g", "n_types").agg(
+        F.sum(a * (_iln(F.lit(2) * a * n_c) - _iln(a * n_c + b * n_g))).alias(
+            "s1"
+        ),
+        F.sum(b * (_iln(F.lit(2) * b * n_g) - _iln(a * n_c + b * n_g))).alias(
+            "s2a"
+        ),
+        F.sum(b * (_iln(F.lit(2) * b * n_g) - _iln(b * n_g))).alias("s2in"),
+    )
+    nr = cw.groupBy("b").agg(F.count("*").alias("cnt_b"))
+    allb = (
+        totals.crossJoin(F.broadcast(nr))
+        .groupBy(F.col("source").alias("asrc"))
+        .agg(
+            F.sum(
+                F.col("cnt_b")
+                * F.col("b")
+                * (
+                    _iln(F.lit(2) * F.col("b") * F.col("n_g"))
+                    - _iln(F.col("b") * F.col("n_g"))
+                )
+            ).alias("s2all")
+        )
+    )
+    out = s_part.join(
+        allb, F.col("source").eqNullSafe(F.col("asrc"))
+    ).crossJoin(F.broadcast(tot))
+    js = (
+        F.col("s1").cast("double") / (F.col("n_g").cast("double") * F.lit(1e9))
+        + (F.col("s2a") + (F.col("s2all") - F.col("s2in"))).cast("double")
+        / (F.col("n_c").cast("double") * F.lit(1e9))
+    ) * F.lit(0.5)
+    return out.select(
+        "source", F.col("n_g").alias("n_words"), "n_types",
+        _round6z(js).alias("js_to_corpus"),
+    )
+
+
+def sql_js_divergence(
+    rel: str = "documents",
+    text_expr: str = "text",
+    source_expr: str = "source",
+) -> str:
+    """DuckDB twin of :func:`js_divergence` — identical count tables,
+    fixed-point I() terms, frequency-class correction and final double
+    chain."""
+    from .curation import _sql_lower_words
+    from .mlfilter import _sql_round6z
+
+    toks = _sql_lower_words(f"coalesce({text_expr}, '')")
+    iln = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9) AS BIGINT)"
+    js = _sql_round6z(
+        "(CAST(s1 AS DOUBLE) / (CAST(n_g AS DOUBLE) * 1e9) "
+        "+ CAST(s2a + (s2all - s2in) AS DOUBLE) "
+        "/ (CAST(n_c AS DOUBLE) * 1e9)) * 0.5"
+    )
+    return (
+        f"WITH wd AS (SELECT {source_expr} AS source, unnest({toks}) AS w "
+        f"FROM {rel}), "
+        "sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS a FROM wd "
+        "GROUP BY source, w), "
+        "cw AS (SELECT w, CAST(sum(a) AS BIGINT) AS b FROM sw GROUP BY w), "
+        "tot AS (SELECT CAST(sum(b) AS BIGINT) AS n_c FROM cw), "
+        "totals AS (SELECT source, CAST(sum(a) AS BIGINT) AS n_g, "
+        "CAST(count(*) AS BIGINT) AS n_types FROM sw GROUP BY source), "
+        "joint AS (SELECT sw.source, sw.a, cw.b, t.n_g, t.n_types, tot.n_c "
+        "FROM sw JOIN cw ON sw.w = cw.w "
+        "JOIN totals t ON t.source IS NOT DISTINCT FROM sw.source "
+        "CROSS JOIN tot), "
+        "sp AS (SELECT source, n_g, n_types, "
+        "CAST(sum(a * (" + iln.format(x="2 * a * n_c") + " - "
+        + iln.format(x="a * n_c + b * n_g") + ")) AS BIGINT) AS s1, "
+        "CAST(sum(b * (" + iln.format(x="2 * b * n_g") + " - "
+        + iln.format(x="a * n_c + b * n_g") + ")) AS BIGINT) AS s2a, "
+        "CAST(sum(b * (" + iln.format(x="2 * b * n_g") + " - "
+        + iln.format(x="b * n_g") + ")) AS BIGINT) AS s2in "
+        "FROM joint GROUP BY source, n_g, n_types), "
+        "nr AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt_b FROM cw "
+        "GROUP BY b), "
+        "ab AS (SELECT t.source AS asrc, "
+        "CAST(sum(nr.cnt_b * nr.b * (" + iln.format(x="2 * nr.b * t.n_g")
+        + " - " + iln.format(x="nr.b * t.n_g") + ")) AS BIGINT) AS s2all "
+        "FROM totals t CROSS JOIN nr GROUP BY t.source) "
+        f"SELECT sp.source, sp.n_g AS n_words, sp.n_types, {js} "
+        "AS js_to_corpus FROM sp JOIN ab "
+        "ON sp.source IS NOT DISTINCT FROM ab.asrc CROSS JOIN tot"
+    )

@@ -899,3 +899,100 @@ class TestKsTest:
             key=repr,
         )
         assert got == want
+
+
+class TestJsDivergence:
+    ROWS = [
+        (0, "alpha beta gamma delta epsilon", "a"),
+        (1, "alpha beta gamma delta zeta", "a"),
+        (2, "omega psi chi phi upsilon", "b"),      # disjoint vocabulary
+        (3, "alpha beta gamma delta epsilon", "c"),  # mirrors source a
+        (4, "alpha beta", None),                     # NULL stratum
+        (5, "", "a"),
+        (6, None, "b"),
+    ]
+
+    def _replay(self, rows):
+        import math
+        from collections import Counter, defaultdict
+
+        def toks(t):
+            return (t or "").lower().split()
+
+        per = defaultdict(Counter)
+        corpus = Counter()
+        for _, t, g in rows:
+            for w in toks(t):
+                per[g][w] += 1
+                corpus[w] += 1
+        n_c = sum(corpus.values())
+
+        def iln(x):
+            return int(round(math.log(x) * 1e9))
+
+        out = {}
+        for g, cnt in per.items():
+            if not cnt:
+                continue
+            n_g = sum(cnt.values())
+            s1 = s2 = 0
+            for w, b in corpus.items():
+                a = cnt.get(w, 0)
+                m = a * n_c + b * n_g
+                if a:
+                    s1 += a * (iln(2 * a * n_c) - iln(m))
+                s2 += b * (iln(2 * b * n_g) - iln(m))
+            js = (s1 / (n_g * 1e9) + s2 / (n_c * 1e9)) * 0.5
+            out[g] = round(js, 6) + 0.0
+        return out
+
+    def test_replay_and_bounds(self, spark):
+        import math
+
+        from pdf_extraction_spark.operators.textanalysis import js_divergence
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, source string"
+        )
+        got = {r.source: r for r in js_divergence(df).collect()}
+        want = self._replay(self.ROWS)
+        assert set(got) == set(want)
+        for g, js in want.items():
+            assert got[g].js_to_corpus == js, g
+            assert -1e-9 <= got[g].js_to_corpus <= math.log(2) + 1e-9
+        # the disjoint-vocab source is the clear outlier; the mirror
+        # of a dominant source sits closest to the corpus
+        assert got["b"].js_to_corpus == max(r.js_to_corpus for r in got.values())
+        assert None in got  # NULL stratum is real
+
+    def test_twin_parity_and_partition_invariance(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.textanalysis import (
+            js_divergence,
+            sql_js_divergence,
+        )
+
+        df = spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, source string"
+        )
+        got = sorted((tuple(r) for r in js_divergence(df).collect()), key=repr)
+        got2 = sorted(
+            (tuple(r) for r in js_divergence(df.repartition(5)).collect()),
+            key=repr,
+        )
+        assert got == got2
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(self.ROWS, columns=["doc_id", "text", "source"]),
+        )
+        want = sorted(
+            (
+                tuple(r)
+                for r in con.execute(sql_js_divergence("documents")).fetchall()
+            ),
+            key=repr,
+        )
+        assert got == want
