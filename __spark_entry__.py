@@ -2164,6 +2164,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def q_cusum_drift(spark, sf):
+        """Page's CUSUM (1954) per user over the centi-quantized event
+        value stream — persistent level-shift detection via the
+        prefix-sum identity S_t = P_t - min_{j<=t} P_j: one prefix-sum
+        window + one running-min window per side, no sequential fold
+        (which also dodges the DuckDB grouped-list_reduce defect the
+        funnel twin documents). Non-finite values are outside the
+        monitored universe (the zscore rule)."""
+        from pdf_extraction_spark.operators.forensics import cusum
+
+        ev = _events(spark, sf).select(
+            "event_id",
+            "user_id",
+            "ts",
+            # finite AND inside the quantization domain: a finite
+            # 1e18 would overflow the int64 cast after *100 (the
+            # hostile-events sweep caught exactly that row) — out-of-
+            # domain magnitudes are outside the monitored universe
+            F.when(
+                F.col("value").isNotNull()
+                & ~F.isnan("value")
+                & (F.abs(F.col("value")) < F.lit(1e15)),
+                F.round(F.col("value") * 100).cast("long"),
+            ).alias("v100"),
+        )
+        # target = the stream's long-run mean (~49.6 -> 4960 centi-
+        # units), allowance half a sigma-ish: in-control streams hover,
+        # genuinely shifted ones cross; threshold chosen so BOTH
+        # verdict branches fire at sf0.01 (alarming and quiet users)
+        return cusum(
+            ev, "v100", "user_id", "ts", "event_id",
+            target=4960, allowance=1000, threshold=30000,
+        )
+
     def q_js_sources(spark, sf):
         """Jensen-Shannon divergence (Lin 1991) of each source's
         unigram distribution vs the corpus — the bounded symmetric
@@ -4043,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "gate_mcnemar": q_gate_mcnemar,
         "js_sources": q_js_sources,
+        "cusum_drift": q_cusum_drift,
     }
 
 
@@ -5416,6 +5451,17 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.textanalysis",
             fromlist=["sql_js_divergence"],
         ).sql_js_divergence("documents"),
+        "cusum_drift": __import__(
+            "pdf_extraction_spark.operators.forensics",
+            fromlist=["sql_cusum"],
+        ).sql_cusum(
+            "(SELECT event_id, user_id, ts, CASE WHEN value IS NOT NULL "
+            "AND isfinite(value) AND abs(value) < 1e15 "
+            "THEN CAST(round(value * 100) AS BIGINT) "
+            "END AS v100 FROM events) ev",
+            "v100", "user_id", "ts", "event_id",
+            target=4960, allowance=1000, threshold=30000,
+        ),
     }
     return sql
 

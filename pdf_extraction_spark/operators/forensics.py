@@ -342,3 +342,123 @@ SELECT user_id, n_gaps, span_s,
          AS final_state
 FROM fd
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change detection (Page 1954, "Continuous Inspection Schemes")
+# ---------------------------------------------------------------------------
+#
+# The classic sequential drift detector over per-entity event streams:
+# the recursion S+_t = max(0, S+_{t-1} + (v_t - target - allowance))
+# alarms when a stream's level has shifted UP persistently (S-_t
+# symmetric for down-shifts) — the ops-monitoring primitive for
+# per-host fetch latencies, per-source quality scores, per-user
+# activity levels. NOT implemented as a sequential fold: the textbook
+# identity S_t = P_t - min_{0<=j<=t} P_j (P = prefix sums of the
+# drift increments, P_0 = 0) turns both sides into ONE prefix-sum
+# window + ONE running-min window over the same per-entity ordering —
+# fully relational in both engines, which also sidesteps the DuckDB
+# grouped-list_reduce defect the funnel twin documents. This is the
+# no-reset ("decision function") form: n_alarms counts samples above
+# threshold rather than resetting S after each alarm (documented
+# variant; the reset form needs the sequential fold).
+#
+# Exact integer end-to-end: values, target, allowance and threshold
+# are int64, prefix sums and running mins are exact associative /
+# order-fixed-by-key, so every output is bit-identical cross-engine.
+# Rows with NULL value or NULL order key are outside the monitored
+# universe (the hostile-events window rule). NULL group is a real
+# stream. Windows partition per entity, ordered by (ts, id) — stream-
+# sized partitions, the lm_score/funnel per-entity acceptance class.
+
+
+def cusum(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    target: int,
+    allowance: int = 0,
+    threshold: int = 0,
+) -> DataFrame:
+    """(group, n_events, max_s_plus, max_s_minus, n_alarms,
+    first_alarm_ts): Page's CUSUM per group over the (ts, id)-ordered
+    integer ``value_col`` stream. ``threshold`` <= 0 disables alarms
+    (max trajectories still reported, n_alarms 0, NULL first alarm)."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+    ).filter(F.col("v").isNotNull() & F.col("ts").isNotNull())
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("ts", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = base.select(
+        "grp", "ts", "eid",
+        F.sum(F.col("v") - F.lit(target + allowance)).over(w).alias("p"),
+        F.sum(F.lit(target - allowance) - F.col("v")).over(w).alias("q"),
+    )
+    s = pre.select(
+        "grp", "ts",
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(w))).alias("sp"),
+        (F.col("q") - F.least(F.lit(0), F.min("q").over(w))).alias("sm"),
+    )
+    if threshold > 0:
+        alarm = (F.col("sp") > threshold) | (F.col("sm") > threshold)
+    else:
+        alarm = F.lit(False)
+    return s.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count("*").alias("n_events"),
+        F.max("sp").alias("max_s_plus"),
+        F.max("sm").alias("max_s_minus"),
+        F.sum(alarm.cast("long")).alias("n_alarms"),
+        F.min(F.when(alarm, F.col("ts"))).alias("first_alarm_ts"),
+    )
+
+
+def sql_cusum(
+    rel: str,
+    value_expr: str,
+    group_expr: str,
+    ts_expr: str,
+    id_expr: str,
+    target: int,
+    allowance: int = 0,
+    threshold: int = 0,
+) -> str:
+    """DuckDB twin of :func:`cusum` — identical prefix-sum / running-
+    min windows and integer algebra."""
+    alarm = (
+        f"(sp > {threshold} OR sm > {threshold})" if threshold > 0 else "FALSE"
+    )
+    wspec = (
+        "PARTITION BY grp ORDER BY ts, eid "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    )
+    return (
+        f"WITH base AS (SELECT {group_expr} AS grp, "
+        f"CAST({value_expr} AS BIGINT) AS v, {ts_expr} AS ts, "
+        f"{id_expr} AS eid FROM {rel} "
+        f"WHERE {value_expr} IS NOT NULL AND {ts_expr} IS NOT NULL), "
+        "pre AS (SELECT grp, ts, eid, "
+        f"CAST(sum(v - {target + allowance}) OVER ({wspec}) AS BIGINT) AS p, "
+        f"CAST(sum({target - allowance} - v) OVER ({wspec}) AS BIGINT) AS q "
+        "FROM base), "
+        "s AS (SELECT grp, ts, "
+        f"p - least(0, min(p) OVER ({wspec})) AS sp, "
+        f"q - least(0, min(q) OVER ({wspec})) AS sm "
+        "FROM pre) "
+        f"SELECT grp AS {group_expr}, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(max(sp) AS BIGINT) AS max_s_plus, "
+        "CAST(max(sm) AS BIGINT) AS max_s_minus, "
+        f"CAST(sum(CASE WHEN {alarm} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_alarms, "
+        f"min(CASE WHEN {alarm} THEN ts END) AS first_alarm_ts "
+        "FROM s GROUP BY grp"
+    )

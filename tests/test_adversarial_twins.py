@@ -311,7 +311,7 @@ EVT_QUERIES = [
     "events_rollup", "recency_weights", "weighted_rerank",
     "zscore_by_group", "session_stats", "windowed_counts",
     "top3_per_segment", "keep_last", "funnel_steps", "bot_regularity",
-    "bursts", "host_quota",
+    "bursts", "host_quota", "cusum_drift",
 ]
 
 

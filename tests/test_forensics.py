@@ -202,3 +202,125 @@ class TestKleinbergBursts:
             for r in con.execute(sql_kleinberg_bursts("events", min_events=5)).fetchall()
         )
         assert got == want
+
+
+class TestCusum:
+    def _replay(self, rows, target, k, h):
+        from collections import defaultdict
+
+        streams = defaultdict(list)
+        for eid, g, ts, v in rows:
+            if v is None or ts is None:
+                continue
+            streams[g].append((ts, eid, v))
+        out = {}
+        for g, evs in streams.items():
+            evs.sort()
+            sp = sm = 0
+            msp = msm = 0
+            alarms = 0
+            first = None
+            for ts, _, v in evs:
+                sp = max(0, sp + (v - target - k))
+                sm = max(0, sm + (target - k - v))
+                msp, msm = max(msp, sp), max(msm, sm)
+                if h > 0 and (sp > h or sm > h):
+                    alarms += 1
+                    if first is None:
+                        first = ts
+            out[g] = (len(evs), msp, msm, alarms, first)
+        return out
+
+    ROWS = [
+        # user 1: in control around 100
+        *[(i, 1, 1000 + i, 100 + (-1) ** i * 3) for i in range(20)],
+        # user 2: shifts up to 140 halfway -> S+ alarm
+        *[(100 + i, 2, 1000 + i, 100 if i < 10 else 140) for i in range(20)],
+        # user 3: shifts down -> S- alarm
+        *[(200 + i, 3, 1000 + i, 100 if i < 10 else 55) for i in range(20)],
+        (300, 4, None, 100),   # NULL ts dropped
+        (301, 4, 1000, None),  # NULL value dropped
+        (302, None, 1000, 100),  # NULL group is a real stream
+    ]
+
+    def test_replay_and_branches(self, spark):
+        from pdf_extraction_spark.operators.forensics import cusum
+
+        df = spark.createDataFrame(
+            self.ROWS, "eid long, grp long, ts long, v long"
+        )
+        got = {
+            r.grp: r
+            for r in cusum(
+                df, "v", "grp", "ts", "eid", target=100, allowance=5,
+                threshold=100,
+            ).collect()
+        }
+        want = self._replay(self.ROWS, 100, 5, 100)
+        assert set(got) == set(want)
+        for g, (n, msp, msm, alarms, first) in want.items():
+            r = got[g]
+            assert (
+                r.n_events, r.max_s_plus, r.max_s_minus, r.n_alarms,
+                r.first_alarm_ts,
+            ) == (n, msp, msm, alarms, first), g
+        assert got[1].n_alarms == 0                    # in control
+        assert got[2].n_alarms > 0 and got[2].max_s_plus > 100
+        assert got[3].n_alarms > 0 and got[3].max_s_minus > 100
+        # user 4 lost both hygiene rows entirely; NULL group survives
+        assert 4 not in got and None in got
+
+    def test_alarm_disabled_and_reset_identity(self, spark):
+        from pdf_extraction_spark.operators.forensics import cusum
+
+        df = spark.createDataFrame(
+            self.ROWS, "eid long, grp long, ts long, v long"
+        )
+        got = {
+            r.grp: r
+            for r in cusum(
+                df, "v", "grp", "ts", "eid", target=100, allowance=5
+            ).collect()
+        }
+        assert all(r.n_alarms == 0 and r.first_alarm_ts is None for r in got.values())
+        # trajectories identical with alarms off
+        assert got[2].max_s_plus > 100
+
+    def test_twin_parity_and_partition_invariance(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.forensics import cusum, sql_cusum
+
+        df = spark.createDataFrame(
+            self.ROWS, "eid long, grp long, ts long, v long"
+        )
+        args = dict(target=100, allowance=5, threshold=100)
+        got = sorted(
+            (tuple(r) for r in cusum(df, "v", "grp", "ts", "eid", **args).collect()),
+            key=repr,
+        )
+        got2 = sorted(
+            (
+                tuple(r)
+                for r in cusum(
+                    df.repartition(7), "v", "grp", "ts", "eid", **args
+                ).collect()
+            ),
+            key=repr,
+        )
+        assert got == got2
+        con = duckdb.connect()
+        con.register(
+            "t", pd.DataFrame(self.ROWS, columns=["eid", "grp", "ts", "v"])
+        )
+        want = sorted(
+            (
+                tuple(r)
+                for r in con.execute(
+                    sql_cusum("t", "v", "grp", "ts", "eid", **args)
+                ).fetchall()
+            ),
+            key=repr,
+        )
+        assert got == want
