@@ -1490,13 +1490,19 @@ def naive_bayes_classify(
         F.col(label_col).alias("lbl"),
         F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
     )
-    cw = tr_toks.groupBy("lbl", "tok").agg(F.count("*").alias("c_wc"))
-    ctok = tr_toks.groupBy("lbl").agg(F.count("*").alias("c_c"))
+    # ONE corpus-scale tokenize: cw is persisted (vocabulary x classes
+    # rows) and every other training aggregate DERIVES from it or from
+    # the doc-count table — the plan-audit fix for the naive form that
+    # re-scanned the training corpus for each count table
+    cw = (
+        tr_toks.groupBy("lbl", "tok").agg(F.count("*").alias("c_wc")).persist()
+    )
+    ctok = cw.groupBy("lbl").agg(F.sum("c_wc").alias("c_c"))
     cdoc = tr.groupBy(F.col(label_col).alias("lbl")).agg(
         F.count("*").alias("n_docs_c")
-    )
+    ).persist()
     vocab = cw.select("tok").distinct().groupBy().agg(F.count("*").alias("v"))
-    ndocs = tr.groupBy().agg(F.count("*").alias("n_docs"))
+    ndocs = cdoc.groupBy().agg(F.sum("n_docs_c").alias("n_docs"))
     classes = (
         cdoc.join(ctok, "lbl", "left")
         .withColumn("c_c", F.coalesce("c_c", F.lit(0)))
@@ -1654,7 +1660,9 @@ def ks_test(
     vals = df.select(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     ).filter(F.col("v").isNotNull())
-    hist = vals.groupBy("g", "v").agg(F.count("*").alias("c"))
+    # hist feeds groups / vall / the grid join — persisted once
+    # ((group, distinct-value)-sized, the plan-audit reuse rule)
+    hist = vals.groupBy("g", "v").agg(F.count("*").alias("c")).persist()
     groups = hist.groupBy("g").agg(F.sum("c").alias("n_g"))
     total = groups.groupBy().agg(F.sum("n_g").alias("n_all"))
     vall = hist.groupBy("v").agg(F.sum("c").alias("cv"))

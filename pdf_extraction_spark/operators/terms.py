@@ -756,7 +756,9 @@ def keyness(
             _lower_words(F.coalesce(F.col(text_col), F.lit("")))
         ).alias("tok"),
     )
-    ct = words.groupBy("grp", "tok").agg(F.count("*").alias("a"))
+    # the one corpus-scale aggregation, read by the window chain AND
+    # the 1-row total — persisted (plan-audit reuse rule)
+    ct = words.groupBy("grp", "tok").agg(F.count("*").alias("a")).persist()
     ct = ct.withColumn("tf", F.sum("a").over(Window.partitionBy("tok"))).withColumn(
         "n_g", F.sum("a").over(Window.partitionBy("grp"))
     )

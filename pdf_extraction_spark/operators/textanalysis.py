@@ -1431,6 +1431,13 @@ def bleu_pair(
         )
         return F.concat(uni_s, bi_s)
 
+    # the input pair frame is read three times (candidate grams,
+    # reference grams, reference length) and its lineage may be an
+    # upstream cleaner join — persist the minimal projection once
+    df = df.select(
+        F.col(id_col).alias(id_col), F.col(cand_col).alias(cand_col),
+        F.col(ref_col).alias(ref_col),
+    ).persist()
     cand = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(grams(cand_col)).alias("x"))
         .groupBy("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
@@ -1608,8 +1615,11 @@ def js_divergence(
         F.col(source_col).alias("source"),
         F.explode(_lower_words(F.coalesce(F.col(text_col), F.lit("")))).alias("w"),
     )
-    sw = words.groupBy("source", "w").agg(F.count("*").alias("a"))
-    cw = sw.groupBy("w").agg(F.sum("a").alias("b"))
+    # sw is the one corpus-scale aggregation; everything else derives
+    # from it, so it and the vocab table are persisted (plan-audit
+    # rule: 3 readers each would otherwise re-run the tokenize)
+    sw = words.groupBy("source", "w").agg(F.count("*").alias("a")).persist()
+    cw = sw.groupBy("w").agg(F.sum("a").alias("b")).persist()
     tot = cw.agg(F.sum("b").alias("n_c"))
     joint = sw.join(cw, "w").crossJoin(F.broadcast(tot))
 
