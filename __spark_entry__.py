@@ -2164,6 +2164,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def q_centroid_classify(spark, sf):
+        """Nearest-centroid / Rocchio classification (Rocchio 1971;
+        Han & Karypis 2000) over the embeddings table's stored labels:
+        micro-quantized components, truncated-mean integer centroids
+        (bounded at any class size — the sum-vector form overflows),
+        exact int64 dot/norms, cosine as one correctly-rounded double
+        chain, argmax over #classes-row windows. The embeddings-side
+        provenance classifier beside the token-side Naive Bayes."""
+        from pdf_extraction_spark.operators.similarity import (
+            centroid_classify,
+        )
+
+        return centroid_classify(_emb(spark, sf))
+
     def q_cusum_drift(spark, sf):
         """Page's CUSUM (1954) per user over the centi-quantized event
         value stream — persistent level-shift detection via the
@@ -4078,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_mcnemar": q_gate_mcnemar,
         "js_sources": q_js_sources,
         "cusum_drift": q_cusum_drift,
+        "centroid_classify": q_centroid_classify,
     }
 
 
@@ -5462,6 +5477,10 @@ def oracle_sql() -> dict[str, str]:
             "v100", "user_id", "ts", "event_id",
             target=4960, allowance=1000, threshold=30000,
         ),
+        "centroid_classify": __import__(
+            "pdf_extraction_spark.operators.similarity",
+            fromlist=["sql_centroid_classify"],
+        ).sql_centroid_classify("embeddings"),
     }
     return sql
 

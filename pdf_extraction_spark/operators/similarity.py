@@ -1091,3 +1091,180 @@ def sql_dimsum_cosine(
         f"WHERE round(CAST(p.pair_weight AS DOUBLE) / "
         f"((na.q * nb.q) * (na.nrm * nb.nrm)), 6) >= {float(min_sim)!r}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid (Rocchio) classification (Rocchio 1971; the
+# nearest-centroid text classifier of Han & Karypis 2000)
+# ---------------------------------------------------------------------------
+#
+# The embeddings-side provenance classifier beside the token-side
+# Naive Bayes: assign each vector to the training class whose mean
+# vector it is most cosine-similar to. Exactness discipline:
+#   * components quantize once to micro ints q = round(v * 1e6)
+#     (round() agrees cross-engine on doubles — it is CAST truncation
+#     that diverges; non-finite components void the vector);
+#   * the class centroid is the TRUNCATING-division mean
+#     c_j = sign(s) * (|s| div n_c) of the exact integer component
+#     sums — bounded by the max component magnitude at ANY class
+#     size, so every dot/norm term stays inside int64 forever (the
+#     sum-vector form would overflow past ~3e4 members; the floor-vs-
+#     trunc divergence on negative sums is dodged by the sign split);
+#   * dot and both squared norms are exact int64 sums (associative —
+#     no ordered-fold machinery), cosine is one correctly-rounded
+#     double chain rounded to 6, argmax by (cos desc, label asc).
+#
+# Scale shape: one posexplode (corpus x dim rows), one combinable
+# (label, dim) centroid aggregate bounded by classes x dim, centroids
+# broadcast, per-(vector, class) scoring through one combinable
+# aggregate, argmax window partitions hold exactly #classes rows.
+# NULL labels are not classes (unlabeled rows are still scored);
+# zero-norm vectors and degenerate centroids score NULL and predict
+# nothing (cosine undefined).
+
+
+def centroid_classify(
+    df: DataFrame,
+    train_df: DataFrame = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """(vec_id, pred, cos6): nearest-centroid verdict for every vector
+    of ``df`` under per-class truncated-mean centroids fit on
+    ``train_df`` (default ``df``). Vectors with no finite components
+    or zero norm emit (vec_id, NULL, NULL)."""
+    from pyspark.sql import Window
+
+    train = df if train_df is None else train_df
+
+    def quant(frame, with_label):
+        cols = [F.col(id_col).alias("vid")]
+        if with_label:
+            cols.append(F.col(label_col).alias("lbl"))
+        q = frame.select(*cols, F.posexplode(vec_col).alias("j", "x"))
+        return q.select(
+            *[c for c in ["vid", "lbl"] if c in q.columns],
+            "j",
+            # quantization domain |x| < 300: q^2 * dim must stay
+            # inside int64 (a hostile 1e6-magnitude component would
+            # overflow the norm sum) — out-of-domain components void
+            # the vector, the CUSUM domain rule
+            F.when(
+                F.col("x").isNotNull()
+                & ~F.isnan(F.col("x").cast("double"))
+                & (F.abs(F.col("x").cast("double")) < F.lit(300.0)),
+                F.round(F.col("x").cast("double") * F.lit(1e6)).cast("long"),
+            ).alias("q"),
+        )
+    tr = quant(train.filter(F.col(label_col).isNotNull()), True)
+    cent = (
+        tr.filter(F.col("q").isNotNull())
+        .groupBy("lbl", "j")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .select(
+            "lbl",
+            "j",
+            F.expr(
+                "CASE WHEN s >= 0 THEN s div n ELSE -((-s) div n) END"
+            ).alias("c"),
+        )
+    )
+    cnorm = cent.groupBy("lbl").agg(F.sum(F.col("c") * F.col("c")).alias("cn2"))
+    qv = quant(df, False)
+    # a vector with ANY non-finite component is void (NULL q poisons
+    # its dot/norm sums via sum-of-NULL semantics only if all rows
+    # NULL — so void explicitly: flag per vector)
+    bad = qv.groupBy("vid").agg(
+        F.max(F.col("q").isNull().cast("int")).alias("has_bad")
+    )
+    scores = (
+        qv.join(F.broadcast(cent), "j")
+        .groupBy("vid", "lbl")
+        .agg(
+            F.sum(F.col("q") * F.col("c")).alias("dot"),
+            F.sum(F.col("q") * F.col("q")).alias("vn2"),
+        )
+        .join(F.broadcast(cnorm), "lbl")
+        .join(bad, "vid")
+    )
+    cos = F.when(
+        (F.col("has_bad") == 0) & (F.col("vn2") > 0) & (F.col("cn2") > 0),
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("vn2").cast("double") * F.col("cn2").cast("double")),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    scored = scores.select("vid", "lbl", cos.alias("cos6"))
+    w = Window.partitionBy("vid").orderBy(
+        F.col("cos6").desc_nulls_last(), F.col("lbl")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vid",
+            F.when(F.col("cos6").isNotNull(), F.col("lbl")).alias("pred"),
+            "cos6",
+        )
+    )
+    ids = df.select(F.col(id_col).alias("vid")).distinct()
+    return ids.join(best, "vid", "left").select(
+        F.col("vid").alias(id_col), "pred", "cos6"
+    )
+
+
+def sql_centroid_classify(
+    rel: str = "embeddings",
+    train_rel: str = None,
+    vec_expr: str = "embedding",
+    id_expr: str = "vec_id",
+    label_expr: str = "label",
+) -> str:
+    """DuckDB twin of :func:`centroid_classify` — identical
+    quantization, truncated-mean centroids, integer dot/norms and
+    argmax window."""
+    train_rel = train_rel or rel
+    q = (
+        "CASE WHEN x IS NOT NULL AND isfinite(CAST(x AS DOUBLE)) "
+        "AND abs(CAST(x AS DOUBLE)) < 300.0 "
+        "THEN CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) END"
+    )
+    return (
+        f"WITH trx AS (SELECT {id_expr} AS vid, {label_expr} AS lbl, "
+        f"i - 1 AS j, {vec_expr}[i] AS x FROM (SELECT *, "
+        f"unnest(generate_series(1, len({vec_expr}))) AS i FROM {train_rel} "
+        f"WHERE {label_expr} IS NOT NULL)), "
+        f"tr AS (SELECT vid, lbl, j, {q} AS q FROM trx), "
+        "cent AS (SELECT lbl, j, CASE WHEN s >= 0 THEN s // n "
+        "ELSE -((-s) // n) END AS c FROM ("
+        "SELECT lbl, j, CAST(sum(q) AS BIGINT) AS s, "
+        "CAST(count(*) AS BIGINT) AS n FROM tr WHERE q IS NOT NULL "
+        "GROUP BY lbl, j)), "
+        "cn AS (SELECT lbl, CAST(sum(c * c) AS BIGINT) AS cn2 FROM cent "
+        "GROUP BY lbl), "
+        f"qx AS (SELECT {id_expr} AS vid, i - 1 AS j, {vec_expr}[i] AS x "
+        f"FROM (SELECT *, unnest(generate_series(1, len({vec_expr}))) AS i "
+        f"FROM {rel})), "
+        f"qv AS (SELECT vid, j, {q} AS q FROM qx), "
+        "bad AS (SELECT vid, max(CASE WHEN q IS NULL THEN 1 ELSE 0 END) "
+        "AS has_bad FROM qv GROUP BY vid), "
+        "sc AS (SELECT qv.vid, cent.lbl, "
+        "CAST(sum(qv.q * cent.c) AS BIGINT) AS dot, "
+        "CAST(sum(qv.q * qv.q) AS BIGINT) AS vn2 "
+        "FROM qv JOIN cent ON qv.j = cent.j GROUP BY qv.vid, cent.lbl), "
+        "scored AS (SELECT sc.vid, sc.lbl, "
+        "CASE WHEN bad.has_bad = 0 AND sc.vn2 > 0 AND cn.cn2 > 0 THEN "
+        "round(CAST(sc.dot AS DOUBLE) / sqrt(CAST(sc.vn2 AS DOUBLE) "
+        "* CAST(cn.cn2 AS DOUBLE)), 6) + 0.0 END AS cos6 "
+        "FROM sc JOIN cn ON sc.lbl = cn.lbl JOIN bad ON bad.vid = sc.vid), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY vid "
+        "ORDER BY cos6 DESC NULLS LAST, lbl) AS rn FROM scored), "
+        "best AS (SELECT vid, CASE WHEN cos6 IS NOT NULL THEN lbl END "
+        "AS pred, cos6 FROM rk WHERE rn = 1) "
+        f"SELECT ids.vid AS {id_expr}, best.pred, best.cos6 "
+        f"FROM (SELECT DISTINCT {id_expr} AS vid FROM {rel}) ids "
+        "LEFT JOIN best ON best.vid = ids.vid"
+    )

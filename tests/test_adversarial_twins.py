@@ -218,6 +218,7 @@ EMB_QUERIES = [
     "cosine_topk", "embedding_neardup", "topk_batch",
     "ivf_assign", "ivf_probe", "ivf_topk", "semdedup", "quantize_emb",
     "pq_encode", "pq_topk", "mmr_topk", "facility_location",
+    "centroid_classify",
 ]
 
 

@@ -497,3 +497,138 @@ class TestDimsum:
             ).fetchall()
         )
         assert got == want
+
+
+class TestCentroidClassify:
+    ROWS = [
+        # two clean clusters on axes 0 / 1 plus an unlabeled probe
+        (0, [1.0, 0.1, 0.0], 0),
+        (1, [0.9, -0.1, 0.05], 0),
+        (2, [1.1, 0.0, -0.05], 0),
+        (3, [0.0, 1.0, 0.1], 1),
+        (4, [0.1, 0.9, -0.1], 1),
+        (5, [-0.05, 1.1, 0.0], 1),
+        (6, [0.95, 0.05, 0.0], None),   # unlabeled: scored, not trained
+        (7, [0.05, 1.05, 0.0], None),
+        (8, None, 0),                     # NULL vector
+        (9, [0.0, 0.0, 0.0], 1),          # zero vector
+        (10, [1e7, 0.0, 0.0], 0),         # out-of-domain magnitude
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "vec_id long, embedding array<double>, label int"
+        )
+
+    def test_semantics(self, spark):
+        from pdf_extraction_spark.operators.similarity import centroid_classify
+
+        got = {r.vec_id: r for r in centroid_classify(self._df(spark)).collect()}
+        assert set(got) == set(range(11))
+        for i in (0, 1, 2, 6):
+            assert got[i].pred == 0, i
+        for i in (3, 4, 5, 7):
+            assert got[i].pred == 1, i
+        for i in (8, 9, 10):
+            assert got[i].pred is None and got[i].cos6 is None, i
+        # cluster members sit close to their centroid
+        assert got[0].cos6 > 0.9
+
+    def test_replay_exact(self, spark):
+        import math
+
+        from pdf_extraction_spark.operators.similarity import centroid_classify
+
+        got = {r.vec_id: r for r in centroid_classify(self._df(spark)).collect()}
+        # pure-Python replay of the quantized integer pipeline
+        from collections import defaultdict
+
+        qs, sums, cnts = {}, defaultdict(lambda: defaultdict(int)), defaultdict(lambda: defaultdict(int))
+        for vid, v, lbl in self.ROWS:
+            if v is None:
+                continue
+            q = [
+                int(round(x * 1e6)) if abs(x) < 300.0 else None for x in v
+            ]
+            qs[vid] = q
+            if lbl is not None:
+                for j, qq in enumerate(q):
+                    if qq is not None:
+                        sums[lbl][j] += qq
+                        cnts[lbl][j] += 1
+        cent = {
+            lbl: {
+                j: (s // cnts[lbl][j] if s >= 0 else -((-s) // cnts[lbl][j]))
+                for j, s in d.items()
+            }
+            for lbl, d in sums.items()
+        }
+        for vid, v, _ in self.ROWS:
+            if v is None or any(q is None for q in qs.get(vid, [None])):
+                continue
+            q = qs[vid]
+            vn2 = sum(x * x for x in q)
+            best = None
+            for lbl, c in sorted(cent.items()):
+                cn2 = sum(x * x for x in c.values())
+                if vn2 == 0 or cn2 == 0:
+                    continue
+                dot = sum(q[j] * c[j] for j in c)
+                cos = round(dot / math.sqrt(float(vn2) * float(cn2)), 6) + 0.0
+                if best is None or cos > best[0]:
+                    best = (cos, lbl)
+            if best:
+                assert (got[vid].cos6, got[vid].pred) == best, vid
+
+    def test_separate_train_and_partition_invariance(self, spark):
+        from pdf_extraction_spark.operators.similarity import centroid_classify
+
+        df = self._df(spark)
+        train = df.filter(F.col("label").isNotNull())
+        score = df.select("vec_id", "embedding")
+        a = sorted(
+            (tuple(r) for r in centroid_classify(
+                score.withColumn("label", F.lit(None).cast("int")),
+                train_df=train,
+            ).collect()),
+            key=repr,
+        )
+        b = sorted(
+            (tuple(r) for r in centroid_classify(
+                score.repartition(5).withColumn(
+                    "label", F.lit(None).cast("int")
+                ),
+                train_df=train.repartition(3),
+            ).collect()),
+            key=repr,
+        )
+        assert a == b and len(a) == 11
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.similarity import (
+            centroid_classify,
+            sql_centroid_classify,
+        )
+
+        got = sorted(
+            (tuple(r) for r in centroid_classify(self._df(spark)).collect()),
+            key=repr,
+        )
+        con = duckdb.connect()
+        con.register(
+            "embeddings",
+            pd.DataFrame(self.ROWS, columns=["vec_id", "embedding", "label"]),
+        )
+        want = sorted(
+            (
+                tuple(r)
+                for r in con.execute(
+                    sql_centroid_classify("embeddings")
+                ).fetchall()
+            ),
+            key=repr,
+        )
+        assert got == want
