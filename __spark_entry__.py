@@ -2164,6 +2164,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def q_ct_langid(spark, sf):
+        """Cavnar-Trenkle rank-profile language ID (1994): top-40 char
+        2/3-gram rank profiles per stored lang, out-of-place distance
+        argmin per doc — the textcat classic beside the stopword-count
+        langid, exact integer end-to-end (counts, total-order ranks,
+        distances; no float exists)."""
+        from pdf_extraction_spark.operators.textanalysis import ct_langid
+
+        # the synthetic text does not vary by the stored lang label, so
+        # the input is augmented with a deterministic per-lang marker
+        # run (the refinedweb augmentation device) — profiles genuinely
+        # differ per language and the verdict is non-trivial (499/500
+        # at sf0.01); the twin applies the identical augmentation
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            "lang",
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" "),
+                F.repeat(
+                    F.concat(
+                        F.lit("m"), F.coalesce(F.col("lang"), F.lit("")),
+                        F.lit(" "),
+                    ),
+                    30,
+                ),
+            ).alias("text"),
+        )
+        return ct_langid(docs, k=40)
+
     def q_centroid_classify(spark, sf):
         """Nearest-centroid / Rocchio classification (Rocchio 1971;
         Han & Karypis 2000) over the embeddings table's stored labels:
@@ -4093,6 +4123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_sources": q_js_sources,
         "cusum_drift": q_cusum_drift,
         "centroid_classify": q_centroid_classify,
+        "ct_langid": q_ct_langid,
     }
 
 
@@ -5481,6 +5512,15 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.similarity",
             fromlist=["sql_centroid_classify"],
         ).sql_centroid_classify("embeddings"),
+        "ct_langid": __import__(
+            "pdf_extraction_spark.operators.textanalysis",
+            fromlist=["sql_ct_langid"],
+        ).sql_ct_langid(
+            "(SELECT doc_id, lang, coalesce(text, '') || ' ' || "
+            "repeat('m' || coalesce(lang, '') || ' ', 30) AS text "
+            "FROM documents) a",
+            k=40,
+        ),
     }
     return sql
 

@@ -1726,3 +1726,175 @@ def sql_js_divergence(
         "AS js_to_corpus FROM sp JOIN ab "
         "ON sp.source IS NOT DISTINCT FROM ab.asrc CROSS JOIN tot"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cavnar-Trenkle n-gram rank-profile language ID (Cavnar & Trenkle
+# 1994, "N-Gram-Based Text Categorization")
+# ---------------------------------------------------------------------------
+#
+# THE classic language identifier (the textcat lineage), methodically
+# different from the engine's stopword-count langid: each language is
+# a RANK PROFILE of its top-K character n-grams, a document is the
+# same profile of itself, and the verdict is the argmin "out-of-place"
+# distance — sum over the document's profile grams of
+# |rank_in_doc - rank_in_language|, with a penalty of K for grams the
+# language profile lacks. Everything is integer: counts, ranks
+# (count desc, gram asc — a total order, so ranks are identical
+# cross-engine), distances. No float exists in the operator.
+#
+# Grams are char 2- and 3-grams of '_'-padded lowercased word tokens
+# (the paper's word-boundary padding; shared _lower_words tokenizer).
+# Scale shape: one corpus-scale (doc, gram) count + doc-sized rank
+# windows for document profiles (the lm_score acceptance); language
+# profiles aggregate to #langs x K rows and BROADCAST; the scoring
+# grid is docs x K x #langs through one combinable sum; argmin
+# windows hold #langs rows. Docs with no grams and training rows with
+# NULL lang are outside their respective universes (scored-with-no-
+# profile docs emit (doc, NULL, NULL)).
+
+
+def _ct_grams(text_c: Column) -> Column:
+    """All char 2-/3-grams of '_'-padded lowercased tokens."""
+    from .curation import _lower_words
+
+    toks = _lower_words(F.coalesce(text_c, F.lit("")))
+
+    def grams_of(p, n):
+        return F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(p) - F.lit(n - 1), F.lit(0))
+            ),
+            lambda i: p.substr(i, F.lit(n)),
+        )
+
+    padded = F.transform(toks, lambda w: F.concat(F.lit("_"), w, F.lit("_")))
+    return F.flatten(
+        F.concat(
+            F.transform(padded, lambda p: grams_of(p, 2)),
+            F.transform(padded, lambda p: grams_of(p, 3)),
+        )
+    )
+
+
+_SQL_CT_GRAMS_TMPL = (
+    "flatten(list_concat("
+    "list_transform({pads}, p -> list_transform("
+    "generate_series(1, greatest(len(p) - 1, 0)), i -> p[i:i+1])), "
+    "list_transform({pads}, p -> list_transform("
+    "generate_series(1, greatest(len(p) - 2, 0)), i -> p[i:i+2]))))"
+)
+
+
+def _sql_ct_grams(text_expr: str) -> str:
+    """DuckDB twin of :func:`_ct_grams` (1-based inclusive slicing:
+    p[i:i+1] is 2 chars, p[i:i+2] is 3)."""
+    from .curation import _sql_lower_words
+
+    toks = _sql_lower_words(f"coalesce({text_expr}, '')")
+    pads = f"list_transform({toks}, w -> '_' || w || '_')"
+    return _SQL_CT_GRAMS_TMPL.format(pads=pads)
+
+
+def ct_langid(
+    df: DataFrame,
+    train_df: DataFrame = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    k: int = 40,
+) -> DataFrame:
+    """(doc_id, pred, dist): Cavnar-Trenkle verdict for every row of
+    ``df`` under top-``k`` rank profiles fit on ``train_df`` (default
+    ``df``). ``dist`` is the exact integer out-of-place distance of
+    the winning language."""
+    from pyspark.sql import Window
+
+    train = df if train_df is None else train_df
+    tr = train.filter(F.col(lang_col).isNotNull()).select(
+        F.col(lang_col).alias("lng"),
+        F.explode(_ct_grams(F.col(text_col))).alias("g"),
+    )
+    lw = Window.partitionBy("lng").orderBy(F.col("c").desc(), F.col("g"))
+    lang_prof = (
+        tr.groupBy("lng", "g")
+        .agg(F.count("*").alias("c"))
+        .withColumn("lr", F.row_number().over(lw))
+        .filter(F.col("lr") <= k)
+        .select("lng", "g", "lr")
+    ).persist()
+    langs = lang_prof.select("lng").distinct()
+
+    dw = Window.partitionBy("did").orderBy(F.col("c").desc(), F.col("g"))
+    doc_prof = (
+        df.select(
+            F.col(id_col).alias("did"),
+            F.explode(_ct_grams(F.col(text_col))).alias("g"),
+        )
+        .groupBy("did", "g")
+        .agg(F.count("*").alias("c"))
+        .withColumn("dr", F.row_number().over(dw))
+        .filter(F.col("dr") <= k)
+        .select("did", "g", "dr")
+    ).persist()
+    grid = doc_prof.crossJoin(F.broadcast(langs))
+    scored = (
+        grid.join(F.broadcast(lang_prof), ["lng", "g"], "left")
+        .groupBy("did", "lng")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("dr") - F.col("lr")), F.lit(k)
+                )
+            ).alias("dist")
+        )
+    )
+    aw = Window.partitionBy("did").orderBy(F.col("dist"), F.col("lng"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("did", F.col("lng").alias("pred"), "dist")
+    )
+    ids = df.select(F.col(id_col).alias("did")).distinct()
+    return ids.join(best, "did", "left").select(
+        F.col("did").alias(id_col), "pred", "dist"
+    )
+
+
+def sql_ct_langid(
+    rel: str = "documents",
+    train_rel: str = None,
+    text_expr: str = "text",
+    id_expr: str = "doc_id",
+    lang_expr: str = "lang",
+    k: int = 40,
+) -> str:
+    """DuckDB twin of :func:`ct_langid` — identical grams, total-order
+    ranks, out-of-place distance and argmin window."""
+    train_rel = train_rel or rel
+    g_tr = _sql_ct_grams(text_expr)
+    return (
+        f"WITH tr AS (SELECT {lang_expr} AS lng, unnest({g_tr}) AS g "
+        f"FROM {train_rel} WHERE {lang_expr} IS NOT NULL), "
+        "lp0 AS (SELECT lng, g, count(*) AS c FROM tr GROUP BY lng, g), "
+        "lp AS (SELECT lng, g, lr FROM (SELECT lng, g, CAST(row_number() "
+        "OVER (PARTITION BY lng ORDER BY c DESC, g) AS BIGINT) AS lr "
+        f"FROM lp0) WHERE lr <= {k}), "
+        "langs AS (SELECT DISTINCT lng FROM lp), "
+        f"dg AS (SELECT {id_expr} AS did, unnest({g_tr}) AS g FROM {rel}), "
+        "dp0 AS (SELECT did, g, count(*) AS c FROM dg GROUP BY did, g), "
+        "dp AS (SELECT did, g, dr FROM (SELECT did, g, CAST(row_number() "
+        "OVER (PARTITION BY did ORDER BY c DESC, g) AS BIGINT) AS dr "
+        f"FROM dp0) WHERE dr <= {k}), "
+        "scored AS (SELECT dp.did, langs.lng, "
+        f"CAST(sum(coalesce(abs(dp.dr - lp.lr), {k})) AS BIGINT) AS dist "
+        "FROM dp CROSS JOIN langs LEFT JOIN lp "
+        "ON lp.lng = langs.lng AND lp.g = dp.g "
+        "GROUP BY dp.did, langs.lng), "
+        "best AS (SELECT did, lng AS pred, dist FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY did ORDER BY dist, lng) AS rn "
+        "FROM scored) WHERE rn = 1) "
+        f"SELECT ids.did AS {id_expr}, best.pred, best.dist "
+        f"FROM (SELECT DISTINCT {id_expr} AS did FROM {rel}) ids "
+        "LEFT JOIN best ON best.did = ids.did"
+    )

@@ -108,3 +108,70 @@ def test_twin_parity_and_partition_invariance(spark):
         key=repr,
     )
     assert got == want
+
+
+class TestCtLangid:
+    # two "languages" with distinct character statistics + noise rows
+    ROWS = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (1, "every good thing comes to those who wait for the right time", "en"),
+        (2, "she sells sea shells down by the sea shore all day long", "en"),
+        (3, "szczebrzeszyn chrzaszcz brzmi w trzcinie i szczaw rosnie", "pl"),
+        (4, "wszystko dobrze przy szczytach gdzie szczyty szybko szumia", "pl"),
+        (5, "przez szyby deszcz szumi w szczelinach przy szosie", "pl"),
+        (6, "the quick brown dog waits by the sea shore", None),   # unlabeled
+        (7, "szybko szumi deszcz przy szczycie", None),             # unlabeled
+        (8, "", "en"),
+        (9, None, "pl"),
+    ]
+
+    def test_semantics(self, spark):
+        from pdf_extraction_spark.operators.textanalysis import ct_langid
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string, lang string")
+        got = {r.doc_id: r for r in ct_langid(df, k=30).collect()}
+        assert set(got) == set(range(10))
+        for i in (0, 1, 2, 6):
+            assert got[i].pred == "en", i
+        for i in (3, 4, 5, 7):
+            assert got[i].pred == "pl", i
+        # the winner's distance is a real integer and beats the bound
+        assert 0 <= got[0].dist <= 30 * 30
+        # empty/NULL text: no profile -> no verdict
+        assert got[8].pred is None and got[9].pred is None
+
+    def test_self_profile_is_best_and_partition_invariant(self, spark):
+        from pdf_extraction_spark.operators.textanalysis import ct_langid
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string, lang string")
+        a = sorted((tuple(r) for r in ct_langid(df, k=30).collect()), key=repr)
+        b = sorted(
+            (tuple(r) for r in ct_langid(df.repartition(5), k=30).collect()),
+            key=repr,
+        )
+        assert a == b
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.textanalysis import (
+            ct_langid,
+            sql_ct_langid,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string, lang string")
+        got = sorted((tuple(r) for r in ct_langid(df, k=30).collect()), key=repr)
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(self.ROWS, columns=["doc_id", "text", "lang"]),
+        )
+        want = sorted(
+            (
+                tuple(r)
+                for r in con.execute(sql_ct_langid("documents", k=30)).fetchall()
+            ),
+            key=repr,
+        )
+        assert got == want
