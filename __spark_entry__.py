@@ -2164,6 +2164,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def q_bigram_entropy(spark, sf):
+        """Shannon's bigram conditional entropy per source (1951):
+        H(next word | word) by the chain rule over the bigram table —
+        the ln B terms cancel, every remaining ln is of an integer
+        count on the I(x) device, so both sums are exact int64 and
+        only one correctly-rounded division exists. The F1-vs-F0 gap
+        against unigram_entropy is the repetition-structure signal."""
+        from pdf_extraction_spark.operators.textanalysis import (
+            bigram_cond_entropy,
+        )
+
+        return bigram_cond_entropy(_docs(spark, sf))
+
     def q_ct_langid(spark, sf):
         """Cavnar-Trenkle rank-profile language ID (1994): top-40 char
         2/3-gram rank profiles per stored lang, out-of-place distance
@@ -4124,6 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": q_cusum_drift,
         "centroid_classify": q_centroid_classify,
         "ct_langid": q_ct_langid,
+        "bigram_entropy": q_bigram_entropy,
     }
 
 
@@ -5521,6 +5535,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) a",
             k=40,
         ),
+        "bigram_entropy": __import__(
+            "pdf_extraction_spark.operators.textanalysis",
+            fromlist=["sql_bigram_cond_entropy"],
+        ).sql_bigram_cond_entropy("documents"),
     }
     return sql
 

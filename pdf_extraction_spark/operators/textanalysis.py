@@ -1898,3 +1898,103 @@ def sql_ct_langid(
         f"FROM (SELECT DISTINCT {id_expr} AS did FROM {rel}) ids "
         "LEFT JOIN best ON best.did = ids.did"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional entropy per source (Shannon 1951, "Prediction and
+# Entropy of Printed English")
+# ---------------------------------------------------------------------------
+#
+# H(w_t | w_{t-1}) — the second entry in Shannon's entropy ladder
+# after the unigram H the engine already ships: how predictable is the
+# next word given the current one. Templated/boilerplate slices read
+# near 0 (every word determines its successor), natural text sits
+# several nats up, and the F0-vs-F1 GAP (unigram minus conditional) is
+# the repetition-structure signal mixture designers read. Computed by
+# the chain rule over the bigram table:
+#     H(X,Y) = ln B - (1/B) * sum_ab c_ab * ln c_ab
+#     H(X)   = ln B - (1/B) * sum_a  c_a  * ln c_a      (left marginal)
+#     H(Y|X) = H(X,Y) - H(X)
+#            = [sum_a c_a*I(c_a) - sum_ab c_ab*I(c_ab)] / (B * 1e9)
+# — the ln B terms cancel, every remaining ln is of an INTEGER count,
+# so both sums are exact int64 on the I(x) device and the single
+# final division is one correctly-rounded IEEE op: bit-identical
+# cross-engine, no fold machinery (the unigram-entropy contract).
+#
+# Bigrams are adjacent within a document (the lm-training contract:
+# position pairs never cross documents); the left marginal derives
+# from the bigram table itself so the corpus is scanned once. Scale
+# shape: one (source, w1, w2) corpus-shuffle groupBy, a (source, w1)
+# re-aggregation, two combinable per-source sums. Sources with no
+# bigrams (all docs < 2 tokens) emit no row — no distribution exists.
+
+
+def bigram_cond_entropy(
+    df: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """(source, n_bigrams, h_cond): per-source conditional entropy
+    H(next word | word) in nats, rounded to 6."""
+    from .curation import _lower_words
+    from .mlfilter import _round6z
+    from .terms import _iln
+
+    toks = _lower_words(F.coalesce(F.col(text_col), F.lit("")))
+    pairs = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - F.lit(1), F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - F.lit(1), F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bi = pairs.groupBy("source", "w1", "w2").agg(F.count("*").alias("c")).persist()
+    left = bi.groupBy("source", "w1").agg(F.sum("c").alias("ca"))
+    s_bi = bi.groupBy("source").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.col("c") * _iln(F.col("c"))).alias("s_ab"),
+    )
+    s_left = left.groupBy(F.col("source").alias("lsrc")).agg(
+        F.sum(F.col("ca") * _iln(F.col("ca"))).alias("s_a")
+    )
+    out = s_bi.join(s_left, F.col("source").eqNullSafe(F.col("lsrc")))
+    h = (F.col("s_a") - F.col("s_ab")).cast("double") / (
+        F.col("n_bigrams").cast("double") * F.lit(1e9)
+    )
+    return out.select("source", "n_bigrams", _round6z(h).alias("h_cond"))
+
+
+def sql_bigram_cond_entropy(
+    rel: str = "documents",
+    text_expr: str = "text",
+    source_expr: str = "source",
+) -> str:
+    """DuckDB twin of :func:`bigram_cond_entropy` — identical bigram
+    construction, fixed-point sums and final division."""
+    from .curation import _sql_lower_words
+    from .mlfilter import _sql_round6z
+
+    toks = _sql_lower_words(f"coalesce({text_expr}, '')")
+    iln = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9) AS BIGINT)"
+    h = _sql_round6z(
+        "CAST(s_a - s_ab AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e9)"
+    )
+    return (
+        f"WITH t AS (SELECT {source_expr} AS source, {toks} AS tk FROM {rel}), "
+        "pr AS (SELECT source, tk[i] AS w1, tk[i + 1] AS w2 FROM "
+        "(SELECT source, tk, unnest(generate_series(1, len(tk) - 1)) AS i "
+        "FROM t)), "
+        "bi AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c "
+        "FROM pr GROUP BY source, w1, w2), "
+        "lft AS (SELECT source, w1, CAST(sum(c) AS BIGINT) AS ca FROM bi "
+        "GROUP BY source, w1), "
+        "sb AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams, "
+        "CAST(sum(c * " + iln.format(x="c") + ") AS BIGINT) AS s_ab "
+        "FROM bi GROUP BY source), "
+        "sl AS (SELECT source AS lsrc, CAST(sum(ca * "
+        + iln.format(x="ca") + ") AS BIGINT) AS s_a FROM lft "
+        "GROUP BY source) "
+        f"SELECT sb.source, sb.n_bigrams, {h} AS h_cond "
+        "FROM sb JOIN sl ON sb.source IS NOT DISTINCT FROM sl.lsrc"
+    )

@@ -175,3 +175,93 @@ class TestCtLangid:
             key=repr,
         )
         assert got == want
+
+
+class TestBigramCondEntropy:
+    ROWS = [
+        # deterministic template: every word fully determines the next
+        (0, "a b c a b c a b c a b c a b c", "tmpl"),
+        (1, "a b c a b c a b c", "tmpl"),
+        # varied continuations
+        (2, "the cat ran and the dog sat and the fox hid", "nat"),
+        (3, "the end came when the end left while the end stayed", "nat"),
+        (4, "one two", None),   # NULL stratum with a single bigram
+        (5, "solo", "tiny"),    # <2 tokens: no bigram, no row
+        (6, None, "tiny"),
+    ]
+
+    def _replay(self, rows):
+        import math
+        from collections import Counter, defaultdict
+
+        bi, left = defaultdict(Counter), defaultdict(Counter)
+        for _, t, g in rows:
+            ws = (t or "").lower().split()
+            for a, b in zip(ws, ws[1:]):
+                bi[g][(a, b)] += 1
+                left[g][a] += 1
+
+        def iln(x):
+            return int(round(math.log(x) * 1e9))
+
+        out = {}
+        for g, cnt in bi.items():
+            if not cnt:
+                continue
+            n = sum(cnt.values())
+            s_ab = sum(c * iln(c) for c in cnt.values())
+            s_a = sum(c * iln(c) for c in left[g].values())
+            out[g] = (n, round((s_a - s_ab) / (n * 1e9), 6) + 0.0)
+        return out
+
+    def test_replay_and_semantics(self, spark):
+        from pdf_extraction_spark.operators.textanalysis import (
+            bigram_cond_entropy,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string, source string")
+        got = {r.source: r for r in bigram_cond_entropy(df).collect()}
+        want = self._replay(self.ROWS)
+        assert set(got) == set(want)
+        for g, (n, h) in want.items():
+            assert (got[g].n_bigrams, got[g].h_cond) == (n, h), g
+        # the pure template is perfectly predictable
+        assert got["tmpl"].h_cond == 0.0
+        # varied continuations carry real conditional entropy
+        assert got["nat"].h_cond > 0.5
+        # single-bigram NULL stratum: deterministic too
+        assert got[None].h_cond == 0.0
+        # no-bigram source emits no row
+        assert "tiny" not in got
+
+    def test_twin_parity_and_partition_invariance(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.textanalysis import (
+            bigram_cond_entropy,
+            sql_bigram_cond_entropy,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string, source string")
+        got = sorted((tuple(r) for r in bigram_cond_entropy(df).collect()), key=repr)
+        got2 = sorted(
+            (tuple(r) for r in bigram_cond_entropy(df.repartition(5)).collect()),
+            key=repr,
+        )
+        assert got == got2
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(self.ROWS, columns=["doc_id", "text", "source"]),
+        )
+        want = sorted(
+            (
+                tuple(r)
+                for r in con.execute(
+                    sql_bigram_cond_entropy("documents")
+                ).fetchall()
+            ),
+            key=repr,
+        )
+        assert got == want
