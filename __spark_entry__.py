@@ -2164,6 +2164,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def q_burrows_delta(spark, sf):
+        """Burrows' Delta stylometry (2002): pairwise source distance
+        on z-scored top-30-word rates — the style-level provenance
+        forensic beside the content-level source_overlap/js_sources.
+        Rates in exact ppm, per-word population moments exact int64,
+        sigma via the shared exact-isqrt CASE, floor-per-term sum —
+        bit-identical cross-engine with no float anywhere."""
+        from pdf_extraction_spark.operators.textanalysis import (
+            burrows_delta,
+        )
+
+        return burrows_delta(_docs(spark, sf), k=30)
+
     def q_bigram_entropy(spark, sf):
         """Shannon's bigram conditional entropy per source (1951):
         H(next word | word) by the chain rule over the bigram table —
@@ -4138,6 +4151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_classify": q_centroid_classify,
         "ct_langid": q_ct_langid,
         "bigram_entropy": q_bigram_entropy,
+        "burrows_delta": q_burrows_delta,
     }
 
 
@@ -5539,6 +5553,10 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.textanalysis",
             fromlist=["sql_bigram_cond_entropy"],
         ).sql_bigram_cond_entropy("documents"),
+        "burrows_delta": __import__(
+            "pdf_extraction_spark.operators.textanalysis",
+            fromlist=["sql_burrows_delta"],
+        ).sql_burrows_delta("documents", k=30),
     }
     return sql
 

@@ -1998,3 +1998,161 @@ def sql_bigram_cond_entropy(
         f"SELECT sb.source, sb.n_bigrams, {h} AS h_cond "
         "FROM sb JOIN sl ON sb.source IS NOT DISTINCT FROM sl.lsrc"
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometry (Burrows 2002, "'Delta': a Measure of
+# Stylistic Difference"; the Argamon 2008 analysis)
+# ---------------------------------------------------------------------------
+#
+# The standard authorship-attribution distance between text strata:
+# z-score each source's relative frequency of the corpus's top-k most
+# frequent words (function words — the style carriers), and
+# Delta(a, b) = mean_w |z_aw - z_bw|. Here it is the provenance-
+# forensics report ("which sources write alike — same template farm,
+# same wire service, same generator?") beside the content-level
+# source_overlap and js_sources diagnostics: Delta reads STYLE, which
+# survives paraphrase.
+#
+# Exact-integer form: rates are ppm integers f = c*1e6 div n; per-word
+# population moments over the m sources are exact int64
+# (V_w = m*S2 - S1^2); sigma enters as the EXACT integer sqrt
+# (isqrt(V_w), the shared _isqrt_case device), and each pair term is
+#     m * |f_a - f_b| * 1000 div isqrt(V_w)
+# summed exactly and divided once by k — bit-identical cross-engine
+# with a documented floor-per-term deviation from the real-valued
+# Delta (Delta variants differ more between published papers than
+# this floor does). Words with V_w = 0 (identical rate everywhere)
+# carry no discriminating power and contribute 0. Overflow: m*S2
+# needs m^2 * 1e12 inside int64 — exact to ~1,000 sources (the
+# source dimension, not the corpus).
+#
+# Scale shape: one (source, word) corpus groupBy (persisted); top-k
+# words via orderBy().limit(k) (TakeOrderedAndProject — no vocab
+# window); the rate grid is sources x k (broadcast topw, eqNullSafe-
+# free because NULL sources are excluded — unattributable rows can't
+# be an author, the temperature_mix rule); word stats bounded by k;
+# the pair frame bounded by sources^2 x k. No Python.
+
+
+def burrows_delta(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 30,
+) -> DataFrame:
+    """(src_a, src_b, n_words, delta_milli): Burrows' Delta between
+    every unordered source pair (src_a < src_b), from the corpus's
+    top-``k`` words; ``n_words`` counts the words with discriminating
+    power (V_w > 0) that entered the sum."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    from .curation import _lower_words
+    from .maintenance import _isqrt_case
+
+    words = df.filter(F.col(source_col).isNotNull()).select(
+        F.col(source_col).alias("src"),
+        F.explode(_lower_words(F.coalesce(F.col(text_col), F.lit("")))).alias("w"),
+    )
+    sw = words.groupBy("src", "w").agg(F.count("*").alias("c")).persist()
+    totals = sw.groupBy("src").agg(F.sum("c").alias("n_s"))
+    topw = (
+        sw.groupBy("w")
+        .agg(F.sum("c").alias("cw"))
+        .orderBy(F.col("cw").desc(), F.col("w"))
+        .limit(k)
+        .select("w")
+    )
+    m = totals.groupBy().agg(F.count("*").alias("m"))
+    grid = totals.crossJoin(F.broadcast(topw))
+    rates = (
+        grid.join(
+            sw.withColumnRenamed("src", "csrc").withColumnRenamed("w", "cw_"),
+            (F.col("src") == F.col("csrc")) & (F.col("w") == F.col("cw_")),
+            "left",
+        )
+        .select(
+            "src",
+            "w",
+            F.expr("coalesce(c, 0) * 1000000L div n_s").alias("f"),
+        )
+    ).persist()
+    stats = (
+        rates.groupBy("w")
+        .agg(F.sum("f").alias("s1"), F.sum(F.col("f") * F.col("f")).alias("s2"))
+        .crossJoin(F.broadcast(m))
+        .withColumn("v", F.expr("m * s2 - s1 * s1"))
+        .withColumn("cand", F.floor(F.sqrt(F.col("v").cast("double"))).cast("long"))
+        .withColumn("sig", F.expr(_isqrt_case("v", "cand", "div")).cast("long"))
+        .select("w", "v", "sig", "m")
+    )
+    ra = rates.select(
+        F.col("src").alias("src_a"), "w", F.col("f").alias("fa")
+    )
+    rb = rates.select(
+        F.col("src").alias("src_b"), "w", F.col("f").alias("fb")
+    )
+    pairs = (
+        ra.join(rb, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(stats, "w")
+        .select(
+            "src_a",
+            "src_b",
+            F.when(
+                F.col("v") > 0,
+                F.expr("m * abs(fa - fb) * 1000L div sig"),
+            ).otherwise(F.lit(0)).alias("term"),
+            (F.col("v") > 0).cast("long").alias("disc"),
+        )
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.sum("disc").alias("n_words"),
+        F.expr(f"sum(term) div {k}").alias("delta_milli"),
+    )
+
+
+def sql_burrows_delta(
+    rel: str = "documents",
+    text_expr: str = "text",
+    source_expr: str = "source",
+    k: int = 30,
+) -> str:
+    """DuckDB twin of :func:`burrows_delta` — identical counts, top-k
+    order, ppm rates, exact-isqrt sigma and floor-per-term sum."""
+    from .curation import _sql_lower_words
+    from .maintenance import _isqrt_case
+
+    toks = _sql_lower_words(f"coalesce({text_expr}, '')")
+    return (
+        f"WITH wd AS (SELECT {source_expr} AS src, unnest({toks}) AS w "
+        f"FROM {rel} WHERE {source_expr} IS NOT NULL), "
+        "sw AS (SELECT src, w, CAST(count(*) AS BIGINT) AS c FROM wd "
+        "GROUP BY src, w), "
+        "tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_s FROM sw "
+        "GROUP BY src), "
+        "topw AS (SELECT w FROM (SELECT w, CAST(sum(c) AS BIGINT) AS cw "
+        f"FROM sw GROUP BY w) ORDER BY cw DESC, w LIMIT {k}), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tot), "
+        "rates AS (SELECT tot.src, topw.w, "
+        "coalesce(sw.c, 0) * 1000000 // tot.n_s AS f "
+        "FROM tot CROSS JOIN topw LEFT JOIN sw "
+        "ON sw.src = tot.src AND sw.w = topw.w), "
+        "st0 AS (SELECT w, CAST(sum(f) AS BIGINT) AS s1, "
+        "CAST(sum(f * f) AS BIGINT) AS s2 FROM rates GROUP BY w), "
+        "st1 AS (SELECT w, m.m, m.m * s2 - s1 * s1 AS v FROM st0 "
+        "CROSS JOIN m), "
+        "st AS (SELECT w, m, v, CAST("
+        + _isqrt_case("v", "cand", "//")
+        + " AS BIGINT) AS sig FROM (SELECT *, "
+        "CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS cand FROM st1)), "
+        "pr AS (SELECT a.src AS src_a, b.src AS src_b, st.v, "
+        "CASE WHEN st.v > 0 THEN st.m * abs(a.f - b.f) * 1000 // st.sig "
+        "ELSE 0 END AS term "
+        "FROM rates a JOIN rates b ON a.w = b.w AND a.src < b.src "
+        "JOIN st ON st.w = a.w) "
+        "SELECT src_a, src_b, "
+        "CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_words, "
+        f"CAST(sum(term) // {k} AS BIGINT) AS delta_milli "
+        "FROM pr GROUP BY src_a, src_b"
+    )

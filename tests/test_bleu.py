@@ -265,3 +265,96 @@ class TestBigramCondEntropy:
             key=repr,
         )
         assert got == want
+
+
+class TestBurrowsDelta:
+    ROWS = [
+        # two stylistic twins (same function-word rates) + one outlier
+        (0, "the of and the of and a in to the", "a1"),
+        (1, "the of and the of and a in to the", "a2"),
+        (2, "zz qq xx zz qq xx vv ww yy zz", "b"),
+        (3, "the of and a in to", None),     # NULL source excluded
+        (4, "", "a1"),
+    ]
+
+    def _replay(self, rows, k):
+        import math
+        from collections import Counter, defaultdict
+
+        sw, tot = defaultdict(Counter), Counter()
+        for _, t, g in rows:
+            if g is None:
+                continue
+            for w in (t or "").lower().split():
+                sw[g][w] += 1
+                tot[w] += 1
+        top = sorted(tot.items(), key=lambda x: (-x[1], x[0]))[:k]
+        top = [w for w, _ in top]
+        srcs = sorted(sw)
+        m = len(srcs)
+        f = {
+            (s, w): sw[s][w] * 10**6 // sum(sw[s].values())
+            for s in srcs
+            for w in top
+        }
+        out = {}
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1:]:
+                total = 0
+                nw = 0
+                for w in top:
+                    s1 = sum(f[(s, w)] for s in srcs)
+                    s2 = sum(f[(s, w)] ** 2 for s in srcs)
+                    v = m * s2 - s1 * s1
+                    if v > 0:
+                        nw += 1
+                        total += m * abs(f[(a, w)] - f[(b, w)]) * 1000 // math.isqrt(v)
+                out[(a, b)] = (nw, total // k)
+        return out
+
+    def test_replay_and_semantics(self, spark):
+        from pdf_extraction_spark.operators.textanalysis import burrows_delta
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string, source string")
+        got = {
+            (r.src_a, r.src_b): (r.n_words, r.delta_milli)
+            for r in burrows_delta(df, k=6).collect()
+        }
+        want = self._replay(self.ROWS, 6)
+        assert got == want
+        # stylistic twins are at distance 0; both far from the outlier
+        assert got[("a1", "a2")][1] == 0
+        assert got[("a1", "b")][1] > 0 and got[("a2", "b")][1] > 0
+        assert got[("a1", "b")] == got[("a2", "b")]
+
+    def test_twin_parity_and_partition_invariance(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.textanalysis import (
+            burrows_delta,
+            sql_burrows_delta,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string, source string")
+        got = sorted((tuple(r) for r in burrows_delta(df, k=6).collect()), key=repr)
+        got2 = sorted(
+            (tuple(r) for r in burrows_delta(df.repartition(5), k=6).collect()),
+            key=repr,
+        )
+        assert got == got2
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(self.ROWS, columns=["doc_id", "text", "source"]),
+        )
+        want = sorted(
+            (
+                tuple(r)
+                for r in con.execute(
+                    sql_burrows_delta("documents", k=6)
+                ).fetchall()
+            ),
+            key=repr,
+        )
+        assert got == want
