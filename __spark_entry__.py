@@ -2164,6 +2164,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def q_kmv_overlap(spark, sf):
+        """KMV k-minimum-values sketches (Bar-Yossef 2002; Beyer 2007)
+        per source over the shared word-3-shingle stream, with pairwise
+        union/intersection estimates — the set-operation capability
+        HLL cannot offer, at sketch cost beside the exact
+        source_overlap join. All integer (60-bit md5 hashes, floor
+        divisions); sketches merge by k-smallest-of-union."""
+        from pdf_extraction_spark.operators.dedup import shingle_df
+        from pdf_extraction_spark.operators.sketches import (
+            kmv_source_overlap,
+        )
+
+        sh = shingle_df(
+            _docs(spark, sf).filter(F.col("source").isNotNull()),
+            "text",
+            "source",
+            n=3,
+        ).withColumnRenamed("doc_id", "source")
+        return kmv_source_overlap(sh, F.col("shingle"), "source", k=64)
+
     def q_burrows_delta(spark, sf):
         """Burrows' Delta stylometry (2002): pairwise source distance
         on z-scored top-30-word rates — the style-level provenance
@@ -4152,6 +4172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ct_langid": q_ct_langid,
         "bigram_entropy": q_bigram_entropy,
         "burrows_delta": q_burrows_delta,
+        "kmv_overlap": q_kmv_overlap,
     }
 
 
@@ -5557,6 +5578,23 @@ def oracle_sql() -> dict[str, str]:
             "pdf_extraction_spark.operators.textanalysis",
             fromlist=["sql_burrows_delta"],
         ).sql_burrows_delta("documents", k=30),
+        "kmv_overlap": __import__(
+            "pdf_extraction_spark.operators.sketches",
+            fromlist=["sql_kmv_overlap"],
+        ).sql_kmv_overlap(
+            # the ngram_jaccard twin's shingle construction carrying
+            # source (the source_overlap fragment, one home)
+            "SELECT source AS grp, unnest(gs) AS v FROM ("
+            "SELECT source, CASE WHEN len(w) >= 3 THEN "
+            "list_distinct([array_to_string(w[i:i+2], ' ') "
+            "FOR i IN range(1, len(w) - 1)]) "
+            "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] "
+            "ELSE [] END AS gs FROM ("
+            f"SELECT source, list_filter(string_split_regex(lower(text), "
+            f"'{WORD_SPLIT_RE}'), x -> x <> '') AS w FROM documents "
+            "WHERE source IS NOT NULL))",
+            k=64,
+        ),
     }
     return sql
 

@@ -936,3 +936,156 @@ def sql_ams_f2(
         "* 1000000 // f2_exact AS BIGINT) END AS rel_err_ppm "
         "FROM est CROSS JOIN ex"
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with set-operation estimates
+# (Bar-Yossef et al. 2002; the unbiased estimators of Beyer et al.
+# SIGMOD 2007)
+# ---------------------------------------------------------------------------
+#
+# The fifth md5-register sketch, and the one capability HLL cannot
+# offer: because a KMV sketch IS a uniform sample of the value space
+# (the k smallest 60-bit md5 hashes), two groups' sketches support
+# INTERSECTION estimates — |A ∩ B| ~ rho * D(A u B) where rho is the
+# fraction of the merged k-minimum set present in both sketches — so
+# cross-source overlap questions run at sketch cost instead of the
+# exact source_overlap join. Distinct estimate: (k-1) * 2^52 div h_(k)
+# with h_(k) the kth smallest hash; groups with fewer than k distinct
+# values are EXACT (their sketch enumerates them). Everything is
+# integer (hashes, counts, floor divisions) — bit-identical
+# cross-engine, and the sketches merge by "k smallest of the union"
+# (associative/commutative — pinned).
+#
+# Scale shape: distinct (group, hash) → a two-stage bounded min-k
+# reduction (the hostcap buffer argument: stage-1 buffers are bounded
+# by partition contents, stage-2 by partitions x k) → ONE k-array row
+# per group; every pair estimate is pure array math on a frame bounded
+# by the GROUP DIMENSION (the pair join is a broadcast nested loop
+# over #groups rows — never corpus-keyed). NULL groups/values are
+# outside the universe.
+
+# 52-bit hashes (13 md5 hex chars — the dsir uniform-bits device):
+# (k-1) * M must stay inside int64 for the estimator's exact integer
+# division (63 * 2^60 would overflow; 63 * 2^52 ~ 2.8e17 never does),
+# and 52 bits keep the kth-minimum spacing ~2^52/D well above the
+# collision regime for any realistic distinct count (D <= 10^12).
+KMV_M = 1 << 52
+
+
+def _kmv_hash(value: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
+def kmv_group_sketches(
+    df: DataFrame, value: Column, group_col: str, k: int = 64
+) -> DataFrame:
+    """(grp, arr): each group's sorted k smallest distinct 60-bit
+    hashes (fewer when the group has < k distinct values — then the
+    sketch is the exact enumeration)."""
+    base = (
+        df.select(F.col(group_col).alias("grp"), _kmv_hash(value).alias("hv"))
+        .filter(F.col("grp").isNotNull() & F.col("hv").isNotNull())
+        .distinct()
+    )
+    st1 = (
+        base.withColumn("pid", F.spark_partition_id())
+        .groupBy("grp", "pid")
+        .agg(F.slice(F.array_sort(F.collect_list("hv")), 1, k).alias("part"))
+        .select("grp", F.explode("part").alias("hv"))
+    )
+    return st1.groupBy("grp").agg(
+        F.slice(F.array_sort(F.collect_list("hv")), 1, k).alias("arr")
+    )
+
+
+def kmv_pair_overlap(
+    sketches: DataFrame, k: int = 64
+) -> DataFrame:
+    """(src_a, src_b, est_a, est_b, union_est, inter_est): distinct /
+    union / intersection estimates for every unordered group pair from
+    their KMV sketches — exact integer arithmetic throughout; groups
+    with < k distinct values contribute exact counts."""
+    a = sketches.select(F.col("grp").alias("src_a"), F.col("arr").alias("aa"))
+    b = sketches.select(F.col("grp").alias("src_b"), F.col("arr").alias("bb"))
+    pairs = a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+    staged = pairs.select(
+        "src_a", "src_b", "aa", "bb",
+        F.slice(
+            F.array_sort(F.array_union(F.col("aa"), F.col("bb"))), 1, k
+        ).alias("uu"),
+        F.array_intersect(F.col("aa"), F.col("bb")).alias("cc"),
+    )
+    est_a = F.when(F.size("aa") < k, F.size("aa").cast("long")).otherwise(
+        F.expr(f"{k - 1}L * {KMV_M}L div greatest(element_at(aa, {k}), 1L)")
+    )
+    est_b = F.when(F.size("bb") < k, F.size("bb").cast("long")).otherwise(
+        F.expr(f"{k - 1}L * {KMV_M}L div greatest(element_at(bb, {k}), 1L)")
+    )
+    both_exact = (F.size("aa") < k) & (F.size("bb") < k)
+    union_est = F.when(
+        both_exact, F.size(F.array_union("aa", "bb")).cast("long")
+    ).otherwise(
+        F.expr(f"{k - 1}L * {KMV_M}L div greatest(element_at(uu, {k}), 1L)")
+    )
+    staged = staged.select(
+        "src_a", "src_b",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        union_est.alias("union_est"),
+        F.size(F.array_intersect("uu", "cc")).cast("long").alias("rho"),
+        F.size("cc").cast("long").alias("n_common"),
+        both_exact.alias("ex"),
+    )
+    return staged.select(
+        "src_a", "src_b", "est_a", "est_b", "union_est",
+        F.when(F.col("ex"), F.col("n_common"))
+        .otherwise(F.expr(f"rho * union_est div {k}"))
+        .alias("inter_est"),
+    )
+
+
+def kmv_source_overlap(
+    df: DataFrame, value: Column, group_col: str, k: int = 64
+) -> DataFrame:
+    """Composed: group sketches -> pairwise estimates, ordered."""
+    sk = kmv_group_sketches(df, value, group_col, k)
+    return kmv_pair_overlap(sk, k).orderBy("src_a", "src_b")
+
+
+def sql_kmv_overlap(values_select: str, k: int = 64) -> str:
+    """DuckDB twin of :func:`kmv_source_overlap` over ``values_select``
+    (a SELECT with columns grp, v) — identical hashes, k-minimum sets
+    and integer estimators."""
+    m = KMV_M
+    est = (
+        "CASE WHEN len({a}) < {k} THEN len({a}) "
+        "ELSE {km1} * {m} // greatest({a}[{k}], 1) END"
+    )
+    return (
+        f"WITH base AS (SELECT DISTINCT grp, CAST('0x' || "
+        "substr(md5(CAST(v AS VARCHAR)), 1, 13) AS BIGINT) AS hv "
+        f"FROM ({values_select}) WHERE grp IS NOT NULL AND v IS NOT NULL), "
+        f"sk AS (SELECT grp, list_sort(list(hv))[1:{k}] AS arr FROM base "
+        "GROUP BY grp), "
+        "pr AS (SELECT a.grp AS src_a, b.grp AS src_b, a.arr AS aa, "
+        "b.arr AS bb, "
+        f"list_sort(list_distinct(list_concat(a.arr, b.arr)))[1:{k}] AS uu, "
+        "list_intersect(a.arr, b.arr) AS cc "
+        "FROM sk a JOIN sk b ON a.grp < b.grp) "
+        "SELECT src_a, src_b, "
+        f"CAST({est.format(a='aa', k=k, km1=k - 1, m=m)} AS BIGINT) AS est_a, "
+        f"CAST({est.format(a='bb', k=k, km1=k - 1, m=m)} AS BIGINT) AS est_b, "
+        f"CAST(CASE WHEN len(aa) < {k} AND len(bb) < {k} "
+        "THEN len(list_distinct(list_concat(aa, bb))) "
+        f"ELSE {k - 1} * {m} // greatest(uu[{k}], 1) END AS BIGINT) "
+        "AS union_est, "
+        f"CAST(CASE WHEN len(aa) < {k} AND len(bb) < {k} THEN len(cc) "
+        "ELSE len(list_intersect(uu, cc)) * (CASE WHEN len(aa) < "
+        f"{k} AND len(bb) < {k} THEN len(list_distinct(list_concat(aa, bb))) "
+        f"ELSE {k - 1} * {m} // greatest(uu[{k}], 1) END) // {k} END "
+        "AS BIGINT) AS inter_est "
+        "FROM pr ORDER BY src_a, src_b"
+    )

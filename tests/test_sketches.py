@@ -574,3 +574,86 @@ def test_ams_partition_invariance(spark):
     [a] = ams_f2(df, F.col("word")).collect()
     [b] = ams_f2(df.repartition(11), F.col("word")).collect()
     assert tuple(a) == tuple(b)
+
+
+# --- KMV k-minimum-values sketch -------------------------------------------
+
+
+def _kmv_df(spark, pairs):
+    return spark.createDataFrame(pairs, "grp string, v string")
+
+
+def test_kmv_exact_branch_and_twin_parity(spark):
+    import duckdb
+
+    from pdf_extraction_spark.operators.sketches import (
+        kmv_source_overlap,
+        sql_kmv_overlap,
+    )
+
+    # small disjoint + overlapping sets: every estimate takes the
+    # exact branch (all groups < k distinct)
+    pairs = (
+        [("a", f"x{i}") for i in range(10)]
+        + [("b", f"x{i}") for i in range(5, 15)]
+        + [("c", f"y{i}") for i in range(8)]
+    )
+    df = _kmv_df(spark, pairs)
+    got = {
+        (r.src_a, r.src_b): r
+        for r in kmv_source_overlap(df, F.col("v"), "grp", k=64).collect()
+    }
+    ab = got[("a", "b")]
+    assert (ab.est_a, ab.est_b, ab.union_est, ab.inter_est) == (10, 10, 15, 5)
+    ac = got[("a", "c")]
+    assert (ac.union_est, ac.inter_est) == (18, 0)
+    con = duckdb.connect()
+    vals = ", ".join(f"('{g}', '{v}')" for g, v in pairs)
+    want = {
+        (r[0], r[1]): tuple(r)
+        for r in con.execute(
+            sql_kmv_overlap(f"SELECT * FROM (VALUES {vals}) t(grp, v)", k=64)
+        ).fetchall()
+    }
+    assert {k: tuple(v) for k, v in got.items()} == want
+
+
+def test_kmv_estimate_accuracy(spark):
+    from pdf_extraction_spark.operators.sketches import kmv_source_overlap
+
+    # two big half-overlapping sets: estimator branch, k=64 -> ~13% std
+    pairs = [("a", f"v{i}") for i in range(2000)] + [
+        ("b", f"v{i}") for i in range(1000, 3000)
+    ]
+    [r] = kmv_source_overlap(_kmv_df(spark, pairs), F.col("v"), "grp", k=64).collect()
+    assert abs(r.est_a - 2000) < 1000 and abs(r.est_b - 2000) < 1000
+    assert abs(r.union_est - 3000) < 1500
+    assert abs(r.inter_est - 1000) < 800
+
+
+def test_kmv_sketch_merge_equals_union_sketch(spark):
+    from pdf_extraction_spark.operators.sketches import kmv_group_sketches
+
+    k = 16
+    a = _kmv_df(spark, [("g", f"v{i}") for i in range(200)])
+    b = _kmv_df(spark, [("g", f"v{i}") for i in range(150, 400)])
+    [ua] = kmv_group_sketches(a.union(b), F.col("v"), "grp", k).collect()
+    [sa] = kmv_group_sketches(a, F.col("v"), "grp", k).collect()
+    [sb] = kmv_group_sketches(b, F.col("v"), "grp", k).collect()
+    merged = sorted(set(sa.arr) | set(sb.arr))[:k]
+    assert list(ua.arr) == merged
+
+
+def test_kmv_partition_invariance(spark):
+    from pdf_extraction_spark.operators.sketches import kmv_source_overlap
+
+    pairs = [(f"g{i % 4}", f"v{i % 97}") for i in range(800)]
+    df = _kmv_df(spark, pairs)
+    a = sorted(map(tuple, kmv_source_overlap(df, F.col("v"), "grp", 32).collect()))
+    b = sorted(
+        map(
+            tuple,
+            kmv_source_overlap(df.repartition(13), F.col("v"), "grp", 32).collect(),
+        )
+    )
+    assert a == b
