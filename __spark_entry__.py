@@ -2164,6 +2164,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return keyness(_docs(spark, sf), min_count=5, k=8)
 
+    def _host_edges(spark, sf):
+        docs = _docs(spark, sf)
+        return docs.select(
+            F.col("source").alias("src"),
+            F.concat(
+                F.lit("src"),
+                (
+                    (F.col("doc_id") * F.col("doc_id") * 5 + F.col("doc_id"))
+                    % 29
+                ).cast("string"),
+            ).alias("dst"),
+        )
+
+    def q_powerlaw_fit(spark, sf):
+        """Clauset-Shalizi-Newman in-degree power-law MLE (2009) over
+        the host graph, at three k_min rungs — every ln argument
+        rationalizes to integers (ln(k/(k_min-1/2)) = ln(2k) -
+        ln(2k_min-1)), so the denominator is an exact int64 sum over
+        the degree HISTOGRAM and one correctly-rounded division
+        remains. The crawl-shape audit beside host_assort."""
+        from pdf_extraction_spark.operators.graphstats import powerlaw_fit
+
+        return powerlaw_fit(_host_edges(spark, sf), k_mins=(1, 2, 5))
+
+    def q_graph_summary(spark, sf):
+        """One-row directed-graph card: size, reciprocity (Garlaschelli
+        2004; semi-join vs the transpose — the nepotism device),
+        split-division density, hub extremes — all exact integer."""
+        from pdf_extraction_spark.operators.graphstats import graph_summary
+
+        return graph_summary(_host_edges(spark, sf))
+
     def q_kmv_overlap(spark, sf):
         """KMV k-minimum-values sketches (Bar-Yossef 2002; Beyer 2007)
         per source over the shared word-3-shingle stream, with pairwise
@@ -4173,6 +4205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_entropy": q_bigram_entropy,
         "burrows_delta": q_burrows_delta,
         "kmv_overlap": q_kmv_overlap,
+        "powerlaw_fit": q_powerlaw_fit,
+        "graph_summary": q_graph_summary,
     }
 
 
@@ -5594,6 +5628,21 @@ def oracle_sql() -> dict[str, str]:
             f"'{WORD_SPLIT_RE}'), x -> x <> '') AS w FROM documents "
             "WHERE source IS NOT NULL))",
             k=64,
+        ),
+        "powerlaw_fit": __import__(
+            "pdf_extraction_spark.operators.graphstats",
+            fromlist=["sql_powerlaw_fit"],
+        ).sql_powerlaw_fit(
+            "SELECT source AS src, 'src' || CAST((doc_id * doc_id * 5 "
+            "+ doc_id) % 29 AS VARCHAR) AS dst FROM documents",
+            k_mins=(1, 2, 5),
+        ),
+        "graph_summary": __import__(
+            "pdf_extraction_spark.operators.graphstats",
+            fromlist=["sql_graph_summary"],
+        ).sql_graph_summary(
+            "SELECT source AS src, 'src' || CAST((doc_id * doc_id * 5 "
+            "+ doc_id) % 29 AS VARCHAR) AS dst FROM documents"
         ),
     }
     return sql

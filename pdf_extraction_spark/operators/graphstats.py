@@ -872,3 +872,233 @@ def sql_bowtie(edges_sql: str, pivot_sql: str | None = None) -> str:
         "LEFT JOIN db ON nodes.host = db.n "
         "LEFT JOIN dw ON nodes.host = dw.n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Discrete power-law fit of the in-degree tail (Clauset, Shalizi &
+# Newman 2009, "Power-law distributions in empirical data")
+# ---------------------------------------------------------------------------
+#
+# The degree-distribution exponent every web-graph paper reports: for
+# the tail k >= k_min, the CSN (approximate discrete) MLE is
+#     alpha = 1 + n / sum_i ln(k_i / (k_min - 1/2))
+# and every ln argument rationalizes to INTEGERS:
+#     ln(k / (k_min - 1/2)) = ln(2k) - ln(2*k_min - 1)
+# so the whole denominator is an exact int64 sum of I() differences
+# over the DEGREE HISTOGRAM (distinct-degree-sized — the good_turing
+# N_r shape), and the single final division is one correctly-rounded
+# IEEE op. A natural web graph reads alpha ~ 2.1; a rewiring bot farm
+# or a template explosion moves it — the one-number crawl-shape audit
+# beside host_assort/host_triangles. One row per requested k_min so
+# the caller sees the fit stabilize (the CSN k_min-sweep read).
+#
+# Scale shape: degree table (node-sized groupBy) → degree histogram →
+# per-k_min combinable sums. No window, no Python.
+
+
+def _directed_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Directed simple edge set: distinct (src, dst), self-loops and
+    NULL endpoints dropped — the pagerank hygiene (NOT the undirected
+    _canon_edges fold, which would halve reciprocity by construction)."""
+    s, d = F.col(src), F.col(dst)
+    return (
+        edges.filter(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(s.alias("src"), d.alias("dst"))
+        .distinct()
+    )
+
+
+def powerlaw_fit(
+    edges: DataFrame,
+    k_mins=(1, 2, 5),
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(k_min, n_tail, alpha_6): CSN in-degree tail MLE per requested
+    ``k_min``. Degenerate tails (all degrees == the k_min boundary →
+    zero denominator, or an empty tail) emit NULL alpha_6."""
+    e = _directed_edges(edges, src, dst)
+    deg = e.groupBy(F.col("dst").alias("n")).agg(F.count("*").alias("k"))
+    hist = deg.groupBy("k").agg(F.count("*").alias("c"))
+
+    def iln(c):
+        return F.round(F.log(c.cast("double")) * F.lit(1e9)).cast("long")
+
+    rows = None
+    for km in k_mins:
+        part = (
+            hist.filter(F.col("k") >= km)
+            .groupBy()
+            .agg(
+                F.coalesce(F.sum("c"), F.lit(0)).alias("n_tail"),
+                F.coalesce(
+                    F.sum(
+                        F.col("c")
+                        * (
+                            iln(F.lit(2) * F.col("k"))
+                            # driver-precomputed literal shared with the
+                            # twin — engine ln() of the constant could
+                            # differ by an ulp and flip the rounding
+                            - F.lit(
+                                int(
+                                    round(
+                                        __import__("math").log(2 * km - 1)
+                                        * 1e9
+                                    )
+                                )
+                            )
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("s"),
+            )
+            .select(
+                F.lit(km).cast("long").alias("k_min"),
+                "n_tail",
+                F.when(
+                    (F.col("n_tail") > 0) & (F.col("s") > 0),
+                    F.round(
+                        F.lit(1.0)
+                        + F.col("n_tail").cast("double")
+                        * F.lit(1e9)
+                        / F.col("s").cast("double"),
+                        6,
+                    )
+                    + F.lit(0.0),
+                ).alias("alpha_6"),
+            )
+        )
+        rows = part if rows is None else rows.unionAll(part)
+    return rows
+
+
+def sql_powerlaw_fit(edges_sql: str, k_mins=(1, 2, 5)) -> str:
+    """DuckDB twin of :func:`powerlaw_fit` — identical hygiene,
+    histogram, I() terms and final rounding."""
+    iln = "CAST(round(ln(CAST({x} AS DOUBLE)) * 1e9) AS BIGINT)"
+    parts = []
+    for km in k_mins:
+        parts.append(
+            f"SELECT CAST({km} AS BIGINT) AS k_min, "
+            "CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tail, "
+            "CASE WHEN coalesce(sum(c), 0) > 0 AND coalesce(sum(c * ("
+            + iln.format(x="2 * k")
+            + f" - {int(round(__import__('math').log(2 * km - 1) * 1e9))}"
+            ")), 0) > 0 THEN round(1.0 + CAST(sum(c) AS DOUBLE) * 1e9 "
+            "/ CAST(sum(c * (" + iln.format(x="2 * k")
+            + f" - {int(round(__import__('math').log(2 * km - 1) * 1e9))}"
+            ")) AS DOUBLE), 6) + 0.0 END AS alpha_6 "
+            f"FROM hist WHERE k >= {km}"
+        )
+    return (
+        "WITH e AS (SELECT DISTINCT src, dst FROM (" + edges_sql + ") "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst), "
+        "deg AS (SELECT dst AS n, CAST(count(*) AS BIGINT) AS k FROM e "
+        "GROUP BY dst), "
+        "hist AS (SELECT k, CAST(count(*) AS BIGINT) AS c FROM deg "
+        "GROUP BY k) "
+        + " UNION ALL ".join(parts)
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-row directed-graph summary card (reciprocity after Garlaschelli
+# & Loffredo 2004; density; degree extremes)
+# ---------------------------------------------------------------------------
+#
+# The corpus-card row for the host graph: size, density, how mutual
+# the linking is (link exchanges push reciprocity up; pure broadcast
+# graphs sit at 0), and the hub extremes. All integer: reciprocity =
+# reciprocated-edge count * 1e6 div m (an edge (u,v) is reciprocated
+# when (v,u) exists — counted by a semi-join of the edge set against
+# its transpose, the nepotism device); density_ppb uses the
+# overflow-free split division (exact to ~3e9 nodes). One edge-keyed
+# semi-join + node-sized degree aggregates.
+
+
+def graph_summary(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One row (n_nodes, n_edges, n_recip, recip_ppm, density_ppb,
+    max_in_deg, max_out_deg, mean_out_micro)."""
+    e = _directed_edges(edges, src, dst).persist()
+    nodes = (
+        e.select(F.col("src").alias("n"))
+        .union(e.select(F.col("dst").alias("n")))
+        .distinct()
+    )
+    t = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(t, ["src", "dst"], "left_semi")
+    ind = e.groupBy("dst").agg(F.count("*").alias("k"))
+    outd = e.groupBy("src").agg(F.count("*").alias("k"))
+    agg = (
+        e.groupBy()
+        .agg(F.count("*").alias("m"))
+        .crossJoin(F.broadcast(nodes.groupBy().agg(F.count("*").alias("n"))))
+        .crossJoin(
+            F.broadcast(recip.groupBy().agg(F.count("*").alias("n_recip")))
+        )
+        .crossJoin(
+            F.broadcast(
+                ind.groupBy().agg(
+                    F.coalesce(F.max("k"), F.lit(0)).alias("max_in")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                outd.groupBy().agg(
+                    F.coalesce(F.max("k"), F.lit(0)).alias("max_out")
+                )
+            )
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_nodes"),
+        F.col("m").alias("n_edges"),
+        "n_recip",
+        F.when(F.col("m") > 0, F.expr("n_recip * 1000000L div m")).alias(
+            "recip_ppm"
+        ),
+        F.when(
+            F.col("n") > 1,
+            F.expr(
+                "(m div (n * (n - 1))) * 1000000000L "
+                "+ ((m % (n * (n - 1))) * 1000000000L) div (n * (n - 1))"
+            ),
+        ).alias("density_ppb"),
+        F.col("max_in").alias("max_in_deg"),
+        F.col("max_out").alias("max_out_deg"),
+        F.when(F.col("n") > 0, F.expr("m * 1000000L div n")).alias(
+            "mean_out_micro"
+        ),
+    )
+
+
+def sql_graph_summary(edges_sql: str) -> str:
+    """DuckDB twin of :func:`graph_summary` — identical hygiene,
+    semi-join reciprocity and split-division density."""
+    return (
+        "WITH e AS (SELECT DISTINCT src, dst FROM (" + edges_sql + ") "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst), "
+        "nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e), "
+        "rc AS (SELECT count(*) AS n_recip FROM e "
+        "WHERE EXISTS (SELECT 1 FROM e t WHERE t.src = e.dst "
+        "AND t.dst = e.src)), "
+        "agg AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM e) AS m, "
+        "(SELECT CAST(n_recip AS BIGINT) FROM rc) AS n_recip, "
+        "(SELECT CAST(coalesce(max(k), 0) AS BIGINT) FROM "
+        "(SELECT count(*) AS k FROM e GROUP BY dst)) AS max_in, "
+        "(SELECT CAST(coalesce(max(k), 0) AS BIGINT) FROM "
+        "(SELECT count(*) AS k FROM e GROUP BY src)) AS max_out) "
+        "SELECT n AS n_nodes, m AS n_edges, n_recip, "
+        "CASE WHEN m > 0 THEN CAST(n_recip * 1000000 // m AS BIGINT) END "
+        "AS recip_ppm, "
+        "CASE WHEN n > 1 THEN CAST((m // (n * (n - 1))) * 1000000000 "
+        "+ ((m % (n * (n - 1))) * 1000000000) // (n * (n - 1)) AS BIGINT) "
+        "END AS density_ppb, "
+        "max_in AS max_in_deg, max_out AS max_out_deg, "
+        "CASE WHEN n > 0 THEN CAST(m * 1000000 // n AS BIGINT) END "
+        "AS mean_out_micro FROM agg"
+    )

@@ -407,3 +407,108 @@ class TestBowtie:
         from pdf_extraction_spark.operators.graphstats import bowtie
 
         assert bowtie(_edges(spark, [("x", "x")])).count() == 0
+
+
+class TestPowerlawFit:
+    def test_known_alpha_and_twin(self, spark):
+        import math
+
+        import duckdb
+
+        from pdf_extraction_spark.operators.graphstats import (
+            powerlaw_fit,
+            sql_powerlaw_fit,
+        )
+
+        # in-degrees drawn as a crafted histogram: degree k appears
+        # roughly proportional to k^-2.5 over 1..32
+        edges = []
+        eid = 0
+        for k in range(1, 33):
+            for node in range(max(1, int(1000 * k ** -2.5))):
+                for j in range(k):
+                    edges.append((f"s{eid}_{j}", f"t{k}_{node}"))
+                eid += 1
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.k_min: r for r in powerlaw_fit(df, k_mins=(1, 2)).collect()}
+        # replay the exact integer formula
+        from collections import Counter
+
+        deg = Counter()
+        for _, d in set(edges):
+            deg[d] += 1
+        hist = Counter(deg.values())
+        for km in (1, 2):
+            n = sum(c for k, c in hist.items() if k >= km)
+            s = sum(
+                c
+                * (
+                    int(round(math.log(2 * k) * 1e9))
+                    - int(round(math.log(2 * km - 1) * 1e9))
+                )
+                for k, c in hist.items()
+                if k >= km
+            )
+            want = round(1.0 + n * 1e9 / s, 6) + 0.0
+            assert got[km].n_tail == n and got[km].alpha_6 == want, km
+        # the generator's exponent is recovered to first order
+        assert 2.0 < got[2].alpha_6 < 3.2
+        con = duckdb.connect()
+        vals = ", ".join(f"('{s_}', '{d}')" for s_, d in edges[:2000])
+        spark_small = spark.createDataFrame(edges[:2000], "src string, dst string")
+        a = sorted(map(tuple, powerlaw_fit(spark_small, k_mins=(1, 2)).collect()))
+        b = sorted(
+            con.execute(
+                sql_powerlaw_fit(
+                    f"SELECT * FROM (VALUES {vals}) t(src, dst)", k_mins=(1, 2)
+                )
+            ).fetchall()
+        )
+        assert a == b
+
+    def test_degenerate_tail(self, spark):
+        from pdf_extraction_spark.operators.graphstats import powerlaw_fit
+
+        # every in-degree == 1: at k_min=1 the denominator is
+        # sum ln(2/1) > 0 — defined; at k_min=5 the tail is empty
+        df = spark.createDataFrame(
+            [(f"s{i}", f"t{i}") for i in range(10)], "src string, dst string"
+        )
+        got = {r.k_min: r for r in powerlaw_fit(df, k_mins=(1, 5)).collect()}
+        assert got[1].alpha_6 is not None
+        assert got[5].n_tail == 0 and got[5].alpha_6 is None
+
+
+class TestGraphSummary:
+    def test_hand_values_and_twin(self, spark):
+        import duckdb
+
+        from pdf_extraction_spark.operators.graphstats import (
+            graph_summary,
+            sql_graph_summary,
+        )
+
+        edges = [
+            ("a", "b"), ("b", "a"),       # reciprocal pair: 2 edges
+            ("a", "c"), ("c", "d"),
+            ("d", "d"),                    # self-loop dropped
+            ("a", "b"),                    # duplicate collapses
+            (None, "x"), ("x", None),      # NULLs dropped
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        [r] = graph_summary(df).collect()
+        assert (r.n_nodes, r.n_edges, r.n_recip) == (4, 4, 2)
+        assert r.recip_ppm == 2 * 10**6 // 4
+        assert r.density_ppb == 4 * 10**9 // (4 * 3)
+        assert (r.max_in_deg, r.max_out_deg) == (1, 2)
+        assert r.mean_out_micro == 10**6
+        con = duckdb.connect()
+        vals = ", ".join(
+            "(%s, %s)"
+            % tuple("NULL" if v is None else f"'{v}'" for v in (s_, d))
+            for s_, d in edges
+        )
+        [o] = con.execute(
+            sql_graph_summary(f"SELECT * FROM (VALUES {vals}) t(src, dst)")
+        ).fetchall()
+        assert tuple(r) == o
