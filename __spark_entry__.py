@@ -2177,6 +2177,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("dst"),
         )
 
+    def q_runs_test(spark, sf):
+        """Wald-Wolfowitz runs test (1940) per user over the
+        above-median-ish event-value indicator — the sequence-
+        randomness audit beside cusum_drift (level) and
+        bot_regularity (timing): too many runs = ping-pong scripting,
+        too few = dwelling state machines. Exact integer run counts;
+        moments as one correctly-rounded double chain."""
+        from pdf_extraction_spark.operators.forensics import runs_test
+
+        ev = _events(spark, sf).select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(
+                F.col("value").isNotNull()
+                & ~F.isnan("value")
+                & (F.abs(F.col("value")) < F.lit(1e15)),
+                F.round(F.col("value") * 100).cast("long"),
+            ).alias("v100"),
+        )
+        return runs_test(
+            ev, "v100", "user_id", "ts", "event_id", threshold=3459
+        )
+
+    def q_cramers_v(spark, sf):
+        """Cramer's V association (1946) between the lang and source
+        columns — the corpus-card "does this stratification matter"
+        number beside the per-group drift tests. Exact-integer
+        margins, fixed-chain cell terms folded in a total order over
+        (is_null, value) keys, full r x c grid incl. zero cells."""
+        from pdf_extraction_spark.operators.mlfilter import cramers_v
+
+        return cramers_v(_docs(spark, sf), "lang", "source")
+
     def q_powerlaw_fit(spark, sf):
         """Clauset-Shalizi-Newman in-degree power-law MLE (2009) over
         the host graph, at three k_min rungs — every ln argument
@@ -4205,6 +4239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_entropy": q_bigram_entropy,
         "burrows_delta": q_burrows_delta,
         "kmv_overlap": q_kmv_overlap,
+        "runs_test": q_runs_test,
+        "cramers_v": q_cramers_v,
         "powerlaw_fit": q_powerlaw_fit,
         "graph_summary": q_graph_summary,
     }
@@ -5629,6 +5665,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source IS NOT NULL))",
             k=64,
         ),
+        "runs_test": __import__(
+            "pdf_extraction_spark.operators.forensics",
+            fromlist=["sql_runs_test"],
+        ).sql_runs_test(
+            "(SELECT event_id, user_id, ts, CASE WHEN value IS NOT NULL "
+            "AND isfinite(value) AND abs(value) < 1e15 "
+            "THEN CAST(round(value * 100) AS BIGINT) "
+            "END AS v100 FROM events) ev",
+            "v100", "user_id", "ts", "event_id",
+            threshold=3459,
+        ),
+        "cramers_v": __import__(
+            "pdf_extraction_spark.operators.mlfilter",
+            fromlist=["sql_cramers_v"],
+        ).sql_cramers_v("documents", "lang", "source"),
         "powerlaw_fit": __import__(
             "pdf_extraction_spark.operators.graphstats",
             fromlist=["sql_powerlaw_fit"],

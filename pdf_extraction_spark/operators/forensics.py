@@ -462,3 +462,119 @@ def sql_cusum(
         f"min(CASE WHEN {alarm} THEN ts END) AS first_alarm_ts "
         "FROM s GROUP BY grp"
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (Wald & Wolfowitz 1940) per entity stream
+# ---------------------------------------------------------------------------
+#
+# The randomness audit CUSUM and bot_regularity don't cover: is the
+# SEQUENCE of above/below-threshold outcomes random, or does it
+# alternate/stick more than chance allows? A scripted client that
+# ping-pongs between two request classes produces far too MANY runs
+# (z >> 0 after sign convention below); a state-machine bot that
+# dwells produces far too FEW (z << 0). R = 1 + #(adjacent sign
+# changes) via one lag over the per-entity (ts, id) ordering — exact
+# integer; the null moments mu = 1 + 2*n1*n2/n and
+# sigma^2 = 2*n1*n2*(2*n1*n2 - n) / (n^2*(n-1)) enter as ONE fixed
+# chain of correctly-rounded IEEE ops over exact-integer-valued
+# doubles (2*n1*n2 would overflow int64 past ~2e9 events per entity —
+# the double form is exact-input and deterministic), z rounded to 6.
+# Degenerate streams (n1 = 0 or n2 = 0 or n < 2) emit NULL z.
+#
+# Scale shape: one per-entity window (lag) + one combinable
+# aggregation — stream-sized partitions, the cusum acceptance class.
+# NULL value / NULL ts rows are outside the tested universe; NULL
+# entity is a real stream.
+
+
+def runs_test(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    ts_col: str,
+    id_col: str,
+    threshold: int,
+) -> DataFrame:
+    """(group, n, n1, n2, n_runs, z6): the runs test of the
+    above-``threshold`` indicator sequence per entity."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        (F.col(value_col).cast("long") > threshold).cast("int").alias("b"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+    ).filter(F.col(value_col).isNotNull() & F.col("ts").isNotNull())
+    w = Window.partitionBy("grp").orderBy("ts", "eid")
+    seq = base.withColumn("prev", F.lag("b").over(w))
+    agg = seq.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.sum("b").alias("n1"),
+        (F.count("*") - F.sum("b")).alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                (F.col("prev").isNotNull() & (F.col("b") != F.col("prev")))
+                .cast("long")
+            )
+        ).alias("n_runs"),
+    )
+    n, n1, n2, r = (
+        F.col("n").cast("double"),
+        F.col("n1").cast("double"),
+        F.col("n2").cast("double"),
+        F.col("n_runs").cast("double"),
+    )
+    mu = F.lit(1.0) + F.lit(2.0) * n1 * n2 / n
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n") > 1)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "n1",
+        "n2",
+        "n_runs",
+        F.when(ok, F.round((r - mu) / F.sqrt(var), 6) + F.lit(0.0)).alias(
+            "z6"
+        ),
+    )
+
+
+def sql_runs_test(
+    rel: str,
+    value_expr: str,
+    group_expr: str,
+    ts_expr: str,
+    id_expr: str,
+    threshold: int,
+) -> str:
+    """DuckDB twin of :func:`runs_test` — identical ordering, lag,
+    moments chain and rounding."""
+    return (
+        f"WITH base AS (SELECT {group_expr} AS grp, "
+        f"CASE WHEN CAST({value_expr} AS BIGINT) > {threshold} THEN 1 "
+        f"ELSE 0 END AS b, {ts_expr} AS ts, {id_expr} AS eid FROM {rel} "
+        f"WHERE {value_expr} IS NOT NULL AND {ts_expr} IS NOT NULL), "
+        "seq AS (SELECT grp, b, lag(b) OVER (PARTITION BY grp "
+        "ORDER BY ts, eid) AS prev FROM base), "
+        "agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(b) AS BIGINT) AS n1, "
+        "CAST(count(*) - sum(b) AS BIGINT) AS n2, "
+        "CAST(1 + sum(CASE WHEN prev IS NOT NULL AND b <> prev THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS n_runs FROM seq GROUP BY grp) "
+        f"SELECT grp AS {group_expr}, n, n1, n2, n_runs, "
+        "CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN "
+        "round((CAST(n_runs AS DOUBLE) - (1.0 + 2.0 * CAST(n1 AS DOUBLE) "
+        "* CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))) / sqrt(2.0 "
+        "* CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * (2.0 "
+        "* CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - CAST(n AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) "
+        "* (CAST(n AS DOUBLE) - 1.0))), 6) + 0.0 END AS z6 FROM agg"
+    )

@@ -1775,3 +1775,146 @@ def sql_ks_test(
         )
         + " END AS lambda_6 FROM agg"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramer's V categorical association (Cramer 1946, "Mathematical
+# Methods of Statistics" §21.9)
+# ---------------------------------------------------------------------------
+#
+# "Are these two metadata columns related at all, and how strongly?" —
+# the [0, 1]-normalized chi-square for an r x c contingency table
+# (language x source, MIME x host class, label x split): V =
+# sqrt(chi2 / (N * (min(r,c) - 1))). The corpus-card companion to the
+# per-group drift tests: ks_drift/js_sources ask which stratum
+# differs, Cramer's V asks whether the stratification matters.
+#
+# Cross-engine discipline: observed counts and margins are exact
+# int64; each cell's (O - E)^2 / E term is ONE fixed chain of
+# correctly-rounded IEEE ops over exact-integer-valued doubles, and
+# the cell terms fold in a TOTAL ORDER over the (is_null, value)
+# sort key (the _ordered_fold_sum device — NULL categories are real
+# rows, the keyness convention, and the flag keeps them from
+# colliding with the '' category in the sort). chi2 includes
+# zero-observed cells (their E > 0 contributes E) via the full
+# margins grid — r x c bounded. One row; everything after the one
+# corpus groupBy is category-dimension-sized.
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """One row (n, r, c, chi2, v6): Cramer's V between two categorical
+    columns (NULL is a category). NULL v6 when min(r, c) < 2."""
+    ct = (
+        df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("o"))
+        .persist()
+    )
+    ra = ct.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = ct.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = ct.groupBy().agg(
+        F.sum("o").alias("n"),
+        F.count("*").alias("n_cells"),
+    )
+    grid = (
+        ra.crossJoin(cb)
+        .join(
+            ct.select(
+                F.col("a").alias("ga"), F.col("b").alias("gb"), "o"
+            ),
+            F.col("a").eqNullSafe(F.col("ga"))
+            & F.col("b").eqNullSafe(F.col("gb")),
+            "left",
+        )
+        .select(
+            "a", "b", "ra", "cb", F.coalesce("o", F.lit(0)).alias("o")
+        )
+        .crossJoin(F.broadcast(tot.select("n")))
+    )
+    term = (
+        (
+            F.col("o").cast("double")
+            - F.col("ra").cast("double")
+            * F.col("cb").cast("double")
+            / F.col("n").cast("double")
+        )
+        * (
+            F.col("o").cast("double")
+            - F.col("ra").cast("double")
+            * F.col("cb").cast("double")
+            / F.col("n").cast("double")
+        )
+        / (
+            F.col("ra").cast("double")
+            * F.col("cb").cast("double")
+            / F.col("n").cast("double")
+        )
+    )
+    cells = grid.select(
+        F.struct(
+            F.col("a").isNull().cast("int").alias("an"),
+            F.coalesce(F.col("a"), F.lit("")).alias("av"),
+            F.col("b").isNull().cast("int").alias("bn"),
+            F.coalesce(F.col("b"), F.lit("")).alias("bv"),
+            term.alias("t"),
+        ).alias("s")
+    )
+    agg = cells.groupBy().agg(
+        _ordered_fold_sum(
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["t"])
+        ).alias("chi2")
+    )
+    dims = ra.groupBy().agg(F.count("*").alias("r")).crossJoin(
+        cb.groupBy().agg(F.count("*").alias("c"))
+    )
+    out = agg.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(dims))
+    v = F.sqrt(
+        F.col("chi2")
+        / (
+            F.col("n").cast("double")
+            * (F.least("r", "c") - F.lit(1)).cast("double")
+        )
+    )
+    return out.select(
+        "n",
+        "r",
+        "c",
+        (F.round(F.col("chi2"), 6) + F.lit(0.0)).alias("chi2"),
+        F.when(F.least("r", "c") >= 2, F.round(v, 6) + F.lit(0.0)).alias(
+            "v6"
+        ),
+    )
+
+
+def sql_cramers_v(rel: str, a_expr: str, b_expr: str) -> str:
+    """DuckDB twin of :func:`cramers_v` — identical grid, term op
+    order, total-order fold and rounding."""
+    return (
+        f"WITH ct AS (SELECT {a_expr} AS a, {b_expr} AS b, "
+        f"CAST(count(*) AS BIGINT) AS o FROM {rel} GROUP BY 1, 2), "
+        "ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM ct GROUP BY a), "
+        "cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM ct GROUP BY b), "
+        "tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM ct), "
+        "grid AS (SELECT ra.a, cb.b, ra.ra, cb.cb, "
+        "coalesce(ct.o, 0) AS o, tot.n FROM ra CROSS JOIN cb "
+        "LEFT JOIN ct ON ct.a IS NOT DISTINCT FROM ra.a "
+        "AND ct.b IS NOT DISTINCT FROM cb.b CROSS JOIN tot), "
+        "cells AS (SELECT CASE WHEN a IS NULL THEN 1 ELSE 0 END AS an, "
+        "coalesce(a, '') AS av, CASE WHEN b IS NULL THEN 1 ELSE 0 END "
+        "AS bn, coalesce(b, '') AS bv, "
+        "(CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) "
+        "/ CAST(n AS DOUBLE)) * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) "
+        "* CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(ra AS DOUBLE) "
+        "* CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS t FROM grid), "
+        "f AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(t ORDER BY an, av, bn, bv)), (acc, x) -> acc + x) AS chi2 "
+        "FROM cells), "
+        "dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ra) AS r, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM cb) AS c) "
+        "SELECT tot.n, dims.r, dims.c, "
+        "round(f.chi2, 6) + 0.0 AS chi2, "
+        "CASE WHEN least(dims.r, dims.c) >= 2 THEN "
+        "round(sqrt(f.chi2 / (CAST(tot.n AS DOUBLE) "
+        "* CAST(least(dims.r, dims.c) - 1 AS DOUBLE))), 6) + 0.0 END AS v6 "
+        "FROM f CROSS JOIN tot CROSS JOIN dims"
+    )

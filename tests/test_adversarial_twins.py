@@ -104,7 +104,7 @@ QUERIES = [
     "host_salsa", "harmonic", "snippets", "texttiles",
     "readability_panel", "yule_k", "modularity", "link_predict",
     "bowtie", "gate_map", "gate_kappa", "good_turing",
-    "keyness", "nb_classify", "ams_f2", "host_katz", "clean_bleu", "ks_drift", "gate_mcnemar", "js_sources", "ct_langid", "bigram_entropy", "burrows_delta", "kmv_overlap", "powerlaw_fit", "graph_summary",
+    "keyness", "nb_classify", "ams_f2", "host_katz", "clean_bleu", "ks_drift", "gate_mcnemar", "js_sources", "ct_langid", "bigram_entropy", "burrows_delta", "kmv_overlap", "powerlaw_fit", "graph_summary", "cramers_v",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"
@@ -312,7 +312,7 @@ EVT_QUERIES = [
     "events_rollup", "recency_weights", "weighted_rerank",
     "zscore_by_group", "session_stats", "windowed_counts",
     "top3_per_segment", "keep_last", "funnel_steps", "bot_regularity",
-    "bursts", "host_quota", "cusum_drift",
+    "bursts", "host_quota", "cusum_drift", "runs_test",
 ]
 
 

@@ -324,3 +324,77 @@ class TestCusum:
             key=repr,
         )
         assert got == want
+
+
+class TestRunsTest:
+    def _run(self, spark, rows, threshold=50):
+        from pdf_extraction_spark.operators.forensics import runs_test
+
+        df = spark.createDataFrame(rows, "eid long, grp long, ts long, v long")
+        return {
+            r.grp: r
+            for r in runs_test(
+                df, "v", "grp", "ts", "eid", threshold=threshold
+            ).collect()
+        }
+
+    def test_extremes_and_replay(self, spark):
+        import math
+
+        rows = (
+            # user 1: perfect alternation -> max runs, z >> 0
+            [(i, 1, 1000 + i, 100 if i % 2 == 0 else 0) for i in range(20)]
+            # user 2: two dwelling blocks -> 2 runs, z << 0
+            + [(100 + i, 2, 1000 + i, 100 if i < 10 else 0) for i in range(20)]
+            # user 3: all above threshold -> degenerate, NULL z
+            + [(200 + i, 3, 1000 + i, 100) for i in range(8)]
+            + [(300, 4, None, 100), (301, 4, 1000, None)]  # hygiene
+        )
+        got = self._run(spark, rows)
+        assert got[1].n_runs == 20 and got[1].z6 > 3
+        assert got[2].n_runs == 2 and got[2].z6 < -3
+        assert got[3].z6 is None and got[3].n1 == 8
+        assert 4 not in got  # both rows hygiene-dropped
+        # exact replay of user 1's z
+        n, n1, n2, r = 20.0, 10.0, 10.0, 20.0
+        mu = 1.0 + 2.0 * n1 * n2 / n
+        var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0))
+        assert got[1].z6 == round((r - mu) / math.sqrt(var), 6) + 0.0
+
+    def test_twin_parity_and_partition_invariance(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.forensics import (
+            runs_test,
+            sql_runs_test,
+        )
+
+        rows = [(i, i % 3, 1000 + i, (i * 7) % 100) for i in range(60)]
+        df = spark.createDataFrame(rows, "eid long, grp long, ts long, v long")
+        got = sorted(
+            (tuple(r) for r in runs_test(df, "v", "grp", "ts", "eid", 50).collect()),
+            key=repr,
+        )
+        got2 = sorted(
+            (
+                tuple(r)
+                for r in runs_test(
+                    df.repartition(7), "v", "grp", "ts", "eid", 50
+                ).collect()
+            ),
+            key=repr,
+        )
+        assert got == got2
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows, columns=["eid", "grp", "ts", "v"]))
+        want = sorted(
+            (
+                tuple(r)
+                for r in con.execute(
+                    sql_runs_test("t", "v", "grp", "ts", "eid", 50)
+                ).fetchall()
+            ),
+            key=repr,
+        )
+        assert got == want

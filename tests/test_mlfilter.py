@@ -996,3 +996,55 @@ class TestJsDivergence:
             key=repr,
         )
         assert got == want
+
+
+class TestCramersV:
+    def test_perfect_association_and_independence(self, spark):
+        from pdf_extraction_spark.operators.mlfilter import cramers_v
+
+        # perfect: b is a function of a -> V = 1
+        rows = [(i, f"a{i % 3}", f"b{i % 3}") for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, x string, y string")
+        [r] = cramers_v(df, "x", "y").collect()
+        assert (r.r, r.c) == (3, 3) and r.v6 == 1.0
+        # independent uniform grid -> chi2 == 0 exactly
+        rows2 = [(i, f"a{i % 2}", f"b{(i // 2) % 2}") for i in range(40)]
+        df2 = spark.createDataFrame(rows2, "id long, x string, y string")
+        [r2] = cramers_v(df2, "x", "y").collect()
+        assert r2.chi2 == 0.0 and r2.v6 == 0.0
+
+    def test_null_category_and_degenerate(self, spark):
+        from pdf_extraction_spark.operators.mlfilter import cramers_v
+
+        rows = [(0, None, "b0"), (1, None, "b1"), (2, "a", "b0"), (3, "a", "b1")]
+        df = spark.createDataFrame(rows, "id long, x string, y string")
+        [r] = cramers_v(df, "x", "y").collect()
+        assert r.r == 2  # NULL is a real category
+        # single-category column -> NULL v6
+        rows2 = [(i, "only", f"b{i % 3}") for i in range(9)]
+        [r2] = cramers_v(
+            spark.createDataFrame(rows2, "id long, x string, y string"),
+            "x",
+            "y",
+        ).collect()
+        assert r2.v6 is None
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.mlfilter import (
+            cramers_v,
+            sql_cramers_v,
+        )
+
+        rows = [
+            (i, None if i % 7 == 0 else f"a{i % 3}", f"b{(i * 3) % 4}")
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "id long, x string, y string")
+        [got] = cramers_v(df, "x", "y").collect()
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows, columns=["id", "x", "y"]))
+        [want] = con.execute(sql_cramers_v("t", "x", "y")).fetchall()
+        assert tuple(got) == want
