@@ -2177,6 +2177,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("dst"),
         )
 
+    def q_table_profile(spark, sf):
+        """Deequ/TFDV-style table profile (Schelter et al. 2018) of the
+        documents table: per-column null counts, exact cardinalities,
+        typed extremes rendered to string, top-3 values — the "what
+        does this drop look like" card a production ingest runs before
+        any operator touches new data. Counts + renderings only, no
+        float convention."""
+        from pdf_extraction_spark.operators.profile import table_profile
+
+        return table_profile(
+            _docs(spark, sf), ["doc_id", "lang", "source", "n_chars"]
+        )
+
+    def q_table_checks(spark, sf):
+        """Declarative data-quality checks over the same table:
+        completeness thresholds by integer cross-multiplication,
+        key uniqueness, lang containment, non-negative lengths —
+        the ingest contract beside the profile."""
+        from pdf_extraction_spark.operators.profile import table_checks
+
+        return table_checks(
+            _docs(spark, sf),
+            [
+                {"type": "completeness", "column": "text", "min_ppm": 990000},
+                {"type": "completeness", "column": "source", "min_ppm": 1000000},
+                {"type": "uniqueness", "column": "doc_id"},
+                {
+                    "type": "in_set",
+                    "column": "lang",
+                    "values": ["en", "fr", "es", "de", "zh"],
+                },
+                {"type": "non_negative", "column": "n_chars"},
+            ],
+        )
+
     def q_runs_test(spark, sf):
         """Wald-Wolfowitz runs test (1940) per user over the
         above-median-ish event-value indicator — the sequence-
@@ -4239,6 +4274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_entropy": q_bigram_entropy,
         "burrows_delta": q_burrows_delta,
         "kmv_overlap": q_kmv_overlap,
+        "table_profile": q_table_profile,
+        "table_checks": q_table_checks,
         "runs_test": q_runs_test,
         "cramers_v": q_cramers_v,
         "powerlaw_fit": q_powerlaw_fit,
@@ -5664,6 +5701,29 @@ def oracle_sql() -> dict[str, str]:
             f"'{WORD_SPLIT_RE}'), x -> x <> '') AS w FROM documents "
             "WHERE source IS NOT NULL))",
             k=64,
+        ),
+        "table_profile": __import__(
+            "pdf_extraction_spark.operators.profile",
+            fromlist=["sql_table_profile"],
+        ).sql_table_profile(
+            "documents", ["doc_id", "lang", "source", "n_chars"]
+        ),
+        "table_checks": __import__(
+            "pdf_extraction_spark.operators.profile",
+            fromlist=["sql_table_checks"],
+        ).sql_table_checks(
+            "documents",
+            [
+                {"type": "completeness", "column": "text", "min_ppm": 990000},
+                {"type": "completeness", "column": "source", "min_ppm": 1000000},
+                {"type": "uniqueness", "column": "doc_id"},
+                {
+                    "type": "in_set",
+                    "column": "lang",
+                    "values": ["en", "fr", "es", "de", "zh"],
+                },
+                {"type": "non_negative", "column": "n_chars"},
+            ],
         ),
         "runs_test": __import__(
             "pdf_extraction_spark.operators.forensics",
