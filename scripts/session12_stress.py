@@ -183,6 +183,82 @@ def main(argv=None):
         ).count(),
     )
 
+    from pdf_extraction_spark.operators.forensics import runs_test
+    from pdf_extraction_spark.operators.graphstats import (
+        graph_summary,
+        powerlaw_fit,
+    )
+    from pdf_extraction_spark.operators.mlfilter import cramers_v
+    from pdf_extraction_spark.operators.profile import table_checks, table_profile
+    from pdf_extraction_spark.operators.sketches import kmv_source_overlap
+    from pdf_extraction_spark.operators.textanalysis import (
+        bigram_cond_entropy,
+        burrows_delta,
+        ct_langid,
+    )
+
+    ladder(
+        "kmv_docs",
+        lambda n: kmv_source_overlap(
+            synth_docs(n).select(
+                "source", F.explode(F.split(F.col("text"), " ")).alias("v")
+            ),
+            F.col("v"),
+            "source",
+            k=64,
+        ).count(),
+    )
+    ladder(
+        "runs_events",
+        lambda n: runs_test(
+            synth_events(n), "v", "user_id", "ts", "event_id", threshold=50
+        ).count(),
+    )
+    ladder(
+        "cramers_docs",
+        lambda n: cramers_v(synth_docs(n), "source", "n_chars").count(),
+    )
+    ladder(
+        "profile_docs",
+        lambda n: table_profile(
+            synth_docs(n), ["doc_id", "source", "n_chars"]
+        ).count(),
+    )
+    ladder(
+        "checks_docs",
+        lambda n: table_checks(
+            synth_docs(n),
+            [
+                {"type": "completeness", "column": "text", "min_ppm": 900000},
+                {"type": "uniqueness", "column": "doc_id"},
+                {"type": "non_negative", "column": "n_chars"},
+            ],
+        ).count(),
+    )
+    ladder(
+        "powerlaw_edges",
+        lambda n: powerlaw_fit(synth_edges(n), k_mins=(1, 2)).count(),
+    )
+    ladder("gsummary_edges", lambda n: graph_summary(synth_edges(n)).count())
+    ladder(
+        "bigram_h_docs",
+        lambda n: bigram_cond_entropy(synth_docs(n)).count(),
+    )
+    ladder(
+        "burrows_docs",
+        lambda n: burrows_delta(synth_docs(n), k=20).count(),
+    )
+    ladder(
+        "ctlang_docs",
+        lambda n: ct_langid(
+            synth_docs(n).withColumn(
+                "lang",
+                F.concat(F.lit("l"), (F.col("doc_id") % 5).cast("string")),
+            ),
+            k=30,
+        ).count(),
+    )
+
     with open(ns.out, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
     print(json.dumps(report))
