@@ -2177,6 +2177,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("dst"),
         )
 
+    def q_cooccur_rules(spark, sf):
+        """A-priori 2-itemset mining (Agrawal & Srikant 1994) over
+        documents-as-baskets: frequent word pairs with both rule
+        confidences and lift — the set-cooccurrence complement to
+        pmi_colloc's adjacent pairs. The A-priori prune (only
+        individually-frequent words enter the per-doc pair join) is
+        the load-bearing scale bound."""
+        from pdf_extraction_spark.operators.terms import cooccur_rules
+
+        return cooccur_rules(_docs(spark, sf), min_docs=20, k=30)
+
     def q_table_profile(spark, sf):
         """Deequ/TFDV-style table profile (Schelter et al. 2018) of the
         documents table: per-column null counts, exact cardinalities,
@@ -4274,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_entropy": q_bigram_entropy,
         "burrows_delta": q_burrows_delta,
         "kmv_overlap": q_kmv_overlap,
+        "cooccur_rules": q_cooccur_rules,
         "table_profile": q_table_profile,
         "table_checks": q_table_checks,
         "runs_test": q_runs_test,
@@ -5702,6 +5714,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source IS NOT NULL))",
             k=64,
         ),
+        "cooccur_rules": __import__(
+            "pdf_extraction_spark.operators.terms",
+            fromlist=["sql_cooccur_rules"],
+        ).sql_cooccur_rules("documents", min_docs=20, k=30),
         "table_profile": __import__(
             "pdf_extraction_spark.operators.profile",
             fromlist=["sql_table_profile"],

@@ -878,3 +878,115 @@ def sql_keyness(
         f"SELECT {group_expr}, tok, tf_group, tf_corpus, g2_nano, "
         f"lr_nano, chi2 FROM rk WHERE rn <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent co-occurrence pairs + association rules (Agrawal & Srikant
+# VLDB 1994, the A-priori algorithm, 2-itemset level)
+# ---------------------------------------------------------------------------
+#
+# Market-basket mining over documents-as-baskets: which word PAIRS
+# co-occur in the same document far beyond independence — the
+# set-cooccurrence complement to pmi_collocations' ADJACENT pairs
+# (collocations find "new york"; this finds {windows, license} across
+# a page). The A-priori prune is the load-bearing scale bound: only
+# words that are individually frequent (doc frequency >= min_docs)
+# enter the per-document pair join, so the fan-out per doc is its
+# FREQUENT-word count squared, never its length squared — the classic
+# candidate-generation argument, stated and enforced relationally.
+#
+# Metrics are exact integer where rational (support and both
+# confidences in ppm by floor division) and one correctly-rounded
+# double chain for lift (n_ab*N/(n_a*n_b) overflows int64 at corpus
+# scale; the double form has exact-integer inputs and a fixed op
+# order, then rounds to 6). Top-k by (n_ab desc, w1, w2) compiles to
+# TakeOrderedAndProject. N counts documents WITH tokens (the basket
+# universe); NULL-text docs have no basket.
+
+
+def cooccur_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 5,
+    k: int = 30,
+) -> DataFrame:
+    """(w1, w2, n_ab, n_a, n_b, supp_ppm, conf_a_ppm, conf_b_ppm,
+    lift6): the top-``k`` frequent pairs with both rule directions'
+    confidences and the lift."""
+    dw = _words(df, text_col, id_col).select("doc_id", "tok").distinct().persist()
+    dfreq = dw.groupBy("tok").agg(F.count("*").alias("n"))
+    freq = dfreq.filter(F.col("n") >= min_docs).persist()
+    n_docs = dw.select("doc_id").distinct().groupBy().agg(
+        F.count("*").alias("n_docs")
+    )
+    fdw = dw.join(F.broadcast(freq.select("tok")), "tok")
+    a = fdw.select("doc_id", F.col("tok").alias("w1"))
+    b = fdw.select(F.col("doc_id").alias("did2"), F.col("tok").alias("w2"))
+    pairs = (
+        a.join(b, (F.col("doc_id") == F.col("did2")) & (F.col("w1") < F.col("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_docs)
+    )
+    fa = freq.select(F.col("tok").alias("w1"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("tok").alias("w2"), F.col("n").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(fa), "w1")
+        .join(F.broadcast(fb), "w2")
+        .crossJoin(F.broadcast(n_docs))
+    )
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_docs").cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        out.select(
+            "w1", "w2", "n_ab", "n_a", "n_b",
+            F.expr("n_ab * 1000000L div n_docs").alias("supp_ppm"),
+            F.expr("n_ab * 1000000L div n_a").alias("conf_a_ppm"),
+            F.expr("n_ab * 1000000L div n_b").alias("conf_b_ppm"),
+            (F.round(lift, 6) + F.lit(0.0)).alias("lift6"),
+        )
+        .orderBy(F.col("n_ab").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
+def sql_cooccur_rules(
+    rel: str = "documents",
+    text_expr: str = "text",
+    min_docs: int = 5,
+    k: int = 30,
+) -> str:
+    """DuckDB twin of :func:`cooccur_rules` — identical baskets,
+    A-priori prune, metrics and top-k order."""
+    from .curation import _sql_lower_words
+
+    toks = _sql_lower_words(f"coalesce({text_expr}, '')")
+    return (
+        f"WITH dw AS (SELECT DISTINCT doc_id, unnest({toks}) AS tok "
+        f"FROM {rel}), "
+        "dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM dw "
+        "GROUP BY tok), "
+        f"freq AS (SELECT * FROM dfreq WHERE n >= {min_docs}), "
+        "nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "FROM dw), "
+        "fdw AS (SELECT dw.doc_id, dw.tok FROM dw JOIN freq "
+        "ON freq.tok = dw.tok), "
+        "pairs AS (SELECT a.tok AS w1, b.tok AS w2, "
+        "CAST(count(*) AS BIGINT) AS n_ab FROM fdw a JOIN fdw b "
+        "ON a.doc_id = b.doc_id AND a.tok < b.tok "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_docs}) "
+        "SELECT p.w1, p.w2, p.n_ab, fa.n AS n_a, fb.n AS n_b, "
+        "CAST(p.n_ab * 1000000 // nd.n_docs AS BIGINT) AS supp_ppm, "
+        "CAST(p.n_ab * 1000000 // fa.n AS BIGINT) AS conf_a_ppm, "
+        "CAST(p.n_ab * 1000000 // fb.n AS BIGINT) AS conf_b_ppm, "
+        "round(CAST(p.n_ab AS DOUBLE) * CAST(nd.n_docs AS DOUBLE) "
+        "/ (CAST(fa.n AS DOUBLE) * CAST(fb.n AS DOUBLE)), 6) + 0.0 "
+        "AS lift6 "
+        "FROM pairs p JOIN freq fa ON fa.tok = p.w1 "
+        "JOIN freq fb ON fb.tok = p.w2 CROSS JOIN nd "
+        f"ORDER BY p.n_ab DESC, p.w1, p.w2 LIMIT {k}"
+    )

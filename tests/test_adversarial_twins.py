@@ -104,7 +104,7 @@ QUERIES = [
     "host_salsa", "harmonic", "snippets", "texttiles",
     "readability_panel", "yule_k", "modularity", "link_predict",
     "bowtie", "gate_map", "gate_kappa", "good_turing",
-    "keyness", "nb_classify", "ams_f2", "host_katz", "clean_bleu", "ks_drift", "gate_mcnemar", "js_sources", "ct_langid", "bigram_entropy", "burrows_delta", "kmv_overlap", "powerlaw_fit", "graph_summary", "cramers_v", "table_profile", "table_checks",
+    "keyness", "nb_classify", "ams_f2", "host_katz", "clean_bleu", "ks_drift", "gate_mcnemar", "js_sources", "ct_langid", "bigram_entropy", "burrows_delta", "kmv_overlap", "powerlaw_fit", "graph_summary", "cramers_v", "table_profile", "table_checks", "cooccur_rules",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"

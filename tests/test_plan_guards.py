@@ -65,7 +65,7 @@ NATIVE_QUERIES = [
     "host_salsa", "bursts", "harmonic", "snippets", "texttiles",
     "readability_panel", "yule_k", "modularity", "link_predict",
     "bowtie", "gate_map", "gate_kappa", "host_quota", "good_turing",
-    "keyness", "nb_classify", "ams_f2", "host_katz", "clean_bleu", "ks_drift", "gate_mcnemar", "js_sources", "cusum_drift", "centroid_classify", "ct_langid", "bigram_entropy", "burrows_delta", "kmv_overlap", "powerlaw_fit", "graph_summary", "cramers_v", "runs_test", "table_profile", "table_checks",
+    "keyness", "nb_classify", "ams_f2", "host_katz", "clean_bleu", "ks_drift", "gate_mcnemar", "js_sources", "cusum_drift", "centroid_classify", "ct_langid", "bigram_entropy", "burrows_delta", "kmv_overlap", "powerlaw_fit", "graph_summary", "cramers_v", "runs_test", "table_profile", "table_checks", "cooccur_rules",
 ]
 
 

@@ -486,3 +486,71 @@ class TestKeyness:
             key=repr,
         )
         assert got == want
+
+
+class TestCooccurRules:
+    ROWS = [
+        # {alpha, beta} co-occur in 4 baskets; gamma rides with alpha twice;
+        # rare words pruned by min_docs
+        (0, "alpha beta filler one"),
+        (1, "alpha beta gamma two"),
+        (2, "alpha beta three gamma"),
+        (3, "beta alpha four"),
+        (4, "alpha solo five"),
+        (5, "beta lonely six"),
+        (6, "gamma only seven rare"),
+        (7, ""),
+        (8, None),
+    ]
+
+    def test_hand_values(self, spark):
+        from pdf_extraction_spark.operators.terms import cooccur_rules
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {
+            (r.w1, r.w2): r
+            for r in cooccur_rules(df, min_docs=3, k=10).collect()
+        }
+        ab = got[("alpha", "beta")]
+        # alpha in 5 docs, beta in 5, together in 4; 7 docs have tokens
+        assert (ab.n_ab, ab.n_a, ab.n_b) == (4, 5, 5)
+        assert ab.supp_ppm == 4 * 10**6 // 7
+        assert ab.conf_a_ppm == 4 * 10**6 // 5
+        assert ab.lift6 == round(4 * 7 / 25, 6)
+        # gamma appears in 3 docs but each pair with it is < min_docs
+        assert all("gamma" not in k for k in got)
+
+    def test_apriori_prune_bounds_pairs(self, spark):
+        from pdf_extraction_spark.operators.terms import cooccur_rules
+
+        # singleton words never pair even if a doc holds many of them
+        df = spark.createDataFrame(
+            [(0, " ".join(f"u{i}" for i in range(50)))], "doc_id long, text string"
+        )
+        assert cooccur_rules(df, min_docs=2, k=10).count() == 0
+
+    def test_twin_parity_and_partition_invariance(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from pdf_extraction_spark.operators.terms import (
+            cooccur_rules,
+            sql_cooccur_rules,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = [tuple(r) for r in cooccur_rules(df, min_docs=2, k=10).collect()]
+        got2 = [
+            tuple(r)
+            for r in cooccur_rules(df.repartition(5), min_docs=2, k=10).collect()
+        ]
+        assert got == got2
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(self.ROWS, columns=["doc_id", "text"]))
+        want = [
+            tuple(r)
+            for r in con.execute(
+                sql_cooccur_rules("documents", min_docs=2, k=10)
+            ).fetchall()
+        ]
+        assert got == want
