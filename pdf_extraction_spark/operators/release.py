@@ -196,9 +196,9 @@ WITH rows AS (
   WHERE {id_col} IS NOT NULL
 )
 SELECT shard,
-       COUNT(*) AS n_docs,
-       SUM(nb) AS n_bytes,
-       bit_xor(dg) AS xor_digest,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS n_bytes,
+       CAST(bit_xor(dg) AS BIGINT) AS xor_digest,
        MIN(id) AS min_doc_id,
        MAX(id) AS max_doc_id
 FROM rows
