@@ -3633,6 +3633,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return shard_manifest(_docs(spark, sf), n_shards=16)
 
+    def q_manifest_merge(spark, sf):
+        """The incremental-release fold: split the corpus into three
+        disjoint sub-corpora (doc_id % 3 — the shape of daily
+        increments or streaming micro-batches), manifest each part
+        independently, then fold the parts with
+        :func:`merge_manifests` (sum counts/bytes, XOR digests,
+        min/max id ranges). Because every column's fold is associative
+        and commutative, the merged result must equal the whole-corpus
+        manifest bit-for-bit — which is exactly what the oracle
+        (``sql_shard_manifest`` over the full table) checks. This is
+        the same algebra the streaming manifest
+        (streaming/manifest.py) relies on for complete-mode validity."""
+        from pdf_extraction_spark.operators.release import (
+            manifest_agg,
+            merge_manifests,
+        )
+
+        docs = _docs(spark, sf)
+        parts = [
+            manifest_agg(docs.filter(F.expr(f"doc_id % 3 = {r}")), n_shards=16)
+            for r in range(3)
+        ]
+        u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+        return merge_manifests(u)
+
     # -- host communities via label propagation (round-4 continuation) ------
     def q_host_communities(spark, sf):
         """Synchronous deterministic label propagation (Raghavan 2007)
@@ -4036,16 +4061,160 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return page_shape(docs)
 
     # Dict ORDER is driver-facing: the correctness snapshot samples the
-    # FIRST 50 entries.  Ordering policy (round 4):
-    #   1. the 17 queries never driver-sampled in rounds 1-3,
-    #   2. the 5 queries last sampled in round 2,
-    #   3. queries whose implementation changed this round or that were
-    #      first green only in round 3,
-    #   4. a rotation of multi-round-green rows (scale-critical first).
-    # The 25 entries past position 50 are all inline-fixture or
-    # fixture-stable queries green in BOTH rounds 2 and 3.
+    # FIRST 50 entries.  Ordering policy (round 5): maximize first-time
+    # external certification — the window below is 49 never-driver-
+    # sampled queries + shard_manifest (r4's one red row, re-certifying
+    # its oracle fix).  Everything previously driver-green sits past
+    # position 50 and stays covered by the per-round strict-local sweep.
     return {
-        # -- never driver-sampled (judge-verified strict-local in r3) ----
+        # ---- ROUND-5 DRIVER WINDOW (first 50) ------------------------
+        # Rotation policy (round-4 verdict items #1-#2): the driver
+        # certifies the FIRST 50 dict entries per round. This window is
+        # 49 queries with no driver row in ANY prior round plus
+        # shard_manifest (r4's only red row, re-certifying the BIGINT
+        # cast fix in sql_shard_manifest). manifest_merge is new this
+        # round (verdict item #7): it drives the associative manifest
+        # fold shared with streaming/manifest.py against the whole-
+        # corpus oracle. Families: crawl-loop (13), release/
+        # maintenance (6), web-graph (10), retrieval ranking (7),
+        # sketches (5), gate/stats tests (7). The 74 never-sampled
+        # queries still below the window are the planned r6 rotation,
+        # tracked in COVERAGE.md 'Driver-certification ledger'.
+        # -- re-certify + new fold query --------------------------------
+        "shard_manifest": q_shard_manifest,
+        "manifest_merge": q_manifest_merge,
+        # -- crawl loop (robots / sitemaps / frontier / traps) ----------
+        "robots_gate": q_robots_gate,
+        "robots_rules": q_robots_rules,
+        "robots_allow": q_robots_allow,
+        "sitemap_parse": q_sitemap,
+        "crawl_plan": q_crawl_plan,
+        "frontier_sched": q_frontier,
+        "snapshot_delta": q_snapshot_delta,
+        "redirects": q_redirects,
+        "url_traps": q_url_traps,
+        "soft404": q_soft404,
+        "domain_parse": q_domain_parse,
+        "template_pages": q_template_pages,
+        "cc_scrub": q_cc_scrub,
+        # -- release & maintenance --------------------------------------
+        "hrw_shards": q_hrw_shards,
+        "compaction_plan": q_compaction,
+        "mixture_plan": q_mixture,
+        "temp_mixture": q_temp_mixture,
+        "host_quota": q_host_quota,
+        "holdout_split": q_holdout_split,
+        # -- web graph ---------------------------------------------------
+        "host_trustrank": q_host_trustrank,
+        "outlink_pagerank": q_outlink_pagerank,
+        "spam_mass": q_spam_mass,
+        "host_hits": q_host_hits,
+        "host_kcore": q_host_kcore,
+        "host_salsa": q_host_salsa,
+        "bowtie": q_bowtie,
+        "harmonic": q_harmonic,
+        "modularity": q_modularity,
+        "hyperball": q_hyperball,
+        # -- retrieval ranking ------------------------------------------
+        "bm25f_topk": q_bm25f,
+        "qlm_topk": q_qlm,
+        "prf_bm25": q_prf,
+        "mmr_topk": q_mmr_topk,
+        "rrf_fuse": q_rrf_fuse,
+        "phrase_search": q_phrase_search,
+        "snippets": q_snippets,
+        # -- sketches ----------------------------------------------------
+        "hll_words": q_hll_words,
+        "cms_topwords": q_cms_topwords,
+        "bloom_dedup": q_bloom_dedup,
+        "ams_f2": q_ams_f2,
+        "kmv_overlap": q_kmv_overlap,
+        # -- gate metrics / statistical tests ---------------------------
+        "gate_ndcg": q_gate_ndcg,
+        "gate_map": q_gate_map,
+        "gate_kappa": q_gate_kappa,
+        "gate_mcnemar": q_gate_mcnemar,
+        "ks_drift": q_ks_drift,
+        "benford": q_benford,
+        "powerlaw_fit": q_powerlaw_fit,
+        # ---- position 51+: never-driver-sampled debt (planned r6
+        # window — first 50 of these rotate up next round) ---------------
+        "pmi_colloc": q_pmi_colloc,
+        "doc_keyterms": q_doc_keyterms,
+        "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
+        "unigram_entropy": q_unigram_entropy,
+        "host_quality": q_host_quality,
+        "host_wilson": q_host_wilson,
+        "bpe_fertility": q_bpe_fertility,
+        "vocab_growth": q_vocab_growth,
+        "readability": q_readability,
+        "containment": q_containment,
+        "edit_verify": q_edit_verify,
+        "quantize_emb": q_quantize,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
+        "source_kl": q_source_kl,
+        "zipf_slope": q_zipf_slope,
+        "source_overlap": q_source_overlap,
+        "group_quartiles": q_group_quartiles,
+        "robust_outliers": q_robust_outliers,
+        "html_pubdate": q_html_pubdate,
+        "link_profile": q_link_profile,
+        "hreflang_alts": q_hreflang,
+        "sentences": q_sentences,
+        "meta_keywords": q_meta_keywords,
+        "heading_outline": q_headings,
+        "jsonld_types": q_jsonld,
+        "html_tables": q_html_tables,
+        "lang_mix": q_lang_mix,
+        "lexical_diversity": q_lexical_diversity,
+        "og_card": q_og_card,
+        "img_alt_pairs": q_img_alt,
+        "page_shape": q_page_shape,
+        "content_spans": q_content_spans,
+        "norm_punct": q_norm_punct,
+        "rank_rbo": q_rank_rbo,
+        "cocite_hosts": q_cocite_hosts,
+        "couple_hosts": q_couple_hosts,
+        "mirror_hosts": q_mirror_hosts,
+        "apss_pairs": q_apss_pairs,
+        "funnel_steps": q_funnel_steps,
+        "host_triangles": q_host_triangles,
+        "moore_lewis": q_moore_lewis,
+        "mass_gini": q_mass_gini,
+        "textrank_terms": q_textrank,
+        "facility_location": q_facility_location,
+        "nepotism": q_nepotism,
+        "bot_regularity": q_bot_regularity,
+        "rake_phrases": q_rake,
+        "host_assort": q_host_assort,
+        "bursts": q_bursts,
+        "texttiles": q_texttiles,
+        "porter_stems": q_porter_stems,
+        "readability_panel": q_readability_panel,
+        "compress_gate": q_compress_gate,
+        "yule_k": q_yule_k,
+        "link_predict": q_link_predict,
+        "good_turing": q_good_turing,
+        "keyness": q_keyness,
+        "nb_classify": q_nb_classify,
+        "host_katz": q_host_katz,
+        "clean_bleu": q_clean_bleu,
+        "js_sources": q_js_sources,
+        "cusum_drift": q_cusum_drift,
+        "centroid_classify": q_centroid_classify,
+        "ct_langid": q_ct_langid,
+        "bigram_entropy": q_bigram_entropy,
+        "burrows_delta": q_burrows_delta,
+        "cooccur_rules": q_cooccur_rules,
+        "table_profile": q_table_profile,
+        "table_checks": q_table_checks,
+        "runs_test": q_runs_test,
+        "cramers_v": q_cramers_v,
+        "graph_summary": q_graph_summary,
+        # ---- previously driver-green (certified in r1-r4, unchanged;
+        # strict-local twins still sweep them every round) ---------------
         "dedup_spans": q_dedup_spans,
         "host_cap": q_host_cap,
         "qual_classify": q_qual_classify,
@@ -4073,21 +4242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_keys": q_surt_keys,
         "nfc_normalize": q_nfc_normalize,
         "fold_accents": q_fold_accents,
-        # nation_revenue (r1-green) / gopher_quality / dedup_lines /
-        # pii_scrub (r2-green) demoted below the 50-query driver window:
-        # each already has a driver-green CORRECTNESS row and is
-        # unchanged since, so their slots certify four never-sampled
-        # queries instead (shard_manifest, host_communities,
-        # justext_blocks — the round-4 builder's own top-of-list — and
-        # group_sample, the newest family)
-        "shard_manifest": q_shard_manifest,
         "host_communities": q_host_communities,
         "justext_blocks": q_justext,
         "group_sample": q_group_sample,
-        # -- changed this round (bounded-tree rework / new exact twin) ----
         "ivf_topk": q_ivf_topk,
         "topk_batch": q_topk_batch,
-        # -- new in round 4 ----------------------------------------------
         "bm25_topk": q_bm25,
         "chunk_docs": q_chunk_docs,
         "c4_filter": q_c4_filter,
@@ -4097,11 +4256,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": q_dedup_url,
         "dsir_select": q_dsir_select,
         "host_pagerank": q_host_pagerank,
-        # hll_by_source / hist_quantiles promoted into the 50-query
-        # driver window in place of host_trustrank / outlink_pagerank
-        # (same-family variants of the pinned pagerank recursion, both
-        # strict-green locally) so the driver certifies two new sketch
-        # FAMILIES rather than two variants of one already-certified one
         "hll_by_source": q_hll_by_source,
         "hist_quantiles": q_hist_quantiles,
         "winnow_fp": q_winnow_fp,
@@ -4110,25 +4264,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_outlinks": q_html_outlinks,
         "anchor_terms": q_anchor_terms,
         "host_boilerplate": q_host_boilerplate,
-        "robots_gate": q_robots_gate,
-        "pmi_colloc": q_pmi_colloc,
-        "doc_keyterms": q_doc_keyterms,
-        "phrase_search": q_phrase_search,
-        "bpe_merges": q_bpe_merges,
-        "bpe_encode": q_bpe_encode,
-        "hll_words": q_hll_words,
-        "cms_topwords": q_cms_topwords,
-        "bloom_dedup": q_bloom_dedup,
-        "unigram_entropy": q_unigram_entropy,
-        "host_quality": q_host_quality,
-        "host_wilson": q_host_wilson,
-        "host_trustrank": q_host_trustrank,
-        "outlink_pagerank": q_outlink_pagerank,
-        "bpe_fertility": q_bpe_fertility,
-        "vocab_growth": q_vocab_growth,
-        # -- multi-round-green rotation (scale-critical first; the six
-        # r3-green unchanged entries demoted out of the 50-query driver
-        # window to make room for every round-4 query above) -------------
         "nation_revenue": q_nation_revenue,
         "gopher_quality": q_gopher_quality,
         "dedup_lines": q_dedup_lines,
@@ -4159,7 +4294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "text_ratios": q_text_ratios,
         "token_count": q_token_count,
-        # ---- position 51+ (fixture-stable, green in BOTH r2 and r3) ----
         "corpus_profile": q_corpus_profile,
         "zscore_by_group": q_zscore,
         "url_dates": q_url_dates,
@@ -4184,114 +4318,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "recency_weights": q_recency,
         "weighted_rerank": q_weighted_rerank,
-        # ---- round-4 continuation additions (strict-local oracles; the
-        # 50-query driver window is already full of first-evidence rows) ----
-        "host_hits": q_host_hits,
-        "readability": q_readability,
-        "snapshot_delta": q_snapshot_delta,
-        "frontier_sched": q_frontier,
-        "robots_rules": q_robots_rules,
-        "robots_allow": q_robots_allow,
-        "containment": q_containment,
-        "sitemap_parse": q_sitemap,
-        "crawl_plan": q_crawl_plan,
-        "redirects": q_redirects,
-        "edit_verify": q_edit_verify,
-        "quantize_emb": q_quantize,
-        "pq_encode": q_pq_encode,
-        "pq_topk": q_pq_topk,
-        "domain_parse": q_domain_parse,
-        "holdout_split": q_holdout_split,
-        "template_pages": q_template_pages,
-        "url_traps": q_url_traps,
-        "spam_mass": q_spam_mass,
-        "compaction_plan": q_compaction,
-        "mixture_plan": q_mixture,
-        "temp_mixture": q_temp_mixture,
-        "source_kl": q_source_kl,
-        "zipf_slope": q_zipf_slope,
-        "source_overlap": q_source_overlap,
-        "cc_scrub": q_cc_scrub,
-        "soft404": q_soft404,
-        "group_quartiles": q_group_quartiles,
-        "robust_outliers": q_robust_outliers,
-        "html_pubdate": q_html_pubdate,
-        "link_profile": q_link_profile,
-        "hreflang_alts": q_hreflang,
-        "sentences": q_sentences,
-        "meta_keywords": q_meta_keywords,
-        "heading_outline": q_headings,
-        "jsonld_types": q_jsonld,
-        "html_tables": q_html_tables,
-        "lang_mix": q_lang_mix,
-        "lexical_diversity": q_lexical_diversity,
-        "og_card": q_og_card,
-        "img_alt_pairs": q_img_alt,
-        "page_shape": q_page_shape,
-        "content_spans": q_content_spans,
-        "norm_punct": q_norm_punct,
-        "rrf_fuse": q_rrf_fuse,
-        "gate_ndcg": q_gate_ndcg,
-        "rank_rbo": q_rank_rbo,
-        "mmr_topk": q_mmr_topk,
-        "cocite_hosts": q_cocite_hosts,
-        "couple_hosts": q_couple_hosts,
-        "mirror_hosts": q_mirror_hosts,
-        "apss_pairs": q_apss_pairs,
-        "funnel_steps": q_funnel_steps,
-        "host_triangles": q_host_triangles,
-        "moore_lewis": q_moore_lewis,
-        "mass_gini": q_mass_gini,
-        "textrank_terms": q_textrank,
-        "hrw_shards": q_hrw_shards,
-        "facility_location": q_facility_location,
-        "bm25f_topk": q_bm25f,
-        "qlm_topk": q_qlm,
-        "prf_bm25": q_prf,
-        "nepotism": q_nepotism,
-        "bot_regularity": q_bot_regularity,
-        "benford": q_benford,
-        "hyperball": q_hyperball,
-        "rake_phrases": q_rake,
-        "host_kcore": q_host_kcore,
-        "host_assort": q_host_assort,
-        "host_salsa": q_host_salsa,
-        "bursts": q_bursts,
-        "harmonic": q_harmonic,
-        "snippets": q_snippets,
-        "texttiles": q_texttiles,
-        "porter_stems": q_porter_stems,
-        "readability_panel": q_readability_panel,
-        "compress_gate": q_compress_gate,
-        "yule_k": q_yule_k,
-        "modularity": q_modularity,
-        "link_predict": q_link_predict,
-        "bowtie": q_bowtie,
-        "gate_map": q_gate_map,
-        "gate_kappa": q_gate_kappa,
-        "host_quota": q_host_quota,
-        "good_turing": q_good_turing,
-        "keyness": q_keyness,
-        "nb_classify": q_nb_classify,
-        "ams_f2": q_ams_f2,
-        "host_katz": q_host_katz,
-        "clean_bleu": q_clean_bleu,
-        "ks_drift": q_ks_drift,
-        "gate_mcnemar": q_gate_mcnemar,
-        "js_sources": q_js_sources,
-        "cusum_drift": q_cusum_drift,
-        "centroid_classify": q_centroid_classify,
-        "ct_langid": q_ct_langid,
-        "bigram_entropy": q_bigram_entropy,
-        "burrows_delta": q_burrows_delta,
-        "kmv_overlap": q_kmv_overlap,
-        "cooccur_rules": q_cooccur_rules,
-        "table_profile": q_table_profile,
-        "table_checks": q_table_checks,
-        "runs_test": q_runs_test,
-        "cramers_v": q_cramers_v,
-        "powerlaw_fit": q_powerlaw_fit,
-        "graph_summary": q_graph_summary,
     }
 
 
@@ -5370,6 +5396,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM pr JOIN tr ON pr.node = tr.node"
         ),
         "shard_manifest": sql_shard_manifest(n_shards=16),
+        # merge-of-disjoint-parts must equal the whole-corpus manifest
+        # bit-for-bit (associative/commutative fold), so the oracle is
+        # the SAME whole-table manifest SQL
+        "manifest_merge": sql_shard_manifest(n_shards=16),
         "compaction_plan": sql_compaction_plan(
             "SELECT source || '-' || CAST(doc_id % 7 AS VARCHAR) AS file_id, "
             "sum(coalesce(octet_length(encode(text)), 0)) AS bytes "
