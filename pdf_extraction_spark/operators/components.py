@@ -48,10 +48,14 @@ def connected_components(
             .agg(F.min("component").alias("neighbor_min"))
             .withColumnRenamed("src", "node")
         )
+        # the previous label rides along as `old` so convergence is a
+        # plain aggregate over the checkpointed update — NOT a second
+        # labels ⋈ new_labels shuffle join per round
         stepped = (
             labels.join(neighbor_labels, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("old"),
                 F.least(
                     F.col("component"), F.coalesce("neighbor_min", F.col("component"))
                 ).alias("component"),
@@ -66,20 +70,19 @@ def connected_components(
             stepped.join(parent, stepped["component"] == parent["p_node"], "left")
             .select(
                 "node",
+                "old",
                 F.least(
                     F.col("component"), F.coalesce("p_comp", F.col("component"))
                 ).alias("component"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            labels.withColumnRenamed("component", "old")
-            .join(new_labels, "node")
-            .filter(F.col("old") != F.col("component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(
+            F.coalesce(
+                F.sum((F.col("old") != F.col("component")).cast("long")), F.lit(0)
+            )
+        ).first()[0]
+        labels = new_labels.drop("old")
         if changed == 0:
             break
 
