@@ -2281,7 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         per source over the shared word-3-shingle stream, with pairwise
         union/intersection estimates — the set-operation capability
         HLL cannot offer, at sketch cost beside the exact
-        source_overlap join. All integer (60-bit md5 hashes, floor
+        source_overlap join. All integer (52-bit md5 hashes, floor
         divisions); sketches merge by k-smallest-of-union."""
         from pdf_extraction_spark.operators.dedup import shingle_df
         from pdf_extraction_spark.operators.sketches import (

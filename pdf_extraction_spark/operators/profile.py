@@ -12,8 +12,10 @@ value containment). Both here are engine-native and oracle-able:
   null count, exact distinct count, min/max (rendered to string AFTER
   typed comparison), and the top-3 values by (count desc, value asc)
   as a rendered list. Columns are a DRIVER-SIDE metadata list (the
-  schema is not data), so the generated plan is a fixed union of
-  per-column aggregates; every aggregate is map-side combinable and
+  schema is not data) and the plan reads the table exactly TWICE no
+  matter how many columns are profiled: one wide agg for every
+  column's scalar stats, one melt → (column, value) grouping for
+  every column's top-3; every aggregate is map-side combinable and
   the top-3 buffer is bounded by the slice device.
 * :func:`table_checks` — declarative constraints evaluated in ONE
   pass per constraint family, emitting (check, column, n_rows,
@@ -40,65 +42,100 @@ def table_profile(df: DataFrame, columns: list[str]) -> DataFrame:
     top_values): one profile row per listed column; top_values renders
     the top-3 (value, count) pairs as 'v:c' joined by ','; NULL values
     are excluded from distinct/min/max/top (they are the n_null
-    column's business)."""
-    parts = []
+    column's business).
+
+    Two table scans TOTAL regardless of how many columns are profiled
+    (the Deequ single-pass discipline, vs the naive 2-scans-per-column
+    shape): one wide agg computes every column's count/null/distinct/
+    min/max together (min/max compare TYPED, render to string after),
+    and one melt → (column, value) grouping serves every column's
+    top-3. The melted grouping key carries the column name, so the
+    top-3 shuffle is all columns' value histograms in ONE exchange."""
+    col_aggs: list = [F.count(F.lit(1)).alias("n_rows")]
     for c in columns:
         col = F.col(c)
-        base = df.select(col.alias("v"))
-        aggs = base.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
-            F.countDistinct("v").alias("n_distinct"),
-            F.min("v").cast("string").alias("min_str"),
-            F.max("v").cast("string").alias("max_str"),
-        )
-        top = (
-            base.filter(F.col("v").isNotNull())
-            .groupBy("v")
-            .agg(F.count("*").alias("c"))
-            .groupBy()
-            .agg(
-                F.slice(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                (-F.col("c")).alias("nc"),
-                                F.col("v").cast("string").alias("vs"),
-                                F.col("c"),
-                            )
+        col_aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"null__{c}"),
+            F.countDistinct(col).alias(f"dist__{c}"),
+            F.min(col).cast("string").alias(f"min__{c}"),
+            F.max(col).cast("string").alias(f"max__{c}"),
+        ]
+    wide = df.agg(*col_aggs)
+
+    melted = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("string").alias("vs"),
                         )
-                    ),
-                    1,
-                    3,
-                ).alias("t3")
-            )
-            .select(
-                F.array_join(
-                    F.transform(
-                        F.col("t3"),
-                        lambda s: F.concat(
-                            s["vs"], F.lit(":"), s["c"].cast("string")
-                        ),
-                    ),
-                    ",",
-                ).alias("top_values")
-            )
+                        for c in columns
+                    ]
+                )
+            ).alias("p")
         )
-        parts.append(
-            aggs.crossJoin(top).select(
-                F.lit(c).alias("column"),
-                "n_rows",
-                F.coalesce("n_null", F.lit(0)).alias("n_null"),
-                "n_distinct",
-                "min_str",
-                "max_str",
-                F.coalesce("top_values", F.lit("")).alias("top_values"),
-            )
+        .select("p.column", "p.vs")
+        .filter(F.col("vs").isNotNull())
+    )
+    top = (
+        melted.groupBy("column", "vs")
+        .agg(F.count("*").alias("c"))
+        .groupBy("column")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("c")).alias("nc"),
+                            F.col("vs"),
+                            F.col("c"),
+                        )
+                    )
+                ),
+                1,
+                3,
+            ).alias("t3")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        .select(
+            "column",
+            F.array_join(
+                F.transform(
+                    F.col("t3"),
+                    lambda s: F.concat(s["vs"], F.lit(":"), s["c"].cast("string")),
+                ),
+                ",",
+            ).alias("top_values"),
+        )
+    )
+
+    rows = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col("n_rows").alias("n_rows"),
+                        F.coalesce(f"null__{c}", F.lit(0)).alias("n_null"),
+                        F.col(f"dist__{c}").alias("n_distinct"),
+                        F.col(f"min__{c}").alias("min_str"),
+                        F.col(f"max__{c}").alias("max_str"),
+                    )
+                    for c in columns
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    return rows.join(F.broadcast(top), "column", "left").select(
+        "column",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_str",
+        "max_str",
+        F.coalesce("top_values", F.lit("")).alias("top_values"),
+    )
 
 
 def sql_table_profile(rel: str, columns: list[str]) -> str:

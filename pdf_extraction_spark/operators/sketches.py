@@ -946,7 +946,7 @@ def sql_ams_f2(
 #
 # The fifth md5-register sketch, and the one capability HLL cannot
 # offer: because a KMV sketch IS a uniform sample of the value space
-# (the k smallest 60-bit md5 hashes), two groups' sketches support
+# (the k smallest 52-bit md5 hashes), two groups' sketches support
 # INTERSECTION estimates — |A ∩ B| ~ rho * D(A u B) where rho is the
 # fraction of the merged k-minimum set present in both sketches — so
 # cross-source overlap questions run at sketch cost instead of the
@@ -982,7 +982,7 @@ def _kmv_hash(value: Column) -> Column:
 def kmv_group_sketches(
     df: DataFrame, value: Column, group_col: str, k: int = 64
 ) -> DataFrame:
-    """(grp, arr): each group's sorted k smallest distinct 60-bit
+    """(grp, arr): each group's sorted k smallest distinct 52-bit
     hashes (fewer when the group has < k distinct values — then the
     sketch is the exact enumeration)."""
     base = (

@@ -720,6 +720,14 @@ def sql_good_turing(rel: str = "documents", text_expr: str = "text") -> str:
 # overflow at any corpus size (the naive cross-multiplication a*N >
 # tf*n_g overflows past ~3e9 tokens).
 #
+# Overflow bound (S-terms): S(x) = x·I(x) ≤ N·ln(N)·10⁹, which exceeds
+# int64 once the corpus token count N passes ~4.3·10⁸ — the same bound
+# class as unigram entropy's Σ c·I(c) (textanalysis.py). Past it Spark
+# wraps silently while DuckDB raises, so the bit-identical contract
+# holds only for N ≲ 4·10⁸ tokens per keyness run. At web scale run
+# keyness per stratum/sample (its report shape anyway), or coarsen the
+# quantum (I(x)·10⁶ buys 10³× headroom at micro-nat resolution).
+#
 # Scale shape: one (group, term) groupBy on the exploded token stream
 # (corpus-sized shuffle — the count-table contract), then ALL frames
 # are vocabulary-sized: tf via a term-partitioned window (#groups rows
@@ -920,7 +928,13 @@ def cooccur_rules(
     n_docs = dw.select("doc_id").distinct().groupBy().agg(
         F.count("*").alias("n_docs")
     )
-    fdw = dw.join(F.broadcast(freq.select("tok")), "tok")
+    # the frequent-token table is VOCABULARY-sized (bounded above by
+    # n_docs·max_doc_len/min_docs, not by a constant) — no broadcast
+    # hints here; AQE picks broadcast when the pruned table is actually
+    # small and falls back to a shuffle join when a web-scale corpus
+    # with a low min_docs makes it big (module discipline: never force
+    # a broadcast of corpus-derived state without a constant bound)
+    fdw = dw.join(freq.select("tok"), "tok")
     a = fdw.select("doc_id", F.col("tok").alias("w1"))
     b = fdw.select(F.col("doc_id").alias("did2"), F.col("tok").alias("w2"))
     pairs = (
@@ -932,8 +946,8 @@ def cooccur_rules(
     fa = freq.select(F.col("tok").alias("w1"), F.col("n").alias("n_a"))
     fb = freq.select(F.col("tok").alias("w2"), F.col("n").alias("n_b"))
     out = (
-        pairs.join(F.broadcast(fa), "w1")
-        .join(F.broadcast(fb), "w2")
+        pairs.join(fa, "w1")
+        .join(fb, "w2")
         .crossJoin(F.broadcast(n_docs))
     )
     lift = (

@@ -1599,6 +1599,15 @@ def sql_bleu_pair(
 # corpus-shuffle groupBy, vocab-keyed join, then everything is vocab-,
 # frequency-class- or source-sized. eqNullSafe on the (source, b)
 # correction join — NULL source is a real stratum (host_quality rule).
+#
+# Overflow bound: the I() arguments are integer products a·n_c and
+# b·n_g (term count × stratum total), which exceed int64 once the
+# smaller factor times the stratum token total passes ~9.2·10¹⁸ —
+# i.e. stratum totals ≳ 3·10⁹ tokens with common words (a ~ n_c·1e-2)
+# overflow the ARGUMENT before the sums do; the a·(I…−I…) partial sums
+# hit the Σ c·I(c) ~4·10⁸ bound class first in practice. Same
+# contract note as keyness (terms.py): Spark wraps, DuckDB raises —
+# exact up to ~10⁸-token strata; sample or coarsen beyond.
 
 
 def js_divergence(
@@ -1927,6 +1936,13 @@ def sql_ct_langid(
 # shape: one (source, w1, w2) corpus-shuffle groupBy, a (source, w1)
 # re-aggregation, two combinable per-source sums. Sources with no
 # bigrams (all docs < 2 tokens) emit no row — no distribution exists.
+#
+# Overflow bound: Σ c·I(c) ≤ B·ln(B)·10⁹ exceeds int64 once a source's
+# bigram count B passes ~4.3·10⁸ (the unigram-entropy bound class;
+# Spark wraps silently, DuckDB raises). The per-SOURCE count is the
+# bound, not the corpus — web-scale mixtures with ≲4·10⁸ bigrams per
+# stratum stay exact; beyond that, sample the stratum or coarsen the
+# quantum.
 
 
 def bigram_cond_entropy(

@@ -20,6 +20,14 @@ entity — no event buffer, the hostquota bound.
 Scale shape: one entity-keyed stateful shuffle; updates stream through
 applyInPandasWithState in Arrow batches; within a batch the rows are
 sorted by the deterministic (ts, id) key before the fold.
+
+Contract difference vs the batch operator: the batch cusum treats a
+NULL group as a real stream; THIS path drops NULL-group rows up front
+(``group_col.isNotNull()``) because applyInPandasWithState keys state
+by the group value and a NULL key is not a usable state-store key.
+The bit-for-bit parity claim therefore covers non-NULL entities only —
+route NULL-entity events to the batch operator (or coalesce them to a
+sentinel key before the stream) if that stream matters.
 """
 
 from __future__ import annotations
