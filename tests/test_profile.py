@@ -86,3 +86,20 @@ def test_twin_parity(spark, df):
         key=repr,
     )
     assert a2 == b2
+
+
+def test_profile_reads_source_exactly_twice(spark, tmp_path):
+    """The single-pass contract: one wide agg + one melt = exactly TWO
+    scans of the source regardless of how many columns are profiled
+    (the naive shape is 2 scans PER column)."""
+    src = str(tmp_path / "profile_src.parquet")
+    spark.createDataFrame(ROWS, SCHEMA).write.parquet(src)
+    df = spark.read.parquet(src)
+    plan = (
+        table_profile(df, ["doc_id", "lang", "source", "n_chars"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 2, f"expected exactly 2 source scans, saw {n_scans}"
