@@ -64,6 +64,19 @@ def test_submanifests_merge_to_whole(spark, docs):
     assert _rows(merged) == _rows(shard_manifest(docs, n_shards=8))
 
 
+def test_empty_part_is_identity_of_the_fold(spark, docs):
+    """An increment with zero docs manifests to zero rows and folding
+    it in changes nothing — the fold's identity element (the
+    manifest_merge driver query's 3-way split relies on this when a
+    residue class is empty at tiny SF)."""
+    empty = docs.filter(F.lit(False))
+    assert shard_manifest(empty, n_shards=8).count() == 0
+    merged = merge_manifests(
+        shard_manifest(docs, n_shards=8).unionAll(shard_manifest(empty, n_shards=8))
+    )
+    assert _rows(merged) == _rows(shard_manifest(docs, n_shards=8))
+
+
 def test_any_field_edit_flips_the_digest(spark, docs):
     base = {r.shard: r.xor_digest for r in shard_manifest(docs, n_shards=4).collect()}
     tampered = docs.withColumn(
