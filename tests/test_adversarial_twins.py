@@ -105,6 +105,12 @@ QUERIES = [
     "readability_panel", "yule_k", "modularity", "link_predict",
     "bowtie", "gate_map", "gate_kappa", "good_turing",
     "keyness", "nb_classify", "ams_f2", "host_katz", "clean_bleu", "ks_drift", "gate_mcnemar", "js_sources", "ct_langid", "bigram_entropy", "burrows_delta", "kmv_overlap", "powerlaw_fit", "graph_summary", "cramers_v", "table_profile", "table_checks", "cooccur_rules",
+    # round 5: window-completion additions (manifest fold, crawl
+    # redirects, text normalizers; incremental_dedup stays excluded —
+    # its history/new-batch signatures are committed fixtures)
+    "manifest_merge", "redirects", "fix_mojibake", "nfc_normalize",
+    "fold_accents", "url_filter", "url_canonical", "surt_keys",
+    "decontaminate", "porter_stems", "compress_gate", "edit_verify",
 ]
 
 BASE_SF = "/root/testdata/sf0.001"
