@@ -225,6 +225,9 @@ EMB_QUERIES = [
     "ivf_assign", "ivf_probe", "ivf_topk", "semdedup", "quantize_emb",
     "pq_encode", "pq_topk", "mmr_topk", "facility_location",
     "centroid_classify",
+    # round 5: embeddings-family queries previously only in the benign
+    # documents leg
+    "embedding_lsh", "embedding_clusters", "dimsum",
 ]
 
 
