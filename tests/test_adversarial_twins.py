@@ -322,6 +322,9 @@ EVT_QUERIES = [
     "zscore_by_group", "session_stats", "windowed_counts",
     "top3_per_segment", "keep_last", "funnel_steps", "bot_regularity",
     "bursts", "host_quota", "cusum_drift", "runs_test",
+    # round 5: the TPC-H revenue rollup joins the hostile orders table
+    # (NULL custkey/price/date, duplicate date ties)
+    "nation_revenue",
 ]
 
 
