@@ -60,11 +60,16 @@ def main(argv=None):
     t0 = time.perf_counter()
     walls = {}
 
-    docs = (
+    # persist the analyzed frame ONCE: every downstream stage (exact
+    # dedup, the near-dup anti-join, the Gopher gate, the corpus write)
+    # re-reads it, and without the cache each staged action would re-run
+    # the read + tokenize lineage from parquet (measured 5× cost at sf1)
+    analyzed = (
         spark.read.parquet(args.docs)
         .withColumn("doc_id", F.xxhash64("url"))
         .withColumn("token_count", token_count_col(F.col("text")))
-    )
+    ).persist()
+    docs = analyzed
     n_in = docs.count()
     walls["read_analyze_s"] = round(time.perf_counter() - t0, 2)
 
@@ -121,6 +126,7 @@ def main(argv=None):
     walls["write_manifest_s"] = round(time.perf_counter() - t, 2)
     walls["total_s"] = round(time.perf_counter() - t0, 2)
 
+    analyzed.unpersist()
     summary = {
         "n_input_docs": n_in,
         "n_after_exact_dedup": n_exact,
