@@ -17,31 +17,36 @@ from .filters import word_count_col
 
 # regex-token count, native: word runs (with inner apostrophes) or single
 # non-space punctuation — mirrors kernels.textstats.tokenize.
-# (?U): Java regex \w is ASCII by default; the kernel tokenizer is
-# Unicode, and the corpus carries de/fr/hi text. Residual deviation:
-# Java's Unicode \w includes combining marks (gc=Mn), Python's doesn't,
-# so Indic matras merge into words here but tokenize separately in the
-# kernel — use token_count_udf where exact kernel parity matters.
-_TOKEN_PATTERN = r"\w+(?:'\w+)?|[^\w\s]"
-_JAVA_TOKEN_PATTERN = "(?U)" + _TOKEN_PATTERN
+#
+# Both engines run the LITERAL SAME pattern text: explicit Unicode
+# classes [\p{L}\p{M}\p{N}_] and an explicit White_Space body
+# (kernels.wsre — its text parses identically in Java and RE2). The
+# previous Spark side used Java (?U)\w, whose semantics silently
+# diverge from the class spelling in two hostile cases the adversarial
+# sweep caught: Java \w includes the ZWNJ/ZWJ join controls (words
+# joined by them counted as ONE token on Spark, three on DuckDB) and
+# Java \p{Digit} is Nd-only (so superscript ²/³, gc=No, split off as
+# punctuation on Spark but merged into words on DuckDB and in the
+# Python kernel). With the shared class text, both cases agree — and
+# agree with kernels.textstats.tokenize (Python \w ≈ alnum: includes
+# No, excludes join controls). Residual kernel deviation (documented,
+# deliberate): combining marks (gc=M) merge into words here and in the
+# twin but tokenize separately in the Python kernel — use
+# token_count_udf where exact kernel parity matters.
+from ..kernels.wsre import WHITE_SPACE_BODY as _UWS
+
+_CLS_W = r"[\p{L}\p{M}\p{N}_]"
+_TOKEN_PATTERN = rf"{_CLS_W}+(?:'{_CLS_W}+)?|[^\p{{L}}\p{{N}}_{_UWS}]"
+_JAVA_TOKEN_PATTERN = _TOKEN_PATTERN
+_RE2_TOKEN_PATTERN = _TOKEN_PATTERN
+# punctuation = not word-class, not whitespace — the same shared class
+# text on both engines (Java (?U)[^\w\s] had the join-control and
+# gc=No divergences described above)
+_PUNCT_PATTERN = rf"[^\p{{L}}\p{{M}}\p{{N}}_{_UWS}]"
 
 
 def token_count_col(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(_JAVA_TOKEN_PATTERN), F.lit(0)))
-
-
-# DuckDB (RE2) twin of the Java-Unicode token pattern: RE2's bare \w is
-# ASCII-only, so accented letters would split off as punctuation tokens
-# and break oracle parity on any non-English text. \p{L}\p{M}\p{N}_
-# matches Java (?U)\w including combining marks (Java \w covers
-# Mn/Mc/Me; residual: the two join controls ZWNJ/ZWJ).
-# The punctuation class excludes Java (?U)\s — spelled as the explicit
-# White_Space body (kernels.wsre) because RE2's bare \s lacks NEL/LS/PS
-# etc. and would otherwise count them as punctuation tokens.
-from ..kernels.wsre import WHITE_SPACE_BODY as _UWS
-
-_RE2_W = r"[\p{L}\p{M}\p{N}_]"
-_RE2_TOKEN_PATTERN = rf"{_RE2_W}+(?:'{_RE2_W}+)?|[^\p{{L}}\p{{N}}_{_UWS}]"
 
 
 def sql_token_count(expr: str) -> str:
@@ -56,7 +61,7 @@ def with_quality_ratios(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(c)
     words = F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != F.lit(""))
     n_words = F.size(words)
-    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"(?U)[^\w\s]"), F.lit(0)))
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(_PUNCT_PATTERN), F.lit(0)))
     stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "to", "and", "in", "is"]])
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop, w)))
     safe_words = F.greatest(n_words, F.lit(1))
