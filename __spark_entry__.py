@@ -4833,11 +4833,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.5"
         ),
         "embedding_neardup": (
+            # finite-vector gate on both sides mirrors the operator's
+            # finite_vec_pred (NaN/Inf vectors are outside the universe)
+            "WITH fe AS (SELECT vec_id, embedding FROM embeddings WHERE "
+            + __import__(
+                "pdf_extraction_spark.operators.topk", fromlist=["sql_finite_vec"]
+            ).sql_finite_vec("embedding")
+            + ") "
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
             "round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
             "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
             "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "FROM fe a JOIN fe b ON a.vec_id < b.vec_id "
             "WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
             "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
             "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.35"

@@ -68,7 +68,12 @@ def facility_location_select(
     Σ_v cur(v) after the pick (both exact int64)."""
     if k < 1 or pool < k:
         raise ValueError("need pool >= k >= 1")
-    vecs = embeddings.filter(F.col(vec_col).isNotNull()).select(
+    from .topk import finite_vec_pred
+
+    # NaN/±Inf vectors leave the universe like NULLs — a NaN norm would
+    # poison the candidate ordering and the micro-quantized gains cast
+    # NaN→int64, which DuckDB rejects outright (finite_vec_pred doc)
+    vecs = embeddings.filter(finite_vec_pred(F.col(vec_col))).select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     )
     norm = F.round(
@@ -175,9 +180,11 @@ def sql_facility_location(
 
     sim_vc = micro(sql_fold_cos("v.v", "c.cv", 6))
     sim_vp = micro(sql_fold_cos("v.v", "p.cv", 6))
+    from .topk import sql_finite_vec
+
     parts = [
         f"vecs AS (SELECT {id_col} AS vid, {vec_col} AS v FROM {table} "
-        f"WHERE {vec_col} IS NOT NULL)",
+        f"WHERE {sql_finite_vec(vec_col)})",
         f"cands AS (SELECT vid AS cid, v AS cv FROM (SELECT vid, v, {nrm} AS nrm "
         f"FROM vecs ORDER BY nrm DESC, vid LIMIT {pool}))",
         "cur0 AS (SELECT vid, v, CAST(0 AS BIGINT) AS cur FROM vecs)",

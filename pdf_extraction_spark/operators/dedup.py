@@ -887,7 +887,9 @@ def embedding_sketches(
     corrupt instead of the outlier)."""
     if n_planes % n_bands:
         raise ValueError("n_planes must be a multiple of n_bands")
-    nn = emb.filter(F.col(vec_col).isNotNull())
+    from .topk import finite_vec_pred
+
+    nn = emb.filter(finite_vec_pred(F.col(vec_col)))
     if dim is None:
         sample = [
             r[0] for r in nn.select(F.size(vec_col)).limit(256).collect()
@@ -950,8 +952,12 @@ def embedding_near_dups(
     n_bands × corpus rows keyed by (band, int64 bucket); oversized
     buckets (dense template clusters) are dropped by ``max_bucket`` —
     at τ ≥ 0.9 those are caught upstream by exact/minhash dedup."""
-    from .topk import dot_col, norm_col
+    from .topk import dot_col, finite_vec_pred, norm_col
 
+    # NaN/±Inf vectors leave the universe like NULLs (finite_vec_pred
+    # rationale) — one poisoned component would otherwise give the two
+    # engines different NaN-comparison verdicts pair by pair
+    emb = emb.filter(finite_vec_pred(F.col(vec_col)))
     # precompute each vector's norm ONCE per side — cosine per pair then
     # needs a single dot, not three (3× less HOF work over the pairs)
     a = emb.select(

@@ -649,7 +649,9 @@ def quantize_embeddings(
             v, codes, lambda x, c: F.abs(x - c.cast("double") * scale)
         )
     )
-    return emb.filter(F.col(vec_col).isNotNull()).select(
+    from .topk import finite_vec_pred
+
+    return emb.filter(finite_vec_pred(F.col(vec_col))).select(
         F.col(id_col).alias("vec_id"),
         F.size(vec_col).alias("dim"),
         scale.alias("scale"),
@@ -678,13 +680,15 @@ def sql_quantize_embeddings(
         f"list_max(list_transform(list_zip({v}, {codes}), "
         f"p -> abs(p[1] - CAST(p[2] AS DOUBLE) * ({scale}))))"
     )
+    from .topk import sql_finite_vec
+
     return (
         f"SELECT {id_col} AS vec_id, "
         f"CAST(len({vec_col}) AS INT) AS dim, "
         f"{scale} AS scale, {codes} AS codes, "
         f"CAST(len(list_filter({codes}, c -> abs(c) = 127)) AS INT) AS n_sat, "
         f"coalesce({err}, 0.0) AS max_err "
-        f"FROM ({emb_select}) WHERE {vec_col} IS NOT NULL"
+        f"FROM ({emb_select}) WHERE {sql_finite_vec(vec_col)}"
     )
 
 

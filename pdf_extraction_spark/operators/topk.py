@@ -32,6 +32,30 @@ def norm_col(a: Column) -> Column:
     return F.sqrt(dot_col(a, a))
 
 
+def finite_vec_pred(col: Column) -> Column:
+    """True iff the vector is non-NULL and every component is finite.
+
+    Non-finite embeddings (NaN/±Inf from a broken upstream model shard
+    — a real failure mode at corpus scale) are OUTSIDE the similarity
+    universe, like NULLs: NaN poisons every norm/dot it touches, and
+    the engines' NaN ordering rules differ (Spark sorts NaN above all
+    values, DuckDB raises on NaN→int casts), so admitting them breaks
+    cross-engine parity in operator-specific ways. The empty vector is
+    vacuously finite (matches the SQL twin below)."""
+    return col.isNotNull() & ~F.exists(
+        col, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+
+
+def sql_finite_vec(vec_col: str) -> str:
+    """DuckDB twin of :func:`finite_vec_pred` (empty list → vacuously
+    finite via the coalesce, matching Spark's exists-over-empty)."""
+    return (
+        f"({vec_col} IS NOT NULL AND NOT coalesce(list_bool_or("
+        f"list_transform({vec_col}, x -> isnan(x) OR NOT isfinite(x))), FALSE))"
+    )
+
+
 def cosine_col(a: Column, b: Column) -> Column:
     """cosine similarity; 0.0 when either norm is zero (simple_rag.py:63)."""
     na, nb = norm_col(a), norm_col(b)

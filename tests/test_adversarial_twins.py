@@ -228,6 +228,15 @@ def _adversarial_embeddings():
         (104, [x * 1e-6 for x in base], 2),            # tiny magnitude
         (105, [x * 1e6 for x in base], 2),             # huge magnitude
         (106, [x + 1e-9 for x in base], 0),            # epsilon neighbor
+        # round 5: non-finite + float32-extreme rows — these caught the
+        # missing finite-vector gate (NaN/Inf vectors now leave the
+        # universe like NULLs, operators/topk.py:finite_vec_pred)
+        (200, [float("nan")] * 64, 0),                 # all-NaN
+        (201, base[:32] + [float("nan")] * 32, 1),      # half-NaN
+        (202, [float("inf")] + base[1:], 2),            # +inf component
+        (203, [-float("inf")] + base[1:], 0),           # -inf component
+        (204, [5e-39] * 64, 1),                         # float32 denormals
+        (205, [3e38] * 64, 2),                          # near float32 max
     ]
     return rows
 
@@ -237,9 +246,12 @@ EMB_QUERIES = [
     "ivf_assign", "ivf_probe", "ivf_topk", "semdedup", "quantize_emb",
     "pq_encode", "pq_topk", "mmr_topk", "facility_location",
     "centroid_classify",
-    # round 5: embeddings-family queries previously only in the benign
-    # documents leg
-    "embedding_lsh", "embedding_clusters", "dimsum",
+    # round 5: DIMSUM joined (pure-recompute twin). embedding_lsh /
+    # embedding_clusters stay OUT: their oracles band a sketch FIXTURE
+    # computed from the sf0.01 embeddings (data-derived, unlike the
+    # centroid MODEL fixtures), so a hostile embeddings table is not
+    # apples-to-apples on the candidate side.
+    "dimsum",
 ]
 
 
