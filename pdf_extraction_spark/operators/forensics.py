@@ -50,7 +50,18 @@ def bot_regularity(
     gap statistics for users with ≥ ``min_events`` timestamped events —
     ``cv`` = round(sqrt(n·Σg² − (Σg)²) / Σg, 6), ``is_bot`` = cv <
     ``cv_bot`` (sub-second-uniform timers read cv 0). Users whose gaps
-    are all zero (same-instant bursts) emit cv NULL (undefined μ=0)."""
+    are all zero (same-instant bursts) emit cv NULL (undefined μ=0).
+
+    Overflow bound: gaps are clamped to 10⁸ s (~3.2 years — beyond any
+    real inter-event gap; the clamp only fires on corrupt timestamps
+    like pre-epoch or far-future rows, which the adversarial sweep
+    feeds deliberately). Unclamped, one ≥96-year gap squares past
+    int64 and Spark's ANSI multiply throws while DuckDB widens —
+    engine-divergent. Clamped, Σg² overflows only past ~922 corrupt
+    gaps PER USER (n·10¹⁶ vs 2⁶³), and the cv radicand's (Σg)² stays
+    exact while a user's total history span is < ~96 years —
+    unreachable for data that means anything; the clamp is applied
+    identically in both engines."""
     ev = events.filter(F.col(ts_col).isNotNull()).select(
         F.col(user_col).alias("user_id"),
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("ts_us"),
@@ -64,7 +75,9 @@ def bot_regularity(
             # integer DIV: Spark's float `/`+cast truncates while
             # DuckDB's CAST(double) rounds half-away (the ppl_buckets
             # trap) — floor division sidesteps the convention entirely
-            F.expr("(ts_us - prev) DIV 1000000").alias("g"),
+            F.expr(
+                "least((ts_us - prev) DIV 1000000, 100000000L)"
+            ).alias("g"),
         )
     )
     agg = gaps.groupBy("user_id").agg(
@@ -102,10 +115,15 @@ def sql_bot_regularity(
 WITH ev AS (SELECT {user_expr} AS user_id,
                    CAST(epoch_us({ts_expr}) AS BIGINT) AS ts_us
             FROM {table} WHERE {ts_expr} IS NOT NULL),
-gaps AS (SELECT user_id,
-                (ts_us - lag(ts_us) OVER (PARTITION BY user_id
-                     ORDER BY ts_us)) // 1000000 AS g
-         FROM ev),
+gaps AS (SELECT user_id, least(raw_g, 100000000) AS g
+         FROM (SELECT user_id,
+                      (ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us)) // 1000000 AS raw_g
+               FROM ev)
+         -- filter BEFORE the clamp: least() ignores NULLs in both
+         -- engines, so clamping the lag-NULL first row would invent a
+         -- phantom max-size gap per user
+         WHERE raw_g IS NOT NULL),
 a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
              CAST(sum(g) AS BIGINT) AS s1, CAST(sum(g * g) AS BIGINT) AS s2
       FROM gaps WHERE g IS NOT NULL GROUP BY user_id)

@@ -319,6 +319,13 @@ def _adversarial_events():
         (107, _T0, 2, "click", 5.0, "{}"),              # same-instant tie
         (108, _T0 + _dt.timedelta(days=400), 3, "click", float("inf"), "{}"),
         (109, _T0 - _dt.timedelta(days=400), 3, "click", -1e18, "{}"),
+        # round 5: NaN values, corrupt-timestamp extremes (these caught
+        # bot_regularity's unclamped gap² int64 overflow), negative ids
+        (300, _T0, 4, "click", float("nan"), "{}"),
+        (301, _T0 + _dt.timedelta(seconds=1), 4, "click", -float("inf"), "{}"),
+        (302, _dt.datetime(1969, 12, 31, 23, 59, 59), 5, "view", 1.0, "{}"),
+        (303, _dt.datetime(2260, 1, 1), 5, "view", 1.0, "{}"),
+        (304, _T0, -7, "click", 2.0, "{}"),
     ]
     return rows
 
