@@ -78,6 +78,21 @@ ADVERSARIAL_DOCS = [
     (47, "a.b.c.d.e.f.g.h.i.j.k.l.m.n.o.p", "en", "web", 31),
     (48, "<html><body onload=x()>markup &amp; entities &#65; &lt;tag&gt;</body></html>", "en", "web", 77),
     (49, "\ufeffBOM prefixed text with trailing BOM\ufeff", "en", "web", 38),
+    # round-5 third wave: malformed markup — comments hiding links,
+    # protocol-relative/mailto hrefs, script-embedded pseudo-links,
+    # unquoted/caps/spaced attrs, CDATA, unclosed table cells, void
+    # elements, mixed-quote attributes (all 178 parities pass — pinned
+    # so the HTML family stays robust)
+    (50, "<!-- comment with <a href='x'>link</a> inside --><p>after", "en", "web", 54),
+    (51, "<a href='//cdn.example.com/x'>prot-rel</a> <a href='mailto:a@b.c'>mail</a>", "en", "web", 74),
+    (52, "<script>var s = '<a href=\"fake\">not a link</a>';</script><p>real", "en", "web", 64),
+    (53, "<A HREF=UNQUOTED>caps unquoted</A><a href = ' spaced.html '>sp</a>", "en", "web", 66),
+    (54, "<![CDATA[<b>cdata bold</b>]]> outside <b>real bold</b>", "en", "web", 54),
+    (55, "<table><tr><td>unclosed cell<tr><td>next row</table>", "en", "web", 52),
+    (56, "<meta charset=utf-8><META NAME=keywords CONTENT='a,b,,c '>", "en", "web", 58),
+    (57, "<h3>skip to h3</h3><h1>then h1</h1><h6></h6>", "en", "web", 44),
+    (58, "text with <br/><br />self closers<hr>and void<img src=x alt>", "en", "web", 60),
+    (59, "<div class=\"a'b\" data-x='c\"d'>mixed quote attrs</div>", "en", "web", 53),
 ]
 
 QUERIES = [
