@@ -5035,7 +5035,8 @@ def oracle_sql() -> dict[str, str]:
             "FOR i IN range(1, len(w) - 1)]) "
             "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] "
             "ELSE [] END AS gs FROM ("
-            f"SELECT source, list_filter(string_split_regex(lower(text), "
+            f"SELECT source, list_filter(string_split_regex("
+            "lower(replace(replace(text, 'İ', 'i'), 'Σ', 'σ')), "
             f"'{WORD_SPLIT_RE}'), x -> x <> '') AS w FROM documents))"
         ),
         "host_quality": sql_host_quality_gate(),
@@ -5052,7 +5053,8 @@ def oracle_sql() -> dict[str, str]:
             "FOR i IN range(1, len(w) - 1)]) "
             "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] "
             "ELSE [] END AS gs FROM ("
-            f"SELECT source, list_filter(string_split_regex(lower(text), "
+            f"SELECT source, list_filter(string_split_regex("
+            "lower(replace(replace(text, 'İ', 'i'), 'Σ', 'σ')), "
             f"'{WORD_SPLIT_RE}'), x -> x <> '') AS w FROM documents)))",
             key_alias="source",
         ),
@@ -5746,7 +5748,8 @@ def oracle_sql() -> dict[str, str]:
             "FOR i IN range(1, len(w) - 1)]) "
             "WHEN len(w) > 0 THEN [array_to_string(w, ' ')] "
             "ELSE [] END AS gs FROM ("
-            f"SELECT source, list_filter(string_split_regex(lower(text), "
+            f"SELECT source, list_filter(string_split_regex("
+            "lower(replace(replace(text, 'İ', 'i'), 'Σ', 'σ')), "
             f"'{WORD_SPLIT_RE}'), x -> x <> '') AS w FROM documents "
             "WHERE source IS NOT NULL))",
             k=64,

@@ -59,15 +59,37 @@ def _words(c: Column) -> Column:
 
 
 def _lower_words(c: Column) -> Column:
-    """Shared tokenization for the word-n-gram repetition rules."""
-    return F.filter(F.split(F.lower(c), WORD_SPLIT_RE), lambda w: w != F.lit(""))
+    """Shared tokenization for the word-n-gram repetition rules.
+
+    Two Unicode case-mapping special cases are pre-mapped because the
+    engines pick different sides of them (both caught by the
+    case-folding parity fuzz, tests/test_regex_parity_fuzz.py):
+
+    - İ (U+0130, Turkish dotted capital I) — Unicode's one one-to-many
+      lowercase mapping: Java/ICU lower() emits ``i`` + combining dot
+      (full mapping), DuckDB emits ``i`` (simple mapping);
+    - Σ (U+03A3) — Java applies the Greek final-sigma CONTEXTUAL rule
+      (word-final Σ → ς, else σ) while DuckDB always emits σ.
+
+    Pre-mapping İ→i and Σ→σ on BOTH engines' inputs removes the
+    context/width sensitivity; for word KEYS the dot and the
+    final-form distinction carry no signal (ς that arrives already
+    lowercase is left alone — both engines preserve it)."""
+    return F.filter(
+        F.split(F.lower(F.translate(c, "İΣ", "iσ")), WORD_SPLIT_RE),
+        lambda w: w != F.lit(""),
+    )
 
 
 def _sql_lower_words(tx: str) -> str:
-    """DuckDB fragment twin of :func:`_lower_words`."""
+    """DuckDB fragment twin of :func:`_lower_words` (same İ/Σ pre-map —
+    DuckDB's lower() already takes the simple non-contextual mappings,
+    but the explicit replaces keep the two fragments parallel and
+    future-proof against DuckDB adopting full/contextual case maps)."""
     return (
-        f"list_filter(string_split_regex(lower({tx}), '{WORD_SPLIT_RE}'), "
-        "x -> x <> '')"
+        "list_filter(string_split_regex(lower("
+        f"replace(replace({tx}, 'İ', 'i'), 'Σ', 'σ')), "
+        f"'{WORD_SPLIT_RE}'), x -> x <> '')"
     )
 
 

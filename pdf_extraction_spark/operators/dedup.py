@@ -81,9 +81,16 @@ def shingle_df(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFra
     ``slice``-per-offset formulation is O(L²) per doc and dominated the
     whole ngram_jaccard runtime; and the token expression must be a
     bound column, not inlined into the lambda, or Catalyst re-evaluates
-    the split per element.)"""
+    the split per element.)
+
+    İ/Σ are pre-mapped before lower() (curation._lower_words
+    rationale): shingle VALUES flow into the KMV/HLL sketches as
+    hashes, so the case fold must be identical cross-engine — the two
+    contextual/one-to-many Unicode case mappings are the only places
+    the engines' lower() disagree (case-folding parity fuzz)."""
     toks_expr = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+        F.split(F.lower(F.translate(F.col(text_col), "İΣ", "iσ")), r"\s+"),
+        lambda x: x != F.lit(""),
     )
     with_toks = df.select(F.col(id_col).alias("doc_id"), toks_expr.alias("__toks"))
     toks = F.col("__toks")
@@ -328,7 +335,7 @@ def sql_containment_pairs(
 
     return (
         f"WITH toks AS (SELECT {id_expr} AS doc_id, "
-        f"list_filter(string_split_regex(lower({text_expr}), '{WORD_SPLIT_RE}'), "
+        f"list_filter(string_split_regex(lower(replace(replace({text_expr}, 'İ', 'i'), 'Σ', 'σ')), '{WORD_SPLIT_RE}'), "
         "x -> x <> '') AS w FROM " + rel + "), "
         f"grams AS (SELECT doc_id, CASE WHEN len(w) >= {n} THEN "
         f"list_distinct([array_to_string(w[i:i+{n - 1}], ' ') "

@@ -487,7 +487,14 @@ def rake_phrases(
     frags = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
-            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), RAKE_FRAG_RE)
+            F.split(
+                F.lower(
+                    F.translate(
+                        F.coalesce(F.col(text_col), F.lit("")), "İΣ", "iσ"
+                    )
+                ),
+                RAKE_FRAG_RE,
+            )
         ).alias("fi", "frag"),
     )
     toks = frags.select(
@@ -579,7 +586,7 @@ def sql_rake_phrases(
     stops = ", ".join("'" + w + "'" for w in RAKE_STOPWORDS)
     return (
         "WITH t AS (SELECT doc_id, "
-        f"lower(coalesce({text_expr}, '')) AS tx FROM {rel}), "
+        f"lower(replace(replace(coalesce({text_expr}, ''), 'İ', 'i'), 'Σ', 'σ')) AS tx FROM {rel}), "
         "fr AS (SELECT doc_id, i - 1 AS fi, frags[i] AS frag FROM ("
         f"SELECT doc_id, string_split_regex(tx, '{RAKE_FRAG_RE}') AS frags, "
         "unnest(generate_series(1, len(frags))) AS i FROM t)), "

@@ -93,6 +93,13 @@ ADVERSARIAL_DOCS = [
     (57, "<h3>skip to h3</h3><h1>then h1</h1><h6></h6>", "en", "web", 44),
     (58, "text with <br/><br />self closers<hr>and void<img src=x alt>", "en", "web", 60),
     (59, "<div class=\"a'b\" data-x='c\"d'>mixed quote attrs</div>", "en", "web", 53),
+    # round-5 fourth wave: Unicode case-mapping specials — these caught
+    # the İ (one-to-many lowercase) and word-final Σ (Greek contextual
+    # rule) divergences between Java's and DuckDB's lower(), now
+    # pre-mapped at every value-emitting fold site
+    (60, "İstanbul VE İZMİR gezisi İ harfi", "tr", "web", 32),
+    (61, "ΟΔΥΣΣΕΥΣ and ΘΑΛΑΣΣΑ greek CAPS endings", "el", "web", 39),
+    (62, "mixed İ Σ ς σ ı in ONE line İQ TEST Σ", "tr", "web", 37),
 ]
 
 QUERIES = [

@@ -76,3 +76,48 @@ def test_token_and_punct_class_parity(spark, tmp_path):
 
     diverged = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
     assert not diverged, f"{len(diverged)} strings diverge: {list(diverged.items())[:5]}"
+
+
+CASE_SPICY = (
+    "abcXYZ .!'0"
+    "İıßẞΣσς"      # Turkish dotted/dotless I, sharp s pair, sigma forms
+    "ΩΩK"          # OHM SIGN (U+2126), KELVIN SIGN (U+212A) — compat case maps
+    "ÉüÇǅǈ"        # accents + titlecase digraphs (Dž/Lj)
+    "ＡＢｃ"        # fullwidth
+)
+
+
+def test_lower_words_parity(spark, tmp_path):
+    """The shared `_lower_words` tokenizer (curation/terms/dedup) is
+    lower() + one split regex on both engines — lower() itself is the
+    risk surface (Java/ICU vs DuckDB on Turkish İ, sharp-s, sigma
+    forms, the OHM/KELVIN compatibility mappings, titlecase digraphs)."""
+    from pdf_extraction_spark.operators.curation import (
+        _lower_words,
+        _sql_lower_words,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, "".join(rng.choice(CASE_SPICY) for _ in range(rng.randint(0, 40))))
+        for i in range(300)
+    ]
+    path = str(tmp_path / "case_docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+
+    got = {
+        r["doc_id"]: r["ws"]
+        for r in spark.read.parquet(path)
+        .select("doc_id", _lower_words(F.col("text")).alias("ws"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW d AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, {_sql_lower_words('text')} FROM d"
+        ).fetchall()
+    }
+    diverged = {k: (got[k], want[k]) for k in got if got[k] != want[k]}
+    assert not diverged, f"{len(diverged)} diverge: {list(diverged.items())[:5]}"
